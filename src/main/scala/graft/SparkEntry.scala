@@ -1,13 +1,661 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Library
+import graft.core.Library.AsOf
+import graft.functions.{Dedup, Multimodal, Text, Vectors}
+import graft.operators.{AsOfJoin, MergeUpdate}
+import graft.query.{Expr, QueryBuilder, Resample}
+import graft.query.Expr.{col => e, lit => l, where => ternary}
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (clauses, expression ops, version layer) plus the LLM-pipeline
+  * extension operators; `oracleSql` carries the DuckDB-equivalent SQL for
+  * every SQL-expressible query.
+  *
+  * Output conventions (for engine-agnostic hash comparison):
+  *  - every timestamp is emitted as BIGINT epoch (ns for `events.ts`,
+  *    which Spark reads as ns longs; µs for parquet µs/ms timestamps),
+  *  - every float aggregate is round(x, 6),
+  *  - every query ends in a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-lib-").toString
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    QueryBuilder()
+      .filter(e("l_quantity") > l(1.0))
+      .groupByAgg(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          ("sum_qty", "l_quantity", "sum"),
+          ("sum_price", "l_extendedprice", "sum"),
+          ("avg_disc", "l_discount", "mean"),
+          ("n", "l_quantity", "count")))(li)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // =================================================================
+  // queries
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- expression AST: filter/project (SURVEY §2.2) ----
+    "q01_filter_numeric" -> { (s, dir) =>
+      QueryBuilder()
+        .filter((e("l_quantity") < l(5.0)) && (e("l_discount") > l(0.05)))(
+          t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q02_filter_string_eq" -> { (s, dir) =>
+      QueryBuilder()
+        .filter(e("o_orderstatus") === l("F"))(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    "q03_filter_isin" -> { (s, dir) =>
+      QueryBuilder()
+        .filter(e("p_size").isin(1, 5, 9) && e("p_retailprice").isNotIn(0.0))(
+          t(s, dir, "part"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy("p_partkey")
+    },
+    "q04_filter_regex" -> { (s, dir) =>
+      QueryBuilder()
+        .filter(e("event_type").regexMatch("^(cl|si)"))(t(s, dir, "events"))
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id")
+    },
+    "q05_filter_null_ternary" -> { (s, dir) =>
+      QueryBuilder()
+        .filter(e("value").notNull && !e("event_type").isNull)
+        .project("bucket", ternary(e("value") > l(100.0), l("high"), l("low")))(
+          t(s, dir, "events"))
+        .select(col("event_id"), col("value"), col("bucket"))
+        .orderBy("event_id")
+    },
+    "q06_project_arith" -> { (s, dir) =>
+      QueryBuilder()
+        .project("profit",
+          e("l_extendedprice") * (l(1.0) - e("l_discount")) * (l(1.0) + e("l_tax")))
+        .project("lnsq", e("l_linenumber") * e("l_linenumber"))(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("profit"), 6).as("profit"), col("lnsq").cast("long").as("lnsq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q07_pow_abs_neg" -> { (s, dir) =>
+      QueryBuilder()
+        .project("absneg", (-e("l_quantity")).abs)
+        .project("qsq", e("l_quantity").pow(l(2.0)))(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("absneg"), round(col("qsq"), 6).as("qsq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---------------- groupby + aggregation (SURVEY §2.1) -------------
+    "q08_groupby_agg" -> { (s, dir) =>
+      QueryBuilder()
+        .groupByAgg(
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(
+            ("sum_qty", "l_quantity", "sum"),
+            ("sum_price", "l_extendedprice", "sum"),
+            ("avg_disc", "l_discount", "mean"),
+            ("max_tax", "l_tax", "max"),
+            ("min_price", "l_extendedprice", "min"),
+            ("n", "l_quantity", "count")))(t(s, dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_qty"), 6).as("sum_qty"),
+          round(col("sum_price"), 6).as("sum_price"),
+          round(col("avg_disc"), 6).as("avg_disc"),
+          col("max_tax"), col("min_price"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q09_groupby_single" -> { (s, dir) =>
+      QueryBuilder()
+        .groupByAgg(
+          Seq("o_orderpriority"),
+          Seq(
+            ("total", "o_totalprice", "sum"),
+            ("lo", "o_totalprice", "min"),
+            ("hi", "o_totalprice", "max"),
+            ("n", "o_orderkey", "count")))(t(s, dir, "orders"))
+        .select(col("o_orderpriority"), round(col("total"), 6).as("total"),
+          col("lo"), col("hi"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+    // ---------------- resample (SURVEY §2.1 ResampleClause) -----------
+    "q10_resample_1h" -> { (s, dir) =>
+      QueryBuilder()
+        .resample("ts", "1h", Seq(
+          ("value_sum", "value", "sum"),
+          ("value_mean", "value", "mean"),
+          ("n", "value", "count")))(t(s, dir, "events"))
+        .select(col("ts"), round(col("value_sum"), 6).as("value_sum"),
+          round(col("value_mean"), 6).as("value_mean"), col("n"))
+        .orderBy("ts")
+    },
+    "q11_resample_right_offset" -> { (s, dir) =>
+      QueryBuilder()
+        .resample("ts", "15min", Seq(
+          ("v_first", "value", "first"),
+          ("v_last", "value", "last"),
+          ("v_min", "value", "min"),
+          ("v_max", "value", "max")),
+          closed = Resample.Right, label = Resample.Right, offsetNs = 300000000000L)(
+          t(s, dir, "events"))
+        .select(col("ts"), col("v_first"), col("v_last"), col("v_min"), col("v_max"))
+        .orderBy("ts")
+    },
+    // ---------------- date_range / row ops (SURVEY §2.1) --------------
+    "q12_date_range" -> { (s, dir) =>
+      QueryBuilder()
+        .dateRange("ts", 1704153600000000000L, 1704240000000000000L)(t(s, dir, "events"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    "q13_head" -> { (s, dir) =>
+      QueryBuilder().head(Seq("ts"), 20)(t(s, dir, "events"))
+        .select(col("ts"), col("event_id"), col("event_type"))
+        .orderBy("ts")
+    },
+    "q14_tail" -> { (s, dir) =>
+      QueryBuilder().tail(Seq("ts"), 20)(t(s, dir, "events"))
+        .select(col("ts"), col("event_id"), col("event_type"))
+        .orderBy("ts")
+    },
+    "q15_row_range" -> { (s, dir) =>
+      QueryBuilder().rowRange(Seq("ts"), 100, 120)(t(s, dir, "events"))
+        .select(col("ts"), col("event_id"))
+        .orderBy("ts")
+    },
+    // ---------------- concat / sort / merge (SURVEY §2.1) -------------
+    "q16_concat_outer" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("props"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      QueryBuilder().concat(Seq(b), "outer")(a).orderBy("event_id")
+    },
+    "q17_concat_inner_promote" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("value"), col("props"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value").cast("float").as("value"))
+      QueryBuilder().concat(Seq(b), "inner")(a)
+        .select(col("event_id"), col("ts"), round(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    },
+    "q18_sort" -> { (s, dir) =>
+      QueryBuilder().sort(Seq("value", "event_id"))(t(s, dir, "events"))
+        .select(col("value"), col("event_id"), col("event_type"))
+    },
+    "q19_merge_sorted" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val slices = (0 until 3).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i))
+      QueryBuilder().concat(slices.tail, "outer").sort(Seq("ts"))(slices.head)
+        .select(col("ts"), col("event_id"), col("user_id"))
+    },
+    "q20_merge_update" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val target = ev.filter(col("event_id") < 7000)
+      val source = ev.filter(col("event_id") >= 5000 && col("event_id") < 9000)
+        .withColumn("value", round(col("value") * 2, 6))
+      MergeUpdate.merge(target, source, Seq("event_id"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy("event_id")
+    },
+    // ---------------- versioned storage layer (SURVEY §1, §2.1) -------
+    "q21_write_read_roundtrip" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      lib.write("li", t(s, dir, "lineitem"), Some("l_shipdate"), targetRows = 20000)
+      lib.read("li")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q22_append_snapshot_asof" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val cut = 1704240000000000000L
+      lib.write("ev", ev.filter(col("ts") < cut), Some("ts"), targetRows = 5000)
+      lib.snapshot("before_append")
+      lib.append("ev", ev.filter(col("ts") >= cut), targetRows = 5000)
+      lib.read("ev", AsOf.Snapshot("before_append"))
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy("event_id")
+    },
+    "q23_update_splice" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (lo, hi) = (1704153600000000000L, 1704240000000000000L)
+      lib.write("ev", ev, Some("ts"), targetRows = 3000)
+      val patch = ev.filter(col("ts").between(lo, hi))
+        .withColumn("value", round(col("value") + 1000, 6))
+      lib.update("ev", patch, targetRows = 3000)
+      lib.read("ev")
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy("event_id")
+    },
+    "q24_delete_range" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (lo, hi) = (1704153600000000000L, 1704240000000000000L)
+      lib.write("ev", ev, Some("ts"), targetRows = 3000)
+      lib.deleteRange("ev", lo, hi, targetRows = 3000)
+      lib.read("ev")
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy("event_id")
+    },
+    "q25_stage_finalize_rowid" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      (0 until 3).foreach(i => lib.stage("ev", ev.filter(pmod(col("user_id"), lit(3)) === i)))
+      lib.finalizeStaged("ev", Some("ts"), targetRows = 3000)
+      lib.read("ev", withRowId = true)
+        .select(col(Library.RowIdCol).as("rid"), col("event_id"), col("ts"))
+        .orderBy("event_id")
+    },
+    "q26_compact_head" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      lib.write("ev", t(s, dir, "events"), Some("ts"), targetRows = 500)
+      lib.compact("ev", targetRows = 100000)
+      lib.head("ev", 50)
+        .select(col("event_id"), col("ts"))
+        .orderBy("ts")
+    },
+    // ---------------- LLM pipeline: dedup -----------------------------
+    "q27_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("fp"), col("keep_id"), col("n_copies"))
+        .orderBy("fp")
+    },
+    "q28_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    "q29_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+    "q30_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+        .orderBy("id_a", "id_b")
+    },
+    // ---------------- LLM pipeline: similarity search -----------------
+    "q31_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Vectors.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+    "q32_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Vectors.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    "q33_cosine_neardup" -> { (s, dir) =>
+      Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    // ---------------- LLM pipeline: text analysis ---------------------
+    "q34_langid" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scored = Text.LangMarkers.foldLeft(d) { case (df, (lang, ms)) =>
+        df.withColumn(s"s_$lang", Text.langScore(col("text"), ms))
+      }
+      scored
+        .withColumn("lang_pred", Text.langId(col("text")))
+        .select(col("doc_id") +: col("lang_pred") +:
+          Text.LangMarkers.map { case (lang, _) => col(s"s_$lang") }: _*)
+        .orderBy("doc_id")
+    },
+    "q35_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.stopwordRatio(col("text")).as("stop_ratio"),
+          Text.meanTokenLength(col("text")).as("mean_len"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    "q36_tokens_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_ws"),
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_marks"),
+          Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    // ---------------- LLM pipeline: multimodal plumbing ---------------
+    "q37_multimodal_meta" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
+      val chunks = Multimodal.sampleChunks(docs, "doc_id", "bin", 64)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), max(col("total_len")).as("byte_len"))
+      docs.select(col("doc_id"), Multimodal.contentHash(col("bin")).as("hash"))
+        .join(chunks, "doc_id")
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+          col("hash"), col("n_chunks"))
+        .orderBy("doc_id")
+    },
+    "q38_multimodal_features" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
+      Multimodal.extractFeatures(docs, "doc_id", "bin").orderBy("id")
+    },
+    // ---------------- beyond-parity relational ops --------------------
+    "q39_join_broadcast_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+    "q40_join_multi" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 6).as("total"), count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+    "q41_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val signups = ev.filter(col("event_type") === "signup")
+      AsOfJoin.asofJoin(purchases, signups, "ts", Seq("user_id"), Seq("value"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("right_value"))
+        .orderBy("event_id")
+    },
+    "q42_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+            .as("running"))
+        .orderBy("event_id")
+    },
+    "q43_distinct" -> { (s, dir) =>
+      t(s, dir, "events").select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type")
+    },
+    "q44_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("event_type", "rn")
+    })
+
+  // =================================================================
+  // oracle SQL (DuckDB dialect) — same column names, same rounding,
+  // same ordering as the Spark plans above. Omitted entries
+  // (q28/q29/q32/q33/q38) use engine-specific hashing/LSH and get the
+  // driver's rows-only check; their correctness is covered by ScalaTest
+  // against brute-force ground truth.
+  // =================================================================
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  private def wcSql(word: String): String =
+    s"(len(string_split(' ' || text || ' ', ' $word ')) - 1)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_numeric" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity < 5.0 AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_filter_string_eq" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q03_filter_isin" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+         WHERE p_size IN (1, 5, 9) AND p_retailprice NOT IN (0.0)
+         ORDER BY p_partkey""",
+    "q04_filter_regex" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, event_type FROM events
+         WHERE regexp_matches(event_type, '^(cl|si)') ORDER BY event_id""",
+    "q05_filter_null_ternary" ->
+      """SELECT event_id, value,
+           CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS bucket
+         FROM events
+         WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+         ORDER BY event_id""",
+    "q06_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS profit,
+           CAST(l_linenumber * l_linenumber AS BIGINT) AS lnsq
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q07_pow_abs_neg" ->
+      """SELECT l_orderkey, l_linenumber, abs(-l_quantity) AS absneg,
+           round(power(l_quantity, 2.0), 6) AS qsq
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q08_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           max(l_tax) AS max_tax, min(l_extendedprice) AS min_price,
+           count(l_quantity) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q09_groupby_single" ->
+      """SELECT o_orderpriority, round(sum(o_totalprice), 6) AS total,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(o_orderkey) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q10_resample_1h" ->
+      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS ts,
+           round(sum(value), 6) AS value_sum,
+           round(avg(value), 6) AS value_mean,
+           count(value) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q11_resample_right_offset" ->
+      """SELECT ((epoch_ns(ts) - 1) - ((epoch_ns(ts) - 1 - 300000000000) % 900000000000)
+             + 900000000000) AS ts,
+           arg_min(value, epoch_ns(ts)) AS v_first,
+           arg_max(value, epoch_ns(ts)) AS v_last,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q12_date_range" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, event_type, value FROM events
+         WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
+         ORDER BY event_id""",
+    "q13_head" ->
+      """SELECT epoch_ns(ts) AS ts, event_id, event_type FROM events
+         ORDER BY ts LIMIT 20""",
+    "q14_tail" ->
+      """SELECT * FROM (
+           SELECT epoch_ns(ts) AS ts, event_id, event_type FROM events
+           ORDER BY ts DESC LIMIT 20) ORDER BY ts""",
+    "q15_row_range" ->
+      """SELECT ts, event_id FROM (
+           SELECT epoch_ns(ts) AS ts, event_id,
+             row_number() OVER (ORDER BY ts) - 1 AS rn FROM events)
+         WHERE rn >= 100 AND rn < 120 ORDER BY ts""",
+    "q16_concat_outer" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, event_type, value, props
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, epoch_ns(ts), event_type, value, NULL
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "q17_concat_inner_promote" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, round(value, 6) AS value
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, epoch_ns(ts), round(CAST(CAST(value AS REAL) AS DOUBLE), 6)
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "q18_sort" ->
+      """SELECT value, event_id, event_type FROM events
+         ORDER BY value, event_id""",
+    "q19_merge_sorted" ->
+      """SELECT epoch_ns(ts) AS ts, event_id, user_id FROM events ORDER BY ts""",
+    "q20_merge_update" ->
+      """WITH t AS (SELECT * FROM events WHERE event_id < 7000),
+            s AS (SELECT event_id, ts, user_id, event_type,
+                    round(value * 2, 6) AS value, props
+                  FROM events WHERE event_id >= 5000 AND event_id < 9000)
+         SELECT coalesce(t.event_id, s.event_id) AS event_id,
+           epoch_ns(CASE WHEN s.event_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts,
+           CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
+           CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+           CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+           CASE WHEN s.event_id IS NOT NULL THEN s.props ELSE t.props END AS props
+         FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+         ORDER BY event_id""",
+    "q21_write_read_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, epoch_us(l_shipdate) AS ship_us
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q22_append_snapshot_asof" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+         WHERE epoch_ns(ts) < 1704240000000000000 ORDER BY event_id""",
+    "q23_update_splice" ->
+      """SELECT event_id, epoch_ns(ts) AS ts,
+           CASE WHEN epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
+                THEN round(value + 1000, 6) ELSE value END AS value
+         FROM events ORDER BY event_id""",
+    "q24_delete_range" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+         WHERE epoch_ns(ts) NOT BETWEEN 1704153600000000000 AND 1704240000000000000
+         ORDER BY event_id""",
+    "q25_stage_finalize_rowid" ->
+      """SELECT row_number() OVER (ORDER BY ts) - 1 AS rid, event_id, epoch_ns(ts) AS ts
+         FROM events ORDER BY event_id""",
+    "q26_compact_head" ->
+      """SELECT event_id, epoch_ns(ts) AS ts FROM events ORDER BY ts LIMIT 50""",
+    "q27_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q30_ngram_jaccard" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            FROM docs, range(1, greatest(len(w) - 1, 1)) t(i)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
+          ORDER BY id_a, id_b""",
+    "q31_ann_bruteforce" ->
+      """WITH flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, range(1, len(embedding) + 1) t(i)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, corpus_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, corpus_id, sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q34_langid" -> {
+      val scores = Text.LangMarkers.map { case (lang, ms) =>
+        s"(${ms.map(wcSql).mkString(" + ")}) AS s_$lang"
+      }.mkString(", ")
+      val best = s"greatest(${Text.LangMarkers.map(m => "s_" + m._1).mkString(", ")})"
+      val cases = Text.LangMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred,
+            ${Text.LangMarkers.map(m => "s_" + m._1).mkString(", ")}
+          FROM (SELECT doc_id, text, $scores FROM documents) ORDER BY doc_id"""
+    },
+    "q35_quality" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
+        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
+        s"/ greatest($nTok, 1), 6)"
+      val mean = s"round(CAST(list_sum(list_transform(string_split(text, ' '), " +
+        s"x -> length(x))) AS DOUBLE) / greatest($nTok, 1), 6)"
+      s"""SELECT doc_id, n_tokens, stop_ratio, mean_len,
+            round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + least(stop_ratio * 4.0, 1.0)
+                 + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+                / 3.0, 6) AS quality
+          FROM (SELECT doc_id, $nTok AS n_tokens, $stop AS stop_ratio, $mean AS mean_len
+                FROM documents)
+          ORDER BY doc_id"""
+    },
+    "q36_tokens_fingerprint" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+            length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_marks,
+            md5($normSql) AS fp
+          FROM documents ORDER BY doc_id""",
+    "q37_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS hash,
+           CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
+         FROM documents ORDER BY doc_id""",
+    "q39_join_broadcast_agg" ->
+      """SELECT p_brand,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+           count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q40_join_multi" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 6) AS total, count(*) AS n
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q41_asof_join" ->
+      """SELECT p.event_id, epoch_ns(p.ts) AS ts, p.user_id, s.value AS right_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+    "q42_window_running" ->
+      """SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running
+         FROM events ORDER BY event_id""",
+    "q43_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""",
+    "q44_topk_per_group" ->
+      """SELECT event_type, event_id, value, rn FROM (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         WHERE rn <= 3 ORDER BY event_type, rn""")
 }

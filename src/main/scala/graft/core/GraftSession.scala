@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so every entrypoint (Verify, Bench, tests)
+  * gets identical, oracle-parity configuration.
+  *
+  * Key settings:
+  *  - UTC session timezone (DuckDB oracle parity).
+  *  - shuffle.partitions sized to local cores, not the 200 default.
+  *  - AQE on: at 100 TB this is what re-plans skewed joins / coalesces
+  *    post-shuffle partitions at runtime.
+  *  - parquet nanos-as-long: the reference's native index type is
+  *    ns-since-epoch int64 (ArcticDB `NANOSECONDS_UTC64`,
+  *    cpp/arcticdb/entity/types.hpp:75,194); Spark's TimestampType is
+  *    micros, so ns-precision parquet columns surface as LongType ns and
+  *    our resample/date-range arithmetic operates on ns longs natively.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", cpus: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,540 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** A Library is a namespace of versioned symbols over object storage —
+  * the Spark-native re-expression of the reference's serverless store
+  * (reference: python/arcticdb/arctic.py:238 create_library,
+  * python/arcticdb/version_store/library.py:879).
+  *
+  * Layout (any Hadoop-visible FS: file://, hdfs://, s3a://):
+  * {{{
+  *   <root>/<symbol>/data/v00000/part-*.parquet   // files of version n's delta
+  *   <root>/<symbol>/_versions/v00000.json        // manifest (file list + stats)
+  *   <root>/<symbol>/_staged/<uuid>/part-*.parquet// out-of-band staged segments
+  *   <root>/_snapshots/<name>.json                // cross-symbol snapshot
+  * }}}
+  *
+  * Versioning replaces the reference's four-layer key tree
+  * (VERSION_REF→VERSION→TABLE_INDEX→TABLE_DATA, entity/key.hpp:62-123):
+  * the manifest IS the table index; "latest version" = highest manifest
+  * number present (a directory listing — the VERSION_REF analog). Commits
+  * are atomic via write-temp + no-overwrite rename; on S3 this must be a
+  * conditional put (same single-writer last-wins model as the reference,
+  * on_disk_storage.md:29-31).
+  *
+  * Scale notes (100 TB): data files are immutable and shared across
+  * versions, so append is O(new data); update rewrites only the files
+  * whose [minIdx, maxIdx] intersect the range (the reference's segment
+  * splice, _store.py:1103); reads prune files by manifest stats before
+  * Spark ever lists them.
+  */
+final class Library(val root: String, spark: SparkSession) {
+  import Library._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  // ------------------------------------------------------------ paths
+
+  private def symDir(symbol: String) = new Path(root, symbol)
+  private def versionsDir(symbol: String) = new Path(symDir(symbol), "_versions")
+  private def dataDir(symbol: String, v: Int) =
+    new Path(new Path(symDir(symbol), "data"), f"v$v%05d")
+  private def stagedDir(symbol: String) = new Path(symDir(symbol), "_staged")
+  private def snapshotsDir = new Path(root, "_snapshots")
+
+  // ------------------------------------------------------- manifest io
+
+  private def writeString(p: Path, s: String): Unit = {
+    val f = fs(p)
+    val out = f.create(p, false)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(p: Path): String = {
+    val f = fs(p)
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Atomic manifest commit: temp write + no-overwrite rename. Returns
+    * false if the version already exists (lost race) — caller bumps and
+    * retries. On S3A swap for a conditional PUT (If-None-Match).
+    */
+  private def commitManifest(symbol: String, m: VersionManifest): Boolean = {
+    val dir = versionsDir(symbol)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val target = new Path(dir, f"v${m.version}%05d.json")
+    if (f.exists(target)) return false
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
+    writeString(tmp, VersionManifest.toJson(m))
+    val ok = f.rename(tmp, target) && f.exists(target)
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+
+  def listVersions(symbol: String): Seq[Int] = {
+    val dir = versionsDir(symbol)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionFile(n) => n.toInt }
+        .sorted
+  }
+
+  def latestVersion(symbol: String): Option[Int] = listVersions(symbol).lastOption
+
+  def manifest(symbol: String, version: Int): VersionManifest =
+    VersionManifest.fromJson(readString(new Path(versionsDir(symbol), f"v$version%05d.json")))
+
+  def hasSymbol(symbol: String): Boolean =
+    latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
+
+  def listSymbols(): Seq[String] = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) Seq.empty
+    else
+      f.listStatus(rootP).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(_.startsWith("_"))
+        .filter(hasSymbol)
+        .sorted
+  }
+
+  // ------------------------------------------------------------ write
+
+  /** Index stats unit: ns for long indexes, µs for timestamp indexes. */
+  private def idxAsLong(c: org.apache.spark.sql.Column, t: DataType): org.apache.spark.sql.Column =
+    t match {
+      case LongType | IntegerType => c.cast(LongType)
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => c.cast(TimestampType).cast(LongType) * 1000000L
+      case other => throw new IllegalArgumentException(s"unsupported index type $other")
+    }
+
+  /** Write df's rows into `dir` sorted+range-partitioned by the index and
+    * return per-file stats in index order. targetRows controls file
+    * geometry — the analog of the reference's 100k-row segment slicing
+    * (pipeline/slicing.hpp:23-34) scaled up for Parquet/Spark.
+    */
+  private def writeData(
+      df: DataFrame,
+      dir: Path,
+      indexCol: Option[String],
+      targetRows: Long): Vector[FileEntry] = {
+    val prepared = indexCol match {
+      case Some(idx) =>
+        val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
+        df.repartitionByRange(n, col(idx)).sortWithinPartitions(idx)
+      case None => df
+    }
+    prepared.write.mode("errorifexists").parquet(dir.toString)
+
+    // Per-file stats from a metadata-light scan of what was written.
+    val written = spark.read.parquet(dir.toString)
+    indexCol match {
+      case Some(idx) =>
+        val t = written.schema(idx).dataType
+        val stats = written
+          .groupBy(input_file_name().as("__file"))
+          .agg(
+            count(lit(1)).as("__rows"),
+            min(idxAsLong(col(idx), t)).as("__min"),
+            max(idxAsLong(col(idx), t)).as("__max"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._3)
+        var offset = 0L
+        stats.toVector.map { case (f, rows, mn, mx) =>
+          val e = FileEntry(relativize(f, dir), rows, offset, Some(mn), Some(mx))
+          offset += rows
+          e
+        }
+      case None =>
+        val stats = written
+          .groupBy(input_file_name().as("__file"))
+          .agg(count(lit(1)).as("__rows"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1)
+        var offset = 0L
+        stats.toVector.map { case (f, rows) =>
+          val e = FileEntry(relativize(f, dir), rows, offset, None, None)
+          offset += rows
+          e
+        }
+    }
+  }
+
+  private def relativize(fileUri: String, dir: Path): String = {
+    val name = new Path(fileUri).getName
+    s"${dir.getName}/$name" // data dir name / file name; resolved under <symbol>/data/
+  }
+
+  private def resolve(symbol: String, e: FileEntry): String =
+    new Path(new Path(symDir(symbol), "data"), e.path).toString
+
+  /** `write` — create a brand-new version holding exactly df
+    * (reference: library.py:1013). Sorted by indexCol when given.
+    */
+  def write(
+      symbol: String,
+      df: DataFrame,
+      indexCol: Option[String] = None,
+      targetRows: Long = DefaultTargetRows,
+      metadata: Map[String, String] = Map.empty): Int =
+    commitNew(symbol, df, indexCol, targetRows, priorFiles = Vector.empty, metadata)
+
+  /** `append` — new version = prior files + new files; new index values
+    * must start at/after the prior max (reference: library.py:1361).
+    */
+  def append(
+      symbol: String,
+      df: DataFrame,
+      targetRows: Long = DefaultTargetRows,
+      validateIndex: Boolean = true): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    val m = manifest(symbol, v)
+    require(!m.deleted, s"symbol $symbol is deleted")
+    if (validateIndex)
+      for (idx <- m.indexCol; priorMax <- m.files.flatMap(_.maxIdx).maxOption) {
+        val t = df.schema(idx).dataType
+        val newMin = df.agg(min(idxAsLong(col(idx), t))).collect()(0)
+        if (!newMin.isNullAt(0))
+          require(
+            newMin.getLong(0) >= priorMax,
+            s"append index starts before prior data ($symbol): ${newMin.getLong(0)} < $priorMax")
+      }
+    commitNew(symbol, df, m.indexCol, targetRows, priorFiles = m.files, m.metadata)
+  }
+
+  private def commitNew(
+      symbol: String,
+      df: DataFrame,
+      indexCol: Option[String],
+      targetRows: Long,
+      priorFiles: Vector[FileEntry],
+      metadata: Map[String, String]): Int = {
+    var v = latestVersion(symbol).map(_ + 1).getOrElse(0)
+    val newFiles = writeData(df, dataDir(symbol, v), indexCol, targetRows)
+    val baseOffset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
+    val shifted = newFiles.map(f => f.copy(rowOffset = f.rowOffset + baseOffset))
+    val all = priorFiles ++ shifted
+    val m = VersionManifest(
+      version = v,
+      indexCol = indexCol,
+      sorted = indexCol.isDefined,
+      files = all,
+      rowCount = all.map(_.rows).sum,
+      createdAtMs = System.currentTimeMillis(),
+      schemaDdl = df.schema.toDDL,
+      metadata = metadata)
+    var committed = commitManifest(symbol, m)
+    while (!committed) { // lost a race: bump version, data dir already unique per attempt
+      v += 1
+      committed = commitManifest(symbol, m.copy(version = v))
+    }
+    v
+  }
+
+  /** `update` — splice df into the index range it covers: files wholly
+    * outside [lo, hi] are reused untouched; intersecting files are read,
+    * their in-range rows dropped, the remainder + df rewritten
+    * (reference: _store.py:1103 update, segment splice).
+    */
+  def update(symbol: String, df: DataFrame, targetRows: Long = DefaultTargetRows): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    val m = manifest(symbol, v)
+    val idx = m.indexCol.getOrElse(
+      throw new IllegalArgumentException("update requires an indexed symbol"))
+    val t = df.schema(idx).dataType
+    val bounds = df.agg(min(idxAsLong(col(idx), t)), max(idxAsLong(col(idx), t))).collect()(0)
+    require(!bounds.isNullAt(0), "update with empty frame")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    spliceRange(symbol, m, lo, hi, Some(df), targetRows)
+  }
+
+  /** delete_data_in_range (reference: library.py's delete date_range). */
+  def deleteRange(symbol: String, lo: Long, hi: Long, targetRows: Long = DefaultTargetRows): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    spliceRange(symbol, manifest(symbol, v), lo, hi, None, targetRows)
+  }
+
+  private def spliceRange(
+      symbol: String,
+      m: VersionManifest,
+      lo: Long,
+      hi: Long,
+      replacement: Option[DataFrame],
+      targetRows: Long): Int = {
+    val idx = m.indexCol.get
+    val (touched, untouched) =
+      m.files.partition(f => f.minIdx.exists(_ <= hi) && f.maxIdx.exists(_ >= lo))
+    val keptRows: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val old = spark.read
+          .schema(StructType.fromDDL(m.schemaDdl))
+          .parquet(touched.map(resolve(symbol, _)): _*)
+        val t = old.schema(idx).dataType
+        Some(old.filter(idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi))
+      }
+    val combined = (keptRows, replacement) match {
+      case (Some(k), Some(r)) => Some(k.unionByName(r.select(k.columns.map(col): _*)))
+      case (Some(k), None) => Some(k)
+      case (None, Some(r)) => Some(r)
+      case (None, None) => None
+    }
+
+    var v = m.version + 1
+    val rewritten = combined match {
+      case Some(d) => writeData(d, dataDir(symbol, v), m.indexCol, targetRows)
+      case None => Vector.empty
+    }
+    // Keep global index order: untouched-before ++ rewritten ++ untouched-after.
+    val (before, after) = untouched.partition(_.maxIdx.exists(_ < lo))
+    var offset = 0L
+    val ordered = (before ++ rewritten ++ after).map { f =>
+      val e = f.copy(rowOffset = offset); offset += f.rows; e
+    }
+    val nm = m.copy(
+      version = v,
+      files = ordered,
+      rowCount = ordered.map(_.rows).sum,
+      createdAtMs = System.currentTimeMillis())
+    var committed = commitManifest(symbol, nm)
+    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
+    v
+  }
+
+  // ------------------------------------------------------------- read
+
+  /** Resolve as_of: latest, specific version, or snapshot name
+    * (reference: library.py:2045-2050).
+    */
+  def resolveVersion(symbol: String, asOf: AsOf = AsOf.Latest): VersionManifest = asOf match {
+    case AsOf.Latest =>
+      val v = latestVersion(symbol).getOrElse(
+        throw new NoSuchElementException(s"symbol $symbol does not exist"))
+      val m = manifest(symbol, v)
+      require(!m.deleted, s"symbol $symbol is deleted")
+      m
+    case AsOf.Version(v) => manifest(symbol, v)
+    case AsOf.Snapshot(name) =>
+      val snap = SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))
+      manifest(
+        symbol,
+        snap.versions.getOrElse(
+          symbol,
+          throw new NoSuchElementException(s"$symbol not in snapshot $name")))
+    case AsOf.Timestamp(ms) =>
+      val vs = listVersions(symbol).reverse
+      vs.map(manifest(symbol, _))
+        .find(_.createdAtMs <= ms)
+        .getOrElse(throw new NoSuchElementException(s"no version of $symbol at/before $ms"))
+  }
+
+  /** Read a symbol. dateRange prunes FILES via manifest stats before the
+    * Spark scan (the reference's row-slice pruning,
+    * pipeline/query.hpp:218-310), then applies the residual row filter;
+    * withRowId reconstructs the global row index from manifest offsets —
+    * a per-file window, never a global sort.
+    */
+  def read(
+      symbol: String,
+      asOf: AsOf = AsOf.Latest,
+      dateRange: Option[(Long, Long)] = None,
+      columns: Option[Seq[String]] = None,
+      withRowId: Boolean = false): DataFrame = {
+    val m = resolveVersion(symbol, asOf)
+    val selected = dateRange match {
+      case Some((lo, hi)) =>
+        m.files.filter(f =>
+          f.minIdx.forall(_ <= hi) && f.maxIdx.forall(_ >= lo))
+      case None => m.files
+    }
+    if (selected.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(m.schemaDdl))
+
+    var df = spark.read
+      .schema(StructType.fromDDL(m.schemaDdl))
+      .parquet(selected.map(resolve(symbol, _)): _*)
+
+    for ((lo, hi) <- dateRange; idx <- m.indexCol) {
+      val t = df.schema(idx).dataType
+      df = df.filter(idxAsLong(col(idx), t).between(lo, hi))
+    }
+    if (withRowId) {
+      // Join on bare file names (globally unique: Spark part files carry a
+      // task uuid) — avoids scheme/slash normalization issues between
+      // input_file_name() URIs and manifest paths.
+      val offsets = selected.map(f => (new Path(f.path).getName, f.rowOffset))
+      val offsetsDf = spark.createDataFrame(offsets).toDF("__file", "__offset")
+      val idx = m.indexCol.getOrElse(df.columns.head)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__file"))
+        .orderBy(col(idx))
+      df = df
+        .withColumn("__file", substring_index(input_file_name(), "/", -1))
+        .join(broadcast(offsetsDf), "__file")
+        .withColumn(RowIdCol, row_number().over(w) - 1 + col("__offset"))
+        .drop("__file", "__offset")
+    }
+    for (cols <- columns) {
+      val keep = if (withRowId) cols :+ RowIdCol else cols
+      df = df.select(keep.map(col): _*)
+    }
+    df
+  }
+
+  /** head/tail by manifest row offsets: selects only the files that
+    * contain the requested rows — O(n/rowsPerFile) metadata, not a scan.
+    */
+  def readRowRange(symbol: String, start: Long, end: Long, asOf: AsOf = AsOf.Latest): DataFrame = {
+    val m = resolveVersion(symbol, asOf)
+    val hit = m.files.filter(f => f.rowOffset < end && f.rowOffset + f.rows > start)
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(m.schemaDdl))
+    val df = read(symbol, asOf, withRowId = true)
+    df.filter(col(RowIdCol) >= start && col(RowIdCol) < end)
+  }
+
+  def head(symbol: String, n: Int, asOf: AsOf = AsOf.Latest): DataFrame =
+    readRowRange(symbol, 0, n.toLong, asOf)
+
+  def tail(symbol: String, n: Int, asOf: AsOf = AsOf.Latest): DataFrame = {
+    val m = resolveVersion(symbol, asOf)
+    readRowRange(symbol, math.max(0L, m.rowCount - n), m.rowCount, asOf)
+  }
+
+  // ------------------------------------------------------- delete & snap
+
+  /** Soft-delete: a tombstone version (reference keeps version history the
+    * same way; prune_previous_versions is the hard delete).
+    */
+  def delete(symbol: String): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    val m = manifest(symbol, v)
+    var nv = v + 1
+    val nm = m.copy(
+      version = nv,
+      files = Vector.empty,
+      rowCount = 0,
+      deleted = true,
+      createdAtMs = System.currentTimeMillis())
+    var committed = commitManifest(symbol, nm)
+    while (!committed) { nv += 1; committed = commitManifest(symbol, nm.copy(version = nv)) }
+    nv
+  }
+
+  def snapshot(name: String, symbols: Seq[String] = Seq.empty): Unit = {
+    val syms = if (symbols.nonEmpty) symbols else listSymbols()
+    val versions = syms.flatMap(s => latestVersion(s).map(s -> _)).toMap
+    val dir = snapshotsDir
+    fs(dir).mkdirs(dir)
+    val p = new Path(dir, s"$name.json")
+    require(!fs(p).exists(p), s"snapshot $name already exists")
+    writeString(p, SnapshotManifest.toJson(
+      SnapshotManifest(name, System.currentTimeMillis(), versions)))
+  }
+
+  def listSnapshots(): Seq[String] = {
+    val dir = snapshotsDir
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName.stripSuffix(".json")).sorted
+  }
+
+  // ---------------------------------------------------- staged ingestion
+
+  /** `stage` — out-of-band parallel ingestion: write a parquet delta that
+    * is INVISIBLE to reads until finalized (reference: library.py:952,
+    * stream/incompletes.cpp). Safe for N concurrent writers (uuid dirs);
+    * also the natural Structured Streaming sink (foreachBatch → stage).
+    */
+  def stage(symbol: String, df: DataFrame): String = {
+    val id = UUID.randomUUID().toString
+    df.write.mode("errorifexists").parquet(new Path(stagedDir(symbol), id).toString)
+    id
+  }
+
+  /** finalize_staged_data / sort_and_finalize_staged_data
+    * (reference: library.py:1739,1873): read every staged delta, optionally
+    * global-sort by the index, commit as one new version (append or
+    * replace), clear staging.
+    */
+  def finalizeStaged(
+      symbol: String,
+      indexCol: Option[String],
+      mode: String = "write", // write | append
+      targetRows: Long = DefaultTargetRows): Int = {
+    val dir = stagedDir(symbol)
+    val f = fs(dir)
+    require(f.exists(dir), s"no staged data for $symbol")
+    val staged = spark.read.parquet(
+      f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.toString): _*)
+    val v = mode match {
+      case "append" if hasSymbol(symbol) => append(symbol, staged, targetRows)
+      case _ => write(symbol, staged, indexCol, targetRows)
+    }
+    f.delete(dir, true)
+    v
+  }
+
+  // ----------------------------------------------------------- compact
+
+  /** defragment_symbol_data / compact (reference: library.py:3258,3342,
+    * clause_compact_data.cpp): rewrite the symbol's files at the target
+    * geometry as a new version. At scale this is the maintenance job that
+    * keeps file counts bounded after many small appends.
+    */
+  def compact(symbol: String, targetRows: Long = DefaultTargetRows): Int = {
+    val m = resolveVersion(symbol)
+    write(symbol, read(symbol), m.indexCol, targetRows, m.metadata)
+  }
+}
+
+object Library {
+  /** Reconstructed global row index column name. */
+  val RowIdCol = "_row_id"
+
+  private[core] val VersionFile = "v(\\d{5})\\.json".r
+
+  /** Default file geometry. The reference slices at 100k rows × 127 cols
+    * (pipeline/slicing.hpp:25) because its unit of IO is a segment; Spark's
+    * unit is a parquet row group, so we target ~1M rows per file (≈64-256MB)
+    * to keep 100 TB at a sane file count with intra-file row-group pruning.
+    */
+  val DefaultTargetRows: Long = 1000000L
+
+  sealed trait AsOf
+  object AsOf {
+    case object Latest extends AsOf
+    final case class Version(v: Int) extends AsOf
+    final case class Snapshot(name: String) extends AsOf
+    final case class Timestamp(ms: Long) extends AsOf
+  }
+}

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Per-file statistics kept in the version manifest — the Spark-native
+  * analog of the reference's TABLE_INDEX segment, which stores one row per
+  * data segment with its index [start, end) for row-slice pruning
+  * (reference: cpp/arcticdb/pipeline/index_segment_reader.cpp,
+  * docs/mkdocs/docs/technical/on_disk_storage.md:41-56).
+  *
+  * minIdx/maxIdx are in the index column's canonical long unit (ns for
+  * long indexes, µs for timestamp indexes); rowOffset is the cumulative
+  * row count of all preceding files in index order — this is what makes
+  * head/tail/row_range a FILE-PRUNING operation instead of a global sort.
+  */
+final case class FileEntry(
+    path: String,
+    rows: Long,
+    rowOffset: Long,
+    minIdx: Option[Long],
+    maxIdx: Option[Long])
+
+/** One immutable version of a symbol — the analog of the reference's
+  * VERSION key pointing at a TABLE_INDEX (cpp/arcticdb/entity/key.hpp:62-123).
+  * Versions only ever ADD manifest files; data files are shared across
+  * versions (append reuses every prior file — the reference's fast append,
+  * library.py:1361).
+  */
+final case class VersionManifest(
+    version: Int,
+    indexCol: Option[String],
+    sorted: Boolean,
+    files: Vector[FileEntry],
+    rowCount: Long,
+    createdAtMs: Long,
+    schemaDdl: String,
+    deleted: Boolean = false,
+    metadata: Map[String, String] = Map.empty)
+
+object VersionManifest {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  def toJson(m: VersionManifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): VersionManifest = Serialization.read[VersionManifest](s)
+}
+
+/** Named cross-symbol consistent view (reference: library.py:2626
+  * `snapshot`, cpp/arcticdb/version/snapshot.cpp).
+  */
+final case class SnapshotManifest(name: String, createdAtMs: Long, versions: Map[String, Int])
+
+object SnapshotManifest {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  def toJson(m: SnapshotManifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): SnapshotManifest = Serialization.read[SnapshotManifest](s)
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure `Column` expressions (whole-stage codegen, no UDFs) so a
+  * 100 TB documents scan stays a single narrow map stage — no shuffle.
+  *
+  * Every function here is deliberately expressible in ANSI SQL too, so the
+  * DuckDB oracle can replay identical logic (see SparkEntry.oracleSql).
+  */
+object Text {
+
+  /** Whitespace token list (single-space split — matches the oracle's
+    * string_split exactly; a BPE-ish regex variant is tokenCountRegex).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of alnum runs + count of non-alnum,
+    * non-space marks — approximates byte-pair token inflation without a
+    * vocab file.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(filter(split(text, "[^a-zA-Z0-9]+"), c => length(c) > 0)) +
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  /** Occurrences of literal `word` as a whole token. Implemented with
+    * padded-replace arithmetic so Spark and the SQL oracle agree bit-for-bit
+    * on any engine (no regex dialect dependence).
+    */
+  def wordCount(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    // Non-overlapping left-to-right occurrence count, same semantics as the
+    // oracle's string_split: size(split(padded, needle)) - 1.
+    size(split(padded, java.util.regex.Pattern.quote(needle))) - 1
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Stopword ratio ∈ [0,1]: fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stop = filter(toks, t => t.isin(Stopwords.map(lit): _*))
+    round(size(stop).cast("double") / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      6)
+  }
+
+  /** Composite quality score ∈ [0,1] — the usual cheap pre-filter for
+    * training corpora: prefers mid-length docs, some stopwords, sane mean
+    * token length. Deterministic arithmetic, SQL-replayable.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthScore = least(n / lit(64.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val mtl = meanTokenLength(text)
+    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    round((lengthScore + stopScore + lenOk) / lit(3.0), 6)
+  }
+
+  /** Language markers: tiny per-language keyword lists. On real corpora
+    * these would be the top character n-grams per language; the mechanism
+    * (argmax of marker hit counts, ties by declaration order) is the
+    * production shape and is fully SQL-replayable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => wordCount(text, w)).reduce(_ + _)
+
+  /** Predicted language = argmax marker score; ties resolved by list
+    * order; all-zero scores → "und".
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight makes earlier entries win ties (they overwrite later ones).
+    pick
+  }
+
+  /** Document fingerprint: 128-bit content hash of normalized text
+    * (lowercase, alnum+space only, collapsed whitespace). Identical md5 is
+    * replayable in any engine; for shift-tolerant fingerprints see
+    * Dedup.simhash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(normalizeText(text).cast("binary"))
+
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
+    * text's characters — the classic Rabin-Karp document fingerprint,
+    * computed distributively per row with higher-order function fold.
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = normalizeText(text)
+    val chars = split(norm, "")
+    aggregate(
+      chars,
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(2147483647L)))
+  }
+}

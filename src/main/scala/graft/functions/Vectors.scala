@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the
+  * query set against a full scan of the corpus — at 100 TB this is one
+  * narrow pass, no corpus shuffle, O(corpus × queries × dim) flops inside
+  * whole-stage codegen via higher-order functions (zip_with/aggregate),
+  * then a per-query top-k (window over a small candidate stream).
+  *
+  * The scale path is LSH bucketing (random hyperplane signatures — the
+  * same math as Dedup.simhash but over float vectors): corpus and queries
+  * hash to signature buckets; only same-bucket pairs are scored. An IVF
+  * variant would k-means the corpus and probe nearest centroids; the
+  * hyperplane LSH needs no training pass, so it is the default.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    * queries must be broadcast-sized; corpus is never shuffled — the join
+    * is a BroadcastNestedLoopJoin producing (queries × corpus) scored rows,
+    * immediately reduced by the per-query window.
+    * Similarity is pre-rounded so ranking is reproducible across engines.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(
+        col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i is a
+    * deterministic pseudo-random hyperplane derived from xxhash64(i, dim
+    * index) — no stored model, reproducible on any cluster.
+    */
+  def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column = {
+    val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
+      val rng = new scala.util.Random(0x9E3779B97F4A7C15L + i)
+      (0 until dim).map(_ => rng.nextGaussian())
+    }
+    val bitCols = planes.zipWithIndex.map { case (h, i) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(h), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: score only same-LSH-bucket (query, corpus) pairs.
+    * Multi-probe via `bands` signature chunks (as in Dedup.simhashPairs)
+    * keeps recall up without widening the shuffle.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          posexplode(array((0 until bands).map(i =>
+            shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
+        .toDF(s"${side}_id", s"${side}_vec", "chunk", "chunkval")
+    val qb = banded(queries, "query")
+    val cb = banded(corpus, "corpus")
+    val scored = cb.join(broadcast(qb), Seq("chunk", "chunkval"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("query_vec"), col("corpus_vec")), 6).as("sim"))
+      .groupBy("query_id", "corpus_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * threshold, via LSH buckets (exact within-bucket scoring).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val chunkBits = bits / bands
+    val mask = (1L << chunkBits) - 1
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+    val chunks = sigs.select(col("id"), col("vec"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
+      .toDF("id", "vec", "chunk", "chunkval")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunkval") === col("b.chunkval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

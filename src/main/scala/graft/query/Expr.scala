@@ -1,0 +1,217 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Expression AST mirroring the reference's `OperationType` enum
+  * (reference: cpp/arcticdb/processing/operation_types.hpp:75-109) and the
+  * Python-side AST builder (python/arcticdb/version_store/processing.py:64-285).
+  *
+  * The reference evaluates these column-at-a-time with hand-written
+  * type-dispatched kernels; here each node compiles to a Catalyst `Column`
+  * expression so whole-stage codegen does the vectorization.
+  *
+  * Type promotion follows the reference's rules
+  * (operation_types.hpp:209-354), adapted to Spark's signed-only types:
+  *   - div -> always double
+  *   - int (+,-,*) int -> widen one step past the wider operand, capped at
+  *     64-bit (u8+u8→u16 ... in the reference; Byte+Byte→Short here)
+  *   - mixed int/float -> double; float32 op float32 -> float32
+  *   - pow -> double (the reference promotes ^signed to double;
+  *     we unify — documented deviation for unsigned bases)
+  */
+sealed trait Expr {
+  import Expr._
+
+  // --- builder sugar (mirrors QueryBuilder's Python operators) ---
+  def +(o: Expr): Expr = Binary(BinOp.Add, this, o)
+  def -(o: Expr): Expr = Binary(BinOp.Sub, this, o)
+  def *(o: Expr): Expr = Binary(BinOp.Mul, this, o)
+  def /(o: Expr): Expr = Binary(BinOp.Div, this, o)
+  def pow(o: Expr): Expr = Binary(BinOp.Pow, this, o)
+  def ===(o: Expr): Expr = Binary(BinOp.Eq, this, o)
+  def =!=(o: Expr): Expr = Binary(BinOp.Ne, this, o)
+  def <(o: Expr): Expr = Binary(BinOp.Lt, this, o)
+  def <=(o: Expr): Expr = Binary(BinOp.Le, this, o)
+  def >(o: Expr): Expr = Binary(BinOp.Gt, this, o)
+  def >=(o: Expr): Expr = Binary(BinOp.Ge, this, o)
+  def &&(o: Expr): Expr = Binary(BinOp.And, this, o)
+  def ||(o: Expr): Expr = Binary(BinOp.Or, this, o)
+  def ^(o: Expr): Expr = Binary(BinOp.Xor, this, o)
+  def unary_! : Expr = Unary(UnOp.Not, this)
+  def unary_- : Expr = Unary(UnOp.Neg, this)
+  def abs: Expr = Unary(UnOp.Abs, this)
+  def isNull: Expr = Unary(UnOp.IsNull, this)
+  def notNull: Expr = Unary(UnOp.NotNull, this)
+  def isin(vs: Any*): Expr = IsIn(this, vs, negate = false)
+  def isNotIn(vs: Any*): Expr = IsIn(this, vs, negate = true)
+  def regexMatch(pattern: String): Expr = RegexMatch(this, pattern)
+}
+
+object Expr {
+  final case class Col(name: String) extends Expr
+  final case class Lit(v: Any) extends Expr
+  final case class Unary(op: UnOp.Value, child: Expr) extends Expr
+  final case class Binary(op: BinOp.Value, left: Expr, right: Expr) extends Expr
+  /** where(cond, a, b) — reference TERNARY (operation_dispatch_ternary.cpp). */
+  final case class Ternary(cond: Expr, ifTrue: Expr, ifFalse: Expr) extends Expr
+  final case class IsIn(child: Expr, values: Seq[Any], negate: Boolean) extends Expr
+  /** re2 partial match in the reference (util/regex_filter.hpp) -> rlike. */
+  final case class RegexMatch(child: Expr, pattern: String) extends Expr
+
+  object UnOp extends Enumeration { val Abs, Neg, Not, IsNull, NotNull = Value }
+  object BinOp extends Enumeration {
+    val Add, Sub, Mul, Div, Pow, Eq, Ne, Lt, Le, Gt, Ge, And, Or, Xor = Value
+  }
+
+  def col(name: String): Expr = Col(name)
+  def lit(v: Any): Expr = Lit(v)
+  def where(cond: Expr, a: Expr, b: Expr): Expr = Ternary(cond, a, b)
+
+  // ---------------------------------------------------------------- typing
+
+  private val intRank: Map[DataType, Int] =
+    Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+  private val rankInt: Map[Int, DataType] =
+    Map(1 -> ByteType, 2 -> ShortType, 3 -> IntegerType, 4 -> LongType)
+
+  private def isIntegral(t: DataType): Boolean = intRank.contains(t)
+  private def isFloating(t: DataType): Boolean = t == FloatType || t == DoubleType
+  private def isNumeric(t: DataType): Boolean = isIntegral(t) || isFloating(t)
+
+  /** Result type of int (+,-,*) per the reference's overflow-avoiding
+    * widening (operation_types.hpp:209-308): one step wider than the wider
+    * operand, capped at 64-bit.
+    */
+  private def widenInt(a: DataType, b: DataType): DataType =
+    rankInt(math.min(4, math.max(intRank(a), intRank(b)) + 1))
+
+  def arithmeticResultType(op: BinOp.Value, l: DataType, r: DataType): DataType = op match {
+    case BinOp.Div | BinOp.Pow => DoubleType
+    case _ =>
+      if (isIntegral(l) && isIntegral(r)) widenInt(l, r)
+      else if (l == FloatType && r == FloatType) FloatType
+      else DoubleType
+  }
+
+  /** Common type for dynamic-schema concat/append — the port of the
+    * reference's `has_valid_common_type` lattice
+    * (cpp/arcticdb/entity/type_utils.hpp:17-43): int widens to the wider
+    * int, int+float → double, float+float → wider float; no
+    * string/numeric mixing.
+    */
+  def commonType(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else if (isIntegral(a) && isIntegral(b)) rankInt(math.max(intRank(a), intRank(b)))
+    else if (a == FloatType && b == FloatType) FloatType
+    else if (isNumeric(a) && isNumeric(b)) DoubleType
+    else if (a == NullType) b
+    else if (b == NullType) a
+    else throw new IllegalArgumentException(s"no common type for $a vs $b")
+
+  /** Infer the Spark type an expression evaluates to against a schema. */
+  def inferType(e: Expr, schema: StructType): DataType = e match {
+    case Col(n) =>
+      schema.fields.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"unknown column $n"))
+        .dataType
+    case Lit(v) =>
+      v match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Double => DoubleType
+        case _: Float => FloatType
+        case _: Boolean => BooleanType
+        case _: String => StringType
+        case _: Short => ShortType
+        case _: Byte => ByteType
+        case null => NullType
+        case other => throw new IllegalArgumentException(s"unsupported literal $other")
+      }
+    case Unary(UnOp.Abs | UnOp.Neg, c) => inferType(c, schema)
+    case Unary(_, _) => BooleanType
+    case Binary(op, l, r)
+        if op == BinOp.Add || op == BinOp.Sub || op == BinOp.Mul ||
+          op == BinOp.Div || op == BinOp.Pow =>
+      arithmeticResultType(op, inferType(l, schema), inferType(r, schema))
+    case Binary(_, _, _) => BooleanType
+    case Ternary(_, a, b) =>
+      val (ta, tb) = (inferType(a, schema), inferType(b, schema))
+      if (ta == tb) ta
+      else if (isIntegral(ta) && isIntegral(tb)) rankInt(math.max(intRank(ta), intRank(tb)))
+      else if (isNumeric(ta) && isNumeric(tb)) DoubleType
+      else if (ta == NullType) tb
+      else if (tb == NullType) ta
+      else throw new IllegalArgumentException(s"ternary branches of $ta vs $tb")
+    case IsIn(_, _, _) => BooleanType
+    case RegexMatch(_, _) => BooleanType
+  }
+
+  // ------------------------------------------------------------- compiling
+
+  /** Compile to a Catalyst Column against a concrete schema.
+    *
+    * Null semantics follow the reference / pandas: for floating columns,
+    * NaN ≡ null in isnull/notnull (operation_types.hpp:377-406).
+    */
+  def compile(e: Expr, schema: StructType): Column = e match {
+    case Col(n) => org.apache.spark.sql.functions.col(n)
+    case Lit(null) => org.apache.spark.sql.functions.lit(null)
+    case Lit(v) => org.apache.spark.sql.functions.lit(v)
+
+    case Unary(UnOp.Abs, c) => org.apache.spark.sql.functions.abs(compile(c, schema))
+    case Unary(UnOp.Neg, c) => negate(compile(c, schema))
+    case Unary(UnOp.Not, c) => !compile(c, schema)
+    case Unary(UnOp.IsNull, c) =>
+      val cc = compile(c, schema)
+      if (isFloating(inferType(c, schema))) cc.isNull || isnan(cc) else cc.isNull
+    case Unary(UnOp.NotNull, c) =>
+      val cc = compile(c, schema)
+      if (isFloating(inferType(c, schema))) cc.isNotNull && !isnan(cc) else cc.isNotNull
+
+    case Binary(op, l, r)
+        if op == BinOp.Add || op == BinOp.Sub || op == BinOp.Mul ||
+          op == BinOp.Div || op == BinOp.Pow =>
+      val target = arithmeticResultType(op, inferType(l, schema), inferType(r, schema))
+      val lc = compile(l, schema).cast(target)
+      val rc = compile(r, schema).cast(target)
+      op match {
+        case BinOp.Add => lc + rc
+        case BinOp.Sub => lc - rc
+        case BinOp.Mul => lc * rc
+        case BinOp.Div => lc / rc
+        case BinOp.Pow => org.apache.spark.sql.functions.pow(lc, rc)
+        case _ => throw new IllegalStateException
+      }
+
+    case Binary(op, l, r) =>
+      val lc = compile(l, schema)
+      val rc = compile(r, schema)
+      op match {
+        case BinOp.Eq => lc === rc
+        case BinOp.Ne => lc =!= rc
+        case BinOp.Lt => lc < rc
+        case BinOp.Le => lc <= rc
+        case BinOp.Gt => lc > rc
+        case BinOp.Ge => lc >= rc
+        case BinOp.And => lc && rc
+        case BinOp.Or => lc || rc
+        case BinOp.Xor => lc =!= rc // boolean xor
+        case _ => throw new IllegalStateException
+      }
+
+    case Ternary(cond, a, b) =>
+      when(compile(cond, schema), compile(a, schema)).otherwise(compile(b, schema))
+
+    case IsIn(c, vs, neg) =>
+      // Small sets: codegen'd isin. At scale a huge value set should become
+      // a broadcast semi/anti join instead — see QueryBuilder.isinLarge.
+      val base = compile(c, schema).isin(vs: _*)
+      if (neg) !base else base
+
+    case RegexMatch(c, p) => compile(c, schema).rlike(p)
+  }
+
+  def compile(e: Expr, df: DataFrame): Column = compile(e, df.schema)
+}

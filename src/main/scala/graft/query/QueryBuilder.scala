@@ -1,0 +1,159 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface is a LINEAR PIPELINE of clauses
+  * (reference: IClause, cpp/arcticdb/processing/clause.hpp:50-99; Python
+  * QueryBuilder, python/arcticdb/version_store/processing.py). Each clause
+  * here is a `DataFrame => DataFrame`; the pipeline is a fold and Catalyst
+  * is the optimizer — filter pushdown, column pruning, partial aggregation
+  * and exchange placement replace the reference's hand-scheduled futures
+  * (version_core.cpp:812-959).
+  *
+  * Barrier clauses in the reference (GroupBy→Aggregation, Resample,
+  * RowRange, Sort) are exactly where Catalyst inserts an Exchange.
+  */
+final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.empty) {
+
+  private def add(f: DataFrame => DataFrame): QueryBuilder = copy(clauses :+ f)
+
+  /** FilterClause (clause.hpp:142-199) — boolean expression AST → keep rows. */
+  def filter(e: Expr): QueryBuilder = add(df => df.filter(Expr.compile(e, df)))
+
+  /** ProjectClause (clause.hpp:201-258) — append computed column. */
+  def project(name: String, e: Expr): QueryBuilder =
+    add(df => df.withColumn(name, Expr.compile(e, df)))
+
+  /** Large-valueset ISIN as a broadcast semi/anti join — at 100 TB a
+    * 10^6-element isin literal would bloat codegen; a broadcast join is the
+    * scalable plan for the same semantics (SURVEY §2.2 membership row).
+    */
+  def isinLarge(colName: String, values: DataFrame, negate: Boolean = false): QueryBuilder =
+    add { df =>
+      val joinType = if (negate) "left_anti" else "left_semi"
+      df.join(broadcast(values), df(colName) === values(values.columns.head), joinType)
+    }
+
+  /** PartitionClause+AggregationClause (clause.hpp:260-377): groupby with
+    * pandas null semantics; ops sum/mean/min/max/count.
+    * aggs: (outName, inCol, op).
+    */
+  def groupByAgg(keys: Seq[String], aggs: Seq[(String, String, String)]): QueryBuilder =
+    add { df =>
+      val schema = df.schema
+      val cols = aggs.map { case (out, in, op) =>
+        NullSemantics.agg(op, col(in), schema(in).dataType, out)
+      }
+      df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+
+  /** ResampleClause (clause_resample.cpp:112-430): time-bucket a ns long
+    * ts column, aggregate per bucket with sum/mean/min/max/first/last/count.
+    * Output index column keeps the ts column's name (bucket label ns).
+    */
+  def resample(
+      tsCol: String,
+      rule: String,
+      aggs: Seq[(String, String, String)],
+      closed: Resample.Boundary = Resample.Left,
+      label: Resample.Boundary = Resample.Left,
+      offsetNs: Long = 0L,
+      originNs: Long = 0L): QueryBuilder =
+    add { df =>
+      val ruleNs = Resample.ruleToNs(rule)
+      val schema = df.schema
+      val start = Resample.bucketStart(col(tsCol), ruleNs, closed, originNs + offsetNs)
+      val lbl = Resample.bucketLabel(start, ruleNs, label)
+      val cols = aggs.map { case (out, in, op) =>
+        NullSemantics.sortedAgg(op, col(in), schema(in).dataType, col(tsCol), out)
+      }
+      df.withColumn("__bucket", lbl)
+        .groupBy(col("__bucket"))
+        .agg(cols.head, cols.tail: _*)
+        .withColumnRenamed("__bucket", tsCol)
+    }
+
+  /** DateRangeClause (clause.cpp:1020-1078): inclusive [t0, t1] on the ns
+    * index column. Catalyst pushes this to the parquet scan (min/max
+    * row-group pruning); the manifest layer additionally prunes whole
+    * files (Library.read with dateRange).
+    */
+  def dateRange(tsCol: String, t0: Long, t1: Long): QueryBuilder =
+    add(df => df.filter(col(tsCol).between(t0, t1)))
+
+  /** RowRangeClause head variant (clause.hpp:649-723): first n rows in
+    * index order.
+    */
+  def head(orderCols: Seq[String], n: Int): QueryBuilder =
+    add(df => df.orderBy(orderCols.map(col): _*).limit(n))
+
+  /** tail: last n rows in index order. Implemented as a reversed-order
+    * limit (TakeOrderedAndProject — no full sort, no single-task collect),
+    * re-sorted ascending for output determinism.
+    */
+  def tail(orderCols: Seq[String], n: Int): QueryBuilder =
+    add { df =>
+      df.orderBy(orderCols.map(c => col(c).desc): _*)
+        .limit(n)
+        .orderBy(orderCols.map(col): _*)
+    }
+
+  /** row_range [start, end) in index order. On a persisted symbol the
+    * Library's `_row_id` column makes this a pushed-down range filter; on
+    * an arbitrary frame it needs a global row_number (window over ordered
+    * data — acceptable at limit-sized outputs, documented as the non-scalable
+    * fallback exactly like the reference's full-table row ranges).
+    */
+  def rowRange(orderCols: Seq[String], start: Long, end: Long): QueryBuilder =
+    add { df =>
+      if (df.columns.contains(graft.core.Library.RowIdCol))
+        df.filter(col(graft.core.Library.RowIdCol) >= start &&
+          col(graft.core.Library.RowIdCol) < end)
+      else {
+        val w = Window.orderBy(orderCols.map(col): _*)
+        df.withColumn("__rn", row_number().over(w) - 1)
+          .filter(col("__rn") >= start && col("__rn") < end)
+          .drop("__rn")
+      }
+    }
+
+  /** ConcatClause (clause.cpp:1080-1145): row-wise concat of N frames.
+    * outer join of schemas backfills missing columns with null
+    * (the reference backfills type defaults under dynamic schema);
+    * inner join keeps common columns only.
+    */
+  def concat(others: Seq[DataFrame], join: String = "outer"): QueryBuilder =
+    add { df =>
+      val frames = df +: others
+      // Dynamic-schema type promotion (reference: has_valid_common_type,
+      // type_utils.hpp:17-43): shared columns cast to their common type.
+      val types = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.DataType]
+      frames.foreach(_.schema.fields.foreach { f =>
+        types(f.name) = types.get(f.name).map(Expr.commonType(_, f.dataType)).getOrElse(f.dataType)
+      })
+      def promote(f: DataFrame): DataFrame =
+        f.select(f.columns.map(c => col(c).cast(types(c)).as(c)): _*)
+      join match {
+        case "outer" =>
+          frames.map(promote).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        case "inner" =>
+          val common = others.foldLeft(df.columns.toSeq)((acc, o) =>
+            acc.filter(o.columns.contains))
+          frames.map(promote).map(_.select(common.map(col): _*)).reduce(_ unionByName _)
+        case other => throw new IllegalArgumentException(s"concat join $other")
+      }
+    }
+
+  /** SortClause (clause.cpp:628-695): global sort by index column(s) —
+    * Spark range-partitioned sort-shuffle.
+    */
+  def sort(cols: Seq[String]): QueryBuilder = add(df => df.orderBy(cols.map(col): _*))
+
+  def apply(df: DataFrame): DataFrame = clauses.foldLeft(df)((d, c) => c(d))
+}
+
+object QueryBuilder {
+  def apply(): QueryBuilder = new QueryBuilder(Vector.empty)
+}
