@@ -51,8 +51,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: prime JIT + page cache on a cheap query, then run all.
-    run("q08_groupby_agg")
+    // Warmup: one untimed pass over the full list primes JIT-compiled
+    // codegen classes, parquet footer caches and the OS page cache, so the
+    // timed pass measures steady-state engine throughput (the same thing
+    // the reference's ASV numbers report after their warmup rounds).
+    headline.foreach(run)
     val results = headline.map(n => n -> run(n))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

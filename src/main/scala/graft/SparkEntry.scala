@@ -17,8 +17,11 @@ import graft.query.Expr.{col => e, lit => l, where => ternary}
   * every SQL-expressible query.
   *
   * Output conventions (for engine-agnostic hash comparison):
-  *  - every timestamp is emitted as BIGINT epoch (ns for `events.ts`,
-  *    which Spark reads as ns longs; µs for parquet µs/ms timestamps),
+  *  - every timestamp is emitted as BIGINT epoch-µs (`ts div 1000` on the
+  *    ns longs Spark reads from events.parquet ↔ `epoch_us(ts)` in the
+  *    oracle — DuckDB's parquet reader truncates ns to µs, so ns-precision
+  *    output can never hash-match; integer `div`, not `/`, because ns
+  *    epoch values exceed double's 53-bit mantissa),
   *  - every float aggregate is round(x, 6),
   *  - every query ends in a deterministic ORDER BY.
   */
@@ -29,6 +32,9 @@ object SparkEntry {
 
   private def tmpRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-lib-").toString
+
+  /** events.ts (ns long) → epoch-µs BIGINT, integer division (see above). */
+  private def tsUs: Column = expr("ts div 1000").as("ts")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -74,7 +80,7 @@ object SparkEntry {
     "q04_filter_regex" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("event_type").regexMatch("^(cl|si)"))(t(s, dir, "events"))
-        .select(col("event_id"), col("ts"), col("event_type"))
+        .select(col("event_id"), tsUs, col("event_type"))
         .orderBy("event_id")
     },
     "q05_filter_null_ternary" -> { (s, dir) =>
@@ -161,22 +167,22 @@ object SparkEntry {
     "q12_date_range" -> { (s, dir) =>
       QueryBuilder()
         .dateRange("ts", 1704153600000000000L, 1704240000000000000L)(t(s, dir, "events"))
-        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .select(col("event_id"), tsUs, col("event_type"), col("value"))
         .orderBy("event_id")
     },
     "q13_head" -> { (s, dir) =>
       QueryBuilder().head(Seq("ts"), 20)(t(s, dir, "events"))
-        .select(col("ts"), col("event_id"), col("event_type"))
+        .select(tsUs, col("event_id"), col("event_type"))
         .orderBy("ts")
     },
     "q14_tail" -> { (s, dir) =>
       QueryBuilder().tail(Seq("ts"), 20)(t(s, dir, "events"))
-        .select(col("ts"), col("event_id"), col("event_type"))
+        .select(tsUs, col("event_id"), col("event_type"))
         .orderBy("ts")
     },
     "q15_row_range" -> { (s, dir) =>
       QueryBuilder().rowRange(Seq("ts"), 100, 120)(t(s, dir, "events"))
-        .select(col("ts"), col("event_id"))
+        .select(tsUs, col("event_id"))
         .orderBy("ts")
     },
     // ---------------- concat / sort / merge (SURVEY §2.1) -------------
@@ -186,7 +192,9 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("props"))
       val b = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      QueryBuilder().concat(Seq(b), "outer")(a).orderBy("event_id")
+      QueryBuilder().concat(Seq(b), "outer")(a)
+        .select(col("event_id"), tsUs, col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
     },
     "q17_concat_inner_promote" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -195,7 +203,7 @@ object SparkEntry {
       val b = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("value").cast("float").as("value"))
       QueryBuilder().concat(Seq(b), "inner")(a)
-        .select(col("event_id"), col("ts"), round(col("value"), 6).as("value"))
+        .select(col("event_id"), tsUs, round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
     "q18_sort" -> { (s, dir) =>
@@ -206,7 +214,7 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val slices = (0 until 3).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i))
       QueryBuilder().concat(slices.tail, "outer").sort(Seq("ts"))(slices.head)
-        .select(col("ts"), col("event_id"), col("user_id"))
+        .select(tsUs, col("event_id"), col("user_id"))
     },
     "q20_merge_update" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -214,7 +222,7 @@ object SparkEntry {
       val source = ev.filter(col("event_id") >= 5000 && col("event_id") < 9000)
         .withColumn("value", round(col("value") * 2, 6))
       MergeUpdate.merge(target, source, Seq("event_id"))
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        .select(col("event_id"), tsUs, col("user_id"), col("event_type"),
           col("value"), col("props"))
         .orderBy("event_id")
     },
@@ -235,7 +243,7 @@ object SparkEntry {
       lib.snapshot("before_append")
       lib.append("ev", ev.filter(col("ts") >= cut), targetRows = 5000)
       lib.read("ev", AsOf.Snapshot("before_append"))
-        .select(col("event_id"), col("ts"), col("value"))
+        .select(col("event_id"), tsUs, col("value"))
         .orderBy("event_id")
     },
     "q23_update_splice" -> { (s, dir) =>
@@ -247,7 +255,7 @@ object SparkEntry {
         .withColumn("value", round(col("value") + 1000, 6))
       lib.update("ev", patch, targetRows = 3000)
       lib.read("ev")
-        .select(col("event_id"), col("ts"), col("value"))
+        .select(col("event_id"), tsUs, col("value"))
         .orderBy("event_id")
     },
     "q24_delete_range" -> { (s, dir) =>
@@ -257,7 +265,7 @@ object SparkEntry {
       lib.write("ev", ev, Some("ts"), targetRows = 3000)
       lib.deleteRange("ev", lo, hi, targetRows = 3000)
       lib.read("ev")
-        .select(col("event_id"), col("ts"), col("value"))
+        .select(col("event_id"), tsUs, col("value"))
         .orderBy("event_id")
     },
     "q25_stage_finalize_rowid" -> { (s, dir) =>
@@ -266,7 +274,7 @@ object SparkEntry {
       (0 until 3).foreach(i => lib.stage("ev", ev.filter(pmod(col("user_id"), lit(3)) === i)))
       lib.finalizeStaged("ev", Some("ts"), targetRows = 3000)
       lib.read("ev", withRowId = true)
-        .select(col(Library.RowIdCol).as("rid"), col("event_id"), col("ts"))
+        .select(col(Library.RowIdCol).as("rid"), col("event_id"), tsUs)
         .orderBy("event_id")
     },
     "q26_compact_head" -> { (s, dir) =>
@@ -274,7 +282,7 @@ object SparkEntry {
       lib.write("ev", t(s, dir, "events"), Some("ts"), targetRows = 500)
       lib.compact("ev", targetRows = 100000)
       lib.head("ev", 50)
-        .select(col("event_id"), col("ts"))
+        .select(col("event_id"), tsUs)
         .orderBy("ts")
     },
     // ---------------- LLM pipeline: dedup -----------------------------
@@ -309,7 +317,12 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     },
     "q33_cosine_neardup" -> { (s, dir) =>
-      Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.8)
+      // 0.45 so the check discriminates (the synthetic embeddings' max
+      // off-diagonal cosine is ~0.51 at sf0.01 — at 0.8 ground truth is
+      // empty); 8 narrow bands push LSH recall ≈0.99 in this low-cosine
+      // regime, and candidates are exactly re-scored so precision is 1.
+      Vectors.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        bits = 16, bands = 8)
         .orderBy("id_a", "id_b")
     },
     // ---------------- LLM pipeline: text analysis ---------------------
@@ -355,7 +368,14 @@ object SparkEntry {
     },
     "q38_multimodal_features" -> { (s, dir) =>
       val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
-      Multimodal.extractFeatures(docs, "doc_id", "bin").orderBy("id")
+      // Canonical hashable form: the float array as a fixed-format string,
+      // so the driver's sort+hash compare works on the result.
+      Multimodal.extractFeatures(docs, "doc_id", "bin")
+        .select(col("id"),
+          concat_ws(",",
+            transform(col("features"),
+              x => format_string("%.6f", x.cast("double")))).as("features"))
+        .orderBy("id")
     },
     // ---------------- beyond-parity relational ops --------------------
     "q39_join_broadcast_agg" -> { (s, dir) =>
@@ -380,7 +400,7 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
       val signups = ev.filter(col("event_type") === "signup")
       AsOfJoin.asofJoin(purchases, signups, "ts", Seq("user_id"), Seq("value"))
-        .select(col("event_id"), col("ts"), col("user_id"), col("right_value"))
+        .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
         .orderBy("event_id")
     },
     "q42_window_running" -> { (s, dir) =>
@@ -409,8 +429,9 @@ object SparkEntry {
   // oracle SQL (DuckDB dialect) — same column names, same rounding,
   // same ordering as the Spark plans above. Omitted entries
   // (q28/q29/q32/q33/q38) use engine-specific hashing/LSH and get the
-  // driver's rows-only check; their correctness is covered by ScalaTest
-  // against brute-force ground truth.
+  // driver's rows-only check; their correctness is covered by
+  // DedupGroundTruthSpec / VectorsGroundTruthSpec, which compare recall
+  // against brute-force exact pairs on the sf0.001 tables.
   // =================================================================
 
   private val normSql =
@@ -432,7 +453,7 @@ object SparkEntry {
          WHERE p_size IN (1, 5, 9) AND p_retailprice NOT IN (0.0)
          ORDER BY p_partkey""",
     "q04_filter_regex" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, event_type FROM events
+      """SELECT event_id, epoch_us(ts) AS ts, event_type FROM events
          WHERE regexp_matches(event_type, '^(cl|si)') ORDER BY event_id""",
     "q05_filter_null_ternary" ->
       """SELECT event_id, value,
@@ -475,47 +496,47 @@ object SparkEntry {
            min(value) AS v_min, max(value) AS v_max
          FROM events GROUP BY 1 ORDER BY 1""",
     "q12_date_range" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, event_type, value FROM events
+      """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
     "q13_head" ->
-      """SELECT epoch_ns(ts) AS ts, event_id, event_type FROM events
+      """SELECT epoch_us(ts) AS ts, event_id, event_type FROM events
          ORDER BY ts LIMIT 20""",
     "q14_tail" ->
       """SELECT * FROM (
-           SELECT epoch_ns(ts) AS ts, event_id, event_type FROM events
+           SELECT epoch_us(ts) AS ts, event_id, event_type FROM events
            ORDER BY ts DESC LIMIT 20) ORDER BY ts""",
     "q15_row_range" ->
       """SELECT ts, event_id FROM (
-           SELECT epoch_ns(ts) AS ts, event_id,
+           SELECT epoch_us(ts) AS ts, event_id,
              row_number() OVER (ORDER BY ts) - 1 AS rn FROM events)
          WHERE rn >= 100 AND rn < 120 ORDER BY ts""",
     "q16_concat_outer" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, event_type, value, props
+      """SELECT event_id, epoch_us(ts) AS ts, event_type, value, props
          FROM events WHERE event_type = 'click'
          UNION ALL
-         SELECT event_id, epoch_ns(ts), event_type, value, NULL
+         SELECT event_id, epoch_us(ts), event_type, value, NULL
          FROM events WHERE event_type = 'purchase'
          ORDER BY event_id""",
     "q17_concat_inner_promote" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, round(value, 6) AS value
+      """SELECT event_id, epoch_us(ts) AS ts, round(value, 6) AS value
          FROM events WHERE event_type = 'click'
          UNION ALL
-         SELECT event_id, epoch_ns(ts), round(CAST(CAST(value AS REAL) AS DOUBLE), 6)
+         SELECT event_id, epoch_us(ts), round(CAST(CAST(value AS REAL) AS DOUBLE), 6)
          FROM events WHERE event_type = 'purchase'
          ORDER BY event_id""",
     "q18_sort" ->
       """SELECT value, event_id, event_type FROM events
          ORDER BY value, event_id""",
     "q19_merge_sorted" ->
-      """SELECT epoch_ns(ts) AS ts, event_id, user_id FROM events ORDER BY ts""",
+      """SELECT epoch_us(ts) AS ts, event_id, user_id FROM events ORDER BY ts""",
     "q20_merge_update" ->
       """WITH t AS (SELECT * FROM events WHERE event_id < 7000),
             s AS (SELECT event_id, ts, user_id, event_type,
                     round(value * 2, 6) AS value, props
                   FROM events WHERE event_id >= 5000 AND event_id < 9000)
          SELECT coalesce(t.event_id, s.event_id) AS event_id,
-           epoch_ns(CASE WHEN s.event_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts,
+           epoch_us(CASE WHEN s.event_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts,
            CASE WHEN s.event_id IS NOT NULL THEN s.user_id ELSE t.user_id END AS user_id,
            CASE WHEN s.event_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
            CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value,
@@ -526,22 +547,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, epoch_us(l_shipdate) AS ship_us
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q22_append_snapshot_asof" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events
          WHERE epoch_ns(ts) < 1704240000000000000 ORDER BY event_id""",
     "q23_update_splice" ->
-      """SELECT event_id, epoch_ns(ts) AS ts,
+      """SELECT event_id, epoch_us(ts) AS ts,
            CASE WHEN epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
                 THEN round(value + 1000, 6) ELSE value END AS value
          FROM events ORDER BY event_id""",
     "q24_delete_range" ->
-      """SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events
          WHERE epoch_ns(ts) NOT BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
     "q25_stage_finalize_rowid" ->
-      """SELECT row_number() OVER (ORDER BY ts) - 1 AS rid, event_id, epoch_ns(ts) AS ts
+      """SELECT row_number() OVER (ORDER BY ts) - 1 AS rid, event_id, epoch_us(ts) AS ts
          FROM events ORDER BY event_id""",
     "q26_compact_head" ->
-      """SELECT event_id, epoch_ns(ts) AS ts FROM events ORDER BY ts LIMIT 50""",
+      """SELECT event_id, epoch_us(ts) AS ts FROM events ORDER BY ts LIMIT 50""",
     "q27_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -549,8 +570,10 @@ object SparkEntry {
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
           sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-            FROM docs, range(1, greatest(len(w) - 1, 1)) t(i)),
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
           inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -566,7 +589,8 @@ object SparkEntry {
     "q31_ann_bruteforce" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, range(1, len(embedding) + 1) t(i)),
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
          norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
          dots AS (
            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
@@ -638,7 +662,7 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q41_asof_join" ->
-      """SELECT p.event_id, epoch_ns(p.ts) AS ts, p.user_id, s.value AS right_value
+      """SELECT p.event_id, epoch_us(p.ts) AS ts, p.user_id, s.value AS right_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts

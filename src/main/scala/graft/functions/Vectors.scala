@@ -59,9 +59,16 @@ object Vectors {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rank"))
   }
 
+  /** Embedding dimensionality from the first row — one cheap driver-side
+    * action so LSH plane vectors match the data (dim is a plan-time
+    * constant, not a per-row value).
+    */
+  private def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i is a
-    * deterministic pseudo-random hyperplane derived from xxhash64(i, dim
-    * index) — no stored model, reproducible on any cluster.
+    * deterministic pseudo-random Gaussian hyperplane (fixed seed) — no
+    * stored model, reproducible on any cluster.
     */
   def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column = {
     val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
@@ -89,12 +96,13 @@ object Vectors {
       k: Int,
       bits: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(corpus, vecCol)
     val chunkBits = bits / bands
     val mask = (1L << chunkBits) - 1
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-        hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
           posexplode(array((0 until bands).map(i =>
             shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
@@ -122,11 +130,12 @@ object Vectors {
       threshold: Double,
       bits: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
     val chunkBits = bits / bands
     val mask = (1L << chunkBits) - 1
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), bits, dim).as("sig"))
+      hyperplaneSignature(col(vecCol), bits, d).as("sig"))
     val chunks = sigs.select(col("id"), col("vec"),
       posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
