@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Dedup
+
+/** Brute-force ground truth for the dedup operators on the sf0.001
+  * documents table: shingle sets, exact Jaccard and the minhash/simhash
+  * signatures are independently recomputed with plain driver-side Scala
+  * (same normalization, Spark's XXH64 via its static API), then compared
+  * against the distributed plans' output.
+  */
+class DedupGroundTruthSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Seed = 42L // Spark xxhash64 default seed
+
+  private def normalize(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = normalize(text).split(" ", -1)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Driver-side replica of Spark's xxhash64(lit(seed), s). */
+  private def xx(seedLit: Int, s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), XXH64.hashInt(seedLit, Seed))
+
+  private def xx(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), Seed)
+
+  private lazy val docs: Map[Long, String] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+  private lazy val truthSets: Map[Long, Set[String]] =
+    docs.map { case (id, t) => id -> shingleSet(t, 3) }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+
+  private lazy val truePairs: Map[(Long, Long), Double] = {
+    val ids = truthSets.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      ja = jaccard(truthSets(ids(i)), truthSets(ids(j)))
+      if ja > 0
+    } yield (ids(i), ids(j)) -> ja).toMap
+  }
+
+  test("shinglePostings matches driver-side shingle sets exactly") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.shinglePostings(df, "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect()
+    val gotSets = got.groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val expected = truthSets.filter(_._2.nonEmpty)
+    assert(gotSets == expected)
+    // and every row's sz equals the doc's distinct-shingle count
+    got.foreach { case (id, _, sz) => assert(sz == truthSets(id).size) }
+  }
+
+  test("shinglePostings edge cases: short and empty docs yield no shingles") {
+    val tiny = Seq((1L, "one two"), (2L, ""), (3L, "a b c"), (4L, "!!! ...")).toDF("id", "text")
+    val got = Dedup.shinglePostings(tiny, "id", "text", 3).as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq((3L, "a b c", 1L)))
+  }
+
+  test("ngramJaccardPairs equals brute-force pairs at threshold 0.2") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val expected = truePairs.collect {
+      case (k, j) if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.2 =>
+        k -> BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
+  }
+
+  test("minhash signatures match driver-side recomputation") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 12
+    val sig = Dedup.minhashSignatures(Dedup.shinglePostings(df, "doc_id", "text", 3), k)
+    val got = sig.collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    truthSets.filter(_._2.nonEmpty).foreach { case (id, set) =>
+      val expected = (0 until k).map(seed => set.map(s => xx(seed, s)).min)
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
+  test("minhashCandidates recalls every high-similarity pair") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val cand = Dedup.minhashCandidates(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val mustFind = truePairs.collect { case (k, j) if j >= 0.9 => k }.toSet
+    assert(mustFind.nonEmpty, "test data has no near-duplicate pairs — test is vacuous")
+    // 12 hashes / 4 bands of 3: P(candidate | j=0.9) = 1-(1-0.9^3)^4 ≈ 0.994;
+    // the hashes are deterministic so this either holds or the code is wrong.
+    assert(mustFind.subsetOf(cand),
+      s"missed high-sim pairs: ${mustFind -- cand}")
+    // candidate set must stay far from all-pairs (LSH, not O(n²))
+    val n = docs.size.toLong
+    assert(cand.size < n * (n - 1) / 4)
+  }
+
+  test("simhash signatures match driver-side recomputation") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Dedup.simhashSignatures(Dedup.shinglePostings(df, "doc_id", "text", 3))
+      .as[(Long, Long)].collect().toMap
+    truthSets.filter(_._2.nonEmpty).foreach { case (id, set) =>
+      var expected = 0L
+      for (j <- 0 until 64) {
+        val c = set.toSeq.map(s => if (((xx(s) >> j) & 1L) == 1L) 1 else -1).sum
+        if (c > 0) expected |= (1L << j)
+      }
+      assert(sigs(id) == expected, s"doc $id")
+    }
+  }
+
+  test("simhashPairs returns exactly the hamming<=3 pairs of its signatures") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Dedup.simhashSignatures(Dedup.shinglePostings(df, "doc_id", "text", 3))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simhashPairs(df, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => ((a, b), h) }.toMap
+    // ground truth from the driver-side signatures (themselves verified
+    // against scratch recomputation above): all pairs with hamming <= 3
+    // that share at least one 16-bit chunk (the banding guarantee covers
+    // hamming <= 3 fully by pigeonhole)
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if h <= 3
+    } yield ((ids(i), ids(j)), h)).toMap
+    assert(got == expected)
+  }
+}

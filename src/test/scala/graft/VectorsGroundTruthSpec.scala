@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Brute-force ground truth for similarity search on the sf0.001
+  * embeddings table: exact cosine computed driver-side, compared against
+  * the distributed exact plan (must match bit-for-bit after rounding) and
+  * the LSH plans (must meet recall bounds; their scores must be exact).
+  */
+class VectorsGroundTruthSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact top-k per query id (sim desc, corpus_id asc; rounded sims so
+    * ties break the same way as the distributed plan).
+    */
+  private def exactTopK(queryIds: Seq[Long], k: Int): Map[Long, Seq[(Long, Double)]] =
+    queryIds.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (c, v) => (c, r6(cosine(vecs(q), v))) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(k)
+    }.toMap
+
+  test("bruteForceTopK matches driver-side exact top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Vectors.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      }
+    val expected = exactTopK(vecs.keys.filter(_ < 5).toSeq, 5)
+    assert(got == expected)
+  }
+
+  test("cosineNearDupPairs: exact scores, precision 1, recall >= 0.9") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // data-adaptive threshold: the 10th-highest off-diagonal cosine, so
+    // the ground-truth set is non-empty at any SF
+    val ids = vecs.keys.toSeq.sorted
+    val allPairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+    } yield ((ids(i), ids(j)), r6(cosine(vecs(ids(i)), vecs(ids(j)))))
+    val threshold = allPairs.map(_._2).sorted(Ordering[Double].reverse)(9)
+    val truth = allPairs.filter(_._2 >= threshold).toMap
+    assert(truth.nonEmpty)
+
+    val got = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", threshold,
+      bits = 16, bands = 8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => ((a, b), s) }.toMap
+    // precision 1: every returned pair is a true pair with the exact score
+    got.foreach { case (k, s) =>
+      assert(truth.contains(k), s"false positive $k")
+      assert(math.abs(s - truth(k)) < 1e-6)
+    }
+    // recall: 8 bands of 2 bits miss a >=0.4-cosine pair with prob <1e-2
+    val recall = got.keySet.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall, missed ${truth.keySet -- got.keySet}")
+  }
+
+  test("lshTopK: structural invariants + sims are exact cosines") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Vectors.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length)) // ranks consecutive
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq) // sims desc
+      rows.foreach { case (_, c, s, _) =>
+        assert(c != q)
+        assert(math.abs(s - r6(cosine(vecs(q), vecs(c)))) < 1e-6) // exact rescoring
+      }
+    }
+    // recall@5 against exact top-k (deterministic planes: a fixed number)
+    val expected = exactTopK(vecs.keys.filter(_ < 5).toSeq, 5)
+    val hits = byQ.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(expected(q).map(_._1).toSet).size
+    }.sum
+    val recallAt5 = hits.toDouble / expected.values.map(_.size).sum
+    assert(recallAt5 >= 0.2, s"recall@5 $recallAt5") // bucketed ANN on near-orthogonal
+    // synthetic vectors — loose bound; the exactness checks above are the gate
+  }
+}
