@@ -131,6 +131,10 @@ final class Library(val root: String, spark: SparkSession) {
     * return per-file stats in index order. targetRows controls file
     * geometry — the analog of the reference's 100k-row segment slicing
     * (pipeline/slicing.hpp:23-34) scaled up for Parquet/Spark.
+    *
+    * Stats (rows, index min/max) come from the parquet FOOTERS of what was
+    * just written — O(files) metadata reads, never a second pass over the
+    * data (at 100 TB a stats re-read would double write IO).
     */
   private def writeData(
       df: DataFrame,
@@ -145,45 +149,64 @@ final class Library(val root: String, spark: SparkSession) {
     }
     prepared.write.mode("errorifexists").parquet(dir.toString)
 
-    // Per-file stats from a metadata-light scan of what was written.
-    val written = spark.read.parquet(dir.toString)
-    indexCol match {
-      case Some(idx) =>
-        val t = written.schema(idx).dataType
-        val stats = written
-          .groupBy(input_file_name().as("__file"))
-          .agg(
-            count(lit(1)).as("__rows"),
-            min(idxAsLong(col(idx), t)).as("__min"),
-            max(idxAsLong(col(idx), t)).as("__max"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-          .sortBy(_._3)
-        var offset = 0L
-        stats.toVector.map { case (f, rows, mn, mx) =>
-          val e = FileEntry(relativize(f, dir), rows, offset, Some(mn), Some(mx))
-          offset += rows
-          e
-        }
-      case None =>
-        val stats = written
-          .groupBy(input_file_name().as("__file"))
-          .agg(count(lit(1)).as("__rows"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .sortBy(_._1)
-        var offset = 0L
-        stats.toVector.map { case (f, rows) =>
-          val e = FileEntry(relativize(f, dir), rows, offset, None, None)
-          offset += rows
-          e
-        }
+    val idxType = indexCol.map(i => df.schema(i).dataType)
+    val stats = footerStats(dir, indexCol, idxType)
+    val ordered = indexCol match {
+      case Some(_) => stats.sortBy(s => (s._3.getOrElse(Long.MaxValue), s._1))
+      case None => stats.sortBy(_._1)
+    }
+    var offset = 0L
+    ordered.map { case (name, rows, mn, mx) =>
+      val e = FileEntry(s"${dir.getName}/$name", rows, offset, mn, mx)
+      offset += rows
+      e
     }
   }
 
-  private def relativize(fileUri: String, dir: Path): String = {
-    val name = new Path(fileUri).getName
-    s"${dir.getName}/$name" // data dir name / file name; resolved under <symbol>/data/
+  /** Per-file (name, rowCount, minIdx, maxIdx) from parquet footer
+    * metadata, index values converted to the manifest's long unit (ns for
+    * long indexes, µs for timestamps, µs-of-midnight for dates) — the same
+    * unit `idxAsLong` produces at query time.
+    */
+  private def footerStats(
+      dir: Path,
+      indexCol: Option[String],
+      idxType: Option[DataType]): Vector[(String, Long, Option[Long], Option[Long])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+
+    def statToLong(v: AnyRef): Long = (idxType.get, v) match {
+      case (DateType, days: Integer) => days.toLong * 86400000000L
+      case (_, n: Number) => n.longValue()
+      case (t, other) =>
+        throw new IllegalStateException(s"unexpected footer stat $other for index type $t")
+    }
+
+    val f = fs(dir)
+    f.listStatus(dir).toVector
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, hconf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val minMax = indexCol.flatMap { idx =>
+            val perBlock = blocks.flatMap { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == idx)
+                .map(_.getStatistics)
+                .filter(s => s != null && s.hasNonNullValue)
+                .map(s => (statToLong(s.genericGetMin.asInstanceOf[AnyRef]),
+                  statToLong(s.genericGetMax.asInstanceOf[AnyRef])))
+            }
+            if (perBlock.isEmpty) None
+            else Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+          }
+          (st.getPath.getName, rows, minMax.map(_._1), minMax.map(_._2))
+        } finally reader.close()
+      }
   }
 
   private def resolve(symbol: String, e: FileEntry): String =
@@ -371,6 +394,20 @@ final class Library(val root: String, spark: SparkSession) {
           f.minIdx.forall(_ <= hi) && f.maxIdx.forall(_ >= lo))
       case None => m.files
     }
+    readFiles(symbol, m, selected, dateRange, columns, withRowId)
+  }
+
+  /** Scan a manifest-selected subset of a version's files. Row ids are
+    * reconstructed from the SELECTED files' global offsets, so pruned
+    * reads still carry correct absolute row numbers.
+    */
+  private def readFiles(
+      symbol: String,
+      m: VersionManifest,
+      selected: Vector[FileEntry],
+      dateRange: Option[(Long, Long)],
+      columns: Option[Seq[String]],
+      withRowId: Boolean): DataFrame = {
     if (selected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -407,18 +444,18 @@ final class Library(val root: String, spark: SparkSession) {
     df
   }
 
-  /** head/tail by manifest row offsets: selects only the files that
-    * contain the requested rows — O(n/rowsPerFile) metadata, not a scan.
+  /** head/tail/iloc by manifest row offsets: ONLY the files containing the
+    * requested rows are handed to the Spark scan (reference: row-slice
+    * selection before IO, clause.cpp:874-1018). Negative indices wrap
+    * python-slice style: -n ⇒ rowCount - n (reference RowRangeClause).
     */
   def readRowRange(symbol: String, start: Long, end: Long, asOf: AsOf = AsOf.Latest): DataFrame = {
     val m = resolveVersion(symbol, asOf)
-    val hit = m.files.filter(f => f.rowOffset < end && f.rowOffset + f.rows > start)
-    if (hit.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(m.schemaDdl))
-    val df = read(symbol, asOf, withRowId = true)
-    df.filter(col(RowIdCol) >= start && col(RowIdCol) < end)
+    def norm(i: Long): Long = if (i < 0) math.max(0L, m.rowCount + i) else i
+    val (s, e) = (norm(start), norm(end))
+    val hit = m.files.filter(f => f.rowOffset < e && f.rowOffset + f.rows > s)
+    readFiles(symbol, m, hit, None, None, withRowId = true)
+      .filter(col(RowIdCol) >= s && col(RowIdCol) < e)
   }
 
   def head(symbol: String, n: Int, asOf: AsOf = AsOf.Latest): DataFrame =

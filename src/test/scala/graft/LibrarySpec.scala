@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Library
+import graft.core.Library.AsOf
+
+/** Versioned-store behavior: roundtrips, as-of reads, range splice, and —
+  * the 100 TB-relevant part — proof that row-range/date-range reads hand
+  * Spark only the manifest-pruned files, not the whole symbol.
+  */
+class LibrarySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def newLib(): Library =
+    new Library(java.nio.file.Files.createTempDirectory("graft-libspec-").toString, spark)
+
+  private def events = spark.read.parquet(s"$sf/events.parquet")
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  test("write/read roundtrip preserves rows and schema") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 200)
+    val back = lib.read("ev")
+    assert(back.schema == events.schema)
+    assert(back.count() == events.count())
+    assert(math.abs(back.agg(sum("value")).head.getDouble(0) -
+      events.agg(sum("value")).head.getDouble(0)) < 1e-6)
+  }
+
+  test("head/tail scan only the manifest-pruned files") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 100) // ~10 files at sf0.001
+    val m = lib.resolveVersion("ev")
+    assert(m.files.size >= 5, s"want many files, got ${m.files.size}")
+
+    val h = lib.head("ev", 20)
+    assert(h.count() == 20)
+    assert(scannedFiles(lib.head("ev", 20)) <= 2,
+      "head must not scan the whole symbol")
+
+    val t = lib.tail("ev", 20)
+    assert(t.count() == 20)
+    assert(scannedFiles(lib.tail("ev", 20)) <= 2)
+
+    // head rows are the globally-first rows by index
+    val expected = events.orderBy("ts").limit(20).select("event_id")
+      .as[Long].collect().toSet
+    assert(h.select("event_id").as[Long].collect().toSet == expected)
+  }
+
+  test("negative row-range indices wrap python-style") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 100)
+    val n = events.count()
+    val lastTen = lib.readRowRange("ev", -10, n)
+    assert(lastTen.count() == 10)
+    assert(lib.readRowRange("ev", -10, -5).count() == 5)
+    assert(lib.readRowRange("ev", -(n + 100), 5).count() == 5) // clamps to 0
+  }
+
+  test("date-range read prunes files and filters residual rows") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 100)
+    val m = lib.resolveVersion("ev")
+    val mid = m.files(m.files.size / 2)
+    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get)
+    val df = lib.read("ev", dateRange = Some((lo, hi)))
+    assert(scannedFiles(lib.read("ev", dateRange = Some((lo, hi)))) <= 3)
+    val expected = events.filter(col("ts").between(lo, hi)).count()
+    assert(df.count() == expected)
+  }
+
+  test("footer-derived manifest stats equal true per-file min/max") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 100)
+    val m = lib.resolveVersion("ev")
+    assert(m.rowCount == events.count())
+    assert(m.files.map(_.rows).sum == m.rowCount)
+    // file ranges ordered and non-overlapping; global min/max match data
+    val ranges = m.files.map(f => (f.minIdx.get, f.maxIdx.get))
+    assert(ranges == ranges.sortBy(_._1))
+    ranges.sliding(2).foreach {
+      case Vector((_, aMax), (bMin, _)) => assert(aMax <= bMin)
+      case _ =>
+    }
+    val Array(trueMin, trueMax) =
+      events.agg(min("ts"), max("ts")).head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(ranges.head._1 == trueMin && ranges.last._2 == trueMax)
+  }
+
+  test("append + snapshot + as-of read") {
+    val lib = newLib()
+    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 200)
+    lib.snapshot("pre")
+    lib.append("ev", events.filter(col("ts") >= cut), targetRows = 200)
+    assert(lib.read("ev").count() == events.count())
+    assert(lib.read("ev", AsOf.Snapshot("pre")).count() ==
+      events.filter(col("ts") < cut).count())
+    // appending out-of-order data must be rejected when validating
+    intercept[IllegalArgumentException](
+      lib.append("ev", events.filter(col("ts") < cut).limit(10)))
+  }
+
+  test("update splices only the covered range; deleteRange removes it") {
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 200)
+    val m0 = lib.resolveVersion("ev")
+    val mid = m0.files(m0.files.size / 2)
+    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get)
+    val patch = events.filter(col("ts").between(lo, hi))
+      .withColumn("value", col("value") + 1000)
+    lib.update("ev", patch, targetRows = 200)
+    val after = lib.read("ev")
+    assert(after.count() == events.count())
+    assert(after.filter(col("ts").between(lo, hi) && col("value") < 900).count() == 0)
+    // untouched files are physically shared with the previous version
+    val m1 = lib.resolveVersion("ev")
+    assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).nonEmpty,
+      "update must reuse untouched files")
+
+    lib.deleteRange("ev", lo, hi)
+    assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
+  }
+
+  test("stage + finalize with sort produces a readable sorted version") {
+    val lib = newLib()
+    (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))
+    lib.finalizeStaged("ev", Some("ts"), targetRows = 300)
+    val back = lib.read("ev", withRowId = true)
+    assert(back.count() == events.count())
+    // _row_id follows ts order globally
+    val rows = back.select(Library.RowIdCol, "ts").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sorted))
+  }
+}
