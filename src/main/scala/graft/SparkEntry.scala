@@ -163,6 +163,29 @@ object SparkEntry {
         .select(col("ts"), col("v_first"), col("v_last"), col("v_min"), col("v_max"))
         .orderBy("ts")
     },
+    "q47_resample_origin_start_day" -> { (s, dir) =>
+      // 7h rule (does not divide a day) so the start_day anchor actually
+      // shifts bucket boundaries vs the epoch origin.
+      QueryBuilder()
+        .resample("ts", "7h", Seq(
+          ("v_sum", "value", "sum"),
+          ("v_last", "value", "last"),
+          ("n", "value", "count")),
+          origin = Resample.StartDay)(t(s, dir, "events"))
+        .select(tsUs, round(col("v_sum"), 6).as("v_sum"), col("v_last"), col("n"))
+        .orderBy("ts")
+    },
+    "q48_resample_origin_end" -> { (s, dir) =>
+      QueryBuilder()
+        .resample("ts", "90min", Seq(
+          ("v_min", "value", "min"),
+          ("v_max", "value", "max"),
+          ("n", "value", "count")),
+          closed = Resample.Right, label = Resample.Right,
+          origin = Resample.End)(t(s, dir, "events"))
+        .select(tsUs, col("v_min"), col("v_max"), col("n"))
+        .orderBy("ts")
+    },
     // ---------------- date_range / row ops (SURVEY §2.1) --------------
     "q12_date_range" -> { (s, dir) =>
       QueryBuilder()
@@ -284,6 +307,39 @@ object SparkEntry {
       lib.head("ev", 50)
         .select(col("event_id"), tsUs)
         .orderBy("ts")
+    },
+    "q45_dynamic_append" -> { (s, dir) =>
+      // Schema evolution on append (reference dynamic_schema): int→long and
+      // float→double widening on shared columns, two new columns whose old
+      // rows backfill typed defaults (string→null, int→0).
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val cut = 1704240000000000000L
+      val a = ev.filter(col("ts") < cut)
+        .select(col("event_id"), col("ts"),
+          col("user_id").cast("int").as("user_id"),
+          col("value").cast("float").as("value"))
+      val b = ev.filter(col("ts") >= cut)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("props"), (col("event_id") % 5).cast("int").as("bonus"))
+      lib.write("ev", a, Some("ts"), targetRows = 3000)
+      lib.append("ev", b, targetRows = 3000, dynamicSchema = true)
+      lib.read("ev")
+        .select(col("event_id"), tsUs, col("user_id"), col("value"),
+          col("props"), col("bonus"))
+        .orderBy("event_id")
+    },
+    "q46_batch_read_join" -> { (s, dir) =>
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("value"), col("props"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      lib.writeBatch(Seq("clicks" -> clicks, "purchases" -> purchases), Some("ts"), 5000)
+      lib.readBatchAndJoin(Seq("clicks", "purchases"), "outer")
+        .select(col("event_id"), tsUs, col("value"), col("props"))
+        .orderBy("event_id")
     },
     // ---------------- LLM pipeline: dedup -----------------------------
     "q27_dedup_exact" -> { (s, dir) =>
@@ -495,6 +551,23 @@ object SparkEntry {
            arg_max(value, epoch_ns(ts)) AS v_last,
            min(value) AS v_min, max(value) AS v_max
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q47_resample_origin_start_day" ->
+      """WITH a AS (
+           SELECT min(epoch_ns(ts)) - min(epoch_ns(ts)) % 86400000000000 AS anchor
+           FROM events)
+         SELECT (epoch_ns(ts) - (epoch_ns(ts) - anchor) % 25200000000000) // 1000 AS ts,
+           round(sum(value), 6) AS v_sum,
+           arg_max(value, epoch_ns(ts)) AS v_last,
+           count(value) AS n
+         FROM events, a GROUP BY 1 ORDER BY 1""",
+    "q48_resample_origin_end" ->
+      """WITH a AS (SELECT max(epoch_ns(ts)) AS anchor FROM events)
+         SELECT (epoch_ns(ts) - 1
+                 - ((((epoch_ns(ts) - 1 - anchor) % 5400000000000) + 5400000000000)
+                    % 5400000000000)
+                 + 5400000000000) // 1000 AS ts,
+           min(value) AS v_min, max(value) AS v_max, count(value) AS n
+         FROM events, a GROUP BY 1 ORDER BY 1""",
     "q12_date_range" ->
       """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
@@ -563,6 +636,21 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "q26_compact_head" ->
       """SELECT event_id, epoch_us(ts) AS ts FROM events ORDER BY ts LIMIT 50""",
+    "q45_dynamic_append" ->
+      """SELECT event_id, epoch_us(ts) AS ts, user_id,
+           CASE WHEN epoch_ns(ts) < 1704240000000000000
+                THEN CAST(CAST(value AS REAL) AS DOUBLE) ELSE value END AS value,
+           CASE WHEN epoch_ns(ts) < 1704240000000000000 THEN NULL ELSE props END AS props,
+           CASE WHEN epoch_ns(ts) < 1704240000000000000 THEN 0
+                ELSE CAST(event_id % 5 AS INTEGER) END AS bonus
+         FROM events ORDER BY event_id""",
+    "q46_batch_read_join" ->
+      """SELECT event_id, epoch_us(ts) AS ts, value, props
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, epoch_us(ts), value, NULL
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
     "q27_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",

@@ -96,8 +96,20 @@ final class Library(val root: String, spark: SparkSession) {
 
   def latestVersion(symbol: String): Option[Int] = listVersions(symbol).lastOption
 
+  private val manifestCache =
+    scala.collection.mutable.Map.empty[(String, Int), VersionManifest]
+
   def manifest(symbol: String, version: Int): VersionManifest =
-    VersionManifest.fromJson(readString(new Path(versionsDir(symbol), f"v$version%05d.json")))
+    manifestCache.getOrElseUpdate(
+      (symbol, version),
+      VersionManifest.fromJson(
+        readString(new Path(versionsDir(symbol), f"v$version%05d.json"))))
+
+  /** Physical schema of a data file, from the manifest's dir→schema map
+    * (files are immutable; dynamic-schema appends never rewrite them).
+    */
+  private def fileSchemaDdl(m: VersionManifest, f: FileEntry): String =
+    m.dirSchemas.getOrElse(f.path.takeWhile(_ != '/'), m.schemaDdl)
 
   def hasSymbol(symbol: String): Boolean =
     latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
@@ -225,26 +237,74 @@ final class Library(val root: String, spark: SparkSession) {
 
   /** `append` — new version = prior files + new files; new index values
     * must start at/after the prior max (reference: library.py:1361).
+    *
+    * dynamicSchema=true accepts a frame whose columns differ from the
+    * symbol's: shared columns promote to their common type
+    * (reference: has_valid_common_type, type_utils.hpp:17-43), new columns
+    * join the schema, and columns the frame lacks are written with typed
+    * defaults (0 / NaN / false / null — library.py:1069-1072). Old data
+    * files are NEVER rewritten: reads align them to the evolved schema on
+    * the fly (see readFiles).
     */
   def append(
       symbol: String,
       df: DataFrame,
       targetRows: Long = DefaultTargetRows,
-      validateIndex: Boolean = true): Int = {
+      validateIndex: Boolean = true,
+      dynamicSchema: Boolean = false): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
     val m = manifest(symbol, v)
     require(!m.deleted, s"symbol $symbol is deleted")
+    val data =
+      if (!dynamicSchema) df
+      else align(df, mergeSchemas(StructType.fromDDL(m.schemaDdl), df.schema))
     if (validateIndex)
       for (idx <- m.indexCol; priorMax <- m.files.flatMap(_.maxIdx).maxOption) {
-        val t = df.schema(idx).dataType
-        val newMin = df.agg(min(idxAsLong(col(idx), t))).collect()(0)
+        val t = data.schema(idx).dataType
+        val newMin = data.agg(min(idxAsLong(col(idx), t))).collect()(0)
         if (!newMin.isNullAt(0))
           require(
             newMin.getLong(0) >= priorMax,
             s"append index starts before prior data ($symbol): ${newMin.getLong(0)} < $priorMax")
       }
-    commitNew(symbol, df, m.indexCol, targetRows, priorFiles = m.files, m.metadata)
+    commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files, m.metadata,
+      priorDirSchemas = m.dirSchemas)
+  }
+
+  /** Union of two schemas with common-type promotion on shared columns —
+    * the reference's dynamic-schema lattice (type_utils.hpp:35-43). Column
+    * order: existing columns first, new columns in frame order.
+    */
+  private def mergeSchemas(old: StructType, nw: StructType): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    old.fields.foreach(f => out(f.name) = f.dataType)
+    nw.fields.foreach { f =>
+      out(f.name) = out.get(f.name)
+        .map(graft.query.Expr.commonType(_, f.dataType))
+        .getOrElse(f.dataType)
+    }
+    StructType(out.map { case (n, t) => StructField(n, t) }.toSeq)
+  }
+
+  /** Typed default for a column absent from a file's physical schema
+    * (reference backfill semantics, library.py:1069-1072: int→0, float→NaN,
+    * bool→False, everything else→None).
+    */
+  private def defaultFor(t: DataType): Any = t match {
+    case ByteType | ShortType | IntegerType | LongType => 0
+    case FloatType | DoubleType => Double.NaN
+    case BooleanType => false
+    case _ => null
+  }
+
+  /** Project/cast/backfill a frame to exactly `target`. */
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(defaultFor(f.dataType)).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   private def commitNew(
@@ -253,9 +313,11 @@ final class Library(val root: String, spark: SparkSession) {
       indexCol: Option[String],
       targetRows: Long,
       priorFiles: Vector[FileEntry],
-      metadata: Map[String, String]): Int = {
+      metadata: Map[String, String],
+      priorDirSchemas: Map[String, String] = Map.empty): Int = {
     var v = latestVersion(symbol).map(_ + 1).getOrElse(0)
-    val newFiles = writeData(df, dataDir(symbol, v), indexCol, targetRows)
+    val dir = dataDir(symbol, v)
+    val newFiles = writeData(df, dir, indexCol, targetRows)
     val baseOffset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
     val shifted = newFiles.map(f => f.copy(rowOffset = f.rowOffset + baseOffset))
     val all = priorFiles ++ shifted
@@ -267,7 +329,8 @@ final class Library(val root: String, spark: SparkSession) {
       rowCount = all.map(_.rows).sum,
       createdAtMs = System.currentTimeMillis(),
       schemaDdl = df.schema.toDDL,
-      metadata = metadata)
+      metadata = metadata,
+      dirSchemas = priorDirSchemas + (dir.getName -> df.schema.toDDL))
     var committed = commitManifest(symbol, m)
     while (!committed) { // lost a race: bump version, data dir already unique per attempt
       v += 1
@@ -314,22 +377,22 @@ final class Library(val root: String, spark: SparkSession) {
     val keptRows: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val old = spark.read
-          .schema(StructType.fromDDL(m.schemaDdl))
-          .parquet(touched.map(resolve(symbol, _)): _*)
+        // schema-aware read: touched files may predate a schema evolution
+        val old = readFiles(symbol, m, touched, None, None, withRowId = false)
         val t = old.schema(idx).dataType
         Some(old.filter(idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi))
       }
     val combined = (keptRows, replacement) match {
-      case (Some(k), Some(r)) => Some(k.unionByName(r.select(k.columns.map(col): _*)))
+      case (Some(k), Some(r)) => Some(k.unionByName(align(r, k.schema)))
       case (Some(k), None) => Some(k)
-      case (None, Some(r)) => Some(r)
+      case (None, Some(r)) => Some(align(r, StructType.fromDDL(m.schemaDdl)))
       case (None, None) => None
     }
 
     var v = m.version + 1
+    val newDir = dataDir(symbol, v)
     val rewritten = combined match {
-      case Some(d) => writeData(d, dataDir(symbol, v), m.indexCol, targetRows)
+      case Some(d) => writeData(d, newDir, m.indexCol, targetRows)
       case None => Vector.empty
     }
     // Keep global index order: untouched-before ++ rewritten ++ untouched-after.
@@ -342,7 +405,8 @@ final class Library(val root: String, spark: SparkSession) {
       version = v,
       files = ordered,
       rowCount = ordered.map(_.rows).sum,
-      createdAtMs = System.currentTimeMillis())
+      createdAtMs = System.currentTimeMillis(),
+      dirSchemas = m.dirSchemas + (newDir.getName -> m.schemaDdl))
     var committed = commitManifest(symbol, nm)
     while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
     v
@@ -408,14 +472,34 @@ final class Library(val root: String, spark: SparkSession) {
       dateRange: Option[(Long, Long)],
       columns: Option[Seq[String]],
       withRowId: Boolean): DataFrame = {
+    val target = StructType.fromDDL(m.schemaDdl)
     if (selected.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(m.schemaDdl))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
 
-    var df = spark.read
-      .schema(StructType.fromDDL(m.schemaDdl))
-      .parquet(selected.map(resolve(symbol, _)): _*)
+    // Dynamic schema: files written before a schema evolution keep their
+    // original physical schema. Group files by it; non-current groups are
+    // cast/backfilled to the current schema on the fly (one scan per
+    // distinct historical schema — appends that don't evolve the schema
+    // add no groups).
+    val groups = selected.groupBy(f => fileSchemaDdl(m, f))
+    var df =
+      if (groups.size == 1)
+        align(
+          spark.read
+            .schema(StructType.fromDDL(groups.keys.head))
+            .parquet(selected.map(resolve(symbol, _)): _*),
+          target)
+      else
+        groups.toSeq
+          .map { case (ddl, files) =>
+            align(
+              spark.read
+                .schema(StructType.fromDDL(ddl))
+                .parquet(files.map(resolve(symbol, _)): _*),
+              target)
+          }
+          .reduce(_ unionByName _)
 
     for ((lo, hi) <- dateRange; idx <- m.indexCol) {
       val t = df.schema(idx).dataType
@@ -539,6 +623,42 @@ final class Library(val root: String, spark: SparkSession) {
     }
     f.delete(dir, true)
     v
+  }
+
+  // ------------------------------------------------------------- batch
+
+  /** Batch entry points (reference: read_batch library.py:2161,
+    * write_batch :1241, append_batch :1469, update_batch :1643). Plans are
+    * built lazily; Spark schedules the per-symbol jobs — on a cluster the
+    * actions can be submitted from concurrent threads, the driver code
+    * itself is metadata-only.
+    */
+  def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[DataFrame] =
+    symbols.map(read(_, asOf))
+
+  def writeBatch(
+      items: Seq[(String, DataFrame)],
+      indexCol: Option[String] = None,
+      targetRows: Long = DefaultTargetRows): Seq[Int] =
+    items.map { case (s, df) => write(s, df, indexCol, targetRows) }
+
+  def appendBatch(items: Seq[(String, DataFrame)], targetRows: Long = DefaultTargetRows): Seq[Int] =
+    items.map { case (s, df) => append(s, df, targetRows) }
+
+  def updateBatch(items: Seq[(String, DataFrame)], targetRows: Long = DefaultTargetRows): Seq[Int] =
+    items.map { case (s, df) => update(s, df, targetRows) }
+
+  /** read_batch_and_join (reference: library.py:2348): read N symbols and
+    * concatenate row-wise with inner/outer schema join + common-type
+    * promotion — the ConcatClause over the version layer.
+    */
+  def readBatchAndJoin(
+      symbols: Seq[String],
+      join: String = "outer",
+      asOf: AsOf = AsOf.Latest): DataFrame = {
+    require(symbols.nonEmpty, "readBatchAndJoin needs at least one symbol")
+    val frames = readBatch(symbols, asOf)
+    graft.query.QueryBuilder().concat(frames.tail, join)(frames.head)
   }
 
   // ----------------------------------------------------------- compact

@@ -36,7 +36,13 @@ final case class VersionManifest(
     createdAtMs: Long,
     schemaDdl: String,
     deleted: Boolean = false,
-    metadata: Map[String, String] = Map.empty)
+    metadata: Map[String, String] = Map.empty,
+    /** Physical schema each data directory was written with — needed under
+      * dynamic schema, where files written before an evolution keep their
+      * original layout and are aligned at read time. Missing entry ⇒ the
+      * dir was written with `schemaDdl` (pre-dynamic manifests).
+      */
+    dirSchemas: Map[String, String] = Map.empty)
 
 object VersionManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)

@@ -60,16 +60,17 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
       closed: Resample.Boundary = Resample.Left,
       label: Resample.Boundary = Resample.Left,
       offsetNs: Long = 0L,
-      originNs: Long = 0L): QueryBuilder =
+      origin: Resample.Origin = Resample.Epoch): QueryBuilder =
     add { df =>
       val ruleNs = Resample.ruleToNs(rule)
       val schema = df.schema
-      val start = Resample.bucketStart(col(tsCol), ruleNs, closed, originNs + offsetNs)
+      val (frame, anchor) = Resample.anchored(df, tsCol, origin, offsetNs)
+      val start = Resample.bucketStart(col(tsCol), ruleNs, closed, anchor)
       val lbl = Resample.bucketLabel(start, ruleNs, label)
       val cols = aggs.map { case (out, in, op) =>
         NullSemantics.sortedAgg(op, col(in), schema(in).dataType, col(tsCol), out)
       }
-      df.withColumn("__bucket", lbl)
+      frame.withColumn("__bucket", lbl)
         .groupBy(col("__bucket"))
         .agg(cols.head, cols.tail: _*)
         .withColumnRenamed("__bucket", tsCol)

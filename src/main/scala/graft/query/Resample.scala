@@ -42,16 +42,64 @@ object Resample {
   case object Left extends Boundary
   case object Right extends Boundary
 
+  /** Bucket anchor modes (reference: processing.py:771-777 `origin` —
+    * epoch / timestamp / start / start_day / end / end_day). The data-
+    * derived modes anchor buckets at the frame's first/last index value
+    * (optionally floored/ceiled to midnight).
+    */
+  sealed trait Origin
+  case object Epoch extends Origin
+  final case class OriginTimestamp(ns: Long) extends Origin
+  case object Start extends Origin
+  case object StartDay extends Origin
+  case object End extends Origin
+  case object EndDay extends Origin
+
+  private val DayNs = 86400L * 1000L * 1000L * 1000L
+
+  /** Resolve the origin to (frame, anchor expression). Data-derived
+    * origins need one global min/max of the ts column: computed as a
+    * 1-row aggregate broadcast-joined onto the frame — a partial-agg
+    * tree reduction plus a zero-cost broadcast, never a global sort or
+    * single-partition window. The anchor already includes `offsetNs`.
+    */
+  def anchored(
+      df: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      origin: Origin,
+      offsetNs: Long): (org.apache.spark.sql.DataFrame, Column) = origin match {
+    case Epoch => (df, lit(offsetNs))
+    case OriginTimestamp(ns) => (df, lit(ns + offsetNs))
+    case dataOrigin =>
+      val ts = col(tsCol)
+      val anchor = dataOrigin match {
+        case Start => min(ts)
+        case StartDay => min(ts) - pmod(min(ts), lit(DayNs))
+        case End => max(ts)
+        case EndDay =>
+          // pandas end_day: ceiling midnight of the last value
+          max(ts) - pmod(max(ts), lit(DayNs)) +
+            when(pmod(max(ts), lit(DayNs)) === 0, lit(0L)).otherwise(lit(DayNs))
+        case other => throw new IllegalStateException(s"unreachable $other")
+      }
+      val one = df.agg((anchor + lit(offsetNs)).cast("long").as("__origin_anchor"))
+      (df.crossJoin(broadcast(one)), col("__origin_anchor"))
+  }
+
   /** Bucket-start expression for a ns long ts column.
     *
     * closed=Left  : [start, start+rule)
     * closed=Right : (start, start+rule]
-    * anchorNs = origin + offset (origin "epoch" → 0).
+    * anchor = origin + offset (origin "epoch" → 0), as a Column so
+    * data-derived origins plug in.
     */
-  def bucketStart(tsNs: Column, ruleNs: Long, closed: Boundary, anchorNs: Long): Column = {
+  def bucketStart(tsNs: Column, ruleNs: Long, closed: Boundary, anchor: Column): Column = {
     val t = if (closed == Right) tsNs - lit(1L) else tsNs
-    t - pmod(t - lit(anchorNs), lit(ruleNs))
+    t - pmod(t - anchor, lit(ruleNs))
   }
+
+  def bucketStart(tsNs: Column, ruleNs: Long, closed: Boundary, anchorNs: Long): Column =
+    bucketStart(tsNs, ruleNs, closed, lit(anchorNs))
 
   /** Bucket label: left edge or right edge of the bucket. */
   def bucketLabel(start: Column, ruleNs: Long, label: Boundary): Column =
