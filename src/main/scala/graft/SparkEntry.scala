@@ -329,6 +329,18 @@ object SparkEntry {
           col("props"), col("bonus"))
         .orderBy("event_id")
     },
+    "q49_column_stats_prune" -> { (s, dir) =>
+      // Non-index predicate pruning: stats on event_id (correlated with the
+      // ts index in this table) let the manifest skip files before Spark
+      // lists them; the residual row filter gives exact results either way.
+      val lib = new Library(tmpRoot(), s)
+      lib.write("ev", t(s, dir, "events"), Some("ts"), targetRows = 2000)
+      lib.createColumnStats("ev", Seq("event_id"))
+      lib.read("ev", statFilters = Seq(Library.ColRange("event_id", 2000, 4000)))
+        .filter(col("event_id").between(2000, 4000))
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
     "q46_batch_read_join" -> { (s, dir) =>
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
@@ -644,6 +656,9 @@ object SparkEntry {
            CASE WHEN epoch_ns(ts) < 1704240000000000000 THEN 0
                 ELSE CAST(event_id % 5 AS INTEGER) END AS bonus
          FROM events ORDER BY event_id""",
+    "q49_column_stats_prune" ->
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events
+         WHERE event_id BETWEEN 2000 AND 4000 ORDER BY event_id""",
     "q46_batch_read_join" ->
       """SELECT event_id, epoch_us(ts) AS ts, value, props
          FROM events WHERE event_type = 'click'

@@ -450,14 +450,22 @@ final class Library(val root: String, spark: SparkSession) {
       asOf: AsOf = AsOf.Latest,
       dateRange: Option[(Long, Long)] = None,
       columns: Option[Seq[String]] = None,
-      withRowId: Boolean = false): DataFrame = {
+      withRowId: Boolean = false,
+      statFilters: Seq[ColRange] = Nil): DataFrame = {
     val m = resolveVersion(symbol, asOf)
-    val selected = dateRange match {
+    val byIndex = dateRange match {
       case Some((lo, hi)) =>
         m.files.filter(f =>
           f.minIdx.forall(_ <= hi) && f.maxIdx.forall(_ >= lo))
       case None => m.files
     }
+    val selected =
+      if (statFilters.isEmpty) byIndex
+      else {
+        val stats = loadColumnStats(symbol)
+        val schema = StructType.fromDDL(m.schemaDdl)
+        byIndex.filter(f => statFilters.forall(p => statFilterKeep(stats, schema, f, p)))
+      }
     readFiles(symbol, m, selected, dateRange, columns, withRowId)
   }
 
@@ -625,6 +633,97 @@ final class Library(val root: String, spark: SparkSession) {
     v
   }
 
+  // ------------------------------------------------------- column stats
+
+  private def statsPath(symbol: String) = new Path(symDir(symbol), "_stats/columns.json")
+
+  /** ColumnStatsGenerationClause (reference: create_column_stats
+    * _store.py:1297-1324, clause.cpp:788-872): record per-FILE min/max for
+    * chosen columns so non-index predicates can prune whole files before
+    * Spark ever lists them. Harvested from parquet footers — zero data IO;
+    * data files are immutable so stats stay valid for every version that
+    * shares the file. Re-running merges stats for new files/columns.
+    */
+  def createColumnStats(symbol: String, columns: Seq[String], asOf: AsOf = AsOf.Latest): Unit = {
+    val m = resolveVersion(symbol, asOf)
+    val fresh: Map[String, Map[String, (String, String)]] = m.files.map { fe =>
+      fe.path -> readColumnFooterStats(new Path(resolve(symbol, fe)), columns)
+    }.toMap
+    val merged = loadColumnStats(symbol) match {
+      case prior => fresh.foldLeft(prior) { case (acc, (file, cols)) =>
+        acc.updated(file, acc.getOrElse(file, Map.empty) ++ cols)
+      }
+    }
+    val p = statsPath(symbol)
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-${UUID.randomUUID()}")
+    writeString(tmp, ColumnStats.toJson(merged))
+    f.delete(p, false)
+    require(f.rename(tmp, p), s"column-stats commit failed for $symbol")
+  }
+
+  def loadColumnStats(symbol: String): Map[String, Map[String, (String, String)]] = {
+    val p = statsPath(symbol)
+    if (!fs(p).exists(p)) Map.empty else ColumnStats.fromJson(readString(p))
+  }
+
+  /** Footer min/max per requested column of one file, as strings (numbers
+    * in decimal form, strings as UTF-8). Parquet may truncate binary stats
+    * but only outward (min ≤ true min, max ≥ true max) — pruning stays
+    * conservative. Columns without usable stats are simply absent.
+    */
+  private def readColumnFooterStats(p: Path, columns: Seq[String]): Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    def render(v: AnyRef): String = v match {
+      case b: Binary => b.toStringUsingUTF8
+      case other => other.toString
+    }
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hconf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      columns.flatMap { c =>
+        val perBlock = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(s => (render(s.genericGetMin.asInstanceOf[AnyRef]),
+            render(s.genericGetMax.asInstanceOf[AnyRef]))))
+        if (perBlock.isEmpty || perBlock.size != blocks.size) None // a block without stats ⇒ unusable
+        else {
+          val numeric = perBlock.forall(b => scala.util.Try(BigDecimal(b._1)).isSuccess)
+          val mn = if (numeric) perBlock.map(b => BigDecimal(b._1)).min.toString else perBlock.map(_._1).min
+          val mx = if (numeric) perBlock.map(b => BigDecimal(b._2)).max.toString else perBlock.map(_._2).max
+          Some(c -> (mn, mx))
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** File survives the predicate iff its [min,max] intersects [lo,hi];
+    * missing stats keep the file (three-valued logic collapses to
+    * "cannot exclude" — reference column_stats_filter.cpp Kleene rules).
+    */
+  private def statFilterKeep(
+      stats: Map[String, Map[String, (String, String)]],
+      schema: StructType,
+      f: FileEntry,
+      pred: ColRange): Boolean =
+    stats.get(f.path).flatMap(_.get(pred.column)) match {
+      case None => true
+      case Some((mn, mx)) =>
+        schema(pred.column).dataType match {
+          case StringType =>
+            mn <= pred.hi.toString && mx >= pred.lo.toString
+          case _ =>
+            BigDecimal(mn) <= BigDecimal(pred.hi.toString) &&
+              BigDecimal(mx) >= BigDecimal(pred.lo.toString)
+        }
+    }
+
   // ------------------------------------------------------------- batch
 
   /** Batch entry points (reference: read_batch library.py:2161,
@@ -677,6 +776,23 @@ final class Library(val root: String, spark: SparkSession) {
 object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
+
+  /** Inclusive range predicate for column-stats file pruning (the caller
+    * still applies the exact row filter; this only skips whole files).
+    */
+  final case class ColRange(column: String, lo: Any, hi: Any)
+
+  /** Sidecar codec for the per-file column stats. */
+  private[core] object ColumnStats {
+    import org.json4s._
+    import org.json4s.jackson.Serialization
+    implicit val formats: Formats = Serialization.formats(NoTypeHints)
+    def toJson(m: Map[String, Map[String, (String, String)]]): String =
+      Serialization.writePretty(m.view.mapValues(_.view.mapValues(v => List(v._1, v._2)).toMap).toMap)
+    def fromJson(s: String): Map[String, Map[String, (String, String)]] =
+      Serialization.read[Map[String, Map[String, List[String]]]](s)
+        .view.mapValues(_.view.mapValues(l => (l.head, l(1))).toMap).toMap
+  }
 
   private[core] val VersionFile = "v(\\d{5})\\.json".r
 

@@ -126,6 +126,47 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
   }
 
+  test("dynamic-schema append widens, adds, and backfills typed defaults") {
+    val lib = newLib()
+    val a = Seq((1L, 10L, 1.5f, 7), (2L, 20L, 2.5f, 8)).toDF("id", "ts", "v", "old")
+    val b = Seq((3L, 30L, 3.5, "x"), (4L, 40L, 4.5, "y")).toDF("id", "ts", "v", "tag")
+    lib.write("s", a, Some("ts"), targetRows = 10)
+    lib.append("s", b, targetRows = 10, dynamicSchema = true)
+    val back = lib.read("s").orderBy("id")
+    import org.apache.spark.sql.types._
+    assert(back.schema("v").dataType == DoubleType) // float+double widened
+    assert(back.schema("tag").dataType == StringType) // new column
+    val rows = back.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0).getDouble(2) == 1.5 && rows(2).getDouble(2) == 3.5)
+    assert(rows(0).isNullAt(4) && rows(2).getString(4) == "x") // tag backfill null
+    assert(rows(2).getInt(3) == 0) // old int column backfills 0, not null
+    // update on the evolved symbol splices through the mixed-schema read
+    val patch = Seq((2L, 20L, 9.9, "p", 5)).toDF("id", "ts", "v", "tag", "old")
+    lib.update("s", patch, targetRows = 10)
+    val after = lib.read("s").orderBy("id").collect()
+    assert(after.length == 4 && after(1).getDouble(2) == 9.9)
+  }
+
+  test("column stats prune files for correlated non-index predicates") {
+    val lib = newLib()
+    val df = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 10).as("ts2"), pmod(col("id"), lit(7)).as("noise"))
+    lib.write("s", df, Some("ts2"), targetRows = 100)
+    val m = lib.resolveVersion("s")
+    assert(m.files.size >= 8)
+    lib.createColumnStats("s", Seq("k", "noise"))
+    // k is perfectly correlated with the index: a narrow k-range hits few files
+    val pruned = lib.read("s", statFilters = Seq(Library.ColRange("k", 100, 150)))
+    assert(scannedFiles(lib.read("s", statFilters = Seq(Library.ColRange("k", 100, 150)))) <= 2)
+    assert(pruned.filter(col("k").between(100, 150)).count() == 51)
+    // noise overlaps every file: stats keep everything (conservative, correct)
+    val kept = lib.read("s", statFilters = Seq(Library.ColRange("noise", 3, 3)))
+    assert(kept.count() == 1000)
+    // predicate on a column without stats: nothing pruned
+    assert(lib.read("s", statFilters = Seq(Library.ColRange("ts2", 0, 1))).count() == 1000)
+  }
+
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))
