@@ -579,6 +579,42 @@ final class Library(val root: String, spark: SparkSession) {
     nv
   }
 
+  /** prune_previous_versions (reference: library.py:1018): hard-delete all
+    * version manifests except the latest (and any pinned by a snapshot),
+    * then remove data files no surviving manifest references. Data files
+    * are shared across versions, so GC is reference-counting over the
+    * surviving manifests — never a blind directory wipe.
+    */
+  def prunePreviousVersions(symbol: String): Unit = {
+    val versions = listVersions(symbol)
+    if (versions.isEmpty) return
+    val latest = versions.last
+    val pinned: Set[Int] = listSnapshots()
+      .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+      .flatMap(_.versions.get(symbol)).toSet
+    val keep = pinned + latest
+    val keepFiles: Set[String] =
+      keep.flatMap(v => manifest(symbol, v).files.map(_.path))
+
+    val vDir = versionsDir(symbol)
+    val vfs = fs(vDir)
+    versions.filterNot(keep).foreach { v =>
+      vfs.delete(new Path(vDir, f"v$v%05d.json"), false)
+      manifestCache.remove((symbol, v))
+    }
+    val dataRoot = new Path(symDir(symbol), "data")
+    val dfs = fs(dataRoot)
+    if (dfs.exists(dataRoot))
+      dfs.listStatus(dataRoot).filter(_.isDirectory).foreach { dir =>
+        val dirName = dir.getPath.getName
+        dfs.listStatus(dir.getPath).filter(_.isFile).foreach { st =>
+          if (!keepFiles.contains(s"$dirName/${st.getPath.getName}"))
+            dfs.delete(st.getPath, false)
+        }
+        if (dfs.listStatus(dir.getPath).isEmpty) dfs.delete(dir.getPath, false)
+      }
+  }
+
   def snapshot(name: String, symbols: Seq[String] = Seq.empty): Unit = {
     val syms = if (symbols.nonEmpty) symbols else listSymbols()
     val versions = syms.flatMap(s => latestVersion(s).map(s -> _)).toMap

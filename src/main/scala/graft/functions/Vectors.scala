@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -36,7 +35,10 @@ object Vectors {
   /** Exact top-k by cosine for each query vector.
     * queries must be broadcast-sized; corpus is never shuffled — the join
     * is a BroadcastNestedLoopJoin producing (queries × corpus) scored rows,
-    * immediately reduced by the per-query window.
+    * reduced by a PARTIAL top-k aggregate (graft.plans.TopKByScore): each
+    * map task ships at most k candidates per query to the exchange, so the
+    * shuffle is O(queries × k × tasks) instead of O(corpus × queries) — a
+    * per-query window over all scored rows would shuffle everything.
     * Similarity is pre-rounded so ranking is reproducible across engines.
     */
   def bruteForceTopK(
@@ -52,12 +54,19 @@ object Vectors {
       .select(
         col("query_id"), col("corpus_id"),
         round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** (query_id, corpus_id, sim) → best k per query with dense 1-based
+    * rank, via the partial top-k aggregate.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("sim"), col("corpus_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .toDF("query_id", "pos", "hit")
+      .select(col("query_id"), col("hit.id").as("corpus_id"),
+        col("hit.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
 
   /** Embedding dimensionality from the first row — one cheap driver-side
     * action so LSH plane vectors match the data (dim is a plan-time
@@ -114,10 +123,7 @@ object Vectors {
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("query_vec"), col("corpus_vec")), 6).as("sim"))
       .groupBy("query_id", "corpus_id").agg(max("sim").as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥

@@ -39,14 +39,32 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
   /** PartitionClause+AggregationClause (clause.hpp:260-377): groupby with
     * pandas null semantics; ops sum/mean/min/max/count.
     * aggs: (outName, inCol, op).
+    *
+    * dropNullKeys=true (default) reproduces pandas/reference behavior:
+    * rows whose group key is null (or NaN for floats) are EXCLUDED from
+    * the aggregation (unsorted_aggregation.hpp groups only present keys);
+    * false gives SQL semantics (null is a group).
     */
-  def groupByAgg(keys: Seq[String], aggs: Seq[(String, String, String)]): QueryBuilder =
+  def groupByAgg(
+      keys: Seq[String],
+      aggs: Seq[(String, String, String)],
+      dropNullKeys: Boolean = true): QueryBuilder =
     add { df =>
       val schema = df.schema
+      val base =
+        if (!dropNullKeys) df
+        else df.filter(keys.map { k =>
+          val c = col(k)
+          schema(k).dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                org.apache.spark.sql.types.DoubleType => c.isNotNull && !isnan(c)
+            case _ => c.isNotNull
+          }
+        }.reduce(_ && _))
       val cols = aggs.map { case (out, in, op) =>
         NullSemantics.agg(op, col(in), schema(in).dataType, out)
       }
-      df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+      base.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
     }
 
   /** ResampleClause (clause_resample.cpp:112-430): time-bucket a ns long

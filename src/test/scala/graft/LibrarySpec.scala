@@ -167,6 +167,26 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("s", statFilters = Seq(Library.ColRange("ts2", 0, 1))).count() == 1000)
   }
 
+  test("prunePreviousVersions keeps latest + snapshot-pinned, GCs the rest") {
+    val lib = newLib()
+    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 200) // v0
+    lib.append("ev", events.filter(col("ts") >= cut), targetRows = 200) // v1
+    lib.snapshot("pin") // pins v1
+    val mid = lib.resolveVersion("ev").files(2)
+    val patch = events.filter(col("ts").between(mid.minIdx.get, mid.maxIdx.get))
+      .withColumn("value", col("value") + 1)
+    lib.update("ev", patch, targetRows = 200) // v2 rewrites one slice
+    assert(lib.listVersions("ev") == Seq(0, 1, 2))
+
+    lib.prunePreviousVersions("ev")
+    assert(lib.listVersions("ev") == Seq(1, 2))
+    // latest and the pinned snapshot stay fully readable
+    assert(lib.read("ev").count() == events.count())
+    assert(lib.read("ev", AsOf.Snapshot("pin")).count() == events.count())
+    intercept[Exception](lib.read("ev", AsOf.Version(0)).count())
+  }
+
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))

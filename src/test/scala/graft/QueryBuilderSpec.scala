@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.{QueryBuilder, Resample}
+
+class QueryBuilderSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("groupByAgg drops null and NaN group keys by default (pandas parity)") {
+    val df = Seq(
+      (Option("a"), 1.0), (None, 2.0), (Option("a"), 3.0), (Option("b"), 4.0))
+      .toDF("k", "v")
+    val got = QueryBuilder()
+      .groupByAgg(Seq("k"), Seq(("s", "v", "sum")))(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 4.0, "b" -> 4.0)) // no null group
+
+    val sql = QueryBuilder()
+      .groupByAgg(Seq("k"), Seq(("s", "v", "sum")), dropNullKeys = false)(df)
+    assert(sql.count() == 3) // SQL semantics keeps the null group
+
+    val fdf = Seq((1.0, 10.0), (Double.NaN, 20.0), (2.0, 30.0)).toDF("fk", "v")
+    val fGot = QueryBuilder().groupByAgg(Seq("fk"), Seq(("s", "v", "sum")))(fdf)
+    assert(fGot.count() == 2) // NaN key dropped like pandas
+  }
+
+  test("resample data-derived origins anchor buckets at frame bounds") {
+    // 10 points at ns 5000, 6000, ..., 14000; rule 4000ns (max NOT aligned
+    // to min + k*rule, so start/end origins really differ)
+    val df = (0 until 10).map(i => (5000L + i * 1000L, 1.0)).toDF("ts", "v")
+    def labels(o: Resample.Origin): Seq[Long] =
+      QueryBuilder()
+        .resample("ts", "4000ns", Seq(("n", "v", "count")), origin = o)(df)
+        .orderBy("ts").collect().map(_.getLong(0)).toSeq
+    // epoch: buckets at multiples of 4000 → first label 4000
+    assert(labels(Resample.Epoch).head == 4000L)
+    // start: anchored at min=5000
+    assert(labels(Resample.Start) == Seq(5000L, 9000L, 13000L))
+    // end: buckets walk back from max=14000
+    assert(labels(Resample.End) == Seq(2000L, 6000L, 10000L, 14000L))
+    // timestamp origin 4500: first bucket [4500, 8500)
+    assert(labels(Resample.OriginTimestamp(4500L)).head == 4500L)
+  }
+}
