@@ -329,6 +329,23 @@ object SparkEntry {
           col("props"), col("bonus"))
         .orderBy("event_id")
     },
+    "q50_stream_stage_finalize" -> { (s, dir) =>
+      // Real Structured Streaming run inside the correctness gate: file
+      // source → foreachBatch staging → finalize → versioned read.
+      val lib = new Library(tmpRoot(), s)
+      val schema = t(s, dir, "events").schema
+      // file-source streams read directories; glob-filter to the one table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = graft.streaming.StreamIngest
+        .stageSink(lib, "ev", stream, tmpRoot() + "/ckpt")
+        .start()
+      q.awaitTermination(120000L)
+      lib.finalizeStaged("ev", Some("ts"))
+      lib.read("ev")
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
     "q49_column_stats_prune" -> { (s, dir) =>
       // Non-index predicate pruning: stats on event_id (correlated with the
       // ts index in this table) let the manifest skip files before Spark
@@ -659,6 +676,8 @@ object SparkEntry {
     "q49_column_stats_prune" ->
       """SELECT event_id, epoch_us(ts) AS ts, value FROM events
          WHERE event_id BETWEEN 2000 AND 4000 ORDER BY event_id""",
+    "q50_stream_stage_finalize" ->
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events ORDER BY event_id""",
     "q46_batch_read_join" ->
       """SELECT event_id, epoch_us(ts) AS ts, value, props
          FROM events WHERE event_type = 'click'

@@ -119,31 +119,44 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
         .orderBy(orderCols.map(col): _*)
     }
 
-  /** row_range [start, end) in index order. On a persisted symbol the
+  /** row_range [start, end) in index order, with python-slice negative
+    * wrap (reference: clause.cpp:874-1018). On a persisted symbol the
     * Library's `_row_id` column makes this a pushed-down range filter; on
     * an arbitrary frame it needs a global row_number (window over ordered
     * data — acceptable at limit-sized outputs, documented as the non-scalable
-    * fallback exactly like the reference's full-table row ranges).
+    * fallback exactly like the reference's full-table row ranges). Negative
+    * indices on an arbitrary frame cost one extra count() pass.
     */
   def rowRange(orderCols: Seq[String], start: Long, end: Long): QueryBuilder =
     add { df =>
-      if (df.columns.contains(graft.core.Library.RowIdCol))
-        df.filter(col(graft.core.Library.RowIdCol) >= start &&
-          col(graft.core.Library.RowIdCol) < end)
-      else {
+      def norm(n: Long): (Long, Long) =
+        (if (start < 0) math.max(0L, n + start) else start,
+          if (end < 0) math.max(0L, n + end) else end)
+      if (df.columns.contains(graft.core.Library.RowIdCol)) {
+        val (s, e) =
+          if (start >= 0 && end >= 0) (start, end)
+          else norm(df.agg(max(col(graft.core.Library.RowIdCol))).head.getLong(0) + 1)
+        df.filter(col(graft.core.Library.RowIdCol) >= s &&
+          col(graft.core.Library.RowIdCol) < e)
+      } else {
+        val (s, e) = if (start >= 0 && end >= 0) (start, end) else norm(df.count())
         val w = Window.orderBy(orderCols.map(col): _*)
         df.withColumn("__rn", row_number().over(w) - 1)
-          .filter(col("__rn") >= start && col("__rn") < end)
+          .filter(col("__rn") >= s && col("__rn") < e)
           .drop("__rn")
       }
     }
 
   /** ConcatClause (clause.cpp:1080-1145): row-wise concat of N frames.
-    * outer join of schemas backfills missing columns with null
-    * (the reference backfills type defaults under dynamic schema);
-    * inner join keeps common columns only.
+    * outer join of schemas backfills missing columns — with SQL null by
+    * default, or with the reference's dynamic-schema typed defaults
+    * (0 / NaN / false / null, library.py:1069-1072) when
+    * `typedDefaults=true`; inner join keeps common columns only.
     */
-  def concat(others: Seq[DataFrame], join: String = "outer"): QueryBuilder =
+  def concat(
+      others: Seq[DataFrame],
+      join: String = "outer",
+      typedDefaults: Boolean = false): QueryBuilder =
     add { df =>
       val frames = df +: others
       // Dynamic-schema type promotion (reference: has_valid_common_type,
@@ -154,7 +167,24 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
       })
       def promote(f: DataFrame): DataFrame =
         f.select(f.columns.map(c => col(c).cast(types(c)).as(c)): _*)
+      def default(t: org.apache.spark.sql.types.DataType): Column = {
+        import org.apache.spark.sql.types._
+        val v: Any = t match {
+          case ByteType | ShortType | IntegerType | LongType => 0
+          case FloatType | DoubleType => Double.NaN
+          case BooleanType => false
+          case _ => null
+        }
+        lit(v).cast(t)
+      }
       join match {
+        case "outer" if typedDefaults =>
+          val all = types.keys.toSeq
+          frames.map(promote).map { f =>
+            val have = f.columns.toSet
+            f.select(all.map(c =>
+              (if (have(c)) col(c) else default(types(c))).as(c)): _*)
+          }.reduce(_ unionByName _)
         case "outer" =>
           frames.map(promote).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
         case "inner" =>

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.core.Library
+import graft.query.{NullSemantics, Resample}
+
+/** Structured Streaming front door for the versioned store and the
+  * resample operator.
+  *
+  * The reference ingests streams through "incomplete" (staged) segments
+  * that a later job finalizes into a version (reference: library.py:952
+  * `stage`, stream/incompletes.cpp, sort_and_finalize_staged_data
+  * library.py:1873). The Spark-native shape is identical: each micro-batch
+  * lands in the symbol's staging area via foreachBatch (cheap, append-only,
+  * no version churn per batch), and a periodic/on-demand
+  * `finalizeStaged` sorts + commits one version. Readers NEVER see
+  * half-ingested data — staged files are invisible until the manifest
+  * commit, the same isolation the reference gets from its key tree.
+  *
+  * Windowed resample-on-stream maps ResampleClause onto event-time
+  * windows + watermark: the bucket arithmetic is shared with the batch
+  * operator (graft.query.Resample), watermarking bounds state exactly the
+  * way the reference's sorted single-pass bounds memory.
+  */
+object StreamIngest {
+
+  /** Stage every micro-batch of `stream` into `symbol`. Call
+    * `lib.finalizeStaged(symbol, indexCol)` to publish a version.
+    * Checkpointing gives exactly-once staging: a replayed batch re-stages
+    * into a NEW uuid dir only if the previous attempt died before the
+    * staging write finished, and finalize de-duplicates nothing — same
+    * at-least-once-until-finalize contract as the reference's incompletes.
+    */
+  def stageSink(
+      lib: Library,
+      symbol: String,
+      stream: DataFrame,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        lib.stage(symbol, batch.toDF())
+        ()
+      }
+
+  /** Streaming resample: per-bucket aggregates over an event-time ns-long
+    * ts column, emitting a bucket only once the watermark passes its end
+    * (append mode ⇒ results match the batch resample on the same data).
+    *
+    * aggs: (outName, inCol, op) with the batch operator's op set
+    * (sum/mean/min/max/count; first/last need the sorted kernel and are
+    * batch-only).
+    */
+  def resampleStream(
+      stream: DataFrame,
+      tsCol: String,
+      rule: String,
+      aggs: Seq[(String, String, String)],
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val ruleNs = Resample.ruleToNs(rule)
+    val schema = stream.schema
+    // Event time must be a TimestampType for watermarking; ns → µs.
+    val withEvent = stream
+      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("__event", watermarkDelay)
+    val bucket = Resample.bucketStart(col(tsCol), ruleNs, Resample.Left, 0L)
+    val cols = aggs.map { case (out, in, op) =>
+      require(op != "first" && op != "last", s"$op is batch-only (needs sorted input)")
+      NullSemantics.agg(op, col(in), schema(in).dataType, out)
+    }
+    // Group on BOTH the ns bucket and a window over the event time: the
+    // window carries the watermark through the aggregation (Spark requires
+    // the event-time column in streaming group keys); the ns bucket keeps
+    // label arithmetic identical to the batch operator. One bucket maps to
+    // exactly one window when the rule divides the window duration.
+    val windowDur = s"${math.max(1L, ruleNs / 1000000L)} milliseconds"
+    withEvent
+      .groupBy(window(col("__event"), windowDur), bucket.as(tsCol))
+      .agg(cols.head, cols.tail: _*)
+      .drop("window")
+  }
+
+  /** Streaming exact dedup: first occurrence per content fingerprint wins;
+    * watermarked state so the dedup map is bounded by the delay horizon
+    * (the unbounded variant of Dedup.dropExactDuplicates is batch-only).
+    */
+  def dropDuplicatesStream(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    stream
+      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("__event", watermarkDelay)
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__event", "__fp")
+}

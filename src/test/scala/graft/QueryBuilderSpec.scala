@@ -25,6 +25,29 @@ class QueryBuilderSpec extends SparkSuite {
     assert(fGot.count() == 2) // NaN key dropped like pandas
   }
 
+  test("outer concat with typedDefaults backfills 0/NaN/null, not just null") {
+    val a = Seq((1L, 1.5, 7)).toDF("id", "v", "n")
+    val b = Seq((2L, "x")).toDF("id", "tag")
+    val got = QueryBuilder().concat(Seq(b), "outer", typedDefaults = true)(a)
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(3)) // a row: tag → null (string default)
+    assert(got(1).getDouble(1).isNaN) // b row: v → NaN (float default)
+    assert(got(1).getInt(2) == 0) // b row: n → 0 (int default)
+    // default mode keeps SQL nulls
+    val nulls = QueryBuilder().concat(Seq(b), "outer")(a).orderBy("id").collect()
+    assert(nulls(1).isNullAt(1) && nulls(1).isNullAt(2))
+  }
+
+  test("rowRange negative indices wrap on arbitrary frames") {
+    val df = (0 until 10).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    def ks(s: Long, e: Long): Seq[Long] =
+      QueryBuilder().rowRange(Seq("k"), s, e)(df)
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ks(-3, 10) == Seq(7L, 8L, 9L))
+    assert(ks(-5, -2) == Seq(5L, 6L, 7L))
+    assert(ks(2, 5) == Seq(2L, 3L, 4L))
+  }
+
   test("resample data-derived origins anchor buckets at frame bounds") {
     // 10 points at ns 5000, 6000, ..., 14000; rule 4000ns (max NOT aligned
     // to min + k*rule, so start/end origins really differ)
