@@ -799,13 +799,54 @@ final class Library(val root: String, spark: SparkSession) {
   // ----------------------------------------------------------- compact
 
   /** defragment_symbol_data / compact (reference: library.py:3258,3342,
-    * clause_compact_data.cpp): rewrite the symbol's files at the target
-    * geometry as a new version. At scale this is the maintenance job that
-    * keeps file counts bounded after many small appends.
+    * clause_compact_data.cpp — re-slice to rows_per_segment ±33%): rewrite
+    * ONLY runs of ≥2 consecutive undersized files; full-size files are
+    * reused untouched. At 100 TB this is the difference between a
+    * maintenance job proportional to the fragmentation and one that
+    * rewrites the whole symbol after every run of small appends.
+    * Returns the current version unchanged if nothing is fragmented.
     */
   def compact(symbol: String, targetRows: Long = DefaultTargetRows): Int = {
     val m = resolveVersion(symbol)
-    write(symbol, read(symbol), m.indexCol, targetRows, m.metadata)
+    if (m.indexCol.isEmpty)
+      return write(symbol, read(symbol), None, targetRows, m.metadata) // unsorted: full rewrite
+
+    val thresh = targetRows * 2 / 3
+    val small = m.files.map(_.rows < thresh)
+    val marked = Array.fill(m.files.size)(false)
+    var i = 0
+    while (i < m.files.size) {
+      if (small(i)) {
+        var j = i
+        while (j < m.files.size && small(j)) j += 1
+        if (j - i >= 2) (i until j).foreach(marked(_) = true)
+        i = j
+      } else i += 1
+    }
+    val toRewrite = m.files.zipWithIndex.collect { case (f, ix) if marked(ix) => f }
+    if (toRewrite.isEmpty) return m.version
+
+    val untouched = m.files.zipWithIndex.collect { case (f, ix) if !marked(ix) => f }
+    var v = m.version + 1
+    val newDir = dataDir(symbol, v)
+    val rewritten =
+      writeData(readFiles(symbol, m, toRewrite, None, None, withRowId = false),
+        newDir, m.indexCol, targetRows)
+    // files are index-disjoint, so min-idx order IS global row order
+    var offset = 0L
+    val ordered = (untouched ++ rewritten)
+      .sortBy(f => (f.minIdx.getOrElse(Long.MaxValue), f.path))
+      .map { f => val e = f.copy(rowOffset = offset); offset += f.rows; e }
+    val nm = m.copy(
+      version = v,
+      files = ordered,
+      rowCount = ordered.map(_.rows).sum,
+      createdAtMs = System.currentTimeMillis(),
+      schemaDdl = m.schemaDdl,
+      dirSchemas = m.dirSchemas + (newDir.getName -> m.schemaDdl))
+    var committed = commitManifest(symbol, nm)
+    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
+    v
   }
 }
 

@@ -167,6 +167,32 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("s", statFilters = Seq(Library.ColRange("ts2", 0, 1))).count() == 1000)
   }
 
+  test("compact rewrites only fragmented runs, reusing full-size files") {
+    val lib = newLib()
+    val df = spark.range(900).select(col("id").as("ts2"), (col("id") * 2).as("x"))
+    lib.write("s", df.filter(col("ts2") < 600), Some("ts2"), targetRows = 300) // 2 big files
+    lib.append("s", df.filter(col("ts2").between(600, 699)), targetRows = 300) // 3 small
+    lib.append("s", df.filter(col("ts2").between(700, 799)), targetRows = 300)
+    lib.append("s", df.filter(col("ts2").between(800, 899)), targetRows = 300)
+    val m0 = lib.resolveVersion("s")
+    assert(m0.files.size == 5)
+    val bigPaths = m0.files.take(2).map(_.path).toSet
+
+    lib.compact("s", targetRows = 300) // threshold 200: the 3×100-row tail is a run
+    val m1 = lib.resolveVersion("s")
+    assert(m1.files.size == 3, s"got ${m1.files.map(_.rows)}")
+    assert(bigPaths.subsetOf(m1.files.map(_.path).toSet), "big files must be reused")
+    assert(lib.read("s").count() == 900)
+    assert(m1.files.map(_.rows).sum == 900)
+    // idempotent: nothing fragmented → no new version
+    assert(lib.compact("s", targetRows = 300) == m1.version)
+    // row offsets stay consistent for head/tail
+    assert(lib.head("s", 5).orderBy("ts2").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    assert(lib.tail("s", 3).orderBy("ts2").collect().map(_.getLong(0)).toSeq ==
+      Seq(897L, 898L, 899L))
+  }
+
   test("prunePreviousVersions keeps latest + snapshot-pinned, GCs the rest") {
     val lib = newLib()
     val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
