@@ -462,6 +462,16 @@ object SparkEntry {
               x => format_string("%.6f", x.cast("double")))).as("features"))
         .orderBy("id")
     },
+    "q51_sql_surface" -> { (s, dir) =>
+      // Same operators through the SQL dialect (GraftFunctions registry)
+      // instead of the Column API — must produce identical results.
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql("""SELECT doc_id, graft_token_count(text) AS n_tokens,
+                      graft_normalize(text) AS norm,
+                      graft_fingerprint(text) AS fp
+               FROM docs_v ORDER BY doc_id""")
+    },
     // ---------------- beyond-parity relational ops --------------------
     "q39_join_broadcast_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -761,6 +771,10 @@ object SparkEntry {
                 FROM documents)
           ORDER BY doc_id"""
     },
+    "q51_sql_surface" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+            $normSql AS norm, md5($normSql) AS fp
+          FROM documents ORDER BY doc_id""",
     "q36_tokens_fingerprint" ->
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_marks,
