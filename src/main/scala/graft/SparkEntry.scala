@@ -401,6 +401,16 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q52_ann_ivf" -> { (s, dir) =>
+      // Trained-partition ANN (IVF): no SQL oracle (Lloyd iterations are
+      // not cheaply SQL-replayable) — rows-only here, recall/exactness
+      // gated by VectorsGroundTruthSpec.
+      val emb = t(s, dir, "embeddings")
+      Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nlist = 16, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
     "q33_cosine_neardup" -> { (s, dir) =>
       // 0.45 so the check discriminates (the synthetic embeddings' max
       // off-diagonal cosine is ~0.51 at sf0.01 — at 0.8 ground truth is

@@ -142,7 +142,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleLen: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, shingleLen, threshold, maxDocFreq = 0)
+
+  /** maxDocFreq > 0 drops shingles shared by more than that many docs
+    * before pairing — the skew guard for real corpora, where one
+    * boilerplate shingle shared by m docs would emit m(m-1)/2 pairs.
+    * Dropping only SHRINKS intersections, so reported Jaccard is a lower
+    * bound and the pair set is a subset of the exact answer (the usual
+    * recall/cost dial; 0 = exact, used by the oracle-gated query).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long): DataFrame = {
     // Bucket-explode instead of a self-join: a self-join would evaluate the
     // expensive postings subtree once per side (no ReusedExchange across a
     // broadcast build, and caching pays its own materialization tax).
@@ -155,6 +171,7 @@ object Dedup {
     val buckets = posts.groupBy("s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
       .filter(size(col("docs")) > 1)
+      .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
     buckets
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))

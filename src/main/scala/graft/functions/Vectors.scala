@@ -126,6 +126,86 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** ---- IVF (inverted-file) ANN ----
+    * Coarse-quantize the corpus into `nlist` cells (deterministic seeded
+    * init + `iters` Lloyd passes, every step a DataFrame job), then answer
+    * queries by exact-scoring only the `nProbe` nearest cells. The classic
+    * trained-partition alternative to hyperplane LSH: at 100 TB the
+    * corpus is touched once per Lloyd pass (narrow map over broadcast
+    * centroids) and queries scan corpus/nlist×nProbe of the data.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // deterministic k-seed init: the nlist vectors with smallest id-hash
+    var centroids = c
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nlist)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(xxhash64(col("cid")), col("cid"))) - 1).as("cell"),
+        col("cvec").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(c, centroids) // (cid, cvec, cell)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("cvec")))
+        .toDF("cell", "dim", "x")
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: one narrow pass over the corpus with the
+    * (small) centroid table broadcast; `max_by` picks the arg-max cell.
+    */
+  private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("cell"),
+        cosine(col("cvec"), col("centroid")).as("__sim"))
+      .groupBy(col("cid"))
+      .agg(first(col("cvec")).as("cvec"), max_by(col("cell"), col("__sim")).as("cell"))
+
+  /** Approximate top-k via IVF probing: rank only corpus vectors living in
+    * each query's `nProbe` nearest cells; candidate scores are exact
+    * cosine, ranking via the partial top-k aggregate.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 64,
+      nProbe: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), centroids)
+      .select(col("cid").as("corpus_id"), col("cvec"), col("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("__sim"))
+      .groupBy("query_id")
+      .agg(first(col("qvec")).as("qvec"),
+        graft.plans.TopKByScore.topK(col("__sim"), col("cell").cast("long"), nProbe)
+          .as("cells"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("cells"), e => e.getField("id"))).as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * threshold, via LSH buckets (exact within-bucket scoring).
     */

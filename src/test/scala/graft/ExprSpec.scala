@@ -61,6 +61,18 @@ class ExprSpec extends SparkSuite {
     assert(nNull == 1 && nOk == 2)
   }
 
+  test("boolean XOR: true iff operands differ, null-propagating") {
+    val df = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val got = df.select(Expr.compile(Expr.col("a") ^ Expr.col("b"), df.schema).as("x"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, true, true, false))
+    val withNull = Seq((Some(true), None: Option[Boolean])).toDF("a", "b")
+    assert(withNull
+      .select(Expr.compile(Expr.col("a") ^ Expr.col("b"), withNull.schema))
+      .collect()(0).isNullAt(0))
+  }
+
   test("property: widening matches reference lattice over full int domain") {
     val all = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
     val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)

@@ -25,6 +25,16 @@ class QueryBuilderSpec extends SparkSuite {
     assert(fGot.count() == 2) // NaN key dropped like pandas
   }
 
+  test("isinLarge compiles membership to a broadcast semi/anti join") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val vals = Seq(2L, 4L, 9L).toDF("k")
+    val in = QueryBuilder().isinLarge("k", vals)(df)
+    assert(in.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    val notIn = QueryBuilder().isinLarge("k", vals, negate = true)(df)
+    assert(notIn.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(in.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("outer concat with typedDefaults backfills 0/NaN/null, not just null") {
     val a = Seq((1L, 1.5, 7)).toDF("id", "v", "n")
     val b = Seq((2L, "x")).toDF("id", "tag")

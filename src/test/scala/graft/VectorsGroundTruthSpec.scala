@@ -78,6 +78,30 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${truth.keySet -- got.keySet}")
   }
 
+  test("ivfTopK: structural invariants + exact rescoring + sane recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 6, iters = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      rows.foreach { case (_, c, s, _) =>
+        assert(c != q)
+        assert(math.abs(s - r6(cosine(vecs(q), vecs(c)))) < 1e-6)
+      }
+    }
+    // probing 6 of 8 cells: recall@5 must comfortably beat random
+    val expected = exactTopK(vecs.keys.filter(_ < 5).toSeq, 5)
+    val hits = byQ.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(expected(q).map(_._1).toSet).size
+    }.sum
+    assert(hits.toDouble / expected.values.map(_.size).sum >= 0.4)
+  }
+
   test("lshTopK: structural invariants + sims are exact cosines") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val got = Vectors.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
