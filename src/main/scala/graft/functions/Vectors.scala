@@ -27,10 +27,11 @@ object Vectors {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Codegen'd native expression (graft.plans.CosineSimilarity): the HOF
+    * formulation `aggregate(zip_with(...))` evaluates interpreted and this
+    * sits in the innermost loop of every ANN scoring join.
+    */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
 
   /** Exact top-k by cosine for each query vector.
     * queries must be broadcast-sized; corpus is never shuffled — the join
