@@ -78,20 +78,16 @@ object Vectors {
 
   /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i is a
     * deterministic pseudo-random Gaussian hyperplane (fixed seed) — no
-    * stored model, reproducible on any cluster.
+    * stored model, reproducible on any cluster. All bits are computed by
+    * ONE codegen'd expression (graft.plans.HyperplaneSignature); the
+    * Column-composition alternative ran `bits` interpreted HOF folds/row.
     */
   def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
+    val planes: Array[Array[Double]] = (0 until bits).map { i =>
       val rng = new scala.util.Random(0x9E3779B97F4A7C15L + i)
-      (0 until dim).map(_ => rng.nextGaussian())
-    }
-    val bitCols = planes.zipWithIndex.map { case (h, i) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(h), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+      Array.fill(dim)(rng.nextGaussian())
+    }.toArray
+    graft.plans.HyperplaneSignature(vec, planes)
   }
 
   /** Approximate top-k: score only same-LSH-bucket (query, corpus) pairs.
