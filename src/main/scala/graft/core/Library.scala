@@ -159,7 +159,9 @@ final class Library(val root: String, spark: SparkSession) {
         df.repartitionByRange(n, col(idx)).sortWithinPartitions(idx)
       case None => df
     }
-    prepared.write.mode("errorifexists").parquet(dir.toString)
+    // zstd: the reference's block codec family (codec/, LZ4/ZSTD); better
+    // ratio than snappy at similar scan cost — fewer bytes per 100 TB.
+    prepared.write.option("compression", "zstd").mode("errorifexists").parquet(dir.toString)
 
     val idxType = indexCol.map(i => df.schema(i).dataType)
     val stats = footerStats(dir, indexCol, idxType)
@@ -624,6 +626,12 @@ final class Library(val root: String, spark: SparkSession) {
     require(!fs(p).exists(p), s"snapshot $name already exists")
     writeString(p, SnapshotManifest.toJson(
       SnapshotManifest(name, System.currentTimeMillis(), versions)))
+  }
+
+  def deleteSnapshot(name: String): Unit = {
+    val p = new Path(snapshotsDir, s"$name.json")
+    require(fs(p).exists(p), s"snapshot $name does not exist")
+    fs(p).delete(p, false)
   }
 
   def listSnapshots(): Seq[String] = {

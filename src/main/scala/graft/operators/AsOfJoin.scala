@@ -20,20 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** toleranceNs >= 0 bounds the lookback: a match older than
+    * `left.ts - toleranceNs` yields null values (pandas merge_asof
+    * `tolerance`). tsCol is the engine's canonical ns-epoch long.
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       tsCol: String,
       by: Seq[String],
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      toleranceNs: Long = -1L): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
+      .select((leftCols.map(col) :+ col("__side") :+
+        lit(null).cast(left.schema(tsCol).dataType).as("__r_ts")) ++
         rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val r = right
       .withColumn("__side", lit(0))
-      .select((by.map(col) :+ col(tsCol) :+ col("__side")) ++
+      .select((by.map(col) :+ col(tsCol) :+ col("__side") :+
+        col(tsCol).as("__r_ts")) ++
         rightValueCols.map(c => col(c).as(s"__r_$c")): _*)
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -43,12 +50,16 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
+    val filled = ("ts" +: rightValueCols).foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
+    val inWindow =
+      if (toleranceNs < 0) lit(true)
+      else col("__f_ts").isNotNull && (col(tsCol) - col("__f_ts") <= toleranceNs)
     filled
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightValueCols.map(c => col(s"__f_$c").as(s"right_$c")): _*)
+        rightValueCols.map(c =>
+          when(inWindow, col(s"__f_$c")).otherwise(lit(null)).as(s"right_$c")): _*)
   }
 }

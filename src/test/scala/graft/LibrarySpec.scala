@@ -126,6 +126,23 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
   }
 
+  test("as-of timestamp resolution and snapshot delete") {
+    val lib = newLib()
+    lib.write("ev", events.limit(100), Some("ts"), targetRows = 1000)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    lib.write("ev", events.limit(200), Some("ts"), targetRows = 1000)
+    assert(lib.read("ev", AsOf.Timestamp(System.currentTimeMillis())).count() == 200)
+    assert(lib.read("ev", AsOf.Timestamp(t0)).count() == 100)
+    intercept[NoSuchElementException](lib.read("ev", AsOf.Timestamp(0L)))
+
+    lib.snapshot("s1")
+    assert(lib.listSnapshots() == Seq("s1"))
+    lib.deleteSnapshot("s1")
+    assert(lib.listSnapshots().isEmpty)
+    intercept[IllegalArgumentException](lib.deleteSnapshot("s1"))
+  }
+
   test("dynamic-schema append widens, adds, and backfills typed defaults") {
     val lib = newLib()
     val a = Seq((1L, 10L, 1.5f, 7), (2L, 20L, 2.5f, 8)).toDF("id", "ts", "v", "old")
