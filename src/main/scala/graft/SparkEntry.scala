@@ -482,6 +482,13 @@ object SparkEntry {
                       graft_fingerprint(text) AS fp
                FROM docs_v ORDER BY doc_id""")
     },
+    "q53_multimodal_frames" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
+      Multimodal.frameSample(docs, "doc_id", "bin", 64)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("offset"),
+          col("len"), col("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
     // ---------------- beyond-parity relational ops --------------------
     "q39_join_broadcast_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -794,6 +801,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS hash,
            CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
          FROM documents ORDER BY doc_id""",
+    "q53_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+         f AS (SELECT doc_id, text, n,
+                 unnest(range(0, greatest(CAST(ceil(n / 64.0) AS BIGINT), 1))) AS i
+               FROM d)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS INT) AS offset,
+           CAST(least(n - i * 64, 64) AS INT) AS len,
+           md5(substring(text, CAST(i * 64 + 1 AS BIGINT),
+             CAST(least(n - i * 64, 64) AS BIGINT))) AS frame_md5
+         FROM f ORDER BY doc_id, frame_idx""",
     "q39_join_broadcast_agg" ->
       """SELECT p_brand,
            round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,

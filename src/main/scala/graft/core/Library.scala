@@ -560,6 +560,19 @@ final class Library(val root: String, spark: SparkSession) {
     readRowRange(symbol, math.max(0L, m.rowCount - n), m.rowCount, asOf)
   }
 
+  /** User metadata stored with a version (reference: read_metadata,
+    * library.py write(..., metadata)).
+    */
+  def readMetadata(symbol: String, asOf: AsOf = AsOf.Latest): Map[String, String] =
+    resolveVersion(symbol, asOf).metadata
+
+  /** Symbol descriptor (reference: get_description / get_info). */
+  def getInfo(symbol: String, asOf: AsOf = AsOf.Latest): SymbolInfo = {
+    val m = resolveVersion(symbol, asOf)
+    SymbolInfo(symbol, m.version, m.rowCount, m.files.size, m.indexCol, m.sorted,
+      m.schemaDdl, m.createdAtMs)
+  }
+
   // ------------------------------------------------------- delete & snap
 
   /** Soft-delete: a tombstone version (reference keeps version history the
@@ -866,6 +879,17 @@ object Library {
     * still applies the exact row filter; this only skips whole files).
     */
   final case class ColRange(column: String, lo: Any, hi: Any)
+
+  /** get_info-style symbol descriptor. */
+  final case class SymbolInfo(
+      symbol: String,
+      version: Int,
+      rowCount: Long,
+      fileCount: Int,
+      indexCol: Option[String],
+      sorted: Boolean,
+      schemaDdl: String,
+      createdAtMs: Long)
 
   /** Sidecar codec for the per-file column stats. */
   private[core] object ColumnStats {

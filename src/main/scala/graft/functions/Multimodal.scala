@@ -85,6 +85,26 @@ object Multimodal {
       .toDF("id", "features")
   }
 
+  /** Frame extraction over a binary payload: one row per `frameLen`-byte
+    * frame with (offset, len, md5 of the frame bytes) — the codec-free
+    * stand-in for keyframe extraction (in production the offsets come from
+    * the container index, the hash from the decoded frame). substring/md5
+    * are codegen'd; the payload is sliced in-task and never shuffles.
+    */
+  def frameSample(df: DataFrame, idCol: String, bytesCol: String, frameLen: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      col(bytesCol).as("__b"),
+      posexplode(
+        sequence(lit(0),
+          greatest(floor((length(col(bytesCol)) - 1) / lit(frameLen)).cast("int"), lit(0)))))
+      .toDF("id", "__b", "frame_idx", "__i")
+      .select(col("id"), col("frame_idx"),
+        (col("frame_idx") * frameLen).as("offset"),
+        least(length(col("__b")) - col("frame_idx") * frameLen, lit(frameLen)).as("len"),
+        md5(expr(s"substring(__b, frame_idx * $frameLen + 1, " +
+          s"least(length(__b) - frame_idx * $frameLen, $frameLen))")).as("frame_md5"))
+
   /** Frame-sampling plumbing for video-like payloads: deterministic chunk
     * boundaries as (offset, length) pairs — in production the codec seeks
     * per keyframe; here every `chunkSize` bytes. Emits one row per sampled

@@ -126,6 +126,19 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
   }
 
+  test("metadata roundtrip and getInfo") {
+    val lib = newLib()
+    lib.write("ev", events.limit(50), Some("ts"), targetRows = 1000,
+      metadata = Map("owner" -> "graft", "note" -> "spec"))
+    assert(lib.readMetadata("ev") == Map("owner" -> "graft", "note" -> "spec"))
+    val info = lib.getInfo("ev")
+    assert(info.rowCount == 50 && info.indexCol.contains("ts") && info.sorted)
+    // append carries metadata forward
+    val cut = events.limit(50).agg(max("ts")).head.getLong(0)
+    lib.append("ev", events.filter(col("ts") > cut).limit(10), targetRows = 1000)
+    assert(lib.readMetadata("ev")("owner") == "graft")
+  }
+
   test("as-of timestamp resolution and snapshot delete") {
     val lib = newLib()
     lib.write("ev", events.limit(100), Some("ts"), targetRows = 1000)
