@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.query.{QueryBuilder, Resample}
+
+/** Property tests in the reference's Hypothesis style (SURVEY §5): random
+  * frames, oracle computed driver-side. One Spark job per property (the
+  * random batch rides a single DataFrame) keeps runtime sane.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: resample buckets partition the timeline for random ts/rules") {
+    val tsGen = Gen.chooseNum(-1000000000000L, 1000000000000L)
+    for ((ruleNs, seed) <- Seq((7L, 1L), (1000L, 2L), (3600L * 1000000000L, 3L))) {
+      val ts = sample(tsGen, 300, seed).distinct
+      val df = ts.map(t => (t, 1.0)).toDF("ts", "v")
+      val rows = df.select(
+        col("ts"),
+        Resample.bucketStart(col("ts"), ruleNs, Resample.Left, 0L).as("s"),
+        Resample.bucketStart(col("ts"), ruleNs, Resample.Right, 0L).as("sr"))
+        .collect()
+      rows.foreach { r =>
+        val (t, s, sr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        // closed-left: t ∈ [s, s + rule), s on the anchor grid
+        assert(s <= t && t < s + ruleNs, s"left: ts=$t rule=$ruleNs start=$s")
+        assert(math.floorMod(s, ruleNs) == 0)
+        // closed-right: t ∈ (sr, sr + rule]
+        assert(sr < t && t <= sr + ruleNs, s"right: ts=$t rule=$ruleNs start=$sr")
+        assert(math.floorMod(sr, ruleNs) == 0)
+      }
+    }
+  }
+
+  test("property: groupByAgg matches a driver-side pandas-semantics oracle") {
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 4)
+      v <- Gen.frequency[Option[Double]](
+        (8, Gen.chooseNum(-1000.0, 1000.0).map(Some(_))),
+        (1, Gen.const(Some(Double.NaN))),
+        (1, Gen.const(None)))
+    } yield (k.toLong, v)
+    val data = sample(rowGen, 500, 42L)
+    val df = data.toDF("k", "v")
+
+    val got = QueryBuilder()
+      .groupByAgg(Seq("k"), Seq(
+        ("s", "v", "sum"), ("m", "v", "mean"),
+        ("lo", "v", "min"), ("hi", "v", "max"), ("n", "v", "count")))(df)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), r.getLong(5)))
+      .toMap
+
+    val expected = data.groupBy(_._1).map { case (k, rows) =>
+      // pandas semantics: NaN and null are both missing
+      val vs = rows.flatMap(_._2).filterNot(_.isNaN)
+      k -> (
+        vs.sum, // sum of empty -> 0.0
+        if (vs.isEmpty) None else Some(vs.sum / vs.size),
+        if (vs.isEmpty) None else Some(vs.min),
+        if (vs.isEmpty) None else Some(vs.max),
+        vs.size.toLong)
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (s, m, lo, hi, n)) =>
+      val (es, em, elo, ehi, en) = expected(k)
+      assert(math.abs(s - es) < 1e-9, s"sum k=$k")
+      assert(m.map(_.asInstanceOf[Double]).zip(em).forall(p => math.abs(p._1 - p._2) < 1e-9)
+        && m.isDefined == em.isDefined, s"mean k=$k")
+      assert(lo.map(_.asInstanceOf[Double]) == elo && hi.map(_.asInstanceOf[Double]) == ehi,
+        s"min/max k=$k")
+      assert(n == en, s"count k=$k")
+    }
+  }
+
+  test("property: fingerprint is invariant to case/punctuation/extra spaces") {
+    val wordGen = Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty))
+    val texts = sample(wordGen, 50, 7L).map(_.mkString(" "))
+    val mangled = texts.map { t =>
+      t.toUpperCase.replace(" ", "  !  ") // case, punctuation, double spaces
+    }
+    val df = texts.zip(mangled).toDF("a", "b")
+    val diff = df.filter(
+      graft.functions.Text.fingerprint(col("a")) =!=
+        graft.functions.Text.fingerprint(col("b"))).count()
+    assert(diff == 0)
+  }
+}
