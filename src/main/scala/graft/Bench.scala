@@ -34,7 +34,14 @@ object Bench {
     "q35_quality",
     "q39_join_broadcast_agg",
     "q41_asof_join",
-    "q42_window_running")
+    "q42_window_running",
+    // round-2 additions (all side-effect-free)
+    "q43_distinct",
+    "q44_topk_per_group",
+    "q47_resample_origin_start_day",
+    "q48_resample_origin_end",
+    "q51_sql_surface",
+    "q53_multimodal_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
