@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.operators.AsOfJoin
+import graft.query.QueryBuilder
+
+/** Dev tool: replicate the sf0.1 tables N× (ids offset so keys stay
+  * distinct) into /tmp and time the shuffle-heavy operators — evidence for
+  * the "does this survive a scale-up" question that local SFs can't
+  * answer. Usage: `sbt "runMain graft.ScaleProbe [multiplier]"`.
+  */
+object ScaleProbe {
+
+  private def replicate(
+      spark: SparkSession, src: String, table: String, n: Int,
+      idCols: Seq[String], offset: Long): DataFrame = {
+    val base = spark.read.parquet(s"$src/$table.parquet")
+    (0 until n).map { i =>
+      idCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-scale-${mult}x"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = new java.io.File(out)
+    if (!dir.exists()) {
+      replicate(spark, src, "events", mult, Seq("event_id", "user_id"), 10000000L)
+        .write.parquet(s"$out/events.parquet")
+      replicate(spark, src, "lineitem", mult, Seq("l_orderkey"), 100000000L)
+        .write.parquet(s"$out/lineitem.parquet")
+    }
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    println(s"[scale] events=${ev.count()} lineitem=${li.count()} (${mult}x)")
+
+    def time(name: String)(df: DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("groupby_agg") {
+      QueryBuilder().groupByAgg(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(("sum_qty", "l_quantity", "sum"), ("avg_disc", "l_discount", "mean"),
+          ("n", "l_quantity", "count")))(li)
+    }
+    time("join_broadcast_agg") {
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_extendedprice").as("rev"))
+    }
+    time("window_running") {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev.select(col("event_id"), sum("value").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).as("running"))
+    }
+    time("asof_join") {
+      AsOfJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "signup"),
+        "ts", Seq("user_id"), Seq("value"))
+    }
+    time("resample_1h") {
+      QueryBuilder().resample("ts", "1h",
+        Seq(("v", "value", "sum"), ("n", "value", "count")))(ev)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: these properties are what make the
+  * operators survive a 100× scale-up, so they are asserted, not assumed.
+  * (Plans come from the same SparkEntry definitions the driver runs.)
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+  }
+
+  test("filters and projection reach the parquet scan (q01)") {
+    val s = scan("q01_filter_numeric")
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), " +
+      "LessThan(l_quantity,5.0)"), s) // toString truncates the tail
+    // column pruning: the 16-column lineitem scan reads only the 4 needed
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_discount:double>"), s)
+  }
+
+  test("small-dimension joins broadcast (q39, q40)") {
+    assert(plan("q39_join_broadcast_agg").contains("BroadcastHashJoin"))
+    val p40 = plan("q40_join_multi")
+    assert(p40.contains("BroadcastHashJoin"))
+  }
+
+  test("date-range predicate is pushed for row-group pruning (q12)") {
+    val s = scan("q12_date_range")
+    assert(s.contains("GreaterThanOrEqual(ts,1704153600000000000)") &&
+      s.contains("LessThanOrEqual(ts,1704240000000000000)"), s)
+  }
+
+  test("head is TakeOrderedAndProject, not a global sort (q13)") {
+    val p = plan("q13_head")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ANN ranking aggregates partially — no window over all scored rows (q31)") {
+    val p = plan("q31_ann_bruteforce")
+    assert(p.contains("top_k_by_score"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+    // partial aggregation before the exchange
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("exact dedup shuffles fingerprints, not text (q27)") {
+    // AQE wraps exchanges in query stages pre-execution; plan without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q27_dedup_exact")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // nothing wider than (fp, id/count) crosses the wire
+      exchanges.foreach(e =>
+        assert(!e.child.output.map(_.name).contains("text"),
+          s"text column must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ngram postings pipeline has no cartesian or nested-loop join (q30)") {
+    val p = plan("q30_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
