@@ -515,6 +515,12 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
         .orderBy("event_id")
     },
+    "q54_session_window" -> { (s, dir) =>
+      graft.operators.Sessionize.sessions(t(s, dir, "events"), "ts", Seq("user_id"),
+        "30 minutes", Seq(("n", "value", "count"), ("v_sum", "value", "sum")))
+        .withColumn("v_sum", round(col("v_sum"), 6))
+        .orderBy("user_id", "session_start")
+    },
     "q42_window_running" -> { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts")
       t(s, dir, "events")
@@ -830,6 +836,20 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts
          ORDER BY p.event_id""",
+    "q54_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+         m AS (SELECT user_id, tu, value,
+                 CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                      OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                         >= 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, tu, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id, min(tu) AS session_start, count(value) AS n,
+           round(sum(value), 6) AS v_sum
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q42_window_running" ->
       """SELECT event_id, user_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,

@@ -86,6 +86,31 @@ object StreamIngest {
       .drop("window")
   }
 
+  /** Streaming sessionization: the watermarked twin of
+    * graft.operators.Sessionize — session_window merges events with gaps
+    * under `gap`, and a session emits once the watermark passes its close.
+    */
+  def sessionsStream(
+      stream: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      gap: String,
+      aggs: Seq[(String, String, String)],
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val schema = stream.schema
+    val cols = aggs.map { case (out, in, op) =>
+      NullSemantics.agg(op, col(in), schema(in).dataType, out)
+    }
+    stream
+      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("__event", watermarkDelay)
+      .groupBy(keys.map(col) :+ session_window(col("__event"), gap): _*)
+      .agg(cols.head, cols.tail: _*)
+      .withColumn("session_start", unix_micros(col("session_window.start")))
+      .drop("session_window", "__event")
+      .select((keys.map(col) :+ col("session_start")) ++ aggs.map(a => col(a._1)): _*)
+  }
+
   /** Streaming exact dedup: first occurrence per content fingerprint wins;
     * watermarked state so the dedup map is bounded by the delay horizon
     * (the unbounded variant of Dedup.dropExactDuplicates is batch-only).

@@ -71,6 +71,35 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sessionization matches the batch operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF.toDF("user_id", "ts", "value")
+    val M = 60L * 1000000000L // 1 min in ns
+    val rows = Seq(
+      (1L, 0L * M, 1.0), (1L, 10L * M, 2.0), // session A (gap 10m < 30m)
+      (1L, 50L * M, 3.0), // session B (gap 40m)
+      (2L, 5L * M, 4.0)) // user 2, one session
+    val out = StreamIngest.sessionsStream(stream, "ts", Seq("user_id"), "30 minutes",
+      Seq(("n", "value", "count"), ("v_sum", "value", "sum")), "1 second")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData((3L, 10000L * M, 0.0)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess").filter(col("user_id") < 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Sessionize.sessions(
+      rows.toDF("user_id", "ts", "value"), "ts", Seq("user_id"), "30 minutes",
+      Seq(("n", "value", "count"), ("v_sum", "value", "sum")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.map(t => (t._1, t._3)) == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("dropDuplicatesStream keeps one row per fingerprint within watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
