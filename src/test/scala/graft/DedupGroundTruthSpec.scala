@@ -82,6 +82,16 @@ class DedupGroundTruthSpec extends SparkSuite {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
   }
 
+  test("dropExactDuplicates keeps the min-id row per fingerprint") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), // same fingerprint
+      (3L, "different"), (4L, "HELLO   world??")) // also the same as 1/2
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("minhash signatures match driver-side recomputation") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val k = 12

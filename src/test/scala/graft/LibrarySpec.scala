@@ -243,6 +243,16 @@ class LibrarySpec extends SparkSuite {
     intercept[Exception](lib.read("ev", AsOf.Version(0)).count())
   }
 
+  test("finalizeStaged append mode extends an existing symbol") {
+    val lib = newLib()
+    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 500)
+    lib.stage("ev", events.filter(col("ts") >= cut))
+    lib.finalizeStaged("ev", Some("ts"), mode = "append", targetRows = 500)
+    assert(lib.read("ev").count() == events.count())
+    assert(lib.listVersions("ev").size == 2) // write + one append version
+  }
+
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))

@@ -80,6 +80,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: merge strategies match a driver-side oracle on random frames") {
+    val frameGen = Gen.listOf(for {
+      k <- Gen.chooseNum(0L, 30L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (k, v)).map(_.distinctBy(_._1))
+    val target = sample(frameGen, 1, 11L).head
+    val source = sample(frameGen, 1, 12L).head
+    val tDf = target.toDF("k", "v")
+    val sDf = source.toDF("k", "v")
+    val tm = target.toMap
+    val sm = source.toMap
+
+    for {
+      matched <- Seq("update", "do_nothing")
+      notMatched <- Seq("insert", "do_nothing")
+    } {
+      val got = graft.operators.MergeUpdate
+        .merge(tDf, sDf, Seq("k"), matched, notMatched)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val updated = tm.map { case (k, v) =>
+        k -> (if (matched == "update" && sm.contains(k)) sm(k) else v)
+      }
+      val inserted =
+        if (notMatched == "insert") sm.view.filterKeys(!tm.contains(_)).toMap
+        else Map.empty[Long, Double]
+      assert(got == updated ++ inserted, s"matched=$matched notMatched=$notMatched")
+    }
+  }
+
   test("property: fingerprint is invariant to case/punctuation/extra spaces") {
     val wordGen = Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty))
     val texts = sample(wordGen, 50, 7L).map(_.mkString(" "))
