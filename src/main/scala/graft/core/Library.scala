@@ -792,6 +792,15 @@ final class Library(val root: String, spark: SparkSession) {
   def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[DataFrame] =
     symbols.map(read(_, asOf))
 
+  /** read_batch with a per-symbol clause pipeline (reference passes a
+    * QueryBuilder per ReadRequest, library.py:2161).
+    */
+  def readBatch(
+      symbols: Seq[String],
+      query: graft.query.QueryBuilder,
+      asOf: AsOf): Seq[DataFrame] =
+    symbols.map(s => query(read(s, asOf)))
+
   def writeBatch(
       items: Seq[(String, DataFrame)],
       indexCol: Option[String] = None,

@@ -126,6 +126,17 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
   }
 
+  test("readBatch applies a per-symbol query pipeline") {
+    val lib = newLib()
+    lib.write("a", events.limit(100), Some("ts"), targetRows = 1000)
+    lib.write("b", events.limit(200), Some("ts"), targetRows = 1000)
+    val q = graft.query.QueryBuilder()
+      .filter(graft.query.Expr.col("value") > graft.query.Expr.lit(0.0))
+    val Seq(a, b) = lib.readBatch(Seq("a", "b"), q, AsOf.Latest)
+    assert(a.count() == events.limit(100).filter(col("value") > 0.0).count())
+    assert(b.count() == events.limit(200).filter(col("value") > 0.0).count())
+  }
+
   test("metadata roundtrip and getInfo") {
     val lib = newLib()
     lib.write("ev", events.limit(50), Some("ts"), targetRows = 1000,

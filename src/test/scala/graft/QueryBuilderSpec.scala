@@ -7,6 +7,10 @@ import graft.query.{QueryBuilder, Resample}
 class QueryBuilderSpec extends SparkSuite {
   import spark.implicits._
 
+  test("flagship entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("groupByAgg drops null and NaN group keys by default (pandas parity)") {
     val df = Seq(
       (Option("a"), 1.0), (None, 2.0), (Option("a"), 3.0), (Option("b"), 4.0))
