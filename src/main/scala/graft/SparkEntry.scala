@@ -515,6 +515,14 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
         .orderBy("event_id")
     },
+    "q55_hash_sample_stratified" -> { (s, dir) =>
+      // Deterministic engine-portable sampling: md5-prefix thresholds give
+      // the same rows on any engine/partitioning (rand(seed) does not).
+      graft.functions.Sampling.hashSampleBy(t(s, dir, "events"), "event_id",
+        "event_type", Map("click" -> 0.5, "purchase" -> 1.0, "view" -> 0.1))
+        .select(col("event_id"), tsUs, col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
     "q54_session_window" -> { (s, dir) =>
       graft.operators.Sessionize.sessions(t(s, dir, "events"), "ts", Seq("user_id"),
         "30 minutes", Seq(("n", "value", "count"), ("v_sum", "value", "sum")))
@@ -836,6 +844,14 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts
          ORDER BY p.event_id""",
+    "q55_hash_sample_stratified" ->
+      """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
+         WHERE (event_type = 'click'
+                AND substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000')
+            OR event_type = 'purchase'
+            OR (event_type = 'view'
+                AND substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a')
+         ORDER BY event_id""",
     "q54_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
          m AS (SELECT user_id, tu, value,

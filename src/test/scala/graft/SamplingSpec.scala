@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sampling
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(20000).toDF("id")
+
+  test("hashSample keeps ~fraction, deterministically, nested fractions") {
+    val n10 = Sampling.hashSample(ids, "id", 0.10).count()
+    val n50 = Sampling.hashSample(ids, "id", 0.50).count()
+    assert(math.abs(n10 / 20000.0 - 0.10) < 0.01, s"n10=$n10")
+    assert(math.abs(n50 / 20000.0 - 0.50) < 0.01, s"n50=$n50")
+    // determinism + monotone nesting: the 10% sample ⊂ the 50% sample
+    val s10 = Sampling.hashSample(ids, "id", 0.10).as[Long].collect().toSet
+    val s50 = Sampling.hashSample(ids, "id", 0.50).as[Long].collect().toSet
+    assert(s10.subsetOf(s50))
+    assert(s10 == Sampling.hashSample(ids.repartition(7), "id", 0.10)
+      .as[Long].collect().toSet) // partitioning-independent
+    // boundary fractions
+    assert(Sampling.hashSample(ids, "id", 0.0).count() == 0)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000)
+  }
+
+  test("splitIndex produces disjoint covering splits") {
+    val withSplit = ids.withColumn("s", Sampling.splitIndex(col("id"), Seq(0.8, 0.1, 0.1)))
+    val counts = withSplit.groupBy("s").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2)) // sums to 1.0 ⇒ no -1 bucket
+    assert(math.abs(counts(0) / 20000.0 - 0.8) < 0.01)
+    assert(math.abs(counts(1) / 20000.0 - 0.1) < 0.01)
+    assert(math.abs(counts(2) / 20000.0 - 0.1) < 0.01)
+    // train split == standalone 80% sample (same hash points)
+    val train = withSplit.filter(col("s") === 0).select("id").as[Long].collect().toSet
+    assert(train == Sampling.hashSample(ids, "id", 0.8).as[Long].collect().toSet)
+  }
+
+  test("hashSampleBy: per-stratum fractions, absent strata dropped") {
+    val df = ids.withColumn("g", pmod(col("id"), lit(3)).cast("string"))
+    val got = Sampling.hashSampleBy(df, "id", "g", Map("0" -> 1.0, "1" -> 0.2))
+    val byG = got.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.keySet == Set("0", "1")) // stratum "2" has no fraction ⇒ dropped
+    assert(byG("0") > 6600 && math.abs(byG("1") / 6667.0 - 0.2) < 0.02)
+  }
+}
