@@ -388,6 +388,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
         .orderBy("id_a", "id_b")
     },
+    "q56_repetition_ratio" -> { (s, dir) =>
+      Dedup.repetitionRatio(t(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // ---------------- LLM pipeline: similarity search -----------------
     "q31_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -749,6 +754,22 @@ object SparkEntry {
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
           ORDER BY id_a, id_b""",
+    "q56_repetition_ratio" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          t AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total_n, w FROM docs),
+          d AS (
+            SELECT doc_id, count(DISTINCT s) AS distinct_n FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)
+            GROUP BY 1)
+          SELECT t.doc_id, CAST(total_n AS INT) AS total_n,
+            round(CASE WHEN total_n <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(coalesce(distinct_n, 0) AS DOUBLE) / total_n END, 6)
+              AS rep_ratio
+          FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+          ORDER BY t.doc_id""",
     "q31_ann_bruteforce" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -61,6 +61,23 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(byId))
   }
 
+  /** Within-document repetition ratio — the classic corpus-quality signal
+    * (fraction of n-gram POSITIONS occupied by a repeated n-gram):
+    * 1 - distinct/total. 0 = no internal repetition; → 1 for template spam.
+    * Computed from the shingle postings (distinct count rides each row) +
+    * a codegen'd total; docs too short for one n-gram score 0.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val distinctCounts = shinglePostings(df, idCol, textCol, n)
+      .groupBy("id").agg(first(col("sz")).as("distinct_n"))
+    df.select(col(idCol).as("id"), Text.ngramCount(col(textCol), n).as("total_n"))
+      .join(distinctCounts, Seq("id"), "left")
+      .select(col("id"), col("total_n"),
+        round(when(col("total_n") <= 0, 0.0)
+          .otherwise(lit(1.0) - coalesce(col("distinct_n"), lit(0)).cast("double")
+            / col("total_n")), 6).as("rep_ratio"))
+  }
+
   /** ---- exact dedup ----
     * Keep the first (min id) row per normalized-content fingerprint.
     * Plan: narrow map (fingerprint) → hash-shuffle on the 128-bit key →

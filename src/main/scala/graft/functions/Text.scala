@@ -97,6 +97,12 @@ object Text {
     pick
   }
 
+  /** Total n-gram count of a doc (positions, not distinct): tokens-n+1,
+    * floored at 0 — denominator of the repetition ratio.
+    */
+  def ngramCount(text: Column, n: Int): Column =
+    greatest(size(tokens(normalizeText(text))) - (n - 1), lit(0))
+
   /** Document fingerprint: 128-bit content hash of normalized text
     * (lowercase, alnum+space only, collapsed whitespace). Identical md5 is
     * replayable in any engine; for shift-tolerant fingerprints see

@@ -82,6 +82,22 @@ class DedupGroundTruthSpec extends SparkSuite {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
   }
 
+  test("repetitionRatio: 0 for unique text, high for template spam") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 positions, 3 distinct → 1 - 3/7
+      (2L, "one two three four"), // all distinct → 0
+      (3L, "x y"), // too short → 0
+      (4L, "")) // empty → 0
+      .toDF("doc_id", "text")
+    val got = Dedup.repetitionRatio(df, "doc_id", "text", 3)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((7, BigDecimal(1.0 - 3.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((2, 0.0)))
+    assert(got(3L) == ((0, 0.0)))
+    assert(got(4L) == ((0, 0.0)))
+  }
+
   test("dropExactDuplicates keeps the min-id row per fingerprint") {
     val df = Seq(
       (1L, "Hello, World!"), (2L, "hello world"), // same fingerprint
