@@ -75,6 +75,34 @@ object ScaleProbe {
       QueryBuilder().resample("ts", "1h",
         Seq(("v", "value", "sum"), ("n", "value", "count")))(ev)
     }
+
+    // Text-dedup stress: replicating docs keeps the TEXT identical, so
+    // every doc gains (mult-1) exact twins — the adversarial case where
+    // shingle buckets are mult× deeper and the candidate set explodes
+    // quadratically per bucket.
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      replicate(spark, src, "documents", mult, Seq("doc_id"), 1000000L)
+        .write.parquet(s"$out/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    println(s"[scale] documents=${docs.count()} (every text has ${mult - 1} twins)")
+    time("dedup_exact") {
+      graft.functions.Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+    }
+    time("minhash_candidates") {
+      graft.functions.Dedup.minhashCandidates(docs, "doc_id", "text")
+    }
+    time("ngram_jaccard") {
+      graft.functions.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+    }
+    // The production pipeline order: exact-dedup BEFORE near-dup search.
+    // Exact twins are quadratic noise to the inverted index (every bucket
+    // mult× deeper, C(mult,2) pairs per group); removing them first
+    // returns the near-dup step to the deduplicated corpus size.
+    time("dedup_then_ngram") {
+      graft.functions.Dedup.ngramJaccardPairs(
+        graft.functions.Dedup.dropExactDuplicates(docs, "doc_id", "text"),
+        "doc_id", "text", 3, 0.2)
+    }
     spark.stop()
   }
 }
