@@ -34,49 +34,34 @@ object Dedup {
   /** Distinct word-n-gram shingle postings: one row per (id, shingle) plus
     * the doc's distinct-shingle count `sz`. Columns: id, s, sz.
     *
-    * Plan: tokenize once (narrow), window on id for n-token lookahead and
-    * the length guard, local dropDuplicates on the already-id-partitioned
-    * stream, window again (no new exchange) for sz. Measured alternatives:
-    * the nested-HOF formulation (transform over an array column, even
-    * materialized in its own projection) runs interpreted and ~20× slower;
-    * the per-token exchange this window costs is cheap by comparison.
+    * Plan: ONE codegen'd kernel (graft.plans.DistinctShingles) normalizes,
+    * tokenizes, shingles and dedups per document in a single narrow pass —
+    * zero exchanges until the first downstream keyed aggregate. This
+    * replaces the round-2 posexplode→lead-window→dropDuplicates→count-window
+    * chain, which paid one exchange plus two per-token sorts before any
+    * consumer saw a row (measured 3.37s → the dominant q30 cost at sf0.1);
+    * the round-1 nested-HOF formulation was ~20× worse again (array
+    * lambdas never codegen). `sz` is size(arr) — free, no count window.
     */
-  def shinglePostings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("id"),
-      posexplode(split(Text.normalizeText(col(textCol)), " ")))
-      .toDF("id", "pos", "tok")
-    val byId = Window.partitionBy("id")
-    val ordered = byId.orderBy("pos")
-    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(ordered))
-    // The last lead is null exactly on the (n-1) trailing positions that
-    // can't form a full n-gram (split never yields null tokens), so it is
-    // both the final shingle word and the length guard — no count() pass.
-    toks
-      .withColumn("s", concat_ws(" ", parts: _*))
-      .withColumn("__full", if (n == 1) lit(true) else parts.last.isNotNull)
-      .filter(col("__full"))
-      .select(col("id"), col("s"))
-      .dropDuplicates("id", "s")
-      .withColumn("sz", count(lit(1)).over(byId))
-  }
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), graft.plans.ShinglePostings(col(textCol), n))
+      .select("id", "s", "sz")
 
   /** Within-document repetition ratio — the classic corpus-quality signal
     * (fraction of n-gram POSITIONS occupied by a repeated n-gram):
     * 1 - distinct/total. 0 = no internal repetition; → 1 for template spam.
-    * Computed from the shingle postings (distinct count rides each row) +
-    * a codegen'd total; docs too short for one n-gram score 0.
+    * Both counts come from codegen'd per-document kernels, so this is one
+    * narrow scan — no shuffle, no join; docs too short for one n-gram
+    * score 0.
     */
-  def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val distinctCounts = shinglePostings(df, idCol, textCol, n)
-      .groupBy("id").agg(first(col("sz")).as("distinct_n"))
-    df.select(col(idCol).as("id"), Text.ngramCount(col(textCol), n).as("total_n"))
-      .join(distinctCounts, Seq("id"), "left")
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      Text.ngramCount(col(textCol), n).as("total_n"),
+      size(graft.plans.DistinctShingles(col(textCol), n)).as("__d"))
       .select(col("id"), col("total_n"),
         round(when(col("total_n") <= 0, 0.0)
-          .otherwise(lit(1.0) - coalesce(col("distinct_n"), lit(0)).cast("double")
-            / col("total_n")), 6).as("rep_ratio"))
-  }
+          .otherwise(lit(1.0) - col("__d").cast("double") / col("total_n")), 6)
+          .as("rep_ratio"))
 
   /** ---- exact dedup ----
     * Keep the first (min id) row per normalized-content fingerprint.
@@ -182,23 +167,33 @@ object Dedup {
     // Bucket-explode instead of a self-join: a self-join would evaluate the
     // expensive postings subtree once per side (no ReusedExchange across a
     // broadcast build, and caching pays its own materialization tax).
-    // groupBy(s) + pairwise explode touches the postings ONCE and shuffles
-    // exactly the same (s, id, sz) bytes the join would. Production skew
-    // note: a shingle shared by m docs emits m(m-1)/2 pairs — on real
-    // corpora cap document frequency (drop boilerplate shingles) before
-    // this step; the oracle here is exact so no cap is applied.
+    // groupBy + pairwise explode touches the postings ONCE. The bucket key
+    // is xxhash64(shingle), not the shingle string — equality is all the
+    // intersection count needs, and an 8-byte key more than halves the
+    // exchange bytes of the widest shuffle in the pipeline (a 64-bit
+    // collision would need ~2^32 distinct shingles per the birthday bound;
+    // the exact-pairs ground-truth spec pins the fixed test corpora).
+    // Production skew note: a shingle shared by m docs emits m(m-1)/2
+    // pairs — on real corpora cap document frequency (drop boilerplate
+    // shingles) before this step; the oracle here is exact so no cap is
+    // applied.
     val posts = shinglePostings(df, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"),
+        col("id").cast("long").as("id"), col("sz"))
     val buckets = posts.groupBy("s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
       .filter(size(col("docs")) > 1)
       .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
+    // graft.plans.BucketPairs emits the ordered (id_a < id_b) pairs of each
+    // bucket directly, with the exact length-ratio prune
+    // (jac ≤ min(sz)/max(sz), so min < t·max can never pass) applied
+    // inline — one Generate instead of explode×explode+filters pushing m²
+    // rows through the plan's widest point.
     buckets
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(graft.plans.BucketPairs(col("docs"), threshold))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"),
-        min(col("a.sz")).as("sza"), min(col("b.sz")).as("szb"))
+        min(col("sza")).as("sza"), min(col("szb")).as("szb"))
       .withColumn("jac",
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"), 6))

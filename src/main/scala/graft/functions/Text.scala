@@ -22,10 +22,19 @@ object Text {
   /** BPE-ish subword proxy: count of alnum runs + count of non-alnum,
     * non-space marks — approximates byte-pair token inflation without a
     * vocab file.
+    *
+    * Non-empty-run count without an array lambda (Spark HOFs always run
+    * interpreted): the split's regex delimiter is greedy, so empty
+    * elements can only appear at the two edges — subtract them
+    * arithmetically and the whole expression stays in codegen.
     */
-  def tokenCountRegex(text: Column): Column =
-    size(filter(split(text, "[^a-zA-Z0-9]+"), c => length(c) > 0)) +
-      length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+  def tokenCountRegex(text: Column): Column = {
+    val parts = split(text, "[^a-zA-Z0-9]+")
+    val runs = size(parts) -
+      when(element_at(parts, 1) === "", 1).otherwise(0) -
+      when(size(parts) > 1 && element_at(parts, -1) === "", 1).otherwise(0)
+    runs + length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+  }
 
   /** Occurrences of literal `word` as a whole token. Implemented with
     * padded-replace arithmetic so Spark and the SQL oracle agree bit-for-bit
@@ -41,18 +50,28 @@ object Text {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** Stopword ratio ∈ [0,1]: fraction of tokens that are stopwords. */
+  /** Stopword ratio ∈ [0,1]: fraction of tokens that are stopwords.
+    *
+    * Counted with one codegen'd regexp_count over the space-padded text
+    * (zero-width lookarounds pin full-token matches and handle adjacent
+    * stopwords) instead of an interpreted `filter` array lambda.
+    */
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val stop = filter(toks, t => t.isin(Stopwords.map(lit): _*))
-    round(size(stop).cast("double") / greatest(size(toks), lit(1)).cast("double"), 6)
+    val pat = s"(?<= )(?:${Stopwords.mkString("|")})(?= )"
+    val stop = regexp_count(concat(lit(" "), text, lit(" ")), lit(pat))
+    round(stop.cast("double") / greatest(size(tokens(text)), lit(1)).cast("double"), 6)
   }
 
+  /** Mean token length. Sum of token lengths is computed arithmetically —
+    * `split(text, " ")` consumes exactly one character per delimiter, so
+    * Σ length(token) = length(text) - (tokenCount - 1); no interpreted
+    * `aggregate` fold.
+    */
   def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+    val nToks = size(tokens(text))
     round(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        greatest(size(toks), lit(1)).cast("double"),
+      (length(text) - nToks + 1).cast("double") /
+        greatest(nToks, lit(1)).cast("double"),
       6)
   }
 
@@ -115,16 +134,9 @@ object Text {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
-    * text's characters — the classic Rabin-Karp document fingerprint,
-    * computed distributively per row with higher-order function fold.
+    * text's characters — the classic Rabin-Karp document fingerprint.
+    * One codegen'd kernel (graft.plans.RollingTextHash); the former
+    * per-character `aggregate` fold ran interpreted.
     */
-  def rollingHash(text: Column): Column = {
-    val norm = normalizeText(text)
-    val chars = split(norm, "")
-    aggregate(
-      chars,
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
-        lit(2147483647L)))
-  }
+  def rollingHash(text: Column): Column = graft.plans.RollingTextHash(text)
 }

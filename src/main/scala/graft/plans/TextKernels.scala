@@ -1,0 +1,303 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd single-pass text kernels.
+  *
+  * These replace multi-operator Column pipelines whose hot loop would
+  * otherwise run per-token inside exchanges (the posexplode→window→
+  * dropDuplicates shingle chain) or as interpreted higher-order functions
+  * (`aggregate`/`filter` array lambdas never enter whole-stage codegen —
+  * the repo's measured ~20× penalty). Each expression normalizes,
+  * tokenizes and folds in ONE narrow pass per document, so a 100 TB
+  * corpus scan needs no shuffle at all until the first keyed aggregate.
+  *
+  * Semantics are pinned to graft.functions.Text.normalizeText
+  * (lower → strip non-[a-z0-9 ] → collapse runs of spaces → trim) and to
+  * pandas-style `sliding(n)` shingling, which DedupGroundTruthSpec
+  * verifies against driver-side recomputation.
+  */
+object TextKernels {
+
+  /** normalizeText + split(" "): non-empty tokens of the normalized text;
+    * an entirely-empty normalization yields the single empty token that
+    * `split` produces (so n=1 shingling of "" matches the Column path).
+    */
+  private[plans] def normTokens(text: UTF8String): Array[String] = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.util.ArrayList[String](16)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (c == ' ' && sb.length > 0) { out.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out.add(sb.toString)
+    if (out.isEmpty) Array("") else out.toArray(new Array[String](out.size))
+  }
+
+  /** Distinct word-n-gram shingles of `text`, first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = normTokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
+    * text's characters — Rabin-Karp document fingerprint. Equivalent to
+    * the `aggregate(split(norm, ''), ...)` fold it replaces (empty → 0).
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // replay normalize inline: keep [a-z0-9], collapse spaces, trim
+    var acc = 0L
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && started) acc = (acc * 31L + ' '.toLong) % 2147483647L
+        acc = (acc * 31L + c.toLong) % 2147483647L
+        pendingSpace = false
+        started = true
+      } else if (c == ' ') pendingSpace = true
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `distinct_shingles(text, n)`: array of the distinct word-n-gram
+  * shingles of the normalized text (reference shingle semantics used by
+  * all dedup signatures; see Dedup.shinglePostings).
+  */
+final case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingles expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "distinct_shingles"
+}
+
+object DistinctShingles {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, n: Int): Column =
+    CatalystBridge.column(DistinctShingles(CatalystBridge.expression(text), n))
+}
+
+/** Generator form of [[DistinctShingles]]: one output row per distinct
+  * shingle, columns (s string, sz long) where sz is the document's
+  * distinct-shingle count.
+  *
+  * Why a Generator and not `explode(distinct_shingles(...))`: Catalyst's
+  * InferFiltersFromGenerate + PushDownPredicates rewrite that plan into
+  * `Filter(size(kernel(text))>0 AND isnotnull(kernel(text)))` BELOW the
+  * projection — the kernel then runs three times per document (measured
+  * on q30's plan). A custom generator is opaque to that rule, emits
+  * nothing for shingle-less docs anyway, and calls the kernel exactly
+  * once per document.
+  */
+final case class ShinglePostings(child: Expression, n: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("s", StringType), StructField("sz", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_postings expects string, got ${child.dataType}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val arr = TextKernels.shingles(t.asInstanceOf[UTF8String], n)
+      val m = arr.numElements()
+      if (m == 0) Nil
+      else {
+        val sz = m.toLong
+        val out = new Array[org.apache.spark.sql.catalyst.InternalRow](m)
+        var i = 0
+        while (i < m) {
+          out(i) = org.apache.spark.sql.catalyst.InternalRow(arr.getUTF8String(i), sz)
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePostings =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_postings"
+}
+
+object ShinglePostings {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, n: Int): Column =
+    CatalystBridge.column(ShinglePostings(CatalystBridge.expression(text), n))
+}
+
+/** `bucket_pairs(docs, threshold)`: ordered candidate pairs from one
+  * inverted-index bucket. Input is array<struct<id long, sz long>> (the
+  * docs sharing a shingle, each with its distinct-shingle count); output
+  * rows are (id_a < id_b, sza, szb) with the exact length-ratio prune
+  * `min(sz) ≥ threshold·max(sz)` applied inline (Jaccard ≤ min/max, so
+  * pruned pairs can never reach the threshold).
+  *
+  * Replaces explode(docs)×explode(docs)+filters: that plan pushes m² rows
+  * through two Generate nodes before filtering; this emits the ≤ m(m-1)/2
+  * surviving pairs straight off the array — the widest intermediate of
+  * the n-gram-Jaccard pipeline, produced at minimum cost.
+  */
+final case class BucketPairs(child: Expression, threshold: Double)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("sza", LongType), StructField("szb", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+      if a.dataType == LongType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_pairs expects array<struct<long,long>>, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < 2) return Nil
+    val ids = new Array[Long](m)
+    val szs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      szs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow](m * (m - 1) / 2)
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val mn = math.min(szs(i), szs(j))
+        val mx = math.max(szs(i), szs(j))
+        if (mn >= threshold * mx) {
+          if (ids(i) < ids(j))
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), szs(i), szs(j))
+          else if (ids(j) < ids(i))
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), szs(j), szs(i))
+          // equal ids (same doc twice in a bucket cannot happen — postings
+          // are distinct per doc) emit nothing
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_pairs"
+}
+
+object BucketPairs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(docs: Column, threshold: Double): Column =
+    CatalystBridge.column(BucketPairs(CatalystBridge.expression(docs), threshold))
+}
+
+/** `rolling_text_hash(text)`: base-31 polynomial hash mod 2^31-1 of the
+  * normalized text (classic Rabin-Karp fingerprint).
+  */
+final case class RollingTextHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_text_hash expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.rollingHash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingTextHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_text_hash"
+}
+
+object RollingTextHash {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(RollingTextHash(CatalystBridge.expression(text)))
+}
