@@ -96,13 +96,16 @@ final class Library(val root: String, spark: SparkSession) {
 
   def latestVersion(symbol: String): Option[Int] = listVersions(symbol).lastOption
 
+  /** Concurrent: the batch APIs submit per-symbol jobs from a driver
+    * thread pool, so the cache must tolerate concurrent readers/writers.
+    */
   private val manifestCache =
-    scala.collection.mutable.Map.empty[(String, Int), VersionManifest]
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), VersionManifest]()
 
   def manifest(symbol: String, version: Int): VersionManifest =
-    manifestCache.getOrElseUpdate(
+    manifestCache.computeIfAbsent(
       (symbol, version),
-      VersionManifest.fromJson(
+      _ => VersionManifest.fromJson(
         readString(new Path(versionsDir(symbol), f"v$version%05d.json"))))
 
   /** Physical schema of a data file, from the manifest's dir→schema map
@@ -153,15 +156,25 @@ final class Library(val root: String, spark: SparkSession) {
       dir: Path,
       indexCol: Option[String],
       targetRows: Long): Vector[FileEntry] = {
+    // No pre-count: a count() here would evaluate the input pipeline twice
+    // (once to size partitions, once to write) — at 100 TB of staged data
+    // that doubles ingest compute. Instead range-partition WITHOUT a fixed
+    // partition count (AQE coalesces the post-shuffle partitions to its
+    // advisory size at runtime) and let maxRecordsPerFile enforce the file
+    // geometry during the single write pass. Within a partition rows are
+    // index-sorted, so the sequential file splits stay index-disjoint
+    // (equal keys may tie exactly at a split boundary — pruning treats
+    // bounds inclusively, so that stays correct).
     val prepared = indexCol match {
-      case Some(idx) =>
-        val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
-        df.repartitionByRange(n, col(idx)).sortWithinPartitions(idx)
+      case Some(idx) => df.repartitionByRange(col(idx)).sortWithinPartitions(idx)
       case None => df
     }
     // zstd: the reference's block codec family (codec/, LZ4/ZSTD); better
     // ratio than snappy at similar scan cost — fewer bytes per 100 TB.
-    prepared.write.option("compression", "zstd").mode("errorifexists").parquet(dir.toString)
+    prepared.write
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", targetRows)
+      .mode("errorifexists").parquet(dir.toString)
 
     val idxType = indexCol.map(i => df.schema(i).dataType)
     val stats = footerStats(dir, indexCol, idxType)
@@ -703,8 +716,9 @@ final class Library(val root: String, spark: SparkSession) {
     */
   def createColumnStats(symbol: String, columns: Seq[String], asOf: AsOf = AsOf.Latest): Unit = {
     val m = resolveVersion(symbol, asOf)
+    val schema = StructType.fromDDL(m.schemaDdl)
     val fresh: Map[String, Map[String, (String, String)]] = m.files.map { fe =>
-      fe.path -> readColumnFooterStats(new Path(resolve(symbol, fe)), columns)
+      fe.path -> readColumnFooterStats(new Path(resolve(symbol, fe)), columns, schema)
     }.toMap
     val merged = loadColumnStats(symbol) match {
       case prior => fresh.foldLeft(prior) { case (acc, (file, cols)) =>
@@ -729,8 +743,19 @@ final class Library(val root: String, spark: SparkSession) {
     * in decimal form, strings as UTF-8). Parquet may truncate binary stats
     * but only outward (min ≤ true min, max ≥ true max) — pruning stays
     * conservative. Columns without usable stats are simply absent.
+    *
+    * Whether per-block bounds combine numerically or lexicographically is
+    * decided by the SCHEMA column type, never by value parseability:
+    * statFilterKeep compares string columns lexicographically, so a
+    * string column holding numeric-looking values (min of {"2","10"} is
+    * "10", not "2") must be harvested with the same ordering or files
+    * containing matches would be wrongly pruned. Columns absent from the
+    * schema are skipped (they cannot be filtered on either).
     */
-  private def readColumnFooterStats(p: Path, columns: Seq[String]): Map[String, (String, String)] = {
+  private def readColumnFooterStats(
+      p: Path,
+      columns: Seq[String],
+      schema: StructType): Map[String, (String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -743,21 +768,34 @@ final class Library(val root: String, spark: SparkSession) {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       columns.flatMap { c =>
+        val field = schema.fields.find(_.name == c)
         val perBlock = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == c)
           .map(_.getStatistics)
           .filter(s => s != null && s.hasNonNullValue)
           .map(s => (render(s.genericGetMin.asInstanceOf[AnyRef]),
             render(s.genericGetMax.asInstanceOf[AnyRef]))))
-        if (perBlock.isEmpty || perBlock.size != blocks.size) None // a block without stats ⇒ unusable
+        if (field.isEmpty || perBlock.isEmpty || perBlock.size != blocks.size) None
         else {
-          val numeric = perBlock.forall(b => scala.util.Try(BigDecimal(b._1)).isSuccess)
+          val numeric = numericStats(field.get.dataType)
           val mn = if (numeric) perBlock.map(b => BigDecimal(b._1)).min.toString else perBlock.map(_._1).min
           val mx = if (numeric) perBlock.map(b => BigDecimal(b._2)).max.toString else perBlock.map(_._2).max
           Some(c -> (mn, mx))
         }
       }.toMap
     } finally reader.close()
+  }
+
+  /** Column types whose footer stats render as decimal numbers (and are
+    * therefore combined/compared numerically); everything else —
+    * string-like — orders lexicographically. Harvest
+    * (readColumnFooterStats) and filter (statFilterKeep) MUST agree on
+    * this, or stored bounds stop being an envelope under the filter's
+    * ordering and pruning drops matching files.
+    */
+  private def numericStats(t: DataType): Boolean = t match {
+    case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
   }
 
   /** File survives the predicate iff its [min,max] intersects [lo,hi];
@@ -772,13 +810,11 @@ final class Library(val root: String, spark: SparkSession) {
     stats.get(f.path).flatMap(_.get(pred.column)) match {
       case None => true
       case Some((mn, mx)) =>
-        schema(pred.column).dataType match {
-          case StringType =>
-            mn <= pred.hi.toString && mx >= pred.lo.toString
-          case _ =>
-            BigDecimal(mn) <= BigDecimal(pred.hi.toString) &&
-              BigDecimal(mx) >= BigDecimal(pred.lo.toString)
-        }
+        if (numericStats(schema(pred.column).dataType))
+          BigDecimal(mn) <= BigDecimal(pred.hi.toString) &&
+            BigDecimal(mx) >= BigDecimal(pred.lo.toString)
+        else
+          mn <= pred.hi.toString && mx >= pred.lo.toString
     }
 
   // ------------------------------------------------------------- batch
@@ -843,37 +879,55 @@ final class Library(val root: String, spark: SparkSession) {
 
     val thresh = targetRows * 2 / 3
     val small = m.files.map(_.rows < thresh)
-    val marked = Array.fill(m.files.size)(false)
+    // Contiguous runs of >=2 small files. Each run is rewritten
+    // INDEPENDENTLY: one combined rewrite of non-adjacent runs could emit
+    // a file spanning the index gap between them, overlapping the
+    // untouched full-size files in between and corrupting the
+    // files-are-index-disjoint invariant that _row_id / head / tail /
+    // readRowRange reconstruction relies on. Per-run rewrites stay inside
+    // their run's index span by construction.
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[FileEntry]]
     var i = 0
     while (i < m.files.size) {
       if (small(i)) {
         var j = i
         while (j < m.files.size && small(j)) j += 1
-        if (j - i >= 2) (i until j).foreach(marked(_) = true)
+        if (j - i >= 2) runs += m.files.slice(i, j)
         i = j
       } else i += 1
     }
-    val toRewrite = m.files.zipWithIndex.collect { case (f, ix) if marked(ix) => f }
-    if (toRewrite.isEmpty) return m.version
+    if (runs.isEmpty) return m.version
 
-    val untouched = m.files.zipWithIndex.collect { case (f, ix) if !marked(ix) => f }
+    val inRuns = runs.flatten.map(_.path).toSet
+    val untouched = m.files.filterNot(f => inRuns(f.path))
     var v = m.version + 1
-    val newDir = dataDir(symbol, v)
-    val rewritten =
-      writeData(readFiles(symbol, m, toRewrite, None, None, withRowId = false),
-        newDir, m.indexCol, targetRows)
+    val dataRoot = new Path(symDir(symbol), "data")
+    val runOut = runs.toVector.zipWithIndex.map { case (run, ri) =>
+      val dir = new Path(dataRoot, f"v$v%05d" + s"_c$ri")
+      dir -> writeData(readFiles(symbol, m, run, None, None, withRowId = false),
+        dir, m.indexCol, targetRows)
+    }
+    val rewritten = runOut.flatMap(_._2)
     // files are index-disjoint, so min-idx order IS global row order
     var offset = 0L
     val ordered = (untouched ++ rewritten)
       .sortBy(f => (f.minIdx.getOrElse(Long.MaxValue), f.path))
       .map { f => val e = f.copy(rowOffset = offset); offset += f.rows; e }
+    // Guard the invariant before committing: consecutive files must not
+    // properly overlap (boundary ties of a single index value are fine —
+    // all pruning treats [min,max] inclusively).
+    ordered.iterator.sliding(2).withPartial(false).foreach { w =>
+      for (amx <- w(0).maxIdx; bmn <- w(1).minIdx)
+        require(amx <= bmn,
+          s"compact would overlap file index ranges: ${w(0).path} [..$amx] vs ${w(1).path} [$bmn..]")
+    }
     val nm = m.copy(
       version = v,
       files = ordered,
       rowCount = ordered.map(_.rows).sum,
       createdAtMs = System.currentTimeMillis(),
       schemaDdl = m.schemaDdl,
-      dirSchemas = m.dirSchemas + (newDir.getName -> m.schemaDdl))
+      dirSchemas = m.dirSchemas ++ runOut.map(_._1.getName -> m.schemaDdl))
     var committed = commitManifest(symbol, nm)
     while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
     v

@@ -59,15 +59,28 @@ object Vectors {
   }
 
   /** (query_id, corpus_id, sim) → best k per query with dense 1-based
-    * rank, via the partial top-k aggregate.
+    * rank, via the partial top-k aggregate. The aggregate carries ids as
+    * longs: integral id columns are widened here and narrowed back on
+    * output; non-integral ids (e.g. string keys) are rejected up front —
+    * hash them to a long first if needed.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val idType = scored.schema("corpus_id").dataType
+    idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"top-k id column must be integral (got $other); hash or index " +
+          "non-integral ids to a long before ranking")
+    }
     scored.groupBy("query_id")
-      .agg(graft.plans.TopKByScore.topK(col("sim"), col("corpus_id"), k).as("hits"))
+      .agg(graft.plans.TopKByScore.topK(
+        col("sim").cast("double"), col("corpus_id").cast("long"), k).as("hits"))
       .select(col("query_id"), posexplode(col("hits")))
       .toDF("query_id", "pos", "hit")
-      .select(col("query_id"), col("hit.id").as("corpus_id"),
+      .select(col("query_id"), col("hit.id").cast(idType).as("corpus_id"),
         col("hit.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Embedding dimensionality from the first row — one cheap driver-side
     * action so LSH plane vectors match the data (dim is a plan-time

@@ -34,6 +34,22 @@ final case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+
+  /** Analysis-time type gate: update() reads the score as Double and the
+    * id as Long, so anything else must fail BEFORE execution (an int or
+    * string id column would otherwise throw ClassCastException executor-
+    * side, or emit a wrong schema). Callers with integral ids cast — the
+    * Column wrapper below does it automatically.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score score must be double, got ${score.dataType}")
+    else if (id.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score id must be bigint (cast integral ids; non-integral " +
+          s"ids are unsupported), got ${id.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id", LongType), StructField("score", DoubleType))),
     containsNull = false)
@@ -106,7 +122,12 @@ object TopKByScore {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.CatalystBridge
 
-  /** Column-API wrapper: `df.groupBy(g).agg(TopKByScore.topK(score, id, k))`. */
+  /** Column-API wrapper: `df.groupBy(g).agg(TopKByScore.topK(score, id, k))`.
+    * Inputs must be (double, bigint) — checkInputDataTypes rejects
+    * anything else at analysis. No implicit casts here: a silent
+    * string→long cast would turn unparsable ids into nulls and drop rows;
+    * callers with integral ids cast explicitly (see Vectors.rankTopK).
+    */
   def topK(score: Column, id: Column, k: Int): Column =
     CatalystBridge.column(
       TopKByScore(

@@ -121,11 +121,16 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
 
   /** row_range [start, end) in index order, with python-slice negative
     * wrap (reference: clause.cpp:874-1018). On a persisted symbol the
-    * Library's `_row_id` column makes this a pushed-down range filter; on
-    * an arbitrary frame it needs a global row_number (window over ordered
-    * data — acceptable at limit-sized outputs, documented as the non-scalable
-    * fallback exactly like the reference's full-table row ranges). Negative
-    * indices on an arbitrary frame cost one extra count() pass.
+    * Library's `_row_id` column makes this a pushed-down range filter
+    * (negative indices cost one count() pass; `_row_id` is assumed
+    * contiguous, i.e. produced by Library.read before any row filter).
+    * On an arbitrary frame the range is taken as orderBy+limit(end) —
+    * a TakeOrdered, never a global sort — followed by a row_number over
+    * the ≤ end retained rows; `end` must stay driver-bounded
+    * (≤ MaxUnindexedEnd) because those rows pass through one task, exactly
+    * like the reference's full-table row ranges. Larger ranges need a
+    * persisted symbol (Library.readRowRange prunes files by manifest
+    * offsets instead).
     */
   def rowRange(orderCols: Seq[String], start: Long, end: Long): QueryBuilder =
     add { df =>
@@ -133,16 +138,29 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
         (if (start < 0) math.max(0L, n + start) else start,
           if (end < 0) math.max(0L, n + end) else end)
       if (df.columns.contains(graft.core.Library.RowIdCol)) {
-        val (s, e) =
-          if (start >= 0 && end >= 0) (start, end)
-          else norm(df.agg(max(col(graft.core.Library.RowIdCol))).head.getLong(0) + 1)
-        df.filter(col(graft.core.Library.RowIdCol) >= s &&
-          col(graft.core.Library.RowIdCol) < e)
+        val se =
+          if (start >= 0 && end >= 0) Some((start, end))
+          else {
+            val mx = df.agg(max(col(graft.core.Library.RowIdCol))).head
+            if (mx.isNullAt(0)) None // empty frame → empty result
+            else Some(norm(mx.getLong(0) + 1))
+          }
+        se match {
+          case Some((s, e)) =>
+            df.filter(col(graft.core.Library.RowIdCol) >= s &&
+              col(graft.core.Library.RowIdCol) < e)
+          case None => df.filter(lit(false))
+        }
       } else {
         val (s, e) = if (start >= 0 && end >= 0) (start, end) else norm(df.count())
+        require(e <= QueryBuilder.MaxUnindexedEnd,
+          s"rowRange end=$e exceeds the unindexed-frame bound " +
+            s"(${QueryBuilder.MaxUnindexedEnd}); read the symbol through " +
+            "Library.readRowRange, which prunes files by manifest row offsets")
         val w = Window.orderBy(orderCols.map(col): _*)
-        df.withColumn("__rn", row_number().over(w) - 1)
-          .filter(col("__rn") >= s && col("__rn") < e)
+        df.orderBy(orderCols.map(col): _*).limit(e.toInt)
+          .withColumn("__rn", row_number().over(w) - 1)
+          .filter(col("__rn") >= s)
           .drop("__rn")
       }
     }
@@ -205,4 +223,11 @@ final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.e
 
 object QueryBuilder {
   def apply(): QueryBuilder = new QueryBuilder(Vector.empty)
+
+  /** Largest `end` the unindexed rowRange fallback accepts: the retained
+    * prefix flows through a single task (limit + one window), so it must
+    * stay bounded. Library-read symbols carry `_row_id` and never hit
+    * this path.
+    */
+  val MaxUnindexedEnd: Long = 10000000L
 }
