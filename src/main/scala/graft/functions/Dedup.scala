@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    and no O(n²) compare ever happens.
   *  - simhash: 64-bit near-dup signature; hamming-adjacent buckets via
   *    band rotation.
-  *  - n-gram Jaccard: exact verification on LSH candidates (or exhaustive
-  *    on small slices).
+  *  - n-gram Jaccard: per-pair verification on LSH candidates (or
+  *    exhaustive on small slices); exact up to a negligible 64-bit
+  *    bucket-hash collision (see ngramJaccardPairs).
   *
   * All hashing uses xxhash64 (codegen'd Catalyst expression) — stable
   * across Spark versions and cluster nodes.
@@ -154,8 +155,10 @@ object Dedup {
     * before pairing — the skew guard for real corpora, where one
     * boilerplate shingle shared by m docs would emit m(m-1)/2 pairs.
     * Dropping only SHRINKS intersections, so reported Jaccard is a lower
-    * bound and the pair set is a subset of the exact answer (the usual
-    * recall/cost dial; 0 = exact, used by the oracle-gated query).
+    * bound and the pair set is a subset of the maxDocFreq=0 answer (the
+    * usual recall/cost dial; 0 applies no cap and is what the oracle-gated
+    * query uses — exact up to the negligible 64-bit bucket-hash collision
+    * caveat described below).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -164,15 +167,29 @@ object Dedup {
       shingleLen: Int,
       threshold: Double,
       maxDocFreq: Long): DataFrame = {
+    // The pair machinery (BucketPairs, the intersection groupBy) carries doc
+    // ids as longs. A non-integral id would silently cast to null and read
+    // back as garbage — reject it up front (same guard as Vectors.rankTopK);
+    // hash or index string keys to a long before deduplicating.
+    val idType = df.schema(idCol).dataType
+    idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ngramJaccardPairs id column must be integral (got $other); hash or " +
+          "index non-integral ids to a long first")
+    }
     // Bucket-explode instead of a self-join: a self-join would evaluate the
     // expensive postings subtree once per side (no ReusedExchange across a
     // broadcast build, and caching pays its own materialization tax).
     // groupBy + pairwise explode touches the postings ONCE. The bucket key
     // is xxhash64(shingle), not the shingle string — equality is all the
     // intersection count needs, and an 8-byte key more than halves the
-    // exchange bytes of the widest shuffle in the pipeline (a 64-bit
-    // collision would need ~2^32 distinct shingles per the birthday bound;
-    // the exact-pairs ground-truth spec pins the fixed test corpora).
+    // exchange bytes of the widest shuffle in the pipeline. Caveat: a
+    // 64-bit hash collision would merge two shingle buckets and inflate an
+    // intersection count, so results are almost-surely exact rather than
+    // exact (odds become material only near ~2^32 distinct shingles, per
+    // the birthday bound; the ground-truth spec pins the fixed corpora).
     // Production skew note: a shingle shared by m docs emits m(m-1)/2
     // pairs — on real corpora cap document frequency (drop boilerplate
     // shingles) before this step; the oracle here is exact so no cap is
@@ -198,7 +215,10 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"), 6))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      // ids were widened to long for the pair kernel; narrow back so the
+      // output schema matches the input id column's type
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("jac"))
   }
 
   /** ---- SimHash ----

@@ -69,8 +69,13 @@ object TextKernels {
   }
 
   /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
-    * text's characters — Rabin-Karp document fingerprint. Equivalent to
-    * the `aggregate(split(norm, ''), ...)` fold it replaces (empty → 0).
+    * text's characters — Rabin-Karp document fingerprint. NOT bit-equal to
+    * the `aggregate(split(norm, ''), ...)` fold it replaced: `split` with
+    * its default -1 limit emitted a trailing empty element (ascii 0), so
+    * the old fold ran one extra `acc*31 % M` step per non-empty doc. The
+    * clean definition here is intentional; TextKernelsSpec pins concrete
+    * hash values so any future change to the fingerprint is a loud test
+    * failure, not a silent migration. Empty/normalized-to-empty text → 0.
     */
   def rollingHash(text: UTF8String): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
