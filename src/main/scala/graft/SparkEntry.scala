@@ -370,6 +370,84 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("value"), col("props"))
         .orderBy("event_id")
     },
+    "q57_string_index" -> { (s, dir) =>
+      // String-keyed TableIndex parity (reference index.hpp:84): write a
+      // symbol keyed by a string column, splice-update a key range, read
+      // back a keyRange slice (manifest prunes files by string bounds).
+      val lib = new Library(tmpRoot(), s)
+      val cust = t(s, dir, "customer")
+      lib.write("cust", cust, Some("c_name"), targetRows = 300)
+      val patch = cust
+        .filter(col("c_name").between("Customer#000000100", "Customer#000000199"))
+        .withColumn("c_acctbal", round(col("c_acctbal") + 10000, 6))
+      lib.update("cust", patch, targetRows = 300)
+      lib.read("cust", keyRange = Some(("Customer#000000050", "Customer#000000299")))
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    "q58_update_upsert_range" -> { (s, dir) =>
+      // update(date_range=, upsert=) parity (reference library.py:1520):
+      // upsert creates the symbol; the explicit range deletes in-range rows
+      // absent from the patch and ignores patch rows outside it.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (lo, mid, hi) = (1704153600000000000L, 1704196800000000000L, 1704239999999999999L)
+      lib.update("ev", ev, targetRows = 3000, upsert = true, indexCol = Some("ts"))
+      val patch = ev.filter(col("ts").between(lo, mid))
+        .withColumn("value", round(col("value") + 5000, 6))
+      lib.update("ev", patch, targetRows = 3000, dateRange = Some((lo, hi)))
+      lib.read("ev")
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
+    "q59_batch_read_requests" -> { (s, dir) =>
+      // Per-symbol ReadRequest batch (reference ReadRequest library.py:278,
+      // read_batch :2161): two symbols, each with its own date_range and
+      // projection, resolved in one batch call.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      lib.writeBatch(Seq("clicks" -> clicks, "purchases" -> purchases), Some("ts"), 5000)
+      val (r1lo, r1hi) = (1704067200000000000L, 1704153599999999999L)
+      val (r2lo, r2hi) = (1704240000000000000L, 1704326399999999999L)
+      val Seq(a, b) = lib.readBatch(Seq(
+        Library.ReadRequest("clicks", dateRange = Some((r1lo, r1hi))),
+        Library.ReadRequest("purchases", dateRange = Some((r2lo, r2hi)))))
+      a.unionByName(b)
+        .select(col("event_id"), tsUs, col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    "q60_expr_stats_prune" -> { (s, dir) =>
+      // Expression-AST file pruning (reference column_stats_filter.cpp):
+      // a NOT-of-range filter evaluated in Kleene logic against the stats
+      // sidecar skips interior files with no hand-built ColRanges.
+      val lib = new Library(tmpRoot(), s)
+      lib.write("ev", t(s, dir, "events"), Some("ts"), targetRows = 2000)
+      lib.createColumnStats("ev", Seq("event_id"))
+      val q = QueryBuilder()
+        .filter(!((e("event_id") >= l(2000L)) && (e("event_id") <= l(8000L))))
+      lib.readQuery("ev", q)
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
+    "q61_staged_dynamic_finalize" -> { (s, dir) =>
+      // sort_and_finalize over EVOLVED staged deltas (reference
+      // library.py:1873): value widens float→double, props backfills null.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val cut = 1704240000000000000L
+      lib.stage("ev", ev.filter(col("ts") < cut)
+        .select(col("event_id"), col("ts"), col("value").cast("float").as("value")))
+      lib.stage("ev", ev.filter(col("ts") >= cut)
+        .select(col("event_id"), col("ts"), col("value"), col("props")))
+      lib.finalizeStaged("ev", Some("ts"), dynamicSchema = true)
+      lib.read("ev")
+        .select(col("event_id"), tsUs, round(col("value"), 6).as("value"), col("props"))
+        .orderBy("event_id")
+    },
     // ---------------- LLM pipeline: dedup -----------------------------
     "q27_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -731,6 +809,41 @@ object SparkEntry {
          SELECT event_id, epoch_us(ts), value, NULL
          FROM events WHERE event_type = 'purchase'
          ORDER BY event_id""",
+    "q57_string_index" ->
+      """SELECT c_custkey, c_name,
+           round(CASE WHEN c_name BETWEEN 'Customer#000000100' AND 'Customer#000000199'
+                      THEN round(c_acctbal + 10000, 6) ELSE c_acctbal END, 6) AS c_acctbal
+         FROM customer
+         WHERE c_name BETWEEN 'Customer#000000050' AND 'Customer#000000299'
+         ORDER BY c_custkey""",
+    "q58_update_upsert_range" ->
+      """SELECT event_id, epoch_us(ts) AS ts,
+           CASE WHEN epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704196800000000000
+                THEN round(value + 5000, 6) ELSE value END AS value
+         FROM events
+         WHERE epoch_ns(ts) < 1704153600000000000
+            OR epoch_ns(ts) > 1704239999999999999
+            OR epoch_ns(ts) <= 1704196800000000000
+         ORDER BY event_id""",
+    "q59_batch_read_requests" ->
+      """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
+         WHERE event_type = 'click'
+           AND epoch_ns(ts) BETWEEN 1704067200000000000 AND 1704153599999999999
+         UNION ALL
+         SELECT event_id, epoch_us(ts), event_type, value FROM events
+         WHERE event_type = 'purchase'
+           AND epoch_ns(ts) BETWEEN 1704240000000000000 AND 1704326399999999999
+         ORDER BY event_id""",
+    "q60_expr_stats_prune" ->
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events
+         WHERE NOT (event_id BETWEEN 2000 AND 8000)
+         ORDER BY event_id""",
+    "q61_staged_dynamic_finalize" ->
+      """SELECT event_id, epoch_us(ts) AS ts,
+           round(CASE WHEN epoch_ns(ts) < 1704240000000000000
+                 THEN CAST(CAST(value AS REAL) AS DOUBLE) ELSE value END, 6) AS value,
+           CASE WHEN epoch_ns(ts) < 1704240000000000000 THEN NULL ELSE props END AS props
+         FROM events ORDER BY event_id""",
     "q27_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",

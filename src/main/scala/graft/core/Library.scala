@@ -132,7 +132,10 @@ final class Library(val root: String, spark: SparkSession) {
 
   // ------------------------------------------------------------ write
 
-  /** Index stats unit: ns for long indexes, µs for timestamp indexes. */
+  /** Index stats unit: ns for long indexes, µs for timestamp indexes.
+    * String indexes never pass through here — their bounds live in
+    * FileEntry.minStr/maxStr and compare with [[Library.strCmp]].
+    */
   private def idxAsLong(c: org.apache.spark.sql.Column, t: DataType): org.apache.spark.sql.Column =
     t match {
       case LongType | IntegerType => c.cast(LongType)
@@ -141,6 +144,67 @@ final class Library(val root: String, spark: SparkSession) {
       case DateType => c.cast(TimestampType).cast(LongType) * 1000000L
       case other => throw new IllegalArgumentException(s"unsupported index type $other")
     }
+
+  /** The four first-class index kinds of the reference (stream/index.hpp:84):
+    * timestamp, long/int, date — long-unit here — and string TableIndex.
+    */
+  private def isStringIdx(t: DataType): Boolean = t == StringType
+
+  /** Inclusive index range for file pruning / splice partitioning —
+    * one concrete ordering per index family, so every comparison between
+    * a manifest bound and a query bound goes through exactly one place.
+    * Missing stats always mean "cannot exclude".
+    */
+  private sealed trait KeyRange {
+    /** May the file contain in-range rows? Missing stats ⇒ true (read-side
+      * pruning must never exclude what it cannot bound).
+      */
+    def intersects(f: FileEntry): Boolean
+    /** Does the file PROVABLY contain in-range rows? Missing stats ⇒ false
+      * (splice only rewrites files it can bound — all-null-key files stay
+      * untouched, exactly like the pre-string-index behavior).
+      */
+    def intersectsStrict(f: FileEntry): Boolean
+    def wholeFileBelow(f: FileEntry): Boolean
+    def residual(idx: String, t: DataType): org.apache.spark.sql.Column
+    def inverseResidual(idx: String, t: DataType): org.apache.spark.sql.Column
+  }
+  private final case class LongRange(lo: Long, hi: Long) extends KeyRange {
+    def intersects(f: FileEntry): Boolean =
+      f.minIdx.forall(_ <= hi) && f.maxIdx.forall(_ >= lo)
+    def intersectsStrict(f: FileEntry): Boolean =
+      f.minIdx.exists(_ <= hi) && f.maxIdx.exists(_ >= lo)
+    def wholeFileBelow(f: FileEntry): Boolean = f.maxIdx.exists(_ < lo)
+    def residual(idx: String, t: DataType): org.apache.spark.sql.Column =
+      idxAsLong(col(idx), t).between(lo, hi)
+    def inverseResidual(idx: String, t: DataType): org.apache.spark.sql.Column =
+      idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi
+  }
+  private final case class StrRange(lo: String, hi: String) extends KeyRange {
+    import Library.strCmp
+    def intersects(f: FileEntry): Boolean =
+      f.minStr.forall(strCmp(_, hi) <= 0) && f.maxStr.forall(strCmp(_, lo) >= 0)
+    def intersectsStrict(f: FileEntry): Boolean =
+      f.minStr.exists(strCmp(_, hi) <= 0) && f.maxStr.exists(strCmp(_, lo) >= 0)
+    def wholeFileBelow(f: FileEntry): Boolean = f.maxStr.exists(strCmp(_, lo) < 0)
+    def residual(idx: String, t: DataType): org.apache.spark.sql.Column =
+      col(idx).between(lo, hi) // Spark string comparison IS utf-8 byte order
+    def inverseResidual(idx: String, t: DataType): org.apache.spark.sql.Column =
+      col(idx) < lo || col(idx) > hi
+  }
+
+  private def keyRangeFor(m: VersionManifest, df: DataFrame, idx: String): KeyRange = {
+    val t = df.schema(idx).dataType
+    if (isStringIdx(t)) {
+      val b = df.agg(min(col(idx)), max(col(idx))).collect()(0)
+      require(!b.isNullAt(0), "update with empty frame")
+      StrRange(b.getString(0), b.getString(1))
+    } else {
+      val b = df.agg(min(idxAsLong(col(idx), t)), max(idxAsLong(col(idx), t))).collect()(0)
+      require(!b.isNullAt(0), "update with empty frame")
+      LongRange(b.getLong(0), b.getLong(1))
+    }
+  }
 
   /** Write df's rows into `dir` sorted+range-partitioned by the index and
     * return per-file stats in index order. targetRows controls file
@@ -178,29 +242,53 @@ final class Library(val root: String, spark: SparkSession) {
 
     val idxType = indexCol.map(i => df.schema(i).dataType)
     val stats = footerStats(dir, indexCol, idxType)
-    val ordered = indexCol match {
-      case Some(_) => stats.sortBy(s => (s._3.getOrElse(Long.MaxValue), s._1))
-      case None => stats.sortBy(_._1)
+    val ordered = idxType match {
+      case Some(t) if isStringIdx(t) =>
+        // byte-order by min bound; files without stats (all-null keys) last
+        stats.sortWith { (a, b) =>
+          (a.minStr, b.minStr) match {
+            case (Some(x), Some(y)) =>
+              val c = Library.strCmp(x, y)
+              if (c != 0) c < 0 else a.name < b.name
+            case (Some(_), None) => true
+            case (None, Some(_)) => false
+            case (None, None) => a.name < b.name
+          }
+        }
+      case Some(_) => stats.sortBy(s => (s.minIdx.getOrElse(Long.MaxValue), s.name))
+      case None => stats.sortBy(_.name)
     }
     var offset = 0L
-    ordered.map { case (name, rows, mn, mx) =>
-      val e = FileEntry(s"${dir.getName}/$name", rows, offset, mn, mx)
-      offset += rows
+    ordered.map { s =>
+      val e = FileEntry(s"${dir.getName}/${s.name}", s.rows, offset,
+        s.minIdx, s.maxIdx, s.minStr, s.maxStr)
+      offset += s.rows
       e
     }
   }
 
-  /** Per-file (name, rowCount, minIdx, maxIdx) from parquet footer
-    * metadata, index values converted to the manifest's long unit (ns for
-    * long indexes, µs for timestamps, µs-of-midnight for dates) — the same
-    * unit `idxAsLong` produces at query time.
+  private final case class RawFileStat(
+      name: String,
+      rows: Long,
+      minIdx: Option[Long],
+      maxIdx: Option[Long],
+      minStr: Option[String],
+      maxStr: Option[String])
+
+  /** Per-file stats from parquet footer metadata. Long-unit indexes are
+    * converted to the manifest's canonical unit (ns for long indexes, µs
+    * for timestamps, µs-of-midnight for dates) — the same unit `idxAsLong`
+    * produces at query time. String indexes keep their UTF-8 bounds
+    * (parquet may truncate long binary stats, but only OUTWARD — min ≤
+    * true min, max ≥ true max — so pruning stays conservative).
     */
   private def footerStats(
       dir: Path,
       indexCol: Option[String],
-      idxType: Option[DataType]): Vector[(String, Long, Option[Long], Option[Long])] = {
+      idxType: Option[DataType]): Vector[RawFileStat] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
     import scala.jdk.CollectionConverters._
 
     def statToLong(v: AnyRef): Long = (idxType.get, v) match {
@@ -209,6 +297,12 @@ final class Library(val root: String, spark: SparkSession) {
       case (t, other) =>
         throw new IllegalStateException(s"unexpected footer stat $other for index type $t")
     }
+    def statToStr(v: AnyRef): String = v match {
+      case b: Binary => b.toStringUsingUTF8
+      case other =>
+        throw new IllegalStateException(s"unexpected footer stat $other for string index")
+    }
+    val stringIdx = idxType.exists(isStringIdx)
 
     val f = fs(dir)
     f.listStatus(dir).toVector
@@ -219,19 +313,32 @@ final class Library(val root: String, spark: SparkSession) {
         try {
           val blocks = reader.getFooter.getBlocks.asScala
           val rows = blocks.map(_.getRowCount).sum
-          val minMax = indexCol.flatMap { idx =>
-            val perBlock = blocks.flatMap { b =>
+          val idxStats = indexCol.map { idx =>
+            blocks.flatMap { b =>
               b.getColumns.asScala
                 .find(_.getPath.toDotString == idx)
                 .map(_.getStatistics)
                 .filter(s => s != null && s.hasNonNullValue)
-                .map(s => (statToLong(s.genericGetMin.asInstanceOf[AnyRef]),
-                  statToLong(s.genericGetMax.asInstanceOf[AnyRef])))
+                .map(s => (s.genericGetMin.asInstanceOf[AnyRef],
+                  s.genericGetMax.asInstanceOf[AnyRef]))
             }
-            if (perBlock.isEmpty) None
-            else Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+          }.getOrElse(Seq.empty)
+          if (stringIdx) {
+            val perBlock = idxStats.map { case (mn, mx) => (statToStr(mn), statToStr(mx)) }
+            val bounds =
+              if (perBlock.isEmpty) None
+              else Some((perBlock.map(_._1).min(Library.strOrdering),
+                perBlock.map(_._2).max(Library.strOrdering)))
+            RawFileStat(st.getPath.getName, rows, None, None,
+              bounds.map(_._1), bounds.map(_._2))
+          } else {
+            val perBlock = idxStats.map { case (mn, mx) => (statToLong(mn), statToLong(mx)) }
+            val bounds =
+              if (perBlock.isEmpty) None
+              else Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+            RawFileStat(st.getPath.getName, rows, bounds.map(_._1), bounds.map(_._2),
+              None, None)
           }
-          (st.getPath.getName, rows, minMax.map(_._1), minMax.map(_._2))
         } finally reader.close()
       }
   }
@@ -275,13 +382,25 @@ final class Library(val root: String, spark: SparkSession) {
       if (!dynamicSchema) df
       else align(df, mergeSchemas(StructType.fromDDL(m.schemaDdl), df.schema))
     if (validateIndex)
-      for (idx <- m.indexCol; priorMax <- m.files.flatMap(_.maxIdx).maxOption) {
+      for (idx <- m.indexCol) {
         val t = data.schema(idx).dataType
-        val newMin = data.agg(min(idxAsLong(col(idx), t))).collect()(0)
-        if (!newMin.isNullAt(0))
-          require(
-            newMin.getLong(0) >= priorMax,
-            s"append index starts before prior data ($symbol): ${newMin.getLong(0)} < $priorMax")
+        if (isStringIdx(t))
+          for (priorMax <- m.files.flatMap(_.maxStr).maxOption(Library.strOrdering)) {
+            val newMin = data.agg(min(col(idx))).collect()(0)
+            if (!newMin.isNullAt(0))
+              require(
+                Library.strCmp(newMin.getString(0), priorMax) >= 0,
+                s"append index starts before prior data ($symbol): " +
+                  s"'${newMin.getString(0)}' < '$priorMax'")
+          }
+        else
+          for (priorMax <- m.files.flatMap(_.maxIdx).maxOption) {
+            val newMin = data.agg(min(idxAsLong(col(idx), t))).collect()(0)
+            if (!newMin.isNullAt(0))
+              require(
+                newMin.getLong(0) >= priorMax,
+                s"append index starts before prior data ($symbol): ${newMin.getLong(0)} < $priorMax")
+          }
       }
     commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files, m.metadata,
       priorDirSchemas = m.dirSchemas)
@@ -359,43 +478,75 @@ final class Library(val root: String, spark: SparkSession) {
     * their in-range rows dropped, the remainder + df rewritten
     * (reference: _store.py:1103 update, segment splice).
     */
-  def update(symbol: String, df: DataFrame, targetRows: Long = DefaultTargetRows): Int = {
-    val v = latestVersion(symbol).getOrElse(
-      throw new NoSuchElementException(s"symbol $symbol does not exist"))
-    val m = manifest(symbol, v)
-    val idx = m.indexCol.getOrElse(
-      throw new IllegalArgumentException("update requires an indexed symbol"))
-    val t = df.schema(idx).dataType
-    val bounds = df.agg(min(idxAsLong(col(idx), t)), max(idxAsLong(col(idx), t))).collect()(0)
-    require(!bounds.isNullAt(0), "update with empty frame")
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    spliceRange(symbol, m, lo, hi, Some(df), targetRows)
+  /** `update` with the reference's full option set (library.py:1520-1527):
+    *
+    *  - default: replace exactly the index range df covers (range derived
+    *    from df's min/max index value);
+    *  - `dateRange`: replace exactly THAT range instead — in-range rows of
+    *    the stored symbol absent from df are deleted, and df rows outside
+    *    the range are ignored (the reference truncates the input frame to
+    *    the range the same way);
+    *  - `upsert=true`: a missing (or tombstoned) symbol is created instead
+    *    of throwing; `indexCol` names the new symbol's index in that case.
+    */
+  def update(
+      symbol: String,
+      df: DataFrame,
+      targetRows: Long = DefaultTargetRows,
+      dateRange: Option[(Long, Long)] = None,
+      upsert: Boolean = false,
+      indexCol: Option[String] = None): Int = {
+    latestVersion(symbol).map(v => manifest(symbol, v)).filterNot(_.deleted) match {
+      case Some(m) =>
+        val idx = m.indexCol.getOrElse(
+          throw new IllegalArgumentException("update requires an indexed symbol"))
+        val t = df.schema(idx).dataType
+        dateRange match {
+          case Some((lo, hi)) =>
+            val data = df.filter(idxAsLong(col(idx), t).between(lo, hi))
+            spliceRange(symbol, m, LongRange(lo, hi), Some(data), targetRows)
+          case None =>
+            spliceRange(symbol, m, keyRangeFor(m, df, idx), Some(df), targetRows)
+        }
+      case None =>
+        if (!upsert)
+          throw new NoSuchElementException(s"symbol $symbol does not exist")
+        write(symbol, df, indexCol, targetRows)
+    }
   }
 
   /** delete_data_in_range (reference: library.py's delete date_range). */
   def deleteRange(symbol: String, lo: Long, hi: Long, targetRows: Long = DefaultTargetRows): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
-    spliceRange(symbol, manifest(symbol, v), lo, hi, None, targetRows)
+    spliceRange(symbol, manifest(symbol, v), LongRange(lo, hi), None, targetRows)
   }
+
+  /** delete_data_in_range over a string-keyed index (inclusive bounds,
+    * UTF-8 byte order — the same order the data files are laid out in).
+    */
+  def deleteRange(symbol: String, lo: String, hi: String, targetRows: Long): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    spliceRange(symbol, manifest(symbol, v), StrRange(lo, hi), None, targetRows)
+  }
+  def deleteRange(symbol: String, lo: String, hi: String): Int =
+    deleteRange(symbol, lo, hi, DefaultTargetRows)
 
   private def spliceRange(
       symbol: String,
       m: VersionManifest,
-      lo: Long,
-      hi: Long,
+      range: KeyRange,
       replacement: Option[DataFrame],
       targetRows: Long): Int = {
     val idx = m.indexCol.get
-    val (touched, untouched) =
-      m.files.partition(f => f.minIdx.exists(_ <= hi) && f.maxIdx.exists(_ >= lo))
+    val (touched, untouched) = m.files.partition(range.intersectsStrict)
     val keptRows: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
         // schema-aware read: touched files may predate a schema evolution
         val old = readFiles(symbol, m, touched, None, None, withRowId = false)
-        val t = old.schema(idx).dataType
-        Some(old.filter(idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi))
+        Some(old.filter(range.inverseResidual(idx, old.schema(idx).dataType)))
       }
     val combined = (keptRows, replacement) match {
       case (Some(k), Some(r)) => Some(k.unionByName(align(r, k.schema)))
@@ -411,7 +562,7 @@ final class Library(val root: String, spark: SparkSession) {
       case None => Vector.empty
     }
     // Keep global index order: untouched-before ++ rewritten ++ untouched-after.
-    val (before, after) = untouched.partition(_.maxIdx.exists(_ < lo))
+    val (before, after) = untouched.partition(range.wholeFileBelow)
     var offset = 0L
     val ordered = (before ++ rewritten ++ after).map { f =>
       val e = f.copy(rowOffset = offset); offset += f.rows; e
@@ -454,11 +605,12 @@ final class Library(val root: String, spark: SparkSession) {
         .getOrElse(throw new NoSuchElementException(s"no version of $symbol at/before $ms"))
   }
 
-  /** Read a symbol. dateRange prunes FILES via manifest stats before the
-    * Spark scan (the reference's row-slice pruning,
-    * pipeline/query.hpp:218-310), then applies the residual row filter;
-    * withRowId reconstructs the global row index from manifest offsets —
-    * a per-file window, never a global sort.
+  /** Read a symbol. dateRange (long-unit indexes) / keyRange (string
+    * indexes) prunes FILES via manifest stats before the Spark scan (the
+    * reference's row-slice pruning, pipeline/query.hpp:218-310), then
+    * applies the residual row filter; withRowId reconstructs the global
+    * row index from manifest offsets — a per-file window, never a global
+    * sort.
     */
   def read(
       symbol: String,
@@ -466,22 +618,74 @@ final class Library(val root: String, spark: SparkSession) {
       dateRange: Option[(Long, Long)] = None,
       columns: Option[Seq[String]] = None,
       withRowId: Boolean = false,
-      statFilters: Seq[ColRange] = Nil): DataFrame = {
+      statFilters: Seq[ColRange] = Nil,
+      keyRange: Option[(String, String)] = None,
+      exprFilter: Option[graft.query.Expr] = None): DataFrame = {
     val m = resolveVersion(symbol, asOf)
-    val byIndex = dateRange match {
-      case Some((lo, hi)) =>
-        m.files.filter(f =>
-          f.minIdx.forall(_ <= hi) && f.maxIdx.forall(_ >= lo))
+    require(dateRange.isEmpty || keyRange.isEmpty,
+      "dateRange and keyRange are mutually exclusive")
+    val range: Option[KeyRange] =
+      dateRange.map { case (lo, hi) => LongRange(lo, hi) }
+        .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+    val byIndex = range match {
+      case Some(r) => m.files.filter(r.intersects)
       case None => m.files
     }
-    val selected =
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val byStats =
       if (statFilters.isEmpty) byIndex
       else {
         val stats = loadColumnStats(symbol)
-        val schema = StructType.fromDDL(m.schemaDdl)
         byIndex.filter(f => statFilters.forall(p => statFilterKeep(stats, schema, f, p)))
       }
-    readFiles(symbol, m, selected, dateRange, columns, withRowId)
+    // Expression-AST pruning: the full filter tree evaluated per file in
+    // Kleene logic over the stats sidecar + the manifest's own index
+    // bounds (reference: column_stats_filter.cpp) — a read(q.filter(e))
+    // prunes without the caller hand-building ColRanges. The exact row
+    // filter still runs; this only skips provably-empty files.
+    val selected = exprFilter match {
+      case None => byStats
+      case Some(e) =>
+        val stats = loadColumnStats(symbol)
+        byStats.filter { f =>
+          StatsPruner.keepFile(e, stats.getOrElse(f.path, Map.empty) ++ idxEnv(m, f, schema),
+            schema)
+        }
+    }
+    readFiles(symbol, m, selected, range, columns, withRowId)
+  }
+
+  /** The manifest's per-file index bounds, rendered in the stats-sidecar
+    * convention, for index types whose manifest unit EQUALS the raw column
+    * value (long/int indexes are stored as-is; timestamp/date bounds are
+    * unit-converted and string bounds live in min/maxStr). Lets exprFilter
+    * prune on the index column with no createColumnStats call.
+    */
+  private def idxEnv(
+      m: VersionManifest,
+      f: FileEntry,
+      schema: StructType): Map[String, (String, String)] =
+    m.indexCol.toSeq.flatMap { idx =>
+      schema.fields.find(_.name == idx).map(_.dataType) match {
+        case Some(LongType | IntegerType) =>
+          for (mn <- f.minIdx; mx <- f.maxIdx) yield idx -> (mn.toString, mx.toString)
+        case Some(StringType) =>
+          for (mn <- f.minStr; mx <- f.maxStr) yield idx -> (mn, mx)
+        case _ => None
+      }
+    }.toMap
+
+  /** Read through a clause pipeline with automatic expression-AST file
+    * pruning: the pipeline's prefix filters are conjoined and evaluated
+    * per file against column stats + index bounds before Spark lists a
+    * single file (reference: read(q) with column-stats filtering).
+    */
+  def readQuery(
+      symbol: String,
+      q: graft.query.QueryBuilder,
+      asOf: AsOf = AsOf.Latest): DataFrame = {
+    val combined = q.prefixFilters.reduceOption(_ && _)
+    q(read(symbol, asOf, None, None, withRowId = false, Nil, None, combined))
   }
 
   /** Scan a manifest-selected subset of a version's files. Row ids are
@@ -492,7 +696,7 @@ final class Library(val root: String, spark: SparkSession) {
       symbol: String,
       m: VersionManifest,
       selected: Vector[FileEntry],
-      dateRange: Option[(Long, Long)],
+      range: Option[KeyRange],
       columns: Option[Seq[String]],
       withRowId: Boolean): DataFrame = {
     val target = StructType.fromDDL(m.schemaDdl)
@@ -524,10 +728,8 @@ final class Library(val root: String, spark: SparkSession) {
           }
           .reduce(_ unionByName _)
 
-    for ((lo, hi) <- dateRange; idx <- m.indexCol) {
-      val t = df.schema(idx).dataType
-      df = df.filter(idxAsLong(col(idx), t).between(lo, hi))
-    }
+    for (r <- range; idx <- m.indexCol)
+      df = df.filter(r.residual(idx, df.schema(idx).dataType))
     if (withRowId) {
       // Join on bare file names (globally unique: Spark part files carry a
       // task uuid) — avoids scheme/slash normalization issues between
@@ -643,16 +845,34 @@ final class Library(val root: String, spark: SparkSession) {
       }
   }
 
-  def snapshot(name: String, symbols: Seq[String] = Seq.empty): Unit = {
+  /** `snapshot` (reference: library.py:2626): pin a cross-symbol
+    * consistent view. By default every listed symbol pins its latest
+    * version; `versions` overrides pin EXPLICIT (possibly non-latest)
+    * versions — each must exist and not be a tombstone; `metadata` rides
+    * along in the snapshot manifest (read back via snapshotMetadata).
+    */
+  def snapshot(
+      name: String,
+      symbols: Seq[String] = Seq.empty,
+      versions: Map[String, Int] = Map.empty,
+      metadata: Map[String, String] = Map.empty): Unit = {
+    versions.foreach { case (s, v) =>
+      require(listVersions(s).contains(v), s"snapshot $name: $s has no version $v")
+      require(!manifest(s, v).deleted, s"snapshot $name: $s@$v is a tombstone")
+    }
     val syms = if (symbols.nonEmpty) symbols else listSymbols()
-    val versions = syms.flatMap(s => latestVersion(s).map(s -> _)).toMap
+    val pinned =
+      (syms.flatMap(s => latestVersion(s).map(s -> _)).toMap ++ versions)
     val dir = snapshotsDir
     fs(dir).mkdirs(dir)
     val p = new Path(dir, s"$name.json")
     require(!fs(p).exists(p), s"snapshot $name already exists")
     writeString(p, SnapshotManifest.toJson(
-      SnapshotManifest(name, System.currentTimeMillis(), versions)))
+      SnapshotManifest(name, System.currentTimeMillis(), pinned, metadata)))
   }
+
+  def snapshotMetadata(name: String): Map[String, String] =
+    SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json"))).metadata
 
   def deleteSnapshot(name: String): Unit = {
     val p = new Path(snapshotsDir, s"$name.json")
@@ -684,19 +904,35 @@ final class Library(val root: String, spark: SparkSession) {
     * (reference: library.py:1739,1873): read every staged delta, optionally
     * global-sort by the index, commit as one new version (append or
     * replace), clear staging.
+    *
+    * dynamicSchema=true unifies EVOLVED delta schemas first — each staged
+    * dir is read with its own physical schema, the common-type-promoted
+    * union schema is computed (same lattice as append), and every delta is
+    * aligned to it before the commit (reference sort_and_finalize handles
+    * staged schema unification the same way, library.py:1873); in append
+    * mode the append itself then runs with dynamicSchema so the combined
+    * frame may also evolve the symbol's stored schema.
     */
   def finalizeStaged(
       symbol: String,
       indexCol: Option[String],
       mode: String = "write", // write | append
-      targetRows: Long = DefaultTargetRows): Int = {
+      targetRows: Long = DefaultTargetRows,
+      dynamicSchema: Boolean = false): Int = {
     val dir = stagedDir(symbol)
     val f = fs(dir)
     require(f.exists(dir), s"no staged data for $symbol")
-    val staged = spark.read.parquet(
-      f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.toString): _*)
+    val dirs = f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.toString)
+    val staged =
+      if (!dynamicSchema) spark.read.parquet(dirs: _*)
+      else {
+        val frames = dirs.map(d => spark.read.parquet(d))
+        val target = frames.map(_.schema).reduce(mergeSchemas)
+        frames.map(align(_, target)).reduce(_ unionByName _)
+      }
     val v = mode match {
-      case "append" if hasSymbol(symbol) => append(symbol, staged, targetRows)
+      case "append" if hasSymbol(symbol) =>
+        append(symbol, staged, targetRows, dynamicSchema = dynamicSchema)
       case _ => write(symbol, staged, indexCol, targetRows)
     }
     f.delete(dir, true)
@@ -768,7 +1004,14 @@ final class Library(val root: String, spark: SparkSession) {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       columns.flatMap { c =>
+        // Decimal columns are excluded entirely: parquet may back them with
+        // FIXED_LEN_BYTE_ARRAY (stats render as opaque bytes, not decimal
+        // text) or with INT32/INT64 UNSCALED values (123 for 1.23) — either
+        // way the rendered bounds would not be comparable with query-side
+        // decimal literals, so no stats ⇒ statFilterKeep keeps the file
+        // (conservative, never wrong).
         val field = schema.fields.find(_.name == c)
+          .filterNot(_.dataType.isInstanceOf[DecimalType])
         val perBlock = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == c)
           .map(_.getStatistics)
@@ -791,9 +1034,12 @@ final class Library(val root: String, spark: SparkSession) {
     * string-like — orders lexicographically. Harvest
     * (readColumnFooterStats) and filter (statFilterKeep) MUST agree on
     * this, or stored bounds stop being an envelope under the filter's
-    * ordering and pruning drops matching files.
+    * ordering and pruning drops matching files. DecimalType never reaches
+    * either side (harvest skips it — its parquet stats are unscaled ints
+    * or raw bytes, not decimal text).
     */
   private def numericStats(t: DataType): Boolean = t match {
+    case _: DecimalType => false
     case _: NumericType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
@@ -820,34 +1066,84 @@ final class Library(val root: String, spark: SparkSession) {
   // ------------------------------------------------------------- batch
 
   /** Batch entry points (reference: read_batch library.py:2161,
-    * write_batch :1241, append_batch :1469, update_batch :1643). Plans are
-    * built lazily; Spark schedules the per-symbol jobs — on a cluster the
-    * actions can be submitted from concurrent threads, the driver code
-    * itself is metadata-only.
+    * write_batch :1241, append_batch :1469, update_batch :1643).
+    *
+    * Side-effecting batches (write/append/update) are SUBMITTED FROM A
+    * DRIVER THREAD POOL: Spark's scheduler accepts jobs from concurrent
+    * threads, so N symbols' writes overlap instead of serializing their
+    * commit latency (the reference runs batch requests concurrently the
+    * same way). Per-symbol manifest commits stay race-safe — the
+    * commit-retry loop in commitNew covers concurrent writers even to the
+    * SAME symbol. Result order matches input order; the first failure is
+    * rethrown after the pool drains.
     */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size)))
+    try {
+      val futures = items.map(a =>
+        pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futures.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** Default batch fan-out: enough to overlap commit+IO latency without
+    * flooding the scheduler; override per call for wide cluster batches.
+    */
+  val BatchParallelism = 8
+
   def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[DataFrame] =
     symbols.map(read(_, asOf))
 
-  /** read_batch with a per-symbol clause pipeline (reference passes a
-    * QueryBuilder per ReadRequest, library.py:2161).
-    */
+  /** read_batch with a shared clause pipeline applied to every symbol. */
   def readBatch(
       symbols: Seq[String],
       query: graft.query.QueryBuilder,
       asOf: AsOf): Seq[DataFrame] =
     symbols.map(s => query(read(s, asOf)))
 
+  /** read_batch with PER-SYMBOL options — the reference's ReadRequest
+    * carries as_of / date_range / row_range / columns / query_builder per
+    * symbol (library.py:278, consumed by read_batch :2161). Plan building
+    * is metadata-only (manifest reads), parallelized across requests.
+    */
+  def readBatch(requests: Seq[ReadRequest]): Seq[DataFrame] =
+    inParallel(requests, BatchParallelism) { r =>
+      require(r.rowRange.isEmpty || (r.dateRange.isEmpty && r.keyRange.isEmpty),
+        s"${r.symbol}: rowRange is exclusive with dateRange/keyRange")
+      val base = r.rowRange match {
+        case Some((s, e)) =>
+          val df = readRowRange(r.symbol, s, e, r.asOf).drop(RowIdCol)
+          r.columns.map(cs => df.select(cs.map(col): _*)).getOrElse(df)
+        case None =>
+          read(r.symbol, r.asOf, r.dateRange, r.columns, withRowId = false,
+            Nil, r.keyRange)
+      }
+      r.query.map(_(base)).getOrElse(base)
+    }
+
   def writeBatch(
       items: Seq[(String, DataFrame)],
       indexCol: Option[String] = None,
-      targetRows: Long = DefaultTargetRows): Seq[Int] =
-    items.map { case (s, df) => write(s, df, indexCol, targetRows) }
+      targetRows: Long = DefaultTargetRows,
+      parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(items, parallelism) { case (s, df) => write(s, df, indexCol, targetRows) }
 
-  def appendBatch(items: Seq[(String, DataFrame)], targetRows: Long = DefaultTargetRows): Seq[Int] =
-    items.map { case (s, df) => append(s, df, targetRows) }
+  def appendBatch(
+      items: Seq[(String, DataFrame)],
+      targetRows: Long = DefaultTargetRows,
+      parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(items, parallelism) { case (s, df) => append(s, df, targetRows) }
 
-  def updateBatch(items: Seq[(String, DataFrame)], targetRows: Long = DefaultTargetRows): Seq[Int] =
-    items.map { case (s, df) => update(s, df, targetRows) }
+  def updateBatch(
+      items: Seq[(String, DataFrame)],
+      targetRows: Long = DefaultTargetRows,
+      parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(items, parallelism) { case (s, df) => update(s, df, targetRows) }
 
   /** read_batch_and_join (reference: library.py:2348): read N symbols and
     * concatenate row-wise with inner/outer schema join + common-type
@@ -902,24 +1198,50 @@ final class Library(val root: String, spark: SparkSession) {
     val untouched = m.files.filterNot(f => inRuns(f.path))
     var v = m.version + 1
     val dataRoot = new Path(symDir(symbol), "data")
+    // Run-dir names carry a uuid: the version number chosen here can be
+    // bumped by the commit-retry loop below, and a later compaction that
+    // reuses the number must not collide with these dirs (manifests
+    // reference files by full relative path, so the name itself is free).
+    val runTag = UUID.randomUUID().toString.take(8)
     val runOut = runs.toVector.zipWithIndex.map { case (run, ri) =>
-      val dir = new Path(dataRoot, f"v$v%05d" + s"_c$ri")
+      val dir = new Path(dataRoot, f"v$v%05d" + s"_c${ri}_$runTag")
       dir -> writeData(readFiles(symbol, m, run, None, None, withRowId = false),
         dir, m.indexCol, targetRows)
     }
     val rewritten = runOut.flatMap(_._2)
     // files are index-disjoint, so min-idx order IS global row order
+    val stringIdx = m.indexCol.exists(i =>
+      isStringIdx(StructType.fromDDL(m.schemaDdl)(i).dataType))
     var offset = 0L
-    val ordered = (untouched ++ rewritten)
-      .sortBy(f => (f.minIdx.getOrElse(Long.MaxValue), f.path))
-      .map { f => val e = f.copy(rowOffset = offset); offset += f.rows; e }
+    val ordered = {
+      val all = untouched ++ rewritten
+      val sorted =
+        if (stringIdx)
+          all.sortWith { (a, b) =>
+            (a.minStr, b.minStr) match {
+              case (Some(x), Some(y)) =>
+                val c = Library.strCmp(x, y)
+                if (c != 0) c < 0 else a.path < b.path
+              case (Some(_), None) => true
+              case (None, Some(_)) => false
+              case (None, None) => a.path < b.path
+            }
+          }
+        else all.sortBy(f => (f.minIdx.getOrElse(Long.MaxValue), f.path))
+      sorted.map { f => val e = f.copy(rowOffset = offset); offset += f.rows; e }
+    }
     // Guard the invariant before committing: consecutive files must not
     // properly overlap (boundary ties of a single index value are fine —
     // all pruning treats [min,max] inclusively).
     ordered.iterator.sliding(2).withPartial(false).foreach { w =>
-      for (amx <- w(0).maxIdx; bmn <- w(1).minIdx)
-        require(amx <= bmn,
-          s"compact would overlap file index ranges: ${w(0).path} [..$amx] vs ${w(1).path} [$bmn..]")
+      if (stringIdx)
+        for (amx <- w(0).maxStr; bmn <- w(1).minStr)
+          require(Library.strCmp(amx, bmn) <= 0,
+            s"compact would overlap file index ranges: ${w(0).path} [..$amx] vs ${w(1).path} [$bmn..]")
+      else
+        for (amx <- w(0).maxIdx; bmn <- w(1).minIdx)
+          require(amx <= bmn,
+            s"compact would overlap file index ranges: ${w(0).path} [..$amx] vs ${w(1).path} [$bmn..]")
     }
     val nm = m.copy(
       version = v,
@@ -938,10 +1260,44 @@ object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
 
+  /** Unsigned UTF-8 byte order for string-index bounds — the ONE ordering
+    * shared by parquet binary stats, Spark's UTF8String comparison and its
+    * string range partitioning. Java's String.compareTo (UTF-16 code
+    * units) disagrees above the BMP (supplementary code points sort below
+    * U+E000..U+FFFF there), so manifest comparisons must never use it.
+    */
+  def strCmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  val strOrdering: Ordering[String] = (a: String, b: String) => strCmp(a, b)
+
   /** Inclusive range predicate for column-stats file pruning (the caller
     * still applies the exact row filter; this only skips whole files).
     */
   final case class ColRange(column: String, lo: Any, hi: Any)
+
+  /** Per-symbol read options for readBatch — the reference's ReadRequest
+    * (library.py:278): each symbol in a batch can carry its own as-of,
+    * date/key/row range, column projection and clause pipeline.
+    */
+  final case class ReadRequest(
+      symbol: String,
+      asOf: AsOf = AsOf.Latest,
+      dateRange: Option[(Long, Long)] = None,
+      keyRange: Option[(String, String)] = None,
+      rowRange: Option[(Long, Long)] = None,
+      columns: Option[Seq[String]] = None,
+      query: Option[graft.query.QueryBuilder] = None)
 
   /** get_info-style symbol descriptor. */
   final case class SymbolInfo(

@@ -1,0 +1,168 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+import graft.query.Expr
+import graft.query.Expr._
+
+/** Three-valued per-file predicate analysis over min/max column stats —
+  * the Spark-native port of the reference's column-stats filter, which
+  * evaluates the full filter AST in Kleene logic against the stats segment
+  * (reference: cpp/arcticdb/pipeline/column_stats_filter.cpp;
+  * operation_types.hpp:25-72 StatsComparison).
+  *
+  * A file may be skipped iff the predicate can NEVER evaluate to true for
+  * any of its rows. Each subexpression is abstracted to the pair
+  * (canBeTrue, canBeFalse) over the file's rows; SQL null outcomes satisfy
+  * neither a filter nor its negation, so they need no third flag — min/max
+  * bound only non-null values, and a comparison on a null row yields null,
+  * which counts toward neither side. NOT swaps the pair (NOT null is still
+  * null); AND/OR compose possibilities conservatively (no row-alignment
+  * assumption is needed for soundness: pruning only ever fires on
+  * IMpossibility, and AND is impossible whenever either side is).
+  *
+  * Leaves the stats cannot bound — isnull (no null counts in the sidecar),
+  * regex, ternary, arithmetic — evaluate to fully-unknown, which keeps the
+  * file. Adding a predicate form here can only improve pruning, never
+  * correctness.
+  */
+object StatsPruner {
+
+  /** May some row evaluate to true / to false. */
+  final case class Tri(canBeTrue: Boolean, canBeFalse: Boolean)
+  private val Unknown = Tri(canBeTrue = true, canBeFalse = true)
+
+  /** `stats`: column → (min, max) as rendered by the stats sidecar
+    * (decimal text for numeric columns, raw text for strings — the same
+    * convention Library.readColumnFooterStats writes).
+    */
+  def keepFile(
+      e: Expr,
+      stats: Map[String, (String, String)],
+      schema: StructType): Boolean =
+    eval(e, stats, schema).canBeTrue
+
+  private def numeric(t: DataType): Boolean = t match {
+    case _: DecimalType => false // excluded at harvest — never has stats
+    case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  private val CmpOps: Set[BinOp.Value] =
+    Set(BinOp.Eq, BinOp.Ne, BinOp.Lt, BinOp.Le, BinOp.Gt, BinOp.Ge)
+
+  private def flip(op: BinOp.Value): BinOp.Value = op match {
+    case BinOp.Lt => BinOp.Gt
+    case BinOp.Le => BinOp.Ge
+    case BinOp.Gt => BinOp.Lt
+    case BinOp.Ge => BinOp.Le
+    case other => other // Eq/Ne symmetric
+  }
+
+  private def eval(
+      e: Expr,
+      stats: Map[String, (String, String)],
+      schema: StructType): Tri = e match {
+    case Binary(BinOp.And, a, b) =>
+      val (x, y) = (eval(a, stats, schema), eval(b, stats, schema))
+      Tri(x.canBeTrue && y.canBeTrue, x.canBeFalse || y.canBeFalse)
+    case Binary(BinOp.Or, a, b) =>
+      val (x, y) = (eval(a, stats, schema), eval(b, stats, schema))
+      Tri(x.canBeTrue || y.canBeTrue, x.canBeFalse && y.canBeFalse)
+    case Unary(UnOp.Not, a) =>
+      val x = eval(a, stats, schema)
+      Tri(x.canBeFalse, x.canBeTrue)
+    case Binary(op, Col(n), Lit(v)) if CmpOps(op) => cmp(op, n, v, stats, schema)
+    case Binary(op, Lit(v), Col(n)) if CmpOps(op) => cmp(flip(op), n, v, stats, schema)
+    case IsIn(Col(n), vs, negate) =>
+      val base = isin(n, vs, stats, schema)
+      if (negate) Tri(base.canBeFalse, base.canBeTrue) else base
+    case _ => Unknown
+  }
+
+  /** Bounds of column `n` in a comparison-ready domain: Left = BigDecimal
+    * for numeric columns, Right = String lexicographic. None when the file
+    * has no usable stats for the column (⇒ unknown).
+    */
+  private def bounds(
+      n: String,
+      stats: Map[String, (String, String)],
+      schema: StructType): Option[Either[(BigDecimal, BigDecimal), (String, String)]] =
+    for {
+      field <- schema.fields.find(_.name == n)
+      (mn, mx) <- stats.get(n)
+      b <- if (numeric(field.dataType))
+        scala.util.Try((BigDecimal(mn), BigDecimal(mx))).toOption.map(Left(_))
+      else Some(Right((mn, mx)))
+    } yield b
+
+  private def litNum(v: Any): Option[BigDecimal] =
+    scala.util.Try(BigDecimal(v.toString)).toOption.filter(_ => v != null)
+
+  private def cmp(
+      op: BinOp.Value,
+      n: String,
+      v: Any,
+      stats: Map[String, (String, String)],
+      schema: StructType): Tri =
+    bounds(n, stats, schema) match {
+      case None => Unknown
+      case Some(Left((mn, mx))) =>
+        litNum(v) match {
+          case None => Unknown
+          case Some(x) => rangeCmp(op, mn, mx, x)
+        }
+      case Some(Right((mn, mx))) =>
+        if (v == null) Unknown
+        else {
+          val x = v.toString
+          rangeCmpOrd(op, mn, mx, x)(Ordering.String)
+        }
+    }
+
+  private def rangeCmp(op: BinOp.Value, mn: BigDecimal, mx: BigDecimal, x: BigDecimal): Tri =
+    rangeCmpOrd(op, mn, mx, x)(Ordering.BigDecimal)
+
+  /** canBeTrue: some value in [mn,mx] satisfies (col op x);
+    * canBeFalse: some value in [mn,mx] fails it.
+    */
+  private def rangeCmpOrd[A](op: BinOp.Value, mn: A, mx: A, x: A)(
+      implicit ord: Ordering[A]): Tri = {
+    import ord._
+    op match {
+      case BinOp.Lt => Tri(mn < x, mx >= x)
+      case BinOp.Le => Tri(mn <= x, mx > x)
+      case BinOp.Gt => Tri(mx > x, mn <= x)
+      case BinOp.Ge => Tri(mx >= x, mn < x)
+      case BinOp.Eq => Tri(mn <= x && x <= mx, !(mn.equiv(x) && mx.equiv(x)))
+      case BinOp.Ne => Tri(!(mn.equiv(x) && mx.equiv(x)), mn <= x && x <= mx)
+      case _ => Unknown
+    }
+  }
+
+  private def isin(
+      n: String,
+      vs: Seq[Any],
+      stats: Map[String, (String, String)],
+      schema: StructType): Tri =
+    bounds(n, stats, schema) match {
+      case None => Unknown
+      case Some(Left((mn, mx))) =>
+        val xs = vs.map(litNum)
+        if (xs.exists(_.isEmpty)) Unknown // unparseable member — cannot bound
+        else {
+          val in = xs.flatten
+          Tri(
+            canBeTrue = in.exists(x => mn <= x && x <= mx),
+            canBeFalse = !(mn == mx && in.contains(mn)))
+        }
+      case Some(Right((mn, mx))) =>
+        if (vs.contains(null)) Unknown
+        else {
+          val in = vs.map(_.toString)
+          Tri(
+            canBeTrue = in.exists(x => mn <= x && x <= mx),
+            canBeFalse = !(mn == mx && in.contains(mn)))
+        }
+    }
+}

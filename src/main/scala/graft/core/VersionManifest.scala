@@ -10,16 +10,23 @@ import org.json4s.jackson.Serialization
   * docs/mkdocs/docs/technical/on_disk_storage.md:41-56).
   *
   * minIdx/maxIdx are in the index column's canonical long unit (ns for
-  * long indexes, µs for timestamp indexes); rowOffset is the cumulative
-  * row count of all preceding files in index order — this is what makes
-  * head/tail/row_range a FILE-PRUNING operation instead of a global sort.
+  * long indexes, µs for timestamp indexes); for STRING-keyed indexes
+  * (the reference's four index kinds include a string TableIndex,
+  * cpp/arcticdb/stream/index.hpp:84) the bounds live in minStr/maxStr
+  * instead (lexicographic UTF-8 order — the order Spark's range
+  * partitioner and parquet's binary stats both use). rowOffset is the
+  * cumulative row count of all preceding files in index order — this is
+  * what makes head/tail/row_range a FILE-PRUNING operation instead of a
+  * global sort.
   */
 final case class FileEntry(
     path: String,
     rows: Long,
     rowOffset: Long,
     minIdx: Option[Long],
-    maxIdx: Option[Long])
+    maxIdx: Option[Long],
+    minStr: Option[String] = None,
+    maxStr: Option[String] = None)
 
 /** One immutable version of a symbol — the analog of the reference's
   * VERSION key pointing at a TABLE_INDEX (cpp/arcticdb/entity/key.hpp:62-123).
@@ -51,9 +58,14 @@ object VersionManifest {
 }
 
 /** Named cross-symbol consistent view (reference: library.py:2626
-  * `snapshot`, cpp/arcticdb/version/snapshot.cpp).
+  * `snapshot`, cpp/arcticdb/version/snapshot.cpp). `versions` may pin
+  * non-latest versions; `metadata` is caller-provided annotation.
   */
-final case class SnapshotManifest(name: String, createdAtMs: Long, versions: Map[String, Int])
+final case class SnapshotManifest(
+    name: String,
+    createdAtMs: Long,
+    versions: Map[String, Int],
+    metadata: Map[String, String] = Map.empty)
 
 object SnapshotManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)

@@ -15,12 +15,25 @@ import org.apache.spark.sql.functions._
   * Barrier clauses in the reference (GroupBy→Aggregation, Resample,
   * RowRange, Sort) are exactly where Catalyst inserts an Exchange.
   */
-final case class QueryBuilder(clauses: Vector[DataFrame => DataFrame] = Vector.empty) {
+final case class QueryBuilder(
+    clauses: Vector[DataFrame => DataFrame] = Vector.empty,
+    /** Filter Exprs that form an unbroken PREFIX of the pipeline (nothing
+      * but filters before them). Only these refer to the symbol's stored
+      * columns, so only these may drive per-file stats pruning
+      * (Library.readQuery → StatsPruner); a filter after a project/groupBy
+      * sees derived columns and is excluded.
+      */
+    prefixFilters: Vector[Expr] = Vector.empty,
+    private val prefixIntact: Boolean = true) {
 
-  private def add(f: DataFrame => DataFrame): QueryBuilder = copy(clauses :+ f)
+  private def add(f: DataFrame => DataFrame): QueryBuilder =
+    copy(clauses = clauses :+ f, prefixIntact = false)
 
   /** FilterClause (clause.hpp:142-199) — boolean expression AST → keep rows. */
-  def filter(e: Expr): QueryBuilder = add(df => df.filter(Expr.compile(e, df)))
+  def filter(e: Expr): QueryBuilder =
+    copy(
+      clauses = clauses :+ ((df: DataFrame) => df.filter(Expr.compile(e, df))),
+      prefixFilters = if (prefixIntact) prefixFilters :+ e else prefixFilters)
 
   /** ProjectClause (clause.hpp:201-258) — append computed column. */
   def project(name: String, e: Expr): QueryBuilder =

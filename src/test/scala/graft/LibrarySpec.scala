@@ -264,6 +264,175 @@ class LibrarySpec extends SparkSuite {
     assert(lib.listVersions("ev").size == 2) // write + one append version
   }
 
+  test("string-keyed index: write/read/append/update/delete with file pruning") {
+    val lib = newLib()
+    // 26 keys "ka".."kz" × 40 rows each, written as ~10 files of 100 rows
+    val df = spark.range(1040).select(
+      concat(lit("k"), chr(lit(97) + pmod(col("id"), lit(26)))).as("key"),
+      col("id").as("payload"))
+    lib.write("s", df, Some("key"), targetRows = 100)
+    val m = lib.resolveVersion("s")
+    assert(m.files.size >= 8)
+    // string bounds live in minStr/maxStr, ordered and non-overlapping
+    assert(m.files.forall(f => f.minStr.isDefined && f.maxStr.isDefined))
+    assert(m.files.forall(f => f.minIdx.isEmpty && f.maxIdx.isEmpty))
+    val bounds = m.files.map(f => (f.minStr.get, f.maxStr.get))
+    bounds.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(Library.strCmp(aMax, bMin) <= 0)
+      case _ =>
+    }
+    // keyRange read prunes files before the scan and filters residual rows
+    val pruned = lib.read("s", keyRange = Some(("kc", "kd")))
+    assert(scannedFiles(lib.read("s", keyRange = Some(("kc", "kd")))) <= 3,
+      "keyRange read must not scan the whole symbol")
+    assert(pruned.count() == df.filter(col("key").between("kc", "kd")).count())
+
+    // append: keys at/after the prior max pass validation; earlier keys fail
+    lib.append("s", Seq(("zz1", 9001L), ("zz2", 9002L)).toDF("key", "payload"),
+      targetRows = 100)
+    assert(lib.read("s").count() == 1042)
+    intercept[IllegalArgumentException](
+      lib.append("s", Seq(("aa", 0L)).toDF("key", "payload"), targetRows = 100))
+
+    // update splices only files covering the patch's key range
+    val m1 = lib.resolveVersion("s")
+    val patch = df.filter(col("key").between("kc", "kd"))
+      .withColumn("payload", col("payload") + 100000)
+    lib.update("s", patch, targetRows = 100)
+    val m2 = lib.resolveVersion("s")
+    assert(m1.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet).nonEmpty,
+      "update must reuse untouched files")
+    val after = lib.read("s")
+    assert(after.count() == 1042)
+    assert(after.filter(col("key").between("kc", "kd") && col("payload") < 100000)
+      .count() == 0)
+
+    // deleteRange on string bounds
+    lib.deleteRange("s", "kc", "kd")
+    assert(lib.read("s").count() ==
+      1042 - df.filter(col("key").between("kc", "kd")).count())
+  }
+
+  test("update with explicit dateRange deletes absent in-range rows; upsert creates") {
+    val lib = newLib()
+    val df = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
+    // upsert on a missing symbol creates it
+    intercept[NoSuchElementException](lib.update("s", df, targetRows = 50))
+    lib.update("s", df, targetRows = 50, upsert = true, indexCol = Some("ts2"))
+    assert(lib.read("s").count() == 100)
+    // explicit range [20,39]: patch only covers [20,29] — rows 30..39 must
+    // be DELETED (they are in range but absent from the patch); patch rows
+    // outside the range (45..49) are ignored
+    val patch = spark.range(20, 50).filter(col("id") < 30 || col("id") >= 45)
+      .select(col("id").as("ts2"), (col("id") + 1000).as("v"))
+    lib.update("s", patch, targetRows = 50, dateRange = Some((20L, 39L)))
+    val back = lib.read("s").orderBy("ts2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.length == 90) // 100 - 10 deleted (30..39)
+    assert(back.filter(_._1 >= 20).take(10).forall(p => p._2 == p._1 + 1000)) // 20..29 patched
+    assert(!back.exists(p => p._1 >= 30 && p._1 < 40)) // deleted
+    assert(back.filter(p => p._1 >= 45 && p._1 < 50).forall(p => p._2 == p._1)) // untouched
+  }
+
+  test("readBatch honors per-symbol ReadRequest options") {
+    val lib = newLib()
+    val df = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
+    lib.write("a", df, Some("ts2"), targetRows = 20)
+    lib.write("b", df, Some("ts2"), targetRows = 20)
+    val q = graft.query.QueryBuilder()
+      .filter(graft.query.Expr.col("v") >= graft.query.Expr.lit(95L))
+    val Seq(ra, rb, rc) = lib.readBatch(Seq(
+      Library.ReadRequest("a", dateRange = Some((10L, 19L))),
+      Library.ReadRequest("b", rowRange = Some((0L, 5L)), columns = Some(Seq("v"))),
+      Library.ReadRequest("b", query = Some(q))))
+    assert(ra.count() == 10)
+    assert(rb.columns.toSeq == Seq("v") && rb.count() == 5)
+    assert(rc.count() == 5)
+  }
+
+  test("writeBatch overlaps jobs across a driver thread pool") {
+    val lib = newLib()
+    val df = spark.range(500).select(col("id").as("ts2"), col("id").as("v"))
+    val items = (0 until 4).map(i => s"sym$i" -> df)
+    val versions = lib.writeBatch(items, Some("ts2"), targetRows = 100)
+    assert(versions == Seq(0, 0, 0, 0))
+    items.foreach { case (s, _) => assert(lib.read(s).count() == 500) }
+    // appendBatch + updateBatch run through the same pool
+    val more = spark.range(500, 600).select(col("id").as("ts2"), col("id").as("v"))
+    lib.appendBatch(items.map { case (s, _) => s -> more }, targetRows = 100)
+    items.foreach { case (s, _) => assert(lib.read(s).count() == 600) }
+  }
+
+  test("finalizeStaged unifies evolved staged-delta schemas under dynamicSchema") {
+    val lib = newLib()
+    val a = Seq((10L, 1), (20L, 2)).toDF("ts2", "x") // int x
+    val b = Seq((30L, 3.5, "n3"), (40L, 4.5, "n4")).toDF("ts2", "x", "tag") // double x + tag
+    lib.stage("s", a)
+    lib.stage("s", b)
+    // without dynamicSchema the mixed read is rejected or mis-typed; with
+    // it the deltas unify: x promotes to double, tag backfills null
+    lib.finalizeStaged("s", Some("ts2"), dynamicSchema = true)
+    val back = lib.read("s").orderBy("ts2")
+    import org.apache.spark.sql.types._
+    assert(back.schema("x").dataType == DoubleType)
+    val rows = back.collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.5, 4.5))
+    assert(rows(0).isNullAt(2) && rows(2).getString(2) == "n3")
+    // append-mode finalize with a further evolved delta
+    lib.stage("s", Seq((50L, 5.5, "n5", true)).toDF("ts2", "x", "tag", "flag"))
+    lib.finalizeStaged("s", Some("ts2"), mode = "append", dynamicSchema = true)
+    val evolved = lib.read("s").orderBy("ts2").collect()
+    assert(evolved.length == 5 && evolved(4).getBoolean(3))
+  }
+
+  test("snapshot pins explicit non-latest versions and carries metadata") {
+    val lib = newLib()
+    val df = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
+    lib.write("s", df, Some("ts2"), targetRows = 50) // v0: 100 rows
+    lib.append("s", spark.range(100, 150).select(col("id").as("ts2"), col("id").as("v")),
+      targetRows = 50) // v1: 150 rows
+    lib.write("t", df, Some("ts2"), targetRows = 50) // v0
+    lib.snapshot("pin0", versions = Map("s" -> 0), metadata = Map("why" -> "audit"))
+    // s reads back at its pinned v0, t at its latest
+    assert(lib.read("s", AsOf.Snapshot("pin0")).count() == 100)
+    assert(lib.read("t", AsOf.Snapshot("pin0")).count() == 100)
+    assert(lib.read("s").count() == 150)
+    assert(lib.snapshotMetadata("pin0") == Map("why" -> "audit"))
+    intercept[IllegalArgumentException](lib.snapshot("bad", versions = Map("s" -> 9)))
+    // pinned v0 survives pruning
+    lib.prunePreviousVersions("s")
+    assert(lib.read("s", AsOf.Snapshot("pin0")).count() == 100)
+  }
+
+  test("expression-AST stats pruning: NOT/isin/range prune files, Kleene-safe") {
+    import graft.query.Expr.{col => e, lit => l}
+    val lib = newLib()
+    val df = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 10).as("ts2"), pmod(col("id"), lit(7)).as("noise"))
+    lib.write("s", df, Some("ts2"), targetRows = 100)
+    lib.createColumnStats("s", Seq("k", "noise"))
+    val q = graft.query.QueryBuilder().filter((e("k") >= l(100L)) && (e("k") <= l(150L)))
+    val pruned = lib.readQuery("s", q)
+    assert(pruned.count() == 51)
+    assert(scannedFiles(lib.readQuery("s", q)) <= 2,
+      "conjunctive range filter must prune through the expression AST")
+    // NOT over a between-style conjunction: files wholly inside [200,800) are skipped
+    val qNot = graft.query.QueryBuilder().filter(!((e("k") >= l(200L)) && (e("k") < l(800L))))
+    assert(lib.readQuery("s", qNot).count() == 400)
+    assert(scannedFiles(lib.readQuery("s", qNot)) <= 5,
+      "NOT(range) must skip interior files")
+    // isin prunes to the covering files
+    val qIn = graft.query.QueryBuilder().filter(e("k").isin(5L, 7L, 950L))
+    assert(lib.readQuery("s", qIn).count() == 3)
+    assert(scannedFiles(lib.readQuery("s", qIn)) <= 2)
+    // filters the stats cannot bound keep everything (correct, conservative)
+    val qNull = graft.query.QueryBuilder().filter(e("noise").isNull || (e("k") < l(0L)))
+    assert(lib.readQuery("s", qNull).count() == 0)
+    // index column prunes from manifest bounds alone (no createColumnStats on ts2)
+    val qIdx = graft.query.QueryBuilder().filter(e("ts2") < l(500L))
+    assert(lib.readQuery("s", qIdx).count() == 50)
+    assert(scannedFiles(lib.readQuery("s", qIdx)) <= 1)
+  }
+
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))
