@@ -43,6 +43,67 @@ object Bench {
     "q51_sql_surface",
     "q53_multimodal_frames")
 
+  /** Time each headline query's oracle SQL in DuckDB (same parquet, warm
+    * run) via a python3 subprocess — measurement-only tooling so the 2×
+    * proxy gate is machine-checkable from BENCH json alone; the library
+    * itself never touches DuckDB. Returns empty on any failure (no python,
+    * no duckdb module): bench then emits spark timings only.
+    */
+  private def oracleTimes(sfDir: String): Map[String, Double] = {
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    try {
+      val sqls = SparkEntry.oracleSql.filter(kv => headline.contains(kv._1))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
+      val sqlJson = tmp.resolve("oracle_sql.json")
+      java.nio.file.Files.writeString(sqlJson,
+        sqls.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}"))
+      val script = tmp.resolve("time_oracle.py")
+      java.nio.file.Files.writeString(script,
+        """import json, sys, time
+          |import duckdb
+          |sf, sqls = sys.argv[1], json.load(open(sys.argv[2]))
+          |con = duckdb.connect()
+          |tables = ("region nation customer supplier part orders lineitem "
+          |          "events documents embeddings").split()
+          |for t in tables:
+          |    con.execute(
+          |        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |out = {}
+          |for name, sql in sqls.items():
+          |    try:
+          |        con.execute(sql).fetchall()
+          |        t0 = time.time()
+          |        con.execute(sql).fetchall()
+          |        out[name] = round(time.time() - t0, 3)
+          |    except Exception:
+          |        out[name] = -1.0
+          |print(json.dumps(out))
+          |""".stripMargin)
+      val p = new ProcessBuilder("python3", script.toString, sfDir, sqlJson.toString)
+        .redirectErrorStream(false).start()
+      val outStr = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() != 0 || outStr.isEmpty) return Map.empty
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(outStr) match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -64,12 +125,26 @@ object Bench {
     // the reference's ASV numbers report after their warmup rounds).
     headline.foreach(run)
     val results = headline.map(n => n -> run(n))
+    val oracle = oracleTimes(sfDir)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val extra =
+      if (oracle.isEmpty) ""
+      else {
+        val os = results.flatMap { case (k, _) => oracle.get(k).map(k -> _) }
+        val oJson = os.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        val rJson = results.flatMap { case (k, v) =>
+          oracle.get(k).filter(o => o > 0 && v >= 0)
+            .map(o => "\"" + k + "\":" + f"${v / o}%.2f")
+        }.mkString("{", ",", "}")
+        val oTotal = os.map(_._2).filter(_ >= 0).sum
+        s""","oracle":$oJson,"ratio":$rJson,"oracle_total":${f"$oTotal%.3f"}"""
+      }
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only q30 stage dissection (runMain graft.Q30Probe [sfDir]). */
+object Q30Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def time(label: String, reps: Int = 3)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[q30] $label: ${ts.min}%.2f s (min of $reps)")
+    }
+
+    val posts = graft.functions.Dedup.shinglePostings(docs, "doc_id", "text", 3)
+      .select(xxhash64(col("s")).as("s"), col("id").cast("long").as("id"), col("sz"))
+    def buckets = posts.groupBy("s")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    time("buckets")(buckets)
+    def pairsOnly = buckets.select(graft.plans.BucketPairs(col("docs"), 0.2))
+    time("buckets+generate")(pairsOnly)
+    def agged = pairsOnly
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), min(col("sza")).as("sza"), min(col("szb")).as("szb"))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+      .filter(col("jac") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    time("full (no order)")(agged)
+    time("full + orderBy")(agged.orderBy("id_a", "id_b"))
+    time("full + repartition(1) sort")(
+      agged.repartition(1).sortWithinPartitions("id_a", "id_b"))
+    spark.stop()
+  }
+}

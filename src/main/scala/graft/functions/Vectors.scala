@@ -160,14 +160,13 @@ object Vectors {
         col("cvec").as("centroid"))
     (0 until iters).foreach { _ =>
       val assigned = assignCells(c, centroids) // (cid, cvec, cell)
+      // Centroid update as ONE partial-aggregating vector-sum: each map
+      // task ships a (count, Σ) buffer of dim doubles per cell. The former
+      // posexplode formulation shuffled corpus×dim (cell, dim, x) rows per
+      // Lloyd pass — the exchange that would dominate a full-corpus train.
       centroids = assigned
-        .select(col("cell"), posexplode(col("cvec")))
-        .toDF("cell", "dim", "x")
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
         .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"),
-          transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+        .agg(graft.plans.VectorMean.mean(col("cvec")).as("centroid"))
     }
     centroids
   }

@@ -78,6 +78,18 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${truth.keySet -- got.keySet}")
   }
 
+  test("ivfCentroids: no dimension explosion — one vector_mean partial agg") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Vectors.ivfCentroids(emb, "vec_id", "embedding", 8, iters = 1)
+    val plan = cents.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "Lloyd centroid update must not posexplode corpus×dim rows")
+    assert(plan.contains("vector_mean"))
+    val rows = cents.collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.forall(_.getSeq[Float](1).nonEmpty))
+  }
+
   test("ivfTopK: structural invariants + exact rescoring + sane recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val got = Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
