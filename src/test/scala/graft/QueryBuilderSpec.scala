@@ -62,6 +62,21 @@ class QueryBuilderSpec extends SparkSuite {
     assert(ks(2, 5) == Seq(2L, 3L, 4L))
   }
 
+  test("rowRange on an unindexed frame rejects ends beyond the driver bound") {
+    // the fallback funnels the retained prefix through one task — it must
+    // fail loudly past MaxUnindexedEnd and point at Library.readRowRange
+    val df = (0 until 10).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      QueryBuilder().rowRange(Seq("k"), 0, QueryBuilder.MaxUnindexedEnd + 1)(df).collect()
+    }
+    assert(e.getMessage.contains("readRowRange"))
+    // frames carrying _row_id never hit the bound (pushed-down range filter)
+    val withId = df.withColumnRenamed("k", graft.core.Library.RowIdCol)
+    assert(QueryBuilder()
+      .rowRange(Seq(graft.core.Library.RowIdCol), 0, QueryBuilder.MaxUnindexedEnd + 1)(withId)
+      .count() == 10)
+  }
+
   test("resample data-derived origins anchor buckets at frame bounds") {
     // 10 points at ns 5000, 6000, ..., 14000; rule 4000ns (max NOT aligned
     // to min + k*rule, so start/end origins really differ)
