@@ -41,7 +41,10 @@ object Bench {
     "q47_resample_origin_start_day",
     "q48_resample_origin_end",
     "q51_sql_surface",
-    "q53_multimodal_frames")
+    "q53_multimodal_frames",
+    // round-4 additions (side-effect-free)
+    "q55_hash_sample_stratified",
+    "q56_repetition_ratio")
 
   /** Time each headline query's oracle SQL in DuckDB (same parquet, warm
     * run) via a python3 subprocess — measurement-only tooling so the 2×
@@ -125,6 +128,16 @@ object Bench {
     // the reference's ASV numbers report after their warmup rounds).
     headline.foreach(run)
     val results = headline.map(n => n -> run(n))
+    // Fixed per-query harness cost (plan + schedule + noop write of a
+    // 1-row frame): the floor under every sub-second timing above. On a
+    // real cluster this amortizes — a 100 TB scan pays it once, not per
+    // 60k rows — so ratio-vs-oracle for floor-dominated queries measures
+    // Spark's job overhead, not the operator's plan.
+    val floor = {
+      val t0 = System.nanoTime()
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val oracle = oracleTimes(sfDir)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -144,7 +157,7 @@ object Bench {
         s""","oracle":$oJson,"ratio":$rJson,"oracle_total":${f"$oTotal%.3f"}"""
       }
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$extra,"floor":${f"$floor%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,7 +49,21 @@ object GraftFunctions {
           s"graft_top_k k must be an integer literal, got $other")
       }
       TopKByScore(exprs(0), exprs(1), k)
-    }, "graft_top_k(score, id, k) - aggregate: k best (score,id) pairs"))
+    }, "graft_top_k(score, id, k) - aggregate: k best (score,id) pairs"),
+    ("graft_rolling_hash", exprs => RollingTextHash(exprs.head),
+      "graft_rolling_hash(text) - base-31 mod 2^31-1 hash of normalized text"),
+    ("graft_distinct_shingles", exprs => {
+      val n = exprs(1) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_distinct_shingles n must be an integer literal, got $other")
+      }
+      DistinctShingles(exprs.head, n)
+    }, "graft_distinct_shingles(text, n) - distinct word-n-gram shingles"),
+    ("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "graft_cosine(a, b) - cosine similarity of two float vectors"),
+    ("graft_vector_mean", exprs => VectorMean(exprs.head),
+      "graft_vector_mean(vec) - aggregate: element-wise mean of float vectors"))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -26,6 +26,32 @@ class SqlSurfaceSpec extends SparkSuite {
       viaCol.map(_.toSeq).toSeq.sortBy(_.head.toString))
   }
 
+  test("text/vector kernels are reachable from SQL and equal their Column twins") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql_spec2")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_rolling_hash(text) rh,
+               size(graft_distinct_shingles(text, 3)) ns
+         FROM docs_sql_spec2""").collect()
+    val viaCol = docs.select(col("doc_id"),
+      Text.rollingHash(col("text")),
+      size(graft.plans.DistinctShingles(col("text"), 3))).collect()
+    assert(viaSql.map(_.toSeq).toSeq.sortBy(_.head.toString) ==
+      viaCol.map(_.toSeq).toSeq.sortBy(_.head.toString))
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    emb.createOrReplaceTempView("emb_sql_spec")
+    val sims = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) s
+         FROM emb_sql_spec a JOIN emb_sql_spec b ON b.vec_id = 0
+         WHERE a.vec_id < 5""").collect()
+    assert(sims.length == 5 && sims.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+    val mean = spark.sql(
+      "SELECT graft_vector_mean(embedding) m FROM emb_sql_spec").collect()
+    assert(mean.head.getSeq[Float](0).nonEmpty)
+  }
+
   test("graft_top_k works as a SQL aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7), (2L, 13L, 0.1))
