@@ -448,6 +448,22 @@ object SparkEntry {
         .select(col("event_id"), tsUs, round(col("value"), 6).as("value"), col("props"))
         .orderBy("event_id")
     },
+    "q62_merge_symbol" -> { (s, dir) =>
+      // merge_experimental parity (reference library.py:3411): matched
+      // rows update, unmatched source rows insert, unmatched in-range
+      // TARGET rows survive (the semantic difference vs update(dateRange)).
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      lib.write("ev", ev, Some("event_id"), targetRows = 3000)
+      val updates = ev.filter(col("event_id").between(2000, 2099))
+        .withColumn("value", round(col("value") + 7000, 6))
+      val inserts = ev.filter(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 100000)
+      lib.merge("ev", updates.unionByName(inserts), targetRows = 3000)
+      lib.read("ev")
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
     // ---------------- LLM pipeline: dedup -----------------------------
     "q27_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -847,6 +863,15 @@ object SparkEntry {
                  THEN CAST(CAST(value AS REAL) AS DOUBLE) ELSE value END, 6) AS value,
            CASE WHEN epoch_ns(ts) < 1704240000000000000 THEN NULL ELSE props END AS props
          FROM events ORDER BY event_id""",
+    "q62_merge_symbol" ->
+      """SELECT event_id, epoch_us(ts) AS ts,
+           CASE WHEN event_id BETWEEN 2000 AND 2099
+                THEN round(value + 7000, 6) ELSE value END AS value
+         FROM events
+         UNION ALL
+         SELECT event_id + 100000, epoch_us(ts), value FROM events
+         WHERE event_id < 50
+         ORDER BY event_id""",
     "q27_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",

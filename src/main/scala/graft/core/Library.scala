@@ -554,14 +554,26 @@ final class Library(val root: String, spark: SparkSession) {
       case (None, Some(r)) => Some(align(r, StructType.fromDDL(m.schemaDdl)))
       case (None, None) => None
     }
+    commitRewrite(symbol, m, combined, untouched, range, targetRows)
+  }
 
+  /** Shared tail of every range rewrite (update/deleteRange/merge): write
+    * the combined frame as the new version's delta, keep global index
+    * order untouched-before ++ rewritten ++ untouched-after, commit.
+    */
+  private def commitRewrite(
+      symbol: String,
+      m: VersionManifest,
+      combined: Option[DataFrame],
+      untouched: Vector[FileEntry],
+      range: KeyRange,
+      targetRows: Long): Int = {
     var v = m.version + 1
     val newDir = dataDir(symbol, v)
     val rewritten = combined match {
       case Some(d) => writeData(d, newDir, m.indexCol, targetRows)
       case None => Vector.empty
     }
-    // Keep global index order: untouched-before ++ rewritten ++ untouched-after.
     val (before, after) = untouched.partition(range.wholeFileBelow)
     var offset = 0L
     val ordered = (before ++ rewritten ++ after).map { f =>
@@ -576,6 +588,38 @@ final class Library(val root: String, spark: SparkSession) {
     var committed = commitManifest(symbol, nm)
     while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
     v
+  }
+
+  /** merge_experimental (reference: library.py:3411, MergeStrategy
+    * _store.py:117): SQL-MERGE df into the symbol by index key — matched
+    * rows update (or do_nothing), unmatched source rows insert (or
+    * do_nothing). Only files whose index range intersects df's keys are
+    * rewritten, so a merge of one day's corrections never rewrites years
+    * of data; unmatched in-range target rows always survive (unlike
+    * update(dateRange), which deletes them).
+    */
+  def merge(
+      symbol: String,
+      df: DataFrame,
+      matched: String = "update",
+      notMatchedByTarget: String = "insert",
+      targetRows: Long = DefaultTargetRows): Int = {
+    val v = latestVersion(symbol).getOrElse(
+      throw new NoSuchElementException(s"symbol $symbol does not exist"))
+    val m = manifest(symbol, v)
+    require(!m.deleted, s"symbol $symbol is deleted")
+    val idx = m.indexCol.getOrElse(
+      throw new IllegalArgumentException("merge requires an indexed symbol"))
+    val range = keyRangeFor(m, df, idx)
+    val (touched, untouched) = m.files.partition(range.intersectsStrict)
+    val target = StructType.fromDDL(m.schemaDdl)
+    val old =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+      else readFiles(symbol, m, touched, None, None, withRowId = false)
+    val merged = graft.operators.MergeUpdate.merge(
+      old, align(df, target), Seq(idx), matched, notMatchedByTarget)
+    commitRewrite(symbol, m, Some(merged), untouched, range, targetRows)
   }
 
   // ------------------------------------------------------------- read
@@ -781,6 +825,50 @@ final class Library(val root: String, spark: SparkSession) {
   def readMetadata(symbol: String, asOf: AsOf = AsOf.Latest): Map[String, String] =
     resolveVersion(symbol, asOf).metadata
 
+  def readMetadataBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[Map[String, String]] =
+    symbols.map(readMetadata(_, asOf))
+
+  /** write_metadata (reference: library.py:2534): a new version that
+    * REPLACES the metadata and shares every data file — a metadata-only
+    * commit, no data IO.
+    */
+  def writeMetadata(symbol: String, metadata: Map[String, String]): Int = {
+    val m = resolveVersion(symbol)
+    var v = m.version + 1
+    val nm = m.copy(version = v, metadata = metadata,
+      createdAtMs = System.currentTimeMillis())
+    var committed = commitManifest(symbol, nm)
+    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
+    v
+  }
+
+  def writeMetadataBatch(
+      items: Seq[(String, Map[String, String])],
+      parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(items, parallelism) { case (s, md) => writeMetadata(s, md) }
+
+  /** The write_pickle analog (reference: library.py:1148): version an
+    * OPAQUE payload that is not a dataframe. The bytes land as a 1-row
+    * binary column — same versioning, snapshots, as-of and metadata as any
+    * symbol; the payload is whatever the caller serialized (the reference
+    * stores a python pickle; a JVM caller stores its own codec's output).
+    */
+  def writeBlob(
+      symbol: String,
+      payload: Array[Byte],
+      metadata: Map[String, String] = Map.empty): Int = {
+    val schema = StructType(Seq(StructField("payload", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(payload)), schema)
+    write(symbol, df, None, targetRows = 1L, metadata = metadata + ("graft.blob" -> "true"))
+  }
+
+  def readBlob(symbol: String, asOf: AsOf = AsOf.Latest): Array[Byte] = {
+    require(resolveVersion(symbol, asOf).metadata.get("graft.blob").contains("true"),
+      s"$symbol is not a blob symbol")
+    read(symbol, asOf).head().getAs[Array[Byte]](0)
+  }
+
   /** Symbol descriptor (reference: get_description / get_info). */
   def getInfo(symbol: String, asOf: AsOf = AsOf.Latest): SymbolInfo = {
     val m = resolveVersion(symbol, asOf)
@@ -898,6 +986,35 @@ final class Library(val root: String, spark: SparkSession) {
     val id = UUID.randomUUID().toString
     df.write.mode("errorifexists").parquet(new Path(stagedDir(symbol), id).toString)
     id
+  }
+
+  /** get_staged_symbols (reference: library.py:2006): symbols with pending
+    * staged deltas — including ones that have no finalized version yet.
+    */
+  def getStagedSymbols(): Seq[String] = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) Seq.empty
+    else
+      f.listStatus(rootP).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(_.startsWith("_"))
+        .filter { s =>
+          val d = stagedDir(s)
+          val fd = fs(d)
+          fd.exists(d) && fd.listStatus(d).nonEmpty
+        }
+        .sorted
+  }
+
+  /** delete_staged_data / remove_incompletes (reference: library.py:1723,
+    * :855): drop pending staged deltas without finalizing them.
+    */
+  def deleteStagedData(symbol: String): Unit = {
+    val d = stagedDir(symbol)
+    fs(d).delete(d, true)
+    ()
   }
 
   /** finalize_staged_data / sort_and_finalize_staged_data
@@ -1145,6 +1262,10 @@ final class Library(val root: String, spark: SparkSession) {
       parallelism: Int = BatchParallelism): Seq[Int] =
     inParallel(items, parallelism) { case (s, df) => update(s, df, targetRows) }
 
+  /** delete_batch (reference: library.py:2703) — tombstones, in parallel. */
+  def deleteBatch(symbols: Seq[String], parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(symbols, parallelism)(delete)
+
   /** read_batch_and_join (reference: library.py:2348): read N symbols and
     * concatenate row-wise with inner/outer schema join + common-type
     * promotion — the ConcatClause over the version layer.
@@ -1168,20 +1289,16 @@ final class Library(val root: String, spark: SparkSession) {
     * rewrites the whole symbol after every run of small appends.
     * Returns the current version unchanged if nothing is fragmented.
     */
-  def compact(symbol: String, targetRows: Long = DefaultTargetRows): Int = {
-    val m = resolveVersion(symbol)
-    if (m.indexCol.isEmpty)
-      return write(symbol, read(symbol), None, targetRows, m.metadata) // unsorted: full rewrite
-
+  /** Contiguous runs of ≥2 undersized files — the rewrite units of
+    * compact. Each run is rewritten INDEPENDENTLY: one combined rewrite of
+    * non-adjacent runs could emit a file spanning the index gap between
+    * them, overlapping the untouched full-size files in between and
+    * corrupting the files-are-index-disjoint invariant that _row_id /
+    * head / tail / readRowRange reconstruction relies on.
+    */
+  private def fragmentedRuns(m: VersionManifest, targetRows: Long): Vector[Vector[FileEntry]] = {
     val thresh = targetRows * 2 / 3
     val small = m.files.map(_.rows < thresh)
-    // Contiguous runs of >=2 small files. Each run is rewritten
-    // INDEPENDENTLY: one combined rewrite of non-adjacent runs could emit
-    // a file spanning the index gap between them, overlapping the
-    // untouched full-size files in between and corrupting the
-    // files-are-index-disjoint invariant that _row_id / head / tail /
-    // readRowRange reconstruction relies on. Per-run rewrites stay inside
-    // their run's index span by construction.
     val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[FileEntry]]
     var i = 0
     while (i < m.files.size) {
@@ -1192,6 +1309,30 @@ final class Library(val root: String, spark: SparkSession) {
         i = j
       } else i += 1
     }
+    runs.toVector
+  }
+
+  /** is_symbol_fragmented (reference: library.py:3315). */
+  def isSymbolFragmented(symbol: String, targetRows: Long = DefaultTargetRows): Boolean = {
+    val m = resolveVersion(symbol)
+    m.indexCol.nonEmpty && fragmentedRuns(m, targetRows).nonEmpty
+  }
+
+  /** compact_data_explain_plan (reference: library.py:3202): the file runs
+    * a compact at this geometry WOULD rewrite, without executing it.
+    */
+  def compactExplainPlan(symbol: String, targetRows: Long = DefaultTargetRows): Seq[Seq[String]] = {
+    val m = resolveVersion(symbol)
+    if (m.indexCol.isEmpty) Seq(m.files.map(_.path))
+    else fragmentedRuns(m, targetRows).map(_.map(_.path))
+  }
+
+  def compact(symbol: String, targetRows: Long = DefaultTargetRows): Int = {
+    val m = resolveVersion(symbol)
+    if (m.indexCol.isEmpty)
+      return write(symbol, read(symbol), None, targetRows, m.metadata) // unsorted: full rewrite
+
+    val runs = fragmentedRuns(m, targetRows)
     if (runs.isEmpty) return m.version
 
     val inRuns = runs.flatten.map(_.path).toSet

@@ -433,6 +433,75 @@ class LibrarySpec extends SparkSuite {
     assert(scannedFiles(lib.readQuery("s", qIdx)) <= 1)
   }
 
+  test("merge upserts by index key, preserving unmatched in-range rows") {
+    val lib = newLib()
+    val df = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
+    lib.write("s", df, Some("ts2"), targetRows = 20)
+    val m0 = lib.resolveVersion("s")
+    // patch: update keys 40,42 and insert new keys 41.5-like (use 200, 201)
+    val patch = Seq((40L, 9040L), (42L, 9042L), (200L, 9200L), (201L, 9201L))
+      .toDF("ts2", "v")
+    lib.merge("s", patch, targetRows = 20)
+    val back = lib.read("s").orderBy("ts2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.length == 102) // 100 + 2 inserts
+    val byKey = back.toMap
+    assert(byKey(40L) == 9040L && byKey(42L) == 9042L) // matched → updated
+    assert(byKey(41L) == 41L) // in-range unmatched target row SURVIVES (vs update)
+    assert(byKey(200L) == 9200L && byKey(201L) == 9201L) // inserts
+    // untouched files shared with prior version
+    val m1 = lib.resolveVersion("s")
+    assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).nonEmpty)
+    // do_nothing strategies
+    lib.merge("s", Seq((40L, 1L), (300L, 300L)).toDF("ts2", "v"),
+      matched = "do_nothing", targetRows = 20)
+    val after = lib.read("s").orderBy("ts2").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(40L) == 9040L && after(300L) == 300L)
+  }
+
+  test("metadata-only commits, blob symbols, staged bookkeeping, delete batch") {
+    val lib = newLib()
+    val df = spark.range(10).select(col("id").as("ts2"), col("id").as("v"))
+    lib.write("s", df, Some("ts2"), targetRows = 100, metadata = Map("a" -> "1"))
+    // write_metadata: new version, same files, no data IO
+    val m0 = lib.resolveVersion("s")
+    lib.writeMetadata("s", Map("a" -> "2", "b" -> "3"))
+    val m1 = lib.resolveVersion("s")
+    assert(m1.version == m0.version + 1 && m1.files == m0.files)
+    assert(lib.readMetadata("s") == Map("a" -> "2", "b" -> "3"))
+    assert(lib.readMetadata("s", AsOf.Version(m0.version)) == Map("a" -> "1"))
+    assert(lib.readMetadataBatch(Seq("s", "s")).forall(_("b") == "3"))
+
+    // blob (write_pickle analog): versioned opaque payload
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    lib.writeBlob("model", payload, Map("fmt" -> "test"))
+    assert(lib.readBlob("model").toSeq == payload.toSeq)
+    assert(lib.readMetadata("model")("fmt") == "test")
+    intercept[IllegalArgumentException](lib.readBlob("s"))
+
+    // staged bookkeeping
+    lib.stage("pending", df)
+    assert(lib.getStagedSymbols() == Seq("pending"))
+    lib.deleteStagedData("pending")
+    assert(lib.getStagedSymbols().isEmpty)
+
+    // fragmentation probe + explain plan agree with compact
+    val frag = newLib()
+    val d2 = spark.range(900).select(col("id").as("ts2"), (col("id") * 2).as("x"))
+    frag.write("t", d2.filter(col("ts2") < 600), Some("ts2"), targetRows = 300)
+    (0 until 3).foreach(i => frag.append("t",
+      d2.filter(col("ts2").between(600 + i * 100, 699 + i * 100)), targetRows = 300))
+    assert(frag.isSymbolFragmented("t", targetRows = 300))
+    val plan = frag.compactExplainPlan("t", targetRows = 300)
+    assert(plan.size == 1 && plan.head.size == 3) // the 3×100-row tail run
+    frag.compact("t", targetRows = 300)
+    assert(!frag.isSymbolFragmented("t", targetRows = 300))
+
+    // delete_batch tombstones in parallel
+    lib.writeBatch(Seq("d1" -> df, "d2" -> df), Some("ts2"), 100)
+    lib.deleteBatch(Seq("d1", "d2"))
+    assert(!lib.hasSymbol("d1") && !lib.hasSymbol("d2"))
+  }
+
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))
