@@ -205,15 +205,16 @@ object Dedup {
     // bucket directly, with the exact length-ratio prune
     // (jac ≤ min(sz)/max(sz), so min < t·max can never pass) applied
     // inline — one Generate instead of explode×explode+filters pushing m²
-    // rows through the plan's widest point.
+    // rows through the plan's widest point. szsum (= |A|+|B|, constant per
+    // pair) rides as one long; first() picks it up for free alongside the
+    // intersection count.
     buckets
       .select(graft.plans.BucketPairs(col("docs"), threshold))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        min(col("sza")).as("sza"), min(col("szb")).as("szb"))
+      .agg(count(lit(1)).as("inter"), first(col("szsum")).as("szsum"))
       .withColumn("jac",
         round(col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+          (col("szsum") - col("inter")).cast("double"), 6))
       .filter(col("jac") >= threshold)
       // ids were widened to long for the pair kernel; narrow back so the
       // output schema matches the input id column's type

@@ -197,9 +197,12 @@ object ShinglePostings {
 /** `bucket_pairs(docs, threshold)`: ordered candidate pairs from one
   * inverted-index bucket. Input is array<struct<id long, sz long>> (the
   * docs sharing a shingle, each with its distinct-shingle count); output
-  * rows are (id_a < id_b, sza, szb) with the exact length-ratio prune
-  * `min(sz) ≥ threshold·max(sz)` applied inline (Jaccard ≤ min/max, so
-  * pruned pairs can never reach the threshold).
+  * rows are (id_a < id_b, szsum = sza+szb) with the exact length-ratio
+  * prune `min(sz) ≥ threshold·max(sz)` applied inline (Jaccard ≤ min/max,
+  * so pruned pairs can never reach the threshold). Only the SUM of the two
+  * set sizes leaves the generator: downstream Jaccard is
+  * inter/(szsum−inter), so shipping sza and szb separately would widen the
+  * pipeline's biggest exchange for nothing.
   *
   * Replaces explode(docs)×explode(docs)+filters: that plan pushes m² rows
   * through two Generate nodes before filtering; this emits the ≤ m(m-1)/2
@@ -213,7 +216,7 @@ final case class BucketPairs(child: Expression, threshold: Double)
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("id_a", LongType), StructField("id_b", LongType),
-    StructField("sza", LongType), StructField("szb", LongType)))
+    StructField("szsum", LongType)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StructType(Array(a, b)), _)
@@ -246,10 +249,11 @@ final case class BucketPairs(child: Expression, threshold: Double)
         val mn = math.min(szs(i), szs(j))
         val mx = math.max(szs(i), szs(j))
         if (mn >= threshold * mx) {
+          val szsum = szs(i) + szs(j)
           if (ids(i) < ids(j))
-            out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), szs(i), szs(j))
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), szsum)
           else if (ids(j) < ids(i))
-            out += org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), szs(j), szs(i))
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), szsum)
           // equal ids (same doc twice in a bucket cannot happen — postings
           // are distinct per doc) emit nothing
         }

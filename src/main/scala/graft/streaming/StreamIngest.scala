@@ -49,6 +49,30 @@ object StreamIngest {
         ()
       }
 
+  /** Upsert every micro-batch into `symbol` by its index key (CDC-style
+    * sink): matched rows update, new keys insert, rows outside the batch's
+    * key range are never rewritten (Library.merge splices only
+    * intersecting files). Unlike stageSink, each batch COMMITS a version —
+    * use it when readers must see the stream's latest state, and stageSink
+    * + finalize when ingest throughput matters more than visibility.
+    * Batches must carry unique index keys (merge is keyed SQL MERGE).
+    */
+  def mergeSink(
+      lib: Library,
+      symbol: String,
+      stream: DataFrame,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      targetRows: Long = Library.DefaultTargetRows): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) lib.merge(symbol, batch.toDF(), targetRows = targetRows)
+        ()
+      }
+
   /** Streaming resample: per-bucket aggregates over an event-time ns-long
     * ts column, emitting a bucket only once the watermark passes its end
     * (append mode ⇒ results match the batch resample on the same data).

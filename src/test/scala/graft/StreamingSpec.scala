@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSuite {
     assert(back.length == 3) // exactly-once: batch 1 not re-staged
   }
 
+  test("mergeSink upserts micro-batches into a versioned symbol by key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF.toDF("k", "v")
+    val lib = new Library(tmp("graft-merge-lib-"), spark)
+    lib.write("state", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"),
+      Some("k"), targetRows = 10)
+    val ckpt = tmp("graft-merge-ckpt-")
+
+    mem.addData((2L, 20.0), (4L, 40.0)) // update k=2, insert k=4
+    val q1 = StreamIngest.mergeSink(lib, "state", df, ckpt, Trigger.AvailableNow(), 10).start()
+    q1.awaitTermination()
+    mem.addData((1L, 10.0)) // second incremental batch updates k=1 only
+    val q2 = StreamIngest.mergeSink(lib, "state", df, ckpt, Trigger.AvailableNow(), 10).start()
+    q2.awaitTermination()
+
+    val got = lib.read("state").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0, 4L -> 40.0))
+    assert(lib.listVersions("state").size == 3) // write + one version per batch
+  }
+
   test("resampleStream emits the same buckets as the batch resample") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
