@@ -103,6 +103,24 @@ object ScaleProbe {
         graft.functions.Dedup.dropExactDuplicates(docs, "doc_id", "text"),
         "doc_id", "text", 3, 0.2)
     }
+
+    // Batch-write overlap: N symbols written through the driver thread
+    // pool vs a sequential loop. Spark schedules concurrent jobs across
+    // idle cores, so the pooled batch should land well under N× one
+    // write's latency — the property that matters when a real cluster
+    // ingests hundreds of symbols.
+    {
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-scale-batch-").toString, spark)
+      val syms = (0 until 8).map(i => s"batch$i" -> ev.limit(200000))
+      val t0 = System.nanoTime()
+      syms.foreach { case (s, df) => lib.write(s + "_seq", df, Some("ts"), 100000) }
+      val seq = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      lib.writeBatch(syms, Some("ts"), 100000)
+      val par = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] write 8 symbols sequential: $seq%.2f s, pooled batch: $par%.2f s")
+    }
     spark.stop()
   }
 }
