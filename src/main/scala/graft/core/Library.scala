@@ -235,10 +235,15 @@ final class Library(val root: String, spark: SparkSession) {
     }
     // zstd: the reference's block codec family (codec/, LZ4/ZSTD); better
     // ratio than snappy at similar scan cost — fewer bytes per 100 TB.
-    prepared.write
+    // Index-column bloom filter: point lookups (`idx = x`) prune ROW GROUPS
+    // the min/max envelope can't exclude — Spark's parquet reader consults
+    // it on pushed-down equality, on top of the manifest's file-level
+    // pruning.
+    val writer = prepared.write
       .option("compression", "zstd")
       .option("maxRecordsPerFile", targetRows)
-      .mode("errorifexists").parquet(dir.toString)
+    indexCol.foreach(i => writer.option(s"parquet.bloom.filter.enabled#$i", "true"))
+    writer.mode("errorifexists").parquet(dir.toString)
 
     val idxType = indexCol.map(i => df.schema(i).dataType)
     val stats = footerStats(dir, indexCol, idxType)

@@ -16,6 +16,78 @@ class PropertySpec extends SparkSuite {
   private def sample[A](g: Gen[A], n: Int, seed: Long): List[A] =
     Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("property: StatsPruner never prunes a file containing a matching row") {
+    // Soundness of the Kleene evaluator: for random value sets (the
+    // "file"), random predicate trees over one column, keepFile == false
+    // must imply NO row satisfies the predicate. (Completeness — pruning
+    // as often as possible — is quality, not correctness, and is covered
+    // by the file-count asserts in LibrarySpec.)
+    import graft.query.Expr
+    import graft.query.Expr._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType)))
+
+    def evalRow(e: Expr, x: Long): Option[Boolean] = e match { // None = SQL null
+      case Binary(BinOp.And, a, b) => (evalRow(a, x), evalRow(b, x)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Binary(BinOp.Or, a, b) => (evalRow(a, x), evalRow(b, x)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Unary(UnOp.Not, a) => evalRow(a, x).map(!_)
+      case Binary(op, Col("x"), Lit(v: Long)) => Some(op match {
+        case BinOp.Lt => x < v
+        case BinOp.Le => x <= v
+        case BinOp.Gt => x > v
+        case BinOp.Ge => x >= v
+        case BinOp.Eq => x == v
+        case BinOp.Ne => x != v
+        case _ => throw new IllegalStateException
+      })
+      case IsIn(Col("x"), vs, neg) =>
+        val in = vs.asInstanceOf[Seq[Long]].contains(x)
+        Some(if (neg) !in else in)
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+    val litGen = Gen.chooseNum(-50L, 50L)
+    val cmpGen: Gen[Expr] = for {
+      op <- Gen.oneOf(BinOp.Lt, BinOp.Le, BinOp.Gt, BinOp.Ge, BinOp.Eq, BinOp.Ne)
+      v <- litGen
+    } yield Binary(op, Col("x"), Lit(v))
+    val isinGen: Gen[Expr] = for {
+      vs <- Gen.nonEmptyListOf(litGen)
+      neg <- Gen.oneOf(true, false)
+    } yield IsIn(Col("x"), vs, neg)
+    def tree(depth: Int): Gen[Expr] =
+      if (depth == 0) Gen.oneOf(cmpGen, isinGen)
+      else Gen.frequency(
+        3 -> cmpGen,
+        2 -> isinGen,
+        2 -> (for { a <- tree(depth - 1); b <- tree(depth - 1) } yield Binary(BinOp.And, a, b)),
+        2 -> (for { a <- tree(depth - 1); b <- tree(depth - 1) } yield Binary(BinOp.Or, a, b)),
+        2 -> tree(depth - 1).map(Unary(UnOp.Not, _)))
+
+    var pruned = 0
+    var kept = 0
+    for (seed <- 1L to 200L) {
+      val vals = sample(Gen.chooseNum(-40L, 40L), 8, seed).distinct
+      val stats = Map("x" -> (vals.min.toString, vals.max.toString))
+      val e = tree(3).apply(Gen.Parameters.default, Seed(seed * 7 + 1)).get
+      val keep = graft.core.StatsPruner.keepFile(e, stats, schema)
+      val anyMatch = vals.exists(x => evalRow(e, x).contains(true))
+      if (!keep) {
+        pruned += 1
+        assert(!anyMatch, s"seed=$seed pruned a file with matching rows: $e vals=$vals")
+      } else kept += 1
+    }
+    assert(pruned > 10, s"property vacuous: pruner never fired (pruned=$pruned kept=$kept)")
+  }
+
   test("property: resample buckets partition the timeline for random ts/rules") {
     val tsGen = Gen.chooseNum(-1000000000000L, 1000000000000L)
     for ((ruleNs, seed) <- Seq((7L, 1L), (1000L, 2L), (3600L * 1000000000L, 3L))) {
