@@ -30,15 +30,53 @@ object Q30Probe {
     time("buckets+generate")(pairsOnly)
     def agged = pairsOnly
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), min(col("sza")).as("sza"), min(col("szb")).as("szb"))
+      .agg(count(lit(1)).as("inter"), first(col("szsum")).as("szsum"))
       .withColumn("jac", round(col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+        (col("szsum") - col("inter")).cast("double"), 6))
       .filter(col("jac") >= 0.2)
       .select(col("id_a"), col("id_b"), col("jac"))
     time("full (no order)")(agged)
     time("full + orderBy")(agged.orderBy("id_a", "id_b"))
     time("full + repartition(1) sort")(
       agged.repartition(1).sortWithinPartitions("id_a", "id_b"))
+
+    // Experiment: fuse pair generation + per-partition aggregation into one
+    // mapPartitions (bypasses Generate + codegen partial agg; pays encoder
+    // deserialization of the docs arrays instead).
+    import spark.implicits._
+    def fused = {
+      val t = 0.2
+      buckets.as[(Long, Seq[(Long, Long)])].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(Long, Long), Array[Long]]
+        while (it.hasNext) {
+          val docs = it.next()._2.toArray
+          var i = 0
+          while (i < docs.length) {
+            var j = i + 1
+            while (j < docs.length) {
+              val (ia, sza) = docs(i)
+              val (ib, szb) = docs(j)
+              val mn = math.min(sza, szb)
+              val mx = math.max(sza, szb)
+              if (mn >= t * mx && ia != ib) {
+                val key = if (ia < ib) (ia, ib) else (ib, ia)
+                m.getOrElseUpdate(key, Array(0L, sza + szb))(0) += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        m.iterator.map { case ((a, b), v) => (a, b, v(0), v(1)) }
+      }.toDF("id_a", "id_b", "pinter", "szsum")
+        .groupBy("id_a", "id_b")
+        .agg(sum("pinter").as("inter"), first("szsum").as("szsum"))
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("szsum") - col("inter")).cast("double"), 6))
+        .filter(col("jac") >= t)
+        .select(col("id_a"), col("id_b"), col("jac"))
+    }
+    time("fused mapPartitions variant")(fused)
     spark.stop()
   }
 }
