@@ -222,6 +222,70 @@ object Dedup {
         col("id_b").cast(idType).as("id_b"), col("jac"))
   }
 
+  /** ---- duplicate clustering ----
+    * Connected components over a near-dup pair list: every doc in a pair
+    * gets the MINIMUM doc id of its component as `cluster_id` — the
+    * canonical-representative step real dedup pipelines run after
+    * candidate verification (pairs → groups → keep one per group).
+    *
+    * Plan: iterative min-label propagation — labels start as each node's
+    * own id; each round every node takes the min of its neighbors' labels
+    * (one join + one groupBy per round, both keyed shuffles); converges in
+    * O(diameter) rounds and near-dup components are shallow (a dup
+    * cluster's diameter is tiny — everything is similar to everything).
+    * For adversarial long-chain graphs the round cap bounds cost; the
+    * published alternating small-star/large-star construction drops in
+    * here if ever needed. Each round materializes via persist so lineage
+    * stays O(1), not O(rounds).
+    */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).persist()
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      // candidate label per node: min over neighbors' current labels
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("cluster_id")).as("nbr"))
+      val next = labels.join(prop, labels("id") === prop("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The full near-dup removal pipeline: exact dedup → n-gram Jaccard
+    * pairs → connected components → keep the canonical (min-id) doc per
+    * cluster. Returns the surviving rows of df.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0): DataFrame = {
+    val exact = dropExactDuplicates(df, idCol, textCol)
+    val pairs = ngramJaccardPairs(exact, idCol, textCol, shingleLen, threshold, maxDocFreq)
+    // no broadcast hint: the loser set is data-dependent (could be most of
+    // a crawl) — AQE picks broadcast when it measures small
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    exact.join(losers, exact(idCol) === losers("id"), "left_anti")
+  }
+
   /** ---- SimHash ----
     * 64-bit signature per doc: bit j = sign of Σ over shingles of
     * (bit j of xxhash64(shingle) ? +1 : -1). The shingle hash is

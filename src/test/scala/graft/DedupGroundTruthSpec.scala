@@ -108,6 +108,48 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("duplicateClusters equals driver-side union-find; dropNearDuplicates keeps canonicals") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.2)
+    val pairList = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairList.nonEmpty, "vacuous: no pairs at threshold 0.2")
+    // driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // pipeline: survivors = all docs minus non-canonical near-dups (after
+    // exact dedup); every cluster keeps exactly its min id
+    val survivors = Dedup.dropNearDuplicates(df, "doc_id", "text", 3, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val exactPairs = Dedup.ngramJaccardPairs(
+      Dedup.dropExactDuplicates(df, "doc_id", "text"), "doc_id", "text", 3, 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val p2 = scala.collection.mutable.Map.empty[Long, Long]
+    def find2(x: Long): Long = {
+      val p = p2.getOrElse(x, x)
+      if (p == x) x else { val r = find2(p); p2(x) = r; r }
+    }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find2(a), find2(b))
+      if (ra != rb) p2(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = exactPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(n => find2(n) != n).toSet
+    assert(survivors == exactKept -- losers)
+  }
+
   test("minhash signatures match driver-side recomputation") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val k = 12
