@@ -90,14 +90,20 @@ object Bench {
           |        out[name] = -1.0
           |print(json.dumps(out))
           |""".stripMargin)
+      // merge stderr into stdout: reading only stdout to EOF while the
+      // child blocks on a full stderr pipe would deadlock the bench
       val p = new ProcessBuilder("python3", script.toString, sfDir, sqlJson.toString)
-        .redirectErrorStream(false).start()
+        .redirectErrorStream(true).start()
       val outStr = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       if (p.waitFor() != 0 || outStr.isEmpty) return Map.empty
+      // the json line is the LAST line; anything before it is child chatter
+      val jsonLine = outStr.linesIterator.toSeq.reverse
+        .find(l => l.startsWith("{") && l.endsWith("}"))
+        .getOrElse(return Map.empty)
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      JsonMethods.parse(outStr) match {
+      JsonMethods.parse(jsonLine) match {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v
           case (k, JInt(v)) => k -> v.toDouble

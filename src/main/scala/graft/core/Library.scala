@@ -249,17 +249,7 @@ final class Library(val root: String, spark: SparkSession) {
     val stats = footerStats(dir, indexCol, idxType)
     val ordered = idxType match {
       case Some(t) if isStringIdx(t) =>
-        // byte-order by min bound; files without stats (all-null keys) last
-        stats.sortWith { (a, b) =>
-          (a.minStr, b.minStr) match {
-            case (Some(x), Some(y)) =>
-              val c = Library.strCmp(x, y)
-              if (c != 0) c < 0 else a.name < b.name
-            case (Some(_), None) => true
-            case (None, Some(_)) => false
-            case (None, None) => a.name < b.name
-          }
-        }
+        stats.sortWith((a, b) => Library.strBoundFirst(a.minStr, a.name, b.minStr, b.name))
       case Some(_) => stats.sortBy(s => (s.minIdx.getOrElse(Long.MaxValue), s.name))
       case None => stats.sortBy(_.name)
     }
@@ -471,7 +461,17 @@ final class Library(val root: String, spark: SparkSession) {
       metadata = metadata,
       dirSchemas = priorDirSchemas + (dir.getName -> df.schema.toDDL))
     var committed = commitManifest(symbol, m)
-    while (!committed) { // lost a race: bump version, data dir already unique per attempt
+    while (!committed) {
+      // Lost a commit race. A pure write's manifest references ONLY its own
+      // new files, so bumping the version and re-committing is sound
+      // (last-writer-wins, the reference's model). A manifest DERIVED from
+      // a base version (append: priorFiles) must NOT silently re-commit —
+      // it would resurrect the stale base and orphan whatever the winner
+      // committed. Fail loudly; the caller re-reads and retries the
+      // operation.
+      if (priorFiles.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$symbol: version $v was committed concurrently; re-run the append")
       v += 1
       committed = commitManifest(symbol, m.copy(version = v))
     }
@@ -487,10 +487,11 @@ final class Library(val root: String, spark: SparkSession) {
     *
     *  - default: replace exactly the index range df covers (range derived
     *    from df's min/max index value);
-    *  - `dateRange`: replace exactly THAT range instead — in-range rows of
-    *    the stored symbol absent from df are deleted, and df rows outside
-    *    the range are ignored (the reference truncates the input frame to
-    *    the range the same way);
+    *  - `dateRange` (long-unit indexes) / `keyRange` (string indexes):
+    *    replace exactly THAT range instead — in-range rows of the stored
+    *    symbol absent from df are deleted, and df rows outside the range
+    *    are ignored (the reference truncates the input frame to the range
+    *    the same way);
     *  - `upsert=true`: a missing (or tombstoned) symbol is created instead
     *    of throwing; `indexCol` names the new symbol's index in that case.
     */
@@ -500,16 +501,25 @@ final class Library(val root: String, spark: SparkSession) {
       targetRows: Long = DefaultTargetRows,
       dateRange: Option[(Long, Long)] = None,
       upsert: Boolean = false,
-      indexCol: Option[String] = None): Int = {
+      indexCol: Option[String] = None,
+      keyRange: Option[(String, String)] = None): Int = {
+    require(dateRange.isEmpty || keyRange.isEmpty,
+      "dateRange and keyRange are mutually exclusive")
     latestVersion(symbol).map(v => manifest(symbol, v)).filterNot(_.deleted) match {
       case Some(m) =>
         val idx = m.indexCol.getOrElse(
           throw new IllegalArgumentException("update requires an indexed symbol"))
         val t = df.schema(idx).dataType
-        dateRange match {
-          case Some((lo, hi)) =>
-            val data = df.filter(idxAsLong(col(idx), t).between(lo, hi))
-            spliceRange(symbol, m, LongRange(lo, hi), Some(data), targetRows)
+        require(dateRange.isEmpty || !isStringIdx(t),
+          s"$symbol has a string index — use keyRange, not dateRange")
+        require(keyRange.isEmpty || isStringIdx(t),
+          s"$symbol has a long-unit index — use dateRange, not keyRange")
+        val explicit: Option[KeyRange] =
+          dateRange.map { case (lo, hi) => LongRange(lo, hi) }
+            .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+        explicit match {
+          case Some(r) =>
+            spliceRange(symbol, m, r, Some(df.filter(r.residual(idx, t))), targetRows)
           case None =>
             spliceRange(symbol, m, keyRangeFor(m, df, idx), Some(df), targetRows)
         }
@@ -590,8 +600,11 @@ final class Library(val root: String, spark: SparkSession) {
       rowCount = ordered.map(_.rows).sum,
       createdAtMs = System.currentTimeMillis(),
       dirSchemas = m.dirSchemas + (newDir.getName -> m.schemaDdl))
-    var committed = commitManifest(symbol, nm)
-    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
+    if (!commitManifest(symbol, nm))
+      // the rewrite was computed against base version m — re-committing at
+      // a bumped number would orphan the concurrent winner's data
+      throw new java.util.ConcurrentModificationException(
+        s"$symbol: version $v was committed concurrently; re-run the operation")
     v
   }
 
@@ -681,12 +694,10 @@ final class Library(val root: String, spark: SparkSession) {
       case None => m.files
     }
     val schema = StructType.fromDDL(m.schemaDdl)
+    lazy val stats = loadColumnStats(symbol) // one sidecar read for both prune passes
     val byStats =
       if (statFilters.isEmpty) byIndex
-      else {
-        val stats = loadColumnStats(symbol)
-        byIndex.filter(f => statFilters.forall(p => statFilterKeep(stats, schema, f, p)))
-      }
+      else byIndex.filter(f => statFilters.forall(p => statFilterKeep(stats, schema, f, p)))
     // Expression-AST pruning: the full filter tree evaluated per file in
     // Kleene logic over the stats sidecar + the manifest's own index
     // bounds (reference: column_stats_filter.cpp) — a read(q.filter(e))
@@ -695,7 +706,6 @@ final class Library(val root: String, spark: SparkSession) {
     val selected = exprFilter match {
       case None => byStats
       case Some(e) =>
-        val stats = loadColumnStats(symbol)
         byStats.filter { f =>
           StatsPruner.keepFile(e, stats.getOrElse(f.path, Map.empty) ++ idxEnv(m, f, schema),
             schema)
@@ -838,13 +848,16 @@ final class Library(val root: String, spark: SparkSession) {
     * commit, no data IO.
     */
   def writeMetadata(symbol: String, metadata: Map[String, String]): Int = {
-    val m = resolveVersion(symbol)
-    var v = m.version + 1
-    val nm = m.copy(version = v, metadata = metadata,
-      createdAtMs = System.currentTimeMillis())
-    var committed = commitManifest(symbol, nm)
-    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
-    v
+    // Rebase-on-race: metadata-only commits depend on the base only for its
+    // file list, so on a lost race we RE-RESOLVE the winner's manifest and
+    // reapply — never re-committing a stale file list over new data.
+    while (true) {
+      val m = resolveVersion(symbol)
+      val nm = m.copy(version = m.version + 1, metadata = metadata,
+        createdAtMs = System.currentTimeMillis())
+      if (commitManifest(symbol, nm)) return nm.version
+    }
+    -1 // unreachable
   }
 
   def writeMetadataBatch(
@@ -887,19 +900,22 @@ final class Library(val root: String, spark: SparkSession) {
     * same way; prune_previous_versions is the hard delete).
     */
   def delete(symbol: String): Int = {
-    val v = latestVersion(symbol).getOrElse(
-      throw new NoSuchElementException(s"symbol $symbol does not exist"))
-    val m = manifest(symbol, v)
-    var nv = v + 1
-    val nm = m.copy(
-      version = nv,
-      files = Vector.empty,
-      rowCount = 0,
-      deleted = true,
-      createdAtMs = System.currentTimeMillis())
-    var committed = commitManifest(symbol, nm)
-    while (!committed) { nv += 1; committed = commitManifest(symbol, nm.copy(version = nv)) }
-    nv
+    // Rebase-on-race like writeMetadata: a tombstone's content doesn't
+    // depend on the base, but its version number must land ON TOP of
+    // whatever won the race.
+    while (true) {
+      val v = latestVersion(symbol).getOrElse(
+        throw new NoSuchElementException(s"symbol $symbol does not exist"))
+      val m = manifest(symbol, v)
+      val nm = m.copy(
+        version = v + 1,
+        files = Vector.empty,
+        rowCount = 0,
+        deleted = true,
+        createdAtMs = System.currentTimeMillis())
+      if (commitManifest(symbol, nm)) return nm.version
+    }
+    -1 // unreachable
   }
 
   /** prune_previous_versions (reference: library.py:1018): hard-delete all
@@ -1143,8 +1159,14 @@ final class Library(val root: String, spark: SparkSession) {
         if (field.isEmpty || perBlock.isEmpty || perBlock.size != blocks.size) None
         else {
           val numeric = numericStats(field.get.dataType)
-          val mn = if (numeric) perBlock.map(b => BigDecimal(b._1)).min.toString else perBlock.map(_._1).min
-          val mx = if (numeric) perBlock.map(b => BigDecimal(b._2)).max.toString else perBlock.map(_._2).max
+          // string bounds combine in UTF-8 BYTE order: parquet's per-block
+          // binary stats are byte-order envelopes, and Spark compares
+          // strings the same way — Java's UTF-16 ordering would pick a
+          // non-envelope bound above the BMP
+          val mn = if (numeric) perBlock.map(b => BigDecimal(b._1)).min.toString
+            else perBlock.map(_._1).min(Library.strOrdering)
+          val mx = if (numeric) perBlock.map(b => BigDecimal(b._2)).max.toString
+            else perBlock.map(_._2).max(Library.strOrdering)
           Some(c -> (mn, mx))
         }
       }.toMap
@@ -1181,8 +1203,9 @@ final class Library(val root: String, spark: SparkSession) {
         if (numericStats(schema(pred.column).dataType))
           BigDecimal(mn) <= BigDecimal(pred.hi.toString) &&
             BigDecimal(mx) >= BigDecimal(pred.lo.toString)
-        else
-          mn <= pred.hi.toString && mx >= pred.lo.toString
+        else // UTF-8 byte order — matches the harvest and Spark's own compare
+          Library.strCmp(mn, pred.hi.toString) <= 0 &&
+            Library.strCmp(mx, pred.lo.toString) >= 0
     }
 
   // ------------------------------------------------------------- batch
@@ -1194,10 +1217,12 @@ final class Library(val root: String, spark: SparkSession) {
     * DRIVER THREAD POOL: Spark's scheduler accepts jobs from concurrent
     * threads, so N symbols' writes overlap instead of serializing their
     * commit latency (the reference runs batch requests concurrently the
-    * same way). Per-symbol manifest commits stay race-safe — the
-    * commit-retry loop in commitNew covers concurrent writers even to the
-    * SAME symbol. Result order matches input order; the first failure is
-    * rethrown after the pool drains.
+    * same way). Batch items should target DISTINCT symbols: concurrent
+    * derived commits (append/update) to the same symbol are detected by
+    * the manifest CAS and fail with ConcurrentModificationException rather
+    * than silently racing. Result order matches input order; every task is
+    * awaited before the first failure is rethrown, so no write is still
+    * in flight when the call returns.
     */
   private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
     if (items.isEmpty) return Seq.empty
@@ -1206,9 +1231,14 @@ final class Library(val root: String, spark: SparkSession) {
     try {
       val futures = items.map(a =>
         pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-      futures.map { fut =>
-        try fut.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      // Await ALL tasks first — rethrowing while siblings still run would
+      // hand the caller a "failed" batch with writes still committing in
+      // the background.
+      val outcomes = futures.map(fut => scala.util.Try(fut.get()))
+      outcomes.map {
+        case scala.util.Success(b) => b
+        case scala.util.Failure(e: java.util.concurrent.ExecutionException) => throw e.getCause
+        case scala.util.Failure(e) => throw e
       }
     } finally pool.shutdown()
   }
@@ -1363,16 +1393,7 @@ final class Library(val root: String, spark: SparkSession) {
       val all = untouched ++ rewritten
       val sorted =
         if (stringIdx)
-          all.sortWith { (a, b) =>
-            (a.minStr, b.minStr) match {
-              case (Some(x), Some(y)) =>
-                val c = Library.strCmp(x, y)
-                if (c != 0) c < 0 else a.path < b.path
-              case (Some(_), None) => true
-              case (None, Some(_)) => false
-              case (None, None) => a.path < b.path
-            }
-          }
+          all.sortWith((a, b) => Library.strBoundFirst(a.minStr, a.path, b.minStr, b.path))
         else all.sortBy(f => (f.minIdx.getOrElse(Long.MaxValue), f.path))
       sorted.map { f => val e = f.copy(rowOffset = offset); offset += f.rows; e }
     }
@@ -1396,8 +1417,11 @@ final class Library(val root: String, spark: SparkSession) {
       createdAtMs = System.currentTimeMillis(),
       schemaDdl = m.schemaDdl,
       dirSchemas = m.dirSchemas ++ runOut.map(_._1.getName -> m.schemaDdl))
-    var committed = commitManifest(symbol, nm)
-    while (!committed) { v += 1; committed = commitManifest(symbol, nm.copy(version = v)) }
+    if (!commitManifest(symbol, nm))
+      // derived from base m: re-committing at a bumped number would orphan
+      // the concurrent winner's commit (same rule as commitRewrite)
+      throw new java.util.ConcurrentModificationException(
+        s"$symbol: version $v was committed concurrently; re-run compact")
     v
   }
 }
@@ -1426,6 +1450,23 @@ object Library {
   }
 
   val strOrdering: Ordering[String] = (a: String, b: String) => strCmp(a, b)
+
+  /** The ONE ordering of string-indexed files by lower bound: byte order,
+    * files without stats (all-null keys) last, deterministic tiebreak.
+    * writeData and compact must sort identically or the
+    * files-are-index-disjoint/row-offset invariant breaks between them.
+    */
+  def strBoundFirst(
+      aMin: Option[String], aTie: String,
+      bMin: Option[String], bTie: String): Boolean =
+    (aMin, bMin) match {
+      case (Some(x), Some(y)) =>
+        val c = strCmp(x, y)
+        if (c != 0) c < 0 else aTie < bTie
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case (None, None) => aTie < bTie
+    }
 
   /** Inclusive range predicate for column-stats file pruning (the caller
     * still applies the exact row filter; this only skips whole files).

@@ -42,11 +42,22 @@ object StatsPruner {
       schema: StructType): Boolean =
     eval(e, stats, schema).canBeTrue
 
+  /** Column types whose stats the pruner may compare against an Expr
+    * literal. Timestamp/date columns are deliberately EXCLUDED (unlike the
+    * harvest's numericStats): their footer stats render in raw storage
+    * units (µs / days) while Spark coerces a numeric literal compared to a
+    * TimestampType column as SECONDS — the two disagree by 1e6 and the
+    * pruner would drop files whose rows the residual filter matches.
+    * Unknown ⇒ keep, always sound.
+    */
   private def numeric(t: DataType): Boolean = t match {
     case _: DecimalType => false // excluded at harvest — never has stats
-    case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+    case TimestampType | TimestampNTZType | DateType => false
+    case _: NumericType => true
     case _ => false
   }
+
+  private def comparable(t: DataType): Boolean = numeric(t) || t == StringType
 
   private val CmpOps: Set[BinOp.Value] =
     Set(BinOp.Eq, BinOp.Ne, BinOp.Lt, BinOp.Le, BinOp.Gt, BinOp.Ge)
@@ -90,6 +101,7 @@ object StatsPruner {
       schema: StructType): Option[Either[(BigDecimal, BigDecimal), (String, String)]] =
     for {
       field <- schema.fields.find(_.name == n)
+      if comparable(field.dataType)
       (mn, mx) <- stats.get(n)
       b <- if (numeric(field.dataType))
         scala.util.Try((BigDecimal(mn), BigDecimal(mx))).toOption.map(Left(_))
@@ -115,8 +127,11 @@ object StatsPruner {
       case Some(Right((mn, mx))) =>
         if (v == null) Unknown
         else {
+          // UTF-8 byte order, matching the harvest's combine and Spark's
+          // own string comparison — Java's UTF-16 Ordering.String disagrees
+          // above the BMP and would prune files with matching rows
           val x = v.toString
-          rangeCmpOrd(op, mn, mx, x)(Ordering.String)
+          rangeCmpOrd(op, mn, mx, x)(Library.strOrdering)
         }
     }
 
@@ -161,7 +176,8 @@ object StatsPruner {
         else {
           val in = vs.map(_.toString)
           Tri(
-            canBeTrue = in.exists(x => mn <= x && x <= mx),
+            canBeTrue = in.exists(x =>
+              Library.strCmp(mn, x) <= 0 && Library.strCmp(x, mx) <= 0),
             canBeFalse = !(mn == mx && in.contains(mn)))
         }
     }

@@ -238,7 +238,7 @@ object Dedup {
     * here if ever needed. Each round materializes via persist so lineage
     * stays O(1), not O(rounds).
     */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -262,6 +262,16 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // A silent non-converged return would hand back labels that are NOT
+    // component minima — dropNearDuplicates would then keep several
+    // "canonicals" per cluster. Fail loudly instead; a component with
+    // diameter beyond the cap is pathological for near-dup graphs (chains
+    // of barely-similar docs), and the caller can raise maxRounds.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds the " +
+          "cap; raise maxRounds")
     labels
   }
 

@@ -307,10 +307,21 @@ class LibrarySpec extends SparkSuite {
     assert(after.filter(col("key").between("kc", "kd") && col("payload") < 100000)
       .count() == 0)
 
+    // explicit keyRange update: in-range absentees deleted, like dateRange
+    // on a long index (dateRange on a string index is rejected)
+    intercept[IllegalArgumentException](
+      lib.update("s", df, targetRows = 100, dateRange = Some((0L, 1L))))
+    val kePatch = df.filter(col("key") === "ke")
+      .withColumn("payload", col("payload") + 500000)
+    lib.update("s", kePatch, targetRows = 100, keyRange = Some(("ke", "kf")))
+    val afterKr = lib.read("s")
+    assert(afterKr.filter(col("key") === "kf").count() == 0) // in range, absent → deleted
+    assert(afterKr.filter(col("key") === "ke" && col("payload") < 500000).count() == 0)
+
     // deleteRange on string bounds
     lib.deleteRange("s", "kc", "kd")
     assert(lib.read("s").count() ==
-      1042 - df.filter(col("key").between("kc", "kd")).count())
+      afterKr.count() - df.filter(col("key").between("kc", "kd")).count())
   }
 
   test("update with explicit dateRange deletes absent in-range rows; upsert creates") {

@@ -88,6 +88,26 @@ class PropertySpec extends SparkSuite {
     assert(pruned > 10, s"property vacuous: pruner never fired (pruned=$pruned kept=$kept)")
   }
 
+  test("StatsPruner string bounds use UTF-8 byte order (supplementary planes)") {
+    import graft.query.Expr._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val rep = "�" // U+FFFD: UTF-8 EF BF BD
+    val supp = "𐀀" // U+10000: UTF-8 F0 90 80 80 — ABOVE U+FFFD in byte order
+    // byte-order envelope of a file holding both values: min=U+FFFD, max=U+10000
+    val stats = Map("s" -> (rep, supp))
+    // equality against either bound must keep the file; Java's UTF-16
+    // ordering would call U+FFFD > U+10000 and wrongly prune the min probe
+    assert(graft.core.StatsPruner.keepFile(Binary(BinOp.Eq, Col("s"), Lit(rep)), stats, schema))
+    assert(graft.core.StatsPruner.keepFile(Binary(BinOp.Eq, Col("s"), Lit(supp)), stats, schema))
+    // provably-below-range prunes ("a" sorts below both bounds)
+    assert(!graft.core.StatsPruner.keepFile(Binary(BinOp.Lt, Col("s"), Lit("a")), stats, schema))
+    // timestamp columns are never pruned (literal-coercion units differ)
+    val tsSchema = StructType(Seq(StructField("t", TimestampType)))
+    assert(graft.core.StatsPruner.keepFile(
+      Binary(BinOp.Lt, Col("t"), Lit(0L)), Map("t" -> ("1704067200000000", "1704067200000001")), tsSchema))
+  }
+
   test("property: resample buckets partition the timeline for random ts/rules") {
     val tsGen = Gen.chooseNum(-1000000000000L, 1000000000000L)
     for ((ruleNs, seed) <- Seq((7L, 1L), (1000L, 2L), (3600L * 1000000000L, 3L))) {
