@@ -53,15 +53,7 @@ object Bench {
     * no duckdb module): bench then emits spark timings only.
     */
   private def oracleTimes(sfDir: String): Map[String, Double] = {
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jq(s: String): String = JsonUtil.quote(s)
     try {
       val sqls = SparkEntry.oracleSql.filter(kv => headline.contains(kv._1))
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")

@@ -45,8 +45,18 @@ final class Library(val root: String, spark: SparkSession) {
 
   private def symDir(symbol: String) = new Path(root, symbol)
   private def versionsDir(symbol: String) = new Path(symDir(symbol), "_versions")
+
+  /** Data dir for a new version's delta — version-prefixed for humans but
+    * UNIQUE PER ATTEMPT (uuid suffix): two concurrent writers targeting the
+    * same version number must land in different dirs, or the manifest
+    * winner's footerStats would list the union of both jobs' part files
+    * (Spark's errorifexists dir check is check-then-act). The loser's dir
+    * becomes unreferenced garbage that prunePreviousVersions GCs; manifests
+    * reference files by full relative path, so names are otherwise free.
+    */
   private def dataDir(symbol: String, v: Int) =
-    new Path(new Path(symDir(symbol), "data"), f"v$v%05d")
+    new Path(new Path(symDir(symbol), "data"),
+      f"v$v%05d" + s"_${UUID.randomUUID().toString.take(8)}")
   private def stagedDir(symbol: String) = new Path(symDir(symbol), "_staged")
   private def snapshotsDir = new Path(root, "_snapshots")
 
@@ -193,9 +203,18 @@ final class Library(val root: String, spark: SparkSession) {
       col(idx) < lo || col(idx) > hi
   }
 
+  /** The range family comes from the STORED index type, never the patch
+    * frame's: a mistyped patch (long keys against a string index) would
+    * otherwise build the wrong KeyRange kind, match zero files via the
+    * strict-intersect rule, and splice-append overlapping rows — silently
+    * breaking the files-are-index-disjoint invariant.
+    */
   private def keyRangeFor(m: VersionManifest, df: DataFrame, idx: String): KeyRange = {
+    val storedT = StructType.fromDDL(m.schemaDdl)(idx).dataType
     val t = df.schema(idx).dataType
-    if (isStringIdx(t)) {
+    require(isStringIdx(t) == isStringIdx(storedT),
+      s"index column $idx: frame has $t but the symbol's index is $storedT")
+    if (isStringIdx(storedT)) {
       val b = df.agg(min(col(idx)), max(col(idx))).collect()(0)
       require(!b.isNullAt(0), "update with empty frame")
       StrRange(b.getString(0), b.getString(1))
@@ -350,7 +369,8 @@ final class Library(val root: String, spark: SparkSession) {
       indexCol: Option[String] = None,
       targetRows: Long = DefaultTargetRows,
       metadata: Map[String, String] = Map.empty): Int =
-    commitNew(symbol, df, indexCol, targetRows, priorFiles = Vector.empty, metadata)
+    commitNew(symbol, df, indexCol, targetRows, priorFiles = Vector.empty, metadata,
+      derived = false)
 
   /** `append` — new version = prior files + new files; new index values
     * must start at/after the prior max (reference: library.py:1361).
@@ -398,7 +418,7 @@ final class Library(val root: String, spark: SparkSession) {
           }
       }
     commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files, m.metadata,
-      priorDirSchemas = m.dirSchemas)
+      priorDirSchemas = m.dirSchemas, derived = true)
   }
 
   /** Union of two schemas with common-type promotion on shared columns —
@@ -443,7 +463,8 @@ final class Library(val root: String, spark: SparkSession) {
       targetRows: Long,
       priorFiles: Vector[FileEntry],
       metadata: Map[String, String],
-      priorDirSchemas: Map[String, String] = Map.empty): Int = {
+      priorDirSchemas: Map[String, String] = Map.empty,
+      derived: Boolean = false): Int = {
     var v = latestVersion(symbol).map(_ + 1).getOrElse(0)
     val dir = dataDir(symbol, v)
     val newFiles = writeData(df, dir, indexCol, targetRows)
@@ -464,12 +485,13 @@ final class Library(val root: String, spark: SparkSession) {
     while (!committed) {
       // Lost a commit race. A pure write's manifest references ONLY its own
       // new files, so bumping the version and re-committing is sound
-      // (last-writer-wins, the reference's model). A manifest DERIVED from
-      // a base version (append: priorFiles) must NOT silently re-commit —
-      // it would resurrect the stale base and orphan whatever the winner
-      // committed. Fail loudly; the caller re-reads and retries the
-      // operation.
-      if (priorFiles.nonEmpty)
+      // (last-writer-wins, the reference's model). A DERIVED manifest
+      // (append — keyed on the operation, not on whether the base happened
+      // to have files: an append onto an empty base is still derived) must
+      // NOT silently re-commit — it would resurrect the stale base and
+      // orphan whatever the winner committed. Fail loudly; the caller
+      // re-reads and retries the operation.
+      if (derived)
         throw new java.util.ConcurrentModificationException(
           s"$symbol: version $v was committed concurrently; re-run the append")
       v += 1
@@ -509,11 +531,15 @@ final class Library(val root: String, spark: SparkSession) {
       case Some(m) =>
         val idx = m.indexCol.getOrElse(
           throw new IllegalArgumentException("update requires an indexed symbol"))
-        val t = df.schema(idx).dataType
-        require(dateRange.isEmpty || !isStringIdx(t),
+        // validate range kind against the STORED index, not the patch frame
+        val storedT = StructType.fromDDL(m.schemaDdl)(idx).dataType
+        require(dateRange.isEmpty || !isStringIdx(storedT),
           s"$symbol has a string index — use keyRange, not dateRange")
-        require(keyRange.isEmpty || isStringIdx(t),
-          s"$symbol has a long-unit index — use dateRange, not keyRange")
+        require(keyRange.isEmpty || isStringIdx(storedT),
+          s"$symbol has a ${storedT.simpleString} index — use dateRange, not keyRange")
+        val t = df.schema(idx).dataType
+        require(isStringIdx(t) == isStringIdx(storedT),
+          s"index column $idx: frame has $t but the symbol's index is $storedT")
         val explicit: Option[KeyRange] =
           dateRange.map { case (lo, hi) => LongRange(lo, hi) }
             .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
@@ -526,7 +552,20 @@ final class Library(val root: String, spark: SparkSession) {
       case None =>
         if (!upsert)
           throw new NoSuchElementException(s"symbol $symbol does not exist")
-        write(symbol, df, indexCol, targetRows)
+        // upsert-create honors the explicit range exactly like the
+        // existing-symbol path: out-of-range patch rows are NOT stored
+        // (the same call against an existing symbol would discard them)
+        val rangeOnCreate: Option[KeyRange] =
+          dateRange.map { case (lo, hi) => LongRange(lo, hi) }
+            .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+        val data = rangeOnCreate match {
+          case Some(r) =>
+            val idx = indexCol.getOrElse(throw new IllegalArgumentException(
+              "update(dateRange/keyRange, upsert) on a missing symbol needs indexCol"))
+            df.filter(r.residual(idx, df.schema(idx).dataType))
+          case None => df
+        }
+        write(symbol, data, indexCol, targetRows)
     }
   }
 
@@ -686,6 +725,16 @@ final class Library(val root: String, spark: SparkSession) {
     val m = resolveVersion(symbol, asOf)
     require(dateRange.isEmpty || keyRange.isEmpty,
       "dateRange and keyRange are mutually exclusive")
+    // validate the range kind against the index type up front — a keyRange
+    // against a long index would otherwise prune nothing and null-cast the
+    // residual filter into a silent empty result
+    for (idx <- m.indexCol if dateRange.nonEmpty || keyRange.nonEmpty) {
+      val t = StructType.fromDDL(m.schemaDdl)(idx).dataType
+      require(dateRange.isEmpty || !isStringIdx(t),
+        s"$symbol has a string index — use keyRange, not dateRange")
+      require(keyRange.isEmpty || isStringIdx(t),
+        s"$symbol has a ${t.simpleString} index — use dateRange, not keyRange")
+    }
     val range: Option[KeyRange] =
       dateRange.map { case (lo, hi) => LongRange(lo, hi) }
         .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })

@@ -246,33 +246,45 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id")).persist()
     var round = 0
     var changed = 1L
-    while (round < maxRounds && changed > 0) {
+    def propagate(): DataFrame = {
       // candidate label per node: min over neighbors' current labels
       val prop = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min(col("cluster_id")).as("nbr"))
-      val next = labels.join(prop, labels("id") === prop("id2"), "left")
+      labels.join(prop, labels("id") === prop("id2"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels.unpersist()
-      labels = next
-      round += 1
     }
-    edges.unpersist()
-    // A silent non-converged return would hand back labels that are NOT
-    // component minima — dropNearDuplicates would then keep several
-    // "canonicals" per cluster. Fail loudly instead; a component with
-    // diameter beyond the cap is pathological for near-dup graphs (chains
-    // of barely-similar docs), and the caller can raise maxRounds.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge within $maxRounds rounds " +
-          s"($changed labels still changing) — component diameter exceeds the " +
-          "cap; raise maxRounds")
-    labels
+    def delta(next: DataFrame): Long =
+      next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+    try {
+      while (round < maxRounds && changed > 0) {
+        val next = propagate().persist()
+        changed = delta(next)
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      // The loop exits with changed > 0 when the CAP round itself still
+      // moved labels — which can also be the final converging step. One
+      // extra check-only propagation disambiguates before declaring
+      // failure: a silent non-converged return would hand back labels that
+      // are NOT component minima and dropNearDuplicates would keep several
+      // "canonicals" per cluster.
+      if (changed > 0 && delta(propagate()) > 0)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge within $maxRounds rounds — " +
+            "component diameter exceeds the cap; raise maxRounds")
+      // Hand back a lineage-truncated, cache-free result: returning the
+      // persisted frame would leak cache across calls, and unpersisting it
+      // directly would cascade a full re-derivation through every round.
+      val out = labels.localCheckpoint(true)
+      out
+    } finally {
+      labels.unpersist()
+      edges.unpersist()
+    }
   }
 
   /** The full near-dup removal pipeline: exact dedup → n-gram Jaccard
