@@ -373,6 +373,34 @@ class LibrarySpec extends SparkSuite {
     items.foreach { case (s, _) => assert(lib.read(s).count() == 600) }
   }
 
+  test("same-symbol concurrent writes never cross-contaminate data files") {
+    val lib = newLib()
+    val a = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
+    val b = spark.range(200).select(col("id").as("ts2"), col("id").as("v"))
+    // both pure writes race on the version number; unique per-attempt data
+    // dirs mean neither manifest can list the other's part files
+    val versions = lib.writeBatch(Seq("s" -> a, "s" -> b), Some("ts2"), 1000)
+    assert(versions.toSet == Set(0, 1))
+    val counts = lib.listVersions("s").map(v => lib.manifest("s", v).rowCount).toSet
+    assert(counts == Set(100L, 200L), s"got $counts — a manifest saw foreign files")
+    assert(lib.read("s").count() == lib.resolveVersion("s").rowCount)
+  }
+
+  test("batch failure is thrown only after every task settles") {
+    val lib = newLib()
+    val df = spark.range(10).select(col("id").as("ts2"), col("id").as("v"))
+    val more = spark.range(10, 20).select(col("id").as("ts2"), col("id").as("v"))
+    lib.write("ok1", df, Some("ts2"), 100)
+    lib.write("ok2", df, Some("ts2"), 100)
+    intercept[NoSuchElementException] {
+      lib.appendBatch(Seq("ok1" -> more, "missing" -> more, "ok2" -> more))
+    }
+    // the sibling appends completed (or were awaited) before the rethrow —
+    // nothing is still committing in the background
+    assert(lib.read("ok1").count() == 20)
+    assert(lib.read("ok2").count() == 20)
+  }
+
   test("finalizeStaged unifies evolved staged-delta schemas under dynamicSchema") {
     val lib = newLib()
     val a = Seq((10L, 1), (20L, 2)).toDF("ts2", "x") // int x
