@@ -215,6 +215,28 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Embedding near-duplicate REMOVAL: cosine pairs → connected
+    * components → keep the canonical (min-id) row per cluster — the
+    * embedding-space twin of Dedup.dropNearDuplicates, sharing its
+    * clustering. Recall is the LSH pair recall (bits/bands dial); kept
+    * rows are exact canonical representatives of the discovered clusters.
+    */
+  def dropEmbeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4,
+      dim: Int = -1): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bits, bands, dim)
+      .select(col("id_a"), col("id_b"))
+    val losers = graft.functions.Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * threshold, via LSH buckets (exact within-bucket scoring).
     */

@@ -78,6 +78,28 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall, missed ${truth.keySet -- got.keySet}")
   }
 
+  test("dropEmbeddingNearDuplicates keeps one canonical per cosine cluster") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "vacuous: no near-dup pairs at 0.45")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(n => find(n) != n).toSet
+    val kept = Vectors.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding", 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(kept == all -- losers)
+  }
+
   test("ivfCentroids: no dimension explosion — one vector_mean partial agg") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Vectors.ivfCentroids(emb, "vec_id", "embedding", 8, iters = 1)
