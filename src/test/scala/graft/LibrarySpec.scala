@@ -375,14 +375,16 @@ class LibrarySpec extends SparkSuite {
 
   test("same-symbol concurrent writes never cross-contaminate data files") {
     val lib = newLib()
-    val a = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
-    val b = spark.range(200).select(col("id").as("ts2"), col("id").as("v"))
-    // both pure writes race on the version number; unique per-attempt data
-    // dirs mean neither manifest can list the other's part files
-    val versions = lib.writeBatch(Seq("s" -> a, "s" -> b), Some("ts2"), 1000)
-    assert(versions.toSet == Set(0, 1))
+    // six pure writes race on version numbers; unique per-attempt data
+    // dirs + hard-link manifest CAS mean every writer lands on its own
+    // version with exactly its own files
+    val frames = (1 to 6).map(i =>
+      i -> spark.range(i * 100L).select(col("id").as("ts2"), col("id").as("v")))
+    val versions = lib.writeBatch(frames.map { case (_, df) => "s" -> df }, Some("ts2"), 1000)
+    assert(versions.toSet == (0 to 5).toSet)
     val counts = lib.listVersions("s").map(v => lib.manifest("s", v).rowCount).toSet
-    assert(counts == Set(100L, 200L), s"got $counts — a manifest saw foreign files")
+    assert(counts == frames.map(_._1 * 100L).toSet,
+      s"got $counts — a manifest saw foreign files")
     assert(lib.read("s").count() == lib.resolveVersion("s").rowCount)
   }
 
