@@ -490,6 +490,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    "q64_drop_near_duplicates" -> { (s, dir) =>
+      // The complete removal pipeline: exact dedup → Jaccard pairs →
+      // connected components → keep the canonical (min-id) doc per cluster.
+      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "q63_dup_clusters" -> { (s, dir) =>
       // Connected components over the verified near-dup pairs: each doc in
       // a pair labeled with its component's min doc id (the canonical
@@ -920,6 +927,38 @@ object SparkEntry {
               AS rep_ratio
           FROM t LEFT JOIN d ON t.doc_id = d.doc_id
           ORDER BY t.doc_id""",
+    "q64_drop_near_duplicates" ->
+      s"""WITH RECURSIVE kept AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+          docs AS (
+            SELECT d.doc_id, string_split($normSql, ' ') AS w
+            FROM documents d JOIN kept USING (doc_id)),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+          SELECT k.doc_id FROM kept k
+          LEFT JOIN losers l ON k.doc_id = l.id
+          WHERE l.id IS NULL ORDER BY 1""",
     "q63_dup_clusters" ->
       s"""WITH RECURSIVE docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

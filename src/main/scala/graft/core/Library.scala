@@ -964,6 +964,10 @@ final class Library(val root: String, spark: SparkSession) {
       m.schemaDdl, m.createdAtMs)
   }
 
+  /** get_description_batch (reference: library.py:3138). */
+  def getInfoBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[SymbolInfo] =
+    symbols.map(getInfo(_, asOf))
+
   // ------------------------------------------------------- delete & snap
 
   /** Soft-delete: a tombstone version (reference keeps version history the
