@@ -231,7 +231,7 @@ final class Library(val root: String, spark: SparkSession) {
     * breaking the files-are-index-disjoint invariant.
     */
   private def keyRangeFor(m: VersionManifest, df: DataFrame, idx: String): KeyRange = {
-    val storedT = StructType.fromDDL(m.schemaDdl)(idx).dataType
+    val storedT = schemaOf(m.schemaDdl)(idx).dataType
     val t = df.schema(idx).dataType
     require(isStringIdx(t) == isStringIdx(storedT),
       s"index column $idx: frame has $t but the symbol's index is $storedT")
@@ -416,7 +416,7 @@ final class Library(val root: String, spark: SparkSession) {
     require(!m.deleted, s"symbol $symbol is deleted")
     val data =
       if (!dynamicSchema) df
-      else align(df, mergeSchemas(StructType.fromDDL(m.schemaDdl), df.schema))
+      else align(df, mergeSchemas(schemaOf(m.schemaDdl), df.schema))
     if (validateIndex)
       for (idx <- m.indexCol) {
         val t = data.schema(idx).dataType
@@ -439,7 +439,7 @@ final class Library(val root: String, spark: SparkSession) {
           }
       }
     commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files, m.metadata,
-      priorDirSchemas = m.dirSchemas, derived = true)
+      priorDirSchemas = m.dirSchemas, derived = true, baseVersion = Some(m.version))
   }
 
   /** Union of two schemas with common-type promotion on shared columns —
@@ -477,7 +477,16 @@ final class Library(val root: String, spark: SparkSession) {
     }: _*)
   }
 
-  private def commitNew(
+  /** `baseVersion` (required when derived): the manifest version the new
+    * files were computed AGAINST. A derived commit attempts exactly
+    * baseVersion+1 — re-resolving latestVersion at commit time would leave
+    * a window (spanning the validate/schema-merge Spark jobs, i.e.
+    * seconds) where a concurrent winner's version is adopted as "latest"
+    * and the stale base's file list silently drops the winner's rows. The
+    * CAS then catches ANY commit that landed after the base was read
+    * (same rule commitRewrite applies with m.version+1).
+    */
+  private[graft] def commitNew( // private[graft]: the stale-base CAS regression spec drives it directly
       symbol: String,
       df: DataFrame,
       indexCol: Option[String],
@@ -485,8 +494,12 @@ final class Library(val root: String, spark: SparkSession) {
       priorFiles: Vector[FileEntry],
       metadata: Map[String, String],
       priorDirSchemas: Map[String, String] = Map.empty,
-      derived: Boolean = false): Int = {
-    var v = latestVersion(symbol).map(_ + 1).getOrElse(0)
+      derived: Boolean = false,
+      baseVersion: Option[Int] = None): Int = {
+    require(!derived || baseVersion.isDefined,
+      "derived commits must pin the base manifest version")
+    var v = baseVersion.map(_ + 1)
+      .getOrElse(latestVersion(symbol).map(_ + 1).getOrElse(0))
     val dir = dataDir(symbol, v)
     val newFiles = writeData(df, dir, indexCol, targetRows)
     val baseOffset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
@@ -553,7 +566,7 @@ final class Library(val root: String, spark: SparkSession) {
         val idx = m.indexCol.getOrElse(
           throw new IllegalArgumentException("update requires an indexed symbol"))
         // validate range kind against the STORED index, not the patch frame
-        val storedT = StructType.fromDDL(m.schemaDdl)(idx).dataType
+        val storedT = schemaOf(m.schemaDdl)(idx).dataType
         require(dateRange.isEmpty || !isStringIdx(storedT),
           s"$symbol has a string index — use keyRange, not dateRange")
         require(keyRange.isEmpty || isStringIdx(storedT),
@@ -626,7 +639,7 @@ final class Library(val root: String, spark: SparkSession) {
     val combined = (keptRows, replacement) match {
       case (Some(k), Some(r)) => Some(k.unionByName(align(r, k.schema)))
       case (Some(k), None) => Some(k)
-      case (None, Some(r)) => Some(align(r, StructType.fromDDL(m.schemaDdl)))
+      case (None, Some(r)) => Some(align(r, schemaOf(m.schemaDdl)))
       case (None, None) => None
     }
     commitRewrite(symbol, m, combined, untouched, range, targetRows)
@@ -690,7 +703,7 @@ final class Library(val root: String, spark: SparkSession) {
       throw new IllegalArgumentException("merge requires an indexed symbol"))
     val range = keyRangeFor(m, df, idx)
     val (touched, untouched) = m.files.partition(range.intersectsStrict)
-    val target = StructType.fromDDL(m.schemaDdl)
+    val target = schemaOf(m.schemaDdl)
     val old =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
@@ -750,7 +763,7 @@ final class Library(val root: String, spark: SparkSession) {
     // against a long index would otherwise prune nothing and null-cast the
     // residual filter into a silent empty result
     for (idx <- m.indexCol if dateRange.nonEmpty || keyRange.nonEmpty) {
-      val t = StructType.fromDDL(m.schemaDdl)(idx).dataType
+      val t = schemaOf(m.schemaDdl)(idx).dataType
       require(dateRange.isEmpty || !isStringIdx(t),
         s"$symbol has a string index — use keyRange, not dateRange")
       require(keyRange.isEmpty || isStringIdx(t),
@@ -763,7 +776,7 @@ final class Library(val root: String, spark: SparkSession) {
       case Some(r) => m.files.filter(r.intersects)
       case None => m.files
     }
-    val schema = StructType.fromDDL(m.schemaDdl)
+    val schema = schemaOf(m.schemaDdl)
     lazy val stats = loadColumnStats(symbol) // one sidecar read for both prune passes
     val byStats =
       if (statFilters.isEmpty) byIndex
@@ -828,7 +841,7 @@ final class Library(val root: String, spark: SparkSession) {
       range: Option[KeyRange],
       columns: Option[Seq[String]],
       withRowId: Boolean): DataFrame = {
-    val target = StructType.fromDDL(m.schemaDdl)
+    val target = schemaOf(m.schemaDdl)
     if (selected.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
@@ -915,16 +928,31 @@ final class Library(val root: String, spark: SparkSession) {
 
   /** write_metadata (reference: library.py:2534): a new version that
     * REPLACES the metadata and shares every data file — a metadata-only
-    * commit, no data IO.
+    * commit, no data IO. A missing (or tombstoned) symbol gets a new
+    * version with EMPTY data, matching the reference ("if `symbol` does
+    * not exist … creates it with none", library.py:2534 docstring) —
+    * reads of such a version return an empty zero-column frame.
     */
   def writeMetadata(symbol: String, metadata: Map[String, String]): Int = {
     // Rebase-on-race: metadata-only commits depend on the base only for its
     // file list, so on a lost race we RE-RESOLVE the winner's manifest and
     // reapply — never re-committing a stale file list over new data.
     while (true) {
-      val m = resolveVersion(symbol)
-      val nm = m.copy(version = m.version + 1, metadata = metadata,
-        createdAtMs = System.currentTimeMillis())
+      val nm = latestVersion(symbol).map(v => manifest(symbol, v)) match {
+        case Some(m) if !m.deleted =>
+          m.copy(version = m.version + 1, metadata = metadata,
+            createdAtMs = System.currentTimeMillis())
+        case prior => // absent or tombstoned: metadata-only empty version
+          VersionManifest(
+            version = prior.map(_.version + 1).getOrElse(0),
+            indexCol = None,
+            sorted = false,
+            files = Vector.empty,
+            rowCount = 0L,
+            createdAtMs = System.currentTimeMillis(),
+            schemaDdl = "",
+            metadata = metadata)
+      }
       if (commitManifest(symbol, nm)) return nm.version
     }
     -1 // unreachable
@@ -956,6 +984,19 @@ final class Library(val root: String, spark: SparkSession) {
       s"$symbol is not a blob symbol")
     read(symbol, asOf).head().getAs[Array[Byte]](0)
   }
+
+  /** write_pickle_batch (reference: library.py:1321): blob writes for many
+    * symbols, submitted from the batch thread pool — same concurrency
+    * contract as writeBatch (distinct symbols; result order = input order).
+    */
+  def writeBlobBatch(
+      items: Seq[(String, Array[Byte])],
+      metadata: Map[String, String] = Map.empty,
+      parallelism: Int = BatchParallelism): Seq[Int] =
+    inParallel(items, parallelism) { case (s, bytes) => writeBlob(s, bytes, metadata) }
+
+  def readBlobBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[Array[Byte]] =
+    symbols.map(readBlob(_, asOf))
 
   /** Symbol descriptor (reference: get_description / get_info). */
   def getInfo(symbol: String, asOf: AsOf = AsOf.Latest): SymbolInfo = {
@@ -1164,7 +1205,7 @@ final class Library(val root: String, spark: SparkSession) {
     */
   def createColumnStats(symbol: String, columns: Seq[String], asOf: AsOf = AsOf.Latest): Unit = {
     val m = resolveVersion(symbol, asOf)
-    val schema = StructType.fromDDL(m.schemaDdl)
+    val schema = schemaOf(m.schemaDdl)
     val fresh: Map[String, Map[String, (String, String)]] = m.files.map { fe =>
       fe.path -> readColumnFooterStats(new Path(resolve(symbol, fe)), columns, schema)
     }.toMap
@@ -1461,7 +1502,7 @@ final class Library(val root: String, spark: SparkSession) {
     val rewritten = runOut.flatMap(_._2)
     // files are index-disjoint, so min-idx order IS global row order
     val stringIdx = m.indexCol.exists(i =>
-      isStringIdx(StructType.fromDDL(m.schemaDdl)(i).dataType))
+      isStringIdx(schemaOf(m.schemaDdl)(i).dataType))
     var offset = 0L
     val ordered = {
       val all = untouched ++ rewritten
@@ -1503,6 +1544,13 @@ final class Library(val root: String, spark: SparkSession) {
 object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
+
+  /** Manifest DDL → schema. Metadata-only versions (writeMetadata on a
+    * missing symbol) store an EMPTY ddl — zero columns — which
+    * StructType.fromDDL rejects, so the blank case is handled here.
+    */
+  def schemaOf(ddl: String): StructType =
+    if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
 
   /** Unsigned UTF-8 byte order for string-index bounds — the ONE ordering
     * shared by parquet binary stats, Spark's UTF8String comparison and its

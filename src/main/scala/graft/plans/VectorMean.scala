@@ -56,10 +56,19 @@ final case class VectorMean(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // A vector with ANY null element is skipped whole (like a null vector):
+    // registered as SQL graft_vector_mean, the input may be
+    // array<float> containsNull=true, and getFloat on a null slot would
+    // silently contribute garbage to the centroid.
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return buf
+      i += 1
+    }
     if (buf.sums == null) buf.sums = new Array[Double](n)
     require(buf.sums.length == n,
       s"vector_mean: ragged vectors (${buf.sums.length} vs $n)")
-    var i = 0
+    i = 0
     while (i < n) {
       buf.sums(i) += (if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
       i += 1

@@ -56,6 +56,11 @@ object StreamIngest {
     * use it when readers must see the stream's latest state, and stageSink
     * + finalize when ingest throughput matters more than visibility.
     * Batches must carry unique index keys (merge is keyed SQL MERGE).
+    *
+    * A missing symbol is WRITE-CREATED from the first non-empty batch when
+    * `indexCol` is given (the fresh-CDC-stream-on-empty-store case);
+    * without it the symbol must be pre-created — merge needs an existing
+    * index to key on.
     */
   def mergeSink(
       lib: Library,
@@ -63,13 +68,21 @@ object StreamIngest {
       stream: DataFrame,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      targetRows: Long = Library.DefaultTargetRows): DataStreamWriter[Row] =
+      targetRows: Long = Library.DefaultTargetRows,
+      indexCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) lib.merge(symbol, batch.toDF(), targetRows = targetRows)
+        if (!batch.isEmpty) {
+          if (!lib.hasSymbol(symbol)) {
+            val idx = indexCol.getOrElse(throw new NoSuchElementException(
+              s"mergeSink: symbol $symbol does not exist — pass indexCol to " +
+                "write-create it from the first batch, or pre-create it"))
+            lib.write(symbol, batch.toDF(), Some(idx), targetRows)
+          } else lib.merge(symbol, batch.toDF(), targetRows = targetRows)
+        }
         ()
       }
 

@@ -388,6 +388,52 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("s").count() == lib.resolveVersion("s").rowCount)
   }
 
+  test("derived commit pins its base version: a commit landing after the base was read aborts") {
+    val lib = newLib()
+    lib.write("s", spark.range(10).select(col("id").as("ts2"), col("id").as("v")),
+      Some("ts2"), 100) // v0
+    val m0 = lib.resolveVersion("s")
+    // a concurrent writer wins v1 between a derived operation's manifest
+    // read and its commit (the window spans the validate/schema-merge jobs)
+    lib.write("s", spark.range(10, 30).select(col("id").as("ts2"), col("id").as("v")),
+      Some("ts2"), 100) // v1
+    // replaying the derived commit against base v0 must abort — the old
+    // latestVersion re-resolve would land it at v2 referencing v0's file
+    // list, silently dropping the winner's rows
+    intercept[java.util.ConcurrentModificationException] {
+      lib.commitNew("s",
+        spark.range(30, 40).select(col("id").as("ts2"), col("id").as("v")),
+        Some("ts2"), 100, priorFiles = m0.files, m0.metadata,
+        derived = true, baseVersion = Some(m0.version))
+    }
+    // the winner's data is intact and still latest
+    assert(lib.resolveVersion("s").version == 1 && lib.read("s").count() == 20)
+  }
+
+  test("writeMetadata creates a metadata-only empty version for missing/tombstoned symbols") {
+    val lib = newLib()
+    // missing symbol: reference write_metadata creates it with no data
+    assert(lib.writeMetadata("fresh", Map("k" -> "v")) == 0)
+    assert(lib.readMetadata("fresh") == Map("k" -> "v"))
+    assert(lib.read("fresh").count() == 0)
+    // tombstoned symbol: new metadata-only version on top of the tombstone
+    lib.write("gone", spark.range(5).toDF("v"))
+    lib.delete("gone")
+    val v = lib.writeMetadata("gone", Map("note" -> "resurrected"))
+    assert(v == 2 && lib.readMetadata("gone") == Map("note" -> "resurrected"))
+    assert(lib.read("gone").count() == 0)
+  }
+
+  test("writeBlobBatch / readBlobBatch roundtrip (write_pickle_batch analog)") {
+    val lib = newLib()
+    val items = (1 to 5).map(i => s"blob$i" -> Array.tabulate(64 * i)(j => (j % 113).toByte))
+    val versions = lib.writeBlobBatch(items, Map("codec" -> "raw"))
+    assert(versions == Seq.fill(5)(0))
+    val back = lib.readBlobBatch(items.map(_._1))
+    items.zip(back).foreach { case ((_, sent), got) => assert(got.toSeq == sent.toSeq) }
+    assert(lib.readMetadata("blob3")("codec") == "raw")
+  }
+
   test("batch failure is thrown only after every task settles") {
     val lib = newLib()
     val df = spark.range(10).select(col("id").as("ts2"), col("id").as("v"))

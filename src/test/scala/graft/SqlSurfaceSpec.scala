@@ -52,6 +52,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(mean.head.getSeq[Float](0).nonEmpty)
   }
 
+  test("graft_vector_mean skips vectors with null elements instead of corrupting the mean") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_vector_mean(v) m FROM VALUES
+         (array(cast(1.0 as float), cast(2.0 as float))),
+         (array(cast(null as float), cast(100.0 as float))),
+         (array(cast(3.0 as float), cast(4.0 as float))) t(v)""").collect()
+    assert(got.head.getSeq[Float](0) == Seq(2.0f, 3.0f))
+  }
+
   test("graft_top_k works as a SQL aggregate") {
     GraftFunctions.register(spark)
     Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7), (2L, 13L, 0.1))

@@ -61,6 +61,27 @@ class StreamingSpec extends SparkSuite {
     assert(lib.listVersions("state").size == 3) // write + one version per batch
   }
 
+  test("mergeSink write-creates a missing symbol from the first batch when given indexCol") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF.toDF("k", "v")
+    val lib = new Library(tmp("graft-merge-create-lib-"), spark)
+    val ckpt = tmp("graft-merge-create-ckpt-")
+
+    // fresh CDC stream against an empty store: first batch creates the
+    // symbol, later batches merge into it
+    mem.addData((1L, 1.0), (2L, 2.0))
+    val q1 = StreamIngest.mergeSink(lib, "cdc", df, ckpt, Trigger.AvailableNow(), 10,
+      indexCol = Some("k")).start()
+    q1.awaitTermination()
+    mem.addData((2L, 20.0), (3L, 30.0))
+    val q2 = StreamIngest.mergeSink(lib, "cdc", df, ckpt, Trigger.AvailableNow(), 10,
+      indexCol = Some("k")).start()
+    q2.awaitTermination()
+    val got = lib.read("cdc").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("resampleStream emits the same buckets as the batch resample") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
