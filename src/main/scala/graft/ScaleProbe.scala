@@ -103,6 +103,16 @@ object ScaleProbe {
         graft.functions.Dedup.dropExactDuplicates(docs, "doc_id", "text"),
         "doc_id", "text", 3, 0.2)
     }
+    // SimHash under mult× duplication: every clone group shares identical
+    // signatures, so chunk buckets are mult× deeper. The default maxBucket
+    // keeps pair generation bounded (clone groups emit C(mult,2) pairs per
+    // surviving bucket, never corpus-quadratic); compare the capped wall
+    // time against an effectively-uncapped run.
+    time("simhash_pairs_capped") {
+      graft.functions.Dedup.simhashPairs(docs, "doc_id", "text")
+    }
+    println(s"[scale] simhash capped pairs=" +
+      graft.functions.Dedup.simhashPairs(docs, "doc_id", "text").count())
 
     // Batch-write overlap: N symbols written through the driver thread
     // pool vs a sequential loop. Spark schedules concurrent jobs across

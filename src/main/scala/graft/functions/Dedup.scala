@@ -334,21 +334,37 @@ object Dedup {
   /** SimHash near-dup candidate pairs: band the 64 bits into 4×16-bit
     * chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk),
     * join on (chunk index, chunk value), verify with exact hamming.
+    *
+    * `maxBucket` drops (chunk, chunkval) buckets holding more than that
+    * many docs before the self-join — the same skew guard as
+    * minhashCandidates. The 4×2¹⁶ chunk key space saturates at ≫65k docs
+    * (every bucket then grows linearly with the corpus and pair
+    * generation quadratically), so an uncapped run is a scale-killer on
+    * reference-size corpora. A capped-out bucket usually means a huge
+    * cluster of EXACT duplicates (identical signatures) — run
+    * dropExactDuplicates first, as the production pipeline does; the cap
+    * only trades recall on pairs whose every shared chunk is
+    * over-populated.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sigs = simhashSignatures(shinglePostings(df, idCol, textCol, shingleLen))
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("id", "sig", "chunk", "chunkval")
-    chunks.as("a")
-      .join(chunks.as("b"),
+    val bucketed = chunks
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("chunk", "chunkval")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bucketed.as("a")
+      .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunkval") === col("b.chunkval") &&
           col("a.id") < col("b.id"))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -226,10 +227,11 @@ object Vectors {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 16,
-      bands: Int = 4,
-      dim: Int = -1): DataFrame = {
-    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bits, bands, dim)
+      bits: Int = 64,
+      bands: Int = 8,
+      dim: Int = -1,
+      maxBucket: Int = 10000): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, bits, bands, dim, maxBucket)
       .select(col("id_a"), col("id_b"))
     val losers = graft.functions.Dedup.duplicateClusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
@@ -238,16 +240,35 @@ object Vectors {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
-    * threshold, via LSH buckets (exact within-bucket scoring).
+    * threshold, via LSH buckets (exact within-bucket scoring — precision
+    * is always 1; bits/bands set recall).
+    *
+    * Defaults (64 bits / 8 bands ⇒ 8-bit chunks, 8×256 buckets) target
+    * the TRUE near-dup regime: a cosine-0.9 pair shares some chunk with
+    * p ≈ 0.93, cosine-0.95 with p ≈ 0.99. The old 16/4 default (4-bit
+    * chunks — 64 buckets total) made every bucket's population grow
+    * linearly in the corpus, trending the bucket join to O(n²/64). For
+    * LOW thresholds (broad clustering, e.g. ≤0.5) pass narrower chunks —
+    * more bands per bit, e.g. bits=16, bands=8 — and accept deeper
+    * buckets; sub-0.9 recall math: p = (1 − arccos(t)/π)^(bits/bands)
+    * per band.
+    *
+    * `maxBucket` skips (chunk, chunkval) buckets holding more than that
+    * many vectors — the skew/saturation guard (same as minhashCandidates):
+    * a capped-out bucket usually means a mass of EXACT duplicates or a
+    * degenerate embedding (all-zero vectors hash identically); the cap
+    * bounds pair generation at the cost of recall only within those
+    * over-populated buckets.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 16,
-      bands: Int = 4,
-      dim: Int = -1): DataFrame = {
+      bits: Int = 64,
+      bands: Int = 8,
+      dim: Int = -1,
+      maxBucket: Int = 10000): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val chunkBits = bits / bands
     val mask = (1L << chunkBits) - 1
@@ -257,8 +278,13 @@ object Vectors {
       posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
       .toDF("id", "vec", "chunk", "chunkval")
-    chunks.as("a")
-      .join(chunks.as("b"),
+    val bucketed = chunks
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("chunk", "chunkval")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bucketed.as("a")
+      .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunkval") === col("b.chunkval") &&
           col("a.id") < col("b.id"))

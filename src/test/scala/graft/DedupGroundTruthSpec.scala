@@ -208,4 +208,27 @@ class DedupGroundTruthSpec extends SparkSuite {
     } yield ((ids(i), ids(j)), h)).toMap
     assert(got == expected)
   }
+
+  test("simhashPairs maxBucket bounds pair generation under mass duplication") {
+    // 40 exact clones (identical signature → all four 16-bit chunks land in
+    // the same buckets) would emit C(40,2)=780 pairs; with maxBucket=10
+    // the saturated buckets are skipped entirely while a small distinct
+    // near-dup pair (bucket size 2) still comes through
+    val clones = (0 until 40).map(i =>
+      (i.toLong, "spark catalyst optimizes declarative dataframe plans into efficient code"))
+    val near = Seq( // identical pair of a DIFFERENT text: its own bucket of 2
+      (100L, "entirely different corpus text about gardening tulips in early spring rain"),
+      (101L, "entirely different corpus text about gardening tulips in early spring rain"))
+    val df = (clones ++ near).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxBucket = 10)
+      .as[(Long, Long, Int)].collect()
+    val clonePairs = capped.filter { case (a, b, _) => a < 100 && b < 100 }
+    assert(clonePairs.isEmpty, s"saturated clone buckets leaked ${clonePairs.length} pairs")
+    assert(capped.exists { case (a, b, _) => a == 100L && b == 101L },
+      "small-bucket near-dup pair must survive the cap")
+    // uncapped control: the clones DO pair without the guard
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(uncapped.count { case (a, b, _) => a < 100 && b < 100 } == 780)
+  }
 }

@@ -80,7 +80,11 @@ class VectorsGroundTruthSpec extends SparkSuite {
 
   test("dropEmbeddingNearDuplicates keeps one canonical per cosine cluster") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val pairs = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+    // low-threshold (0.45) regime needs narrow chunks for recall — 2-bit
+    // chunks as q33; kept/losers consistency holds for ANY bits/bands as
+    // long as both calls use the same ones
+    val pairs = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
+      bits = 16, bands = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty, "vacuous: no near-dup pairs at 0.45")
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -94,10 +98,31 @@ class VectorsGroundTruthSpec extends SparkSuite {
     }
     val losers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
       .filter(n => find(n) != n).toSet
-    val kept = Vectors.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding", 0.45)
+    val kept = Vectors.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding", 0.45,
+      bits = 16, bands = 8)
       .select("vec_id").as[Long].collect().toSet
     val all = emb.select("vec_id").as[Long].collect().toSet
     assert(kept == all -- losers)
+  }
+
+  test("cosineNearDupPairs maxBucket bounds pair generation under mass duplication") {
+    // 40 identical vectors share every LSH bucket (C(40,2)=780 pairs
+    // uncapped); with maxBucket=10 those saturated buckets are skipped
+    // while a distinct small-bucket near-dup pair still comes through
+    val clone = Array.tabulate(8)(i => math.sin(i + 1.0).toFloat)
+    val nearA = Array.tabulate(8)(i => math.cos(i + 1.0).toFloat)
+    val nearB = nearA.updated(0, nearA(0) + 0.01f)
+    val rows = (0 until 40).map(i => (i.toLong, clone)) ++ Seq((100L, nearA), (101L, nearB))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Vectors.cosineNearDupPairs(df, "vec_id", "embedding", 0.99, maxBucket = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(!capped.exists { case (a, b, _) => a < 100 && b < 100 },
+      "saturated clone buckets leaked pairs")
+    assert(capped.exists { case (a, b, _) => a == 100L && b == 101L },
+      "small-bucket near-dup pair must survive the cap")
+    val uncapped = Vectors.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.count { case (a, b, _) => a < 100 && b < 100 } == 780)
   }
 
   test("ivfCentroids: no dimension explosion — one vector_mean partial agg") {
