@@ -78,40 +78,18 @@ final class Library(val root: String, spark: SparkSession) {
 
   /** Atomic manifest commit (compare-and-set on version existence).
     * Returns false if the version already exists (lost race) — caller
-    * bumps (pure writes) or aborts (derived commits).
-    *
-    * The primitive must be ATOMIC no-overwrite, per filesystem:
-    *  - POSIX/local: hard LINK (link(2) fails with EEXIST atomically);
-    *    rename(2) silently REPLACES an existing destination, so the
-    *    old exists()+rename dance let two racing writers both "win" the
-    *    same version (caught by the same-symbol batch-write spec).
-    *  - HDFS: rename refuses an existing destination — rename is the CAS.
-    *  - S3A: swap for a conditional PUT (If-None-Match: *).
+    * bumps (pure writes) or aborts (derived commits). The per-backend
+    * atomic no-overwrite primitive lives in [[CommitCas]] (link on local
+    * FS, rename on HDFS, conditional PUT on S3A) and is race-tested
+    * directly by the six-writer specs.
     */
   private def commitManifest(symbol: String, m: VersionManifest): Boolean = {
     val dir = versionsDir(symbol)
     val f = fs(dir)
     f.mkdirs(dir)
     val target = new Path(dir, f"v${m.version}%05d.json")
-    if (f.exists(target)) return false // cheap fast-path; the link/rename below is the CAS
-    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
-    writeString(tmp, VersionManifest.toJson(m))
-    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (local) {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally f.delete(tmp, false)
-    } else {
-      val ok = f.rename(tmp, target) && f.exists(target)
-      if (!ok) f.delete(tmp, false)
-      ok
-    }
+    if (f.exists(target)) return false // cheap fast-path; CommitCas below is the CAS
+    CommitCas.forFs(f).commit(f, target, VersionManifest.toJson(m))
   }
 
   def listVersions(symbol: String): Seq[Int] = {
