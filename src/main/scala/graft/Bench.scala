@@ -46,6 +46,25 @@ object Bench {
     "q55_hash_sample_stratified",
     "q56_repetition_ratio")
 
+  /** Locate the sf1 generator script (bench tooling, not library code) and
+    * materialize a deterministic 10×-scaled copy of `sfDir` at `dst`.
+    * Returns true when the scaled dir is ready. The generator itself is
+    * idempotent (version marker + atomic rename), so repeat bench runs pay
+    * ~4s of generation exactly once.
+    */
+  private def ensureSf1(sfDir: String, dst: String): Boolean = {
+    val script = Seq("scripts/gen_sf1.py", "/root/repo/scripts/gen_sf1.py")
+      .map(new java.io.File(_)).find(_.isFile)
+    script.exists { f =>
+      try {
+        val p = new ProcessBuilder("python3", f.getAbsolutePath, sfDir, dst)
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes() // drain to avoid pipe deadlock
+        p.waitFor() == 0 && new java.io.File(dst, "_GRAFT_SF1_OK").isFile
+      } catch { case _: Throwable => false }
+    }
+  }
+
   /** Time each headline query's oracle SQL in DuckDB (same parquet, warm
     * run) via a python3 subprocess — measurement-only tooling so the 2×
     * proxy gate is machine-checkable from BENCH json alone; the library
@@ -105,6 +124,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Short key for compact stdout blocks ("q30_ngram_jaccard" → "q30").
+    * The driver's log capture keeps only the tail of bench output, so the
+    * printed line must stay small; BENCH_FULL.json carries full names.
+    */
+  private def short(name: String): String = name.takeWhile(_ != '_')
+
+  private def jmap(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,50 +140,82 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: String): Double = {
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: one untimed pass over the full list primes JIT-compiled
+    // Warmup + timed pass at one scale. The warmup primes JIT-compiled
     // codegen classes, parquet footer caches and the OS page cache, so the
     // timed pass measures steady-state engine throughput (the same thing
     // the reference's ASV numbers report after their warmup rounds).
-    headline.foreach(run)
-    val results = headline.map(n => n -> run(n))
+    def pass(dir: String): Seq[(String, Double)] = {
+      headline.foreach(run(_, dir))
+      headline.map(n => n -> run(n, dir))
+    }
+
+    val results = pass(sfDir)
     // Fixed per-query harness cost (plan + schedule + noop write of a
     // 1-row frame): the floor under every sub-second timing above. On a
     // real cluster this amortizes — a 100 TB scan pays it once, not per
-    // 60k rows — so ratio-vs-oracle for floor-dominated queries measures
-    // Spark's job overhead, not the operator's plan.
+    // 60k rows — which is why the sf1 pass below exists: at 10× the data
+    // the floor stops dominating and ratio-vs-oracle measures the plans.
     val floor = {
       val t0 = System.nanoTime()
       spark.range(1).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     val oracle = oracleTimes(sfDir)
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+
+    // sf1 pass: deterministic 10× scale-up of sfDir (SPARK_GRAFT_SF1=0
+    // skips; SPARK_GRAFT_SF1_DIR overrides the location).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      new java.io.File("target/graft-sf1").getAbsolutePath)
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      ensureSf1(sfDir, sf1Dir)
+    val results1 = if (sf1) pass(sf1Dir) else Seq.empty
+    val oracle1 = if (sf1) oracleTimes(sf1Dir) else Map.empty[String, Double]
+
+    def walls(rs: Seq[(String, Double)], key: String => String) =
+      jmap(rs.map { case (k, v) => key(k) -> f"$v%.3f" })
+    def ratios(rs: Seq[(String, Double)], o: Map[String, Double]) =
+      jmap(rs.flatMap { case (k, v) =>
+        o.get(k).filter(t => t > 0 && v >= 0).map(t => short(k) -> f"${v / t}%.2f")
+      })
+    def total(rs: Seq[(String, Double)]) = rs.map(_._2).filter(_ >= 0).sum
+    def oTotal(o: Map[String, Double]) = o.values.filter(_ >= 0).sum
+
     val extra =
       if (oracle.isEmpty) ""
-      else {
-        val os = results.flatMap { case (k, _) => oracle.get(k).map(k -> _) }
-        val oJson = os.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-          .mkString("{", ",", "}")
-        val rJson = results.flatMap { case (k, v) =>
-          oracle.get(k).filter(o => o > 0 && v >= 0)
-            .map(o => "\"" + k + "\":" + f"${v / o}%.2f")
-        }.mkString("{", ",", "}")
-        val oTotal = os.map(_._2).filter(_ >= 0).sum
-        s""","oracle":$oJson,"ratio":$rJson,"oracle_total":${f"$oTotal%.3f"}"""
-      }
+      else s""","ratio":${ratios(results, oracle)},"oracle_total":${f"${oTotal(oracle)}%.3f"}"""
+    val sf1Json = if (!sf1) ""
+    else {
+      val r = if (oracle1.isEmpty) ""
+      else s""","ratio":${ratios(results1, oracle1)},"oracle_total":${f"${oTotal(oracle1)}%.3f"}"""
+      s""","sf1":{"total":${f"${total(results1)}%.3f"},"queries":${walls(results1, short)}$r}"""
+    }
+
+    // Full-fidelity dump (full query names, per-query oracle walls, both
+    // scales) — committed with the round so the numbers survive the
+    // driver's tail-truncated log capture.
+    val full =
+      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","floor":${f"$floor%.3f"},
+         |"sf":"$sfDir","queries":${walls(results, identity)},
+         |"oracle":${jmap(oracle.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
+         |"ratio":${ratios(results, oracle)},"oracle_total":${f"${oTotal(oracle)}%.3f"},
+         |"sf1_dir":"$sf1Dir","sf1_queries":${walls(results1, identity)},
+         |"sf1_oracle":${jmap(oracle1.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
+         |"sf1_ratio":${ratios(results1, oracle1)},
+         |"sf1_total":${f"${total(results1)}%.3f"},"sf1_oracle_total":${f"${oTotal(oracle1)}%.3f"}}""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full + "\n")
+    catch { case _: Throwable => () }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$extra,"floor":${f"$floor%.3f"},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","queries":${walls(results, identity)}$extra,"floor":${f"$floor%.3f"},"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

@@ -246,6 +246,9 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id")).persist()
     var round = 0
     var changed = 1L
+    // One propagation step, carrying a `moved` flag per node so the
+    // convergence probe is a filter-count over the freshly persisted frame
+    // (one cached scan) instead of a separate labels⋈next join job.
     def propagate(): DataFrame = {
       // candidate label per node: min over neighbors' current labels
       val prop = edges.join(labels, edges("src") === labels("id"))
@@ -253,13 +256,14 @@ object Dedup {
       labels.join(prop, labels("id") === prop("id2"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("nbr").isNotNull && col("nbr") < col("cluster_id")).as("moved"))
     }
-    def delta(next: DataFrame): Long =
-      next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+    def delta(next: DataFrame): Long = next.filter(col("moved")).count()
     try {
       while (round < maxRounds && changed > 0) {
+        // moved rides along in the persisted frame; propagate()'s explicit
+        // select never reads it, so it costs one cached boolean column.
         val next = propagate().persist()
         changed = delta(next)
         labels.unpersist()
@@ -279,7 +283,7 @@ object Dedup {
       // Hand back a lineage-truncated, cache-free result: returning the
       // persisted frame would leak cache across calls, and unpersisting it
       // directly would cascade a full re-derivation through every round.
-      val out = labels.localCheckpoint(true)
+      val out = labels.drop("moved").localCheckpoint(true)
       out
     } finally {
       labels.unpersist()
