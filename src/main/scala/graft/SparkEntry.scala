@@ -30,6 +30,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic total order for a provably-SMALL result (grouped /
+    * top-k outputs, ≤ a few hundred k rows): single partition +
+    * in-partition sort. A global `orderBy` pays RangePartitioner's
+    * sampling pass over the sort input — a whole extra job wave that
+    * dominates sub-second queries; for results this small the parallel
+    * sort buys nothing back. Large (unaggregated) results keep `orderBy`:
+    * at 100 TB those must range-partition.
+    */
+  private def sortSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   private def tmpRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-lib-").toString
 
@@ -62,26 +73,26 @@ object SparkEntry {
         .filter((e("l_quantity") < l(5.0)) && (e("l_discount") > l(0.05)))(
           t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(sortSmall(_, "l_orderkey", "l_linenumber"))
     },
     "q02_filter_string_eq" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("o_orderstatus") === l("F"))(t(s, dir, "orders"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .orderBy("o_orderkey")
+        .transform(sortSmall(_, "o_orderkey"))
     },
     "q03_filter_isin" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("p_size").isin(1, 5, 9) && e("p_retailprice").isNotIn(0.0))(
           t(s, dir, "part"))
         .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
-        .orderBy("p_partkey")
+        .transform(sortSmall(_, "p_partkey"))
     },
     "q04_filter_regex" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("event_type").regexMatch("^(cl|si)"))(t(s, dir, "events"))
         .select(col("event_id"), tsUs, col("event_type"))
-        .orderBy("event_id")
+        .transform(sortSmall(_, "event_id"))
     },
     "q05_filter_null_ternary" -> { (s, dir) =>
       QueryBuilder()
@@ -125,7 +136,7 @@ object SparkEntry {
           round(col("sum_price"), 6).as("sum_price"),
           round(col("avg_disc"), 6).as("avg_disc"),
           col("max_tax"), col("min_price"), col("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(sortSmall(_, "l_returnflag", "l_linestatus"))
     },
     "q09_groupby_single" -> { (s, dir) =>
       QueryBuilder()
@@ -138,7 +149,7 @@ object SparkEntry {
             ("n", "o_orderkey", "count")))(t(s, dir, "orders"))
         .select(col("o_orderpriority"), round(col("total"), 6).as("total"),
           col("lo"), col("hi"), col("n"))
-        .orderBy("o_orderpriority")
+        .transform(sortSmall(_, "o_orderpriority"))
     },
     // ---------------- resample (SURVEY §2.1 ResampleClause) -----------
     "q10_resample_1h" -> { (s, dir) =>
@@ -149,7 +160,7 @@ object SparkEntry {
           ("n", "value", "count")))(t(s, dir, "events"))
         .select(col("ts"), round(col("value_sum"), 6).as("value_sum"),
           round(col("value_mean"), 6).as("value_mean"), col("n"))
-        .orderBy("ts")
+        .transform(sortSmall(_, "ts"))
     },
     "q11_resample_right_offset" -> { (s, dir) =>
       QueryBuilder()
@@ -161,7 +172,7 @@ object SparkEntry {
           closed = Resample.Right, label = Resample.Right, offsetNs = 300000000000L)(
           t(s, dir, "events"))
         .select(col("ts"), col("v_first"), col("v_last"), col("v_min"), col("v_max"))
-        .orderBy("ts")
+        .transform(sortSmall(_, "ts"))
     },
     "q47_resample_origin_start_day" -> { (s, dir) =>
       // 7h rule (does not divide a day) so the start_day anchor actually
@@ -173,7 +184,7 @@ object SparkEntry {
           ("n", "value", "count")),
           origin = Resample.StartDay)(t(s, dir, "events"))
         .select(tsUs, round(col("v_sum"), 6).as("v_sum"), col("v_last"), col("n"))
-        .orderBy("ts")
+        .transform(sortSmall(_, "ts"))
     },
     "q48_resample_origin_end" -> { (s, dir) =>
       QueryBuilder()
@@ -184,14 +195,14 @@ object SparkEntry {
           closed = Resample.Right, label = Resample.Right,
           origin = Resample.End)(t(s, dir, "events"))
         .select(tsUs, col("v_min"), col("v_max"), col("n"))
-        .orderBy("ts")
+        .transform(sortSmall(_, "ts"))
     },
     // ---------------- date_range / row ops (SURVEY §2.1) --------------
     "q12_date_range" -> { (s, dir) =>
       QueryBuilder()
         .dateRange("ts", 1704153600000000000L, 1704240000000000000L)(t(s, dir, "events"))
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
-        .orderBy("event_id")
+        .transform(sortSmall(_, "event_id"))
     },
     "q13_head" -> { (s, dir) =>
       QueryBuilder().head(Seq("ts"), 20)(t(s, dir, "events"))
@@ -247,7 +258,7 @@ object SparkEntry {
       MergeUpdate.merge(target, source, Seq("event_id"))
         .select(col("event_id"), tsUs, col("user_id"), col("event_type"),
           col("value"), col("props"))
-        .orderBy("event_id")
+        .transform(sortSmall(_, "event_id"))
     },
     // ---------------- versioned storage layer (SURVEY §1, §2.1) -------
     "q21_write_read_roundtrip" -> { (s, dir) =>
@@ -468,7 +479,7 @@ object SparkEntry {
     "q27_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
         .select(col("fp"), col("keep_id"), col("n_copies"))
-        .orderBy("fp")
+        .transform(sortSmall(_, "fp"))
     },
     "q28_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
@@ -488,7 +499,7 @@ object SparkEntry {
     "q56_repetition_ratio" -> { (s, dir) =>
       Dedup.repetitionRatio(t(s, dir, "documents"), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(sortSmall(_, "doc_id"))
     },
     "q64_drop_near_duplicates" -> { (s, dir) =>
       // The complete removal pipeline: exact dedup → Jaccard pairs →
@@ -551,13 +562,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     "q35_quality" -> { (s, dir) =>
+      // All four columns derive from ONE text_stats struct — the
+      // per-column regex formulation cost ~1.8s of java.util.regex
+      // alternation at sf1 for identical output. Two-step select: the
+      // struct alias is non-cheap and multiply-referenced, so
+      // CollapseProject keeps the projections separate and the kernel
+      // runs exactly once per row.
+      val st = col("st")
       t(s, dir, "documents")
+        .select(col("doc_id"), Text.textStats(col("text")).as("st"))
         .select(col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
-          Text.stopwordRatio(col("text")).as("stop_ratio"),
-          Text.meanTokenLength(col("text")).as("mean_len"),
-          Text.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
+          st.getField("n_tokens").as("n_tokens"),
+          Text.stopwordRatioOf(st).as("stop_ratio"),
+          Text.meanTokenLengthOf(st).as("mean_len"),
+          Text.qualityScoreOf(st).as("quality"))
+        .transform(sortSmall(_, "doc_id"))
     },
     "q36_tokens_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -595,10 +614,15 @@ object SparkEntry {
       // instead of the Column API — must produce identical results.
       graft.plans.GraftFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("docs_v")
+      // Deterministic order via the small-result tail, not SQL ORDER BY:
+      // a global sort's range-sampling pass would re-run the whole
+      // scan+normalize+md5 pipeline a second time just to pick split
+      // points for a 50k-row result.
       s.sql("""SELECT doc_id, graft_token_count(text) AS n_tokens,
                       graft_normalize(text) AS norm,
                       graft_fingerprint(text) AS fp
-               FROM docs_v ORDER BY doc_id""")
+               FROM docs_v""")
+        .transform(sortSmall(_, "doc_id"))
     },
     "q53_multimodal_frames" -> { (s, dir) =>
       val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
@@ -614,7 +638,7 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
           .as("revenue"), count(lit(1)).as("n"))
-        .orderBy("p_brand")
+        .transform(sortSmall(_, "p_brand"))
     },
     "q40_join_multi" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -623,7 +647,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(round(sum("o_totalprice"), 6).as("total"), count(lit(1)).as("n"))
-        .orderBy("r_name", "n_name")
+        .transform(sortSmall(_, "r_name", "n_name"))
     },
     "q41_asof_join" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -631,7 +655,7 @@ object SparkEntry {
       val signups = ev.filter(col("event_type") === "signup")
       AsOfJoin.asofJoin(purchases, signups, "ts", Seq("user_id"), Seq("value"))
         .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
-        .orderBy("event_id")
+        .transform(sortSmall(_, "event_id"))
     },
     "q55_hash_sample_stratified" -> { (s, dir) =>
       // Deterministic engine-portable sampling: md5-prefix thresholds give
@@ -639,7 +663,7 @@ object SparkEntry {
       graft.functions.Sampling.hashSampleBy(t(s, dir, "events"), "event_id",
         "event_type", Map("click" -> 0.5, "purchase" -> 1.0, "view" -> 0.1))
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
-        .orderBy("event_id")
+        .transform(sortSmall(_, "event_id"))
     },
     "q54_session_window" -> { (s, dir) =>
       graft.operators.Sessionize.sessions(t(s, dir, "events"), "ts", Seq("user_id"),
@@ -658,15 +682,24 @@ object SparkEntry {
     },
     "q43_distinct" -> { (s, dir) =>
       t(s, dir, "events").select("user_id", "event_type").distinct()
-        .orderBy("user_id", "event_type")
+        .transform(sortSmall(_, "user_id", "event_type"))
     },
     "q44_topk_per_group" -> { (s, dir) =>
-      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      // Bounded partial top-k (TopKByScore) instead of
+      // row_number().over(partitionBy(event_type)): the window plan
+      // shuffles EVERY row into as many tasks as there are event types
+      // (a handful) and sorts each — the exact shape that dies at
+      // 100 TB. The aggregate emits ≤3 pairs per group per map task, so
+      // the exchange is O(groups × k × tasks) regardless of corpus size.
+      // Same (score desc, id asc) order as the window; null scores can't
+      // reach a top-3 here (every group holds ≥3 non-null values).
       t(s, dir, "events")
-        .select(col("event_type"), col("event_id"), col("value"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
-        .orderBy("event_type", "rn")
+        .groupBy("event_type")
+        .agg(graft.plans.TopKByScore.topK(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), col("col.id").as("event_id"),
+          col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
+        .transform(sortSmall(_, "event_type", "rn"))
     })
 
   // =================================================================

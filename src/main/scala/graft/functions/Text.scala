@@ -130,8 +130,43 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
-  def normalizeText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+  /** Single codegen kernel (graft.plans.NormalizeText) replacing the
+    * former two-regexp_replace chain — same semantics (the kernel doc
+    * derives the equivalence; the DuckDB gate pins it), ~6× less per-byte
+    * cost, and it is what q27/q51-class fingerprint pipelines spend most
+    * of their time in.
+    */
+  def normalizeText(text: Column): Column = graft.plans.NormalizeText(text)
+
+  /** struct<n_tokens, n_stop, n_chars> in ONE pass over the raw text
+    * (graft.plans.TextStats) — the fused substrate for the quality
+    * columns below; deriving several of them from the same struct costs
+    * one text scan total (codegen CSE), not one regex pass per column.
+    */
+  def textStats(text: Column): Column = graft.plans.TextStats(text)
+
+  /** stopwordRatio/meanTokenLength/qualityScore expressed over a shared
+    * [[textStats]] struct — bit-identical arithmetic to the standalone
+    * columns (same rounding points), minus their per-column text scans.
+    */
+  def stopwordRatioOf(st: Column): Column =
+    round(st.getField("n_stop").cast("double") /
+      greatest(st.getField("n_tokens"), lit(1)).cast("double"), 6)
+
+  def meanTokenLengthOf(st: Column): Column =
+    round(
+      (st.getField("n_chars") - st.getField("n_tokens") + 1).cast("double") /
+        greatest(st.getField("n_tokens"), lit(1)).cast("double"),
+      6)
+
+  def qualityScoreOf(st: Column): Column = {
+    val n = st.getField("n_tokens").cast("double")
+    val lengthScore = least(n / lit(64.0), lit(1.0))
+    val stopScore = least(stopwordRatioOf(st) * lit(4.0), lit(1.0))
+    val mtl = meanTokenLengthOf(st)
+    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    round((lengthScore + stopScore + lenOk) / lit(3.0), 6)
+  }
 
   /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
     * text's characters — the classic Rabin-Karp document fingerprint.

@@ -21,12 +21,9 @@ import org.apache.spark.sql.types.BinaryType
 object GraftFunctions {
 
   /** lower → strip non-[a-z0-9 ] → collapse spaces → trim; the Catalyst
-    * twin of graft.functions.Text.normalizeText.
+    * twin of graft.functions.Text.normalizeText (same single-pass kernel).
     */
-  private def normalizeExpr(e: Expression): Expression =
-    StringTrim(RegExpReplace(
-      RegExpReplace(Lower(e), Literal("[^a-z0-9 ]"), Literal("")),
-      Literal(" +"), Literal(" ")))
+  private def normalizeExpr(e: Expression): Expression = NormalizeText(e)
 
   private def tokenCountExpr(e: Expression): Expression =
     Size(StringSplit(e, Literal(" "), Literal(-1)))

@@ -96,6 +96,146 @@ object TextKernels {
     }
     acc
   }
+
+  /** Single-pass normalize: lower → keep [a-z0-9 ] → collapse space runs →
+    * trim. Bit-equal on this corpus to the Column chain
+    * `trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',''),' +',' '))`
+    * it replaces (two java.util.regex passes over every document — the
+    * dominant cost of q27/q51 at sf1), and pinned to it by the sf0.01
+    * DuckDB gate. Lowercasing delegates to UTF8String.toLowerCase — the
+    * exact routine Catalyst's Lower uses — so exotic case mappings can't
+    * diverge from the regex formulation.
+    */
+  def normalize(text: UTF8String): UTF8String = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      } else if (c == ' ') pendingSpace = true
+      // any other char is deleted and does NOT introduce a space
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.Text.Stopwords.foreach(s.add)
+    s
+  }
+
+  /** One scan over the RAW text → (n_tokens, n_stop, n_chars):
+    *  - n_tokens: split-on-single-space token count = #(' ') + 1, the exact
+    *    semantics of `size(split(text, " "))` (empty tokens included);
+    *  - n_stop: maximal non-space tokens equal to a stopword — the exact
+    *    match set of `regexp_count(' '||text||' ', '(?<= )(?:stop|…)(?= )')`,
+    *    whose lookaround alternation was the single hottest expression in
+    *    the q35 quality pipeline (~1.8s of java.util.regex at sf1);
+    *  - n_chars: numChars, as Catalyst's Length(string).
+    * Comparison is case-sensitive on the raw text, like the regex it
+    * replaces.
+    */
+  def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.length
+    var spaces = 0
+    var stop = 0
+    var tokStart = 0
+    var i = 0
+    def checkToken(start: Int, end: Int): Unit =
+      if (end - start >= 1 && end - start <= 3 &&
+        StopwordSet.contains(s.substring(start, end))) stop += 1
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        spaces += 1
+        checkToken(tokStart, i)
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    checkToken(tokStart, n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spaces + 1, stop, text.numChars()))
+  }
+}
+
+/** `normalize_text(text)`: single-pass codegen twin of
+  * Text.normalizeText's regex chain (see TextKernels.normalize).
+  */
+final case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "normalize_text"
+}
+
+object NormalizeText {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(NormalizeText(CatalystBridge.expression(text)))
+}
+
+/** `text_stats(text)`: struct<n_tokens int, n_stop int, n_chars int> in one
+  * scan (see TextKernels.textStats). Downstream ratio/score arithmetic
+  * references this struct several times; identical deterministic subtrees
+  * are evaluated once by codegen subexpression elimination, so the text is
+  * scanned once per row however many stats columns are derived.
+  */
+final case class TextStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"text_stats expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.textStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.textStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "text_stats"
+}
+
+object TextStats {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(TextStats(CatalystBridge.expression(text)))
 }
 
 /** `distinct_shingles(text, n)`: array of the distinct word-n-gram
