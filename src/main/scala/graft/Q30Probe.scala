@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 object Q30Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val defaultReps = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def time(label: String, reps: Int = 3)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+    def time(label: String, reps: Int = defaultReps)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       mk.write.format("noop").mode("overwrite").save() // warm
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -39,6 +40,21 @@ object Q30Probe {
     time("full + orderBy")(agged.orderBy("id_a", "id_b"))
     time("full + repartition(1) sort")(
       agged.repartition(1).sortWithinPartitions("id_a", "id_b"))
+
+    // Blocked dense-tile path (the dispatcher picks it at these scales):
+    def blocked = graft.functions.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.2)
+    time("blocked (public api)")(blocked)
+    time("blocked + repartition(1) sort")(
+      blocked.repartition(1).sortWithinPartitions("id_a", "id_b"))
+    // equivalence vs the aggregate formulation above
+    val old = agged.withColumnRenamed("jac", "jac_old")
+    val neu = blocked.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"), col("jac"))
+    val mism = neu.join(old, Seq("id_a", "id_b"), "full_outer")
+      .filter(col("jac").isNull || col("jac_old").isNull ||
+        col("jac") =!= col("jac_old")).count()
+    println(s"[q30] blocked rows=${neu.count()} old rows=${old.count()} mismatches=$mism")
 
     // Experiment: fuse pair generation + per-partition aggregation into one
     // mapPartitions (bypasses Generate + codegen partial agg; pays encoder

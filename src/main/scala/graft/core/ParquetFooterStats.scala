@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+/** Driver-side min/max of an int64 parquet column read from file FOOTERS
+  * instead of a data scan.
+  *
+  * Resample's data-derived origins (start/start_day/end/end_day) need one
+  * global min or max of the ts column. The generic path computes it as a
+  * 1-row aggregate broadcast onto the frame — correct anywhere, but it
+  * costs a second full pass over the input. When the frame is a bare
+  * (possibly column-pruned) parquet scan with no filters, the same number
+  * is already sitting in every file's footer statistics: reading those is
+  * O(files) driver work — at 100 TB that is the difference between a
+  * metadata round-trip and a full extra scan. Same trick the engine's own
+  * manifest column stats play for filter pruning (core/StatsPruner.scala),
+  * applied to the origin anchor.
+  *
+  * Returns None (caller falls back to the aggregate) unless every check
+  * holds: plan is Relation/Project-of-attributes only (any Filter, join or
+  * computed projection invalidates footer totals), the column is a
+  * top-level INT64/LongType (the engine's ns-since-epoch index type), and
+  * every row group carries non-empty statistics for it. Row groups whose
+  * values are all null contribute nothing (footer min/max ignore nulls,
+  * exactly like the min/max aggregate they replace).
+  */
+object ParquetFooterStats {
+
+  private val MaxFooterFiles = 10000
+
+  def minMaxLong(df: DataFrame, colName: String): Option[(Long, Long)] =
+    try {
+      val rel = bareRelation(df.queryExecution.analyzed).getOrElse(return None)
+      if (df.schema.find(_.name == colName).map(_.dataType) != Some(LongType))
+        return None
+      val files = rel.location.inputFiles
+      if (files.isEmpty || files.length > MaxFooterFiles) return None
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          val it = footer.getBlocks.iterator()
+          while (it.hasNext) {
+            val block = it.next()
+            val cit = block.getColumns.iterator()
+            var found = false
+            while (cit.hasNext) {
+              val chunk = cit.next()
+              if (chunk.getPath.toDotString == colName) {
+                found = true
+                if (chunk.getPrimitiveType.getPrimitiveTypeName !=
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+                  return None
+                val st = chunk.getStatistics
+                if (st == null || st.isEmpty) return None
+                if (st.hasNonNullValue) {
+                  val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                  val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                  if (lo < mn) mn = lo
+                  if (hi > mx) mx = hi
+                  any = true
+                } else if (st.getNumNulls < block.getRowCount) {
+                  // values exist but no min/max recorded — cannot trust
+                  return None
+                }
+              }
+            }
+            if (!found) return None
+          }
+        } finally reader.close()
+      }
+      if (any) Some((mn, mx)) else None
+    } catch { case _: Throwable => None }
+
+  /** The HadoopFsRelation under nothing but aliases and prune-only
+    * projections (plain attribute lists — no filters, no computed
+    * columns).
+    */
+  private def bareRelation(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation
+        if h.fileFormat.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+        Some(h)
+      case _ => None
+    }
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      bareRelation(child)
+    case SubqueryAlias(_, child) => bareRelation(child)
+    case _ => None
+  }
+}

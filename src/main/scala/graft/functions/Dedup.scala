@@ -159,6 +159,26 @@ object Dedup {
     * usual recall/cost dial; 0 applies no cap and is what the oracle-gated
     * query uses — exact up to the negligible 64-bit bucket-hash collision
     * caveat described below).
+    *
+    * Two physical strategies, same exact answer (dispatched on corpus
+    * size, which costs one small count job at call time):
+    *
+    *  - ≤ ~260k docs: BLOCKED DENSE TILES. Docs get hash-assigned blocks
+    *    (~4k docs each) with contiguous per-block local indices; each
+    *    shingle bucket's postings are split per block pair and shuffled to
+    *    one tile task, which accumulates intersection counts in a dense
+    *    aN×bN int array and emits only threshold-passing pairs. This
+    *    replaces the pair-key hash aggregate — on a dense-vocabulary
+    *    corpus the number of (pair, shingle) incidences is quadratic-ish
+    *    and that aggregate (hundreds of millions of distinct keys) was
+    *    measured at 37s of the 42s total at 50k docs; dense increments
+    *    cost ~1ns each and nothing per-pair ever shuffles. The tile scan
+    *    at flush is O(n²/2) cells total, which is why the path is gated:
+    *    beyond ~260k docs the all-cell scan dominates.
+    *  - beyond: the postings hash-aggregate shape (BucketPairs generate →
+    *    groupBy pair), which scales with actual incidences, not n² — the
+    *    right shape for genuinely sparse billion-doc corpora, where
+    *    exact all-pairs is only sane with a maxDocFreq cap anyway.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -166,10 +186,24 @@ object Dedup {
       textCol: String,
       shingleLen: Int,
       threshold: Double,
-      maxDocFreq: Long): DataFrame = {
-    // The pair machinery (BucketPairs, the intersection groupBy) carries doc
-    // ids as longs. A non-integral id would silently cast to null and read
-    // back as garbage — reject it up front (same guard as Vectors.rankTopK);
+      maxDocFreq: Long): DataFrame =
+    ngramJaccardPairsImpl(df, idCol, textCol, shingleLen, threshold,
+      maxDocFreq, forceDense = None)
+
+  /** Test hook: forceDense pins the physical strategy so specs can assert
+    * both produce identical answers on the same corpus.
+    */
+  private[graft] def ngramJaccardPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      forceDense: Option[Boolean]): DataFrame = {
+    // The pair machinery (BucketPairs/tile kernel) carries doc ids as
+    // longs. A non-integral id would silently cast to null and read back
+    // as garbage — reject it up front (same guard as Vectors.rankTopK);
     // hash or index string keys to a long before deduplicating.
     val idType = df.schema(idCol).dataType
     idType match {
@@ -179,35 +213,223 @@ object Dedup {
         s"ngramJaccardPairs id column must be integral (got $other); hash or " +
           "index non-integral ids to a long first")
     }
-    // Bucket-explode instead of a self-join: a self-join would evaluate the
-    // expensive postings subtree once per side (no ReusedExchange across a
-    // broadcast build, and caching pays its own materialization tax).
-    // groupBy + pairwise explode touches the postings ONCE. The bucket key
-    // is xxhash64(shingle), not the shingle string — equality is all the
-    // intersection count needs, and an 8-byte key more than halves the
-    // exchange bytes of the widest shuffle in the pipeline. Caveat: a
-    // 64-bit hash collision would merge two shingle buckets and inflate an
-    // intersection count, so results are almost-surely exact rather than
-    // exact (odds become material only near ~2^32 distinct shingles, per
-    // the birthday bound; the ground-truth spec pins the fixed corpora).
-    // Production skew note: a shingle shared by m docs emits m(m-1)/2
-    // pairs — on real corpora cap document frequency (drop boilerplate
-    // shingles) before this step; the oracle here is exact so no cap is
-    // applied.
+    // The bucket key is xxhash64(shingle), not the shingle string —
+    // equality is all the intersection count needs, and an 8-byte key more
+    // than halves the exchange bytes of the widest shuffle in the
+    // pipeline. Caveat: a 64-bit hash collision would merge two shingle
+    // buckets and inflate an intersection count, so results are
+    // almost-surely exact rather than exact (odds become material only
+    // near ~2^32 distinct shingles, per the birthday bound; the
+    // ground-truth spec pins the fixed corpora).
     val posts = shinglePostings(df, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"),
         col("id").cast("long").as("id"), col("sz"))
+    val docsz = posts.groupBy("id").agg(first(col("sz")).as("sz")).persist()
+    try {
+      val n = docsz.count()
+      // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
+      // tiles for parallelism. Gate at 64 blocks (~260k docs): past that
+      // the dense tiles' O(n²) flush scan outgrows the incidence-bound
+      // aggregate path.
+      val numBlocks = math.max((n + DenseBlockRows - 1) / DenseBlockRows,
+        math.min(8L, (n + 255) / 256)).max(1L).toInt
+      if (forceDense.getOrElse(numBlocks <= DenseMaxBlocks))
+        blockedJaccardPairs(posts, docsz, idType, shingleLen, threshold,
+          maxDocFreq, numBlocks)
+      else
+        bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
+    } finally {
+      // the blocked path has materialized docidx via localCheckpoint by
+      // now, and the fallback path never reads docsz — safe to drop
+      docsz.unpersist()
+    }
+  }
+
+  /** Docs per dense block (tile side length target). */
+  private val DenseBlockRows = 4096L
+
+  /** Dense-path gate: numBlocks above this (≈260k docs) falls back to the
+    * incidence-bound aggregate shape.
+    */
+  private val DenseMaxBlocks = 64
+
+  /** The blocked dense-tile strategy (see ngramJaccardPairs doc). */
+  private def blockedJaccardPairs(
+      posts: DataFrame,
+      docsz: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      numBlocks: Int): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    // Block = hash(id) mod numBlocks (uniform, deterministic); local =
+    // 0-based rank within the block. The window is partitioned by block so
+    // no single-partition sort exists at any scale this path admits.
+    // localCheckpoint materializes the ~n-row index eagerly: it is read by
+    // three joins below, and docsz's cache is released by the caller.
+    val docidx = docsz
+      .withColumn("block",
+        pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
+      .withColumn("local",
+        (row_number().over(Window.partitionBy("block").orderBy("id")) - 1))
+      .select(col("id"), col("sz"), col("block"), col("local"))
+      .localCheckpoint(true)
+    val counts: Array[Int] = {
+      val m = docidx.groupBy("block").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+      Array.tabulate(numBlocks)(b => m.getOrElse(b, 0))
+    }
+    // ≤260k docs ⇒ docidx is a few MB — always broadcastable here.
+    val entries = posts
+      .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")
+      .select(col("s"), struct(col("block"), col("local"), col("sz")).as("e"))
+    val buckets = entries.groupBy("s").agg(collect_list(col("e")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
+    val numTiles = numBlocks * (numBlocks + 1) / 2
+    val tiles = buckets
+      .select(graft.plans.BlockPairSplit(col("docs"), numBlocks))
+      .repartition(numTiles, col("bp"))
+      .sortWithinPartitions("bp")
+      .as[(Int, Array[Long], Array[Long])]
+    val t = threshold
+    val nb = numBlocks
+    val cts = counts
+    val emitted = tiles.mapPartitions { it =>
+      accumulateTiles(it, nb, cts, t)
+    }.toDF("bi", "la", "bj", "lb", "inter", "szsum")
+    val da = docidx.select(col("block").as("__ba"), col("local").as("__la"),
+      col("id").as("__ida"))
+    val db = docidx.select(col("block").as("__bb"), col("local").as("__lb"),
+      col("id").as("__idb"))
+    emitted
+      .join(broadcast(da), col("bi") === col("__ba") && col("la") === col("__la"))
+      .join(broadcast(db), col("bj") === col("__bb") && col("lb") === col("__lb"))
+      // block/local order is not id order across blocks — restore id_a < id_b
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        col("inter"), col("szsum"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac",
+        round(col("inter").cast("double") /
+          (col("szsum") - col("inter")).cast("double"), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("jac"))
+  }
+
+  /** Streaming per-partition tile accumulator: rows arrive sorted by bp,
+    * so exactly one dense tile is live at a time. Emission applies the
+    * exact Jaccard test (with a 1e-6 safety margin; the final
+    * round()+filter happens in the plan so results are bit-identical to
+    * the aggregate path).
+    */
+  private def accumulateTiles(
+      it: Iterator[(Int, Array[Long], Array[Long])],
+      numBlocks: Int,
+      counts: Array[Int],
+      threshold: Double): Iterator[(Int, Int, Int, Int, Long, Long)] = {
+    val SzMask = (1L << 40) - 1
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Long, Long)]
+    var cur = -1
+    var bi = 0; var bj = 0; var aN = 0; var bN = 0
+    var dense: Array[Int] = null
+    var szA: Array[Long] = null
+    var szB: Array[Long] = null
+    def flush(): Unit = if (cur >= 0 && dense != null) {
+      val diag = bi == bj
+      var la = 0
+      while (la < aN) {
+        val sa = szA(la)
+        if (sa > 0) {
+          val base = la * bN
+          var lb = if (diag) la + 1 else 0
+          while (lb < bN) {
+            val c = dense(base + lb)
+            if (c > 0) {
+              val szsum = sa + szB(lb)
+              if (c.toDouble / (szsum - c).toDouble >= threshold - 1e-6)
+                out += ((bi, la, bj, lb, c.toLong, szsum))
+            }
+            lb += 1
+          }
+        }
+        la += 1
+      }
+    }
+    while (it.hasNext) {
+      val (bp, a, b) = it.next()
+      if (bp != cur) {
+        flush()
+        cur = bp
+        bi = bp / numBlocks; bj = bp % numBlocks
+        aN = counts(bi); bN = counts(bj)
+        dense = new Array[Int](aN * bN)
+        szA = new Array[Long](aN)
+        szB = if (bi == bj) szA else new Array[Long](bN)
+      }
+      if (b.length == 0) {
+        // diagonal: upper triangle of a × a, normalized to (min,max) local
+        var p = 0
+        while (p < a.length) {
+          val la = (a(p) >>> 40).toInt
+          szA(la) = a(p) & SzMask
+          var q = p + 1
+          while (q < a.length) {
+            val lb = (a(q) >>> 40).toInt
+            if (la < lb) dense(la * bN + lb) += 1
+            else dense(lb * bN + la) += 1
+            q += 1
+          }
+          p += 1
+        }
+      } else {
+        var q = 0
+        while (q < b.length) {
+          szB((b(q) >>> 40).toInt) = b(q) & SzMask
+          q += 1
+        }
+        var p = 0
+        while (p < a.length) {
+          val la = (a(p) >>> 40).toInt
+          szA(la) = a(p) & SzMask
+          val base = la * bN
+          var q2 = 0
+          while (q2 < b.length) {
+            dense(base + (b(q2) >>> 40).toInt) += 1
+            q2 += 1
+          }
+          p += 1
+        }
+      }
+    }
+    flush()
+    out.iterator
+  }
+
+  /** The incidence-bound aggregate strategy: bucket-explode instead of a
+    * self-join (a self-join would evaluate the expensive postings subtree
+    * once per side; groupBy + pairwise explode touches the postings ONCE).
+    * graft.plans.BucketPairs emits the ordered (id_a < id_b) pairs of each
+    * bucket directly, with the exact length-ratio prune
+    * (jac ≤ min(sz)/max(sz), so min < t·max can never pass) applied
+    * inline — one Generate instead of explode×explode+filters pushing m²
+    * rows through the plan's widest point. szsum (= |A|+|B|, constant per
+    * pair) rides as one long; first() picks it up for free alongside the
+    * intersection count.
+    */
+  private def bucketAggJaccardPairs(
+      posts: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double,
+      maxDocFreq: Long): DataFrame = {
     val buckets = posts.groupBy("s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
       .filter(size(col("docs")) > 1)
       .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
-    // graft.plans.BucketPairs emits the ordered (id_a < id_b) pairs of each
-    // bucket directly, with the exact length-ratio prune
-    // (jac ≤ min(sz)/max(sz), so min < t·max can never pass) applied
-    // inline — one Generate instead of explode×explode+filters pushing m²
-    // rows through the plan's widest point. szsum (= |A|+|B|, constant per
-    // pair) rides as one long; first() picks it up for free alongside the
-    // intersection count.
     buckets
       .select(graft.plans.BucketPairs(col("docs"), threshold))
       .groupBy(col("id_a"), col("id_b"))

@@ -58,9 +58,12 @@ object Resample {
   private val DayNs = 86400L * 1000L * 1000L * 1000L
 
   /** Resolve the origin to (frame, anchor expression). Data-derived
-    * origins need one global min/max of the ts column: computed as a
-    * 1-row aggregate broadcast-joined onto the frame — a partial-agg
-    * tree reduction plus a zero-cost broadcast, never a global sort or
+    * origins need one global min/max of the ts column. When the frame is
+    * a bare parquet scan, that number comes from the file FOOTERS —
+    * driver-side O(files) metadata, no data pass (see
+    * core/ParquetFooterStats). Otherwise it is computed as a 1-row
+    * aggregate broadcast-joined onto the frame — a partial-agg tree
+    * reduction plus a zero-cost broadcast, never a global sort or
     * single-partition window. The anchor already includes `offsetNs`.
     */
   def anchored(
@@ -71,19 +74,33 @@ object Resample {
     case Epoch => (df, lit(offsetNs))
     case OriginTimestamp(ns) => (df, lit(ns + offsetNs))
     case dataOrigin =>
-      val ts = col(tsCol)
-      val anchor = dataOrigin match {
-        case Start => min(ts)
-        case StartDay => min(ts) - pmod(min(ts), lit(DayNs))
-        case End => max(ts)
-        case EndDay =>
-          // pandas end_day: ceiling midnight of the last value
-          max(ts) - pmod(max(ts), lit(DayNs)) +
-            when(pmod(max(ts), lit(DayNs)) === 0, lit(0L)).otherwise(lit(DayNs))
-        case other => throw new IllegalStateException(s"unreachable $other")
+      graft.core.ParquetFooterStats.minMaxLong(df, tsCol) match {
+        case Some((mn, mx)) =>
+          val anchorNs = dataOrigin match {
+            case Start => mn
+            case StartDay => mn - Math.floorMod(mn, DayNs)
+            case End => mx
+            case EndDay =>
+              val r = Math.floorMod(mx, DayNs)
+              mx - r + (if (r == 0) 0L else DayNs)
+            case other => throw new IllegalStateException(s"unreachable $other")
+          }
+          (df, lit(anchorNs + offsetNs))
+        case None =>
+          val ts = col(tsCol)
+          val anchor = dataOrigin match {
+            case Start => min(ts)
+            case StartDay => min(ts) - pmod(min(ts), lit(DayNs))
+            case End => max(ts)
+            case EndDay =>
+              // pandas end_day: ceiling midnight of the last value
+              max(ts) - pmod(max(ts), lit(DayNs)) +
+                when(pmod(max(ts), lit(DayNs)) === 0, lit(0L)).otherwise(lit(DayNs))
+            case other => throw new IllegalStateException(s"unreachable $other")
+          }
+          val one = df.agg((anchor + lit(offsetNs)).cast("long").as("__origin_anchor"))
+          (df.crossJoin(broadcast(one)), col("__origin_anchor"))
       }
-      val one = df.agg((anchor + lit(offsetNs)).cast("long").as("__origin_anchor"))
-      (df.crossJoin(broadcast(one)), col("__origin_anchor"))
   }
 
   /** Bucket-start expression for a ns long ts column.

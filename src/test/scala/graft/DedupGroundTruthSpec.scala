@@ -82,6 +82,48 @@ class DedupGroundTruthSpec extends SparkSuite {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
   }
 
+  test("ngramJaccardPairs: dense-tile and aggregate strategies agree exactly") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    def run(dense: Boolean) =
+      Dedup.ngramJaccardPairsImpl(df, "doc_id", "text", 3, 0.2,
+        maxDocFreq = 0, forceDense = Some(dense))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val denseOut = run(dense = true)
+    val aggOut = run(dense = false)
+    assert(denseOut == aggOut)
+    assert(denseOut.nonEmpty, "vacuous: no pairs at threshold 0.2")
+    // and with a doc-frequency cap both paths drop the same buckets
+    def runCapped(dense: Boolean) =
+      Dedup.ngramJaccardPairsImpl(df, "doc_id", "text", 3, 0.1,
+        maxDocFreq = 3, forceDense = Some(dense))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(runCapped(dense = true) == runCapped(dense = false))
+  }
+
+  test("blocked path handles docs spread across many blocks (tiny corpus)") {
+    // 40 docs force the 8-block parallelism floor: every tile shape
+    // (diagonal, cross, absent) occurs, and several near-dup pairs span
+    // blocks. Ground truth recomputed driver-side.
+    val docs = (0L until 40L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel item$i"
+      val text = if (i % 4 == 0) base + " juliet kilo lima" else base
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairsImpl(df, "doc_id", "text", 3, 0.3,
+      maxDocFreq = 0, forceDense = Some(true))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sets = docs.map { case (id, t) => id -> shingleSet(t, 3) }.toMap
+    val expected = (for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      ja = jaccard(sets(i), sets(j))
+      jr = BigDecimal(ja).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.3
+    } yield (i, j) -> jr).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
+  }
+
   test("repetitionRatio: 0 for unique text, high for template spam") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // 7 positions, 3 distinct → 1 - 3/7

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.ParquetFooterStats
+import graft.query.{QueryBuilder, Resample}
+
+/** ParquetFooterStats: the footer-derived min/max must equal the
+  * aggregate it replaces, and every plan shape it cannot vouch for must
+  * fall back (None) rather than risk a wrong anchor.
+  */
+class FooterStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val events = spark.read.parquet(s"$sf/events.parquet")
+
+  test("footer min/max equals the aggregate min/max on a bare scan") {
+    val got = ParquetFooterStats.minMaxLong(events, "ts")
+    val Array(mn, mx) = events.agg(min("ts"), max("ts")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(got.contains((mn, mx)))
+    // survives a prune-only projection
+    assert(ParquetFooterStats.minMaxLong(events.select("ts", "value"), "ts")
+      .contains((mn, mx)))
+  }
+
+  test("filters, computed projections and non-long columns fall back to None") {
+    assert(ParquetFooterStats.minMaxLong(
+      events.filter(col("value") > 0), "ts").isEmpty)
+    assert(ParquetFooterStats.minMaxLong(
+      events.select((col("ts") + 1).as("ts")), "ts").isEmpty)
+    assert(ParquetFooterStats.minMaxLong(events, "event_type").isEmpty)
+    assert(ParquetFooterStats.minMaxLong(
+      Seq((1L, 2L)).toDF("ts", "v"), "ts").isEmpty) // not a parquet scan
+  }
+
+  test("resample origins agree between the footer path and the aggregate path") {
+    // bare scan → footer anchor; filtered frame → aggregate anchor. The
+    // filter keeps every row, so both must produce identical buckets.
+    val aggs = Seq(("v_sum", "value", "sum"), ("n", "value", "count"))
+    for (origin <- Seq(Resample.Start, Resample.StartDay, Resample.End, Resample.EndDay)) {
+      val viaFooter = QueryBuilder()
+        .resample("ts", "7h", aggs, origin = origin)(events)
+        .orderBy("ts").collect().toSeq
+      val viaAgg = QueryBuilder()
+        .resample("ts", "7h", aggs, origin = origin)(
+          events.filter(col("ts") > Long.MinValue))
+        .orderBy("ts").collect().toSeq
+      assert(viaFooter == viaAgg, s"origin $origin diverged")
+    }
+  }
+}
