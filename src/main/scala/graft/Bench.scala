@@ -71,7 +71,7 @@ object Bench {
     * itself never touches DuckDB. Returns empty on any failure (no python,
     * no duckdb module): bench then emits spark timings only.
     */
-  private def oracleTimes(sfDir: String): Map[String, Double] = {
+  private def oracleTimes(sfDir: String, passes: Int): Map[String, Double] = {
     def jq(s: String): String = JsonUtil.quote(s)
     try {
       val sqls = SparkEntry.oracleSql.filter(kv => headline.contains(kv._1))
@@ -84,6 +84,7 @@ object Bench {
         """import json, sys, time
           |import duckdb
           |sf, sqls = sys.argv[1], json.load(open(sys.argv[2]))
+          |passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
           |con = duckdb.connect()
           |tables = ("region nation customer supplier part orders lineitem "
           |          "events documents embeddings").split()
@@ -93,17 +94,26 @@ object Bench {
           |out = {}
           |for name, sql in sqls.items():
           |    try:
-          |        con.execute(sql).fetchall()
-          |        t0 = time.time()
-          |        con.execute(sql).fetchall()
-          |        out[name] = round(time.time() - t0, 3)
+          |        con.execute(sql).fetchall()  # warm
+          |        # min-of-N warm runs, mirroring the Spark side; queries
+          |        # over ~5s get a single timed run to bound total wall.
+          |        best = None
+          |        for i in range(passes):
+          |            t0 = time.time()
+          |            con.execute(sql).fetchall()
+          |            dt = time.time() - t0
+          |            best = dt if best is None else min(best, dt)
+          |            if dt > 5.0:
+          |                break
+          |        out[name] = round(best, 3)
           |    except Exception:
           |        out[name] = -1.0
           |print(json.dumps(out))
           |""".stripMargin)
       // merge stderr into stdout: reading only stdout to EOF while the
       // child blocks on a full stderr pipe would deadlock the bench
-      val p = new ProcessBuilder("python3", script.toString, sfDir, sqlJson.toString)
+      val p = new ProcessBuilder("python3", script.toString, sfDir, sqlJson.toString,
+        passes.toString)
         .redirectErrorStream(true).start()
       val outStr = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
@@ -148,13 +158,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup + timed pass at one scale. The warmup primes JIT-compiled
-    // codegen classes, parquet footer caches and the OS page cache, so the
-    // timed pass measures steady-state engine throughput (the same thing
-    // the reference's ASV numbers report after their warmup rounds).
+    // Warmup + min-of-N timed passes at one scale. The warmup primes
+    // JIT-compiled codegen classes, parquet footer caches and the OS page
+    // cache; the per-query MIN over the timed passes is reported — the
+    // same warm min-of-rounds methodology as the reference's ASV suite
+    // (BASELINE.md numbers), and the only estimator robust to transient
+    // host-level CPU contention (observed: a co-scheduled burst slowing
+    // one whole pass ~5x, DuckDB subprocess included). The oracle timer
+    // below applies the same min-of-N so the comparison stays fair.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     def pass(dir: String): Seq[(String, Double)] = {
       headline.foreach(run(_, dir))
-      headline.map(n => n -> run(n, dir))
+      val timed = (1 to passes).map(_ => headline.map(n => n -> run(n, dir)))
+      headline.map { n =>
+        val ts = timed.map(_.toMap.apply(n)).filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
     }
 
     val results = pass(sfDir)
@@ -168,7 +187,7 @@ object Bench {
       spark.range(1).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val oracle = oracleTimes(sfDir)
+    val oracle = oracleTimes(sfDir, passes)
 
     // sf1 pass: deterministic 10× scale-up of sfDir (SPARK_GRAFT_SF1=0
     // skips; SPARK_GRAFT_SF1_DIR overrides the location).
@@ -177,7 +196,7 @@ object Bench {
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       ensureSf1(sfDir, sf1Dir)
     val results1 = if (sf1) pass(sf1Dir) else Seq.empty
-    val oracle1 = if (sf1) oracleTimes(sf1Dir) else Map.empty[String, Double]
+    val oracle1 = if (sf1) oracleTimes(sf1Dir, passes) else Map.empty[String, Double]
 
     def walls(rs: Seq[(String, Double)], key: String => String) =
       jmap(rs.map { case (k, v) => key(k) -> f"$v%.3f" })
