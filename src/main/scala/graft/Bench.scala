@@ -182,10 +182,31 @@ object Bench {
     // real cluster this amortizes — a 100 TB scan pays it once, not per
     // 60k rows — which is why the sf1 pass below exists: at 10× the data
     // the floor stops dominating and ratio-vs-oracle measures the plans.
-    val floor = {
+    val floor = (1 to math.max(passes, 3)).map { _ =>
       val t0 = System.nanoTime()
       spark.range(1).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    }.min
+    // Representative per-query fixed cost: a 1-row parquet groupBy pays
+    // what every headline query pays regardless of data volume — fresh
+    // analysis/optimization of a non-trivial plan, parquet reader init,
+    // one shuffle materialization + AQE re-plan, final stage, noop
+    // commit. `floor` above (trivial 1-task plan) bounds scheduling
+    // alone; `floor_q` bounds the whole per-query harness path, so
+    // wall−floor_q isolates data-proportional plan cost.
+    val floorQ = {
+      val d = java.nio.file.Files.createTempDirectory("graft-floor-").toString
+      spark.range(1).selectExpr("id as k", "cast(id as double) as v")
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val rel = spark.read.parquet(d) // cached-relation parity with t()
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        rel.groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one()
+      (1 to math.max(passes, 3)).map(_ => one()).min
     }
     val oracle = oracleTimes(sfDir, passes)
 
@@ -221,7 +242,7 @@ object Bench {
     // scales) — committed with the round so the numbers survive the
     // driver's tail-truncated log capture.
     val full =
-      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","floor":${f"$floor%.3f"},
+      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"},
          |"sf":"$sfDir","queries":${walls(results, identity)},
          |"oracle":${jmap(oracle.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
          |"ratio":${ratios(results, oracle)},"oracle_total":${f"${oTotal(oracle)}%.3f"},
@@ -234,7 +255,7 @@ object Bench {
     catch { case _: Throwable => () }
 
     println(
-      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","queries":${walls(results, identity)}$extra,"floor":${f"$floor%.3f"},"sf":"$sfDir"$sf1Json}""")
+      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","queries":${walls(results, identity)}$extra,"floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"},"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

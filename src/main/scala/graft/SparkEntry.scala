@@ -27,8 +27,23 @@ import graft.query.Expr.{col => e, lit => l, where => ternary}
   */
 object SparkEntry {
 
+  /** Table reads resolve through a per-(session, path) relation cache —
+    * the equivalent of registering the table in a catalog once. A bare
+    * `spark.read.parquet` re-lists the directory and re-reads footer
+    * schemas on every call (~60–170 ms/query measured at sf1, DevProbe2),
+    * which is pure metadata tax the oracle side never pays (its views are
+    * created once per connection). The cached value is only the analyzed
+    * relation (file listing + schema), never data; inputs under these
+    * paths are immutable for a process lifetime (driver testdata, the
+    * idempotent sf1 generation).
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(
+      (s, s"$dir/$name.parquet"),
+      (k: (SparkSession, String)) => k._1.read.parquet(k._2))
 
   /** Deterministic total order for a provably-SMALL result (grouped /
     * top-k outputs, ≤ a few hundred k rows): single partition +
@@ -508,6 +523,22 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "q65_arrow_roundtrip" -> { (s, dir) =>
+      // Arrow OUTPUT format (reference arctic.py OutputFormat, the
+      // to-Arrow client hand-off): serialize the filtered frame to Arrow
+      // IPC record batches and re-import. Driver-side by construction —
+      // an output format is a client hand-off like toPandas, not a
+      // distributed operator; the gate proves value fidelity through the
+      // Arrow serialization layer.
+      val src = QueryBuilder()
+        .filter(e("o_orderstatus") === l("O"))(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batches = org.apache.spark.sql.graftbridge.ArrowBridge
+        .arrowBatchRdd(src).collect()
+      org.apache.spark.sql.graftbridge.ArrowBridge
+        .fromArrowBatches(batches.iterator, src.schema.json, s)
+        .orderBy("o_orderkey")
+    },
     "q63_dup_clusters" -> { (s, dir) =>
       // Connected components over the verified near-dup pairs: each doc in
       // a pair labeled with its component's min doc id (the canonical
@@ -725,6 +756,9 @@ object SparkEntry {
     "q02_filter_string_eq" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q65_arrow_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
     "q03_filter_isin" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part
          WHERE p_size IN (1, 5, 9) AND p_retailprice NOT IN (0.0)
