@@ -74,4 +74,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("grouped-result tails coalesce, adding no exchange (q09, q39)") {
+    // sortSmallAgg: the deterministic-order tail on a post-shuffle result
+    // must merge the final-agg partitions via Coalesce, not pay a second
+    // shuffle (repartition(1)) — one exchange for q09's groupBy, and for
+    // q39 one shuffle exchange (agg) + one broadcast exchange (dim).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(name: String) =
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(shuffles("q09_groupby_single").size === 1)
+      assert(shuffles("q39_join_broadcast_agg").size === 1)
+      assert(plan("q09_groupby_single").contains("Coalesce 1"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
