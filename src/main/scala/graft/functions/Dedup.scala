@@ -239,8 +239,8 @@ object Dedup {
       else
         bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
     } finally {
-      // the blocked path has materialized docidx via localCheckpoint by
-      // now, and the fallback path never reads docsz — safe to drop
+      // the blocked path has collected its driver-side index by now, and
+      // the fallback path never reads docsz — safe to drop
       docsz.unpersist()
     }
   }
@@ -265,22 +265,34 @@ object Dedup {
     val spark = posts.sparkSession
     import spark.implicits._
     // Block = hash(id) mod numBlocks (uniform, deterministic); local =
-    // 0-based rank within the block. The window is partitioned by block so
-    // no single-partition sort exists at any scale this path admits.
-    // localCheckpoint materializes the ~n-row index eagerly: it is read by
-    // three joins below, and docsz's cache is released by the caller.
-    val docidx = docsz
-      .withColumn("block",
-        pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
-      .withColumn("local",
-        (row_number().over(Window.partitionBy("block").orderBy("id")) - 1))
-      .select(col("id"), col("sz"), col("block"), col("local"))
-      .localCheckpoint(true)
-    val counts: Array[Int] = {
-      val m = docidx.groupBy("block").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
-      Array.tabulate(numBlocks)(b => m.getOrElse(b, 0))
+    // 0-based rank within the block. This path only admits ≤260k docs
+    // (the caller's DenseMaxBlocks gate), so the whole index is built
+    // DRIVER-SIDE from one collect of the already-cached docsz frame —
+    // a ≲10 MB array — instead of a window shuffle + localCheckpoint +
+    // per-block count job (3 jobs and an exchange that dominated the
+    // small-corpus wall; block assignment does not affect emitted pairs,
+    // only tile balance). The fallback aggregate path never collects.
+    val docidxRows: Array[(Long, Long, Int, Int)] = {
+      val collected = docsz.select(col("id").cast("long"), col("sz").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      collected
+        .groupBy { case (id, _) =>
+          (scala.util.hashing.byteswap64(id) % numBlocks + numBlocks).toInt % numBlocks
+        }
+        .iterator
+        .flatMap { case (block, docs) =>
+          docs.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), local) =>
+            (id, sz, block, local)
+          }
+        }
+        .toArray
     }
+    val counts: Array[Int] = {
+      val c = new Array[Int](numBlocks)
+      docidxRows.foreach { case (_, _, b, _) => c(b) += 1 }
+      c
+    }
+    val docidx = docidxRows.toSeq.toDF("id", "sz", "block", "local")
     // ≤260k docs ⇒ docidx is a few MB — always broadcastable here.
     val entries = posts
       .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")
