@@ -534,6 +534,35 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "q66_agg_then_filter_project" -> { (s, dir) =>
+      // Clause chaining PAST a barrier (reference: clauses compose
+      // linearly, processing.py — e.g. groupby().agg() then filter on the
+      // AGGREGATED columns then a derived projection). Exercises that
+      // post-agg Exprs resolve against derived output, not stored columns
+      // (and that such filters are correctly excluded from stats pruning,
+      // QueryBuilder.prefixFilters).
+      QueryBuilder()
+        .groupByAgg(Seq("user_id"),
+          Seq(("v_sum", "value", "sum"), ("n", "event_id", "count")))
+        .filter(e("n") > l(65L))
+        .project("v_avg", e("v_sum") / e("n"))(t(s, dir, "events"))
+        .select(col("user_id"), round(col("v_sum"), 6).as("v_sum"), col("n"),
+          round(col("v_avg"), 6).as("v_avg"))
+        .transform(sortSmallAgg(_, "user_id"))
+    },
+    "q67_project_then_groupby" -> { (s, dir) =>
+      // The reference's other canonical chain: apply() a computed column,
+      // then PartitionClause on it (processing.py docs) — grouping keys
+      // may be derived, not stored.
+      QueryBuilder()
+        .project("band",
+          ternary(e("o_totalprice") > l(150000.0), l("high"), l("low")))
+        .groupByAgg(Seq("band"),
+          Seq(("total", "o_totalprice", "sum"), ("n", "o_orderkey", "count")))(
+          t(s, dir, "orders"))
+        .select(col("band"), round(col("total"), 6).as("total"), col("n"))
+        .transform(sortSmallAgg(_, "band"))
+    },
     "q65_arrow_roundtrip" -> { (s, dir) =>
       // Arrow OUTPUT format (reference arctic.py OutputFormat, the
       // to-Arrow client hand-off): serialize the filtered frame to Arrow
@@ -770,6 +799,18 @@ object SparkEntry {
     "q65_arrow_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
+    "q66_agg_then_filter_project" ->
+      """SELECT user_id, round(v_sum, 6) AS v_sum, n, round(v_sum / n, 6) AS v_avg
+         FROM (SELECT user_id, sum(value) AS v_sum, count(event_id) AS n
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         WHERE n > 65 ORDER BY user_id""",
+    "q67_project_then_groupby" ->
+      """SELECT band, round(sum(o_totalprice), 6) AS total,
+           count(o_orderkey) AS n
+         FROM (SELECT CASE WHEN o_totalprice > 150000.0 THEN 'high'
+                           ELSE 'low' END AS band,
+                      o_orderkey, o_totalprice FROM orders)
+         GROUP BY 1 ORDER BY 1""",
     "q03_filter_isin" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part
          WHERE p_size IN (1, 5, 9) AND p_retailprice NOT IN (0.0)
