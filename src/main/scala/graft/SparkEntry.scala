@@ -534,6 +534,17 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "q68_decontaminate" -> { (s, dir) =>
+      // Benchmark decontamination: the "contamination set" is the first 50
+      // docs; every corpus doc sharing >=0.2 n-gram Jaccard with any of
+      // them (including the 50 themselves, which self-match at 1.0 unless
+      // shingle-less) is dropped.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 0.2)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "q66_agg_then_filter_project" -> { (s, dir) =>
       // Clause chaining PAST a barrier (reference: clauses compose
       // linearly, processing.py — e.g. groupby().agg() then filter on the
@@ -799,6 +810,27 @@ object SparkEntry {
     "q65_arrow_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
+    "q68_decontaminate" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id, b.doc_id AS kid, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < 50
+            GROUP BY 1, 2),
+          bad AS (
+            SELECT DISTINCT i.id FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id
+            JOIN sizes sb ON sb.doc_id = i.kid
+            WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM bad)
+          ORDER BY doc_id""",
     "q66_agg_then_filter_project" ->
       """SELECT user_id, round(v_sum, 6) AS v_sum, n, round(v_sum / n, 6) AS v_avg
          FROM (SELECT user_id, sum(value) AS v_sum, count(event_id) AS n

@@ -79,6 +79,51 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** ---- Decontamination ----
+    * Drop corpus documents whose n-gram Jaccard overlap with ANY document
+    * of a contamination set (benchmark / eval suites) reaches `threshold`
+    * — the standard pre-training hygiene step that keeps test data out of
+    * training corpora.
+    *
+    * Shape: cross-corpus inverted-index bucket join, never all-pairs. The
+    * contamination side is tiny relative to the corpus (eval suites are
+    * thousands of docs against billions), so its postings BROADCAST —
+    * the corpus side streams map-side through one join + one keyed
+    * aggregate, shuffling only (corpus_id, contam_id) intersection
+    * counters, never text. `maxDocFreq > 0` drops corpus shingles shared
+    * by more than that many corpus docs first (boilerplate skew guard;
+    * contamination matches are driven by rare shingles, so the usual
+    * recall caveat applies). Jaccard arithmetic and the 64-bit
+    * shingle-hash caveat match [[ngramJaccardPairs]].
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long = 0): DataFrame = {
+    val cp0 = shinglePostings(corpus, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"), col("id"), col("sz"))
+    val cp =
+      if (maxDocFreq <= 0) cp0
+      else {
+        val w = Window.partitionBy("s")
+        cp0.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
+    val kp = shinglePostings(contam, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
+    val bad = cp.join(broadcast(kp), "s")
+      .groupBy("id", "kid", "sz", "ksz").agg(count(lit(1)).as("inter"))
+      .filter(
+        round(col("inter").cast("double") /
+          (col("sz") + col("ksz") - col("inter")).cast("double"), 6) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** ---- MinHash ----
     * k independent minhashes over the shingle postings:
     * sig[i] = min over shingles of xxhash64(seed=i, shingle), computed as k

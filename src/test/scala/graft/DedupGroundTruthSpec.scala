@@ -273,4 +273,27 @@ class DedupGroundTruthSpec extends SparkSuite {
       .as[(Long, Long, Int)].collect()
     assert(uncapped.count { case (a, b, _) => a < 100 && b < 100 } == 780)
   }
+
+  test("decontaminate drops exactly the docs overlapping the contamination set") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val contamIds = truthSets.keys.toSeq.sorted.take(20).toSet
+    val contam = df.filter(col("doc_id") < contamIds.max + 1)
+    // driver-side truth: doc survives iff no contamination doc reaches
+    // 0.2 Jaccard against it (contamination docs self-match at 1.0
+    // unless shingle-less)
+    val expected = truthSets.keys.toSeq.filter { id =>
+      !contamIds.exists { kid =>
+        val j = jaccard(truthSets(id), truthSets(kid))
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.2
+      }
+    }.sorted
+    val got = Dedup.decontaminate(df, contam, "doc_id", "text", 3, 0.2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == expected)
+    // shingle-less docs never match anything, including themselves
+    val tiny = Seq((1L, "alpha beta gamma delta"), (2L, "xy"), (3L, "")).toDF("id", "text")
+    val kept = Dedup.decontaminate(tiny, tiny, "id", "text", 3, 0.2)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
 }
