@@ -44,7 +44,9 @@ object Bench {
     "q53_multimodal_frames",
     // round-4 additions (side-effect-free)
     "q55_hash_sample_stratified",
-    "q56_repetition_ratio")
+    "q56_repetition_ratio",
+    // round-7 addition (side-effect-free)
+    "q68_decontaminate")
 
   /** Locate the sf1 generator script (bench tooling, not library code) and
     * materialize a deterministic 10×-scaled copy of `sfDir` at `dst`.

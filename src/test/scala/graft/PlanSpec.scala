@@ -75,6 +75,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontamination broadcasts the contamination set; text never shuffles (q68)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q68_decontaminate")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach(e =>
+        assert(!e.child.output.map(_.name).contains("text"),
+          s"text column must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("grouped-result tails coalesce, adding no exchange (q09, q39)") {
     // sortSmallAgg: the deterministic-order tail on a post-shuffle result
     // must merge the final-agg partitions via Coalesce, not pay a second
