@@ -29,6 +29,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a workload of
+      // ~30 distinct multi-stage queries compiles several codegen units
+      // each, so the LRU thrashes and every query re-Janino-compiles on
+      // every repeat (measured: q08 0.65s in the 27-query bench loop vs
+      // 0.19s when only a few plans are live). A long-lived engine
+      // session serves many distinct plans — size the cache for that.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
