@@ -269,25 +269,35 @@ object Dedup {
     val posts = shinglePostings(df, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"),
         col("id").cast("long").as("id"), col("sz"))
-    val docsz = posts.groupBy("id").agg(first(col("sz")).as("sz")).persist()
-    try {
-      val n = docsz.count()
+    // Dispatch + (for the dense path) the entire doc index come from ONE
+    // narrow probe job: per-document distinct-shingle counts with a LIMIT
+    // of DenseMaxDocs+1. No shuffle, no persist, no postings pass — and
+    // on a billion-doc corpus the limit stops the scan after cap+1
+    // shingled docs, so the fallback decision costs a few file reads,
+    // not a full postings aggregation. (The per-doc count is the same
+    // DistinctShingles kernel the postings ride on, so sz agrees with
+    // posts.sz exactly; the ground-truth spec pins both.)
+    val probeDf = df
+      .select(col(idCol).cast("long").as("id"),
+        size(graft.plans.DistinctShingles(col(textCol), shingleLen))
+          .cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    val docs: Array[(Long, Long)] = (forceDense match {
+      case Some(true) => probeDf // test hook admits any size: take all
+      case _ => probeDf.limit(DenseMaxDocs + 1)
+    }).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (forceDense.getOrElse(docs.length <= DenseMaxDocs)) {
       // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
       // tiles for parallelism. Gate at 64 blocks (~260k docs): past that
       // the dense tiles' O(n²) flush scan outgrows the incidence-bound
       // aggregate path.
+      val n = docs.length.toLong
       val numBlocks = math.max((n + DenseBlockRows - 1) / DenseBlockRows,
         math.min(8L, (n + 255) / 256)).max(1L).toInt
-      if (forceDense.getOrElse(numBlocks <= DenseMaxBlocks))
-        blockedJaccardPairs(posts, docsz, idType, shingleLen, threshold,
-          maxDocFreq, numBlocks)
-      else
-        bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
-    } finally {
-      // the blocked path has collected its driver-side index by now, and
-      // the fallback path never reads docsz — safe to drop
-      docsz.unpersist()
-    }
+      blockedJaccardPairs(posts, docs, idType, shingleLen, threshold,
+        maxDocFreq, numBlocks)
+    } else
+      bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
   }
 
   /** Docs per dense block (tile side length target). */
@@ -298,10 +308,15 @@ object Dedup {
     */
   private val DenseMaxBlocks = 64
 
+  /** Doc-count form of the dense gate (= DenseMaxBlocks × DenseBlockRows),
+    * used by the dispatch probe's early-exit limit.
+    */
+  private val DenseMaxDocs: Int = (DenseMaxBlocks * DenseBlockRows).toInt
+
   /** The blocked dense-tile strategy (see ngramJaccardPairs doc). */
   private def blockedJaccardPairs(
       posts: DataFrame,
-      docsz: DataFrame,
+      docs: Array[(Long, Long)],
       idType: org.apache.spark.sql.types.DataType,
       shingleLen: Int,
       threshold: Double,
@@ -312,26 +327,23 @@ object Dedup {
     // Block = hash(id) mod numBlocks (uniform, deterministic); local =
     // 0-based rank within the block. This path only admits ≤260k docs
     // (the caller's DenseMaxBlocks gate), so the whole index is built
-    // DRIVER-SIDE from one collect of the already-cached docsz frame —
-    // a ≲10 MB array — instead of a window shuffle + localCheckpoint +
-    // per-block count job (3 jobs and an exchange that dominated the
-    // small-corpus wall; block assignment does not affect emitted pairs,
-    // only tile balance). The fallback aggregate path never collects.
-    val docidxRows: Array[(Long, Long, Int, Int)] = {
-      val collected = docsz.select(col("id").cast("long"), col("sz").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      collected
+    // DRIVER-SIDE from the caller's probe array — a ≲10 MB structure —
+    // instead of a window shuffle + localCheckpoint + per-block count
+    // job (3 jobs and an exchange that dominated the small-corpus wall;
+    // block assignment does not affect emitted pairs, only tile
+    // balance). The fallback aggregate path never collects.
+    val docidxRows: Array[(Long, Long, Int, Int)] =
+      docs
         .groupBy { case (id, _) =>
           (scala.util.hashing.byteswap64(id) % numBlocks + numBlocks).toInt % numBlocks
         }
         .iterator
-        .flatMap { case (block, docs) =>
-          docs.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), local) =>
+        .flatMap { case (block, ds) =>
+          ds.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), local) =>
             (id, sz, block, local)
           }
         }
         .toArray
-    }
     val counts: Array[Int] = {
       val c = new Array[Int](numBlocks)
       docidxRows.foreach { case (_, _, b, _) => c(b) += 1 }
