@@ -895,6 +895,22 @@ final class Library(val root: String, spark: SparkSession) {
     readRowRange(symbol, math.max(0L, m.rowCount - n), m.rowCount, asOf)
   }
 
+  /** Arrow output format (reference: arctic.py OutputFormat.ARROW /
+    * UTF_DYNAMIC32 to-Arrow read path, types.hpp:201,270): a symbol read
+    * handed off as a complete Arrow IPC stream, readable by any Arrow
+    * implementation's stream reader. A client hand-off like toPandas —
+    * it collects; for distributed Arrow batches use
+    * ArrowBridge.arrowBatchRdd on any `read` result.
+    */
+  def readAsArrow(
+      symbol: String,
+      asOf: AsOf = AsOf.Latest,
+      columns: Seq[String] = Nil): Array[Byte] = {
+    val df0 = read(symbol, asOf)
+    val df = if (columns.isEmpty) df0 else df0.select(columns.map(col): _*)
+    org.apache.spark.sql.graftbridge.ArrowBridge.collectAsArrowStream(df)
+  }
+
   /** User metadata stored with a version (reference: read_metadata,
     * library.py write(..., metadata)).
     */

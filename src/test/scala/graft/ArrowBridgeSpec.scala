@@ -55,6 +55,23 @@ class ArrowBridgeSpec extends SparkSuite {
     assert(a.map(_.toString) === b.map(_.toString))
   }
 
+  test("Library.readAsArrow hands a symbol off as a valid Arrow stream") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-arrow-").toString
+    val lib = new graft.core.Library(root, spark)
+    lib.write("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Some("k"))
+    val bytes = lib.readAsArrow("t", columns = Seq("k", "v"))
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val root2 = reader.getVectorSchemaRoot
+      assert(root2.getSchema.getFields.get(0).getName === "k")
+      var rows = 0
+      while (reader.loadNextBatch()) rows += root2.getRowCount
+      assert(rows === 3)
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("round trip preserves ns-long timestamps and binary columns") {
     import spark.implicits._
     val df = Seq(
