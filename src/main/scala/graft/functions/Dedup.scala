@@ -495,10 +495,24 @@ object Dedup {
       idType: org.apache.spark.sql.types.DataType,
       threshold: Double,
       maxDocFreq: Long): DataFrame = {
-    val buckets = posts.groupBy("s")
+    // With a doc-frequency cap set, over-frequent shingles are dropped
+    // BEFORE the bucket lists materialize: collect_list's aggregation
+    // buffer for a boilerplate shingle shared by m docs is O(m) on one
+    // key, so a post-collect filter would cap the pair blow-up but not
+    // the buffer — at reference scale ("billions of rows") that single
+    // buffer is the OOM. The freq pre-aggregate shuffles only (s, count)
+    // and shares the bucket groupBy's key. Results are identical either
+    // way: an over-cap bucket contributed nothing downstream.
+    val capped =
+      if (maxDocFreq <= 0) posts
+      else {
+        val ok = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("s")
+        posts.join(ok, "s")
+      }
+    val buckets = capped.groupBy("s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
     buckets
       .select(graft.plans.BucketPairs(col("docs"), threshold))
       .groupBy(col("id_a"), col("id_b"))
