@@ -351,12 +351,21 @@ object Dedup {
     }
     val docidx = docidxRows.toSeq.toDF("id", "sz", "block", "local")
     // ≤260k docs ⇒ docidx is a few MB — always broadcastable here.
-    val entries = posts
+    val entries0 = posts
       .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")
       .select(col("s"), struct(col("block"), col("local"), col("sz")).as("e"))
+    // Same pre-collect frequency cap as the aggregate path (there the
+    // buffer bound is the point; here buckets are already ≤260k entries,
+    // so this is consistency plus a smaller shuffle when a cap is set).
+    val entries =
+      if (maxDocFreq <= 0) entries0
+      else {
+        val ok = entries0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("s")
+        entries0.join(ok, "s")
+      }
     val buckets = entries.groupBy("s").agg(collect_list(col("e")).as("docs"))
       .filter(size(col("docs")) > 1)
-      .filter(if (maxDocFreq > 0) size(col("docs")) <= maxDocFreq else lit(true))
     val numTiles = numBlocks * (numBlocks + 1) / 2
     val tiles = buckets
       .select(graft.plans.BlockPairSplit(col("docs"), numBlocks))
