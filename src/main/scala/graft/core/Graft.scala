@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Per-library defaults (reference: LibraryOptions, options.py:21 —
+  * dynamic_schema, rows_per_segment; dedup/encoding are storage-codec
+  * concerns Parquet already owns, columns_per_segment has no analogue
+  * because Spark never column-slices).
+  *
+  * Stored as `_options.json` in the library root so every client of the
+  * library sees the same defaults; per-call parameters on Library methods
+  * still override.
+  */
+final case class LibraryOptions(
+    dynamicSchema: Boolean = false,
+    rowsPerSegment: Long = Library.DefaultTargetRows)
+
+/** The front door (reference: arctic.py `Arctic`): manage named libraries
+  * under one root URI. `create_library` / `get_library` /
+  * `list_libraries` / `has_library` / `delete_library`, arctic.py:238+.
+  *
+  * A library is a child directory of the root holding its symbols plus an
+  * `_options.json` marker; the marker is what distinguishes a library
+  * from an unrelated directory, exactly as the reference keys libraries
+  * in its config map rather than trusting the namespace listing.
+  */
+final class Graft(val rootUri: String, spark: SparkSession) {
+
+  private val rootPath = new Path(rootUri)
+  private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def libPath(name: String): Path = {
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith("_"),
+      s"invalid library name '$name'")
+    new Path(rootPath, name)
+  }
+  private def optionsPath(name: String): Path = new Path(libPath(name), "_options.json")
+
+  def createLibrary(
+      name: String,
+      options: LibraryOptions = LibraryOptions()): Library = {
+    val p = libPath(name)
+    if (fs.exists(optionsPath(name)))
+      throw new IllegalArgumentException(s"library '$name' already exists")
+    fs.mkdirs(p)
+    // the options marker is the existence witness; single-winner via the
+    // same no-overwrite commit primitive the manifests use
+    val json =
+      s"""{"dynamicSchema":${options.dynamicSchema},"rowsPerSegment":${options.rowsPerSegment}}"""
+    if (!CommitCas.forFs(fs).commit(fs, optionsPath(name), json))
+      throw new IllegalArgumentException(s"library '$name' already exists")
+    getLibrary(name)
+  }
+
+  def hasLibrary(name: String): Boolean = fs.exists(optionsPath(name))
+
+  def listLibraries(): Seq[String] =
+    if (!fs.exists(rootPath)) Nil
+    else
+      fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_options.json")))
+        .map(_.getPath.getName)
+        .sorted
+
+  def getLibrary(name: String): Library = {
+    if (!hasLibrary(name))
+      throw new NoSuchElementException(s"library '$name' does not exist")
+    new Library(libPath(name).toString, spark, libraryOptions(name))
+  }
+
+  /** get-or-create (reference: Arctic.get_library(create_if_missing=)). */
+  def getLibrary(name: String, createIfMissing: Boolean): Library =
+    if (hasLibrary(name)) getLibrary(name)
+    else if (createIfMissing) createLibrary(name)
+    else throw new NoSuchElementException(s"library '$name' does not exist")
+
+  def libraryOptions(name: String): LibraryOptions = {
+    val in = fs.open(optionsPath(name))
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    def field(k: String): Option[String] =
+      s""""$k"\\s*:\\s*([^,}\\s]+)""".r.findFirstMatchIn(json).map(_.group(1))
+    LibraryOptions(
+      dynamicSchema = field("dynamicSchema").exists(_.toBoolean),
+      rowsPerSegment = field("rowsPerSegment").map(_.toLong)
+        .getOrElse(Library.DefaultTargetRows))
+  }
+
+  /** Remove the library and everything in it (arctic.py delete_library:
+    * "data associated with it is expunged"). */
+  def deleteLibrary(name: String): Unit = {
+    if (hasLibrary(name)) fs.delete(libPath(name), true)
+    ()
+  }
+}

@@ -35,7 +35,14 @@ import java.util.UUID
   * splice, _store.py:1103); reads prune files by manifest stats before
   * Spark ever lists them.
   */
-final class Library(val root: String, spark: SparkSession) {
+final class Library(
+    val root: String,
+    spark: SparkSession,
+    /** Per-library defaults (reference LibraryOptions, options.py:21) —
+      * set by Graft.createLibrary from the stored `_options.json`;
+      * per-call `targetRows`/`dynamicSchema` arguments still override.
+      */
+    val options: LibraryOptions = LibraryOptions()) {
   import Library._
 
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -366,7 +373,7 @@ final class Library(val root: String, spark: SparkSession) {
       symbol: String,
       df: DataFrame,
       indexCol: Option[String] = None,
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       metadata: Map[String, String] = Map.empty): Int =
     commitNew(symbol, df, indexCol, targetRows, priorFiles = Vector.empty, metadata,
       derived = false)
@@ -385,9 +392,9 @@ final class Library(val root: String, spark: SparkSession) {
   def append(
       symbol: String,
       df: DataFrame,
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       validateIndex: Boolean = true,
-      dynamicSchema: Boolean = false): Int = {
+      dynamicSchema: Boolean = options.dynamicSchema): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
     val m = manifest(symbol, v)
@@ -532,7 +539,7 @@ final class Library(val root: String, spark: SparkSession) {
   def update(
       symbol: String,
       df: DataFrame,
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       dateRange: Option[(Long, Long)] = None,
       upsert: Boolean = false,
       indexCol: Option[String] = None,
@@ -582,7 +589,7 @@ final class Library(val root: String, spark: SparkSession) {
   }
 
   /** delete_data_in_range (reference: library.py's delete date_range). */
-  def deleteRange(symbol: String, lo: Long, hi: Long, targetRows: Long = DefaultTargetRows): Int = {
+  def deleteRange(symbol: String, lo: Long, hi: Long, targetRows: Long = options.rowsPerSegment): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
     spliceRange(symbol, manifest(symbol, v), LongRange(lo, hi), None, targetRows)
@@ -672,7 +679,7 @@ final class Library(val root: String, spark: SparkSession) {
       df: DataFrame,
       matched: String = "update",
       notMatchedByTarget: String = "insert",
-      targetRows: Long = DefaultTargetRows): Int = {
+      targetRows: Long = options.rowsPerSegment): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
     val m = manifest(symbol, v)
@@ -1164,8 +1171,8 @@ final class Library(val root: String, spark: SparkSession) {
       symbol: String,
       indexCol: Option[String],
       mode: String = "write", // write | append
-      targetRows: Long = DefaultTargetRows,
-      dynamicSchema: Boolean = false): Int = {
+      targetRows: Long = options.rowsPerSegment,
+      dynamicSchema: Boolean = options.dynamicSchema): Int = {
     val dir = stagedDir(symbol)
     val f = fs(dir)
     require(f.exists(dir), s"no staged data for $symbol")
@@ -1390,19 +1397,19 @@ final class Library(val root: String, spark: SparkSession) {
   def writeBatch(
       items: Seq[(String, DataFrame)],
       indexCol: Option[String] = None,
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       parallelism: Int = BatchParallelism): Seq[Int] =
     inParallel(items, parallelism) { case (s, df) => write(s, df, indexCol, targetRows) }
 
   def appendBatch(
       items: Seq[(String, DataFrame)],
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       parallelism: Int = BatchParallelism): Seq[Int] =
     inParallel(items, parallelism) { case (s, df) => append(s, df, targetRows) }
 
   def updateBatch(
       items: Seq[(String, DataFrame)],
-      targetRows: Long = DefaultTargetRows,
+      targetRows: Long = options.rowsPerSegment,
       parallelism: Int = BatchParallelism): Seq[Int] =
     inParallel(items, parallelism) { case (s, df) => update(s, df, targetRows) }
 
@@ -1457,7 +1464,7 @@ final class Library(val root: String, spark: SparkSession) {
   }
 
   /** is_symbol_fragmented (reference: library.py:3315). */
-  def isSymbolFragmented(symbol: String, targetRows: Long = DefaultTargetRows): Boolean = {
+  def isSymbolFragmented(symbol: String, targetRows: Long = options.rowsPerSegment): Boolean = {
     val m = resolveVersion(symbol)
     m.indexCol.nonEmpty && fragmentedRuns(m, targetRows).nonEmpty
   }
@@ -1465,13 +1472,13 @@ final class Library(val root: String, spark: SparkSession) {
   /** compact_data_explain_plan (reference: library.py:3202): the file runs
     * a compact at this geometry WOULD rewrite, without executing it.
     */
-  def compactExplainPlan(symbol: String, targetRows: Long = DefaultTargetRows): Seq[Seq[String]] = {
+  def compactExplainPlan(symbol: String, targetRows: Long = options.rowsPerSegment): Seq[Seq[String]] = {
     val m = resolveVersion(symbol)
     if (m.indexCol.isEmpty) Seq(m.files.map(_.path))
     else fragmentedRuns(m, targetRows).map(_.map(_.path))
   }
 
-  def compact(symbol: String, targetRows: Long = DefaultTargetRows): Int = {
+  def compact(symbol: String, targetRows: Long = options.rowsPerSegment): Int = {
     val m = resolveVersion(symbol)
     if (m.indexCol.isEmpty)
       return write(symbol, read(symbol), None, targetRows, m.metadata) // unsorted: full rewrite
