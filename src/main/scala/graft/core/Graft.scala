@@ -93,4 +93,20 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     if (hasLibrary(name)) fs.delete(libPath(name), true)
     ()
   }
+
+  /** Update a library's stored options (arctic.py modify_library_option).
+    * A config update, not a versioned commit: plain overwrite of
+    * `_options.json` (the reference likewise mutates its config map);
+    * already-open Library handles keep the options they were opened with.
+    */
+  def modifyLibraryOptions(
+      name: String)(f: LibraryOptions => LibraryOptions): LibraryOptions = {
+    val next = f(libraryOptions(name))
+    val out = fs.create(optionsPath(name), true)
+    try out.write(
+      s"""{"dynamicSchema":${next.dynamicSchema},"rowsPerSegment":${next.rowsPerSegment}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
 }

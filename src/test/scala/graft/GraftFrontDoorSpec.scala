@@ -52,6 +52,15 @@ class GraftFrontDoorSpec extends SparkSuite {
     assert(got.count() == 501)
   }
 
+  test("modifyLibraryOptions rewrites stored defaults for future opens") {
+    val g = new Graft(freshRoot(), spark)
+    g.createLibrary("t", LibraryOptions(rowsPerSegment = 100))
+    val updated = g.modifyLibraryOptions("t")(_.copy(dynamicSchema = true))
+    assert(updated == LibraryOptions(dynamicSchema = true, rowsPerSegment = 100))
+    assert(g.libraryOptions("t") == updated)
+    assert(g.getLibrary("t").options == updated)
+  }
+
   test("invalid and reserved library names are rejected") {
     val g = new Graft(freshRoot(), spark)
     intercept[IllegalArgumentException](g.createLibrary(""))
