@@ -534,6 +534,19 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "q69_front_door_roundtrip" -> { (s, dir) =>
+      // The reference's first-touch path end to end: Arctic front door →
+      // create_library with options → write → reopen → read. Segmentation
+      // comes from the PERSISTED LibraryOptions (no targetRows argument),
+      // so the gate proves option-driven defaults, not just the write.
+      val g = new graft.core.Graft(tmpRoot(), s)
+      g.createLibrary("bench",
+        graft.core.LibraryOptions(rowsPerSegment = 20000))
+        .write("li", t(s, dir, "lineitem"), Some("l_shipdate"))
+      g.getLibrary("bench").read("li")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "q68_decontaminate" -> { (s, dir) =>
       // Benchmark decontamination: the "contamination set" is the first 50
       // docs; every corpus doc sharing >=0.2 n-gram Jaccard with any of
@@ -810,6 +823,9 @@ object SparkEntry {
     "q65_arrow_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
+    "q69_front_door_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
     "q68_decontaminate" ->
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
