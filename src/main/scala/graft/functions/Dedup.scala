@@ -109,9 +109,14 @@ object Dedup {
     val cp =
       if (maxDocFreq <= 0) cp0
       else {
-        val w = Window.partitionBy("s")
-        cp0.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
+        // groupBy-count → join, NOT a count window: a window with
+        // partitionBy lands every posting of a boilerplate shingle on ONE
+        // task before the cap can filter it — the same single-key buffer
+        // the cap exists to avoid. The pre-aggregate shuffles only
+        // (s, count) partials (same shape as bucketAggJaccardPairs).
+        val ok = cp0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("s")
+        cp0.join(ok, "s")
       }
     val kp = shinglePostings(contam, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
@@ -160,9 +165,14 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandHashes: _*)))
       .toDF("id", "band", "bandhash")
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bandhash")))
-      .filter(col("bucket_n") <= maxBucket)
+    // Cap via groupBy-count → join (not a count window — see decontaminate):
+    // only (band, bandhash, count) partials shuffle for the cap decision, so
+    // a mega-bucket never assembles on one task just to be discarded.
+    val bucketOk = banded.groupBy("band", "bandhash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bandhash")
+    val bucketed = banded.join(bucketOk, Seq("band", "bandhash"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") &&
@@ -677,10 +687,12 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("id", "sig", "chunk", "chunkval")
-    val bucketed = chunks
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("chunk", "chunkval")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // groupBy-count → join cap (see decontaminate for why not a window)
+    val bucketOk = chunks.groupBy("chunk", "chunkval")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("chunk", "chunkval")
+    val bucketed = chunks.join(bucketOk, Seq("chunk", "chunkval"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -278,11 +277,15 @@ object Vectors {
       posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
       .toDF("id", "vec", "chunk", "chunkval")
-    val bucketed = chunks
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("chunk", "chunkval")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // groupBy-count → join cap, not a count window: a partitionBy window
+    // routes every member of a saturated bucket to one task before the
+    // filter; the pre-aggregate shuffles only (chunk, chunkval, count)
+    // partials (same shape as Dedup.bucketAggJaccardPairs).
+    val bucketOk = chunks.groupBy("chunk", "chunkval")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("chunk", "chunkval")
+    val bucketed = chunks.join(bucketOk, Seq("chunk", "chunkval"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -89,6 +89,29 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bucket-population caps plan as groupBy-count→join, never a window") {
+    // A count().over(Window.partitionBy(key)) cap routes EVERY row of a
+    // skewed bucket to one task before filtering — exactly the single-task
+    // buffer the cap exists to prevent. All four capped paths must plan
+    // with zero Window nodes.
+    def windowNodes(df: DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    import graft.functions.{Dedup, Vectors}
+    assert(windowNodes(Dedup.minhashCandidates(docs, "doc_id", "text",
+      maxBucket = 100)).isEmpty)
+    assert(windowNodes(Dedup.simhashPairs(docs, "doc_id", "text",
+      maxBucket = 100)).isEmpty)
+    assert(windowNodes(Vectors.cosineNearDupPairs(emb, "vec_id", "embedding",
+      0.45, bits = 16, bands = 8, maxBucket = 100)).isEmpty)
+    assert(windowNodes(Dedup.decontaminate(docs,
+      docs.filter(col("doc_id") < 50), "doc_id", "text", 3, 0.2,
+      maxDocFreq = 100)).isEmpty)
+  }
+
   test("grouped-result tails coalesce, adding no exchange (q09, q39)") {
     // sortSmallAgg: the deterministic-order tail on a post-shuffle result
     // must merge the final-agg partitions via Coalesce, not pay a second
