@@ -332,7 +332,7 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       (0 until 3).foreach(i => lib.stage("ev", ev.filter(pmod(col("user_id"), lit(3)) === i)))
-      lib.finalizeStaged("ev", Some("ts"), targetRows = 3000)
+      lib.sortAndFinalizeStaged("ev", Some("ts"), targetRows = 3000)
       lib.read("ev", withRowId = true)
         .select(col(Library.RowIdCol).as("rid"), col("event_id"), tsUs)
         .orderBy("event_id")
@@ -378,7 +378,7 @@ object SparkEntry {
         .stageSink(lib, "ev", stream, tmpRoot() + "/ckpt")
         .start()
       q.awaitTermination(120000L)
-      lib.finalizeStaged("ev", Some("ts"))
+      lib.sortAndFinalizeStaged("ev", Some("ts"))
       lib.read("ev")
         .select(col("event_id"), tsUs, col("value"))
         .orderBy("event_id")
@@ -480,7 +480,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("value").cast("float").as("value")))
       lib.stage("ev", ev.filter(col("ts") >= cut)
         .select(col("event_id"), col("ts"), col("value"), col("props")))
-      lib.finalizeStaged("ev", Some("ts"), dynamicSchema = true)
+      lib.sortAndFinalizeStaged("ev", Some("ts"), dynamicSchema = true)
       lib.read("ev")
         .select(col("event_id"), tsUs, round(col("value"), 6).as("value"), col("props"))
         .orderBy("event_id")
@@ -546,6 +546,41 @@ object SparkEntry {
       g.getLibrary("bench").read("li")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q70_staged_append_splice" -> { (s, dir) =>
+      // finalize_staged_data(mode=APPEND, validate_index=True): pre-sorted
+      // disjoint staged deltas splice onto the stored data with ZERO
+      // rewrite (rename + manifest commit) — the cheap daily-ingest path.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (c1, c2) = (1704153600000000000L, 1704240000000000000L)
+      lib.write("ev", ev.filter(col("ts") < c1), Some("ts"), targetRows = 3000)
+      lib.stage("ev", ev.filter(col("ts") >= c1 && col("ts") < c2)
+        .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"))
+      lib.stage("ev", ev.filter(col("ts") >= c2)
+        .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"))
+      lib.finalizeStaged("ev", mode = "append", validateIndex = true)
+      lib.read("ev")
+        .select(col("event_id"), tsUs, col("value"))
+        .orderBy("event_id")
+    },
+    "q71_delete_versions" -> { (s, dir) =>
+      // Version-targeted delete (reference delete_versions): pruning a
+      // middle version leaves the chain readable — the latest version
+      // still references the shared files, and as-of reads of survivors
+      // are untouched.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (c1, c2) = (1704153600000000000L, 1704240000000000000L)
+      lib.write("ev", ev.filter(col("ts") < c1), Some("ts"), targetRows = 3000)
+      lib.append("ev", ev.filter(col("ts") >= c1 && col("ts") < c2), targetRows = 3000)
+      lib.append("ev", ev.filter(col("ts") >= c2), targetRows = 3000)
+      lib.delete("ev", Seq(1))
+      lib.read("ev")
+        .select(lit("latest").as("src"), col("event_id"), tsUs, col("value"))
+        .unionByName(lib.read("ev", AsOf.Version(0))
+          .select(lit("v0").as("src"), col("event_id"), tsUs, col("value")))
+        .orderBy("src", "event_id")
     },
     "q68_decontaminate" -> { (s, dir) =>
       // Benchmark decontamination: the "contamination set" is the first 50
@@ -989,6 +1024,14 @@ object SparkEntry {
     "q25_stage_finalize_rowid" ->
       """SELECT row_number() OVER (ORDER BY ts) - 1 AS rid, event_id, epoch_us(ts) AS ts
          FROM events ORDER BY event_id""",
+    "q70_staged_append_splice" ->
+      """SELECT event_id, epoch_us(ts) AS ts, value FROM events ORDER BY event_id""",
+    "q71_delete_versions" ->
+      """SELECT 'latest' AS src, event_id, epoch_us(ts) AS ts, value FROM events
+         UNION ALL
+         SELECT 'v0' AS src, event_id, epoch_us(ts) AS ts, value FROM events
+         WHERE epoch_ns(ts) < 1704153600000000000
+         ORDER BY src, event_id""",
     "q26_compact_head" ->
       """SELECT event_id, epoch_us(ts) AS ts FROM events ORDER BY ts LIMIT 50""",
     "q45_dynamic_append" ->

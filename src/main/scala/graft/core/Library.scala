@@ -133,7 +133,10 @@ final class Library(
   def hasSymbol(symbol: String): Boolean =
     latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
 
-  def listSymbols(): Seq[String] = {
+  /** Symbol directories holding at least one version manifest — includes
+    * tombstoned symbols (their history still exists), excludes stray dirs.
+    */
+  private def listSymbolDirs(): Seq[String] = {
     val rootP = new Path(root)
     val f = fs(rootP)
     if (!f.exists(rootP)) Seq.empty
@@ -142,8 +145,67 @@ final class Library(
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filterNot(_.startsWith("_"))
-        .filter(hasSymbol)
+        .filter(s => listVersions(s).nonEmpty)
         .sorted
+  }
+
+  /** list_symbols(snapshot_name=, regex=) (reference: library.py:2802-2821):
+    * the symbols live now, or — with `snapshotName` — the symbols that
+    * snapshot pinned (the natural companion to as-of reads after deletes).
+    * `regex` filters either listing, unanchored (the reference's re.search
+    * semantics).
+    */
+  def listSymbols(
+      snapshotName: Option[String] = None,
+      regex: Option[String] = None): Seq[String] = {
+    val base = snapshotName match {
+      case Some(name) =>
+        SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))
+          .versions.keys.toSeq.sorted
+      case None => listSymbolDirs().filter(hasSymbol)
+    }
+    regex match {
+      case Some(r) =>
+        val p = java.util.regex.Pattern.compile(r)
+        base.filter(s => p.matcher(s).find())
+      case None => base
+    }
+  }
+
+  /** list_versions (reference: library.py:2875-2930): one record per
+    * (symbol, version) with creation time, tombstone flag and the
+    * snapshots pinning it. `symbol` scopes to one symbol; `snapshot`
+    * lists exactly that snapshot's pinned versions; `latestOnly` keeps
+    * the highest version per symbol; `skipSnapshots` omits the
+    * snapshot-membership scan (one manifest read per snapshot).
+    */
+  def listVersionsInfo(
+      symbol: Option[String] = None,
+      snapshot: Option[String] = None,
+      latestOnly: Boolean = false,
+      skipSnapshots: Boolean = false): Seq[VersionInfo] = {
+    val pins: Map[(String, Int), Seq[String]] =
+      if (skipSnapshots) Map.empty
+      else
+        listSnapshots()
+          .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+          .flatMap(sm => sm.versions.toSeq.map { case (s, v) => (s, v) -> sm.name })
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairs: Seq[(String, Int)] = snapshot match {
+      case Some(name) =>
+        SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))
+          .versions.toSeq.filter(p => symbol.forall(_ == p._1))
+      case None =>
+        symbol.map(Seq(_)).getOrElse(listSymbolDirs())
+          .flatMap(s => listVersions(s).map(s -> _))
+    }
+    val infos = pairs.sorted.map { case (s, v) =>
+      val m = manifest(s, v)
+      VersionInfo(s, v, m.createdAtMs, m.deleted, pins.getOrElse((s, v), Seq.empty))
+    }
+    if (latestOnly)
+      infos.groupBy(_.symbol).values.map(_.maxBy(_.version)).toSeq.sortBy(_.symbol)
+    else infos
   }
 
   // ------------------------------------------------------------ write
@@ -293,7 +355,12 @@ final class Library(
       minIdx: Option[Long],
       maxIdx: Option[Long],
       minStr: Option[String],
-      maxStr: Option[String])
+      maxStr: Option[String],
+      /** Per-row-group bounds in footer (= file) order — the granularity
+        * finalizeStaged's sortedness validation inspects.
+        */
+      blockIdx: Seq[(Long, Long)] = Nil,
+      blockStr: Seq[(String, String)] = Nil)
 
   /** Per-file stats from parquet footer metadata. Long-unit indexes are
     * converted to the manifest's canonical unit (ns for long indexes, µs
@@ -350,14 +417,14 @@ final class Library(
               else Some((perBlock.map(_._1).min(Library.strOrdering),
                 perBlock.map(_._2).max(Library.strOrdering)))
             RawFileStat(st.getPath.getName, rows, None, None,
-              bounds.map(_._1), bounds.map(_._2))
+              bounds.map(_._1), bounds.map(_._2), blockStr = perBlock.toSeq)
           } else {
             val perBlock = idxStats.map { case (mn, mx) => (statToLong(mn), statToLong(mx)) }
             val bounds =
               if (perBlock.isEmpty) None
               else Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
             RawFileStat(st.getPath.getName, rows, bounds.map(_._1), bounds.map(_._2),
-              None, None)
+              None, None, blockIdx = perBlock.toSeq)
           }
         } finally reader.close()
       }
@@ -999,11 +1066,31 @@ final class Library(
   def readBlobBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[Array[Byte]] =
     symbols.map(readBlob(_, asOf))
 
-  /** Symbol descriptor (reference: get_description / get_info). */
+  /** Symbol descriptor (reference: get_description library.py:3083-3137,
+    * SymbolDescription fields). indexType is "index" when an index column
+    * exists, else "NA" (the reference's multi_index has no Spark analog —
+    * extra index levels are ordinary columns). sortedStatus mirrors the
+    * reference's ASCENDING/UNSORTED/UNKNOWN; dateRange is the index
+    * bounds in the manifest's canonical long unit (ns for long indexes,
+    * µs for timestamps), None for string/absent indexes — the reference
+    * returns NaT there the same way.
+    */
   def getInfo(symbol: String, asOf: AsOf = AsOf.Latest): SymbolInfo = {
     val m = resolveVersion(symbol, asOf)
+    val range = for {
+      _ <- m.indexCol
+      lo <- m.files.flatMap(_.minIdx).minOption
+      hi <- m.files.flatMap(_.maxIdx).maxOption
+    } yield (lo, hi)
     SymbolInfo(symbol, m.version, m.rowCount, m.files.size, m.indexCol, m.sorted,
-      m.schemaDdl, m.createdAtMs)
+      m.schemaDdl, m.createdAtMs,
+      indexType = if (m.indexCol.isDefined) "index" else "NA",
+      sortedStatus =
+        if (m.indexCol.isEmpty) "UNKNOWN"
+        else if (m.sorted) "ASCENDING"
+        else "UNSORTED",
+      columnCount = if (m.schemaDdl.isEmpty) 0 else schemaOf(m.schemaDdl).size,
+      dateRange = range)
   }
 
   /** get_description_batch (reference: library.py:3138). */
@@ -1034,29 +1121,55 @@ final class Library(
     -1 // unreachable
   }
 
-  /** prune_previous_versions (reference: library.py:1018): hard-delete all
-    * version manifests except the latest (and any pinned by a snapshot),
-    * then remove data files no surviving manifest references. Data files
-    * are shared across versions, so GC is reference-counting over the
-    * surviving manifests — never a blind directory wipe.
+  /** delete(symbol, versions=...) (reference: library.py:2673-2702 →
+    * delete_versions): hard-remove SPECIFIC version manifests — the
+    * routine "prune a bad version" operation — then GC data files no
+    * surviving manifest references. Deleting the latest version makes the
+    * previous one latest again (and a later write reuses the freed
+    * version number — version numbers here ARE the manifest directory
+    * listing, there is no separate counter).
+    *
+    * A snapshot-pinned version refuses deletion: manifests are immutable
+    * in this design, so the reference's "deleted but still
+    * snapshot-readable" marker state has no analog — delete the snapshot
+    * first (conservative: nothing ever becomes silently unreadable).
     */
-  def prunePreviousVersions(symbol: String): Unit = {
-    val versions = listVersions(symbol)
-    if (versions.isEmpty) return
-    val latest = versions.last
-    val pinned: Set[Int] = listSnapshots()
-      .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
-      .flatMap(_.versions.get(symbol)).toSet
-    val keep = pinned + latest
-    val keepFiles: Set[String] =
-      keep.flatMap(v => manifest(symbol, v).files.map(_.path))
-
+  def delete(symbol: String, versions: Seq[Int]): Unit = {
+    require(versions.nonEmpty, s"delete($symbol, versions): empty version list")
+    val existing = listVersions(symbol)
+    require(existing.nonEmpty, s"symbol $symbol does not exist")
+    val missing = versions.filterNot(existing.contains)
+    require(missing.isEmpty,
+      s"$symbol has no version(s) ${missing.mkString(", ")}")
+    val pins = snapshotPins(symbol)
+    val pinned = versions.filter(pins.contains)
+    require(pinned.isEmpty,
+      s"version(s) ${pinned.mkString(", ")} of $symbol are pinned by snapshot(s) " +
+        s"${pinned.flatMap(pins(_)).distinct.mkString(", ")} — delete the snapshot first")
     val vDir = versionsDir(symbol)
     val vfs = fs(vDir)
-    versions.filterNot(keep).foreach { v =>
+    versions.foreach { v =>
       vfs.delete(new Path(vDir, f"v$v%05d.json"), false)
       manifestCache.remove((symbol, v))
     }
+    gcUnreferencedFiles(symbol)
+  }
+
+  /** Snapshot names pinning each version of `symbol`. */
+  private def snapshotPins(symbol: String): Map[Int, Seq[String]] =
+    listSnapshots()
+      .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+      .flatMap(sm => sm.versions.get(symbol).map(v => v -> sm.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+  /** Reference-counting GC: remove data files referenced by NO surviving
+    * version manifest of `symbol` — never a blind directory wipe (data
+    * files are shared across versions). Shared by prunePreviousVersions
+    * and delete(versions); also collects loser-writer dirs.
+    */
+  private def gcUnreferencedFiles(symbol: String): Unit = {
+    val keepFiles: Set[String] =
+      listVersions(symbol).flatMap(v => manifest(symbol, v).files.map(_.path)).toSet
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
     if (dfs.exists(dataRoot))
@@ -1068,6 +1181,26 @@ final class Library(
         }
         if (dfs.listStatus(dir.getPath).isEmpty) dfs.delete(dir.getPath, false)
       }
+  }
+
+  /** prune_previous_versions (reference: library.py:1018): hard-delete all
+    * version manifests except the latest (and any pinned by a snapshot),
+    * then GC unreferenced data files.
+    */
+  def prunePreviousVersions(symbol: String): Unit = {
+    val versions = listVersions(symbol)
+    if (versions.isEmpty) return
+    val latest = versions.last
+    val pinned: Set[Int] = snapshotPins(symbol).keySet
+    val keep = pinned + latest
+
+    val vDir = versionsDir(symbol)
+    val vfs = fs(vDir)
+    versions.filterNot(keep).foreach { v =>
+      vfs.delete(new Path(vDir, f"v$v%05d.json"), false)
+      manifestCache.remove((symbol, v))
+    }
+    gcUnreferencedFiles(symbol)
   }
 
   /** `snapshot` (reference: library.py:2626): pin a cross-symbol
@@ -1154,10 +1287,10 @@ final class Library(
     ()
   }
 
-  /** finalize_staged_data / sort_and_finalize_staged_data
-    * (reference: library.py:1739,1873): read every staged delta, optionally
-    * global-sort by the index, commit as one new version (append or
-    * replace), clear staging.
+  /** sort_and_finalize_staged_data (reference: library.py:1873): read
+    * every staged delta, global-sort by the index, commit as one new
+    * version (append or replace), clear staging. The heavyweight path —
+    * use [[finalizeStaged]] when the staged deltas are already sorted.
     *
     * dynamicSchema=true unifies EVOLVED delta schemas first — each staged
     * dir is read with its own physical schema, the common-type-promoted
@@ -1167,7 +1300,7 @@ final class Library(
     * mode the append itself then runs with dynamicSchema so the combined
     * frame may also evolve the symbol's stored schema.
     */
-  def finalizeStaged(
+  def sortAndFinalizeStaged(
       symbol: String,
       indexCol: Option[String],
       mode: String = "write", // write | append
@@ -1190,6 +1323,193 @@ final class Library(
       case _ => write(symbol, staged, indexCol, targetRows)
     }
     f.delete(dir, true)
+    v
+  }
+
+  /** finalize_staged_data (reference: library.py:1739-1871): PUBLISH the
+    * staged deltas as they stand — no sort, no rewrite. Each staged dir
+    * is renamed into the data directory and its parquet files join the
+    * manifest directly, so finalize costs metadata + one rename per delta
+    * regardless of data volume — the cheap daily-ingest path (the
+    * reference tacks staged segments onto the index the same way).
+    * mode="append" splices the files AFTER the symbol's existing data;
+    * mode="write" makes them the entire new version.
+    *
+    * validateIndex=true verifies from parquet footers alone (zero data
+    * IO) that, at ROW-GROUP granularity, each staged file is internally
+    * sorted, the staged files don't overlap each other, and — in append
+    * mode — they start at/after the stored max (reference validate_index,
+    * library.py:1782-1788; equal boundary values are allowed, matching
+    * append's >= rule). Rows inside one row group are not inspected: the
+    * reference validates at segment granularity and its ~100k-row
+    * segments ARE our row groups. Failures throw before anything moves —
+    * staging stays intact; the unsorted fallback is
+    * [[sortAndFinalizeStaged]].
+    *
+    * Under dynamicSchema the deltas may carry EVOLVED schemas: files are
+    * still not rewritten — each dir's physical schema is recorded in the
+    * manifest and reads align on the fly (the dynamic-append mechanism);
+    * the index column itself must keep one type across deltas. Without
+    * dynamicSchema all staged schemas (and the symbol's, when appending)
+    * must match exactly.
+    */
+  def finalizeStaged(
+      symbol: String,
+      indexCol: Option[String] = None,
+      mode: String = "write", // write | append
+      validateIndex: Boolean = true,
+      dynamicSchema: Boolean = options.dynamicSchema): Int = {
+    val sDir = stagedDir(symbol)
+    val sfs = fs(sDir)
+    require(sfs.exists(sDir), s"no staged data for $symbol")
+    val deltas = sfs.listStatus(sDir).toSeq.filter(_.isDirectory).map(_.getPath)
+    require(deltas.nonEmpty, s"no staged data for $symbol")
+
+    val appending = mode == "append" && hasSymbol(symbol)
+    val prior = if (appending) Some(resolveVersion(symbol)) else None
+    val idxCol = prior.flatMap(_.indexCol).orElse(indexCol)
+
+    // schema per delta — footer-only reads, one per staged dir
+    val deltaSchemas: Seq[(Path, StructType)] =
+      deltas.map(d => d -> spark.read.parquet(d.toString).schema)
+    val priorSchema = prior.map(m => schemaOf(m.schemaDdl))
+    val allSchemas = priorSchema.toSeq ++ deltaSchemas.map(_._2)
+    val unified = allSchemas.reduce(mergeSchemas)
+    // name+type comparison: nullability differs between a DDL-parsed prior
+    // schema and a parquet-read delta schema and carries no information here
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (!dynamicSchema)
+      require(allSchemas.forall(s => shape(s) == shape(unified)),
+        s"staged deltas of $symbol have differing schemas — pass " +
+          "dynamicSchema=true or use sortAndFinalizeStaged")
+    val idxType = idxCol.map { i =>
+      require(unified.fieldNames.contains(i),
+        s"index column $i missing from staged data for $symbol")
+      val ts = deltaSchemas.map(_._2).filter(_.fieldNames.contains(i))
+        .map(_(i).dataType).distinct
+      require(ts.size <= 1,
+        s"index column $i changes type across staged deltas of $symbol " +
+          s"(${ts.mkString(", ")}) — use sortAndFinalizeStaged")
+      unified(i).dataType
+    }
+    val stringIdx = idxType.exists(isStringIdx)
+
+    val stats: Seq[(Path, Vector[RawFileStat])] =
+      deltas.map(d => d -> footerStats(d, idxCol, idxType))
+
+    if (validateIndex) for (i <- idxCol) {
+      def ordered[B](bs: Seq[(B, B)], cmp: (B, B) => Int): Boolean =
+        bs.sliding(2).forall {
+          case Seq((_, aMax), (bMin, _)) => cmp(aMax, bMin) <= 0
+          case _ => true
+        }
+      for ((d, fsx) <- stats; s <- fsx) {
+        val ok =
+          if (stringIdx) ordered[String](s.blockStr, Library.strCmp)
+          else ordered[Long](s.blockIdx, java.lang.Long.compare)
+        require(ok,
+          s"staged file ${d.getName}/${s.name} of $symbol is not sorted by $i " +
+            "at row-group granularity — use sortAndFinalizeStaged")
+      }
+      val allFiles = stats.flatMap { case (d, fsx) => fsx.map(d -> _) }
+      def overlapFail(a: String, b: String): Nothing =
+        throw new IllegalArgumentException(
+          s"staged files of $symbol overlap on $i: $a vs $b — " +
+            "use sortAndFinalizeStaged or restage disjoint deltas")
+      if (stringIdx) {
+        val bounded = allFiles.filter(_._2.minStr.isDefined)
+          .sortBy(_._2.minStr.get)(Library.strOrdering)
+        bounded.sliding(2).foreach {
+          case Seq((da, a), (db, b)) =>
+            if (Library.strCmp(a.maxStr.get, b.minStr.get) > 0)
+              overlapFail(s"${da.getName}/${a.name}", s"${db.getName}/${b.name}")
+          case _ =>
+        }
+        for {
+          m <- prior
+          priorMax <- m.files.flatMap(_.maxStr).maxOption(Library.strOrdering)
+          (_, first) <- bounded.headOption
+        } require(Library.strCmp(first.minStr.get, priorMax) >= 0,
+          s"staged data starts before stored data ($symbol): " +
+            s"'${first.minStr.get}' < '$priorMax'")
+      } else {
+        val bounded = allFiles.filter(_._2.minIdx.isDefined).sortBy(_._2.minIdx.get)
+        bounded.sliding(2).foreach {
+          case Seq((da, a), (db, b)) =>
+            if (a.maxIdx.get > b.minIdx.get)
+              overlapFail(s"${da.getName}/${a.name}", s"${db.getName}/${b.name}")
+          case _ =>
+        }
+        for {
+          m <- prior
+          priorMax <- m.files.flatMap(_.maxIdx).maxOption
+          (_, first) <- bounded.headOption
+        } require(first.minIdx.get >= priorMax,
+          s"staged data starts before stored data ($symbol): " +
+            s"${first.minIdx.get} < $priorMax")
+      }
+    }
+
+    // Move each delta dir under data/ — an O(1) rename on rename-capable
+    // stores. A lost commit race leaves moved dirs unreferenced (the same
+    // garbage class as a loser writer's dir; GC'd by prune/delete) except
+    // in append mode, where they are moved back so a re-run can succeed.
+    var v = prior.map(_.version + 1)
+      .getOrElse(latestVersion(symbol).map(_ + 1).getOrElse(0))
+    val dataRoot = new Path(symDir(symbol), "data")
+    val dfs = fs(dataRoot)
+    dfs.mkdirs(dataRoot)
+    val moved: Seq[(String, Vector[RawFileStat], StructType)] =
+      stats.zip(deltaSchemas).map { case ((d, fsx), (_, schema)) =>
+        val destName = f"v$v%05d" + s"_${d.getName}"
+        require(dfs.rename(d, new Path(dataRoot, destName)),
+          s"failed to move staged delta $d into $dataRoot")
+        (destName, fsx, schema)
+      }
+
+    val entries0 = moved.flatMap { case (dir, fsx, _) =>
+      fsx.map(s =>
+        FileEntry(s"$dir/${s.name}", s.rows, 0L, s.minIdx, s.maxIdx, s.minStr, s.maxStr))
+    }
+    val orderedEntries =
+      if (idxCol.isEmpty) entries0.sortBy(_.path)
+      else if (stringIdx)
+        entries0.sortWith((a, b) => Library.strBoundFirst(a.minStr, a.path, b.minStr, b.path))
+      else entries0.sortBy(e => (e.minIdx.getOrElse(Long.MaxValue), e.path))
+    val priorFiles = prior.map(_.files).getOrElse(Vector.empty)
+    var offset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
+    val shifted = orderedEntries.map { e =>
+      val r = e.copy(rowOffset = offset); offset += e.rows; r
+    }
+    val unifiedDdl = unified.toDDL
+    val m = VersionManifest(
+      version = v,
+      indexCol = idxCol,
+      // validated at row-group granularity; an unvalidated splice makes no
+      // sortedness claim (the reference marks such versions UNSORTED too)
+      sorted = idxCol.isDefined && validateIndex && prior.forall(_.sorted),
+      files = priorFiles ++ shifted,
+      rowCount = priorFiles.map(_.rows).sum + shifted.map(_.rows).sum,
+      createdAtMs = System.currentTimeMillis(),
+      schemaDdl = unifiedDdl,
+      metadata = prior.map(_.metadata).getOrElse(Map.empty),
+      dirSchemas = prior.map(_.dirSchemas).getOrElse(Map.empty) ++
+        moved.map { case (dir, _, schema) => dir -> schema.toDDL })
+    var committed = commitManifest(symbol, m)
+    while (!committed && !appending) {
+      // pure write: last-writer-wins — bump and retry (dir names embed the
+      // attempted version but manifests reference full paths, names are free)
+      v += 1
+      committed = commitManifest(symbol, m.copy(version = v))
+    }
+    if (!committed) {
+      moved.foreach { case (dir, _, _) =>
+        dfs.rename(new Path(dataRoot, dir), new Path(sDir, dir))
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"$symbol: version $v was committed concurrently; re-run finalizeStaged")
+    }
+    sfs.delete(sDir, true)
     v
   }
 
@@ -1609,7 +1929,10 @@ object Library {
       columns: Option[Seq[String]] = None,
       query: Option[graft.query.QueryBuilder] = None)
 
-  /** get_info-style symbol descriptor. */
+  /** get_info-style symbol descriptor (reference SymbolDescription,
+    * library.py:135-173). The trailing fields default for source compat;
+    * getInfo always populates them.
+    */
   final case class SymbolInfo(
       symbol: String,
       version: Int,
@@ -1618,7 +1941,21 @@ object Library {
       indexCol: Option[String],
       sorted: Boolean,
       schemaDdl: String,
-      createdAtMs: Long)
+      createdAtMs: Long,
+      indexType: String = "NA",
+      sortedStatus: String = "UNKNOWN",
+      columnCount: Int = 0,
+      dateRange: Option[(Long, Long)] = None)
+
+  /** list_versions record (reference VersionInfo: date, deleted,
+    * snapshots — library.py:2921-2930).
+    */
+  final case class VersionInfo(
+      symbol: String,
+      version: Int,
+      createdAtMs: Long,
+      deleted: Boolean,
+      snapshots: Seq[String])
 
   /** Sidecar codec for the per-file column stats. */
   private[core] object ColumnStats {

@@ -16,7 +16,8 @@ import graft.query.{NullSemantics, Resample}
   * library.py:1873). The Spark-native shape is identical: each micro-batch
   * lands in the symbol's staging area via foreachBatch (cheap, append-only,
   * no version churn per batch), and a periodic/on-demand
-  * `finalizeStaged` sorts + commits one version. Readers NEVER see
+  * `sortAndFinalizeStaged` sorts + commits one version (or `finalizeStaged`
+  * splices already-sorted deltas with zero rewrite). Readers NEVER see
   * half-ingested data — staged files are invisible until the manifest
   * commit, the same isolation the reference gets from its key tree.
   *
@@ -28,7 +29,7 @@ import graft.query.{NullSemantics, Resample}
 object StreamIngest {
 
   /** Stage every micro-batch of `stream` into `symbol`. Call
-    * `lib.finalizeStaged(symbol, indexCol)` to publish a version.
+    * `lib.sortAndFinalizeStaged(symbol, indexCol)` to publish a version.
     * Checkpointing gives exactly-once staging: a replayed batch re-stages
     * into a NEW uuid dir only if the previous attempt died before the
     * staging write finished, and finalize de-duplicates nothing — same

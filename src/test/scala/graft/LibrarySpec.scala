@@ -259,7 +259,7 @@ class LibrarySpec extends SparkSuite {
     val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
     lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 500)
     lib.stage("ev", events.filter(col("ts") >= cut))
-    lib.finalizeStaged("ev", Some("ts"), mode = "append", targetRows = 500)
+    lib.sortAndFinalizeStaged("ev", Some("ts"), mode = "append", targetRows = 500)
     assert(lib.read("ev").count() == events.count())
     assert(lib.listVersions("ev").size == 2) // write + one append version
   }
@@ -457,7 +457,7 @@ class LibrarySpec extends SparkSuite {
     lib.stage("s", b)
     // without dynamicSchema the mixed read is rejected or mis-typed; with
     // it the deltas unify: x promotes to double, tag backfills null
-    lib.finalizeStaged("s", Some("ts2"), dynamicSchema = true)
+    lib.sortAndFinalizeStaged("s", Some("ts2"), dynamicSchema = true)
     val back = lib.read("s").orderBy("ts2")
     import org.apache.spark.sql.types._
     assert(back.schema("x").dataType == DoubleType)
@@ -466,7 +466,7 @@ class LibrarySpec extends SparkSuite {
     assert(rows(0).isNullAt(2) && rows(2).getString(2) == "n3")
     // append-mode finalize with a further evolved delta
     lib.stage("s", Seq((50L, 5.5, "n5", true)).toDF("ts2", "x", "tag", "flag"))
-    lib.finalizeStaged("s", Some("ts2"), mode = "append", dynamicSchema = true)
+    lib.sortAndFinalizeStaged("s", Some("ts2"), mode = "append", dynamicSchema = true)
     val evolved = lib.read("s").orderBy("ts2").collect()
     assert(evolved.length == 5 && evolved(4).getBoolean(3))
   }
@@ -592,12 +592,174 @@ class LibrarySpec extends SparkSuite {
   test("stage + finalize with sort produces a readable sorted version") {
     val lib = newLib()
     (0 until 3).foreach(i => lib.stage("ev", events.filter(pmod(col("user_id"), lit(3)) === i)))
-    lib.finalizeStaged("ev", Some("ts"), targetRows = 300)
+    lib.sortAndFinalizeStaged("ev", Some("ts"), targetRows = 300)
     val back = lib.read("ev", withRowId = true)
     assert(back.count() == events.count())
     // _row_id follows ts order globally
     val rows = back.select(Library.RowIdCol, "ts").as[(Long, Long)]
       .collect().sortBy(_._1)
     assert(rows.map(_._2).sameElements(rows.map(_._2).sorted))
+  }
+
+  private def mk(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(col("id").as("ts2"), (col("id") * 2).as("v"))
+
+  test("delete(versions) removes middle and latest; survivors stay readable") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2"), targetRows = 50) // v0
+    lib.append("s", mk(100, 160)) // v1
+    lib.append("s", mk(160, 200)) // v2
+    lib.append("s", mk(200, 230)) // v3
+    val m2 = lib.resolveVersion("s", AsOf.Version(2)).files.map(_.path).toSet
+    val delta3 = lib.resolveVersion("s", AsOf.Version(3)).files.map(_.path).toSet -- m2
+
+    lib.delete("s", Seq(1, 3)) // a middle version and the latest
+    assert(lib.listVersions("s") == Seq(0, 2))
+    assert(lib.read("s").count() == 200) // v2 is latest again
+    assert(lib.read("s", AsOf.Version(0)).count() == 100)
+    assert(lib.read("s", AsOf.Version(2)).count() == 200)
+    intercept[Exception](lib.read("s", AsOf.Version(1)).count())
+
+    // GC: v3's delta files are gone; files shared with survivors remain
+    delta3.foreach(p =>
+      assert(!new java.io.File(s"${lib.root}/s/data/$p").exists, s"$p not GC'd"))
+    m2.foreach(p =>
+      assert(new java.io.File(s"${lib.root}/s/data/$p").exists, s"$p wrongly GC'd"))
+
+    intercept[IllegalArgumentException](lib.delete("s", Seq(7))) // no such version
+  }
+
+  test("delete(versions) refuses snapshot-pinned versions") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2")) // v0
+    lib.append("s", mk(100, 150)) // v1
+    lib.snapshot("keep", versions = Map("s" -> 0))
+    val ex = intercept[IllegalArgumentException](lib.delete("s", Seq(0)))
+    assert(ex.getMessage.contains("keep"))
+    lib.delete("s", Seq(1)) // unpinned deletes fine
+    assert(lib.listVersions("s") == Seq(0))
+    lib.deleteSnapshot("keep")
+    lib.delete("s", Seq(0))
+    assert(lib.listVersions("s").isEmpty && !lib.hasSymbol("s"))
+  }
+
+  test("finalizeStaged splices sorted staged deltas without rewriting") {
+    val lib = newLib()
+    lib.write("s", mk(0, 1000), Some("ts2"), targetRows = 300) // v0
+    // two disjoint pre-sorted deltas (file-range-disjoint within each)
+    lib.stage("s", mk(1000, 1500).repartitionByRange(2, col("ts2")).sortWithinPartitions("ts2"))
+    lib.stage("s", mk(1500, 1800).coalesce(1).sortWithinPartitions("ts2"))
+    val stagedParts = new java.io.File(s"${lib.root}/s/_staged").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(f => f.getName.endsWith(".parquet"))
+    assert(lib.finalizeStaged("s", mode = "append") == 1)
+    val m = lib.resolveVersion("s")
+    assert(m.sorted && m.rowCount == 1800)
+    // zero rewrite: every staged part file joined the manifest as-is
+    val v0Files = lib.resolveVersion("s", AsOf.Version(0)).files.size
+    assert(m.files.size == v0Files + stagedParts)
+    assert(lib.read("s").orderBy("ts2").select("v").as[Long].collect().toSeq ==
+      (0L until 1800L).map(_ * 2))
+    // manifest pruning works across spliced files
+    assert(scannedFiles(lib.read("s", dateRange = Some((1600L, 1700L)))) <= 2)
+    // mode=write splice replaces the symbol with just the staged delta
+    lib.stage("s", mk(0, 50).coalesce(1).sortWithinPartitions("ts2"))
+    lib.finalizeStaged("s", mode = "write")
+    assert(lib.read("s").count() == 50)
+  }
+
+  test("finalizeStaged append validation rejects overlap; staging stays intact") {
+    val lib = newLib()
+    lib.write("s", mk(0, 1000), Some("ts2"), targetRows = 300)
+    // starts before the stored max
+    lib.stage("s", mk(900, 1200).coalesce(1).sortWithinPartitions("ts2"))
+    intercept[IllegalArgumentException](lib.finalizeStaged("s", mode = "append"))
+    assert(lib.read("s").count() == 1000) // nothing published
+    lib.deleteStagedData("s")
+    // deltas overlapping EACH OTHER
+    lib.stage("s", mk(1000, 1300).coalesce(1).sortWithinPartitions("ts2"))
+    lib.stage("s", mk(1200, 1500).coalesce(1).sortWithinPartitions("ts2"))
+    val ex = intercept[IllegalArgumentException](lib.finalizeStaged("s", mode = "append"))
+    assert(ex.getMessage.contains("overlap"))
+    // staging intact after rejection → the sort path can still publish it
+    lib.sortAndFinalizeStaged("s", Some("ts2"), mode = "append")
+    assert(lib.read("s").count() == 1000 + 300 + 300)
+    assert(lib.read("s").select("ts2").distinct().count() == 1500)
+  }
+
+  test("finalizeStaged rejects a file unsorted at row-group granularity") {
+    val lib = newLib()
+    lib.write("s", mk(0, 1000), Some("ts2"), targetRows = 300)
+    // force multiple small row groups so a descending file has out-of-order
+    // block bounds (one-block files are vacuously ordered at this granularity)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try
+      lib.stage("s", spark.range(1000, 200000).orderBy(desc("id"))
+        .select(col("id").as("ts2"), (col("id") * 2).as("v")).coalesce(1))
+    finally
+      if (prior == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", prior)
+    val ex = intercept[IllegalArgumentException](lib.finalizeStaged("s", mode = "append"))
+    assert(ex.getMessage.contains("not sorted"))
+  }
+
+  test("finalizeStaged splices evolved schemas without rewriting files") {
+    val lib = newLib()
+    lib.write("s", Seq((10L, 1), (20L, 2)).toDF("ts2", "x"), Some("ts2"))
+    lib.stage("s", Seq((30L, 3.5, "n3"), (40L, 4.5, "n4")).toDF("ts2", "x", "tag")
+      .coalesce(1).sortWithinPartitions("ts2"))
+    // schema mismatch without dynamicSchema is rejected up front
+    intercept[IllegalArgumentException](
+      lib.finalizeStaged("s", mode = "append", dynamicSchema = false))
+    lib.finalizeStaged("s", mode = "append", dynamicSchema = true)
+    val back = lib.read("s").orderBy("ts2")
+    assert(back.schema("x").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = back.collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.5, 4.5))
+    assert(rows(0).isNullAt(2) && rows(2).getString(2) == "n3")
+  }
+
+  test("listSymbols snapshot/regex scoping and listVersionsInfo membership") {
+    val lib = newLib()
+    lib.write("alpha", mk(0, 10), Some("ts2"))
+    lib.write("beta", mk(0, 10), Some("ts2"))
+    lib.write("alpha2", mk(0, 10), Some("ts2"))
+    lib.snapshot("snap", symbols = Seq("alpha", "beta")) // pins v0 of each
+    lib.append("alpha", mk(10, 15)) // alpha v1
+    lib.delete("beta") // tombstone v1
+
+    assert(lib.listSymbols() == Seq("alpha", "alpha2"))
+    assert(lib.listSymbols(snapshotName = Some("snap")) == Seq("alpha", "beta"))
+    assert(lib.listSymbols(regex = Some("^alpha$")) == Seq("alpha"))
+    assert(lib.listSymbols(regex = Some("alpha")) == Seq("alpha", "alpha2"))
+
+    val vi = lib.listVersionsInfo(symbol = Some("alpha"))
+    assert(vi.map(_.version) == Seq(0, 1))
+    assert(vi.head.snapshots == Seq("snap") && vi(1).snapshots.isEmpty)
+    val bv = lib.listVersionsInfo(symbol = Some("beta"))
+    assert(bv.map(_.deleted) == Seq(false, true))
+    assert(bv.head.snapshots == Seq("snap"))
+    assert(lib.listVersionsInfo(snapshot = Some("snap"))
+      .map(i => (i.symbol, i.version)).toSet == Set(("alpha", 0), ("beta", 0)))
+    assert(lib.listVersionsInfo(latestOnly = true)
+      .map(i => (i.symbol, i.version)).toSet ==
+      Set(("alpha", 1), ("alpha2", 0), ("beta", 1)))
+  }
+
+  test("getInfo carries index kind, sortedness and date range per version") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2"), targetRows = 50)
+    val i0 = lib.getInfo("s")
+    assert(i0.indexType == "index" && i0.sortedStatus == "ASCENDING")
+    assert(i0.columnCount == 2 && i0.rowCount == 100)
+    assert(i0.dateRange.contains((0L, 99L)))
+    lib.append("s", mk(100, 150))
+    val i1 = lib.getInfo("s")
+    assert(i1.version == 1 && i1.rowCount == 150 && i1.dateRange.contains((0L, 149L)))
+    assert(lib.getInfo("s", AsOf.Version(0)).rowCount == 100)
+    lib.write("t", mk(0, 10).select("v")) // no index
+    val it = lib.getInfo("t")
+    assert(it.indexType == "NA" && it.sortedStatus == "UNKNOWN" && it.dateRange.isEmpty)
   }
 }

@@ -34,7 +34,7 @@ class StreamingSpec extends SparkSuite {
     val q2 = StreamIngest.stageSink(lib, "ev", df, ckpt, Trigger.AvailableNow()).start()
     q2.awaitTermination()
 
-    lib.finalizeStaged("ev", Some("ts"))
+    lib.sortAndFinalizeStaged("ev", Some("ts"))
     val back = lib.read("ev", withRowId = true).orderBy(Library.RowIdCol).collect()
     assert(back.map(_.getAs[Long]("event_id")).toSeq == Seq(2L, 3L, 1L)) // ts order
     assert(back.length == 3) // exactly-once: batch 1 not re-staged
