@@ -16,6 +16,22 @@ final case class LibraryOptions(
     dynamicSchema: Boolean = false,
     rowsPerSegment: Long = Library.DefaultTargetRows)
 
+object LibraryOptions {
+  import org.json4s._
+  import org.json4s.jackson.Serialization
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  def toJson(o: LibraryOptions): String = Serialization.writePretty(o)
+  /** Real JSON parse (same codec family as the manifests) — missing
+    * fields take case-class defaults, unknown fields are ignored, and
+    * empty/corrupt content THROWS instead of silently yielding defaults
+    * (a half-written options file must not misconfigure segmentation).
+    */
+  def fromJson(s: String): LibraryOptions = {
+    require(s.trim.nonEmpty, "empty _options.json")
+    Serialization.read[LibraryOptions](s)
+  }
+}
+
 /** The front door (reference: arctic.py `Arctic`): manage named libraries
   * under one root URI. `create_library` / `get_library` /
   * `list_libraries` / `has_library` / `delete_library`, arctic.py:238+.
@@ -29,9 +45,16 @@ final class Graft(val rootUri: String, spark: SparkSession) {
 
   private val rootPath = new Path(rootUri)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Safe-charset name check (reference verify_library_name: alphanumeric
+    * plus `_ - .`, bounded length). The alphanumeric FIRST char excludes
+    * '.', '..' and '_'-prefixed names — createLibrary(".") would plant
+    * _options.json in the root itself and deleteLibrary(".") would then
+    * expunge every library; '..' escapes the root entirely.
+    */
+  private val LibName = "[A-Za-z0-9][A-Za-z0-9._-]{0,254}".r
   private def libPath(name: String): Path = {
-    require(name.nonEmpty && !name.contains("/") && !name.startsWith("_"),
-      s"invalid library name '$name'")
+    require(LibName.matches(name),
+      s"invalid library name '$name' — must start alphanumeric, then [A-Za-z0-9._-], ≤255 chars")
     new Path(rootPath, name)
   }
   private def optionsPath(name: String): Path = new Path(libPath(name), "_options.json")
@@ -45,8 +68,7 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     fs.mkdirs(p)
     // the options marker is the existence witness; single-winner via the
     // same no-overwrite commit primitive the manifests use
-    val json =
-      s"""{"dynamicSchema":${options.dynamicSchema},"rowsPerSegment":${options.rowsPerSegment}}"""
+    val json = LibraryOptions.toJson(options)
     if (!CommitCas.forFs(fs).commit(fs, optionsPath(name), json))
       throw new IllegalArgumentException(s"library '$name' already exists")
     getLibrary(name)
@@ -79,12 +101,13 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     val json =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    def field(k: String): Option[String] =
-      s""""$k"\\s*:\\s*([^,}\\s]+)""".r.findFirstMatchIn(json).map(_.group(1))
-    LibraryOptions(
-      dynamicSchema = field("dynamicSchema").exists(_.toBoolean),
-      rowsPerSegment = field("rowsPerSegment").map(_.toLong)
-        .getOrElse(Library.DefaultTargetRows))
+    try LibraryOptions.fromJson(json)
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"library '$name': unreadable _options.json (${e.getMessage}) — " +
+            "refusing to fall back to defaults", e)
+    }
   }
 
   /** Remove the library and everything in it (arctic.py delete_library:
@@ -95,18 +118,24 @@ final class Graft(val rootUri: String, spark: SparkSession) {
   }
 
   /** Update a library's stored options (arctic.py modify_library_option).
-    * A config update, not a versioned commit: plain overwrite of
-    * `_options.json` (the reference likewise mutates its config map);
-    * already-open Library handles keep the options they were opened with.
+    * A config update, not a versioned commit (the reference likewise
+    * mutates its config map); already-open Library handles keep the
+    * options they were opened with. Written to a temp sibling and renamed
+    * into place so a crash mid-write can never leave a reader a partial
+    * file (FileContext rename-with-OVERWRITE is atomic on local/HDFS).
     */
   def modifyLibraryOptions(
       name: String)(f: LibraryOptions => LibraryOptions): LibraryOptions = {
     val next = f(libraryOptions(name))
-    val out = fs.create(optionsPath(name), true)
-    try out.write(
-      s"""{"dynamicSchema":${next.dynamicSchema},"rowsPerSegment":${next.rowsPerSegment}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val target = optionsPath(name)
+    val tmp = new Path(libPath(name), s"._options-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(LibraryOptions.toJson(next)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 }

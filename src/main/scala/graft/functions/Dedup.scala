@@ -292,11 +292,17 @@ object Dedup {
         size(graft.plans.DistinctShingles(col(textCol), shingleLen))
           .cast("long").as("sz"))
       .filter(col("sz") > 0)
-    val docs: Array[(Long, Long)] = (forceDense match {
+    val collected: Array[(Long, Long)] = (forceDense match {
       case Some(true) => probeDf // test hook admits any size: take all
       case _ => probeDf.limit(DenseMaxDocs + 1)
     }).collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (forceDense.getOrElse(docs.length <= DenseMaxDocs)) {
+    // Duplicate ids (a caller-contract violation — pairs are id-to-id)
+    // would mint duplicate docidx slots and corrupt dense intersection
+    // counts: keep one slot per id. The RAW row count still gates the
+    // dense path — a deduped count under the cap doesn't prove the
+    // LIMIT-stopped scan saw every distinct doc.
+    val docs = collected.distinctBy(_._1)
+    if (forceDense.getOrElse(collected.length <= DenseMaxDocs)) {
       // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
       // tiles for parallelism. Gate at 64 blocks (~260k docs): past that
       // the dense tiles' O(n²) flush scan outgrows the incidence-bound
