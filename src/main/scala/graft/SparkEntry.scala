@@ -62,6 +62,21 @@ object SparkEntry {
   private def sortSmall(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** Deterministic-order tail for selectivity-dependent (UNAGGREGATED)
+    * outputs — filter/map results whose size scales with the corpus.
+    * While the source scan is provably small (optimizer size stats —
+    * parquet file bytes, no job) the cheap single-partition tail applies;
+    * past the threshold it becomes a true range-partitioned orderBy, so a
+    * 100×-scale run never funnels an unaggregated scan through one task.
+    * Grouped/top-k outputs (bounded by key cardinality) keep
+    * sortSmall/sortSmallAgg unconditionally.
+    */
+  private[graft] val SmallScanBytes = 4L << 30
+  private[graft] def sortGuarded(df: DataFrame, cols: String*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= SmallScanBytes)
+      sortSmall(df, cols: _*)
+    else df.orderBy(cols.map(col): _*)
+
   /** Deterministic order for a small POST-SHUFFLE result (grouped/
     * resampled finals): coalesce(1) merges the final-agg partitions
     * without a new exchange — one less shuffle + AQE round-trip than
@@ -127,26 +142,26 @@ object SparkEntry {
         .filter((e("l_quantity") < l(5.0)) && (e("l_discount") > l(0.05)))(
           t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .transform(sortSmall(_, "l_orderkey", "l_linenumber"))
+        .transform(sortGuarded(_, "l_orderkey", "l_linenumber"))
     },
     "q02_filter_string_eq" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("o_orderstatus") === l("F"))(t(s, dir, "orders"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .transform(sortSmall(_, "o_orderkey"))
+        .transform(sortGuarded(_, "o_orderkey"))
     },
     "q03_filter_isin" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("p_size").isin(1, 5, 9) && e("p_retailprice").isNotIn(0.0))(
           t(s, dir, "part"))
         .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
-        .transform(sortSmall(_, "p_partkey"))
+        .transform(sortGuarded(_, "p_partkey"))
     },
     "q04_filter_regex" -> { (s, dir) =>
       QueryBuilder()
         .filter(e("event_type").regexMatch("^(cl|si)"))(t(s, dir, "events"))
         .select(col("event_id"), tsUs, col("event_type"))
-        .transform(sortSmall(_, "event_id"))
+        .transform(sortGuarded(_, "event_id"))
     },
     "q05_filter_null_ternary" -> { (s, dir) =>
       QueryBuilder()
@@ -256,7 +271,7 @@ object SparkEntry {
       QueryBuilder()
         .dateRange("ts", 1704153600000000000L, 1704240000000000000L)(t(s, dir, "events"))
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
-        .transform(sortSmall(_, "event_id"))
+        .transform(sortGuarded(_, "event_id"))
     },
     "q13_head" -> { (s, dir) =>
       QueryBuilder().head(Seq("ts"), 20)(t(s, dir, "events"))
@@ -312,7 +327,7 @@ object SparkEntry {
       MergeUpdate.merge(target, source, Seq("event_id"))
         .select(col("event_id"), tsUs, col("user_id"), col("event_type"),
           col("value"), col("props"))
-        .transform(sortSmall(_, "event_id"))
+        .transform(sortGuarded(_, "event_id"))
     },
     // ---------------- versioned storage layer (SURVEY §1, §2.1) -------
     "q21_write_read_roundtrip" -> { (s, dir) =>
@@ -553,7 +568,7 @@ object SparkEntry {
     "q56_repetition_ratio" -> { (s, dir) =>
       Dedup.repetitionRatio(t(s, dir, "documents"), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")
-        .transform(sortSmall(_, "doc_id"))
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q64_drop_near_duplicates" -> { (s, dir) =>
       // The complete removal pipeline: exact dedup → Jaccard pairs →
@@ -738,7 +753,7 @@ object SparkEntry {
           Text.stopwordRatioOf(st).as("stop_ratio"),
           Text.meanTokenLengthOf(st).as("mean_len"),
           Text.qualityScoreOf(st).as("quality"))
-        .transform(sortSmall(_, "doc_id"))
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q36_tokens_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -784,7 +799,7 @@ object SparkEntry {
                       graft_normalize(text) AS norm,
                       graft_fingerprint(text) AS fp
                FROM docs_v""")
-        .transform(sortSmall(_, "doc_id"))
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q53_multimodal_frames" -> { (s, dir) =>
       val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
@@ -817,7 +832,7 @@ object SparkEntry {
       val signups = ev.filter(col("event_type") === "signup")
       AsOfJoin.asofJoin(purchases, signups, "ts", Seq("user_id"), Seq("value"))
         .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
-        .transform(sortSmall(_, "event_id"))
+        .transform(sortGuarded(_, "event_id"))
     },
     "q55_hash_sample_stratified" -> { (s, dir) =>
       // Deterministic engine-portable sampling: md5-prefix thresholds give
@@ -825,7 +840,7 @@ object SparkEntry {
       graft.functions.Sampling.hashSampleBy(t(s, dir, "events"), "event_id",
         "event_type", Map("click" -> 0.5, "purchase" -> 1.0, "view" -> 0.1))
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
-        .transform(sortSmall(_, "event_id"))
+        .transform(sortGuarded(_, "event_id"))
     },
     "q54_session_window" -> { (s, dir) =>
       graft.operators.Sessionize.sessions(t(s, dir, "events"), "ts", Seq("user_id"),

@@ -112,6 +112,20 @@ class PlanSpec extends SparkSuite {
       maxDocFreq = 100)).isEmpty)
   }
 
+  test("sortGuarded tails stay scale-honest: orderBy past the stats threshold") {
+    // below the guard: cheap single-partition tail (no range sampling pass)
+    val small = SparkEntry.sortGuarded(spark.range(1000).toDF("event_id"), "event_id")
+    assert(small.rdd.getNumPartitions == 1)
+    // above it (range stats = 8 bytes/row, no job needed): a true
+    // range-partitioned orderBy — an unaggregated 100×-scale scan must
+    // never funnel through one task just for output determinism
+    val big = SparkEntry.sortGuarded(
+      spark.range(2L * SparkEntry.SmallScanBytes / 8).toDF("event_id"), "event_id")
+    assert(big.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }.nonEmpty, big.queryExecution.optimizedPlan.toString)
+  }
+
   test("grouped-result tails coalesce, adding no exchange (q09, q39)") {
     // sortSmallAgg: the deterministic-order tail on a post-shuffle result
     // must merge the final-agg partitions via Coalesce, not pay a second
