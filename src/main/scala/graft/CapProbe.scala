@@ -1,0 +1,116 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+
+/** Dev tool: measure the bucket-population cap's two physical shapes on a
+  * PLANTED mega-bucket — the skew case the cap exists for (a boilerplate
+  * shingle / saturated LSH chunk shared by a large fraction of a corpus).
+  *
+  * Shapes compared on an identical (id, band, bandhash) frame:
+  *  - window  — count().over(Window.partitionBy(band, bandhash)): the
+  *    r4–r7 implementation. Routes EVERY row of the mega key to one task
+  *    and buffers it there before the cap filter drops it.
+  *  - join    — groupBy(key).count → filter → join (the r8 shape, mirrors
+  *    bucketAggJaccardPairs): only (key, count) partials shuffle for the
+  *    cap decision; the mega key's rows are dropped map-side by the join.
+  *
+  * Reported per shape: wall (min of 3 warm), peak single-task shuffle-read
+  * bytes and peak task wall — the single-task-buffer signal. Usage:
+  * `sbt "runMain graft.CapProbe [nDocs] [megaShare%]"` (defaults 2M, 25).
+  */
+object CapProbe {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 2000000L
+    val megaPct = if (args.length > 1) args(1).toInt else 25
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 4 bands per doc. Band 0 of every megaPct-th doc collapses into ONE
+    // bucket (the planted mega key); every other (doc, band) gets a
+    // unique-ish hash → singleton buckets that no cap touches.
+    val mod = 100 / megaPct
+    // the trailing repartition mirrors the real operators, where the cap's
+    // input hangs off a keyed aggregate's exchange: the two-sided shapes
+    // then REUSE that exchange instead of double-evaluating the generator
+    val banded = spark.range(nDocs)
+      .select(col("id"), explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("id"), col("band"),
+        when(col("band") === 0 && col("id") % mod === 0, lit(0L))
+          .otherwise(xxhash64(col("id"), col("band"))).as("bandhash"))
+      .repartition(col("id"))
+
+    val maxBucket = 1000
+
+    def windowCap(df: DataFrame): DataFrame =
+      df.withColumn("n", count(lit(1)).over(Window.partitionBy("band", "bandhash")))
+        .filter(col("n") <= maxBucket).drop("n")
+
+    def joinCap(df: DataFrame): DataFrame = {
+      val ok = df.groupBy("band", "bandhash").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("band", "bandhash")
+      df.join(ok, Seq("band", "bandhash"))
+    }
+
+    // anti: the OVER-cap key set is tiny (skew keys only) → AQE broadcasts
+    // it and the mega rows are dropped MAP-SIDE; data never shuffles for
+    // the cap at all. The semi form above must shuffle df to join against
+    // the huge survivor-key set.
+    def antiCap(df: DataFrame): DataFrame = {
+      val bad = df.groupBy("band", "bandhash").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).select("band", "bandhash")
+      df.join(bad, Seq("band", "bandhash"), "left_anti")
+    }
+
+    // peak-task metrics via listener: max shuffle-read bytes and max task
+    // wall across all tasks of the measured run
+    val peakBytes = new AtomicLong(0)
+    val peakMs = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          peakBytes.getAndAccumulate(m.shuffleReadMetrics.totalBytesRead, Math.max)
+          peakMs.getAndAccumulate(m.executorRunTime, Math.max)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def run(name: String, df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      Thread.sleep(500) // listener bus is async: drain the warm run's events
+      val walls = (0 until 3).map { i =>
+        if (i == 2) { peakBytes.set(0); peakMs.set(0) } // peaks from last pass only
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Thread.sleep(500)
+      println(f"[cap] $name%-6s wall=${walls.min}%.2fs " +
+        f"peakTaskShuffleRead=${peakBytes.get / 1048576.0}%.1fMiB " +
+        f"peakTaskWall=${peakMs.get / 1000.0}%.2fs")
+    }
+
+    val megaRows = nDocs / mod
+    println(s"[cap] nDocs=$nDocs bands=4 megaBucketRows=$megaRows maxBucket=$maxBucket")
+    run("window", windowCap(banded))
+    run("join", joinCap(banded))
+    run("anti", antiCap(banded))
+    if (args.contains("--plan")) {
+      val a = antiCap(banded)
+      a.write.format("noop").mode("overwrite").save()
+      println("[cap] anti final plan:\n" +
+        a.queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}

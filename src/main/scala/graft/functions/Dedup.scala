@@ -109,14 +109,18 @@ object Dedup {
     val cp =
       if (maxDocFreq <= 0) cp0
       else {
-        // groupBy-count → join, NOT a count window: a window with
-        // partitionBy lands every posting of a boilerplate shingle on ONE
-        // task before the cap can filter it — the same single-key buffer
-        // the cap exists to avoid. The pre-aggregate shuffles only
-        // (s, count) partials (same shape as bucketAggJaccardPairs).
-        val ok = cp0.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("s")
-        cp0.join(ok, "s")
+        // groupBy-count → ANTI-join on the over-cap keys, NOT a count
+        // window: a partitionBy window lands every posting of a
+        // boilerplate shingle on ONE task and buffers it there before the
+        // cap can filter — the single-key buffer the cap exists to avoid.
+        // The pre-aggregate shuffles only (s, count) partials, and the
+        // anti side holds just the few skew keys (≤ rows/cap), which AQE
+        // broadcasts when it measures small — the semi form (join the
+        // survivor-key set) pays a sort of a key set nearly as large as
+        // the data (CapProbe, 8M docs: semi 14.3s vs anti 7.0s).
+        val bad = cp0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("s")
+        cp0.join(bad, Seq("s"), "left_anti")
       }
     val kp = shinglePostings(contam, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
@@ -165,14 +169,15 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandHashes: _*)))
       .toDF("id", "band", "bandhash")
-    // Cap via groupBy-count → join (not a count window — see decontaminate):
-    // only (band, bandhash, count) partials shuffle for the cap decision, so
-    // a mega-bucket never assembles on one task just to be discarded.
-    val bucketOk = banded.groupBy("band", "bandhash")
+    // Cap via groupBy-count → anti-join on over-cap buckets (not a count
+    // window — see decontaminate): only (band, bandhash, count) partials
+    // shuffle for the cap decision, and a mega-bucket is never buffered on
+    // one task just to be discarded.
+    val bucketBad = banded.groupBy("band", "bandhash")
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+      .filter(col("__n") > maxBucket)
       .select("band", "bandhash")
-    val bucketed = banded.join(bucketOk, Seq("band", "bandhash"))
+    val bucketed = banded.join(bucketBad, Seq("band", "bandhash"), "left_anti")
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") &&
@@ -376,9 +381,9 @@ object Dedup {
     val entries =
       if (maxDocFreq <= 0) entries0
       else {
-        val ok = entries0.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("s")
-        entries0.join(ok, "s")
+        val bad = entries0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("s")
+        entries0.join(bad, Seq("s"), "left_anti")
       }
     val buckets = entries.groupBy("s").agg(collect_list(col("e")).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -526,14 +531,17 @@ object Dedup {
     // key, so a post-collect filter would cap the pair blow-up but not
     // the buffer — at reference scale ("billions of rows") that single
     // buffer is the OOM. The freq pre-aggregate shuffles only (s, count)
-    // and shares the bucket groupBy's key. Results are identical either
-    // way: an over-cap bucket contributed nothing downstream.
+    // partials; the ANTI-join side holds only the few over-cap keys
+    // (≤ incidences/cap — AQE broadcasts it when small), where a semi
+    // join against the survivor set would sort a key set nearly as large
+    // as the postings (CapProbe). Results are identical either way: an
+    // over-cap bucket contributed nothing downstream.
     val capped =
       if (maxDocFreq <= 0) posts
       else {
-        val ok = posts.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("s")
-        posts.join(ok, "s")
+        val bad = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("s")
+        posts.join(bad, Seq("s"), "left_anti")
       }
     val buckets = capped.groupBy("s")
       .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
@@ -693,12 +701,13 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*)))
       .toDF("id", "sig", "chunk", "chunkval")
-    // groupBy-count → join cap (see decontaminate for why not a window)
-    val bucketOk = chunks.groupBy("chunk", "chunkval")
+    // groupBy-count → anti-join cap (see decontaminate for why not a
+    // window, and why anti beats the semi form)
+    val bucketBad = chunks.groupBy("chunk", "chunkval")
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+      .filter(col("__n") > maxBucket)
       .select("chunk", "chunkval")
-    val bucketed = chunks.join(bucketOk, Seq("chunk", "chunkval"))
+    val bucketed = chunks.join(bucketBad, Seq("chunk", "chunkval"), "left_anti")
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&

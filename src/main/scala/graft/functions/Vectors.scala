@@ -277,15 +277,16 @@ object Vectors {
       posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
       .toDF("id", "vec", "chunk", "chunkval")
-    // groupBy-count → join cap, not a count window: a partitionBy window
-    // routes every member of a saturated bucket to one task before the
-    // filter; the pre-aggregate shuffles only (chunk, chunkval, count)
-    // partials (same shape as Dedup.bucketAggJaccardPairs).
-    val bucketOk = chunks.groupBy("chunk", "chunkval")
+    // groupBy-count → anti-join cap, not a count window: a partitionBy
+    // window buffers every member of a saturated bucket on one task
+    // before the filter. The pre-aggregate shuffles only (chunk,
+    // chunkval, count) partials, and the anti side holds only over-cap
+    // buckets (same shape and rationale as Dedup.bucketAggJaccardPairs).
+    val bucketBad = chunks.groupBy("chunk", "chunkval")
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+      .filter(col("__n") > maxBucket)
       .select("chunk", "chunkval")
-    val bucketed = chunks.join(bucketOk, Seq("chunk", "chunkval"))
+    val bucketed = chunks.join(bucketBad, Seq("chunk", "chunkval"), "left_anti")
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&
