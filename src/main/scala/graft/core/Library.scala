@@ -1737,6 +1737,18 @@ final class Library(
   def deleteBatch(symbols: Seq[String], parallelism: Int = BatchParallelism): Seq[Int] =
     inParallel(symbols, parallelism)(delete)
 
+  /** delete_batch with DeleteRequest entries (reference: library.py:365
+    * DeleteRequest, :2703 delete_batch) — per-symbol version-targeted
+    * deletes from the batch pool; same semantics as delete(symbol,
+    * versions) including the snapshot-pin refusal.
+    */
+  def deleteVersionsBatch(
+      requests: Seq[(String, Seq[Int])],
+      parallelism: Int = BatchParallelism): Unit = {
+    inParallel(requests, parallelism) { case (s, vs) => delete(s, vs) }
+    ()
+  }
+
   /** read_batch_and_join (reference: library.py:2348): read N symbols and
     * concatenate row-wise with inner/outer schema join + common-type
     * promotion — the ConcatClause over the version layer.

@@ -643,6 +643,17 @@ class LibrarySpec extends SparkSuite {
     assert(lib.listVersions("s").isEmpty && !lib.hasSymbol("s"))
   }
 
+  test("deleteVersionsBatch prunes versions across symbols in parallel") {
+    val lib = newLib()
+    Seq("a", "b").foreach { s =>
+      lib.write(s, mk(0, 50), Some("ts2"))
+      lib.append(s, mk(50, 80))
+    }
+    lib.deleteVersionsBatch(Seq("a" -> Seq(0), "b" -> Seq(1)))
+    assert(lib.listVersions("a") == Seq(1) && lib.read("a").count() == 80)
+    assert(lib.listVersions("b") == Seq(0) && lib.read("b").count() == 50)
+  }
+
   test("finalizeStaged splices sorted staged deltas without rewriting") {
     val lib = newLib()
     lib.write("s", mk(0, 1000), Some("ts2"), targetRows = 300) // v0

@@ -213,4 +213,36 @@ class PropertySpec extends SparkSuite {
         graft.functions.Text.fingerprint(col("b"))).count()
     assert(diff == 0)
   }
+
+  test("property: splice finalize equals the sorted union for random disjoint deltas") {
+    // The reference's hypothesis coverage for staged finalize
+    // (python/tests/hypothesis/arcticdb/test_sort_merge.py): random base +
+    // random count/size of disjoint pre-sorted staged deltas → append-mode
+    // finalizeStaged must read back as the exact ordered union, flagged
+    // sorted, regardless of how rows fall across delta and file boundaries.
+    import graft.core.Library
+    val seeds = sample(Gen.chooseNum(1L, Long.MaxValue), 5, 20260813L)
+    seeds.foreach { seed0 =>
+      val rnd = new scala.util.Random(seed0)
+      val nDeltas = 1 + rnd.nextInt(3)
+      // cumulative cuts: base end, then each delta's end
+      val cuts = Seq.fill(nDeltas + 1)(1 + rnd.nextInt(600))
+        .scanLeft(200 + rnd.nextInt(400))(_ + _)
+      val lib = new Library(
+        java.nio.file.Files.createTempDirectory("graft-propspec-").toString, spark)
+      def part(lo: Int, hi: Int) =
+        spark.range(lo, hi).select(col("id").as("ts2"), (col("id") * 3).as("v"))
+      lib.write("s", part(0, cuts.head), Some("ts2"), targetRows = 128)
+      cuts.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          lib.stage("s", part(lo, hi).coalesce(1).sortWithinPartitions("ts2"))
+        case _ =>
+      }
+      lib.finalizeStaged("s", mode = "append")
+      val m = lib.resolveVersion("s")
+      assert(m.sorted && m.rowCount == cuts.last.toLong, s"seed=$seed0")
+      val got = lib.read("s").orderBy("ts2").select("ts2").as[Long].collect().toSeq
+      assert(got == (0L until cuts.last.toLong), s"seed=$seed0")
+    }
+  }
 }
