@@ -130,8 +130,15 @@ final class Library(
   private def fileSchemaDdl(m: VersionManifest, f: FileEntry): String =
     m.dirSchemas.getOrElse(f.path.takeWhile(_ != '/'), m.schemaDdl)
 
-  def hasSymbol(symbol: String): Boolean =
-    latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
+  /** has_symbol(symbol, as_of=) (reference: library.py:2823): symbol
+    * existence now, or as of a version/snapshot/timestamp.
+    */
+  def hasSymbol(symbol: String, asOf: AsOf = AsOf.Latest): Boolean = asOf match {
+    case AsOf.Latest => latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
+    case other =>
+      try !resolveVersion(symbol, other).deleted
+      catch { case _: Exception => false }
+  }
 
   /** Symbol directories holding at least one version manifest — includes
     * tombstoned symbols (their history still exists), excludes stray dirs.
@@ -162,7 +169,7 @@ final class Library(
       case Some(name) =>
         SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))
           .versions.keys.toSeq.sorted
-      case None => listSymbolDirs().filter(hasSymbol)
+      case None => listSymbolDirs().filter(hasSymbol(_))
     }
     regex match {
       case Some(r) =>
@@ -1244,6 +1251,12 @@ final class Library(
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName.stripSuffix(".json")).sorted
   }
+
+  /** list_snapshots(load_metadata=True) (reference: library.py:2857):
+    * snapshot names with their metadata, one manifest read each.
+    */
+  def listSnapshotsWithMetadata(): Map[String, Map[String, String]] =
+    listSnapshots().map(n => n -> snapshotMetadata(n)).toMap
 
   // ---------------------------------------------------- staged ingestion
 

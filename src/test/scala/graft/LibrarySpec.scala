@@ -643,6 +643,19 @@ class LibrarySpec extends SparkSuite {
     assert(lib.listVersions("s").isEmpty && !lib.hasSymbol("s"))
   }
 
+  test("hasSymbol honors asOf; snapshot listing carries metadata") {
+    val lib = newLib()
+    lib.write("s", mk(0, 10), Some("ts2"))
+    lib.snapshot("pin", symbols = Seq("s"), metadata = Map("note" -> "x"))
+    lib.delete("s") // tombstone
+    assert(!lib.hasSymbol("s"))
+    assert(lib.hasSymbol("s", AsOf.Version(0)))
+    assert(lib.hasSymbol("s", AsOf.Snapshot("pin")))
+    assert(!lib.hasSymbol("s", AsOf.Snapshot("nope")))
+    assert(!lib.hasSymbol("missing", AsOf.Version(0)))
+    assert(lib.listSnapshotsWithMetadata() == Map("pin" -> Map("note" -> "x")))
+  }
+
   test("deleteVersionsBatch prunes versions across symbols in parallel") {
     val lib = newLib()
     Seq("a", "b").foreach { s =>
