@@ -34,19 +34,32 @@ object StreamIngest {
     * into a NEW uuid dir only if the previous attempt died before the
     * staging write finished, and finalize de-duplicates nothing — same
     * at-least-once-until-finalize contract as the reference's incompletes.
+    *
+    * `sortBatchesBy` range-sorts each micro-batch on the index before
+    * staging (one small per-batch shuffle). For a time-ordered stream —
+    * event time advancing across batches, the common ingest shape — the
+    * staged deltas are then file-disjoint and sorted, so the CHEAP
+    * `lib.finalizeStaged` splice (rename + manifest commit, zero rewrite)
+    * publishes them instead of sortAndFinalizeStaged's full re-sort.
     */
   def stageSink(
       lib: Library,
       symbol: String,
       stream: DataFrame,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      sortBatchesBy: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        lib.stage(symbol, batch.toDF())
+        val b = sortBatchesBy match {
+          case Some(idx) =>
+            batch.toDF().repartitionByRange(col(idx)).sortWithinPartitions(idx)
+          case None => batch.toDF()
+        }
+        lib.stage(symbol, b)
         ()
       }
 

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSuite {
     assert(back.length == 3) // exactly-once: batch 1 not re-staged
   }
 
+  test("time-ordered stream + splice finalize publishes with zero rewrite") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "value")
+    val lib = new Library(tmp("graft-splice-lib-"), spark)
+    val ckpt = tmp("graft-splice-ckpt-")
+
+    // event time advances across batches (the common ingest shape); each
+    // batch is range-sorted by the sink, so deltas are file-disjoint
+    mem.addData((1L, 1L * H, 1.0), (2L, 2L * H, 2.0))
+    StreamIngest.stageSink(lib, "ev", df, ckpt, Trigger.AvailableNow(),
+      sortBatchesBy = Some("ts")).start().awaitTermination()
+    mem.addData((3L, 3L * H, 3.0), (4L, 4L * H, 4.0))
+    StreamIngest.stageSink(lib, "ev", df, ckpt, Trigger.AvailableNow(),
+      sortBatchesBy = Some("ts")).start().awaitTermination()
+
+    lib.finalizeStaged("ev", Some("ts")) // splice: rename + commit, no rewrite
+    val m = lib.resolveVersion("ev")
+    assert(m.sorted && m.rowCount == 4)
+    assert(lib.read("ev").orderBy("ts").select("event_id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // a late out-of-order batch is rejected by append-mode finalize (both
+    // paths validate start-after-stored-max, the reference's append rule;
+    // late data goes through update) — staging stays intact for triage
+    mem.addData((5L, 1L * H + 5L, 5.0))
+    StreamIngest.stageSink(lib, "ev", df, ckpt, Trigger.AvailableNow(),
+      sortBatchesBy = Some("ts")).start().awaitTermination()
+    intercept[Exception](lib.finalizeStaged("ev", mode = "append"))
+    assert(lib.read("ev").count() == 4)
+    assert(lib.getStagedSymbols() == Seq("ev"))
+  }
+
   test("mergeSink upserts micro-batches into a versioned symbol by key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
