@@ -27,7 +27,44 @@ import graft.core.GraftSession
   */
 object CapProbe {
 
+  /** Second recorded experiment (`runMain graft.CapProbe splice`): the
+    * splice finalize's cost is metadata + rename, not data volume —
+    * measured against sortAndFinalizeStaged on the same pre-sorted
+    * half-of-sf1-events staged delta (~500k rows).
+    */
+  private def spliceExperiment(): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/graft-sf1") + "/events.parquet")
+    val cut = ev.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[splice] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def mkLib() = {
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-splice-exp-").toString, spark)
+      lib.write("ev", ev.filter(col("ts") < cut), Some("ts"), targetRows = 1000000)
+      lib.stage("ev", ev.filter(col("ts") >= cut)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts"))
+      lib
+    }
+    val lib1 = mkLib()
+    timed("finalizeStaged splice, 500k-row staged delta") {
+      lib1.finalizeStaged("ev", mode = "append")
+    }
+    println("[splice] rows=" + lib1.read("ev").count())
+    val lib2 = mkLib()
+    timed("sortAndFinalizeStaged, same delta") {
+      lib2.sortAndFinalizeStaged("ev", Some("ts"), mode = "append", targetRows = 1000000)
+    }
+    println("[splice] rows=" + lib2.read("ev").count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("splice")) { spliceExperiment(); return }
     val nDocs = if (args.length > 0) args(0).toLong else 2000000L
     val megaPct = if (args.length > 1) args(1).toInt else 25
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
