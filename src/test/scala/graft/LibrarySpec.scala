@@ -728,6 +728,41 @@ class LibrarySpec extends SparkSuite {
     assert(ex.getMessage.contains("not sorted"))
   }
 
+  test("finalizeStaged write-mode bumps past a concurrently committed version") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2")) // v0
+    lib.stage("s", mk(0, 30).coalesce(1).sortWithinPartitions("ts2"))
+    // plant v1 as if a concurrent writer committed between resolve and CAS
+    val planted = lib.resolveVersion("s").copy(version = 1)
+    val vDir = new java.io.File(s"${lib.root}/s/_versions")
+    java.nio.file.Files.write(
+      new java.io.File(vDir, "v00001.json").toPath,
+      graft.core.VersionManifest.toJson(planted).getBytes("UTF-8"))
+    // pure write: last-writer-wins — the splice commit lands at v2
+    assert(lib.finalizeStaged("s", mode = "write") == 2)
+    assert(lib.listVersions("s") == Seq(0, 1, 2))
+    assert(lib.read("s").count() == 30)
+  }
+
+  test("finalizeStaged splices a string-keyed delta with key-range pruning") {
+    val lib = newLib()
+    def keyed(lo: Int, hi: Int) = spark.range(lo, hi).select(
+      concat(lit("k"), format_string("%04d", col("id"))).as("key"),
+      col("id").as("payload"))
+    lib.write("s", keyed(0, 500), Some("key"), targetRows = 100)
+    lib.stage("s", keyed(500, 700)
+      .repartitionByRange(2, col("key")).sortWithinPartitions("key"))
+    lib.finalizeStaged("s", mode = "append")
+    val m = lib.resolveVersion("s")
+    assert(m.sorted && m.rowCount == 700)
+    assert(m.files.forall(f => f.minStr.isDefined && f.minIdx.isEmpty))
+    assert(lib.read("s", keyRange = Some(("k0600", "k0650"))).count() == 51)
+    assert(scannedFiles(lib.read("s", keyRange = Some(("k0600", "k0650")))) <= 2)
+    // a delta starting before the stored string max is rejected
+    lib.stage("s", keyed(650, 720).coalesce(1).sortWithinPartitions("key"))
+    intercept[Exception](lib.finalizeStaged("s", mode = "append"))
+  }
+
   test("finalizeStaged splices evolved schemas without rewriting files") {
     val lib = newLib()
     lib.write("s", Seq((10L, 1), (20L, 2)).toDF("ts2", "x"), Some("ts2"))
