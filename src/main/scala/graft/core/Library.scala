@@ -136,8 +136,12 @@ final class Library(
   def hasSymbol(symbol: String, asOf: AsOf = AsOf.Latest): Boolean = asOf match {
     case AsOf.Latest => latestVersion(symbol).exists(v => !manifest(symbol, v).deleted)
     case other =>
+      // absence signals only — a storage fault must not read as "absent"
       try !resolveVersion(symbol, other).deleted
-      catch { case _: Exception => false }
+      catch {
+        case _: NoSuchElementException => false
+        case _: java.io.FileNotFoundException => false
+      }
   }
 
   /** Symbol directories holding at least one version manifest — includes
