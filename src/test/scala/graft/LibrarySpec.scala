@@ -728,6 +728,16 @@ class LibrarySpec extends SparkSuite {
     assert(ex.getMessage.contains("not sorted"))
   }
 
+  test("finalizeStaged tolerates empty staged deltas (streaming empty batches)") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2"))
+    lib.stage("s", mk(100, 200).coalesce(1).sortWithinPartitions("ts2"))
+    lib.stage("s", mk(0, 0)) // empty micro-batch: 0-row delta dir
+    lib.finalizeStaged("s", mode = "append")
+    assert(lib.read("s").count() == 200)
+    assert(lib.resolveVersion("s").sorted)
+  }
+
   test("finalizeStaged write-mode bumps past a concurrently committed version") {
     val lib = newLib()
     lib.write("s", mk(0, 100), Some("ts2")) // v0
