@@ -160,7 +160,15 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(shinglePostings(df, idCol, textCol, shingleLen), numHashes)
+    // Explicit id prefilter: the self-join's a.id < b.id would infer
+    // isnotnull(id) on the join sides only, leaving the cap's count branch
+    // with a DIFFERENT scan subtree — breaking AQE stage reuse and
+    // re-executing the whole shingle→signature pipeline for the count.
+    // With the filter shared, the signature exchange materializes ONCE
+    // (verified: count branch plans a ReusedExchange).
+    val sig = minhashSignatures(
+      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen),
+      numHashes)
     // One 64-bit hash per band of r consecutive signature slots; docs
     // sharing ANY band hash are candidates.
     val bandHashes = (0 until bands).map { b =>
@@ -695,7 +703,9 @@ object Dedup {
       shingleLen: Int = 3,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sigs = simhashSignatures(shinglePostings(df, idCol, textCol, shingleLen))
+    // id prefilter shared by all branches — see minhashCandidates
+    val sigs = simhashSignatures(
+      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen))
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>

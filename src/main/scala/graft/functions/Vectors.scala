@@ -271,8 +271,11 @@ object Vectors {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val chunkBits = bits / bands
     val mask = (1L << chunkBits) - 1
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), bits, d).as("sig"))
+    // id prefilter shared by all branches so the cap's count branch reuses
+    // the signature subtree (see Dedup.minhashCandidates)
+    val sigs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        hyperplaneSignature(col(vecCol), bits, d).as("sig"))
     val chunks = sigs.select(col("id"), col("vec"),
       posexplode(array((0 until bands).map(i =>
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
