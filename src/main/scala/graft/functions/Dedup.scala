@@ -292,30 +292,38 @@ object Dedup {
     val posts = shinglePostings(df, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"),
         col("id").cast("long").as("id"), col("sz"))
-    // Dispatch + (for the dense path) the entire doc index come from ONE
-    // narrow probe job: per-document distinct-shingle counts with a LIMIT
-    // of DenseMaxDocs+1. No shuffle, no persist, no postings pass — and
-    // on a billion-doc corpus the limit stops the scan after cap+1
-    // shingled docs, so the fallback decision costs a few file reads,
-    // not a full postings aggregation. (The per-doc count is the same
-    // DistinctShingles kernel the postings ride on, so sz agrees with
-    // posts.sz exactly; the ground-truth spec pins both.)
-    val probeDf = df
-      .select(col(idCol).cast("long").as("id"),
-        size(graft.plans.DistinctShingles(col(textCol), shingleLen))
-          .cast("long").as("sz"))
-      .filter(col("sz") > 0)
-    val collected: Array[(Long, Long)] = (forceDense match {
-      case Some(true) => probeDf // test hook admits any size: take all
-      case _ => probeDf.limit(DenseMaxDocs + 1)
-    }).collect().map(r => (r.getLong(0), r.getLong(1)))
-    // Duplicate ids (a caller-contract violation — pairs are id-to-id)
-    // would mint duplicate docidx slots and corrupt dense intersection
-    // counts: keep one slot per id. The RAW row count still gates the
-    // dense path — a deduped count under the cap doesn't prove the
-    // LIMIT-stopped scan saw every distinct doc.
-    val docs = collected.distinctBy(_._1)
-    if (forceDense.getOrElse(collected.length <= DenseMaxDocs)) {
+    // Two-phase dispatch. Phase 1: a COLUMN-PRUNED row-count probe
+    // (`limit(cap+1).count()` — reads no columns, parquet page counts
+    // only, LIMIT-stopped) decides fallback. This used to run the
+    // DistinctShingles kernel over up to cap docs just to count them —
+    // ~0.2s of the q30 wall at sf1, but more to the point a compute
+    // kernel in the decision path that scales with document SIZE, where
+    // the decision needs only row existence. Over-counting is the safe
+    // direction: a corpus whose raw rows exceed the cap but whose
+    // SHINGLED docs wouldn't takes the fallback — correct, merely not
+    // dense-optimal. Phase 2 (dense only):
+    // the per-doc distinct-shingle counts, now provably ≤ cap rows — the
+    // same kernel the postings ride on, so sz agrees with posts.sz
+    // exactly (the ground-truth spec pins both). No shuffle, no persist,
+    // no postings pass in either phase.
+    val fallback = forceDense match {
+      case Some(dense) => !dense
+      case None => df.limit(DenseMaxDocs + 1).count() > DenseMaxDocs
+    }
+    if (fallback)
+      bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
+    else {
+      val collected: Array[(Long, Long)] = df
+        .select(col(idCol).cast("long").as("id"),
+          size(graft.plans.DistinctShingles(col(textCol), shingleLen))
+            .cast("long").as("sz"))
+        .filter(col("sz") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // Duplicate ids (a caller-contract violation — pairs are id-to-id)
+      // would mint duplicate docidx slots and corrupt dense intersection
+      // counts: keep one slot per id. The phase-1 row bound already caps
+      // the collect size even with duplicates.
+      val docs = collected.distinctBy(_._1)
       // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
       // tiles for parallelism. Gate at 64 blocks (~260k docs): past that
       // the dense tiles' O(n²) flush scan outgrows the incidence-bound
@@ -325,8 +333,7 @@ object Dedup {
         math.min(8L, (n + 255) / 256)).max(1L).toInt
       blockedJaccardPairs(posts, docs, idType, shingleLen, threshold,
         maxDocFreq, numBlocks)
-    } else
-      bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
+    }
   }
 
   /** Docs per dense block (tile side length target). */
