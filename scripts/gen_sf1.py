@@ -39,7 +39,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = "gen-sf1-v1"
+GEN_VERSION = "gen-sf1-v2"
 REPLICAS = 10
 
 # table -> list of (column, stride_source_table, stride_source_column)
@@ -129,7 +129,13 @@ def main(src, dst):
              f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r)")
         if t == "documents":
             q = f"SELECT * REPLACE (length(text) AS n_chars) FROM ({q})"
-        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+        # Text/vector tables compress ~50x, so DuckDB's default row-group
+        # size (~122k rows) packs the whole table into one indivisible
+        # group — a Spark scan then runs the downstream compute-heavy
+        # kernels (shingling, quality, ANN scoring) on ONE task. Small
+        # groups restore scan parallelism; numeric tables keep the default.
+        rg = " , ROW_GROUP_SIZE 4096" if t in ("documents", "embeddings") else ""
+        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET{rg})")
 
     with open(os.path.join(tmp, "_GRAFT_SF1_OK"), "w") as f:
         f.write(GEN_VERSION)

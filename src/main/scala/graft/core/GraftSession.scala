@@ -36,6 +36,19 @@ object GraftSession {
       // 0.19s when only a few plans are live). A long-lived engine
       // session serves many distinct plans — size the cache for that.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Split-size floor (default 4 MiB) — sized for IO-bound scans of
+      // incompressible data. Text parquet compresses ~50× under zstd, so
+      // a 6 MiB file can hold tens of thousands of documents whose
+      // downstream kernels (shingling, quality scoring) are
+      // COMPUTE-bound: the 4 MiB floor handed that scan 2 tasks on 32
+      // cores (measured: the q30 postings stage was 3.0s of a 6.1s wall
+      // at sf1; the floor change + splittable row groups took the sf1
+      // 27-query total from 14.3s to 8.0s). 512 KiB matches the text
+      // tables' row-group size so splits land on readable groups; the
+      // cost is a few empty scan tasks on single-row-group small files
+      // (sf0.1 total +0.4s). Large files still split by
+      // maxPartitionBytes.
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
