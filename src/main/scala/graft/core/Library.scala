@@ -337,8 +337,17 @@ final class Library(
     // the min/max envelope can't exclude — Spark's parquet reader consults
     // it on pushed-down equality, on top of the manifest's file-level
     // pruning.
+    // 32 MiB row groups (parquet-mr default 128 MiB, measured
+    // UNCOMPRESSED): text compresses ~50× under zstd, so a default-sized
+    // group of documents is a multi-hundred-k-row indivisible scan unit —
+    // compute-bound kernels (shingling, quality) then run on a handful of
+    // tasks however many cores exist. 32 MiB keeps groups near the
+    // reference's ~100k-row segment granularity (pipeline/slicing.hpp:25),
+    // matches the session's split-size floor once compressed, and gives
+    // date-range row-group pruning 4× finer resolution.
     val writer = prepared.write
       .option("compression", "zstd")
+      .option("parquet.block.size", 32L * 1024 * 1024)
       .option("maxRecordsPerFile", targetRows)
     indexCol.foreach(i => writer.option(s"parquet.bloom.filter.enabled#$i", "true"))
     writer.mode("errorifexists").parquet(dir.toString)
