@@ -214,6 +214,60 @@ class PropertySpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("property: random write/append/update/deleteRange sequences match a driver model") {
+    // Model-based version-store check (the reference's hypothesis
+    // version-chain style): a driver-side Map[ts -> v] replays each
+    // operation's contract; after every op the stored symbol must read
+    // back as exactly the model, and at the end as-of reads must match
+    // the recorded per-version snapshots of the model.
+    import graft.core.Library
+    val rnd = new scala.util.Random(8138L)
+    val lib = new Library(
+      java.nio.file.Files.createTempDirectory("graft-model-").toString, spark)
+    var model = Map.empty[Long, Long]
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[Long, Long])]
+    def toDf(m: Seq[(Long, Long)]) = m.toDF("ts2", "v")
+    def randRows(lo: Long, hi: Long): Seq[(Long, Long)] =
+      (lo until hi).filter(_ => rnd.nextDouble() < 0.7).map(k => k -> rnd.nextLong())
+
+    // initial write
+    val w0 = randRows(0, 120)
+    history += ((lib.write("s", toDf(w0), Some("ts2"), targetRows = 40), w0.toMap))
+    model = w0.toMap
+    (1 to 18).foreach { _ =>
+      val v = rnd.nextInt(3) match {
+        case 0 => // append strictly after current max
+          val mx = model.keys.max
+          val rows = randRows(mx + 1, mx + 1 + rnd.nextInt(60))
+          if (rows.isEmpty) -1
+          else { model ++= rows; lib.append("s", toDf(rows), targetRows = 40) }
+        case 1 => // update an explicit range: in-range stored rows die,
+          // df rows inside the range land
+          val span = model.keys.max + 10
+          val lo = rnd.nextLong(span); val hi = lo + rnd.nextInt(50)
+          val rows = randRows(lo, hi + 1)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi } ++ rows
+          lib.update("s", toDf(rows), targetRows = 40, dateRange = Some((lo, hi)))
+        case _ => // deleteRange
+          val span = math.max(model.keys.max, 1L)
+          val lo = rnd.nextLong(span); val hi = lo + rnd.nextInt(40)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          lib.deleteRange("s", lo, hi, targetRows = 40)
+      }
+      if (v >= 0) {
+        history += ((v, model))
+        val got = lib.read("s").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"after version $v")
+      }
+    }
+    // as-of reads replay the whole history
+    rnd.shuffle(history.toSeq).take(6).foreach { case (v, m) =>
+      val got = lib.read("s", Library.AsOf.Version(v)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == m, s"as-of version $v")
+    }
+  }
+
   test("property: splice finalize equals the sorted union for random disjoint deltas") {
     // The reference's hypothesis coverage for staged finalize
     // (python/tests/hypothesis/arcticdb/test_sort_merge.py): random base +
