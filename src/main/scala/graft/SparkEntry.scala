@@ -582,12 +582,17 @@ object SparkEntry {
       // create_library with options → write → reopen → read. Segmentation
       // comes from the PERSISTED LibraryOptions (no targetRows argument),
       // so the gate proves option-driven defaults, not just the write.
+      // t() is resolved BEFORE computeIfAbsent: it evicts stale keys from
+      // frontDoorRoots, and a ConcurrentHashMap mapping function must not
+      // modify the map it is computing into (undefined behavior — lost
+      // insert or recursive-update error when bins collide)
+      val li = t(s, dir, "lineitem")
       val root = frontDoorRoots.computeIfAbsent((s, dir), _ => {
         val r = tmpRoot()
         new graft.core.Graft(r, s)
           .createLibrary("bench",
             graft.core.LibraryOptions(rowsPerSegment = 20000))
-          .write("li", t(s, dir, "lineitem"), Some("l_shipdate"))
+          .write("li", li, Some("l_shipdate"))
         r
       })
       new graft.core.Graft(root, s).getLibrary("bench").read("li")

@@ -45,16 +45,20 @@ final class Graft(val rootUri: String, spark: SparkSession) {
 
   private val rootPath = new Path(rootUri)
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  /** Safe-charset name check (reference verify_library_name: alphanumeric
-    * plus `_ - .`, bounded length). The alphanumeric FIRST char excludes
-    * '.', '..' and '_'-prefixed names — createLibrary(".") would plant
-    * _options.json in the root itself and deleteLibrary(".") would then
-    * expunge every library; '..' escapes the root entirely.
+  /** Safe-charset name check for CREATION (reference verify_library_name:
+    * alphanumeric plus `_ - .`, bounded length). The alphanumeric FIRST
+    * char excludes '.', '..' and '_'-prefixed names — createLibrary(".")
+    * would plant _options.json in the root itself and deleteLibrary(".")
+    * would then expunge every library; '..' escapes the root entirely.
     */
   private val LibName = "[A-Za-z0-9][A-Za-z0-9._-]{0,254}".r
+  /** Path-safety check for OPENING: laxer than creation so libraries
+    * created under earlier, looser rules stay reachable (listable names
+    * must remain openable and deletable) — only traversal is rejected.
+    */
   private def libPath(name: String): Path = {
-    require(LibName.matches(name),
-      s"invalid library name '$name' — must start alphanumeric, then [A-Za-z0-9._-], ≤255 chars")
+    require(name.nonEmpty && !name.contains("/") && name != "." && name != "..",
+      s"invalid library name '$name'")
     new Path(rootPath, name)
   }
   private def optionsPath(name: String): Path = new Path(libPath(name), "_options.json")
@@ -62,6 +66,8 @@ final class Graft(val rootUri: String, spark: SparkSession) {
   def createLibrary(
       name: String,
       options: LibraryOptions = LibraryOptions()): Library = {
+    require(LibName.matches(name),
+      s"invalid library name '$name' — must start alphanumeric, then [A-Za-z0-9._-], ≤255 chars")
     val p = libPath(name)
     if (fs.exists(optionsPath(name)))
       throw new IllegalArgumentException(s"library '$name' already exists")

@@ -144,8 +144,10 @@ final class Library(
       }
   }
 
-  /** Symbol directories holding at least one version manifest — includes
-    * tombstoned symbols (their history still exists), excludes stray dirs.
+  /** Candidate symbol directories (one root listing, no per-symbol IO) —
+    * may include stray dirs with no versions; callers filter with
+    * hasSymbol/listVersions as their semantics require, paying ONE
+    * per-symbol listing instead of two.
     */
   private def listSymbolDirs(): Seq[String] = {
     val rootP = new Path(root)
@@ -156,7 +158,6 @@ final class Library(
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filterNot(_.startsWith("_"))
-        .filter(s => listVersions(s).nonEmpty)
         .sorted
   }
 
@@ -173,7 +174,7 @@ final class Library(
       case Some(name) =>
         SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))
           .versions.keys.toSeq.sorted
-      case None => listSymbolDirs().filter(hasSymbol(_))
+      case None => listSymbolDirs().filter(hasSymbol(_)) // one listing per symbol
     }
     regex match {
       case Some(r) =>
@@ -198,8 +199,7 @@ final class Library(
     val pins: Map[(String, Int), Seq[String]] =
       if (skipSnapshots) Map.empty
       else
-        listSnapshots()
-          .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+        snapshotManifests()
           .flatMap(sm => sm.versions.toSeq.map { case (s, v) => (s, v) -> sm.name })
           .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val pairs: Seq[(String, Int)] = snapshot match {
@@ -1175,10 +1175,16 @@ final class Library(
     gcUnreferencedFiles(symbol)
   }
 
+  /** Parsed manifest of every snapshot — one read per snapshot; the single
+    * source for all snapshot-membership scans.
+    */
+  private def snapshotManifests(): Seq[SnapshotManifest] =
+    listSnapshots().map(n =>
+      SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+
   /** Snapshot names pinning each version of `symbol`. */
   private def snapshotPins(symbol: String): Map[Int, Seq[String]] =
-    listSnapshots()
-      .map(n => SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$n.json"))))
+    snapshotManifests()
       .flatMap(sm => sm.versions.get(symbol).map(v => v -> sm.name))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
 
@@ -1269,7 +1275,7 @@ final class Library(
     * snapshot names with their metadata, one manifest read each.
     */
   def listSnapshotsWithMetadata(): Map[String, Map[String, String]] =
-    listSnapshots().map(n => n -> snapshotMetadata(n)).toMap
+    snapshotManifests().map(sm => sm.name -> sm.metadata).toMap
 
   // ---------------------------------------------------- staged ingestion
 
@@ -1368,9 +1374,11 @@ final class Library(
     * library.py:1782-1788; equal boundary values are allowed, matching
     * append's >= rule). Rows inside one row group are not inspected: the
     * reference validates at segment granularity and its ~100k-row
-    * segments ARE our row groups. Failures throw before anything moves —
-    * staging stays intact; the unsorted fallback is
-    * [[sortAndFinalizeStaged]].
+    * segments ARE our row groups. Validation failures throw before
+    * anything moves, and any later failure (a refused rename, a commit
+    * error, a lost append race) moves already-moved deltas back — either
+    * way staging holds the full delta set for a re-run; the unsorted
+    * fallback is [[sortAndFinalizeStaged]].
     *
     * Under dynamicSchema the deltas may carry EVOLVED schemas: files are
     * still not rewritten — each dir's physical schema is recorded in the
@@ -1477,66 +1485,72 @@ final class Library(
     }
 
     // Move each delta dir under data/ — an O(1) rename on rename-capable
-    // stores. A lost commit race leaves moved dirs unreferenced (the same
-    // garbage class as a loser writer's dir; GC'd by prune/delete) except
-    // in append mode, where they are moved back so a re-run can succeed.
+    // stores. Until the manifest commits, EVERY failure path (a rename
+    // refusal mid-loop, a commit IO error, a lost append race) moves the
+    // already-moved dirs back into staging: a re-run must see the full
+    // staged set, or it would silently publish only the leftover subset.
     var v = prior.map(_.version + 1)
       .getOrElse(latestVersion(symbol).map(_ + 1).getOrElse(0))
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
     dfs.mkdirs(dataRoot)
-    val moved: Seq[(String, Vector[RawFileStat], StructType)] =
-      stats.zip(deltaSchemas).map { case ((d, fsx), (_, schema)) =>
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Vector[RawFileStat], StructType)]
+    var published = false
+    try {
+      stats.zip(deltaSchemas).foreach { case ((d, fsx), (_, schema)) =>
         val destName = f"v$v%05d" + s"_${d.getName}"
         require(dfs.rename(d, new Path(dataRoot, destName)),
           s"failed to move staged delta $d into $dataRoot")
-        (destName, fsx, schema)
+        moved += ((destName, fsx, schema))
       }
 
-    val entries0 = moved.flatMap { case (dir, fsx, _) =>
-      fsx.map(s =>
-        FileEntry(s"$dir/${s.name}", s.rows, 0L, s.minIdx, s.maxIdx, s.minStr, s.maxStr))
-    }
-    val orderedEntries =
-      if (idxCol.isEmpty) entries0.sortBy(_.path)
-      else if (stringIdx)
-        entries0.sortWith((a, b) => Library.strBoundFirst(a.minStr, a.path, b.minStr, b.path))
-      else entries0.sortBy(e => (e.minIdx.getOrElse(Long.MaxValue), e.path))
-    val priorFiles = prior.map(_.files).getOrElse(Vector.empty)
-    var offset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
-    val shifted = orderedEntries.map { e =>
-      val r = e.copy(rowOffset = offset); offset += e.rows; r
-    }
-    val unifiedDdl = unified.toDDL
-    val m = VersionManifest(
-      version = v,
-      indexCol = idxCol,
-      // validated at row-group granularity; an unvalidated splice makes no
-      // sortedness claim (the reference marks such versions UNSORTED too)
-      sorted = idxCol.isDefined && validateIndex && prior.forall(_.sorted),
-      files = priorFiles ++ shifted,
-      rowCount = priorFiles.map(_.rows).sum + shifted.map(_.rows).sum,
-      createdAtMs = System.currentTimeMillis(),
-      schemaDdl = unifiedDdl,
-      metadata = prior.map(_.metadata).getOrElse(Map.empty),
-      dirSchemas = prior.map(_.dirSchemas).getOrElse(Map.empty) ++
-        moved.map { case (dir, _, schema) => dir -> schema.toDDL })
-    var committed = commitManifest(symbol, m)
-    while (!committed && !appending) {
-      // pure write: last-writer-wins — bump and retry (dir names embed the
-      // attempted version but manifests reference full paths, names are free)
-      v += 1
-      committed = commitManifest(symbol, m.copy(version = v))
-    }
-    if (!committed) {
-      moved.foreach { case (dir, _, _) =>
-        dfs.rename(new Path(dataRoot, dir), new Path(sDir, dir))
+      val entries0 = moved.toSeq.flatMap { case (dir, fsx, _) =>
+        fsx.map(s =>
+          FileEntry(s"$dir/${s.name}", s.rows, 0L, s.minIdx, s.maxIdx, s.minStr, s.maxStr))
       }
-      throw new java.util.ConcurrentModificationException(
-        s"$symbol: version $v was committed concurrently; re-run finalizeStaged")
+      val orderedEntries =
+        if (idxCol.isEmpty) entries0.sortBy(_.path)
+        else if (stringIdx)
+          entries0.sortWith((a, b) => Library.strBoundFirst(a.minStr, a.path, b.minStr, b.path))
+        else entries0.sortBy(e => (e.minIdx.getOrElse(Long.MaxValue), e.path))
+      val priorFiles = prior.map(_.files).getOrElse(Vector.empty)
+      var offset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
+      val shifted = orderedEntries.map { e =>
+        val r = e.copy(rowOffset = offset); offset += e.rows; r
+      }
+      val unifiedDdl = unified.toDDL
+      val m = VersionManifest(
+        version = v,
+        indexCol = idxCol,
+        // validated at row-group granularity; an unvalidated splice makes no
+        // sortedness claim (the reference marks such versions UNSORTED too)
+        sorted = idxCol.isDefined && validateIndex && prior.forall(_.sorted),
+        files = priorFiles ++ shifted,
+        rowCount = priorFiles.map(_.rows).sum + shifted.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        schemaDdl = unifiedDdl,
+        metadata = prior.map(_.metadata).getOrElse(Map.empty),
+        dirSchemas = prior.map(_.dirSchemas).getOrElse(Map.empty) ++
+          moved.map { case (dir, _, schema) => dir -> schema.toDDL })
+      var committed = commitManifest(symbol, m)
+      while (!committed && !appending) {
+        // pure write: last-writer-wins — bump and retry (dir names embed the
+        // attempted version but manifests reference full paths, names are free)
+        v += 1
+        committed = commitManifest(symbol, m.copy(version = v))
+      }
+      if (!committed)
+        throw new java.util.ConcurrentModificationException(
+          s"$symbol: version $v was committed concurrently; re-run finalizeStaged")
+      published = true
+      sfs.delete(sDir, true)
+      v
+    } finally {
+      if (!published)
+        moved.foreach { case (dir, _, _) =>
+          dfs.rename(new Path(dataRoot, dir), new Path(sDir, dir))
+        }
     }
-    sfs.delete(sDir, true)
-    v
   }
 
   // ------------------------------------------------------- column stats

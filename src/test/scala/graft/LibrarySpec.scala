@@ -739,19 +739,30 @@ class LibrarySpec extends SparkSuite {
   }
 
   test("finalizeStaged write-mode bumps past a concurrently committed version") {
-    val lib = newLib()
-    lib.write("s", mk(0, 100), Some("ts2")) // v0
-    lib.stage("s", mk(0, 30).coalesce(1).sortWithinPartitions("ts2"))
-    // plant v1 as if a concurrent writer committed between resolve and CAS
-    val planted = lib.resolveVersion("s").copy(version = 1)
-    val vDir = new java.io.File(s"${lib.root}/s/_versions")
-    java.nio.file.Files.write(
-      new java.io.File(vDir, "v00001.json").toPath,
-      graft.core.VersionManifest.toJson(planted).getBytes("UTF-8"))
-    // pure write: last-writer-wins — the splice commit lands at v2
-    assert(lib.finalizeStaged("s", mode = "write") == 2)
-    assert(lib.listVersions("s") == Seq(0, 1, 2))
-    assert(lib.read("s").count() == 30)
+    // Two libraries over the SAME root race write-mode finalizes of
+    // different staged deltas: both resolve the same latest version and
+    // attempt the same number; the CAS loser must bump and re-commit
+    // (last-writer-wins), never fail or clobber. Concurrency exercises
+    // the retry loop for real — a pre-planted manifest would already be
+    // visible to the loser's initial version resolution.
+    val root = java.nio.file.Files.createTempDirectory("graft-libspec-").toString
+    val libA = new Library(root, spark)
+    val libB = new Library(root, spark)
+    libA.write("s", mk(0, 100), Some("ts2")) // v0
+    libA.stage("s", mk(0, 30).coalesce(1).sortWithinPartitions("ts2"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fA = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = libA.finalizeStaged("s", mode = "write")
+      })
+      val fB = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = libB.write("s", mk(500, 540), Some("ts2"))
+      })
+      val (va, vb) = (fA.get(), fB.get())
+      assert(Set(va, vb) == Set(1, 2), s"got $va, $vb") // both landed, distinct
+      assert(libA.read("s", AsOf.Version(va)).count() == 30)
+      assert(libA.read("s", AsOf.Version(vb)).count() == 40)
+    } finally pool.shutdown()
   }
 
   test("finalizeStaged splices a string-keyed delta with key-range pruning") {
