@@ -645,6 +645,20 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
+    "q72_decontaminate_capped" -> { (s, dir) =>
+      // The SCALE configuration of decontamination: maxDocFreq drops
+      // corpus shingles shared by more than K docs before any join — the
+      // boilerplate-skew guard every reference-scale run needs. Oracle
+      // replicates the doc-frequency filter in SQL, closing the gap where
+      // capped paths were only spec-gated. K=2 on this corpus changes the
+      // survivor set (447 vs q68's uncapped 444), so the gate is
+      // non-vacuous.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 0.2, maxDocFreq = 2)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
     "q66_agg_then_filter_project" -> { (s, dir) =>
       // Clause chaining PAST a barrier (reference: clauses compose
       // linearly, processing.py — e.g. groupby().agg() then filter on the
@@ -925,6 +939,30 @@ object SparkEntry {
           inter AS (
             SELECT a.doc_id AS id, b.doc_id AS kid, count(*) AS inter
             FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < 50
+            GROUP BY 1, 2),
+          bad AS (
+            SELECT DISTINCT i.id FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id
+            JOIN sizes sb ON sb.doc_id = i.kid
+            WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM bad)
+          ORDER BY doc_id""",
+    "q72_decontaminate_capped" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+          capped AS (
+            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 2),
+          inter AS (
+            SELECT a.doc_id AS id, b.doc_id AS kid, count(*) AS inter
+            FROM capped a JOIN sh b ON a.s = b.s AND b.doc_id < 50
             GROUP BY 1, 2),
           bad AS (
             SELECT DISTINCT i.id FROM inter i
