@@ -650,24 +650,27 @@ object SparkEntry {
       // corpus shingles shared by more than K docs before any join — the
       // boilerplate-skew guard every reference-scale run needs. Oracle
       // replicates the doc-frequency filter in SQL, closing the gap where
-      // capped paths were only spec-gated. K=2 on this corpus changes the
-      // survivor set (447 vs q68's uncapped 444), so the gate is
-      // non-vacuous.
+      // capped paths were only spec-gated. K=9 sits between the two gate
+      // corpora's boilerplate frequencies: at sf0.1 it changes the
+      // survivor set (4964 vs uncapped 4945), at sf0.01 it is a no-drop
+      // pass-through — non-degenerate at both scales.
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") < 50),
-        "doc_id", "text", 3, 0.2, maxDocFreq = 2)
+        "doc_id", "text", 3, 0.2, maxDocFreq = 9)
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
     "q73_ngram_jaccard_capped" -> { (s, dir) =>
       // Jaccard with the maxDocFreq boilerplate guard — intersections
-      // count only shingles shared by ≤2 docs, union sizes stay original
-      // (reported jac is the documented lower bound). 18 pairs vs q30's
-      // uncapped 25 on this corpus, so the gate discriminates; at these
-      // doc counts the DENSE path runs, whose cap branch this pins
-      // (the aggregate path's cap is pinned by the forceDense parity spec).
+      // count only shingles shared by ≤9 docs, union sizes stay original
+      // (reported jac is the documented lower bound). At sf0.1 the cap
+      // discriminates (40 pairs vs uncapped 256); at sf0.01 it is a
+      // no-drop pass-through (25 = uncapped) — non-degenerate at both
+      // scales. At these doc counts the DENSE path runs, whose cap branch
+      // this pins (the aggregate path's cap is pinned by the forceDense
+      // parity spec).
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2,
-        maxDocFreq = 2)
+        maxDocFreq = 9)
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
     "q66_agg_then_filter_project" -> { (s, dir) =>
@@ -970,7 +973,7 @@ object SparkEntry {
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
           freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
           capped AS (
-            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 2),
+            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 9),
           inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
             FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -993,7 +996,7 @@ object SparkEntry {
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
           freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
           capped AS (
-            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 2),
+            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 9),
           inter AS (
             SELECT a.doc_id AS id, b.doc_id AS kid, count(*) AS inter
             FROM capped a JOIN sh b ON a.s = b.s AND b.doc_id < 50
