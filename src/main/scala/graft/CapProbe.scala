@@ -63,8 +63,76 @@ object CapProbe {
     spark.stop()
   }
 
+  /** Third recorded experiment (`runMain graft.CapProbe dropdup [nDocs]
+    * [megaShare%]`): dropExactDuplicates on a PLANTED mega duplicate group
+    * — megaShare% of the corpus is ONE identical ~1 KiB text (the
+    * boilerplate-page case). Compares the r8 window shape
+    * (row_number over partitionBy(fingerprint): the whole group, text
+    * included, buffers on one task) against the r9 groupBy-min + semi-join
+    * shape, reporting peak single-task shuffle-read bytes.
+    */
+  private def dropdupExperiment(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 2000000L
+    val megaPct = if (args.length > 2) args(2).toInt else 25
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val mod = 100 / megaPct
+    // ~1 KiB per text; every mod-th doc is the SAME text (one mega group),
+    // the rest are unique (id baked in). Stored once so both shapes read
+    // identical input through a real (splittable) parquet scan.
+    val path = s"/tmp/graft-dropdup-$nDocs-$megaPct"
+    if (!new java.io.File(path).exists())
+      spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          when(col("id") % mod === 0, lit("boilerplate page " * 64))
+            .otherwise(concat(lit("unique doc " * 64), col("id").cast("string")))
+            .as("text"))
+        .write.parquet(path)
+    val docs = spark.read.parquet(path)
+
+    // identical texts compress to almost nothing in the shuffle stream, so
+    // compressed-bytes-read hides the buffer: peak per-task RECORDS read is
+    // the honest single-task-buffer signal (WindowExec holds them
+    // UNCOMPRESSED in memory)
+    val peakRecs = new AtomicLong(0)
+    val peakMs = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          peakRecs.getAndAccumulate(m.shuffleReadMetrics.recordsRead, Math.max)
+          peakMs.getAndAccumulate(m.executorRunTime, Math.max)
+        }
+      }
+    })
+    def run(name: String, df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(500)
+      val walls = (0 until 3).map { i =>
+        if (i == 2) { peakRecs.set(0); peakMs.set(0) }
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Thread.sleep(500)
+      println(f"[dropdup] $name%-6s wall=${walls.min}%.2fs " +
+        f"peakTaskShuffleRecords=${peakRecs.get}%d " +
+        f"peakTaskWall=${peakMs.get / 1000.0}%.2fs")
+    }
+    println(s"[dropdup] nDocs=$nDocs megaGroupRows=${nDocs / mod} (~1KiB texts)")
+    run("window", {
+      val w = Window.partitionBy(
+        graft.functions.Text.fingerprint(col("text"))).orderBy(col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    })
+    run("join", graft.functions.Dedup.dropExactDuplicates(docs, "doc_id", "text"))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("splice")) { spliceExperiment(); return }
+    if (args.headOption.contains("dropdup")) { dropdupExperiment(args); return }
     val nDocs = if (args.length > 0) args(0).toLong else 2000000L
     val megaPct = if (args.length > 1) args(1).toInt else 25
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed as a
@@ -74,9 +73,19 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Same groupBy shape as [[exactDuplicateGroups]] then a semi-join on
+    * the surviving ids — NOT `row_number().over(Window.partitionBy(fp))`:
+    * a partitionBy window buffers every row of a duplicate group (full
+    * text included) on ONE task before the rank can filter, so a
+    * boilerplate page duplicated 500M times at corpus scale is a single
+    * task's buffer. Here the only per-key state is the running min of a
+    * (fp, id) pair, and the semi-join streams with AQE free to broadcast
+    * the keep-id set when it measures small.
+    */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(Text.fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val keep = exactDuplicateGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** ---- Decontamination ----

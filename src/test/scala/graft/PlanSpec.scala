@@ -110,6 +110,9 @@ class PlanSpec extends SparkSuite {
     assert(windowNodes(Dedup.decontaminate(docs,
       docs.filter(col("doc_id") < 50), "doc_id", "text", 3, 0.2,
       maxDocFreq = 100)).isEmpty)
+    // dropExactDuplicates: a duplicate GROUP (full text) must never buffer
+    // on one task — groupBy-min + semi-join, zero Window nodes
+    assert(windowNodes(Dedup.dropExactDuplicates(docs, "doc_id", "text")).isEmpty)
   }
 
   test("sortGuarded tails stay scale-honest: orderBy past the stats threshold") {
