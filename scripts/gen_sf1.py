@@ -39,7 +39,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = "gen-sf1-v2"
+GEN_VERSION = "gen-sf1-v4"
 REPLICAS = 10
 
 # table -> list of (column, stride_source_table, stride_source_column)
@@ -129,13 +129,30 @@ def main(src, dst):
              f"CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r)")
         if t == "documents":
             q = f"SELECT * REPLACE (length(text) AS n_chars) FROM ({q})"
-        # Text/vector tables compress ~50x, so DuckDB's default row-group
-        # size (~122k rows) packs the whole table into one indivisible
-        # group — a Spark scan then runs the downstream compute-heavy
-        # kernels (shingling, quality, ANN scoring) on ONE task. Small
-        # groups restore scan parallelism; numeric tables keep the default.
-        rg = " , ROW_GROUP_SIZE 4096" if t in ("documents", "embeddings") else ""
-        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET{rg})")
+        # Text/vector tables compress ~50x, so DuckDB's default layout (one
+        # file, ~122k-row row groups) packs the whole table into a couple
+        # of indivisible splits — a Spark scan then runs the downstream
+        # compute-heavy kernels (shingling, quality, ANN scoring) on 1-2
+        # tasks. Byte-based split planning misjudges compute-per-byte by
+        # the compression ratio, so these tables are written as a
+        # DIRECTORY of 16 small files: under Spark's default
+        # openCostInBytes each small file occupies its own partition
+        # (16-way scan — measured faster than 32: the compute kernels
+        # saturate by ~16 way at this volume while every extra scan task
+        # costs dispatch on ALL the light queries), with small row
+        # groups inside for good measure.
+        # Numeric tables keep the single-file default (their row groups
+        # are big enough that byte splits land on them).
+        if t in ("documents", "embeddings"):
+            idc = KEY_COLS[t][0][0]
+            os.makedirs(out)
+            for b in range(16):
+                con.execute(
+                    f"COPY (SELECT * FROM ({q}) WHERE {idc} % 16 = {b}) "
+                    f"TO '{out}/part-{b:02d}.parquet' "
+                    "(FORMAT PARQUET, ROW_GROUP_SIZE 4096)")
+        else:
+            con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
 
     with open(os.path.join(tmp, "_GRAFT_SF1_OK"), "w") as f:
         f.write(GEN_VERSION)

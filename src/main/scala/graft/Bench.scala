@@ -90,9 +90,11 @@ object Bench {
           |con = duckdb.connect()
           |tables = ("region nation customer supplier part orders lineitem "
           |          "events documents embeddings").split()
+          |import os
           |for t in tables:
-          |    con.execute(
-          |        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+          |    p = f"{sf}/{t}.parquet"
+          |    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+          |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
           |out = {}
           |for name, sql in sqls.items():
           |    try:

@@ -77,6 +77,28 @@ object SparkEntry {
       sortSmall(df, cols: _*)
     else df.orderBy(cols.map(col): _*)
 
+  /** Deterministic-order tail for FULL-WIDTH map outputs (output ≈ input —
+    * no selective filter upstream, so sortGuarded's repartition(1) would
+    * funnel the whole table through one exchange). Below ~16 MB of
+    * estimated output ONE task scans and sorts in place: coalesce(1)
+    * plants no exchange, and the exchange plus RangePartitioner's
+    * sampling job is most of a sub-second query's wall (sf0.1 lineitem
+    * projection: coalesce 0.73s vs repartition(1) 1.04s vs orderBy
+    * 1.19s). Beyond the threshold a single task would carry ALL scan +
+    * sort work — the scale-killer funnel (sf1, 44 MB estimate: 6.1s
+    * coalesced vs 0.96s ranged) — so the true range-partitioned orderBy
+    * applies. 6 MB (of COMPRESSED-parquet-derived estimate, ~8× under
+    * in-memory size) splits the measured regimes with ~1.7× margin each
+    * side: the 9 MB sf1 window output funnelled through coalesce(1)
+    * walls 1.4s vs 0.5s ranged, while the 3.4 MB sf0.1 projection pays
+    * 2× for the range exchange.
+    */
+  private[graft] val WideSortBytes = 6L << 20
+  private[graft] def sortWide(df: DataFrame, cols: String*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= WideSortBytes)
+      df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    else df.orderBy(cols.map(col): _*)
+
   /** Deterministic order for a small POST-SHUFFLE result (grouped/
     * resampled finals): coalesce(1) merges the final-agg partitions
     * without a new exchange — one less shuffle + AQE round-trip than
@@ -135,7 +157,53 @@ object SparkEntry {
   // queries
   // =================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Adaptive execution pays for itself only when stage outputs are big
+    * enough that its runtime decisions (skew splitting, partition
+    * coalescing, broadcast demotion) win back the driver-side cost of
+    * per-stage re-optimization — measured 60–150 ms per sub-second query
+    * at sf0.1, while at sf1 AQE is already break-even-to-winning (q68
+    * 0.70s with vs 0.84s without). Queries over a SMALL dataset
+    * (total input-dir bytes under this threshold) are therefore served
+    * from a cloned session with AQE off — same shared state, catalog and
+    * builder confs (newSession()), different conf — and everything
+    * larger keeps full adaptive execution: at 100 TB the skew/coalesce
+    * decisions dominate the driver cost by orders of magnitude.
+    */
+  private val AdaptiveMinInputBytes = 64L << 20
+  private val dirBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val fastSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def sessionFor(s: SparkSession, dir: String): SparkSession = {
+    val bytes = dirBytes.computeIfAbsent(dir, { (d: String) =>
+      def sz(f: java.io.File): Long = {
+        val cs = f.listFiles()
+        if (cs == null) f.length() else cs.map(sz).sum
+      }
+      java.lang.Long.valueOf(sz(new java.io.File(d)))
+    })
+    if (bytes > AdaptiveMinInputBytes) s
+    else {
+      fastSessions.keySet.removeIf(k => k.sparkContext.isStopped)
+      fastSessions.computeIfAbsent(s, { (base: SparkSession) =>
+        val c = base.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        // without AQE's partition coalescing, a static 32-partition
+        // shuffle schedules 32 tasks per stage over kilobytes — the
+        // multi-stage queries (merge, decontaminate) regressed 2× on
+        // task dispatch alone; small inputs want few, fuller partitions
+        c.conf.set("spark.sql.shuffle.partitions",
+          math.max(4, base.sparkContext.defaultParallelism / 4).toString)
+        c
+      })
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (k, f) =>
+      k -> ((s: SparkSession, dir: String) => f(sessionFor(s, dir), dir))
+    }
+
+  private val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- expression AST: filter/project (SURVEY §2.2) ----
     "q01_filter_numeric" -> { (s, dir) =>
       QueryBuilder()
@@ -169,7 +237,7 @@ object SparkEntry {
         .project("bucket", ternary(e("value") > l(100.0), l("high"), l("low")))(
           t(s, dir, "events"))
         .select(col("event_id"), col("value"), col("bucket"))
-        .orderBy("event_id")
+        .transform(sortWide(_, "event_id"))
     },
     "q06_project_arith" -> { (s, dir) =>
       QueryBuilder()
@@ -178,7 +246,7 @@ object SparkEntry {
         .project("lnsq", e("l_linenumber") * e("l_linenumber"))(t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("profit"), 6).as("profit"), col("lnsq").cast("long").as("lnsq"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(sortWide(_, "l_orderkey", "l_linenumber"))
     },
     "q07_pow_abs_neg" -> { (s, dir) =>
       QueryBuilder()
@@ -186,7 +254,7 @@ object SparkEntry {
         .project("qsq", e("l_quantity").pow(l(2.0)))(t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("absneg"), round(col("qsq"), 6).as("qsq"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(sortWide(_, "l_orderkey", "l_linenumber"))
     },
     // ---------------- groupby + aggregation (SURVEY §2.1) -------------
     "q08_groupby_agg" -> { (s, dir) =>
@@ -888,7 +956,7 @@ object SparkEntry {
           row_number().over(w).as("rn"),
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
             .as("running"))
-        .orderBy("event_id")
+        .transform(sortWide(_, "event_id"))
     },
     "q43_distinct" -> { (s, dir) =>
       t(s, dir, "events").select("user_id", "event_type").distinct()

@@ -36,19 +36,17 @@ object GraftSession {
       // 0.19s when only a few plans are live). A long-lived engine
       // session serves many distinct plans — size the cache for that.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // Split-size floor (default 4 MiB) — sized for IO-bound scans of
-      // incompressible data. Text parquet compresses ~50× under zstd, so
-      // a 6 MiB file can hold tens of thousands of documents whose
-      // downstream kernels (shingling, quality scoring) are
-      // COMPUTE-bound: the 4 MiB floor handed that scan 2 tasks on 32
-      // cores (measured: the q30 postings stage was 3.0s of a 6.1s wall
-      // at sf1; the floor change + splittable row groups took the sf1
-      // 27-query total from 14.3s to 8.0s). 512 KiB matches the text
-      // tables' row-group size so splits land on readable groups; the
-      // cost is a few empty scan tasks on single-row-group small files
-      // (sf0.1 total +0.4s). Large files still split by
-      // maxPartitionBytes.
-      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      // Split-size floor stays at Spark's 4 MiB default. Round 8 lowered
+      // it to 512 KiB so heavily-compressed single-FILE text tables (zstd
+      // text packs ~50×, so one 6 MiB file is tens of thousands of
+      // compute-bound documents) could split to 12+ tasks — but the
+      // global floor taxed every SMALL single-row-group file with ~20
+      // empty scan tasks (+57ms per lineitem scan at sf0.1, +0.4s on the
+      // 27-query bench). The scan-parallelism problem is a file-LAYOUT
+      // problem: compressed compute-heavy tables must be written as many
+      // small files (gen_sf1.py now emits 32-file directories for
+      // documents/embeddings; the default openCost padding then gives
+      // each small file its own partition — 32-way without the floor).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 

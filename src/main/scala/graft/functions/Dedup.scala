@@ -301,23 +301,29 @@ object Dedup {
     val posts = shinglePostings(df, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"),
         col("id").cast("long").as("id"), col("sz"))
-    // Two-phase dispatch. Phase 1: a COLUMN-PRUNED row-count probe
-    // (`limit(cap+1).count()` — reads no columns, parquet page counts
-    // only, LIMIT-stopped) decides fallback. This used to run the
-    // DistinctShingles kernel over up to cap docs just to count them —
-    // ~0.2s of the q30 wall at sf1, but more to the point a compute
-    // kernel in the decision path that scales with document SIZE, where
-    // the decision needs only row existence. Over-counting is the safe
-    // direction: a corpus whose raw rows exceed the cap but whose
-    // SHINGLED docs wouldn't takes the fallback — correct, merely not
-    // dense-optimal. Phase 2 (dense only):
-    // the per-doc distinct-shingle counts, now provably ≤ cap rows — the
-    // same kernel the postings ride on, so sz agrees with posts.sz
-    // exactly (the ground-truth spec pins both). No shuffle, no persist,
-    // no postings pass in either phase.
+    // Two-phase dispatch. Phase 1 decides fallback without ever running
+    // a compute kernel: first a ZERO-JOB stats gate — any corpus whose
+    // optimizer size estimate exceeds 1 GiB is far past the dense cap
+    // (or is a ≤260k-doc corpus of unusually huge documents, for which
+    // the incidence-bound path is correct, merely not dense-optimal) —
+    // so a 100 TB input never pays a dispatch job at all; below the
+    // gate, one COLUMN-PRUNED count aggregate (partial counts from
+    // parquet page metadata, 3 shuffled longs). The earlier
+    // `limit(cap+1).count()` form looked cheaper but planned as
+    // LocalLimit→Exchange→GlobalLimit, pushing up to cap EMPTY rows
+    // through a single-partition exchange — 0.16s of the q30 wall at
+    // sf0.1 for a 50k-row answer. Over-counting is the safe direction:
+    // a raw-row count above the cap whose SHINGLED doc count is below
+    // it takes the fallback — correct, not dense-optimal. Phase 2
+    // (dense only): the per-doc distinct-shingle counts, now provably
+    // ≤ cap rows — the same kernel the postings ride on, so sz agrees
+    // with posts.sz exactly (the ground-truth spec pins both). No
+    // shuffle, no persist, no postings pass in either phase.
     val fallback = forceDense match {
       case Some(dense) => !dense
-      case None => df.limit(DenseMaxDocs + 1).count() > DenseMaxDocs
+      case None =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > DenseMaxStatsBytes ||
+          df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs
     }
     if (fallback)
       bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
@@ -354,9 +360,15 @@ object Dedup {
   private val DenseMaxBlocks = 64
 
   /** Doc-count form of the dense gate (= DenseMaxBlocks × DenseBlockRows),
-    * used by the dispatch probe's early-exit limit.
+    * used by the dispatch probe's count.
     */
   private val DenseMaxDocs: Int = (DenseMaxBlocks * DenseBlockRows).toInt
+
+  /** Zero-job dispatch gate: an input whose optimizer size estimate
+    * exceeds this is always dispatched to the incidence-bound fallback
+    * without running the count job (see ngramJaccardPairsImpl).
+    */
+  private val DenseMaxStatsBytes = 1L << 30
 
   /** The blocked dense-tile strategy (see ngramJaccardPairs doc). */
   private def blockedJaccardPairs(

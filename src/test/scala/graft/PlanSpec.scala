@@ -129,6 +129,23 @@ class PlanSpec extends SparkSuite {
     }.nonEmpty, big.queryExecution.optimizedPlan.toString)
   }
 
+  test("sortWide tails: zero-exchange in-partition sort small, ranged orderBy big") {
+    // below the threshold: coalesce(1) + in-partition sort — NO exchange
+    // anywhere (the exchange + RangePartitioner sampling job is most of a
+    // sub-second full-width query's wall)
+    val q06 = SparkEntry.queries("q06_project_arith")(spark, sf)
+    assert(q06.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, q06.queryExecution.executedPlan.toString.take(1000))
+    // beyond it: a full-width output must range-partition, never funnel
+    // the whole scan through one task (measured 6.1s vs 0.96s on 6M rows)
+    val big = SparkEntry.sortWide(
+      spark.range(4L * SparkEntry.WideSortBytes / 8).toDF("event_id"), "event_id")
+    assert(big.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }.nonEmpty, big.queryExecution.optimizedPlan.toString)
+  }
+
   test("grouped-result tails coalesce, adding no exchange (q09, q39)") {
     // sortSmallAgg: the deterministic-order tail on a post-shuffle result
     // must merge the final-agg partitions via Coalesce, not pay a second
