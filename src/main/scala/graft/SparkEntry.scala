@@ -741,6 +741,16 @@ object SparkEntry {
         maxDocFreq = 9)
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q74_ngram_jaccard_capped_agg" -> { (s, dir) =>
+      // Same capped-Jaccard answer as q73 but FORCING the incidence-bound
+      // postings-aggregate path — the physical strategy that runs at
+      // reference corpus scale, whose maxDocFreq branch was previously
+      // pinned only transitively by the forceDense parity spec. Oracle =
+      // q73's SQL verbatim: both physical shapes must hash-match it.
+      Dedup.ngramJaccardPairsImpl(t(s, dir, "documents"), "doc_id", "text", 3, 0.2,
+        maxDocFreq = 9, forceDense = Some(false))
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
+    },
     "q66_agg_then_filter_project" -> { (s, dir) =>
       // Clause chaining PAST a barrier (reference: clauses compose
       // linearly, processing.py — e.g. groupby().agg() then filter on the
@@ -1031,6 +1041,29 @@ object SparkEntry {
           WHERE doc_id NOT IN (SELECT id FROM bad)
           ORDER BY doc_id""",
     "q73_ngram_jaccard_capped" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+          capped AS (
+            SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 9),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
+          ORDER BY id_a, id_b""",
+    "q74_ngram_jaccard_capped_agg" ->
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
           sh AS (
