@@ -698,7 +698,10 @@ object SparkEntry {
       lib.delete("ev", Seq(1))
       lib.read("ev")
         .select(lit("latest").as("src"), col("event_id"), tsUs, col("value"))
-        .unionByName(lib.read("ev", AsOf.Version(0))
+        // as_of=-2: second-latest LIVE version — with v1 hard-deleted this
+        // must resolve to v0 (negative indexing skips dead versions), so
+        // the oracle hash discriminates any mis-resolution
+        .unionByName(lib.read("ev", AsOf.Version(-2))
           .select(lit("v0").as("src"), col("event_id"), tsUs, col("value")))
         .orderBy("src", "event_id")
     },

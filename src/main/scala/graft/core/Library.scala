@@ -797,6 +797,17 @@ final class Library(
       val m = manifest(symbol, v)
       require(!m.deleted, s"symbol $symbol is deleted")
       m
+    case AsOf.Version(v) if v < 0 =>
+      // Negative indexing from the end of the LIVE history (reference
+      // library.py:2048: as_of=-1 is the latest version, -2 the one
+      // before): tombstoned versions are skipped, and hard-deleted
+      // version numbers simply aren't present.
+      val live = listVersions(symbol).filter(!manifest(symbol, _).deleted)
+      val i = live.length + v
+      if (i < 0 || live.isEmpty)
+        throw new NoSuchElementException(
+          s"symbol $symbol has ${live.length} live versions; as_of=$v out of range")
+      manifest(symbol, live(i))
     case AsOf.Version(v) => manifest(symbol, v)
     case AsOf.Snapshot(name) =>
       val snap = SnapshotManifest.fromJson(readString(new Path(snapshotsDir, s"$name.json")))

@@ -842,4 +842,23 @@ class LibrarySpec extends SparkSuite {
     val it = lib.getInfo("t")
     assert(it.indexType == "NA" && it.sortedStatus == "UNKNOWN" && it.dateRange.isEmpty)
   }
+
+  test("negative as_of indexes the live history from the end") {
+    val lib = newLib()
+    def one(v: Int) = Seq((v.toLong, v)).toDF("ts2", "v")
+    lib.write("s", one(0), Some("ts2"))    // v0
+    lib.append("s", one(1))                // v1
+    lib.append("s", one(2))                // v2
+    assert(lib.resolveVersion("s", AsOf.Version(-1)).version == 2)
+    assert(lib.resolveVersion("s", AsOf.Version(-3)).version == 0)
+    // hard-delete v1: -2 now skips the missing number and lands on v0
+    lib.delete("s", Seq(1))
+    assert(lib.resolveVersion("s", AsOf.Version(-1)).version == 2)
+    assert(lib.resolveVersion("s", AsOf.Version(-2)).version == 0)
+    // tombstones are skipped too: soft delete adds v3 (deleted=true)
+    lib.delete("s")
+    assert(lib.resolveVersion("s", AsOf.Version(-1)).version == 2)
+    assert(lib.resolveVersion("s", AsOf.Version(-2)).version == 0)
+    intercept[NoSuchElementException](lib.resolveVersion("s", AsOf.Version(-3)))
+  }
 }
