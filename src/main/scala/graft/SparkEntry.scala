@@ -564,6 +564,7 @@ object SparkEntry {
       val Seq(a, b) = lib.readBatch(Seq(
         Library.ReadRequest("clicks", dateRange = Some((r1lo, r1hi))),
         Library.ReadRequest("purchases", dateRange = Some((r2lo, r2hi)))))
+        .map(_.get)
       a.unionByName(b)
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
         .orderBy("event_id")

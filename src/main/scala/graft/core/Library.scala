@@ -1022,8 +1022,10 @@ final class Library(
   def readMetadata(symbol: String, asOf: AsOf = AsOf.Latest): Map[String, String] =
     resolveVersion(symbol, asOf).metadata
 
-  def readMetadataBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[Map[String, String]] =
-    symbols.map(readMetadata(_, asOf))
+  def readMetadataBatch(
+      symbols: Seq[String],
+      asOf: AsOf = AsOf.Latest): Seq[BatchResult[Map[String, String]]] =
+    symbols.map(s => batchTry(s)(readMetadata(s, asOf)))
 
   /** write_metadata (reference: library.py:2534): a new version that
     * REPLACES the metadata and shares every data file — a metadata-only
@@ -1059,8 +1061,8 @@ final class Library(
 
   def writeMetadataBatch(
       items: Seq[(String, Map[String, String])],
-      parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(items, parallelism) { case (s, md) => writeMetadata(s, md) }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(items, parallelism)(_._1) { case (s, md) => writeMetadata(s, md) }
 
   /** The write_pickle analog (reference: library.py:1148): version an
     * OPAQUE payload that is not a dataframe. The bytes land as a 1-row
@@ -1091,11 +1093,13 @@ final class Library(
   def writeBlobBatch(
       items: Seq[(String, Array[Byte])],
       metadata: Map[String, String] = Map.empty,
-      parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(items, parallelism) { case (s, bytes) => writeBlob(s, bytes, metadata) }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(items, parallelism)(_._1) { case (s, bytes) => writeBlob(s, bytes, metadata) }
 
-  def readBlobBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[Array[Byte]] =
-    symbols.map(readBlob(_, asOf))
+  def readBlobBatch(
+      symbols: Seq[String],
+      asOf: AsOf = AsOf.Latest): Seq[BatchResult[Array[Byte]]] =
+    symbols.map(s => batchTry(s)(readBlob(s, asOf)))
 
   /** Symbol descriptor (reference: get_description library.py:3083-3137,
     * SymbolDescription fields). indexType is "index" when an index column
@@ -1125,8 +1129,10 @@ final class Library(
   }
 
   /** get_description_batch (reference: library.py:3138). */
-  def getInfoBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[SymbolInfo] =
-    symbols.map(getInfo(_, asOf))
+  def getInfoBatch(
+      symbols: Seq[String],
+      asOf: AsOf = AsOf.Latest): Seq[BatchResult[SymbolInfo]] =
+    symbols.map(s => batchTry(s)(getInfo(s, asOf)))
 
   // ------------------------------------------------------- delete & snap
 
@@ -1329,6 +1335,14 @@ final class Library(
     fs(d).delete(d, true)
     ()
   }
+
+  /** remove_incompletes (reference: library.py:855): batch staged-data
+    * cleanup across symbols — each entry reported per item (the staging
+    * dirs are independent, so one failure spares siblings). No-op entries
+    * (nothing staged) succeed, matching the reference.
+    */
+  def removeIncompletes(symbols: Seq[String]): Seq[BatchResult[Unit]] =
+    symbols.map(s => batchTry(s)(deleteStagedData(s)))
 
   /** sort_and_finalize_staged_data (reference: library.py:1873): read
     * every staged delta, global-sort by the index, commit as one new
@@ -1708,24 +1722,29 @@ final class Library(
     * derived commits (append/update) to the same symbol are detected by
     * the manifest CAS and fail with ConcurrentModificationException rather
     * than silently racing. Result order matches input order; every task is
-    * awaited before the first failure is rethrown, so no write is still
-    * in flight when the call returns.
+    * awaited before the call returns (no write still in flight), and each
+    * item's outcome is reported separately as BatchOk/DataError — the
+    * reference's per-item error model (library.py:626): one bad symbol
+    * doesn't poison its siblings. Callers who want fail-fast semantics
+    * map `.get` over the results.
     */
-  private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+  private def inParallel[A, B](items: Seq[A], parallelism: Int)(
+      label: A => String)(f: A => B): Seq[BatchResult[B]] = {
     if (items.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, items.size)))
     try {
       val futures = items.map(a =>
         pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-      // Await ALL tasks first — rethrowing while siblings still run would
-      // hand the caller a "failed" batch with writes still committing in
-      // the background.
-      val outcomes = futures.map(fut => scala.util.Try(fut.get()))
-      outcomes.map {
-        case scala.util.Success(b) => b
-        case scala.util.Failure(e: java.util.concurrent.ExecutionException) => throw e.getCause
-        case scala.util.Failure(e) => throw e
+      // fut.get() in input order awaits ALL tasks — failures are captured
+      // per item, never thrown while siblings still run
+      items.zip(futures).map { case (a, fut) =>
+        scala.util.Try(fut.get()) match {
+          case scala.util.Success(b) => BatchOk(label(a), b)
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+            DataError(label(a), e.getCause)
+          case scala.util.Failure(e) => DataError(label(a), e)
+        }
       }
     } finally pool.shutdown()
   }
@@ -1735,23 +1754,28 @@ final class Library(
     */
   val BatchParallelism = 8
 
-  def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[DataFrame] =
-    symbols.map(read(_, asOf))
+  def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[BatchResult[DataFrame]] =
+    symbols.map(s => batchTry(s)(read(s, asOf)))
 
   /** read_batch with a shared clause pipeline applied to every symbol. */
   def readBatch(
       symbols: Seq[String],
       query: graft.query.QueryBuilder,
-      asOf: AsOf): Seq[DataFrame] =
-    symbols.map(s => query(read(s, asOf)))
+      asOf: AsOf): Seq[BatchResult[DataFrame]] =
+    symbols.map(s => batchTry(s)(query(read(s, asOf))))
+
+  /** Sequential per-item capture for metadata-cheap batch loops. */
+  private def batchTry[A](symbol: String)(f: => A): BatchResult[A] =
+    try BatchOk(symbol, f)
+    catch { case scala.util.control.NonFatal(e) => DataError(symbol, e) }
 
   /** read_batch with PER-SYMBOL options — the reference's ReadRequest
     * carries as_of / date_range / row_range / columns / query_builder per
     * symbol (library.py:278, consumed by read_batch :2161). Plan building
     * is metadata-only (manifest reads), parallelized across requests.
     */
-  def readBatch(requests: Seq[ReadRequest]): Seq[DataFrame] =
-    inParallel(requests, BatchParallelism) { r =>
+  def readBatch(requests: Seq[ReadRequest]): Seq[BatchResult[DataFrame]] =
+    inParallel(requests, BatchParallelism)(_.symbol) { r =>
       require(r.rowRange.isEmpty || (r.dateRange.isEmpty && r.keyRange.isEmpty),
         s"${r.symbol}: rowRange is exclusive with dateRange/keyRange")
       val base = r.rowRange match {
@@ -1769,24 +1793,26 @@ final class Library(
       items: Seq[(String, DataFrame)],
       indexCol: Option[String] = None,
       targetRows: Long = options.rowsPerSegment,
-      parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(items, parallelism) { case (s, df) => write(s, df, indexCol, targetRows) }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(items, parallelism)(_._1) { case (s, df) => write(s, df, indexCol, targetRows) }
 
   def appendBatch(
       items: Seq[(String, DataFrame)],
       targetRows: Long = options.rowsPerSegment,
-      parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(items, parallelism) { case (s, df) => append(s, df, targetRows) }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(items, parallelism)(_._1) { case (s, df) => append(s, df, targetRows) }
 
   def updateBatch(
       items: Seq[(String, DataFrame)],
       targetRows: Long = options.rowsPerSegment,
-      parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(items, parallelism) { case (s, df) => update(s, df, targetRows) }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(items, parallelism)(_._1) { case (s, df) => update(s, df, targetRows) }
 
   /** delete_batch (reference: library.py:2703) — tombstones, in parallel. */
-  def deleteBatch(symbols: Seq[String], parallelism: Int = BatchParallelism): Seq[Int] =
-    inParallel(symbols, parallelism)(delete)
+  def deleteBatch(
+      symbols: Seq[String],
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
+    inParallel(symbols, parallelism)(identity)(delete(_))
 
   /** delete_batch with DeleteRequest entries (reference: library.py:365
     * DeleteRequest, :2703 delete_batch) — per-symbol version-targeted
@@ -1795,10 +1821,8 @@ final class Library(
     */
   def deleteVersionsBatch(
       requests: Seq[(String, Seq[Int])],
-      parallelism: Int = BatchParallelism): Unit = {
-    inParallel(requests, parallelism) { case (s, vs) => delete(s, vs) }
-    ()
-  }
+      parallelism: Int = BatchParallelism): Seq[BatchResult[Unit]] =
+    inParallel(requests, parallelism)(_._1) { case (s, vs) => delete(s, vs) }
 
   /** read_batch_and_join (reference: library.py:2348): read N symbols and
     * concatenate row-wise with inner/outer schema join + common-type
@@ -1809,7 +1833,8 @@ final class Library(
       join: String = "outer",
       asOf: AsOf = AsOf.Latest): DataFrame = {
     require(symbols.nonEmpty, "readBatchAndJoin needs at least one symbol")
-    val frames = readBatch(symbols, asOf)
+    // the concat needs every frame: fail fast on the first DataError
+    val frames = readBatch(symbols, asOf).map(_.get)
     graft.query.QueryBuilder().concat(frames.tail, join)(frames.head)
   }
 
@@ -2047,5 +2072,26 @@ object Library {
     final case class Version(v: Int) extends AsOf
     final case class Snapshot(name: String) extends AsOf
     final case class Timestamp(ms: Long) extends AsOf
+  }
+
+  /** Per-item outcome of a batch call (reference: DataError,
+    * library.py:626,2161 — one bad symbol must not poison its siblings,
+    * so batch APIs return a success-or-error per input instead of
+    * rethrowing the first failure and discarding sibling results).
+    * `get` rethrows the stored failure for fail-fast callers.
+    */
+  sealed trait BatchResult[+A] {
+    def symbol: String
+    def get: A
+    def toEither: Either[Throwable, A]
+    final def isOk: Boolean = toEither.isRight
+  }
+  final case class BatchOk[+A](symbol: String, value: A) extends BatchResult[A] {
+    def get: A = value
+    def toEither: Either[Throwable, A] = Right(value)
+  }
+  final case class DataError(symbol: String, cause: Throwable) extends BatchResult[Nothing] {
+    def get: Nothing = throw cause
+    def toEither: Either[Throwable, Nothing] = Left(cause)
   }
 }

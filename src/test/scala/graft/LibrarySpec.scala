@@ -132,7 +132,7 @@ class LibrarySpec extends SparkSuite {
     lib.write("b", events.limit(200), Some("ts"), targetRows = 1000)
     val q = graft.query.QueryBuilder()
       .filter(graft.query.Expr.col("value") > graft.query.Expr.lit(0.0))
-    val Seq(a, b) = lib.readBatch(Seq("a", "b"), q, AsOf.Latest)
+    val Seq(a, b) = lib.readBatch(Seq("a", "b"), q, AsOf.Latest).map(_.get)
     assert(a.count() == events.limit(100).filter(col("value") > 0.0).count())
     assert(b.count() == events.limit(200).filter(col("value") > 0.0).count())
   }
@@ -354,7 +354,7 @@ class LibrarySpec extends SparkSuite {
     val Seq(ra, rb, rc) = lib.readBatch(Seq(
       Library.ReadRequest("a", dateRange = Some((10L, 19L))),
       Library.ReadRequest("b", rowRange = Some((0L, 5L)), columns = Some(Seq("v"))),
-      Library.ReadRequest("b", query = Some(q))))
+      Library.ReadRequest("b", query = Some(q)))).map(_.get)
     assert(ra.count() == 10)
     assert(rb.columns.toSeq == Seq("v") && rb.count() == 5)
     assert(rc.count() == 5)
@@ -364,7 +364,7 @@ class LibrarySpec extends SparkSuite {
     val lib = newLib()
     val df = spark.range(500).select(col("id").as("ts2"), col("id").as("v"))
     val items = (0 until 4).map(i => s"sym$i" -> df)
-    val versions = lib.writeBatch(items, Some("ts2"), targetRows = 100)
+    val versions = lib.writeBatch(items, Some("ts2"), targetRows = 100).map(_.get)
     assert(versions == Seq(0, 0, 0, 0))
     items.foreach { case (s, _) => assert(lib.read(s).count() == 500) }
     // appendBatch + updateBatch run through the same pool
@@ -380,7 +380,8 @@ class LibrarySpec extends SparkSuite {
     // version with exactly its own files
     val frames = (1 to 6).map(i =>
       i -> spark.range(i * 100L).select(col("id").as("ts2"), col("id").as("v")))
-    val versions = lib.writeBatch(frames.map { case (_, df) => "s" -> df }, Some("ts2"), 1000)
+    val versions = lib.writeBatch(frames.map { case (_, df) => "s" -> df },
+      Some("ts2"), 1000).map(_.get)
     assert(versions.toSet == (0 to 5).toSet)
     val counts = lib.listVersions("s").map(v => lib.manifest("s", v).rowCount).toSet
     assert(counts == frames.map(_._1 * 100L).toSet,
@@ -427,26 +428,38 @@ class LibrarySpec extends SparkSuite {
   test("writeBlobBatch / readBlobBatch roundtrip (write_pickle_batch analog)") {
     val lib = newLib()
     val items = (1 to 5).map(i => s"blob$i" -> Array.tabulate(64 * i)(j => (j % 113).toByte))
-    val versions = lib.writeBlobBatch(items, Map("codec" -> "raw"))
+    val versions = lib.writeBlobBatch(items, Map("codec" -> "raw")).map(_.get)
     assert(versions == Seq.fill(5)(0))
-    val back = lib.readBlobBatch(items.map(_._1))
+    val back = lib.readBlobBatch(items.map(_._1)).map(_.get)
     items.zip(back).foreach { case ((_, sent), got) => assert(got.toSeq == sent.toSeq) }
     assert(lib.readMetadata("blob3")("codec") == "raw")
   }
 
-  test("batch failure is thrown only after every task settles") {
+  test("batch ops report per-item outcomes; one bad symbol spares siblings") {
     val lib = newLib()
     val df = spark.range(10).select(col("id").as("ts2"), col("id").as("v"))
     val more = spark.range(10, 20).select(col("id").as("ts2"), col("id").as("v"))
     lib.write("ok1", df, Some("ts2"), 100)
     lib.write("ok2", df, Some("ts2"), 100)
-    intercept[NoSuchElementException] {
-      lib.appendBatch(Seq("ok1" -> more, "missing" -> more, "ok2" -> more))
+    // append batch: every task settles before the call returns, and the
+    // bad symbol comes back as a typed DataError instead of poisoning the
+    // batch (reference library.py:626)
+    val out = lib.appendBatch(Seq("ok1" -> more, "missing" -> more, "ok2" -> more))
+    assert(out.count(_.isOk) == 2)
+    out match {
+      case Seq(Library.BatchOk("ok1", 1), Library.DataError("missing", e),
+          Library.BatchOk("ok2", 1)) =>
+        assert(e.isInstanceOf[NoSuchElementException])
+      case other => fail(s"unexpected outcomes: $other")
     }
-    // the sibling appends completed (or were awaited) before the rethrow —
-    // nothing is still committing in the background
     assert(lib.read("ok1").count() == 20)
     assert(lib.read("ok2").count() == 20)
+    // reads: same model, and .get rethrows the stored failure
+    val reads = lib.readBatch(Seq("ok1", "nope", "ok2"))
+    assert(reads.map(_.isOk) == Seq(true, false, true))
+    assert(reads(1).symbol == "nope")
+    intercept[NoSuchElementException](reads(1).get)
+    assert(reads(0).get.count() == 20)
   }
 
   test("finalizeStaged unifies evolved staged-delta schemas under dynamicSchema") {
@@ -556,7 +569,7 @@ class LibrarySpec extends SparkSuite {
     assert(m1.version == m0.version + 1 && m1.files == m0.files)
     assert(lib.readMetadata("s") == Map("a" -> "2", "b" -> "3"))
     assert(lib.readMetadata("s", AsOf.Version(m0.version)) == Map("a" -> "1"))
-    assert(lib.readMetadataBatch(Seq("s", "s")).forall(_("b") == "3"))
+    assert(lib.readMetadataBatch(Seq("s", "s")).forall(_.get("b") == "3"))
 
     // blob (write_pickle analog): versioned opaque payload
     val payload = Array.tabulate(1000)(i => (i % 251).toByte)
@@ -569,6 +582,13 @@ class LibrarySpec extends SparkSuite {
     lib.stage("pending", df)
     assert(lib.getStagedSymbols() == Seq("pending"))
     lib.deleteStagedData("pending")
+    assert(lib.getStagedSymbols().isEmpty)
+
+    // remove_incompletes: batch cleanup, per-item outcomes, no-op ok
+    lib.stage("p1", df)
+    lib.stage("p2", df)
+    val cleaned = lib.removeIncompletes(Seq("p1", "p2", "never_staged"))
+    assert(cleaned.forall(_.isOk) && cleaned.map(_.symbol) == Seq("p1", "p2", "never_staged"))
     assert(lib.getStagedSymbols().isEmpty)
 
     // fragmentation probe + explain plan agree with compact
