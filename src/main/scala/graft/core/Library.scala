@@ -1215,16 +1215,34 @@ final class Library(
       listVersions(symbol).flatMap(v => manifest(symbol, v).files.map(_.path)).toSet
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
-    if (dfs.exists(dataRoot))
+    if (dfs.exists(dataRoot)) {
+      // Dirs with a FRESH in-flight marker belong to a concurrent
+      // finalizeStaged that renamed its deltas in but hasn't committed a
+      // manifest yet — unreferenced, but about to be published. A stale
+      // marker (crashed finalize beyond the grace window) stops
+      // protecting, and the orphaned files collect normally.
+      val now = System.currentTimeMillis()
+      val inFlight: Set[String] = dfs.listStatus(dataRoot).iterator
+        .filter(st => st.isFile && st.getPath.getName.startsWith(InFlightPrefix))
+        .filter { st =>
+          if (now - st.getModificationTime <= Library.InFlightGraceMs) true
+          else { dfs.delete(st.getPath, false); false }
+        }
+        .map(_.getPath.getName.stripPrefix(InFlightPrefix)).toSet
       dfs.listStatus(dataRoot).filter(_.isDirectory).foreach { dir =>
         val dirName = dir.getPath.getName
-        dfs.listStatus(dir.getPath).filter(_.isFile).foreach { st =>
-          if (!keepFiles.contains(s"$dirName/${st.getPath.getName}"))
-            dfs.delete(st.getPath, false)
+        if (!inFlight.contains(dirName)) {
+          dfs.listStatus(dir.getPath).filter(_.isFile).foreach { st =>
+            if (!keepFiles.contains(s"$dirName/${st.getPath.getName}"))
+              dfs.delete(st.getPath, false)
+          }
+          if (dfs.listStatus(dir.getPath).isEmpty) dfs.delete(dir.getPath, false)
         }
-        if (dfs.listStatus(dir.getPath).isEmpty) dfs.delete(dir.getPath, false)
       }
+    }
   }
+
+  private val InFlightPrefix = "_INFLIGHT_"
 
   /** prune_previous_versions (reference: library.py:1018): hard-delete all
     * version manifests except the latest (and any pinned by a snapshot),
@@ -1457,6 +1475,17 @@ final class Library(
       deltas.map(d => d -> footerStats(d, idxCol, idxType))
 
     if (validateIndex) for (i <- idxCol) {
+      // Every non-empty staged file must CARRY index footer stats — a
+      // dynamicSchema delta missing the index column, or an all-null
+      // index, would otherwise slip past the bounded-files checks below
+      // while the manifest still claimed sorted=true
+      for ((d, fsx) <- stats; s <- fsx if s.rows > 0) {
+        val hasBounds = if (stringIdx) s.minStr.isDefined else s.minIdx.isDefined
+        require(hasBounds,
+          s"staged file ${d.getName}/${s.name} of $symbol has rows but no " +
+            s"footer stats for $i (missing or all-null index column) — " +
+            "use sortAndFinalizeStaged or finalize with validateIndex=false")
+      }
       def ordered[B](bs: Seq[(B, B)], cmp: (B, B) => Int): Boolean =
         bs.sliding(2).forall {
           case Seq((_, aMax), (bMin, _)) => cmp(aMax, bMin) <= 0
@@ -1520,10 +1549,21 @@ final class Library(
     val dfs = fs(dataRoot)
     dfs.mkdirs(dataRoot)
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Vector[RawFileStat], StructType)]
+    val markers = scala.collection.mutable.ArrayBuffer.empty[Path]
     var published = false
     try {
       stats.zip(deltaSchemas).foreach { case ((d, fsx), (_, schema)) =>
         val destName = f"v$v%05d" + s"_${d.getName}"
+        // In-flight marker BEFORE the rename: between here and the
+        // manifest commit the moved files are referenced by nothing, and
+        // a concurrent delete/prune's GC would otherwise destroy the only
+        // copy of the staged data. The marker's own mtime is fresh (file
+        // mtimes survive rename, so they can't serve as the age signal);
+        // GC skips marked dirs until the marker goes stale (crashed
+        // finalize), then collects normally.
+        val mk = new Path(dataRoot, s"$InFlightPrefix$destName")
+        writeString(mk, "")
+        markers += mk
         require(dfs.rename(d, new Path(dataRoot, destName)),
           s"failed to move staged delta $d into $dataRoot")
         moved += ((destName, fsx, schema))
@@ -1570,11 +1610,23 @@ final class Library(
       published = true
       sfs.delete(sDir, true)
       v
-    } finally {
-      if (!published)
+    } catch {
+      case t: Throwable =>
+        // move everything back so a re-run sees the full staged set; a
+        // FAILED rollback must not vanish silently — the data would sit
+        // unreferenced in data/ looking published
         moved.foreach { case (dir, _, _) =>
-          dfs.rename(new Path(dataRoot, dir), new Path(sDir, dir))
+          val src = new Path(dataRoot, dir)
+          val dst = new Path(sDir, dir)
+          try {
+            if (!dfs.rename(src, dst))
+              t.addSuppressed(new java.io.IOException(
+                s"rollback failed for $symbol: could not move $src back to staging"))
+          } catch { case e: Throwable => t.addSuppressed(e) }
         }
+        throw t
+    } finally {
+      markers.foreach(mk => try dfs.delete(mk, false) catch { case _: Exception => () })
     }
   }
 
@@ -2058,6 +2110,12 @@ object Library {
   }
 
   private[core] val VersionFile = "v(\\d{5})\\.json".r
+
+  /** How long an in-flight finalizeStaged marker protects its moved-but-
+    * uncommitted delta dir from GC. Far beyond any commit latency; a
+    * crashed finalize's orphans become collectable after this window.
+    */
+  private[core] val InFlightGraceMs: Long = 60L * 60 * 1000
 
   /** Default file geometry. The reference slices at 100k rows × 127 cols
     * (pipeline/slicing.hpp:25) because its unit of IO is a segment; Spark's

@@ -820,6 +820,47 @@ class LibrarySpec extends SparkSuite {
     assert(rows(0).isNullAt(2) && rows(2).getString(2) == "n3")
   }
 
+  test("finalizeStaged(validateIndex) rejects non-empty files without index stats") {
+    // A dynamicSchema delta MISSING the index column (or carrying an
+    // all-null one) has no footer bounds: the overlap/boundary checks
+    // can't see it, so validate must refuse rather than publish a
+    // manifest claiming sorted=true over unvalidatable rows.
+    val lib = newLib()
+    lib.write("s", Seq((10L, 1), (20L, 2)).toDF("ts2", "x"), Some("ts2"))
+    lib.stage("s", Seq((3, "t3"), (4, "t4")).toDF("x", "tag").coalesce(1))
+    intercept[IllegalArgumentException](
+      lib.finalizeStaged("s", mode = "append", dynamicSchema = true))
+    // staging intact after the refusal; non-validating finalize still works
+    // and makes no sortedness claim
+    assert(lib.getStagedSymbols() == Seq("s"))
+    lib.finalizeStaged("s", mode = "append", dynamicSchema = true,
+      validateIndex = false)
+    assert(!lib.resolveVersion("s").sorted)
+    assert(lib.read("s").count() == 4)
+  }
+
+  test("GC spares delta dirs protected by a fresh in-flight marker") {
+    val lib = newLib()
+    lib.write("s", mk(0, 10), Some("ts2"))
+    lib.write("s", mk(0, 20), Some("ts2")) // v1; v0 now prunable
+    // plant an unreferenced delta dir as a concurrent finalizeStaged
+    // would mid-flight: marker first, then the dir
+    val root = new java.io.File(lib.root, "s/data")
+    val marker = new java.io.File(root, "_INFLIGHT_v00099_d1")
+    val dir = new java.io.File(root, "v00099_d1")
+    java.nio.file.Files.writeString(marker.toPath, "")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(dir, "part-0.parquet").toPath, "x")
+    lib.prunePreviousVersions("s")
+    assert(dir.listFiles().nonEmpty, "fresh in-flight dir must survive GC")
+    // stale marker (crashed finalize): protection lapses, orphans collect
+    marker.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    lib.write("s", mk(0, 30), Some("ts2"))
+    lib.prunePreviousVersions("s")
+    assert(!dir.exists(), "stale in-flight dir must be collected")
+    assert(!marker.exists(), "stale marker must be removed")
+  }
+
   test("listSymbols snapshot/regex scoping and listVersionsInfo membership") {
     val lib = newLib()
     lib.write("alpha", mk(0, 10), Some("ts2"))
