@@ -139,9 +139,22 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     try out.write(LibraryOptions.toJson(next)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // FileContext needs an AbstractFileSystem binding for the scheme;
+    // object stores commonly lack one (s3a without fs.AbstractFileSystem
+    // .s3a.impl), and their rename is not atomic anyway — fall back to a
+    // plain overwrite there rather than fail the whole update.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val o = fs.create(target, true)
+        try o.write(LibraryOptions.toJson(next)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+        fs.delete(tmp, false)
+    }
     next
   }
 }

@@ -112,6 +112,38 @@ final class Library(
 
   def latestVersion(symbol: String): Option[Int] = listVersions(symbol).lastOption
 
+  /** Highest version number ever allocated for `symbol`, even if since
+    * freed by delete(versions). The reference keeps version ids monotone
+    * and never reuses them (its version chain holds tombstoned entries),
+    * so an `AsOf.Version(n)` — or another handle's manifest cache keyed on
+    * (symbol, n) — can trust a version id to mean ONE dataset forever.
+    * Persisted as a plain marker (not CAS-guarded: it only ever grows, and
+    * version-number CAS still arbitrates actual commits).
+    */
+  private def highWater(symbol: String): Int = {
+    val p = new Path(versionsDir(symbol), Library.HighWaterFile)
+    val f = fs(p)
+    if (!f.exists(p)) -1
+    else
+      try readString(p).trim.toInt
+      catch { case _: NumberFormatException => -1 }
+  }
+
+  private def recordHighWater(symbol: String, v: Int): Unit =
+    if (v > highWater(symbol)) {
+      val p = new Path(versionsDir(symbol), Library.HighWaterFile)
+      val out = fs(p).create(p, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** First version number a new commit may claim on top of `base`: one
+    * past the max of the base version and the persisted high-water mark,
+    * so numbers freed by delete(versions) are never reborn.
+    */
+  private def nextVersion(symbol: String, base: Int): Int =
+    math.max(base, highWater(symbol)) + 1
+
   /** Concurrent: the batch APIs submit per-symbol jobs from a driver
     * thread pool, so the cache must tolerate concurrent readers/writers.
     */
@@ -570,8 +602,8 @@ final class Library(
       baseVersion: Option[Int] = None): Int = {
     require(!derived || baseVersion.isDefined,
       "derived commits must pin the base manifest version")
-    var v = baseVersion.map(_ + 1)
-      .getOrElse(latestVersion(symbol).map(_ + 1).getOrElse(0))
+    var v = nextVersion(symbol,
+      baseVersion.getOrElse(latestVersion(symbol).getOrElse(-1)))
     val dir = dataDir(symbol, v)
     val newFiles = writeData(df, dir, indexCol, targetRows)
     val baseOffset = priorFiles.lastOption.map(f => f.rowOffset + f.rows).getOrElse(0L)
@@ -728,7 +760,7 @@ final class Library(
       untouched: Vector[FileEntry],
       range: KeyRange,
       targetRows: Long): Int = {
-    var v = m.version + 1
+    var v = nextVersion(symbol, m.version)
     val newDir = dataDir(symbol, v)
     val rewritten = combined match {
       case Some(d) => writeData(d, newDir, m.indexCol, targetRows)
@@ -1041,11 +1073,11 @@ final class Library(
     while (true) {
       val nm = latestVersion(symbol).map(v => manifest(symbol, v)) match {
         case Some(m) if !m.deleted =>
-          m.copy(version = m.version + 1, metadata = metadata,
+          m.copy(version = nextVersion(symbol, m.version), metadata = metadata,
             createdAtMs = System.currentTimeMillis())
         case prior => // absent or tombstoned: metadata-only empty version
           VersionManifest(
-            version = prior.map(_.version + 1).getOrElse(0),
+            version = nextVersion(symbol, prior.map(_.version).getOrElse(-1)),
             indexCol = None,
             sorted = false,
             files = Vector.empty,
@@ -1148,7 +1180,7 @@ final class Library(
         throw new NoSuchElementException(s"symbol $symbol does not exist"))
       val m = manifest(symbol, v)
       val nm = m.copy(
-        version = v + 1,
+        version = nextVersion(symbol, v),
         files = Vector.empty,
         rowCount = 0,
         deleted = true,
@@ -1162,9 +1194,9 @@ final class Library(
     * delete_versions): hard-remove SPECIFIC version manifests — the
     * routine "prune a bad version" operation — then GC data files no
     * surviving manifest references. Deleting the latest version makes the
-    * previous one latest again (and a later write reuses the freed
-    * version number — version numbers here ARE the manifest directory
-    * listing, there is no separate counter).
+    * previous one latest again, but a later write never reuses the freed
+    * number: the high-water marker recorded here keeps version ids
+    * monotone, matching the reference's never-reused version counter.
     *
     * A snapshot-pinned version refuses deletion: manifests are immutable
     * in this design, so the reference's "deleted but still
@@ -1183,6 +1215,10 @@ final class Library(
     require(pinned.isEmpty,
       s"version(s) ${pinned.mkString(", ")} of $symbol are pinned by snapshot(s) " +
         s"${pinned.flatMap(pins(_)).distinct.mkString(", ")} — delete the snapshot first")
+    // BEFORE any manifest vanishes: once recorded, no later commit can
+    // claim a number at or below today's latest, so a deleted version id
+    // can never be reborn meaning different data
+    recordHighWater(symbol, existing.max)
     val vDir = versionsDir(symbol)
     val vfs = fs(vDir)
     versions.foreach { v =>
@@ -1543,8 +1579,8 @@ final class Library(
     // refusal mid-loop, a commit IO error, a lost append race) moves the
     // already-moved dirs back into staging: a re-run must see the full
     // staged set, or it would silently publish only the leftover subset.
-    var v = prior.map(_.version + 1)
-      .getOrElse(latestVersion(symbol).map(_ + 1).getOrElse(0))
+    var v = nextVersion(symbol,
+      prior.map(_.version).getOrElse(latestVersion(symbol).getOrElse(-1)))
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
     dfs.mkdirs(dataRoot)
@@ -1948,7 +1984,7 @@ final class Library(
 
     val inRuns = runs.flatten.map(_.path).toSet
     val untouched = m.files.filterNot(f => inRuns(f.path))
-    var v = m.version + 1
+    var v = nextVersion(symbol, m.version)
     val dataRoot = new Path(symDir(symbol), "data")
     // Run-dir names carry a uuid: the version number chosen here can be
     // bumped by the commit-retry loop below, and a later compaction that
@@ -2110,6 +2146,11 @@ object Library {
   }
 
   private[core] val VersionFile = "v(\\d{5})\\.json".r
+
+  /** Marker in versions/ holding the highest version number ever
+    * allocated; ignored by the VersionFile listing pattern.
+    */
+  private[core] val HighWaterFile = "_highwater"
 
   /** How long an in-flight finalizeStaged marker protects its moved-but-
     * uncommitted delta dir from GC. Far beyond any commit latency; a

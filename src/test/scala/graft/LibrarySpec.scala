@@ -663,6 +663,32 @@ class LibrarySpec extends SparkSuite {
     assert(lib.listVersions("s").isEmpty && !lib.hasSymbol("s"))
   }
 
+  test("version ids are never reused after delete(versions)") {
+    // Reference keeps version ids monotone (a deleted id is never reborn):
+    // an AsOf.Version(n) reader — or another handle's manifest cache —
+    // must never see DIFFERENT data under the same id.
+    val lib = newLib()
+    lib.write("s", mk(0, 10), Some("ts2")) // v0
+    lib.append("s", mk(10, 20)) // v1
+    lib.append("s", mk(20, 30)) // v2
+    val other = new Library(lib.root, spark) // second open handle
+    assert(other.read("s", AsOf.Version(2)).count() == 30)
+    lib.delete("s", Seq(2))
+    assert(lib.append("s", mk(20, 25)) == 3, "freed id 2 must not be reborn")
+    assert(lib.listVersions("s") == Seq(0, 1, 3))
+    // the other handle's cached manifest for (s, 2) can only describe the
+    // dead version, never a successor's data
+    intercept[Exception](lib.read("s", AsOf.Version(2)).count())
+    // survives even when ALL versions are deleted
+    lib.delete("s", Seq(0, 1, 3))
+    assert(!lib.hasSymbol("s"))
+    lib.write("s", mk(0, 5), Some("ts2"))
+    assert(lib.latestVersion("s").contains(4), "fresh write allocates past high water")
+    // tombstone + metadata-only commits allocate monotonically too
+    lib.delete("s", Seq(4))
+    assert(lib.writeMetadata("s", Map("k" -> "v")) == 5)
+  }
+
   test("hasSymbol honors asOf; snapshot listing carries metadata") {
     val lib = newLib()
     lib.write("s", mk(0, 10), Some("ts2"))
