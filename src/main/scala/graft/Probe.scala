@@ -1,28 +1,49 @@
 package graft
 
 import graft.core.GraftSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Dev-only plan/timing probe:
-  * `sbt "runMain graft.Probe <query>[,<query>...] <sfDir> [noplan]"`.
+  * `sbt "runMain graft.Probe <query>[,<query>...] <sfDir> [noplan] [stages] [runs=N]"`.
   * Comma-separated names share one JVM/session so per-query timings come
-  * out of a warm engine after the first query's JIT churn.
+  * out of a warm engine after the first query's JIT churn. `stages` adds
+  * per-stage task counts and executor run/GC/CPU time from a listener,
+  * plus the final executed plan (the AQE-resolved one, which
+  * `explain("formatted")` taken before execution does not show).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val names =
       (if (args.nonEmpty) args(0) else "q30_ngram_jaccard").split(',').toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val noplan = args.length > 2 && args(2) == "noplan"
+    val flags = args.drop(2).toSet
+    val runs = flags.collectFirst { case f if f.startsWith("runs=") => f.drop(5).toInt }.getOrElse(3)
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    @volatile var stages = List.empty[String]
+    if (flags("stages")) spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
+        val m = i.taskMetrics
+        stages = f"(tasks=${i.numTasks} wall=${ms}ms run=${m.executorRunTime}ms gc=${m.jvmGCTime}ms cpu=${m.executorCpuTime / 1000000}ms)" :: stages
+      }
+    })
+
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      if (!noplan) df.explain("formatted")
-      (1 to 3).foreach { i =>
+      if (!flags("noplan")) df.explain("formatted")
+      (1 to runs).foreach { i =>
+        stages = Nil
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val tail = if (flags("stages")) "; stages: " + stages.reverse.mkString(" ") else ""
+        println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s$tail")
       }
+      if (flags("stages"))
+        println(s"[probe] $name executed plan:\n" +
+          df.queryExecution.executedPlan.toString.take(4000))
     }
     spark.stop()
   }

@@ -30,7 +30,7 @@ object SparkEntry {
   /** Table reads resolve through a per-(session, path) relation cache —
     * the equivalent of registering the table in a catalog once. A bare
     * `spark.read.parquet` re-lists the directory and re-reads footer
-    * schemas on every call (~60–170 ms/query measured at sf1, DevProbe2),
+    * schemas on every call (~60–170 ms/query measured at sf1),
     * which is pure metadata tax the oracle side never pays (its views are
     * created once per connection). The cached value is only the analyzed
     * relation (file listing + schema), never data; inputs under these
@@ -102,7 +102,7 @@ object SparkEntry {
   /** Deterministic order for a small POST-SHUFFLE result (grouped/
     * resampled finals): coalesce(1) merges the final-agg partitions
     * without a new exchange — one less shuffle + AQE round-trip than
-    * repartition(1) (DevProbe4 at sf1: med 0.28s → 0.17s). Only valid
+    * repartition(1) (measured at sf1: med 0.28s → 0.17s). Only valid
     * when an exchange sits between the scan and this tail; coalesce(1)
     * over a map-only or window pipeline would collapse that whole stage
     * to one task (measured 2× slower) — those keep sortSmall.
