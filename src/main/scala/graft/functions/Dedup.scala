@@ -47,6 +47,25 @@ object Dedup {
     df.select(col(idCol).as("id"), graft.plans.ShinglePostings(col(textCol), n))
       .select("id", "s", "sz")
 
+  /** The shingle kernels run fused with the scan, so their parallelism IS
+    * the scan's split count — and a small heavily-compressed text table
+    * often lands in ONE split (zstd packs text ~50×; the sf0.1 documents
+    * file is 5k docs in 0.6 MB), putting a compute-bound kernel on one
+    * core (measured: 250 ms of q30's ~600 ms wall). When the scan planned
+    * fewer splits than cores are worth, buy parallelism with one
+    * round-robin exchange of the two needed columns. A <8-split scan is
+    * ≤ ~1 GB of input by construction (maxPartitionBytes), so the
+    * exchange is bounded and never appears at corpus scale, where the
+    * file layout supplies the splits. Generate nodes are not pushed
+    * through exchanges by the optimizer, so the kernel stays above the
+    * repartition (a plain Project would be pushed back down).
+    */
+  private def spreadForKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val narrow = df.select(col(idCol), col(textCol))
+    if (narrow.rdd.getNumPartitions >= 8) narrow
+    else narrow.repartition(16)
+  }
+
   /** Within-document repetition ratio — the classic corpus-quality signal
     * (fraction of n-gram POSITIONS occupied by a repeated n-gram):
     * 1 - distinct/total. 0 = no internal repetition; → 1 for template spam.
@@ -113,6 +132,10 @@ object Dedup {
       shingleLen: Int,
       threshold: Double,
       maxDocFreq: Long = 0): DataFrame = {
+    // No spreadForKernel here: "corpus text never shuffles" is this
+    // operator's pinned scale property (PlanSpec q68) — the kernel keeps
+    // scan-split parallelism, which the file layout supplies at corpus
+    // scale.
     val cp0 = shinglePostings(corpus, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"), col("id"), col("sz"))
     val cp =
@@ -298,7 +321,8 @@ object Dedup {
     // almost-surely exact rather than exact (odds become material only
     // near ~2^32 distinct shingles, per the birthday bound; the
     // ground-truth spec pins the fixed corpora).
-    val posts = shinglePostings(df, idCol, textCol, shingleLen)
+    val spreadIn = spreadForKernel(df, idCol, textCol)
+    val posts = shinglePostings(spreadIn, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"),
         col("id").cast("long").as("id"), col("sz"))
     // Two-phase dispatch. Phase 1 decides fallback without ever running
@@ -319,16 +343,28 @@ object Dedup {
     // ≤ cap rows — the same kernel the postings ride on, so sz agrees
     // with posts.sz exactly (the ground-truth spec pins both). No
     // shuffle, no persist, no postings pass in either phase.
+    // A second zero-job shortcut bounds the OTHER side: below
+    // DenseMaxDocs × 8 bytes the input cannot hold meaningfully more
+    // than the doc cap (8 B/row is under any real parquet row with an id
+    // plus non-empty text), so tiny corpora skip the count job entirely —
+    // it was a fixed ~40 ms on every small-corpus call. A pathological
+    // all-empty-text corpus that slips under it merely runs dense with
+    // more blocks than the tile gate intends: correct, not dense-optimal.
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val fallback = forceDense match {
       case Some(dense) => !dense
       case None =>
-        df.queryExecution.optimizedPlan.stats.sizeInBytes > DenseMaxStatsBytes ||
-          df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs
+        statsBytes > DenseMaxStatsBytes ||
+          (statsBytes > DenseMaxDocs * 8L &&
+            df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs)
     }
     if (fallback)
       bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
     else {
-      val collected: Array[(Long, Long)] = df
+      // Dense-index sizes ride the same spread input, so the
+      // DistinctShingles kernel in this collect parallelizes with the
+      // postings kernel above rather than re-running on the one split.
+      val collected: Array[(Long, Long)] = spreadIn
         .select(col(idCol).cast("long").as("id"),
           size(graft.plans.DistinctShingles(col(textCol), shingleLen))
             .cast("long").as("sz"))
