@@ -27,7 +27,7 @@ object Probe {
         val i = sc.stageInfo
         val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
         val m = i.taskMetrics
-        stages = f"(tasks=${i.numTasks} wall=${ms}ms run=${m.executorRunTime}ms gc=${m.jvmGCTime}ms cpu=${m.executorCpuTime / 1000000}ms)" :: stages
+        stages = f"(${i.name.takeWhile(_ != '\n').take(60)} tasks=${i.numTasks} wall=${ms}ms run=${m.executorRunTime}ms gc=${m.jvmGCTime}ms cpu=${m.executorCpuTime / 1000000}ms)" :: stages
       }
     })
 

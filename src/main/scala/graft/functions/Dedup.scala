@@ -442,7 +442,14 @@ object Dedup {
       docidxRows.foreach { case (_, _, b, _) => c(b) += 1 }
       c
     }
-    val docidx = docidxRows.toSeq.toDF("id", "sz", "block", "local")
+    // RDD-backed with ONE partition, not a LocalRelation: broadcasting a
+    // LocalTableScan goes through executeCollectIterator, which runs a
+    // min(rows, defaultParallelism)-task job per broadcast — two 32-task
+    // near-empty stages on every q30 execution. A 1-partition RDD scan
+    // makes each broadcast build a single-task job over a few-MB index.
+    val docidx = spark.createDataset(
+      spark.sparkContext.parallelize(docidxRows.toSeq, 1))
+      .toDF("id", "sz", "block", "local")
     // ≤260k docs ⇒ docidx is a few MB — always broadcastable here.
     val entries0 = posts
       .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")
