@@ -62,8 +62,12 @@ object Dedup {
     */
   private def spreadForKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val narrow = df.select(col(idCol), col(textCol))
-    if (narrow.rdd.getNumPartitions >= 8) narrow
-    else narrow.repartition(16)
+    // Parquet bin-packing targets ~defaultParallelism splits, so the
+    // "enough splits" bar must be core-relative: an already-at-parallelism
+    // scan gains nothing from the exchange.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (narrow.rdd.getNumPartitions >= math.min(8, cores)) narrow
+    else narrow.repartition(math.min(16, 2 * cores))
   }
 
   /** Within-document repetition ratio — the classic corpus-quality signal

@@ -89,6 +89,35 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("jaccard kernel buys parallelism only on split-starved scans") {
+    // spreadForKernel: a <8-split input round-robins (id, text) to 16
+    // partitions so the shingle kernel is not single-core; an input whose
+    // layout already supplies splits must NOT pay that exchange — at
+    // corpus scale the file layout always supplies them, so the exchange
+    // must be absent there.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 64).map(i => (i.toLong, s"document number $i body text"))
+      def rr(df: DataFrame) = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+      }
+      import spark.implicits._
+      val starved = docs.toDF("id", "text").coalesce(1)
+      assert(rr(functions.Dedup.ngramJaccardPairs(starved, "id", "text", 3, 0.2)).nonEmpty,
+        "split-starved scan must round-robin before the kernel")
+      val dir = java.nio.file.Files.createTempDirectory("graft-spread-").toString
+      docs.toDF("id", "text").repartition(10).write.mode("overwrite").parquet(dir)
+      val supplied = spark.read.parquet(dir)
+      assert(supplied.rdd.getNumPartitions >=
+        math.min(8, spark.sparkContext.defaultParallelism),
+        "fixture must supply splits")
+      assert(rr(functions.Dedup.ngramJaccardPairs(supplied, "id", "text", 3, 0.2)).isEmpty,
+        "a scan that supplies splits must not pay the spread exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucket-population caps plan as groupBy-count→join, never a window") {
     // A count().over(Window.partitionBy(key)) cap routes EVERY row of a
     // skewed bucket to one task before filtering — exactly the single-task
