@@ -99,6 +99,19 @@ object SparkEntry {
       df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
     else df.orderBy(cols.map(col): _*)
 
+  /** sortWide for WINDOW pipelines: same size gate, but the small branch
+    * is repartition(1), not coalesce(1) — coalesce would collapse the
+    * window stage itself to one task (the upstream exchange vanishes),
+    * serializing the per-key window compute (measured at sf0.1: 0.34s
+    * coalesced vs 0.25s with the window parallel behind a repartition(1)
+    * funnel of the small OUTPUT). Past the gate the range orderBy stands,
+    * as in sortWide (a 1-task funnel of a large window output walls 3×).
+    */
+  private[graft] def sortWindowed(df: DataFrame, cols: String*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= WideSortBytes)
+      sortSmall(df, cols: _*)
+    else df.orderBy(cols.map(col): _*)
+
   /** Deterministic order for a small POST-SHUFFLE result (grouped/
     * resampled finals): coalesce(1) merges the final-agg partitions
     * without a new exchange — one less shuffle + AQE round-trip than
@@ -970,7 +983,7 @@ object SparkEntry {
           row_number().over(w).as("rn"),
           round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
             .as("running"))
-        .transform(sortWide(_, "event_id"))
+        .transform(sortWindowed(_, "event_id"))
     },
     "q43_distinct" -> { (s, dir) =>
       t(s, dir, "events").select("user_id", "event_type").distinct()
