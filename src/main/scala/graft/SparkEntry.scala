@@ -768,6 +768,16 @@ object SparkEntry {
         maxDocFreq = 9, forceDense = Some(false))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q75_token_budget_sample" -> { (s, dir) =>
+      // Pretraining domain mix by TOKEN target: keep ≈600 tokens per
+      // source, deterministic in doc_id. Counter-only shuffle + broadcast
+      // rate table — the shape that holds at corpus scale.
+      graft.functions.Sampling.sampleTokenBudget(
+        t(s, dir, "documents"), "doc_id", "text", "source", 600L)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q66_agg_then_filter_project" -> { (s, dir) =>
       // Clause chaining PAST a barrier (reference: clauses compose
       // linearly, processing.py — e.g. groupby().agg() then filter on the
@@ -1103,6 +1113,17 @@ object SparkEntry {
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
           ORDER BY id_a, id_b""",
+    "q75_token_budget_sample" ->
+      """WITH tot AS (SELECT source, sum(len(string_split(text, ' '))) AS total
+                      FROM documents GROUP BY source),
+          r AS (SELECT source, least(1.0, 600.0 / total) AS rate FROM tot)
+          SELECT d.doc_id, d.source,
+            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents d JOIN r USING (source)
+          WHERE r.rate >= 1.0
+             OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                < printf('%04x', CAST(round(r.rate * 65536) AS INT))
+          ORDER BY doc_id""",
     "q72_decontaminate_capped" ->
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

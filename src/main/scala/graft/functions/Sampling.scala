@@ -52,6 +52,47 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** [[hashSampleCond]] with a rate that is itself a COLUMN (per-row /
+    * per-domain keep-rates computed by an upstream aggregate). The
+    * threshold is rendered to the same 4-hex-digit string form at
+    * runtime; rates ≥ 1 short-circuit to keep-all (a 5-hex render would
+    * break the lexicographic≡numeric property).
+    */
+  def hashSampleCondBy(idCol: Column, rate: Column): Column =
+    (rate >= 1.0) ||
+      (substring(md5(idCol.cast("string")), 1, 4) <
+        format_string("%04x", round(rate * 65536).cast("int")))
+
+  /** Down-sample each domain to ≈`tokenBudget` TOKENS, deterministically.
+    * Pretraining mixes are specified as per-domain token targets, not row
+    * fractions — this is the operator that turns a raw corpus into such a
+    * mix. Two aggregate passes, no sort, no window:
+    *   1. per-domain token totals — a partial-aggregated shuffle carrying
+    *      one (domain, Σtokens) counter per map task per domain;
+    *   2. keep-rate = min(1, budget/total) per domain, broadcast back,
+    *      row kept iff its md5 hash point falls under the domain's rate
+    *      (the engine-portable predicate above).
+    * Kept token mass ≈ budget per domain in expectation (hash uniformity;
+    * deterministic in id — same rows on any engine or partitioning). At
+    * corpus scale the only data movement is the counter shuffle and a
+    * #domains-row broadcast.
+    */
+  def sampleTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be positive")
+    val toks = Text.tokenCount(col(textCol)).cast("long")
+    val rates = df.groupBy(col(domainCol)).agg(sum(toks).as("__total"))
+      .select(col(domainCol),
+        least(lit(1.0), lit(tokenBudget.toDouble) / col("__total")).as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashSampleCondBy(col(idCol), col("__rate")))
+      .drop("__rate")
+  }
+
   /** Disjoint deterministic splits (train/val/test): row goes to the i-th
     * split whose cumulative fraction first exceeds its hash point.
     * Returns the split index column (-1 if fractions sum < 1 and the row

@@ -25,6 +25,28 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000)
   }
 
+  test("sampleTokenBudget hits per-domain token targets, deterministically") {
+    // 3 domains x 2000 docs of 10 tokens each = 20k tokens per domain
+    val docs = spark.range(6000).select(col("id"),
+      concat(lit("dom"), (col("id") % 3).cast("string")).as("source"),
+      lit("a b c d e f g h i j").as("text"))
+    val out = Sampling.sampleTokenBudget(docs, "id", "text", "source", 5000L)
+    val kept = out.groupBy("source")
+      .agg(sum(graft.functions.Text.tokenCount(col("text"))).as("toks"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet == Set("dom0", "dom1", "dom2"))
+    // expected 5000 of 20000 tokens per domain; hash variance is small
+    kept.values.foreach(t => assert(math.abs(t - 5000.0) / 5000.0 < 0.10, kept))
+    // deterministic + partitioning-independent
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.sampleTokenBudget(docs.repartition(7), "id", "text", "source", 5000L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // budget >= total keeps everything
+    assert(Sampling.sampleTokenBudget(docs, "id", "text", "source", 50000L)
+      .count() == 6000)
+  }
+
   test("splitIndex produces disjoint covering splits") {
     val withSplit = ids.withColumn("s", Sampling.splitIndex(col("id"), Seq(0.8, 0.1, 0.1)))
     val counts = withSplit.groupBy("s").count()
