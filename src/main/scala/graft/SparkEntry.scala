@@ -768,6 +768,17 @@ object SparkEntry {
         maxDocFreq = 9, forceDense = Some(false))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q76_leakage_safe_splits" -> { (s, dir) =>
+      // Train/val/test assignment hashed on the near-dup CLUSTER label:
+      // a duplicate component never straddles splits, so eval can't leak
+      // training near-copies.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      graft.functions.Sampling.leakageSafeSplits(docs, "doc_id", pairs,
+        Seq(0.8, 0.1, 0.1))
+        .select(col("doc_id"), col("split"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q75_token_budget_sample" -> { (s, dir) =>
       // Pretraining domain mix by TOKEN target: keep ≈600 tokens per
       // source, deterministic in doc_id. Counter-only shuffle + broadcast
@@ -1462,6 +1473,39 @@ object SparkEntry {
             SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach
           GROUP BY 1 ORDER BY 1""",
+    "q76_leakage_safe_splits" ->
+      s"""WITH RECURSIVE docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          grp AS (
+            SELECT d.doc_id,
+              substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) AS h
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+          SELECT doc_id,
+            CASE WHEN h < 'cccd' THEN 0 WHEN h < 'e666' THEN 1 ELSE 2 END AS split
+          FROM grp ORDER BY doc_id""",
     "q31_ann_bruteforce" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

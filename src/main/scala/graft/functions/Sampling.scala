@@ -93,6 +93,29 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Leakage-safe train/val/test splits: documents connected by a
+    * near-duplicate relation must land in the SAME split, or the eval
+    * split leaks (near-copies of) training documents. Every doc is
+    * labeled with its duplicate-cluster representative ([[Dedup
+    * .duplicateClusters]] over `pairs`; isolated docs label themselves)
+    * and [[splitIndex]] hashes the CLUSTER label, so whole components
+    * move together. Adds a `split` column; same determinism guarantees
+    * as splitIndex. Scale shape: the cluster labels are one keyed join
+    * (pairs are sparse — the near-dup graph, not the corpus), and the
+    * split itself is a pure codegen'd predicate.
+    */
+  def leakageSafeSplits(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fractions: Seq[Double]): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("cluster_id", "__cl")
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("split", splitIndex(coalesce(col("__cl"), col(idCol)), fractions))
+      .drop("__cl")
+  }
+
   /** Disjoint deterministic splits (train/val/test): row goes to the i-th
     * split whose cumulative fraction first exceeds its hash point.
     * Returns the split index column (-1 if fractions sum < 1 and the row

@@ -47,6 +47,30 @@ class SamplingSpec extends SparkSuite {
       .count() == 6000)
   }
 
+  test("leakageSafeSplits keeps duplicate components in one split") {
+    val docs = spark.range(5000).toDF("id")
+    // chain components {1,2,3}, {10,11}, plus a planted long-ish chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (100L, 101L), (101L, 102L),
+      (102L, 103L)).toDF("id_a", "id_b")
+    val out = graft.functions.Sampling.leakageSafeSplits(
+      docs, "id", pairs, Seq(0.8, 0.1, 0.1))
+    val bySplit = out.filter(col("id").isin(1L, 2L, 3L))
+      .select("split").distinct().count()
+    assert(bySplit == 1, "component {1,2,3} straddles splits")
+    assert(out.filter(col("id").isin(100L, 101L, 102L, 103L))
+      .select("split").distinct().count() == 1)
+    // every doc assigned, splits cover ~80/10/10
+    assert(out.count() == 5000)
+    val frac = out.groupBy("split").count().as[(Int, Long)].collect().toMap
+    assert(frac.keySet == Set(0, 1, 2), frac)
+    assert(math.abs(frac(0) / 5000.0 - 0.8) < 0.03, frac)
+    // deterministic across partitionings
+    assert(out.select("id", "split").as[(Long, Int)].collect().toSet ==
+      graft.functions.Sampling.leakageSafeSplits(
+        docs.repartition(7), "id", pairs, Seq(0.8, 0.1, 0.1))
+        .select("id", "split").as[(Long, Int)].collect().toSet)
+  }
+
   test("splitIndex produces disjoint covering splits") {
     val withSplit = ids.withColumn("s", Sampling.splitIndex(col("id"), Seq(0.8, 0.1, 0.1)))
     val counts = withSplit.groupBy("s").count()
