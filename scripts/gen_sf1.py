@@ -146,11 +146,16 @@ def main(src, dst):
         if t in ("documents", "embeddings"):
             idc = KEY_COLS[t][0][0]
             os.makedirs(out)
+            # materialize the replica expansion ONCE; 16 filtered COPYs
+            # from the temp table instead of re-running the expansion
+            # query (cross-join replication + text rewrite) per bucket
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS {q}")
             for b in range(16):
                 con.execute(
-                    f"COPY (SELECT * FROM ({q}) WHERE {idc} % 16 = {b}) "
+                    f"COPY (SELECT * FROM _exp WHERE {idc} % 16 = {b}) "
                     f"TO '{out}/part-{b:02d}.parquet' "
                     "(FORMAT PARQUET, ROW_GROUP_SIZE 4096)")
+            con.execute("DROP TABLE _exp")
         else:
             con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
 

@@ -192,7 +192,12 @@ object SparkEntry {
         val cs = f.listFiles()
         if (cs == null) f.length() else cs.map(sz).sum
       }
-      java.lang.Long.valueOf(sz(new java.io.File(d)))
+      // java.io.File cannot size non-local URIs (s3a://, hdfs://): it
+      // reports 0, which would silently route an object-store corpus to
+      // the AQE-off small-input session — the opposite of the intent.
+      // Unmeasurable ⇒ assume large, keep full adaptive execution.
+      val f = new java.io.File(d)
+      java.lang.Long.valueOf(if (f.exists()) sz(f) else Long.MaxValue)
     })
     if (bytes > AdaptiveMinInputBytes) s
     else {
@@ -1131,7 +1136,7 @@ object SparkEntry {
           SELECT d.doc_id, d.source,
             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
           FROM documents d JOIN r USING (source)
-          WHERE r.rate >= 1.0
+          WHERE CAST(round(r.rate * 65536) AS INT) >= 65536
              OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                 < printf('%04x', CAST(round(r.rate * 65536) AS INT))
           ORDER BY doc_id""",

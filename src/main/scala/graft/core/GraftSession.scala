@@ -44,9 +44,9 @@ object GraftSession {
       // empty scan tasks (+57ms per lineitem scan at sf0.1, +0.4s on the
       // 27-query bench). The scan-parallelism problem is a file-LAYOUT
       // problem: compressed compute-heavy tables must be written as many
-      // small files (gen_sf1.py now emits 32-file directories for
-      // documents/embeddings; the default openCost padding then gives
-      // each small file its own partition — 32-way without the floor).
+      // small files (gen_sf1.py now emits 16-file directories for
+      // documents/embeddings — measured faster than 32 at sf1; the
+      // default openCost padding gives each file its own partition).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 

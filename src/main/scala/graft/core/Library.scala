@@ -1247,25 +1247,36 @@ final class Library(
     * and delete(versions); also collects loser-writer dirs.
     */
   private def gcUnreferencedFiles(symbol: String): Unit = {
-    val keepFiles: Set[String] =
-      listVersions(symbol).flatMap(v => manifest(symbol, v).files.map(_.path)).toSet
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
     if (dfs.exists(dataRoot)) {
+      // ONE listing snapshot for both markers and delta dirs, taken
+      // BEFORE the manifest read below. finalizeStaged plants its marker
+      // strictly before renaming the delta in and commits its manifest
+      // strictly after, so for any dir this listing sees: either its
+      // marker is in the same listing (finalize still in flight), or the
+      // finalize has advanced past the rename — and if it reached commit,
+      // the keepFiles read below (which happens AFTER the listing)
+      // observes that manifest. Listing markers in one pass and dirs in a
+      // second, or reading manifests before listing, reopens a
+      // lose-the-only-copy window against a concurrent finalize.
+      val listing = dfs.listStatus(dataRoot)
       // Dirs with a FRESH in-flight marker belong to a concurrent
       // finalizeStaged that renamed its deltas in but hasn't committed a
       // manifest yet — unreferenced, but about to be published. A stale
       // marker (crashed finalize beyond the grace window) stops
       // protecting, and the orphaned files collect normally.
       val now = System.currentTimeMillis()
-      val inFlight: Set[String] = dfs.listStatus(dataRoot).iterator
+      val inFlight: Set[String] = listing.iterator
         .filter(st => st.isFile && st.getPath.getName.startsWith(InFlightPrefix))
         .filter { st =>
           if (now - st.getModificationTime <= Library.InFlightGraceMs) true
           else { dfs.delete(st.getPath, false); false }
         }
         .map(_.getPath.getName.stripPrefix(InFlightPrefix)).toSet
-      dfs.listStatus(dataRoot).filter(_.isDirectory).foreach { dir =>
+      val keepFiles: Set[String] =
+        listVersions(symbol).flatMap(v => manifest(symbol, v).files.map(_.path)).toSet
+      listing.filter(_.isDirectory).foreach { dir =>
         val dirName = dir.getPath.getName
         if (!inFlight.contains(dirName)) {
           dfs.listStatus(dir.getPath).filter(_.isFile).foreach { st =>
@@ -1586,6 +1597,7 @@ final class Library(
     dfs.mkdirs(dataRoot)
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Vector[RawFileStat], StructType)]
     val markers = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val keepMarkers = scala.collection.mutable.Set.empty[Path]
     var published = false
     try {
       stats.zip(deltaSchemas).foreach { case ((d, fsx), (_, schema)) =>
@@ -1654,15 +1666,27 @@ final class Library(
         moved.foreach { case (dir, _, _) =>
           val src = new Path(dataRoot, dir)
           val dst = new Path(sDir, dir)
+          def rollbackFailed(): Unit = {
+            // keep the dir's marker: deleting it would strip GC
+            // protection from the stranded unreferenced data the very
+            // next prune would collect. The marker lapses after the
+            // grace window — an operator has that long to recover.
+            keepMarkers += new Path(dataRoot, s"$InFlightPrefix$dir")
+          }
           try {
-            if (!dfs.rename(src, dst))
+            if (!dfs.rename(src, dst)) {
+              rollbackFailed()
               t.addSuppressed(new java.io.IOException(
                 s"rollback failed for $symbol: could not move $src back to staging"))
-          } catch { case e: Throwable => t.addSuppressed(e) }
+            }
+          } catch {
+            case e: Throwable => rollbackFailed(); t.addSuppressed(e)
+          }
         }
         throw t
     } finally {
-      markers.foreach(mk => try dfs.delete(mk, false) catch { case _: Exception => () })
+      markers.filterNot(keepMarkers.contains)
+        .foreach(mk => try dfs.delete(mk, false) catch { case _: Exception => () })
     }
   }
 
@@ -1829,9 +1853,16 @@ final class Library(
       items.zip(futures).map { case (a, fut) =>
         scala.util.Try(fut.get()) match {
           case scala.util.Success(b) => BatchOk(label(a), b)
-          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException)
+              if scala.util.control.NonFatal(e.getCause) =>
             DataError(label(a), e.getCause)
-          case scala.util.Failure(e) => DataError(label(a), e)
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+            // fatal (OOM etc.): the JVM is in unknown state — propagate,
+            // matching batchTry's NonFatal-only capture
+            throw e.getCause
+          case scala.util.Failure(e) if scala.util.control.NonFatal(e) =>
+            DataError(label(a), e)
+          case scala.util.Failure(e) => throw e
         }
       }
     } finally pool.shutdown()

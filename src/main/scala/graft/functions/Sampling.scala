@@ -58,10 +58,15 @@ object Sampling {
     * runtime; rates ≥ 1 short-circuit to keep-all (a 5-hex render would
     * break the lexicographic≡numeric property).
     */
-  def hashSampleCondBy(idCol: Column, rate: Column): Column =
-    (rate >= 1.0) ||
-      (substring(md5(idCol.cast("string")), 1, 4) <
-        format_string("%04x", round(rate * 65536).cast("int")))
+  def hashSampleCondBy(idCol: Column, rate: Column): Column = {
+    // Mirror the scalar threshold()'s >=65536 clamp: a rate in
+    // [65535.5/65536, 1) rounds to 65536, which renders as the 5-hex
+    // "10000" and lexicographically undercuts every 4-hex prefix —
+    // silently dropping ~94% of rows that should all be kept.
+    val n = round(rate * 65536).cast("int")
+    (n >= 65536) ||
+      (substring(md5(idCol.cast("string")), 1, 4) < format_string("%04x", n))
+  }
 
   /** Down-sample each domain to ≈`tokenBudget` TOKENS, deterministically.
     * Pretraining mixes are specified as per-domain token targets, not row
@@ -75,7 +80,10 @@ object Sampling {
     * Kept token mass ≈ budget per domain in expectation (hash uniformity;
     * deterministic in id — same rows on any engine or partitioning). At
     * corpus scale the only data movement is the counter shuffle and a
-    * #domains-row broadcast.
+    * #domains-row broadcast. Rows with a NULL domain are dropped — the
+    * same null-key semantics as the engine's pandas-style groupby
+    * (SURVEY §2 PartitionClause); coalesce the domain to a sentinel
+    * first to budget them as their own mix component.
     */
   def sampleTokenBudget(
       df: DataFrame,

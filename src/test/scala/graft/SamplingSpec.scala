@@ -45,6 +45,12 @@ class SamplingSpec extends SparkSuite {
     // budget >= total keeps everything
     assert(Sampling.sampleTokenBudget(docs, "id", "text", "source", 50000L)
       .count() == 6000)
+    // a rate just under 1 rounds to 65536: must keep-all, not render a
+    // 5-hex threshold that lexicographically undercuts every md5 prefix
+    val nearOne = spark.range(10000).toDF("id")
+      .filter(Sampling.hashSampleCondBy(col("id"), lit(65535.7 / 65536.0)))
+      .count()
+    assert(nearOne == 10000, s"near-1 rate must keep all rows, kept $nearOne")
   }
 
   test("leakageSafeSplits keeps duplicate components in one split") {
