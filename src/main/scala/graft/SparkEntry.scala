@@ -773,6 +773,14 @@ object SparkEntry {
         maxDocFreq = 9, forceDense = Some(false))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q77_decontamination_report" -> { (s, dir) =>
+      // Per-eval-doc contamination health: which benchmark items are
+      // burned into the corpus, by how many docs, and how badly.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminationReport(docs, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 3, 0.2)
+        .transform(sortSmallAgg(_, "doc_id"))
+    },
     "q76_leakage_safe_splits" -> { (s, dir) =>
       // Train/val/test assignment hashed on the near-dup CLUSTER label:
       // a duplicate component never straddles splits, so eval can't leak
@@ -1062,6 +1070,27 @@ object SparkEntry {
     "q69_front_door_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "q77_decontamination_report" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id, b.doc_id AS kid, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < 50
+            GROUP BY 1, 2),
+          j AS (
+            SELECT id, kid,
+              round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id
+            JOIN sizes sb ON sb.doc_id = kid)
+          SELECT kid AS doc_id, count(*) AS n_matches, max(jac) AS max_jac
+          FROM j WHERE jac >= 0.2 GROUP BY 1 ORDER BY 1""",
     "q68_decontaminate" ->
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

@@ -160,13 +160,46 @@ object Dedup {
       }
     val kp = shinglePostings(contam, idCol, textCol, shingleLen)
       .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
-    val bad = cp.join(broadcast(kp), "s")
-      .groupBy("id", "kid", "sz", "ksz").agg(count(lit(1)).as("inter"))
-      .filter(
-        round(col("inter").cast("double") /
-          (col("sz") + col("ksz") - col("inter")).cast("double"), 6) >= threshold)
+    val bad = matchesFrom(cp, kp, threshold)
       .select(col("id").as(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** The (corpus id, contam id, jaccard) match stream decontaminate
+    * filters on — shared with [[decontaminationReport]].
+    */
+  private def matchesFrom(cp: DataFrame, kp: DataFrame, threshold: Double): DataFrame =
+    cp.join(broadcast(kp), "s")
+      .groupBy("id", "kid", "sz", "ksz").agg(count(lit(1)).as("inter"))
+      .select(col("id"), col("kid"),
+        round(col("inter").cast("double") /
+          (col("sz") + col("ksz") - col("inter")).cast("double"), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** Per-EVAL-doc contamination report: for each contamination-set doc,
+    * how many corpus docs overlap it at/above the threshold and the
+    * worst (max) Jaccard seen — the view that tells you WHICH benchmark
+    * items are burned into the corpus before you decide what to drop.
+    * Same broadcast/counter-shuffle shape as [[decontaminate]]: the
+    * shuffle carries (corpus_id, contam_id) counters, never text; the
+    * report itself is one more tiny keyed aggregate over the matches.
+    * Eval docs with no match at all simply don't appear (join the
+    * contamination set back for a zero-filled roster if needed).
+    */
+  def decontaminationReport(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double): DataFrame = {
+    val cp = shinglePostings(corpus, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"), col("id"), col("sz"))
+    val kp = shinglePostings(contam, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
+    matchesFrom(cp, kp, threshold)
+      .groupBy(col("kid").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
   }
 
   /** ---- MinHash ----
