@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Library
 import graft.core.Library.AsOf
-import graft.functions.{Dedup, Multimodal, Text, Vectors}
+import graft.functions.{CorpusStats, Dedup, Multimodal, Pii, Text, Vectors}
 import graft.operators.{AsOfJoin, MergeUpdate}
 import graft.query.{Expr, QueryBuilder, Resample}
 import graft.query.Expr.{col => e, lit => l, where => ternary}
@@ -802,6 +802,57 @@ object SparkEntry {
           graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q78_pii_redact" -> { (s, dir) =>
+      // PII scrub: the synthetic corpus carries no natural PII, so the
+      // query plants a deterministic payload per doc_id residue class —
+      // mirrored verbatim in the oracle SQL — and the gate then checks
+      // detection counts, category-attribution order and byte-exact
+      // redaction (md5 of the cleaned text). The scan itself is pure
+      // codegen regexp composition: one pass over the text, no shuffle.
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-867-5309"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
+              lit(".1"))).otherwise(lit(""))).as("text"))
+      Pii.scan(injected, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          md5(col("clean_text")).as("clean_md5"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q79_corpus_health" -> { (s, dir) =>
+      CorpusStats.healthReport(t(s, dir, "documents"), "text", "source")
+        .transform(sortSmallAgg(_, "source"))
+    },
+    "q80_stream_token_budget" -> { (s, dir) =>
+      // Live-ingest token-budget admission: a real flatMapGroupsWithState
+      // streaming run inside the correctness gate. The corpus streams from
+      // a single staged file (one AvailableNow batch), so the admitted set
+      // equals the SQL prefix oracle `cum_tokens <= budget` per source;
+      // multi-batch incremental state is pinned by StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val src = tmpRoot()
+      docs.coalesce(1).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(docs.schema).parquet(src)
+      val sink = "q80_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamIngest
+        .tokenBudgetStream(stream, "doc_id", "text", "source", 800L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmpRoot() + "/ckpt")
+        .start()
+      q.awaitTermination(120000L)
+      s.table(sink)
+        .select(col("doc_id"), col("domain").as("source"), col("n_tokens"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q66_agg_then_filter_project" -> { (s, dir) =>
       // Clause chaining PAST a barrier (reference: clauses compose
       // linearly, processing.py — e.g. groupby().agg() then filter on the
@@ -1169,6 +1220,59 @@ object SparkEntry {
              OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
                 < printf('%04x', CAST(round(r.rate * 65536) AS INT))
           ORDER BY doc_id""",
+    "q78_pii_redact" ->
+      s"""WITH inj AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0
+                   THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.1'
+                   ELSE '' END AS t
+            FROM documents),
+          s1 AS (SELECT doc_id, t,
+                   regexp_replace(t, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g') AS t1
+                 FROM inj),
+          s2 AS (SELECT doc_id, t, t1,
+                   regexp_replace(t1, '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS t2
+                 FROM s1)
+          SELECT doc_id,
+            len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_emails,
+            len(regexp_extract_all(t1, '${Pii.PhoneRe}')) AS n_phones,
+            len(regexp_extract_all(t2, '${Pii.Ipv4Re}')) AS n_ips,
+            md5(regexp_replace(t2, '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g')) AS clean_md5
+          FROM s2 ORDER BY doc_id""",
+    "q79_corpus_health" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
+        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
+        s"/ greatest($nTok, 1), 6)"
+      val mean = s"round(CAST(list_sum(list_transform(string_split(text, ' '), " +
+        s"x -> length(x))) AS DOUBLE) / greatest($nTok, 1), 6)"
+      s"""WITH per_doc AS (
+            SELECT source, $nTok AS n_tokens, md5($normSql) AS fp,
+              round((least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+                   + least($stop * 4.0, 1.0)
+                   + CASE WHEN $mean >= 3.0 AND $mean <= 10.0 THEN 1.0 ELSE 0.5 END)
+                  / 3.0, 6) AS quality
+            FROM documents)
+          SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+            round(avg(n_tokens), 6) AS mean_tokens, max(n_tokens) AS max_tokens,
+            count(*) - count(DISTINCT fp) AS dup_docs,
+            round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+              AS dup_ratio,
+            round(avg(quality), 6) AS mean_quality
+          FROM per_doc GROUP BY source ORDER BY source"""
+    },
+    "q80_stream_token_budget" ->
+      """SELECT doc_id, source, n_tokens FROM (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sum(len(string_split(text, ' ')))
+               OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           FROM documents)
+         WHERE cum <= 800 ORDER BY doc_id""",
     "q72_decontaminate_capped" ->
       s"""WITH docs AS (
             SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

@@ -177,4 +177,72 @@ object StreamIngest {
       .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__event", "__fp")
+
+  /** Row shape of [[tokenBudgetStream]] (both its internal typed stream
+    * and its output). NOT private: the Encoder's generated projections
+    * must be able to instantiate it from codegen'd classes.
+    */
+  case class AdmittedDoc(domain: String, doc_id: Long, text: String, n_tokens: Long)
+
+  /** Streaming per-domain token-budget admission: admit documents, in
+    * doc-id order within each micro-batch, while the domain's RUNNING
+    * token total (counted over every document seen, admitted or not)
+    * stays within `tokenBudget`; once a domain's stream has carried
+    * `tokenBudget` tokens, everything later is dropped.
+    *
+    * This is the live-ingest twin of [[graft.functions.Sampling
+    * .sampleTokenBudget]]: the batch operator down-samples a KNOWN corpus
+    * to a token target; this one caps an UNBOUNDED arriving stream — "stop
+    * taking web-crawl tokens for domain X once we have a billion" — a
+    * decision that is inherently sequential per domain and therefore
+    * cannot be a stateless filter or a built-in windowed aggregate. It is
+    * the textbook `flatMapGroupsWithState` shape: one long per domain of
+    * state (the running total), Append-mode output, no timeout (budgets
+    * don't expire).
+    *
+    * Determinism: within one micro-batch a domain's documents are
+    * processed in doc-id order (the group iterator carries no order
+    * guarantee, so the group sorts its batch slice — bounded by the
+    * micro-batch size, which admission control sizes anyway). Because the
+    * running total counts every seen document, the admitted set over a
+    * single-batch stream equals the SQL prefix
+    * `sum(tokens) OVER (PARTITION BY domain ORDER BY id) <= budget` —
+    * the oracle the driver gate replays; multi-batch incremental behavior
+    * is pinned by StreamingSpec.
+    *
+    * Scale shape: state is ONE counter per domain (not per doc); the only
+    * shuffle is the groupByKey exchange keyed on domain. A heavily skewed
+    * domain serializes its own admission — unavoidable for sequential
+    * admission semantics — but never buffers more than its slice of one
+    * micro-batch.
+    */
+  def tokenBudgetStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      tokenBudget: Long): Dataset[AdmittedDoc] = {
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(
+        col(domainCol).cast("string").as("domain"),
+        col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"),
+        graft.functions.Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[AdmittedDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, docs: Iterator[AdmittedDoc], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val admitted = docs.toSeq.sortBy(_.doc_id).flatMap { d =>
+            total += d.n_tokens
+            if (total <= tokenBudget) Some(d) else None
+          }
+          state.update(total)
+          admitted.iterator
+      }
+  }
 }

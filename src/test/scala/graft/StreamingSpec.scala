@@ -191,4 +191,28 @@ class StreamingSpec extends SparkSuite {
     assert(ids.contains(3L))
     assert(ids.intersect(Set(1L, 2L)).size == 1) // exactly one of the dup pair
   }
+
+  test("tokenBudgetStream admits the per-domain prefix and carries state across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val stream = mem.toDF.toDF("source", "doc_id", "text")
+    val out = StreamIngest.tokenBudgetStream(stream, "doc_id", "text", "source", 5L)
+    val q = out.writeStream.format("memory").queryName("budget")
+      .outputMode("append").start()
+    // batch 1 — domain a: three 2-token docs fed OUT of id order; admission
+    // is by id order, running total counts every seen doc (cum 2,4,6 → ids
+    // 1,2 admitted, 3 over budget). domain b: one 4-token doc (cum 4).
+    mem.addData(("a", 2L, "w w"), ("a", 1L, "w w"), ("a", 3L, "w w"),
+      ("b", 10L, "x x x x"))
+    q.processAllAvailable()
+    // batch 2 — a's stream has already carried 6 tokens: even a 1-token doc
+    // is rejected (state crossed the budget). b sits at 4: id 11 (1 token,
+    // cum 5) fits exactly; id 12 (cum 7) does not.
+    mem.addData(("a", 4L, "w"), ("b", 11L, "y"), ("b", 12L, "z z"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("budget").select("domain", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
+  }
 }
