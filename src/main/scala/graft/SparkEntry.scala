@@ -831,6 +831,12 @@ object SparkEntry {
       CorpusStats.healthReport(t(s, dir, "documents"), "text", "source")
         .transform(sortSmallAgg(_, "source"))
     },
+    "q81_token_histogram" -> { (s, dir) =>
+      // The scale-safe stand-in for token-count percentiles: pure counters
+      // under partial aggregation at any corpus size.
+      CorpusStats.tokenHistogram(t(s, dir, "documents"), "text", "source", 16)
+        .transform(sortSmallAgg(_, "source", "bucket_lo"))
+    },
     "q80_stream_token_budget" -> { (s, dir) =>
       // Live-ingest token-budget admission: a real flatMapGroupsWithState
       // streaming run inside the correctness gate. The corpus streams from
@@ -1265,6 +1271,12 @@ object SparkEntry {
             round(avg(quality), 6) AS mean_quality
           FROM per_doc GROUP BY source ORDER BY source"""
     },
+    "q81_token_histogram" ->
+      """SELECT source,
+           CAST(floor(len(string_split(text, ' ')) / 16) * 16 AS BIGINT)
+             AS bucket_lo,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "q80_stream_token_budget" ->
       """SELECT doc_id, source, n_tokens FROM (
            SELECT doc_id, source,
