@@ -46,11 +46,7 @@ object Bench {
     "q55_hash_sample_stratified",
     "q56_repetition_ratio",
     // round-7 addition (side-effect-free)
-    "q68_decontaminate",
-    // round-10 additions (side-effect-free)
-    "q78_pii_redact",
-    "q79_corpus_health",
-    "q81_token_histogram")
+    "q68_decontaminate")
 
   /** Locate the sf1 generator script (bench tooling, not library code) and
     * materialize a deterministic 10×-scaled copy of `sfDir` at `dst`.

@@ -35,7 +35,8 @@ object CorpusStats {
   def healthReport(df: DataFrame, textCol: String, domainCol: String): DataFrame = {
     val st = Text.textStats(col(textCol))
     val toks = st.getField("n_tokens").cast("long")
-    df.select(
+    Kernels.spread(df, Seq(domainCol, textCol))
+      .select(
         col(domainCol),
         toks.as("__toks"),
         Text.qualityScoreOf(st).as("__q"),
@@ -62,7 +63,8 @@ object CorpusStats {
       bucketWidth: Int = 16): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
     val toks = Text.tokenCount(col(textCol)).cast("long")
-    df.select(col(domainCol),
+    Kernels.spread(df, Seq(domainCol, textCol))
+      .select(col(domainCol),
         (floor(toks / bucketWidth) * bucketWidth).as("bucket_lo"))
       .groupBy(col(domainCol), col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"))

@@ -60,15 +60,11 @@ object Dedup {
     * through exchanges by the optimizer, so the kernel stays above the
     * repartition (a plain Project would be pushed back down).
     */
-  private def spreadForKernel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val narrow = df.select(col(idCol), col(textCol))
+  private def spreadForKernel(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // Parquet bin-packing targets ~defaultParallelism splits, so the
     // "enough splits" bar must be core-relative: an already-at-parallelism
     // scan gains nothing from the exchange.
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (narrow.rdd.getNumPartitions >= math.min(8, cores)) narrow
-    else narrow.repartition(math.min(16, 2 * cores))
-  }
+    Kernels.spread(df, Seq(idCol, textCol))
 
   /** Within-document repetition ratio — the classic corpus-quality signal
     * (fraction of n-gram POSITIONS occupied by a repeated n-gram):

@@ -48,8 +48,12 @@ object Pii {
   val PhoneTag = "<PHONE>"
   val IpTag    = "<IP>"
 
-  private def countAll(text: Column, re: String): Column =
-    size(regexp_extract_all(text, lit(re), lit(0)))
+  /** Occurrences of fixed substring `tag` in `text` — a plain substring
+    * scan (`split` by an escaped literal), ~10× cheaper than a Java-regex
+    * pass over the same bytes.
+    */
+  private def tagCount(text: Column, tag: String): Column =
+    size(split(text, java.util.regex.Pattern.quote(tag))) - 1
 
   /** Text with all three PII categories replaced by their tags, in the
     * fixed email → phone → IP order (the order counts are attributed in).
@@ -63,16 +67,30 @@ object Pii {
 
   /** Per-document scan report: category counts plus the redacted text.
     * Output: idCol, n_emails, n_phones, n_ips, clean_text.
+    *
+    * The six regex passes are compute-bound, so a split-starved scan (one
+    * zstd row group holding the whole table) first buys parallelism via
+    * [[Kernels.spread]] — a no-op whenever the file layout already
+    * supplies splits, i.e. always at corpus scale.
     */
   def scan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val in = Kernels.spread(df, Seq(idCol, textCol))
     val afterEmail = regexp_replace(col(textCol), lit(EmailRe), lit(EmailTag))
     val afterPhone = regexp_replace(afterEmail, lit(PhoneRe), lit(PhoneTag))
     val afterIp    = regexp_replace(afterPhone, lit(Ipv4Re), lit(IpTag))
-    df.select(
+    // Counts are derived from tag-count DIFFS over the redaction chain
+    // (each match inserts exactly one tag, and subtracting the input's
+    // pre-existing literal tags keeps the count exact even on adversarial
+    // text) — three regex passes total instead of six; the fixed-string
+    // scans are noise next to a regex pass. Codegen CSE shares the three
+    // redaction expressions between the counts and clean_text.
+    in.select(
       col(idCol),
-      countAll(col(textCol), EmailRe).as("n_emails"),
-      countAll(afterEmail, PhoneRe).as("n_phones"),
-      countAll(afterPhone, Ipv4Re).as("n_ips"),
+      (tagCount(afterEmail, EmailTag) - tagCount(col(textCol), EmailTag))
+        .as("n_emails"),
+      (tagCount(afterPhone, PhoneTag) - tagCount(afterEmail, PhoneTag))
+        .as("n_phones"),
+      (tagCount(afterIp, IpTag) - tagCount(afterPhone, IpTag)).as("n_ips"),
       afterIp.as("clean_text"))
   }
 
@@ -81,10 +99,13 @@ object Pii {
     * codegen predicate; composes with any upstream clause.
     */
   def dropPiiHeavy(df: DataFrame, textCol: String, maxHits: Int): DataFrame = {
-    val afterEmail = regexp_replace(col(textCol), lit(EmailRe), lit(EmailTag))
-    val afterPhone = regexp_replace(afterEmail, lit(PhoneRe), lit(PhoneTag))
-    val total = countAll(col(textCol), EmailRe) +
-      countAll(afterEmail, PhoneRe) + countAll(afterPhone, Ipv4Re)
+    val t = col(textCol)
+    val a1 = regexp_replace(t, lit(EmailRe), lit(EmailTag))
+    val a2 = regexp_replace(a1, lit(PhoneRe), lit(PhoneTag))
+    val a3 = regexp_replace(a2, lit(Ipv4Re), lit(IpTag))
+    val total = (tagCount(a1, EmailTag) - tagCount(t, EmailTag)) +
+      (tagCount(a2, PhoneTag) - tagCount(a1, PhoneTag)) +
+      (tagCount(a3, IpTag) - tagCount(a2, IpTag))
     df.filter(total <= maxHits)
   }
 }
