@@ -837,6 +837,22 @@ object SparkEntry {
       CorpusStats.tokenHistogram(t(s, dir, "documents"), "text", "source", 16)
         .transform(sortSmallAgg(_, "source", "bucket_lo"))
     },
+    "q82_decontaminate_substring" -> { (s, dir) =>
+      // Exact-substring decontamination (one shared 5-gram burns the doc
+      // — the GPT-3/Pile-lineage conservative semantics, vs q68's Jaccard
+      // threshold). Same eval set as q68: the first 50 docs.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateSubstring(docs, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    "q83_boilerplate_ngrams" -> { (s, dir) =>
+      // Top-25 most document-frequent 3-grams: what maxDocFreq-style
+      // boilerplate caps should be capping, as a human-readable report.
+      Dedup.boilerplateNgrams(t(s, dir, "documents"), "doc_id", "text", 3, 25)
+        .transform(sortSmall(_, "doc_freq", "shingle"))
+    },
     "q80_stream_token_budget" -> { (s, dir) =>
       // Live-ingest token-budget admission: a real flatMapGroupsWithState
       // streaming run inside the correctness gate. The corpus streams from
@@ -1271,6 +1287,30 @@ object SparkEntry {
             round(avg(quality), 6) AS mean_quality
           FROM per_doc GROUP BY source ORDER BY source"""
     },
+    "q82_decontaminate_substring" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4])) AS s
+              FROM docs)),
+          ksh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+          bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN (SELECT s FROM ksh))
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id""",
+    "q83_boilerplate_ngrams" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs))
+          SELECT s AS shingle, count(*) AS doc_freq FROM sh
+          GROUP BY 1 ORDER BY doc_freq DESC, shingle LIMIT 25""",
     "q81_token_histogram" ->
       """SELECT source,
            CAST(floor(len(string_split(text, ' ')) / 16) * 16 AS BIGINT)

@@ -198,6 +198,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
   }
 
+  /** Exact-substring decontamination — the CONSERVATIVE semantics the
+    * GPT-3/Pile-lineage pipelines default to: a corpus document is burned
+    * if it shares even ONE word-n-gram with the contamination set (no
+    * similarity threshold; n is typically ~13 whitespace tokens at real
+    * corpus vocabulary — pick it so random collisions are negligible).
+    * Complements [[decontaminate]]'s Jaccard-threshold semantics.
+    *
+    * Scale shape (same pinned properties as decontaminate): corpus text
+    * never shuffles — the shingle kernel runs fused with the scan and
+    * only 8-byte shingle hashes leave it; the eval set's distinct
+    * shingles broadcast (a benchmark is small by construction); the only
+    * shuffle is the distinct over matched corpus IDS.
+    */
+  def decontaminateSubstring(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int): DataFrame = {
+    val cp = shinglePostings(corpus, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s"), col("id"))
+    val kp = shinglePostings(contam, idCol, textCol, shingleLen)
+      .select(xxhash64(col("s")).as("s")).distinct()
+    val bad = cp.join(broadcast(kp), Seq("s"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus boilerplate mining: the k most DOCUMENT-frequent word-n-grams
+    * (each doc counts a shingle once — ShinglePostings is distinct per
+    * doc), with a total (doc_freq desc, shingle asc) order so the cut is
+    * deterministic. This is the view that tells you what [[decontaminate]]
+    * maxDocFreq / C4-style boilerplate filters should be capping.
+    * Scale shape: counter-only partial aggregation keyed by shingle, then
+    * a bounded per-partition top-k (TakeOrderedAndProject — no global
+    * sort ever materializes the full frequency table).
+    */
+  def boilerplateNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    shinglePostings(Kernels.spread(df, Seq(idCol, textCol)), idCol, textCol, n)
+      .groupBy(col("s").as("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** ---- MinHash ----
     * k independent minhashes over the shingle postings:
     * sig[i] = min over shingles of xxhash64(seed=i, shingle), computed as k

@@ -296,4 +296,39 @@ class DedupGroundTruthSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
   }
+
+  test("decontaminateSubstring burns on ONE shared n-gram, threshold-free") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // shares "quick brown fox" with eval
+      (2L, "quick brown wolf runs away now"),      // bigrams overlap, no shared 3-gram
+      (3L, "entirely different words here today"), // clean
+      (4L, "ends with the quick brown fox")        // shared 3-gram at the tail
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "we ask about the quick brown fox story")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSubstring(corpus, eval_, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+    // n longer than every shared run → nothing burns
+    val all = Dedup.decontaminateSubstring(corpus, eval_, "doc_id", "text", 6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("boilerplateNgrams ranks by doc frequency with deterministic ties, once per doc") {
+    val corpus = Seq(
+      (1L, "click here to subscribe click here to subscribe"), // repeated IN doc: counts once
+      (2L, "click here to subscribe now"),
+      (3L, "click here to unsubscribe now"),
+      (4L, "totally unrelated text body")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateNgrams(corpus, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "click here to" is in docs 1,2,3 — once each despite doc 1's
+    // internal repeat; "here to subscribe" in 1,2; the third slot is the
+    // lexicographically first of the seven freq-1 shingles
+    assert(got == Seq(
+      ("click here to", 3L),
+      ("here to subscribe", 2L),
+      ("here to unsubscribe", 1L)))
+  }
 }
