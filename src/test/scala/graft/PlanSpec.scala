@@ -89,6 +89,32 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("substring decontamination broadcasts eval shingles; text never shuffles (q82)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q82_decontaminate_substring")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach(e =>
+        assert(!e.child.output.map(_.name).contains("text"),
+          s"text column must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("boilerplate mining is a partial-agg top-k, no global sort (q83)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q83_boilerplate_ngrams")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+      // the k-cut must not materialize a ranged global sort of the full
+      // frequency table
+      assert(!plan.contains("rangepartitioning"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("jaccard kernel buys parallelism only on split-starved scans") {
     // spreadForKernel: a <8-split input round-robins (id, text) to 16
     // partitions so the shingle kernel is not single-core; an input whose
