@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Library
 import graft.core.Library.AsOf
-import graft.functions.{CorpusStats, Dedup, Multimodal, Pii, Text, Vectors}
+import graft.functions.{CorpusStats, Dedup, Multimodal, Pii, Text, Unigram, Vectors}
 import graft.operators.{AsOfJoin, MergeUpdate}
 import graft.query.{Expr, QueryBuilder, Resample}
 import graft.query.Expr.{col => e, lit => l, where => ternary}
@@ -853,6 +853,20 @@ object SparkEntry {
       Dedup.boilerplateNgrams(t(s, dir, "documents"), "doc_id", "text", 3, 25)
         .transform(sortSmall(_, "doc_freq", "shingle"))
     },
+    "q84_unigram_logprob" -> { (s, dir) =>
+      // Self-trained perplexity proxy: per-doc mean unigram log-prob, with
+      // a 0.5% relative-share vocab cutoff so the rare-token OOV floor
+      // path is exercised (the 'dup' token falls below it at every sf).
+      Unigram.logProbScore(t(s, dir, "documents"), "doc_id", "text", 0.005)
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q85_coverage_vocab" -> { (s, dir) =>
+      // Tokenizer-vocab construction: smallest (freq desc, tok) prefix
+      // covering 90% of corpus token mass. The ordered window runs over
+      // the vocab-sized aggregate only.
+      Unigram.coverageVocab(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .transform(sortSmall(_, "freq", "tok"))
+    },
     "q80_stream_token_budget" -> { (s, dir) =>
       // Live-ingest token-budget admission: a real flatMapGroupsWithState
       // streaming run inside the correctness gate. The corpus streams from
@@ -1311,6 +1325,34 @@ object SparkEntry {
               FROM docs))
           SELECT s AS shingle, count(*) AS doc_freq FROM sh
           GROUP BY 1 ORDER BY doc_freq DESC, shingle LIMIT 25""",
+    "q84_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+         vocab AS (
+           SELECT tok, ln(c / t.t) AS lp FROM counts, tot t
+           WHERE c >= 0.005 * t.t)
+         SELECT doc_id,
+           round(avg(coalesce(v.lp, (SELECT ln(0.5 / t) FROM tot))), 6)
+             AS lp_mean
+         FROM toks LEFT JOIN vocab v USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q85_coverage_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+         ranked AS (
+           SELECT tok, c,
+             sum(c) OVER (ORDER BY c DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+           FROM counts)
+         SELECT tok, c AS freq, round(cum / t.t, 6) AS cum_share
+         FROM ranked, tot t
+         WHERE CAST(cum - c AS DOUBLE) < 0.9 * t.t
+         ORDER BY freq DESC, tok""",
     "q81_token_histogram" ->
       """SELECT source,
            CAST(floor(len(string_split(text, ' ')) / 16) * 16 AS BIGINT)

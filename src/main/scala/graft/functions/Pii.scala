@@ -73,8 +73,18 @@ object Pii {
     * [[Kernels.spread]] — a no-op whenever the file layout already
     * supplies splits, i.e. always at corpus scale.
     */
-  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val in = Kernels.spread(df, Seq(idCol, textCol))
+  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scanSelect(Kernels.spread(df, Seq(idCol, textCol)), idCol, textCol)
+
+  /** The [[scan]] expression chain without the batch-only split-starvation
+    * probe — shared with the streaming twin
+    * (StreamIngest.piiScrubStream), whose parallelism comes from its
+    * source and which cannot answer an `.rdd` partition probe.
+    */
+  private[graft] def scanSelect(
+      in: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val afterEmail = regexp_replace(col(textCol), lit(EmailRe), lit(EmailTag))
     val afterPhone = regexp_replace(afterEmail, lit(PhoneRe), lit(PhoneTag))
     val afterIp    = regexp_replace(afterPhone, lit(Ipv4Re), lit(IpTag))

@@ -178,6 +178,19 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__event", "__fp")
 
+  /** Streaming PII scrub: the stateless twin of Pii.scan — per-document
+    * category counts plus redacted text on a live ingest stream. Pure
+    * codegen row map (no state, no watermark), so it composes with any
+    * downstream streaming stage and any output mode; a micro-batch's
+    * output is row-identical to running the batch scan on the same rows
+    * (pinned in StreamingSpec).
+    */
+  def piiScrubStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    graft.functions.Pii.scanSelect(stream, idCol, textCol)
+
   /** Row shape of [[tokenBudgetStream]] (both its internal typed stream
     * and its output). NOT private: the Encoder's generated projections
     * must be able to instantiate it from codegen'd classes.

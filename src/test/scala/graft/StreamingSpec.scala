@@ -215,4 +215,29 @@ class StreamingSpec extends SparkSuite {
       .as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
   }
+
+  test("piiScrubStream output is row-identical to the batch Pii.scan") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail bob@example.com and 10.0.0.1"),
+      (2L, "call +1-555-123-4567 twice +1-555-123-4567"),
+      (3L, "clean document, no pii at all"),
+      (4L, "pre-tagged [EMAIL] plus real a@b.co"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val out = StreamIngest.piiScrubStream(stream, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("piiscrub")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("piiscrub")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val batch = graft.functions.Pii
+      .scan(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(streamed == batch && streamed.size == rows.size)
+    // the pre-tagged literal [EMAIL] is not counted; the real address is
+    assert(streamed.find(_._1 == 4L).get._2 == 1)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Unigram
+
+/** Self-trained unigram LM operators, checked against hand-computed
+  * values on a toy corpus (the driver gates q84/q85 replay the formulas
+  * in DuckDB at sf scale).
+  *
+  * Toy corpus token counts: a=5, b=3, c=1, z=1 (total 10).
+  */
+class UnigramSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "a a a b"),
+    (1L, "a b b c"),
+    (2L, "a z")
+  ).toDF("doc_id", "text")
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("logProbScore: vocab cutoff by relative share, OOV floor, per-doc mean") {
+    // minShare 0.15 → threshold 1.5 tokens → vocab {a (p=.5), b (p=.3)};
+    // c and z fall to the OOV floor ln(0.5/10).
+    val got = Unigram.logProbScore(corpus, "doc_id", "text", 0.15)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    val lpA = math.log(0.5)
+    val lpB = math.log(0.3)
+    val floor = math.log(0.05)
+    assert(got(0) == (0L -> r6((3 * lpA + lpB) / 4)))
+    assert(got(1) == (1L -> r6((lpA + 2 * lpB + floor) / 4)))
+    assert(got(2) == (2L -> r6((lpA + floor) / 2)))
+    // the floor is strictly below every retained token's log-prob
+    assert(floor < lpB && lpB < lpA)
+  }
+
+  test("logProbScore: minShare 0 keeps the whole vocab — no OOV path") {
+    val got = Unigram.logProbScore(corpus, "doc_id", "text", 0.0)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    // doc 2: (ln .5 + ln .1) / 2 — z now scores as a real token
+    assert(got(2) == (2L -> r6((math.log(0.5) + math.log(0.1)) / 2)))
+  }
+
+  test("coverageVocab: smallest (freq desc, tok) prefix crossing the target") {
+    // coverage 0.7 → target mass 7: a (cum 5) and b (cum 8, crosses) kept;
+    // c (before-mass 8 ≥ 7) dropped.
+    val got = Unigram.coverageVocab(corpus, "doc_id", "text", 0.7)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", 5L, 0.5), ("b", 3L, 0.8)))
+  }
+
+  test("coverageVocab: coverage 1.0 keeps every token, ties break on tok asc") {
+    val got = Unigram.coverageVocab(corpus, "doc_id", "text", 1.0)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq ==
+      Seq(("a", 5L, 0.5), ("b", 3L, 0.8), ("c", 1L, 0.9), ("z", 1L, 1.0)))
+  }
+}
