@@ -792,6 +792,64 @@ object Dedup {
     }
   }
 
+  /** Importance weights — the soft alternative to dropping near-dups:
+    * every doc in a duplicate cluster of size m weighs 1/m, isolated docs
+    * weigh 1.0. Weighted training preserves every document (provenance,
+    * long-tail phrasing) while removing the duplication bias that hard
+    * dedup buys with data loss. Output: (idCol, weight), weight rounded
+    * to 6 places, one row per input doc.
+    *
+    * Scale shape: clusters exist only for docs IN the pairs graph — a
+    * sparse subset of the corpus — so the sizes aggregate and the
+    * weights join touch the near-dup graph, not the corpus; the final
+    * left join keys on ids only (text never shuffles).
+    */
+  def duplicateWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__m"))
+    val weights = clusters.join(sizes, "cluster_id")
+      .select(col("id").as(idCol), col("__m"))
+    df.select(col(idCol))
+      .join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        round(lit(1.0) / coalesce(col("__m"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * shingles that appear in no other document (document frequency 1).
+    * High novelty marks genuinely original text; low novelty marks docs
+    * assembled from corpus-common phrasing — a ranking signal for
+    * dedup-adjacent curation that needs no pair enumeration at all.
+    * Docs with no shingles (shorter than n tokens) are vacuously novel
+    * (1.0). Output: (idCol, novelty) rounded to 6, one row per doc.
+    *
+    * Scale shape: postings aggregate to per-shingle doc frequencies
+    * (counter shuffle, bounded by the shingle vocabulary) and join back
+    * to the postings on the shingle key — both sides derive from the
+    * SAME postings subtree, so Spark reuses the exchange (one shingle
+    * kernel pass, like ngramJaccardPairs' self-join). The per-doc mean
+    * then aggregates partially: explode preserves partition locality, so
+    * the doc-keyed shuffle carries ~1 row per doc. Text never shuffles.
+    */
+  def noveltyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val posts = shinglePostings(
+      spreadForKernel(df, idCol, textCol), idCol, textCol, n)
+    val freq = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+    val perDoc = posts.join(freq, "s")
+      .groupBy(col("id").as(idCol))
+      .agg(round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 6)
+        .as("__nov"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nov"), lit(1.0)).as("novelty"))
+  }
+
   /** The full near-dup removal pipeline: exact dedup → n-gram Jaccard
     * pairs → connected components → keep the canonical (min-id) doc per
     * cluster. Returns the surviving rows of df.
