@@ -148,8 +148,16 @@ object SparkEntry {
   private val frontDoorRoots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** events.ts (ns long) → epoch-µs BIGINT, integer division (see above). */
-  private def tsUs: Column = expr("ts div 1000").as("ts")
+  /** events.ts (µs TIMESTAMP_NTZ, UTC session) → epoch-µs BIGINT. */
+  private def tsUs: Column = unix_micros(col("ts").cast("timestamp")).as("ts")
+
+  /** ns-epoch constant → events.ts literal (TIMESTAMP_NTZ). All call
+    * sites use second-aligned bounds, so the µs conversion is exact.
+    */
+  private def tsL(ns: Long): Column = {
+    require(ns % 1000L == 0L, s"non-µs-aligned ts literal: $ns")
+    graft.core.Ts.usLit(ns / 1000L, org.apache.spark.sql.types.TimestampNTZType)
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -313,7 +321,7 @@ object SparkEntry {
           ("value_sum", "value", "sum"),
           ("value_mean", "value", "mean"),
           ("n", "value", "count")))(t(s, dir, "events"))
-        .select(col("ts"), round(col("value_sum"), 6).as("value_sum"),
+        .select(tsUs, round(col("value_sum"), 6).as("value_sum"),
           round(col("value_mean"), 6).as("value_mean"), col("n"))
         .transform(sortSmallAgg(_, "ts"))
     },
@@ -326,7 +334,7 @@ object SparkEntry {
           ("v_max", "value", "max")),
           closed = Resample.Right, label = Resample.Right, offsetNs = 300000000000L)(
           t(s, dir, "events"))
-        .select(col("ts"), col("v_first"), col("v_last"), col("v_min"), col("v_max"))
+        .select(tsUs, col("v_first"), col("v_last"), col("v_min"), col("v_max"))
         .transform(sortSmallAgg(_, "ts"))
     },
     "q47_resample_origin_start_day" -> { (s, dir) =>
@@ -428,9 +436,9 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       val cut = 1704240000000000000L
-      lib.write("ev", ev.filter(col("ts") < cut), Some("ts"), targetRows = 5000)
+      lib.write("ev", ev.filter(col("ts") < tsL(cut)), Some("ts"), targetRows = 5000)
       lib.snapshot("before_append")
-      lib.append("ev", ev.filter(col("ts") >= cut), targetRows = 5000)
+      lib.append("ev", ev.filter(col("ts") >= tsL(cut)), targetRows = 5000)
       lib.read("ev", AsOf.Snapshot("before_append"))
         .select(col("event_id"), tsUs, col("value"))
         .orderBy("event_id")
@@ -440,7 +448,7 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val (lo, hi) = (1704153600000000000L, 1704240000000000000L)
       lib.write("ev", ev, Some("ts"), targetRows = 3000)
-      val patch = ev.filter(col("ts").between(lo, hi))
+      val patch = ev.filter(col("ts").between(tsL(lo), tsL(hi)))
         .withColumn("value", round(col("value") + 1000, 6))
       lib.update("ev", patch, targetRows = 3000)
       lib.read("ev")
@@ -481,11 +489,11 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       val cut = 1704240000000000000L
-      val a = ev.filter(col("ts") < cut)
+      val a = ev.filter(col("ts") < tsL(cut))
         .select(col("event_id"), col("ts"),
           col("user_id").cast("int").as("user_id"),
           col("value").cast("float").as("value"))
-      val b = ev.filter(col("ts") >= cut)
+      val b = ev.filter(col("ts") >= tsL(cut))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"),
           col("props"), (col("event_id") % 5).cast("int").as("bonus"))
       lib.write("ev", a, Some("ts"), targetRows = 3000)
@@ -559,7 +567,7 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val (lo, mid, hi) = (1704153600000000000L, 1704196800000000000L, 1704239999999999999L)
       lib.update("ev", ev, targetRows = 3000, upsert = true, indexCol = Some("ts"))
-      val patch = ev.filter(col("ts").between(lo, mid))
+      val patch = ev.filter(col("ts").between(tsL(lo), tsL(mid)))
         .withColumn("value", round(col("value") + 5000, 6))
       lib.update("ev", patch, targetRows = 3000, dateRange = Some((lo, hi)))
       lib.read("ev")
@@ -606,9 +614,9 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       val cut = 1704240000000000000L
-      lib.stage("ev", ev.filter(col("ts") < cut)
+      lib.stage("ev", ev.filter(col("ts") < tsL(cut))
         .select(col("event_id"), col("ts"), col("value").cast("float").as("value")))
-      lib.stage("ev", ev.filter(col("ts") >= cut)
+      lib.stage("ev", ev.filter(col("ts") >= tsL(cut))
         .select(col("event_id"), col("ts"), col("value"), col("props")))
       lib.sortAndFinalizeStaged("ev", Some("ts"), dynamicSchema = true)
       lib.read("ev")
@@ -693,10 +701,10 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       val (c1, c2) = (1704153600000000000L, 1704240000000000000L)
-      lib.write("ev", ev.filter(col("ts") < c1), Some("ts"), targetRows = 3000)
-      lib.stage("ev", ev.filter(col("ts") >= c1 && col("ts") < c2)
+      lib.write("ev", ev.filter(col("ts") < tsL(c1)), Some("ts"), targetRows = 3000)
+      lib.stage("ev", ev.filter(col("ts") >= tsL(c1) && col("ts") < tsL(c2))
         .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"))
-      lib.stage("ev", ev.filter(col("ts") >= c2)
+      lib.stage("ev", ev.filter(col("ts") >= tsL(c2))
         .repartitionByRange(2, col("ts")).sortWithinPartitions("ts"))
       lib.finalizeStaged("ev", mode = "append", validateIndex = true)
       lib.read("ev")
@@ -711,9 +719,9 @@ object SparkEntry {
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
       val (c1, c2) = (1704153600000000000L, 1704240000000000000L)
-      lib.write("ev", ev.filter(col("ts") < c1), Some("ts"), targetRows = 3000)
-      lib.append("ev", ev.filter(col("ts") >= c1 && col("ts") < c2), targetRows = 3000)
-      lib.append("ev", ev.filter(col("ts") >= c2), targetRows = 3000)
+      lib.write("ev", ev.filter(col("ts") < tsL(c1)), Some("ts"), targetRows = 3000)
+      lib.append("ev", ev.filter(col("ts") >= tsL(c1) && col("ts") < tsL(c2)), targetRows = 3000)
+      lib.append("ev", ev.filter(col("ts") >= tsL(c2)), targetRows = 3000)
       lib.delete("ev", Seq(1))
       lib.read("ev")
         .select(lit("latest").as("src"), col("event_id"), tsUs, col("value"))
@@ -1438,14 +1446,14 @@ object SparkEntry {
            min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(o_orderkey) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q10_resample_1h" ->
-      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS ts,
+      """SELECT (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS ts,
            round(sum(value), 6) AS value_sum,
            round(avg(value), 6) AS value_mean,
            count(value) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "q11_resample_right_offset" ->
       """SELECT ((epoch_ns(ts) - 1) - ((epoch_ns(ts) - 1 - 300000000000) % 900000000000)
-             + 900000000000) AS ts,
+             + 900000000000) // 1000 AS ts,
            arg_min(value, epoch_ns(ts)) AS v_first,
            arg_max(value, epoch_ns(ts)) AS v_last,
            min(value) AS v_min, max(value) AS v_max

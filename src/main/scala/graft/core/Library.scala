@@ -296,10 +296,16 @@ final class Library(
     def intersectsStrict(f: FileEntry): Boolean =
       f.minIdx.exists(_ <= hi) && f.maxIdx.exists(_ >= lo)
     def wholeFileBelow(f: FileEntry): Boolean = f.maxIdx.exists(_ < lo)
+    // Timestamp indexes compare against FOLDABLE timestamp literals (lo/hi
+    // are already in the manifest's µs unit) so the residual reaches the
+    // parquet scan for row-group pruning; wrapping the column in
+    // unix_micros would defeat pushdown.
     def residual(idx: String, t: DataType): org.apache.spark.sql.Column =
-      idxAsLong(col(idx), t).between(lo, hi)
+      if (Ts.isTs(t)) col(idx).between(Ts.usLit(lo, t), Ts.usLit(hi, t))
+      else idxAsLong(col(idx), t).between(lo, hi)
     def inverseResidual(idx: String, t: DataType): org.apache.spark.sql.Column =
-      idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi
+      if (Ts.isTs(t)) col(idx) < Ts.usLit(lo, t) || col(idx) > Ts.usLit(hi, t)
+      else idxAsLong(col(idx), t) < lo || idxAsLong(col(idx), t) > hi
   }
   private final case class StrRange(lo: String, hi: String) extends KeyRange {
     import Library.strCmp
@@ -679,8 +685,9 @@ final class Library(
         require(isStringIdx(t) == isStringIdx(storedT),
           s"index column $idx: frame has $t but the symbol's index is $storedT")
         val explicit: Option[KeyRange] =
-          dateRange.map { case (lo, hi) => LongRange(lo, hi) }
-            .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+          dateRange.map { case (lo, hi) =>
+            val (l, h) = Ts.nsRangeToIdxUnit(lo, hi, storedT); LongRange(l, h)
+          }.orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
         explicit match {
           case Some(r) =>
             spliceRange(symbol, m, r, Some(df.filter(r.residual(idx, t))), targetRows)
@@ -694,8 +701,10 @@ final class Library(
         // existing-symbol path: out-of-range patch rows are NOT stored
         // (the same call against an existing symbol would discard them)
         val rangeOnCreate: Option[KeyRange] =
-          dateRange.map { case (lo, hi) => LongRange(lo, hi) }
-            .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+          dateRange.map { case (lo, hi) =>
+            val it = indexCol.map(i => df.schema(i).dataType).getOrElse(LongType)
+            val (l, h) = Ts.nsRangeToIdxUnit(lo, hi, it); LongRange(l, h)
+          }.orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
         val data = rangeOnCreate match {
           case Some(r) =>
             val idx = indexCol.getOrElse(throw new IllegalArgumentException(
@@ -711,7 +720,10 @@ final class Library(
   def deleteRange(symbol: String, lo: Long, hi: Long, targetRows: Long = options.rowsPerSegment): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
-    spliceRange(symbol, manifest(symbol, v), LongRange(lo, hi), None, targetRows)
+    val m = manifest(symbol, v)
+    val it = m.indexCol.map(i => schemaOf(m.schemaDdl)(i).dataType).getOrElse(LongType)
+    val (l, h) = Ts.nsRangeToIdxUnit(lo, hi, it)
+    spliceRange(symbol, m, LongRange(l, h), None, targetRows)
   }
 
   /** delete_data_in_range over a string-keyed index (inclusive bounds,
@@ -885,8 +897,11 @@ final class Library(
         s"$symbol has a ${t.simpleString} index — use dateRange, not keyRange")
     }
     val range: Option[KeyRange] =
-      dateRange.map { case (lo, hi) => LongRange(lo, hi) }
-        .orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
+      dateRange.map { case (lo, hi) =>
+        val it = m.indexCol.map(i => schemaOf(m.schemaDdl)(i).dataType)
+          .getOrElse(LongType)
+        val (l, h) = Ts.nsRangeToIdxUnit(lo, hi, it); LongRange(l, h)
+      }.orElse(keyRange.map { case (lo, hi) => StrRange(lo, hi) })
     val byIndex = range match {
       case Some(r) => m.files.filter(r.intersects)
       case None => m.files

@@ -32,11 +32,29 @@ object ParquetFooterStats {
 
   private val MaxFooterFiles = 10000
 
+  /** Type-aware variant: min/max in the engine's canonical epoch-ns unit.
+    * LongType columns ARE ns; timestamp columns carry INT64 footer stats
+    * whose unit comes from the parquet logical-type annotation
+    * (MICROS/MILLIS/NANOS → ×1000 / ×1e6 / ×1).
+    */
+  def minMaxNs(df: DataFrame, colName: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) => minMaxLong(df, colName)
+      case Some(TimestampType | TimestampNTZType) => minMaxLong(df, colName)
+      case _ => None
+    }
+  }
+
   def minMaxLong(df: DataFrame, colName: String): Option[(Long, Long)] =
     try {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
       val rel = bareRelation(df.queryExecution.analyzed).getOrElse(return None)
-      if (df.schema.find(_.name == colName).map(_.dataType) != Some(LongType))
-        return None
+      val okType = df.schema.find(_.name == colName).map(_.dataType) match {
+        case Some(LongType | TimestampType | TimestampNTZType) => true
+        case _ => false
+      }
+      if (!okType) return None
       val files = rel.location.inputFiles
       if (files.isEmpty || files.length > MaxFooterFiles) return None
       val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -61,11 +79,26 @@ object ParquetFooterStats {
                 if (chunk.getPrimitiveType.getPrimitiveTypeName !=
                   org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
                   return None
+                // Unit multiplier to ns from the logical type: raw INT64
+                // is the engine's ns; TIMESTAMP(unit) annotates the
+                // footer values in that unit.
+                val toNs: Long = chunk.getPrimitiveType.getLogicalTypeAnnotation match {
+                  case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case org.apache.parquet.schema.LogicalTypeAnnotation
+                        .TimeUnit.MICROS => 1000L
+                      case org.apache.parquet.schema.LogicalTypeAnnotation
+                        .TimeUnit.MILLIS => 1000000L
+                      case _ => 1L // NANOS
+                    }
+                  case _ => 1L
+                }
                 val st = chunk.getStatistics
                 if (st == null || st.isEmpty) return None
                 if (st.hasNonNullValue) {
-                  val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
-                  val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                  val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue() * toNs
+                  val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue() * toNs
                   if (lo < mn) mn = lo
                   if (hi > mx) mx = hi
                   any = true

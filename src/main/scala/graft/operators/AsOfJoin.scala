@@ -53,9 +53,12 @@ object AsOfJoin {
     val filled = ("ts" +: rightValueCols).foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
+    val tsType = left.schema(tsCol).dataType
     val inWindow =
       if (toleranceNs < 0) lit(true)
-      else col("__f_ts").isNotNull && (col(tsCol) - col("__f_ts") <= toleranceNs)
+      else col("__f_ts").isNotNull &&
+        (graft.core.Ts.toNs(col(tsCol), tsType) -
+          graft.core.Ts.toNs(col("__f_ts"), tsType) <= toleranceNs)
     filled
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++

@@ -33,7 +33,7 @@ object Sessionize {
     val cols = aggs.map { case (out, in, op) =>
       NullSemantics.agg(op, col(in), schema(in).dataType, out)
     }
-    df.withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+    df.withColumn("__event", graft.core.Ts.toEventTime(tsCol, schema(tsCol).dataType))
       .groupBy(keys.map(col) :+ session_window(col("__event"), gap): _*)
       .agg(cols.head, cols.tail: _*)
       .withColumn("session_start", unix_micros(col("session_window.start")))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.Ts
+
 /** Expression AST mirroring the reference's `OperationType` enum
   * (reference: cpp/arcticdb/processing/operation_types.hpp:75-109) and the
   * Python-side AST builder (python/arcticdb/version_store/processing.py:64-285).
@@ -186,19 +188,33 @@ object Expr {
       }
 
     case Binary(op, l, r) =>
-      val lc = compile(l, schema)
-      val rc = compile(r, schema)
-      op match {
-        case BinOp.Eq => lc === rc
-        case BinOp.Ne => lc =!= rc
-        case BinOp.Lt => lc < rc
-        case BinOp.Le => lc <= rc
-        case BinOp.Gt => lc > rc
-        case BinOp.Ge => lc >= rc
-        case BinOp.And => lc && rc
-        case BinOp.Or => lc || rc
-        case BinOp.Xor => lc =!= rc // boolean xor
-        case _ => throw new IllegalStateException
+      // Timestamp column vs integer literal: the reference compares its
+      // NANOSECONDS_UTC64 index against raw ints (processing.py accepts
+      // both pd.Timestamp and int ns). Rewrite to an exact µs-domain
+      // predicate with a foldable timestamp literal (Ts.cmpNs) so the
+      // filter still pushes into the parquet scan.
+      val cmpName = Map(BinOp.Eq -> "==", BinOp.Ne -> "!=", BinOp.Lt -> "<",
+        BinOp.Le -> "<=", BinOp.Gt -> ">", BinOp.Ge -> ">=")
+      val flipped = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+        "==" -> "==", "!=" -> "!=")
+      (cmpName.get(op), tsVsNsLit(l, r, schema)) match {
+        case (Some(o), Some((tsC, tsT, ns, tsOnLeft))) =>
+          Ts.cmpNs(compile(tsC, schema), tsT, if (tsOnLeft) o else flipped(o), ns)
+        case _ =>
+          val lc = compile(l, schema)
+          val rc = compile(r, schema)
+          op match {
+            case BinOp.Eq => lc === rc
+            case BinOp.Ne => lc =!= rc
+            case BinOp.Lt => lc < rc
+            case BinOp.Le => lc <= rc
+            case BinOp.Gt => lc > rc
+            case BinOp.Ge => lc >= rc
+            case BinOp.And => lc && rc
+            case BinOp.Or => lc || rc
+            case BinOp.Xor => lc =!= rc // boolean xor
+            case _ => throw new IllegalStateException
+          }
       }
 
     case Ternary(cond, a, b) =>
@@ -214,4 +230,28 @@ object Expr {
   }
 
   def compile(e: Expr, df: DataFrame): Column = compile(e, df.schema)
+
+  /** Detect `<timestamp expr> cmp <integral ns literal>` (either side):
+    * returns (tsExpr, tsType, nsValue, tsOnLeft).
+    */
+  private def tsVsNsLit(
+      l: Expr, r: Expr, schema: StructType): Option[(Expr, DataType, Long, Boolean)] = {
+    def nsOf(e: Expr): Option[Long] = e match {
+      case Lit(v: Long) => Some(v)
+      case Lit(v: Int) => Some(v.toLong)
+      case Lit(v: Short) => Some(v.toLong)
+      case Lit(v: Byte) => Some(v.toLong)
+      case _ => None
+    }
+    def tsOf(e: Expr): Option[DataType] =
+      inferType(e, schema) match {
+        case t @ (TimestampType | TimestampNTZType) => Some(t)
+        case _ => None
+      }
+    (tsOf(l), nsOf(r), tsOf(r), nsOf(l)) match {
+      case (Some(t), Some(ns), _, _) => Some((l, t, ns, true))
+      case (_, _, Some(t), Some(ns)) => Some((r, t, ns, false))
+      case _ => None
+    }
+  }
 }

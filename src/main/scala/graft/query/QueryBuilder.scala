@@ -93,18 +93,32 @@ final case class QueryBuilder(
       offsetNs: Long = 0L,
       origin: Resample.Origin = Resample.Epoch): QueryBuilder =
     add { df =>
+      import graft.core.Ts
       val ruleNs = Resample.ruleToNs(rule)
       val schema = df.schema
-      val (frame, anchor) = Resample.anchored(df, tsCol, origin, offsetNs)
-      val start = Resample.bucketStart(col(tsCol), ruleNs, closed, anchor)
+      val tsType = schema(tsCol).dataType
+      // Bucket arithmetic runs in the canonical ns domain regardless of
+      // the physical index type; for µs timestamp inputs the label is
+      // converted back to the input type, which requires µs-aligned
+      // buckets (every realistic rule; ns-sub-µs rules need a long index).
+      if (Ts.isTs(tsType))
+        require(ruleNs % 1000L == 0L && offsetNs % 1000L == 0L,
+          s"resample on a $tsType index needs µs-aligned rule and offset")
+      val tsNs = Ts.toNs(col(tsCol), tsType)
+      val (frame, anchor) = Resample.anchored(df, tsCol, tsType, origin, offsetNs)
+      val start = Resample.bucketStart(tsNs, ruleNs, closed, anchor)
       val lbl = Resample.bucketLabel(start, ruleNs, label)
       val cols = aggs.map { case (out, in, op) =>
-        NullSemantics.sortedAgg(op, col(in), schema(in).dataType, col(tsCol), out)
+        NullSemantics.sortedAgg(op, col(in), schema(in).dataType, tsNs, out)
       }
-      frame.withColumn("__bucket", lbl)
+      val bucketed = frame.withColumn("__bucket", lbl)
         .groupBy(col("__bucket"))
         .agg(cols.head, cols.tail: _*)
-        .withColumnRenamed("__bucket", tsCol)
+      if (Ts.isTs(tsType))
+        bucketed.withColumn("__bucket",
+          timestamp_micros(expr("__bucket div 1000")).cast(tsType))
+          .withColumnRenamed("__bucket", tsCol)
+      else bucketed.withColumnRenamed("__bucket", tsCol)
     }
 
   /** DateRangeClause (clause.cpp:1020-1078): inclusive [t0, t1] on the ns
@@ -113,7 +127,8 @@ final case class QueryBuilder(
     * files (Library.read with dateRange).
     */
   def dateRange(tsCol: String, t0: Long, t1: Long): QueryBuilder =
-    add(df => df.filter(col(tsCol).between(t0, t1)))
+    add(df => df.filter(
+      graft.core.Ts.betweenNs(col(tsCol), df.schema(tsCol).dataType, t0, t1)))
 
   /** RowRangeClause head variant (clause.hpp:649-723): first n rows in
     * index order.

@@ -69,12 +69,13 @@ object Resample {
   def anchored(
       df: org.apache.spark.sql.DataFrame,
       tsCol: String,
+      tsType: org.apache.spark.sql.types.DataType,
       origin: Origin,
       offsetNs: Long): (org.apache.spark.sql.DataFrame, Column) = origin match {
     case Epoch => (df, lit(offsetNs))
     case OriginTimestamp(ns) => (df, lit(ns + offsetNs))
     case dataOrigin =>
-      graft.core.ParquetFooterStats.minMaxLong(df, tsCol) match {
+      graft.core.ParquetFooterStats.minMaxNs(df, tsCol) match {
         case Some((mn, mx)) =>
           val anchorNs = dataOrigin match {
             case Start => mn
@@ -87,7 +88,7 @@ object Resample {
           }
           (df, lit(anchorNs + offsetNs))
         case None =>
-          val ts = col(tsCol)
+          val ts = graft.core.Ts.toNs(col(tsCol), tsType)
           val anchor = dataOrigin match {
             case Start => min(ts)
             case StartDay => min(ts) - pmod(min(ts), lit(DayNs))

@@ -118,9 +118,10 @@ object StreamIngest {
     val schema = stream.schema
     // Event time must be a TimestampType for watermarking; ns → µs.
     val withEvent = stream
-      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withColumn("__event", graft.core.Ts.toEventTime(tsCol, schema(tsCol).dataType))
       .withWatermark("__event", watermarkDelay)
-    val bucket = Resample.bucketStart(col(tsCol), ruleNs, Resample.Left, 0L)
+    val bucket = Resample.bucketStart(
+      graft.core.Ts.toNs(col(tsCol), schema(tsCol).dataType), ruleNs, Resample.Left, 0L)
     val cols = aggs.map { case (out, in, op) =>
       require(op != "first" && op != "last", s"$op is batch-only (needs sorted input)")
       NullSemantics.agg(op, col(in), schema(in).dataType, out)
@@ -131,10 +132,16 @@ object StreamIngest {
     // label arithmetic identical to the batch operator. One bucket maps to
     // exactly one window when the rule divides the window duration.
     val windowDur = s"${math.max(1L, ruleNs / 1000000L)} milliseconds"
-    withEvent
+    val out = withEvent
       .groupBy(window(col("__event"), windowDur), bucket.as(tsCol))
       .agg(cols.head, cols.tail: _*)
       .drop("window")
+    // Batch-parity labels: timestamp inputs get timestamp bucket labels
+    // (QueryBuilder.resample does the same conversion).
+    val tsType = schema(tsCol).dataType
+    if (graft.core.Ts.isTs(tsType))
+      out.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")).cast(tsType))
+    else out
   }
 
   /** Streaming sessionization: the watermarked twin of
@@ -153,7 +160,7 @@ object StreamIngest {
       NullSemantics.agg(op, col(in), schema(in).dataType, out)
     }
     stream
-      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withColumn("__event", graft.core.Ts.toEventTime(tsCol, schema(tsCol).dataType))
       .withWatermark("__event", watermarkDelay)
       .groupBy(keys.map(col) :+ session_window(col("__event"), gap): _*)
       .agg(cols.head, cols.tail: _*)
@@ -172,7 +179,8 @@ object StreamIngest {
       tsCol: String,
       watermarkDelay: String = "10 seconds"): DataFrame =
     stream
-      .withColumn("__event", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withColumn("__event",
+        graft.core.Ts.toEventTime(tsCol, stream.schema(tsCol).dataType))
       .withWatermark("__event", watermarkDelay)
       .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("__fp")
