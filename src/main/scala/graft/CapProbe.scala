@@ -37,7 +37,12 @@ object CapProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val ev = spark.read.parquet(
       sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/graft-sf1") + "/events.parquet")
-    val cut = ev.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    // ts is TIMESTAMP_MICROS since the testdata regen: take the percentile
+    // in epoch-µs and compare with a foldable ts-typed literal (Ts.usLit)
+    val tsT = ev.schema("ts").dataType
+    val cut = graft.core.Ts.usLit(
+      ev.agg(expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)"))
+        .head.getLong(0), tsT)
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[splice] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

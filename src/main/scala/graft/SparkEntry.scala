@@ -17,11 +17,11 @@ import graft.query.Expr.{col => e, lit => l, where => ternary}
   * every SQL-expressible query.
   *
   * Output conventions (for engine-agnostic hash comparison):
-  *  - every timestamp is emitted as BIGINT epoch-µs (`ts div 1000` on the
-  *    ns longs Spark reads from events.parquet ↔ `epoch_us(ts)` in the
-  *    oracle — DuckDB's parquet reader truncates ns to µs, so ns-precision
-  *    output can never hash-match; integer `div`, not `/`, because ns
-  *    epoch values exceed double's 53-bit mantissa),
+  *  - every timestamp is emitted as BIGINT epoch-µs — events.ts is
+  *    parquet TIMESTAMP_MICROS (Spark timestamp_ntz, session TZ pinned
+  *    UTC), so `unix_micros(cast(ts as timestamp))` ↔ `epoch_us(ts)` in
+  *    the oracle; engine-internal ns bounds rewrite to foldable µs
+  *    timestamp literals via graft.core.Ts (pushdown-safe),
   *  - every float aggregate is round(x, 6),
   *  - every query ends in a deterministic ORDER BY.
   */
@@ -1302,11 +1302,13 @@ object SparkEntry {
                   / 3.0, 6) AS quality
             FROM documents)
           SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-            round(avg(n_tokens), 6) AS mean_tokens, max(n_tokens) AS max_tokens,
+            round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+            max(n_tokens) AS max_tokens,
             count(*) - count(DISTINCT fp) AS dup_docs,
             round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6)
               AS dup_ratio,
-            round(avg(quality), 6) AS mean_quality
+            round(CAST(sum(CAST(round(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000000.0), 6) AS mean_quality
           FROM per_doc GROUP BY source ORDER BY source"""
     },
     "q82_decontaminate_substring" ->

@@ -271,6 +271,29 @@ final class Library(
     */
   private def isStringIdx(t: DataType): Boolean = t == StringType
 
+  /** Index-unit family: range bounds and residual filters only line up
+    * WITHIN a family — long/int index values are raw epoch-ns (Ts.scala),
+    * timestamp/date indexes convert to epoch-µs (idxAsLong, the manifest
+    * unit), strings compare bytewise. A cross-family patch frame (ns longs
+    * against a timestamp-indexed symbol, or vice versa) would pass a bare
+    * string-vs-non-string check and then silently compare ns against µs,
+    * keeping/discarding the wrong patch rows — so it is rejected up front.
+    */
+  private def idxFamily(t: DataType): String = t match {
+    case StringType => "string"
+    case LongType | IntegerType => "integer(ns)"
+    case TimestampType | TimestampNTZType | DateType => "time(µs)"
+    case other => other.simpleString
+  }
+
+  private def requireSameIdxFamily(idx: String, frameT: DataType, storedT: DataType): Unit =
+    require(idxFamily(frameT) == idxFamily(storedT),
+      s"index column $idx: frame has ${frameT.simpleString} " +
+        s"(${idxFamily(frameT)}) but the symbol's index is " +
+        s"${storedT.simpleString} (${idxFamily(storedT)}) — mixed index " +
+        "unit families compare raw ns against µs; cast the frame's index " +
+        "to the stored type first")
+
   /** Inclusive index range for file pruning / splice partitioning —
     * one concrete ordering per index family, so every comparison between
     * a manifest bound and a query bound goes through exactly one place.
@@ -329,8 +352,7 @@ final class Library(
   private def keyRangeFor(m: VersionManifest, df: DataFrame, idx: String): KeyRange = {
     val storedT = schemaOf(m.schemaDdl)(idx).dataType
     val t = df.schema(idx).dataType
-    require(isStringIdx(t) == isStringIdx(storedT),
-      s"index column $idx: frame has $t but the symbol's index is $storedT")
+    requireSameIdxFamily(idx, t, storedT)
     if (isStringIdx(storedT)) {
       val b = df.agg(min(col(idx)), max(col(idx))).collect()(0)
       require(!b.isNullAt(0), "update with empty frame")
@@ -682,8 +704,7 @@ final class Library(
         require(keyRange.isEmpty || isStringIdx(storedT),
           s"$symbol has a ${storedT.simpleString} index — use dateRange, not keyRange")
         val t = df.schema(idx).dataType
-        require(isStringIdx(t) == isStringIdx(storedT),
-          s"index column $idx: frame has $t but the symbol's index is $storedT")
+        requireSameIdxFamily(idx, t, storedT)
         val explicit: Option[KeyRange] =
           dateRange.map { case (lo, hi) =>
             val (l, h) = Ts.nsRangeToIdxUnit(lo, hi, storedT); LongRange(l, h)

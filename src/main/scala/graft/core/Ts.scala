@@ -33,7 +33,10 @@ object Ts {
 
   def isTs(t: DataType): Boolean = t == TimestampType || t == TimestampNTZType
 
-  def ceilDivUs(ns: Long): Long = Math.floorDiv(ns + 999L, 1000L)
+  // overflow-safe ceiling: ns + 999 wraps negative within 999 of
+  // Long.MaxValue — the Long.MaxValue-as-open-upper-bound idiom
+  def ceilDivUs(ns: Long): Long =
+    Math.floorDiv(ns, 1000L) + (if (Math.floorMod(ns, 1000L) != 0L) 1L else 0L)
   def floorDivUs(ns: Long): Long = Math.floorDiv(ns, 1000L)
 
   /** Column → epoch-ns long (UTC). Identity for long columns. Exact:

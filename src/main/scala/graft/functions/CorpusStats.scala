@@ -45,12 +45,20 @@ object CorpusStats {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__toks")).as("n_tokens"),
-        round(avg(col("__toks")), 6).as("mean_tokens"),
+        // Exact means: double partial-sums reduce in partition order, and
+        // at a 6th-decimal rounding boundary the ULP difference vs the
+        // oracle's sequential sum flips the rounded digit. Sum exact
+        // integers (tokens are already longs; quality is 6dp-quantized, so
+        // round(q*1e6) is its exact fixed-point form), divide ONCE — the
+        // result is order-independent at any parallelism.
+        round(sum(col("__toks")).cast("double") / count(lit(1)), 6)
+          .as("mean_tokens"),
         max(col("__toks")).as("max_tokens"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("dup_docs"),
         round((count(lit(1)) - countDistinct(col("__fp"))).cast("double") /
           count(lit(1)), 6).as("dup_ratio"),
-        round(avg(col("__q")), 6).as("mean_quality"))
+        round(sum(round(col("__q") * 1e6).cast("long")).cast("double") /
+          (count(lit(1)) * 1e6), 6).as("mean_quality"))
   }
 
   /** Token-count distribution per domain as a fixed-width histogram:

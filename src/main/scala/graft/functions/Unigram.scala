@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Self-trained unigram language-model operators: the classic CCNet-style
   * "perplexity proxy" quality signal and tokenizer-vocabulary construction,
@@ -11,11 +12,13 @@ import org.apache.spark.sql.functions._
   * Scale shape (the part that matters at 100 TB):
   *   - Pass 1 aggregates the corpus to TOKEN COUNTS — partial (map-side)
   *     aggregation means the shuffle is bounded by the VOCABULARY, not the
-  *     corpus (a few million rows for real text, kilobytes here).
-  *   - Everything downstream of pass 1 (total mass, log-probabilities,
-  *     cumulative coverage) operates on that vocab-sized aggregate; the
-  *     single-task windows below are windows over the vocabulary and are
-  *     bounded by construction — corpus rows are never sorted or windowed.
+  *     corpus. On web-scale text the vocabulary itself is NOT small
+  *     (10⁸–10⁹ distinct tokens: typos, URLs, numbers), so nothing below
+  *     ever collects or single-task-sorts the full vocab either:
+  *     `logProbScore` collects only the ≤ 1/minShare KEPT tokens, and
+  *     `coverageVocab` computes its ordered prefix-sum with a distributed
+  *     two-level scheme (range-partition + per-partition window +
+  *     #partitions-row offset window).
   *   - Pass 2 (scoring) re-scans the corpus and BROADCASTS the model; the
   *     per-doc score aggregates partially (explode preserves partition
   *     locality, so each doc contributes ~1 row to the shuffle).
@@ -44,11 +47,14 @@ object Unigram {
     * tokens score at a floor of ln(0.5 / total) — strictly below any
     * retained token. Output: (idCol, lp_mean) rounded to 6 places.
     *
-    * The model pass collects the vocab-bounded counts to the driver (the
-    * same data a broadcast would ship anyway — the IVF-centroid precedent,
-    * Vectors.scala) so the corpus is scanned exactly ONCE for the model;
-    * the broadcast side rides a 1-partition RDD, not a LocalRelation, to
-    * skip the per-broadcast collect job (SURVEY §12).
+    * The model build never collects the full vocabulary (a driver OOM at
+    * web scale): `total` is a 1-row aggregate, the minShare cutoff filters
+    * DISTRIBUTEDLY, and only the kept set — ≤ ceil(1/minShare) tokens BY
+    * CONSTRUCTION (each keeps ≥ minShare of the total mass) — reaches the
+    * driver. The counts aggregate is cached vocab-sized between the two
+    * jobs so the corpus is still scanned exactly once for the model; the
+    * broadcast side rides a 1-partition RDD, not a LocalRelation, to skip
+    * the per-broadcast collect job (SURVEY §12).
     *
     * Reference behavior note: the reference engine has no LM scorer; this
     * belongs to the training-data-pipeline family (CCNet / Gopher-style
@@ -60,14 +66,26 @@ object Unigram {
       idCol: String,
       textCol: String,
       minShare: Double): DataFrame = {
+    // minShare 0 keeps (and collects) the whole vocabulary — legitimate on
+    // bounded-vocab corpora, a driver OOM on web text; the collect bound
+    // below only holds for minShare > 0.
+    require(minShare >= 0 && minShare <= 1, s"minShare $minShare not in [0,1]")
     val spark = df.sparkSession
-    val counts = tokenCounts(df, idCol, textCol).collect()
-    val total = counts.map(_.getLong(1)).sum.toDouble
-    val kept = counts.collect {
-      case r if r.getLong(1) >= minShare * total =>
-        (r.getString(0), math.log(r.getLong(1) / total))
-    }
-    val floorLp = math.log(0.5 / total)
+    val counts = tokenCounts(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (total, kept) =
+      try {
+        val tot = counts.agg(sum(col("c"))).head match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getLong(0).toDouble
+        }
+        val k = counts
+          .where(col("c").cast("double") >= lit(minShare) * lit(tot))
+          .collect()
+          .map(r => (r.getString(0), math.log(r.getLong(1) / tot)))
+        (tot, k)
+      } finally counts.unpersist(false)
+    val floorLp = math.log(0.5 / math.max(total, 1.0))
     val vocab = spark
       .createDataFrame(spark.sparkContext.parallelize(kept.toSeq, 1))
       .toDF("tok", "lp")
@@ -78,6 +96,21 @@ object Unigram {
       .agg(round(avg(coalesce(col("lp"), lit(floorLp))), 6).as("lp_mean"))
   }
 
+  /** The kept model vocabulary (tok, ln-prob) — exposed so specs can pin
+    * the driver-collect bound: at most ceil(1/minShare) + 1 entries
+    * regardless of how heavy the corpus vocabulary's tail is.
+    */
+  private[graft] def keptVocab(
+      df: DataFrame, idCol: String, textCol: String, minShare: Double): Array[(String, Double)] = {
+    val counts = tokenCounts(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = counts.agg(sum(col("c"))).head.getLong(0).toDouble
+      counts.where(col("c").cast("double") >= lit(minShare) * lit(tot))
+        .collect()
+        .map(r => (r.getString(0), math.log(r.getLong(1) / tot)))
+    } finally counts.unpersist(false)
+  }
+
   /** Smallest vocabulary prefix (by frequency desc, token asc) covering at
     * least `coverage` of the corpus token mass — tokenizer-vocab
     * construction with a deterministic tie order. A row is kept while the
@@ -85,8 +118,20 @@ object Unigram {
     * the threshold is included and nothing after it. Output:
     * (tok, freq, cum_share) ordered by the same (freq desc, tok) rank.
     *
-    * The ordered window runs over the vocab-sized aggregate only —
-    * corpus rows are never globally sorted.
+    * The ordered prefix-sum over the vocabulary is DISTRIBUTED — a web
+    * corpus has 10⁸–10⁹ distinct tokens, so a bare
+    * `Window.orderBy(freq desc)` (one task sorting and buffering the whole
+    * vocab) is a scale-killer. Classic two-level scheme instead:
+    *   1. range-partition the vocab by the output order (c desc, tok asc) —
+    *      partition i holds ranks strictly before partition i+1,
+    *   2. running sum WITHIN each partition (`Window.partitionBy(__pid)` —
+    *      parallel, one partition per task),
+    *   3. offset each partition by the mass of preceding partitions — the
+    *      only unpartitioned window runs over the #partitions-row summary,
+    *      never the vocab (PlanSpec pins this).
+    * The corpus itself still only feeds the counter aggregate; the shared
+    * range-exchange subtree is reused across the two branches
+    * (ReusedExchange), so pass 1 executes once.
     */
   def coverageVocab(
       df: DataFrame,
@@ -94,17 +139,26 @@ object Unigram {
       textCol: String,
       coverage: Double): DataFrame = {
     require(coverage > 0 && coverage <= 1, s"coverage $coverage not in (0,1]")
-    val w = Window
-      .orderBy(col("c").desc, col("tok").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tokenCounts(df, idCol, textCol)
-      .withColumn("t", sum(col("c")).over(Window.partitionBy()))
-      .withColumn("cum", sum(col("c")).over(w))
-      .where((col("cum") - col("c")).cast("double") < lit(coverage) * col("t"))
+    val parts = tokenCounts(df, idCol, textCol)
+      .repartitionByRange(col("c").desc, col("tok").asc)
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__run",
+      sum(col("c")).over(Window.partitionBy("__pid")
+        .orderBy(col("c").desc, col("tok").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = parts.groupBy("__pid").agg(sum(col("c")).as("__psum"))
+      .withColumn("__before",
+        coalesce(sum(col("__psum")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__t", sum(col("__psum")).over(Window.partitionBy()))
+      .select("__pid", "__before", "__t")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("cum", col("__before") + col("__run"))
+      .where((col("cum") - col("c")).cast("double") < lit(coverage) * col("__t"))
       .select(
         col("tok"),
         col("c").as("freq"),
-        round(col("cum").cast("double") / col("t"), 6).as("cum_share"))
+        round(col("cum").cast("double") / col("__t"), 6).as("cum_share"))
       .orderBy(col("freq").desc, col("tok"))
   }
 }

@@ -200,6 +200,18 @@ object Expr {
       (cmpName.get(op), tsVsNsLit(l, r, schema)) match {
         case (Some(o), Some((tsC, tsT, ns, tsOnLeft))) =>
           Ts.cmpNs(compile(tsC, schema), tsT, if (tsOnLeft) o else flipped(o), ns)
+        case (Some(_), None)
+            if isTsVsNumeric(l, r, schema) =>
+          // A numeric NON-literal against a timestamp would fall through to
+          // Spark's cast, which coerces the numeric as SECONDS — silently
+          // 1e9 off from the reference's ns semantics. Refuse instead of
+          // being quietly wrong (fold literal arithmetic yourself, or
+          // compare against a Lit ns value, which rewrites exactly above).
+          throw new IllegalArgumentException(
+            s"cannot compare a timestamp expression to a non-literal numeric " +
+              s"expression ($l vs $r): the engine's integer-vs-timestamp " +
+              "semantics are NANOSECONDS, but Spark would coerce as seconds; " +
+              "use an integer ns literal or a timestamp-typed expression")
         case _ =>
           val lc = compile(l, schema)
           val rc = compile(r, schema)
@@ -253,5 +265,20 @@ object Expr {
       case (_, _, Some(t), Some(ns)) => Some((r, t, ns, false))
       case _ => None
     }
+  }
+
+  /** One side timestamp-typed, the other numeric (and, given tsVsNsLit
+    * already failed, not a rewritable bare integral literal).
+    */
+  private def isTsVsNumeric(l: Expr, r: Expr, schema: StructType): Boolean = {
+    def isTs(e: Expr) = inferType(e, schema) match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def isNum(e: Expr) = inferType(e, schema) match {
+      case _: NumericType => true
+      case _ => false
+    }
+    (isTs(l) && isNum(r)) || (isNum(l) && isTs(r))
   }
 }

@@ -101,9 +101,19 @@ final case class QueryBuilder(
       // the physical index type; for µs timestamp inputs the label is
       // converted back to the input type, which requires µs-aligned
       // buckets (every realistic rule; ns-sub-µs rules need a long index).
-      if (Ts.isTs(tsType))
+      if (Ts.isTs(tsType)) {
         require(ruleNs % 1000L == 0L && offsetNs % 1000L == 0L,
           s"resample on a $tsType index needs µs-aligned rule and offset")
+        // an unaligned origin anchor would make bucket starts non-µs-
+        // aligned and the `__bucket div 1000` label conversion truncate —
+        // silently shifted labels instead of a failure
+        origin match {
+          case Resample.OriginTimestamp(ns) =>
+            require(ns % 1000L == 0L,
+              s"resample on a $tsType index needs a µs-aligned origin (got $ns ns)")
+          case _ => ()
+        }
+      }
       val tsNs = Ts.toNs(col(tsCol), tsType)
       val (frame, anchor) = Resample.anchored(df, tsCol, tsType, origin, offsetNs)
       val start = Resample.bucketStart(tsNs, ruleNs, closed, anchor)

@@ -15,8 +15,11 @@ class FooterStatsSpec extends SparkSuite {
   private lazy val events = spark.read.parquet(s"$sf/events.parquet")
 
   test("footer min/max equals the aggregate min/max on a bare scan") {
+    // events.ts is TIMESTAMP_MICROS: footer INT64 stats are epoch-µs,
+    // which minMaxLong converts to the engine's canonical epoch-ns
     val got = ParquetFooterStats.minMaxLong(events, "ts")
-    val Array(mn, mx) = events.agg(min("ts"), max("ts")).collect()(0)
+    val ns = unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    val Array(mn, mx) = events.agg(min(ns), max(ns)).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
     assert(got.contains((mn, mx)))
     // survives a prune-only projection
@@ -28,7 +31,7 @@ class FooterStatsSpec extends SparkSuite {
     assert(ParquetFooterStats.minMaxLong(
       events.filter(col("value") > 0), "ts").isEmpty)
     assert(ParquetFooterStats.minMaxLong(
-      events.select((col("ts") + 1).as("ts")), "ts").isEmpty)
+      events.select(col("ts").cast("timestamp").as("ts")), "ts").isEmpty)
     assert(ParquetFooterStats.minMaxLong(events, "event_type").isEmpty)
     assert(ParquetFooterStats.minMaxLong(
       Seq((1L, 2L)).toDF("ts", "v"), "ts").isEmpty) // not a parquet scan
@@ -44,7 +47,7 @@ class FooterStatsSpec extends SparkSuite {
         .orderBy("ts").collect().toSeq
       val viaAgg = QueryBuilder()
         .resample("ts", "7h", aggs, origin = origin)(
-          events.filter(col("ts") > Long.MinValue))
+          events.filter(col("event_id") > Long.MinValue))
         .orderBy("ts").collect().toSeq
       assert(viaFooter == viaAgg, s"origin $origin diverged")
     }

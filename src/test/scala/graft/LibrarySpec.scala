@@ -2,12 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Library
+import graft.core.{Library, Ts}
 import graft.core.Library.AsOf
 
 /** Versioned-store behavior: roundtrips, as-of reads, range splice, and —
   * the 100 TB-relevant part — proof that row-range/date-range reads hand
   * Spark only the manifest-pruned files, not the whole symbol.
+  *
+  * events.ts is parquet TIMESTAMP_MICROS (Spark timestamp_ntz): manifest
+  * minIdx/maxIdx are epoch-µs, Library's caller-facing dateRange/
+  * deleteRange bounds are epoch-ns, and literal comparisons go through
+  * Ts.usLit so they stay pushdown-friendly timestamp literals.
   */
 class LibrarySpec extends SparkSuite {
   import spark.implicits._
@@ -16,6 +21,12 @@ class LibrarySpec extends SparkSuite {
     new Library(java.nio.file.Files.createTempDirectory("graft-libspec-").toString, spark)
 
   private def events = spark.read.parquet(s"$sf/events.parquet")
+
+  private lazy val tsT = events.schema("ts").dataType
+  /** Foldable ts-typed literal for an epoch-µs bound (manifest unit). */
+  private def usL(us: Long) = Ts.usLit(us, tsT)
+  /** events.ts as an epoch-µs long column. */
+  private def tsUs = unix_micros(col("ts").cast("timestamp"))
 
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
     df.select(input_file_name()).distinct().count()
@@ -66,10 +77,10 @@ class LibrarySpec extends SparkSuite {
     lib.write("ev", events, Some("ts"), targetRows = 100)
     val m = lib.resolveVersion("ev")
     val mid = m.files(m.files.size / 2)
-    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get)
-    val df = lib.read("ev", dateRange = Some((lo, hi)))
-    assert(scannedFiles(lib.read("ev", dateRange = Some((lo, hi)))) <= 3)
-    val expected = events.filter(col("ts").between(lo, hi)).count()
+    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get) // manifest unit: µs
+    val df = lib.read("ev", dateRange = Some((lo * 1000, hi * 1000))) // caller unit: ns
+    assert(scannedFiles(lib.read("ev", dateRange = Some((lo * 1000, hi * 1000)))) <= 3)
+    val expected = events.filter(col("ts").between(usL(lo), usL(hi))).count()
     assert(df.count() == expected)
   }
 
@@ -87,13 +98,14 @@ class LibrarySpec extends SparkSuite {
       case _ =>
     }
     val Array(trueMin, trueMax) =
-      events.agg(min("ts"), max("ts")).head.toSeq.map(_.asInstanceOf[Long]).toArray
+      events.agg(min(tsUs), max(tsUs)).head.toSeq.map(_.asInstanceOf[Long]).toArray
     assert(ranges.head._1 == trueMin && ranges.last._2 == trueMax)
   }
 
   test("append + snapshot + as-of read") {
     val lib = newLib()
-    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    val cut = usL(events.agg(
+      expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")).head.getLong(0))
     lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 200)
     lib.snapshot("pre")
     lib.append("ev", events.filter(col("ts") >= cut), targetRows = 200)
@@ -110,20 +122,21 @@ class LibrarySpec extends SparkSuite {
     lib.write("ev", events, Some("ts"), targetRows = 200)
     val m0 = lib.resolveVersion("ev")
     val mid = m0.files(m0.files.size / 2)
-    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get)
-    val patch = events.filter(col("ts").between(lo, hi))
+    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get) // µs
+    val patch = events.filter(col("ts").between(usL(lo), usL(hi)))
       .withColumn("value", col("value") + 1000)
     lib.update("ev", patch, targetRows = 200)
     val after = lib.read("ev")
     assert(after.count() == events.count())
-    assert(after.filter(col("ts").between(lo, hi) && col("value") < 900).count() == 0)
+    assert(after.filter(col("ts").between(usL(lo), usL(hi)) && col("value") < 900).count() == 0)
     // untouched files are physically shared with the previous version
     val m1 = lib.resolveVersion("ev")
     assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).nonEmpty,
       "update must reuse untouched files")
 
-    lib.deleteRange("ev", lo, hi)
-    assert(lib.read("ev").count() == events.filter(!col("ts").between(lo, hi)).count())
+    lib.deleteRange("ev", lo * 1000, hi * 1000) // ns bounds
+    assert(lib.read("ev").count() ==
+      events.filter(!col("ts").between(usL(lo), usL(hi))).count())
   }
 
   test("readBatch applies a per-symbol query pipeline") {
@@ -145,7 +158,7 @@ class LibrarySpec extends SparkSuite {
     val info = lib.getInfo("ev")
     assert(info.rowCount == 50 && info.indexCol.contains("ts") && info.sorted)
     // append carries metadata forward
-    val cut = events.limit(50).agg(max("ts")).head.getLong(0)
+    val cut = usL(events.limit(50).agg(max(tsUs)).head.getLong(0))
     lib.append("ev", events.filter(col("ts") > cut).limit(10), targetRows = 1000)
     assert(lib.readMetadata("ev")("owner") == "graft")
   }
@@ -236,12 +249,13 @@ class LibrarySpec extends SparkSuite {
 
   test("prunePreviousVersions keeps latest + snapshot-pinned, GCs the rest") {
     val lib = newLib()
-    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    val cut = usL(events.agg(
+      expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")).head.getLong(0))
     lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 200) // v0
     lib.append("ev", events.filter(col("ts") >= cut), targetRows = 200) // v1
     lib.snapshot("pin") // pins v1
     val mid = lib.resolveVersion("ev").files(2)
-    val patch = events.filter(col("ts").between(mid.minIdx.get, mid.maxIdx.get))
+    val patch = events.filter(col("ts").between(usL(mid.minIdx.get), usL(mid.maxIdx.get)))
       .withColumn("value", col("value") + 1)
     lib.update("ev", patch, targetRows = 200) // v2 rewrites one slice
     assert(lib.listVersions("ev") == Seq(0, 1, 2))
@@ -256,7 +270,8 @@ class LibrarySpec extends SparkSuite {
 
   test("finalizeStaged append mode extends an existing symbol") {
     val lib = newLib()
-    val cut = events.agg(expr("percentile_approx(ts, 0.5)")).head.getLong(0)
+    val cut = usL(events.agg(
+      expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)")).head.getLong(0))
     lib.write("ev", events.filter(col("ts") < cut), Some("ts"), targetRows = 500)
     lib.stage("ev", events.filter(col("ts") >= cut))
     lib.sortAndFinalizeStaged("ev", Some("ts"), mode = "append", targetRows = 500)
@@ -616,7 +631,7 @@ class LibrarySpec extends SparkSuite {
     val back = lib.read("ev", withRowId = true)
     assert(back.count() == events.count())
     // _row_id follows ts order globally
-    val rows = back.select(Library.RowIdCol, "ts").as[(Long, Long)]
+    val rows = back.select(col(Library.RowIdCol), tsUs).as[(Long, Long)]
       .collect().sortBy(_._1)
     assert(rows.map(_._2).sameElements(rows.map(_._2).sorted))
   }

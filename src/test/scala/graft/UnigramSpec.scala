@@ -56,4 +56,42 @@ class UnigramSpec extends SparkSuite {
     assert(got.toSeq ==
       Seq(("a", 5L, 0.5), ("b", 3L, 0.8), ("c", 1L, 0.9), ("z", 1L, 1.0)))
   }
+
+  test("logProbScore model collect is bounded by 1/minShare on a heavy-tail vocab") {
+    // 5000 distinct singleton tokens + 2 frequent ones: the FULL vocab is
+    // 5002 entries, but the driver may only ever see the kept set —
+    // ≤ ceil(1/minShare) tokens by construction (each holds ≥ minShare of
+    // the mass). A full-vocab collect here would return 5002.
+    val heavy = spark.range(500).selectExpr("id AS doc_id",
+      """concat('common1 common2 ',
+         array_join(transform(sequence(0, 9), i -> concat('rare', id * 10 + i)), ' '))
+         AS text""")
+    val kept = Unigram.keptVocab(heavy, "doc_id", "text", 0.05)
+    assert(kept.length <= 21, s"kept ${kept.length} — driver collect not bounded")
+    assert(kept.map(_._1).toSet == Set("common1", "common2"))
+    // and the scored output still covers every doc
+    assert(Unigram.logProbScore(heavy, "doc_id", "text", 0.05).count() == 500)
+  }
+
+  test("coverageVocab prefix-sum is distributed: no unpartitioned window over the vocab") {
+    // AQE wraps exchanges in query stages pre-execution; plan without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Unigram.coverageVocab(corpus, "doc_id", "text", 0.9)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only global windows allowed run over the #partitions-row
+      // summary (__psum), never over vocab rows (tok/c)
+      val childCols = w.child.output.map(_.name)
+      assert(childCols.contains("__psum") && !childCols.contains("tok"),
+        s"unpartitioned window over vocab rows: $childCols")
+    }
+    // the vocab-sized running sum must be a PARTITIONED window
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
 }
