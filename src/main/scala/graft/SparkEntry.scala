@@ -646,11 +646,18 @@ object SparkEntry {
         .transform(sortSmallAgg(_, "fp"))
     },
     "q28_dedup_minhash" -> { (s, dir) =>
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      // portable=true: md5-derived signatures so the DuckDB oracle replays
+      // the WHOLE LSH (signatures → band keys → bucket cap → pairs)
+      // bit-for-bit — a hard gate, not a probabilistic-recall argument.
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        portable = true)
         .orderBy("id_a", "id_b")
     },
     "q29_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      // portable=true: 60-bit md5-derived simhash (4×15-bit bands keep the
+      // hamming ≤ 3 pigeonhole) — replayed exactly by the oracle.
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        portable = true)
         .orderBy("id_a", "id_b")
     },
     "q30_ngram_jaccard" -> { (s, dir) =>
@@ -875,6 +882,52 @@ object SparkEntry {
       Unigram.coverageVocab(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .transform(sortSmall(_, "freq", "tok"))
     },
+    "q87_image_header_meta" -> { (s, dir) =>
+      // Real container-metadata extraction (PNG/JPEG/GIF headers) over
+      // synthetic payloads: dims derive from doc_id, payloads are built
+      // per-partition (the sandbox has no codecs), and the header kernel
+      // parses them back — gated against the direct arithmetic in DuckDB.
+      // A parser that misreads any header offset fails the gate.
+      import s.implicits._
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(1) + col("doc_id") % 640).cast("int").as("w0"),
+        (lit(1) + col("doc_id") % 480).cast("int").as("h0"),
+        (col("doc_id") % 3).cast("int").as("f0"))
+      val withBin = dims.as[(Long, Int, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h, f) =>
+          val bytes = f match {
+            case 0 => graft.plans.ImageHeaders.buildPng(w, h)
+            case 1 => graft.plans.ImageHeaders.buildJpeg(w, h)
+            case _ => graft.plans.ImageHeaders.buildGif(w, h)
+          }
+          (id, bytes)
+        }).toDF("doc_id", "img")
+      withBin.select(col("doc_id"), Multimodal.imageMeta(col("img")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
+    },
+    "q86_uint64_compare" -> { (s, dir) =>
+      // Exact mixed int64/uint64 comparison parity (reference
+      // signed_unsigned_comparison.hpp): a uint64 column rides in
+      // Decimal(20,0) (= parquet UINT64's Spark type) holding the TRUE
+      // value, so Expr comparisons against int64 literals are exact math
+      // — an msb-set uint64 is greater than every int64. u straddles 2^63
+      // (base + event_id crosses at event_id 5808), and the predicates
+      // hit below-msb, at-int64-max, and above-msb boundaries in both
+      // argument orders.
+      val base = new java.math.BigDecimal("9223372036854770000")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          (col("event_id").cast(Expr.Uint64) + lit(base)).cast(Expr.Uint64).as("u"))
+      val sch = ev.schema
+      ev.select(col("event_id"), col("u").cast("string").as("u"),
+          Expr.compile(e("u") >= l(9223372036854773000L), sch).as("ge_s"),
+          Expr.compile(e("u") > l(Long.MaxValue), sch).as("gt_max"),
+          Expr.compile(l(9223372036854775000L) <= e("u"), sch).as("le_rev"),
+          Expr.compile(e("u") === l(Long.MaxValue), sch).as("eq_max"))
+        .orderBy("event_id")
+    },
     "q80_stream_token_budget" -> { (s, dir) =>
       // Live-ingest token-budget admission: a real flatMapGroupsWithState
       // streaming run inside the correctness gate. The corpus streams from
@@ -965,12 +1018,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     },
     "q52_ann_ivf" -> { (s, dir) =>
-      // Trained-partition ANN (IVF): no SQL oracle (Lloyd iterations are
-      // not cheaply SQL-replayable) — rows-only here, recall/exactness
-      // gated by VectorsGroundTruthSpec.
+      // Trained-partition ANN (IVF). Gated at nProbe = nlist: probing
+      // every cell makes the output exact BY CONSTRUCTION (every corpus
+      // vector is assigned to exactly one cell and all cells are scored),
+      // independent of where Lloyd's iterations put the centroids — so the
+      // exact-top-k oracle is a hard gate on the whole IVF pipeline
+      // (train → assign → probe → rescore → rank). Production recall at
+      // nProbe < nlist is covered by VectorsGroundTruthSpec.
       val emb = t(s, dir, "embeddings")
       Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nlist = 16, nProbe = 8)
+        k = 5, nlist = 8, nProbe = 8)
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
@@ -1034,13 +1091,15 @@ object SparkEntry {
     },
     "q38_multimodal_features" -> { (s, dir) =>
       val docs = t(s, dir, "documents").withColumn("bin", col("text").cast("binary"))
-      // Canonical hashable form: the float array as a fixed-format string,
-      // so the driver's sort+hash compare works on the result.
+      // Canonical hashable form: each float is k/1e6 by construction
+      // (decodeStub's |acc % 1e6| / 1e6), so emit the scaled integers —
+      // exactly what the oracle's HUGEINT FNV-fold replay produces, with
+      // no float-formatting boundary risk.
       Multimodal.extractFeatures(docs, "doc_id", "bin")
         .select(col("id"),
           concat_ws(",",
             transform(col("features"),
-              x => format_string("%.6f", x.cast("double")))).as("features"))
+              x => round(x.cast("double") * 1e6).cast("long"))).as("features"))
         .orderBy("id")
     },
     "q51_sql_surface" -> { (s, dir) =>
@@ -1138,15 +1197,64 @@ object SparkEntry {
 
   // =================================================================
   // oracle SQL (DuckDB dialect) — same column names, same rounding,
-  // same ordering as the Spark plans above. Omitted entries
-  // (q28/q29/q32/q33/q38) use engine-specific hashing/LSH and get the
-  // driver's rows-only check; their correctness is covered by
-  // DedupGroundTruthSpec / VectorsGroundTruthSpec, which compare recall
-  // against brute-force exact pairs on the sf0.001 tables.
+  // same ordering as the Spark plans above. Every query is gated; the
+  // approximate operators are gated by REPLAYING their pipelines:
+  // q28/q29 run on the portable md5-derived hash so signatures, band
+  // keys and bucket caps recompute exactly in DuckDB; q32/q33 inline
+  // the deterministic hyperplane constants and replay signature →
+  // bucket → exact rescore; q38 replays the FNV-style byte fold in
+  // HUGEINT mod-2^64 arithmetic; q52 probes every IVF cell, making the
+  // exact-top-k oracle valid by construction. Production-hash recall is
+  // additionally covered by DedupGroundTruthSpec/VectorsGroundTruthSpec.
   // =================================================================
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB replay of Dedup.h60: first 15 md5 hex digits parsed as a
+    * non-negative BIGINT via a per-digit fold. */
+  private def hex60Sql(x: String): String =
+    s"""list_reduce(list_transform(split(substr(md5($x), 1, 15), ''),
+        c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"""
+
+  /** The word-3-gram shingle CTEs shared by the dedup oracles. */
+  private val shingleCtes =
+    s"""docs AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+            FROM docs))"""
+
+  /** Hyperplane constants as a DuckDB VALUES list — the oracle replays
+    * HyperplaneSignature's sign(v · plane) bits from these exact doubles
+    * (Double.toString round-trips, so the literals parse back bit-equal).
+    */
+  private def planesValuesSql(bits: Int, dim: Int): String =
+    graft.functions.Vectors.planesFor(bits, dim).zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Signature CTEs replaying hyperplaneSignature over `embeddings`:
+    * yields `hsig(vec_id, sig)` given a `planes(b, pl)` VALUES CTE. */
+  private val hyperplaneSigCtes =
+    """sigparts AS (
+         SELECT e.vec_id, p.b,
+           list_reduce(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i]), (a, x) -> a + x) AS dot
+         FROM embeddings e, planes p),
+       hsig AS (
+         SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+         FROM sigparts GROUP BY 1)"""
+
+  /** Exact-cosine CTEs (the q31 shapes): flat/norms for `embeddings`. */
+  private val cosineCtes =
+    """flat AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings)),
+       norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1)"""
 
   private def wcSql(word: String): String =
     s"(len(string_split(' ' || text || ' ', ' $word ')) - 1)"
@@ -1349,6 +1457,23 @@ object SparkEntry {
              AS lp_mean
          FROM toks LEFT JOIN vocab v USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q87_image_header_meta" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CAST(1 + doc_id % 640 AS INT) AS width,
+           CAST(1 + doc_id % 480 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
+    // HUGEINT replay of the Decimal(20,0) uint64 carrier: exact values,
+    // exact cross-sign comparisons.
+    "q86_uint64_compare" ->
+      """SELECT event_id,
+           CAST(9223372036854770000::HUGEINT + event_id AS VARCHAR) AS u,
+           (9223372036854770000::HUGEINT + event_id) >= 9223372036854773000 AS ge_s,
+           (9223372036854770000::HUGEINT + event_id) > 9223372036854775807 AS gt_max,
+           9223372036854775000 <= (9223372036854770000::HUGEINT + event_id) AS le_rev,
+           (9223372036854770000::HUGEINT + event_id) = 9223372036854775807 AS eq_max
+         FROM events ORDER BY event_id""",
     "q85_coverage_vocab" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1749,6 +1874,161 @@ object SparkEntry {
             CASE WHEN h < 'cccd' THEN 0 WHEN h < 'e666' THEN 1 ELSE 2 END AS split
           FROM grp ORDER BY doc_id""",
     "q31_ann_bruteforce" ->
+      """WITH flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, corpus_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, corpus_id, sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Full LSH replay (portable md5 hash): 12 minhash signatures → 4
+    // 3-slot band keys → ≤1000 bucket cap → candidate pairs, recomputed
+    // from scratch in DuckDB. No recall argument — the oracle IS the LSH.
+    "q28_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+          hs AS (
+            SELECT doc_id, i,
+              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
+            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
+          banded AS (
+            SELECT doc_id,
+              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
+              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
+            FROM msig, range(0, 4) t(b)),
+          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
+          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key))
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id
+          ORDER BY id_a, id_b""",
+    // 60-bit md5-simhash replay: per-bit ±1 majorities → signature →
+    // 4×15-bit bands (+cap) → hamming ≤ 3 pairs, all recomputed.
+    "q29_dedup_simhash" ->
+      s"""WITH $shingleCtes,
+          hs AS (SELECT doc_id, ${hex60Sql("s")} AS h FROM sh),
+          bits AS (
+            SELECT doc_id, j,
+              sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+            FROM hs, range(0, 60) t(j) GROUP BY 1, 2),
+          ssig AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+            FROM bits GROUP BY 1),
+          chunks AS (
+            SELECT doc_id, sig, bd, (sig >> (bd * 15)) & 32767 AS cv
+            FROM ssig, range(0, 4) t(bd)),
+          ok AS (SELECT bd, cv FROM chunks GROUP BY bd, cv HAVING count(*) <= 1000),
+          bb AS (SELECT chunks.* FROM chunks JOIN ok USING (bd, cv)),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM bb a JOIN bb b ON a.bd = b.bd AND a.cv = b.cv AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, hamming FROM pairs
+          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // Hyperplane-LSH replay: the 16 seeded Gaussian planes are inlined as
+    // literals; signatures, 4×4-bit buckets, candidate pairs and the
+    // exact rescore+rank all recompute in DuckDB.
+    "q32_ann_lsh" ->
+      s"""WITH planes(b, pl) AS (VALUES ${planesValuesSql(16, 64)}),
+          $hyperplaneSigCtes,
+          chunks AS (
+            SELECT vec_id, bd AS chunk, (sig >> (bd * 4)) & 15 AS cv
+            FROM hsig, range(0, 4) t(bd)),
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+            FROM chunks q JOIN chunks c ON q.chunk = c.chunk AND q.cv = c.cv
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+          $cosineCtes,
+          dots AS (
+            SELECT cd.query_id, cd.corpus_id, sum(q.x * c.x) AS dot
+            FROM cand cd
+            JOIN flat q ON q.vec_id = cd.query_id
+            JOIN flat c ON c.vec_id = cd.corpus_id AND c.i = q.i
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, corpus_id,
+              round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                         ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+            FROM dots
+            JOIN norms nq ON query_id = nq.vec_id
+            JOIN norms nc ON corpus_id = nc.vec_id),
+          ranked AS (
+            SELECT query_id, corpus_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, corpus_id ASC) AS rnk
+            FROM scored)
+          SELECT query_id, corpus_id, sim, rnk FROM ranked
+          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Same replay, near-dup threshold form: 8×2-bit bands, exact rescore,
+    // sim >= 0.45. (The Spark side's 10000 bucket cap cannot bind at
+    // <= 10000 rows/band and is elided here.)
+    "q33_cosine_neardup" ->
+      s"""WITH planes(b, pl) AS (VALUES ${planesValuesSql(16, 64)}),
+          $hyperplaneSigCtes,
+          chunks AS (
+            SELECT vec_id, bd AS chunk, (sig >> (bd * 2)) & 3 AS cv
+            FROM hsig, range(0, 8) t(bd)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+            WHERE a.vec_id < b.vec_id),
+          $cosineCtes,
+          dots AS (
+            SELECT cd.id_a, cd.id_b, sum(q.x * c.x) AS dot
+            FROM cand cd
+            JOIN flat q ON q.vec_id = cd.id_a
+            JOIN flat c ON c.vec_id = cd.id_b AND c.i = q.i
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT id_a, id_b,
+              round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                         ELSE dot / (na.nrm * nb.nrm) END, 6) AS sim
+            FROM dots
+            JOIN norms na ON id_a = na.vec_id
+            JOIN norms nb ON id_b = nb.vec_id)
+          SELECT id_a, id_b, sim FROM scored
+          WHERE sim >= 0.45 ORDER BY id_a, id_b""",
+    // decodeStub replay: the FNV-style 64-bit byte fold runs in HUGEINT
+    // mod-2^64 arithmetic (text is ASCII, so ord(char) = utf8 byte).
+    "q38_multimodal_features" ->
+      """WITH bytes AS (
+           SELECT doc_id, list_transform(split(text, ''), c -> ord(c)) AS bs
+           FROM documents),
+         f AS (
+           SELECT doc_id, k,
+             list_reduce(
+               list_prepend(CAST(xor(1469598103934665603::UBIGINT, k::UBIGINT) AS HUGEINT),
+                 list_transform(bs, x -> CAST(x AS HUGEINT))),
+               (acc, x) -> ((CAST(xor(CAST(acc AS UBIGINT), CAST(x AS UBIGINT)) AS HUGEINT)
+                             * 1099511628211) % 18446744073709551616)) AS acc
+           FROM bytes, range(0, 8) t(k)),
+         feat AS (
+           SELECT doc_id, k,
+             abs((CASE WHEN acc >= 9223372036854775808 THEN acc - 18446744073709551616
+                       ELSE acc END) % 1000000) AS v
+           FROM f)
+         SELECT doc_id AS id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS features
+         FROM feat GROUP BY doc_id ORDER BY id""",
+    // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
+    // oracle by construction (see the q52 query comment).
+    "q52_ann_ivf" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i

@@ -249,15 +249,35 @@ object Dedup {
       .limit(k)
   }
 
+  /** Engine-portable 60-bit hash: the first 15 hex digits of md5, parsed
+    * as a non-negative long. Any SQL engine with md5 can recompute it
+    * digit-for-digit, so LSH pipelines built on it are replayable
+    * end-to-end by an independent verification oracle (signatures, band
+    * keys, bucket caps and all) — the hard gate probabilistic-recall
+    * arguments can't give. xxhash64 stays the production default (faster,
+    * full 64 bits); portable mode trades that headroom for verifiability.
+    */
+  private[graft] def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** ---- MinHash ----
     * k independent minhashes over the shingle postings:
-    * sig[i] = min over shingles of xxhash64(seed=i, shingle), computed as k
+    * sig[i] = min over shingles of hash(seed=i, shingle), computed as k
     * `min` aggregates in ONE groupBy pass — partial (map-side) aggregation
     * means the shuffle carries k longs per doc, never the shingles.
+    * `portable` swaps xxhash64 for the md5-derived [[h60]] (seed mixed in
+    * as a "seed:" prefix) so an external engine can replay the signatures.
     */
-  def minhashSignatures(posts: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("s"))).as(s"h$seed"))
+  def minhashSignatures(
+      posts: DataFrame,
+      numHashes: Int,
+      portable: Boolean = false): DataFrame = {
+    val mins = (0 until numHashes).map { seed =>
+      val h =
+        if (portable) h60(concat_ws(":", lit(seed), col("s")))
+        else xxhash64(lit(seed), col("s"))
+      min(h).as(s"h$seed")
+    }
     posts.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -274,7 +294,8 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // Explicit id prefilter: the self-join's a.id < b.id would infer
     // isnotnull(id) on the join sides only, leaving the cap's count branch
@@ -284,11 +305,15 @@ object Dedup {
     // (verified: count branch plans a ReusedExchange).
     val sig = minhashSignatures(
       shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen),
-      numHashes)
-    // One 64-bit hash per band of r consecutive signature slots; docs
-    // sharing ANY band hash are candidates.
+      numHashes, portable)
+    // One key per band of r consecutive signature slots; docs sharing ANY
+    // band key are candidates. Production: a 64-bit xxhash64 of the slots.
+    // Portable: the slots themselves, ':'-joined — no re-hash, so the
+    // verification engine reproduces the exact bucket partition.
     val bandHashes = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+      val slots = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      if (portable) concat_ws(":", lit(b) +: slots: _*)
+      else xxhash64(lit(b) +: slots: _*)
     }
     val banded = sig
       .select(col("id"), posexplode(array(bandHashes: _*)))
@@ -879,17 +904,24 @@ object Dedup {
     * shuffle carries 64 ints per doc — not the shingles, and nothing is
     * recomputed 64×.
     */
-  def simhashSignatures(posts: DataFrame): DataFrame = {
-    val hashed = posts.select(col("id"), xxhash64(col("s")).as("h"))
-    val bitSums = (0 until 64).map { j =>
+  def simhashSignatures(posts: DataFrame, portable: Boolean = false): DataFrame = {
+    val bits = simhashBits(portable)
+    val h = if (portable) h60(col("s")) else xxhash64(col("s"))
+    val hashed = posts.select(col("id"), h.as("h"))
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$j")
     }
     val sums = hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("id"), sig.as("sig"))
   }
+
+  /** Signature width: 64 for xxhash64, 60 for the portable md5-derived
+    * hash (15 hex digits) — both split into 4 bands for the hamming ≤ 3
+    * pigeonhole. */
+  private def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
 
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -915,14 +947,18 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val chunkBits = simhashBits(portable) / 4
+    val mask = (1L << chunkBits) - 1
     // id prefilter shared by all branches — see minhashCandidates
     val sigs = simhashSignatures(
-      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen))
+      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen),
+      portable)
     val chunks = sigs.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*)))
+        shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
       .toDF("id", "sig", "chunk", "chunkval")
     // groupBy-count → anti-join cap (see decontaminate for why not a
     // window, and why anti beats the semi form)

@@ -43,6 +43,28 @@ object Multimodal {
   def byteLength(bytes: Column): Column = length(bytes)
   def contentHash(bytes: Column): Column = md5(bytes)
 
+  /** Container-header metadata (PNG IHDR / JPEG SOFn / GIF screen
+    * descriptor) parsed in one codegen'd pass — real `width`/`height`
+    * without any codec (graft.plans.ImageHeaders). Unknown containers
+    * yield ("unknown", -1, -1).
+    */
+  def imageMeta(bytes: Column): Column = graft.plans.ImageMeta(bytes)
+
+  /** [[asMedia]] with width/height filled from the container header —
+    * the stub boundary is now feature extraction only.
+    */
+  def asMediaWithMeta(bytes: Column, mime: Column): Column = {
+    val m = imageMeta(bytes)
+    struct(
+      bytes.as("bytes"),
+      mime.as("mime"),
+      when(m.getField("width") >= 0, m.getField("width"))
+        .cast(IntegerType).as("width"),
+      when(m.getField("height") >= 0, m.getField("height"))
+        .cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+  }
+
   val featureDim = 8
 
   /** Deterministic fake "decode + feature extract": in production this is

@@ -95,13 +95,18 @@ object Vectors {
     * ONE codegen'd expression (graft.plans.HyperplaneSignature); the
     * Column-composition alternative ran `bits` interpreted HOF folds/row.
     */
-  def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column = {
-    val planes: Array[Array[Double]] = (0 until bits).map { i =>
+  def hyperplaneSignature(vec: Column, bits: Int, dim: Int): Column =
+    graft.plans.HyperplaneSignature(vec, planesFor(bits, dim))
+
+  /** The deterministic hyperplane constants behind [[hyperplaneSignature]]
+    * — public so a verification oracle can inline them and replay the LSH
+    * signatures bit-for-bit in an independent engine.
+    */
+  def planesFor(bits: Int, dim: Int): Array[Array[Double]] =
+    (0 until bits).map { i =>
       val rng = new scala.util.Random(0x9E3779B97F4A7C15L + i)
       Array.fill(dim)(rng.nextGaussian())
     }.toArray
-    graft.plans.HyperplaneSignature(vec, planes)
-  }
 
   /** Approximate top-k: score only same-LSH-bucket (query, corpus) pairs.
     * Multi-probe via `bands` signature chunks (as in Dedup.simhashPairs)

@@ -73,6 +73,23 @@ object Expr {
 
   // ---------------------------------------------------------------- typing
 
+  /** The uint64 carrier: Spark has no unsigned integers (and parquet
+    * UINT64 is read as DECIMAL(20,0)), so uint64 columns ride in
+    * Decimal(20,0) holding the TRUE mathematical value. That makes
+    * mixed int64/uint64 comparison exact for free — Spark widens the
+    * long side to Decimal(20,0) losslessly and compares values — which
+    * is precisely the reference's rule set (reference:
+    * cpp/arcticdb/processing/signed_unsigned_comparison.hpp: an msb-set
+    * uint64 is greater than every int64, otherwise compare as signed;
+    * i.e. compare true values). BigDecimal literals type as Uint64 so
+    * `col("u") > lit(BigDecimal(...))` round-trips. Cross-sign
+    * ARITHMETIC stays rejected (no common type) — the reference
+    * special-cases it only inside set membership.
+    */
+  val Uint64: DataType = DecimalType(20, 0)
+
+  private def isUint64(t: DataType): Boolean = t == Uint64
+
   private val intRank: Map[DataType, Int] =
     Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
   private val rankInt: Map[Int, DataType] =
@@ -89,12 +106,21 @@ object Expr {
   private def widenInt(a: DataType, b: DataType): DataType =
     rankInt(math.min(4, math.max(intRank(a), intRank(b)) + 1))
 
-  def arithmeticResultType(op: BinOp.Value, l: DataType, r: DataType): DataType = op match {
-    case BinOp.Div | BinOp.Pow => DoubleType
-    case _ =>
-      if (isIntegral(l) && isIntegral(r)) widenInt(l, r)
-      else if (l == FloatType && r == FloatType) FloatType
-      else DoubleType
+  def arithmeticResultType(op: BinOp.Value, l: DataType, r: DataType): DataType = {
+    if (isUint64(l) || isUint64(r))
+      // uint64 participates in COMPARISONS (exact, see Uint64) but not in
+      // the arithmetic lattice: there is no signed type wide enough, and
+      // silently doubling would lose ulps above 2^53.
+      throw new IllegalArgumentException(
+        s"uint64 (Decimal(20,0)) does not combine arithmetically with $l/$r; " +
+          "comparisons and isin are exact — cast explicitly for arithmetic")
+    op match {
+      case BinOp.Div | BinOp.Pow => DoubleType
+      case _ =>
+        if (isIntegral(l) && isIntegral(r)) widenInt(l, r)
+        else if (l == FloatType && r == FloatType) FloatType
+        else DoubleType
+    }
   }
 
   /** Common type for dynamic-schema concat/append — the port of the
@@ -128,6 +154,7 @@ object Expr {
         case _: String => StringType
         case _: Short => ShortType
         case _: Byte => ByteType
+        case _: java.math.BigDecimal | _: BigDecimal => Uint64
         case null => NullType
         case other => throw new IllegalArgumentException(s"unsupported literal $other")
       }

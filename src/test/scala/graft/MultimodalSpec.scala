@@ -78,4 +78,42 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("imageMeta reads real codec output: javax.imageio PNG/JPEG round-trip") {
+    // Non-circular check: the JDK's own encoders produce the bytes, the
+    // header kernel reads the dims back — a parser that misreads IHDR or
+    // walks JPEG markers wrong (APPn/quant tables precede SOF in real
+    // encoder output) fails here.
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+      out.toByteArray
+    }
+    val cases = Seq(
+      (1L, encoded("png", 640, 480), ("png", 640, 480)),
+      (2L, encoded("png", 1, 1), ("png", 1, 1)),
+      (3L, encoded("jpg", 123, 45), ("jpeg", 123, 45)),
+      (4L, encoded("jpg", 2000, 1), ("jpeg", 2000, 1)),
+      (5L, graft.plans.ImageHeaders.buildGif(321, 7), ("gif", 321, 7)),
+      (6L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10), ("unknown", -1, -1)))
+    val df = cases.map { case (id, b, _) => (id, b) }.toDF("id", "img")
+    val got = df.select(col("id"), Multimodal.imageMeta(col("img")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    cases.foreach { case (id, _, want) => assert(got(id) == want, s"id=$id") }
+    // asMediaWithMeta fills the typed metadata columns from the header
+    val media = df.filter(col("id") === 1L)
+      .select(Multimodal.asMediaWithMeta(col("img"), lit("image/png")).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.mime"))
+      .head()
+    assert((media.getInt(0), media.getInt(1), media.getString(2)) == ((640, 480, "image/png")))
+    // unknown container → null dims in the media struct, not -1
+    val unk = df.filter(col("id") === 6L)
+      .select(Multimodal.asMediaWithMeta(col("img"), lit("application/octet-stream")).as("m"))
+      .select(col("m.width")).head()
+    assert(unk.isNullAt(0))
+  }
 }

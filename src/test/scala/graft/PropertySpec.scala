@@ -299,4 +299,57 @@ class PropertySpec extends SparkSuite {
       assert(got == (0L until cuts.last.toLong), s"seed=$seed0")
     }
   }
+
+  test("property: mixed int64/uint64 comparisons follow the reference rules") {
+    // Reference semantics (cpp/arcticdb/processing/signed_unsigned_comparison.hpp
+    // + test_signed_unsigned_comparison.cpp): an msb-set uint64 is greater
+    // than every int64, otherwise compare as signed — i.e. compare TRUE
+    // mathematical values. The Decimal(20,0) carrier (Expr.Uint64) must
+    // reproduce that exactly for all six operators in both argument
+    // orders; the oracle is BigInt comparison.
+    import graft.query.Expr
+    import graft.query.Expr.{col => ec, BinOp}
+    val u64Max = BigInt("18446744073709551615")
+    val msb = BigInt(Long.MaxValue) + 1
+    // Boundary cross-product subsumes every concrete case in the
+    // reference's gtest table (uint64max/30/28/3 vs 28/30/-5/3 …).
+    val uBound = Seq(BigInt(0), BigInt(1), BigInt(3), BigInt(28), BigInt(30),
+      BigInt(Long.MaxValue), msb, u64Max - 1, u64Max)
+    val sBound = Seq(Long.MinValue, -5L, -1L, 0L, 3L, 28L, 30L, Long.MaxValue)
+    val uGen = Gen.frequency(
+      2 -> Gen.oneOf(uBound),
+      3 -> Gen.chooseNum(0L, Long.MaxValue).map(BigInt(_)),
+      3 -> Gen.chooseNum(0L, Long.MaxValue).map(BigInt(_) + msb))
+    val sGen = Gen.frequency(
+      2 -> Gen.oneOf(sBound),
+      5 -> Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val pairs = (for (u <- uBound; s <- sBound) yield (u, s)) ++
+      sample(Gen.zip(uGen, sGen), 300, 20260814L)
+    val df = pairs.zipWithIndex
+      .map { case ((u, s), i) => (i.toLong, new java.math.BigDecimal(u.bigInteger), s) }
+      .toDF("i", "u", "s")
+      .withColumn("u", col("u").cast(Expr.Uint64))
+    val ops: Seq[(String, BinOp.Value, Int => Boolean)] = Seq(
+      ("eq", BinOp.Eq, _ == 0), ("ne", BinOp.Ne, _ != 0),
+      ("lt", BinOp.Lt, _ < 0), ("le", BinOp.Le, _ <= 0),
+      ("gt", BinOp.Gt, _ > 0), ("ge", BinOp.Ge, _ >= 0))
+    val cols = col("i") +: ops.flatMap { case (n, op, _) =>
+      Seq(Expr.compile(Expr.Binary(op, ec("u"), ec("s")), df.schema).as(s"u_${n}_s"),
+        Expr.compile(Expr.Binary(op, ec("s"), ec("u")), df.schema).as(s"s_${n}_u"))
+    }
+    val got = df.select(cols: _*).orderBy("i").collect()
+    pairs.zipWithIndex.foreach { case ((u, s), i) =>
+      val row = got(i)
+      val cmp = u.compare(BigInt(s))
+      ops.zipWithIndex.foreach { case ((n, _, ref), j) =>
+        assert(row.getBoolean(1 + 2 * j) == ref(cmp), s"u=$u $n s=$s")
+        assert(row.getBoolean(2 + 2 * j) == ref(-cmp), s"s=$s $n u=$u")
+      }
+    }
+    // uint64 stays out of the arithmetic lattice — loud, not silently lossy
+    intercept[IllegalArgumentException] {
+      Expr.arithmeticResultType(BinOp.Add, Expr.Uint64,
+        org.apache.spark.sql.types.LongType)
+    }
+  }
 }
