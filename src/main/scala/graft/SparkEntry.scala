@@ -882,6 +882,44 @@ object SparkEntry {
       Unigram.coverageVocab(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .transform(sortSmall(_, "freq", "tok"))
     },
+    "q89_repeated_block_dedup" -> { (s, dir) =>
+      // CCNet-style paragraph dedup at block granularity: 10-word blocks
+      // shared by >= 2 docs survive only in their canonical (min-id)
+      // doc; docs reassemble from surviving blocks in order.
+      Dedup.dropRepeatedBlocks(t(s, dir, "documents"), "doc_id", "text", 10, 2)
+        .orderBy("doc_id")
+    },
+    "q90_embedding_decontaminate" -> { (s, dir) =>
+      // Embedding-space eval decontamination: EXACT cosine against the
+      // broadcast eval set (vec_id < 5), no LSH — the benchmark side is
+      // always broadcast-sized, so the exact form IS the scale form.
+      val emb = t(s, dir, "embeddings")
+      Vectors.decontaminateByEmbedding(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 0.35)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    },
+    "q88_multi_index_roundtrip" -> { (s, dir) =>
+      // Composite-index normalization parity (reference
+      // _normalization.py:611,931-947): (ts, event_type) flattens so ts
+      // stays THE physical index (date-range pruning intact) and
+      // event_type rides as __idx__event_type; restore() renames back.
+      // Flatten/restore are pure column renames — zero extra jobs.
+      import graft.core.MultiIndex
+      val lib = new Library(tmpRoot(), s)
+      val flat = MultiIndex.flatten(
+        t(s, dir, "events").select(col("ts"), col("event_type"), col("event_id"),
+          col("value")),
+        Seq("ts", "event_type"))
+      lib.write("ev", flat, Some("ts"), targetRows = 3000)
+      val got = lib.read("ev",
+        dateRange = Some((1704153600000000000L, 1704240000000000000L)))
+      assert(MultiIndex.secondaryLevels(got.schema) == Seq("event_type"))
+      MultiIndex.restore(got)
+        .select(col("event_id"), tsUs, col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    },
     "q87_image_header_meta" -> { (s, dir) =>
       // Real container-metadata extraction (PNG/JPEG/GIF headers) over
       // synthetic payloads: dims derive from doc_id, payloads are built
@@ -1457,6 +1495,52 @@ object SparkEntry {
              AS lp_mean
          FROM toks LEFT JOIN vocab v USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q89_repeated_block_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         blocks AS (
+           SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS block
+           FROM (SELECT doc_id, w,
+                   unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS i
+                 FROM w)),
+         stats AS (
+           SELECT block, count(DISTINCT doc_id) AS df, min(doc_id) AS canon
+           FROM blocks GROUP BY 1),
+         kept AS (
+           SELECT b.doc_id, b.pos, b.block
+           FROM blocks b JOIN stats s USING (block)
+           WHERE s.df < 2 OR b.doc_id = s.canon),
+         rebuilt AS (
+           SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(r.text, '') AS text
+         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q90_embedding_decontaminate" ->
+      """WITH flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT c.vec_id AS cid, q.vec_id AS qid, sum(q.x * c.x) AS dot
+           FROM flat c JOIN flat q ON q.i = c.i AND q.vec_id < 5
+           GROUP BY 1, 2),
+         bad AS (
+           SELECT DISTINCT cid FROM dots
+           JOIN norms nq ON qid = nq.vec_id
+           JOIN norms nc ON cid = nc.vec_id
+           WHERE round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                            ELSE dot / (nq.nrm * nc.nrm) END, 6) >= 0.35)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT cid FROM bad)
+         ORDER BY vec_id""",
+    "q88_multi_index_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts, event_type,
+           round(value, 6) AS value
+         FROM events
+         WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
+         ORDER BY event_id""",
     "q87_image_header_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

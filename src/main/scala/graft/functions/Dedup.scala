@@ -896,6 +896,50 @@ object Dedup {
     exact.join(losers, exact(idCol) === losers("id"), "left_anti")
   }
 
+  /** ---- Block-level (paragraph) dedup ----
+    * The CCNet/RefinedWeb paragraph-dedup step adapted to block
+    * granularity: split each doc into consecutive `blockWords`-word
+    * blocks; a block occurring in ≥ `minDocFreq` DISTINCT docs is
+    * boilerplate and survives only in its canonical (min-id) doc — every
+    * other occurrence is stripped, and the doc's remaining blocks are
+    * reassembled in order. ("Canonical occurrence survives" is the
+    * deterministic, order-free spelling of CCNet's "first occurrence
+    * survives", which depends on stream order.)
+    *
+    * Scale shape: blocks shuffle ONCE (groupBy block string for
+    * (distinct-doc count, min doc)); the join back is block-keyed; doc
+    * reassembly is a per-doc collect_list + array_sort, bounded by doc
+    * length — no window over the corpus, no text re-shuffle beyond the
+    * block rows themselves. Empty docs (every block stripped) remain as
+    * empty text rather than disappearing — dropping is a policy decision
+    * left to the caller.
+    */
+  def dropRepeatedBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 10,
+      minDocFreq: Int = 2): DataFrame = {
+    require(blockWords >= 1 && minDocFreq >= 2, s"bad params $blockWords/$minDocFreq")
+    val nBlocks = ceil(size(col("__w")) / lit(blockWords.toDouble)).cast("int")
+    val blocks = df
+      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("__w"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), nBlocks - 1),
+        i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords))))))
+      .toDF("id", "pos", "block")
+    val stats = blocks.groupBy("block")
+      .agg(count_distinct(col("id")).as("__df"), min(col("id")).as("__canon"))
+    val kept = blocks.join(stats, Seq("block"))
+      .filter(col("__df") < minDocFreq || col("id") === col("__canon"))
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          e => e.getField("block"))).as(textCol))
+    // left join so fully-stripped docs come back as empty text
+    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** ---- SimHash ----
     * 64-bit signature per doc: bit j = sign of Σ over shingles of
     * (bit j of xxhash64(shingle) ? +1 : -1). The shingle hash is

@@ -264,6 +264,28 @@ object Vectors {
     * bounds pair generation at the cost of recall only within those
     * over-populated buckets.
     */
+  /** Embedding-space decontamination: drop every corpus row whose cosine
+    * against ANY eval vector reaches `threshold`. EXACT by construction —
+    * the eval set is benchmark-sized, so it broadcasts and the corpus is
+    * scored in one narrow codegen'd pass (no LSH, no corpus shuffle, no
+    * recall argument); the only shuffle is none at all — the anti-join
+    * side is the corpus's own contaminated-id set, computed inline.
+    * The text-space twin is Dedup.decontaminate (n-gram Jaccard).
+    */
+  def decontaminateByEmbedding(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val ev = eval.select(col(vecCol).as("__evec"))
+    val hits = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+      .crossJoin(broadcast(ev))
+      .filter(round(cosine(col("__cvec"), col("__evec")), 6) >= threshold)
+      .select(col("__cid")).distinct()
+    corpus.join(hits, corpus(idCol) === hits("__cid"), "left_anti")
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,

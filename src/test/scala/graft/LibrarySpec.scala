@@ -963,4 +963,27 @@ class LibrarySpec extends SparkSuite {
     assert(lib.resolveVersion("s", AsOf.Version(-2)).version == 0)
     intercept[NoSuchElementException](lib.resolveVersion("s", AsOf.Version(-3)))
   }
+
+  test("multi-index flatten/restore round-trips through write/read with pruning intact") {
+    import graft.core.MultiIndex
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("sym"), (col("id") * 1.5).as("v"))
+    val flat = MultiIndex.flatten(df, Seq("k", "sym"))
+    assert(flat.columns.toSeq == Seq("k", "__idx__sym", "v"))
+    assert(MultiIndex.secondaryLevels(flat.schema) == Seq("sym"))
+    val lib = newLib()
+    lib.write("m", flat, Some("k"), targetRows = 100)
+    // level 0 is still THE index: a range read prunes files as usual
+    val got = lib.read("m", dateRange = Some((200L, 399L)))
+    assert(scannedFiles(got) < 10, "date-range must prune to a file subset")
+    val back = MultiIndex.restore(got)
+    assert(back.columns.toSeq == Seq("k", "sym", "v"))
+    assert(back.count() == 200)
+    assert(back.filter(col("sym") === (205 % 7) && col("k") === 205).count() == 1)
+    // restore refuses a collision with a plain column
+    val clash = flat.withColumn("sym", lit(1))
+    intercept[IllegalArgumentException](MultiIndex.restore(clash))
+    // flatten requires every named level to exist
+    intercept[IllegalArgumentException](MultiIndex.flatten(df, Seq("k", "nope")))
+  }
 }
