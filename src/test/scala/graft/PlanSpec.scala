@@ -220,4 +220,39 @@ class PlanSpec extends SparkSuite {
       assert(plan("q09_groupby_single").contains("Coalesce 1"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("block dedup: no corpus window, no nested-loop; reassembly is a bounded agg (q89)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q89_repeated_block_dedup")(spark, sf)
+        .queryExecution.executedPlan
+      val s = p.toString
+      // blocks shuffle for stats/join — but never a corpus-wide window
+      // (one task buffering every block) and never an all-pairs join
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "no Window over the block stream")
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+        s.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("embedding decontamination broadcasts eval; embeddings never shuffle (q90)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q90_embedding_decontaminate")(spark, sf)
+        .queryExecution.executedPlan
+      // the scoring join is the broadcast of the eval set over the scan
+      assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+        p.toString.contains("BroadcastHashJoin"), p.toString.take(2000))
+      // the only exchanges carry contaminated ids (and the broadcast) —
+      // a 64-float embedding column must never ride a shuffle
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach(e =>
+        assert(!e.child.output.map(_.name)
+          .exists(n => n.contains("embedding") || n.contains("cvec") || n.contains("evec")),
+          s"embedding must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
