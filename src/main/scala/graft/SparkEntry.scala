@@ -882,6 +882,27 @@ object SparkEntry {
       Unigram.coverageVocab(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .transform(sortSmall(_, "freq", "tok"))
     },
+    "q91_missing_compare" -> { (s, dir) =>
+      // Pandas missing-value comparison parity (reference
+      // test_query_builder_nat.py pins expected = pandas): NaT/NaN fail
+      // ==/</<=/>/>= but SATISFY != — and Spark's native NaN ordering
+      // (NaN above every double) must never leak. Booleans emitted as
+      // columns so the FALSE outcomes gate too, not just filter survival.
+      val ev = t(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("ts")).as("ts"),
+        when(col("event_id") % 5 === 0, lit(Double.NaN))
+          .otherwise(col("value")).as("value"))
+      val sch = ev.schema
+      val tsNs = 1704153600000000000L
+      ev.select(col("event_id"),
+          Expr.compile(e("ts") =!= l(tsNs), sch).as("ne_ts"),
+          Expr.compile(e("ts") > l(tsNs), sch).as("gt_ts"),
+          Expr.compile(l(tsNs) >= e("ts"), sch).as("ge_rev"),
+          Expr.compile(e("value") > l(0.5), sch).as("gt_v"),
+          Expr.compile(e("value") =!= l(0.5), sch).as("ne_v"),
+          Expr.compile(e("value").isNotIn(0.25, 0.75), sch).as("nin_v"))
+        .orderBy("event_id")
+    },
     "q89_repeated_block_dedup" -> { (s, dir) =>
       // CCNet-style paragraph dedup at block granularity: 10-word blocks
       // shared by >= 2 docs survive only in their canonical (min-id)
@@ -1495,6 +1516,21 @@ object SparkEntry {
              AS lp_mean
          FROM toks LEFT JOIN vocab v USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    // pandas missing semantics spelled explicitly: NULL/NaN → false for
+    // ordered/eq/isin, true for !=/isnotin
+    "q91_missing_compare" ->
+      """SELECT event_id,
+           (ts IS NULL OR epoch_ns(ts) <> 1704153600000000000) AS ne_ts,
+           (ts IS NOT NULL AND epoch_ns(ts) > 1704153600000000000) AS gt_ts,
+           (ts IS NOT NULL AND 1704153600000000000 >= epoch_ns(ts)) AS ge_rev,
+           (NOT isnan(value) AND value > 0.5) AS gt_v,
+           (isnan(value) OR value <> 0.5) AS ne_v,
+           (isnan(value) OR value NOT IN (0.25, 0.75)) AS nin_v
+         FROM (SELECT event_id,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS ts,
+                 CASE WHEN event_id % 5 = 0 THEN 'nan'::DOUBLE ELSE value END AS value
+               FROM events)
+         ORDER BY event_id""",
     "q89_repeated_block_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          blocks AS (

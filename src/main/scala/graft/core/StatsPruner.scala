@@ -13,13 +13,16 @@ import graft.query.Expr._
   *
   * A file may be skipped iff the predicate can NEVER evaluate to true for
   * any of its rows. Each subexpression is abstracted to the pair
-  * (canBeTrue, canBeFalse) over the file's rows; SQL null outcomes satisfy
-  * neither a filter nor its negation, so they need no third flag — min/max
-  * bound only non-null values, and a comparison on a null row yields null,
-  * which counts toward neither side. NOT swaps the pair (NOT null is still
-  * null); AND/OR compose possibilities conservatively (no row-alignment
-  * assumption is needed for soundness: pruning only ever fires on
-  * IMpossibility, and AND is impossible whenever either side is).
+  * (canBeTrue, canBeFalse) over the file's rows. Comparisons follow the
+  * engine's pandas missing-value semantics (Expr.compile): a missing row
+  * yields FALSE for ==/</<=/>/>=/isin and TRUE for !=/isnotin — never
+  * null. min/max stats bound only non-missing values and the sidecar has
+  * no null counts, so every comparison leaf keeps canBeFalse = true (a
+  * missing row may fail it) and Ne keeps canBeTrue = true (a missing row
+  * satisfies it). NOT swaps the pair; AND/OR compose possibilities
+  * conservatively (no row-alignment assumption is needed for soundness:
+  * pruning only ever fires on IMpossibility, and AND is impossible
+  * whenever either side is).
   *
   * Leaves the stats cannot bound — isnull (no null counts in the sidecar),
   * regex, ternary, arithmetic — evaluate to fully-unknown, which keeps the
@@ -140,17 +143,26 @@ object StatsPruner {
 
   /** canBeTrue: some value in [mn,mx] satisfies (col op x);
     * canBeFalse: some value in [mn,mx] fails it.
+    *
+    * min/max stats describe only NON-MISSING values, and under the
+    * engine's pandas comparison semantics a missing row (null/NaN) fails
+    * ==/</<=/>/>= but SATISFIES != . The stats carry no null counts, so
+    * every file may hold missing rows: != can therefore never rule a
+    * file out (canBeTrue stays true), and the ordered/equality ops can
+    * always be false on some row (canBeFalse stays true).
+    * This costs completeness only on Ne and NOT(...) shapes; the
+    * load-bearing prunes (ranges, equality) keep their power.
     */
   private def rangeCmpOrd[A](op: BinOp.Value, mn: A, mx: A, x: A)(
       implicit ord: Ordering[A]): Tri = {
     import ord._
     op match {
-      case BinOp.Lt => Tri(mn < x, mx >= x)
-      case BinOp.Le => Tri(mn <= x, mx > x)
-      case BinOp.Gt => Tri(mx > x, mn <= x)
-      case BinOp.Ge => Tri(mx >= x, mn < x)
-      case BinOp.Eq => Tri(mn <= x && x <= mx, !(mn.equiv(x) && mx.equiv(x)))
-      case BinOp.Ne => Tri(!(mn.equiv(x) && mx.equiv(x)), mn <= x && x <= mx)
+      case BinOp.Lt => Tri(mn < x, canBeFalse = true)
+      case BinOp.Le => Tri(mn <= x, canBeFalse = true)
+      case BinOp.Gt => Tri(mx > x, canBeFalse = true)
+      case BinOp.Ge => Tri(mx >= x, canBeFalse = true)
+      case BinOp.Eq => Tri(mn <= x && x <= mx, canBeFalse = true)
+      case BinOp.Ne => Tri(canBeTrue = true, mn <= x && x <= mx)
       case _ => Unknown
     }
   }
@@ -167,9 +179,12 @@ object StatsPruner {
         if (xs.exists(_.isEmpty)) Unknown // unparseable member — cannot bound
         else {
           val in = xs.flatten
+          // canBeFalse is unconditionally true: a missing row fails isin
+          // under pandas semantics, and the sidecar has no null counts
+          // (negate swaps the pair, so this also keeps isnotin sound)
           Tri(
             canBeTrue = in.exists(x => mn <= x && x <= mx),
-            canBeFalse = !(mn == mx && in.contains(mn)))
+            canBeFalse = true)
         }
       case Some(Right((mn, mx))) =>
         if (vs.contains(null)) Unknown
@@ -178,7 +193,7 @@ object StatsPruner {
           Tri(
             canBeTrue = in.exists(x =>
               Library.strCmp(mn, x) <= 0 && Library.strCmp(x, mx) <= 0),
-            canBeFalse = !(mn == mx && in.contains(mn)))
+            canBeFalse = true)
         }
     }
 }

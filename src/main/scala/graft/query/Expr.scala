@@ -226,7 +226,14 @@ object Expr {
         "==" -> "==", "!=" -> "!=")
       (cmpName.get(op), tsVsNsLit(l, r, schema)) match {
         case (Some(o), Some((tsC, tsT, ns, tsOnLeft))) =>
-          Ts.cmpNs(compile(tsC, schema), tsT, if (tsOnLeft) o else flipped(o), ns)
+          // Pandas missing-value comparison semantics (the reference's own
+          // tests pin expected = pandas, test_query_builder_nat.py): a NaT
+          // row fails ==/</<=/>/>= but SATISFIES != . Spark would
+          // null-propagate (dropping NaT rows from != too), so wrap: the
+          // base predicate still pushes to the scan as a conjunct.
+          val base = Ts.cmpNs(compile(tsC, schema), tsT, if (tsOnLeft) o else flipped(o), ns)
+          val tsNull = compile(tsC, schema).isNull
+          if (op == BinOp.Ne) base || tsNull else base && !tsNull
         case (Some(_), None)
             if isTsVsNumeric(l, r, schema) =>
           // A numeric NON-literal against a timestamp would fall through to
@@ -243,12 +250,31 @@ object Expr {
           val lc = compile(l, schema)
           val rc = compile(r, schema)
           op match {
-            case BinOp.Eq => lc === rc
-            case BinOp.Ne => lc =!= rc
-            case BinOp.Lt => lc < rc
-            case BinOp.Le => lc <= rc
-            case BinOp.Gt => lc > rc
-            case BinOp.Ge => lc >= rc
+            case BinOp.Eq | BinOp.Ne | BinOp.Lt | BinOp.Le | BinOp.Gt | BinOp.Ge =>
+              // Pandas/IEEE missing-value semantics (reference kernels are
+              // C++ IEEE; its tests pin expected = pandas,
+              // test_query_builder_nat.py): a missing operand (null, NaN,
+              // NaT) makes ==/</<=/>/>= FALSE and != TRUE — never null.
+              // Spark alone diverges twice: null comparisons propagate
+              // null (dropping rows from != filters that pandas keeps),
+              // and NaN sorts ABOVE every double (5.0 < NaN is true in
+              // Spark, false in IEEE). The conjunct/disjunct form keeps
+              // the raw predicate pushable to the scan, and with missing
+              // rows peeled off, Spark's residual comparisons ARE IEEE.
+              def miss(c: Column, t: DataType): Column =
+                if (isFloating(t)) c.isNull || isnan(c) else c.isNull
+              val anyMissing =
+                miss(lc, inferType(l, schema)) || miss(rc, inferType(r, schema))
+              val raw = op match {
+                case BinOp.Eq => lc === rc
+                case BinOp.Ne => lc =!= rc
+                case BinOp.Lt => lc < rc
+                case BinOp.Le => lc <= rc
+                case BinOp.Gt => lc > rc
+                case BinOp.Ge => lc >= rc
+                case _ => throw new IllegalStateException
+              }
+              if (op == BinOp.Ne) raw || anyMissing else raw && !anyMissing
             case BinOp.And => lc && rc
             case BinOp.Or => lc || rc
             case BinOp.Xor => lc =!= rc // boolean xor
@@ -262,8 +288,17 @@ object Expr {
     case IsIn(c, vs, neg) =>
       // Small sets: codegen'd isin. At scale a huge value set should become
       // a broadcast semi/anti join instead — see QueryBuilder.isinLarge.
-      val base = compile(c, schema).isin(vs: _*)
-      if (neg) !base else base
+      // Pandas missing semantics, matching the comparisons above: a
+      // missing row (null/NaN) is in NO set, so isin → false and
+      // isnotin → TRUE (Spark's bare isin would null-propagate and drop
+      // the row from both). NaN literals inside `vs` do not match (NaN is
+      // missing, not a value) — documented deviation from pandas' special
+      // NaN-in-valueset case.
+      val cc = compile(c, schema)
+      val missing =
+        if (isFloating(inferType(c, schema))) cc.isNull || isnan(cc) else cc.isNull
+      val base = cc.isin(vs: _*)
+      if (neg) !base || missing else base && !missing
 
     case RegexMatch(c, p) => compile(c, schema).rlike(p)
   }

@@ -83,4 +83,58 @@ class ExprSpec extends SparkSuite {
     for (a <- all; b <- all)
       assert(arithmeticResultType(BinOp.Div, a, b) == DoubleType)
   }
+
+  test("pandas missing semantics: NaT comparisons (reference test_query_builder_nat.py)") {
+    // pandas (= the reference's pinned expectation): NaT fails every
+    // ordered/equality comparison but SATISFIES != — Spark's bare null
+    // propagation would drop NaT rows from != filters too.
+    val df = Seq(
+      (1L, Some(java.time.LocalDateTime.of(2020, 1, 1, 0, 0))),
+      (2L, None),
+      (3L, Some(java.time.LocalDateTime.of(2025, 1, 1, 0, 0))))
+      .toDF("id", "ts")
+      .select($"id", $"ts".cast(TimestampNTZType).as("ts"))
+    val s = df.schema
+    def ids(e: Expr): Seq[Long] =
+      df.filter(Expr.compile(e, s)).select("id").as[Long].collect().toSeq.sorted
+    val ns2024 = 1704067200L * 1000000000L // 2024-01-01 in ns
+    assert(ids(col("ts") > lit(ns2024)) == Seq(3L))
+    assert(ids(col("ts") < lit(ns2024)) == Seq(1L))
+    assert(ids(lit(ns2024) < col("ts")) == Seq(3L)) // reversed operands
+    assert(ids(col("ts") === lit(ns2024)) == Seq())
+    // != keeps the NaT row — the divergence this test exists for
+    assert(ids(col("ts") =!= lit(ns2024)) == Seq(1L, 2L, 3L))
+    // literal NaT (null): == matches nothing, != matches EVERYTHING
+    assert(ids(col("ts") === lit(null)) == Seq())
+    assert(ids(col("ts") =!= lit(null)) == Seq(1L, 2L, 3L))
+  }
+
+  test("pandas missing semantics: NaT col-vs-col and NaN floats (IEEE, not Spark ordering)") {
+    // col-vs-col table straight from the reference test: eq keeps only
+    // both-present equal rows; ne is its complement INCLUDING NaT rows
+    val ts = Seq(
+      (1L, Some("2024-01-01"), Some("2024-01-01")),
+      (2L, Some("2024-01-02"), None),
+      (3L, None, None),
+      (4L, None, Some("2024-01-04")),
+      (5L, Some("2024-01-05"), Some("2024-01-05")))
+      .toDF("id", "a", "b")
+      .select($"id", $"a".cast(TimestampNTZType).as("a"), $"b".cast(TimestampNTZType).as("b"))
+    def tids(e: Expr): Seq[Long] =
+      ts.filter(Expr.compile(e, ts.schema)).select("id").as[Long].collect().toSeq.sorted
+    assert(tids(col("a") === col("b")) == Seq(1L, 5L))
+    assert(tids(col("a") =!= col("b")) == Seq(2L, 3L, 4L))
+    // floats: IEEE semantics — Spark alone sorts NaN above every double
+    // (5.0 < NaN is true in Spark), pandas/C++ say false
+    val fl = Seq((1L, 5.0), (2L, Double.NaN), (3L, 7.0)).toDF("id", "x")
+    def fids(e: Expr): Seq[Long] =
+      fl.filter(Expr.compile(e, fl.schema)).select("id").as[Long].collect().toSeq.sorted
+    assert(fids(col("x") < lit(Double.NaN)) == Seq()) // Spark bare: Seq(1,3)
+    assert(fids(col("x") > lit(6.0)) == Seq(3L)) // NaN row excluded
+    assert(fids(col("x") === lit(Double.NaN)) == Seq()) // Spark bare: NaN==NaN true
+    assert(fids(col("x") =!= lit(5.0)) == Seq(2L, 3L)) // NaN row KEPT
+    // isin/isnotin: missing is in no set; isnotin keeps the missing row
+    assert(fids(col("x").isin(5.0, 7.0)) == Seq(1L, 3L))
+    assert(fids(col("x").isNotIn(5.0)) == Seq(2L, 3L))
+  }
 }

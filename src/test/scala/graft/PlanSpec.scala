@@ -21,8 +21,10 @@ class PlanSpec extends SparkSuite {
 
   test("filters and projection reach the parquet scan (q01)") {
     val s = scan("q01_filter_numeric")
-    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), " +
-      "LessThan(l_quantity,5.0)"), s) // toString truncates the tail
+    // order-independent: the pandas-missing rewrite reorders the conjuncts
+    // (raw predicate first, isnotnull after; NOT isnan stays post-scan)
+    assert(s.contains("LessThan(l_quantity,5.0)") && s.contains("IsNotNull(l_quantity)") &&
+      s.contains("GreaterThan(l_discount,0.05)"), s)
     // column pruning: the 16-column lineitem scan reads only the 4 needed
     assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
       "l_quantity:double,l_discount:double>"), s)

@@ -27,30 +27,28 @@ class PropertySpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))
 
-    def evalRow(e: Expr, x: Long): Option[Boolean] = e match { // None = SQL null
-      case Binary(BinOp.And, a, b) => (evalRow(a, x), evalRow(b, x)) match {
-        case (Some(false), _) | (_, Some(false)) => Some(false)
-        case (Some(true), Some(true)) => Some(true)
-        case _ => None
+    // Pandas missing-value semantics (what Expr.compile produces): a
+    // missing row fails ==/</<=/>/>=/isin and SATISFIES !=/isnotin —
+    // comparisons never yield null, so the row oracle is plain Boolean.
+    def evalRow(e: Expr, x: Option[Long]): Boolean = e match {
+      case Binary(BinOp.And, a, b) => evalRow(a, x) && evalRow(b, x)
+      case Binary(BinOp.Or, a, b) => evalRow(a, x) || evalRow(b, x)
+      case Unary(UnOp.Not, a) => !evalRow(a, x)
+      case Binary(op, Col("x"), Lit(v: Long)) => x match {
+        case None => op == BinOp.Ne
+        case Some(xv) => op match {
+          case BinOp.Lt => xv < v
+          case BinOp.Le => xv <= v
+          case BinOp.Gt => xv > v
+          case BinOp.Ge => xv >= v
+          case BinOp.Eq => xv == v
+          case BinOp.Ne => xv != v
+          case _ => throw new IllegalStateException
+        }
       }
-      case Binary(BinOp.Or, a, b) => (evalRow(a, x), evalRow(b, x)) match {
-        case (Some(true), _) | (_, Some(true)) => Some(true)
-        case (Some(false), Some(false)) => Some(false)
-        case _ => None
-      }
-      case Unary(UnOp.Not, a) => evalRow(a, x).map(!_)
-      case Binary(op, Col("x"), Lit(v: Long)) => Some(op match {
-        case BinOp.Lt => x < v
-        case BinOp.Le => x <= v
-        case BinOp.Gt => x > v
-        case BinOp.Ge => x >= v
-        case BinOp.Eq => x == v
-        case BinOp.Ne => x != v
-        case _ => throw new IllegalStateException
-      })
       case IsIn(Col("x"), vs, neg) =>
-        val in = vs.asInstanceOf[Seq[Long]].contains(x)
-        Some(if (neg) !in else in)
+        val in = x.exists(vs.asInstanceOf[Seq[Long]].contains)
+        if (neg) !in else in
       case other => throw new IllegalStateException(other.toString)
     }
 
@@ -75,11 +73,19 @@ class PropertySpec extends SparkSuite {
     var pruned = 0
     var kept = 0
     for (seed <- 1L to 200L) {
-      val vals = sample(Gen.chooseNum(-40L, 40L), 8, seed).distinct
-      val stats = Map("x" -> (vals.min.toString, vals.max.toString))
+      // ~1 in 5 rows is missing — the stats sidecar never sees them, so
+      // the pruner must stay sound for predicates missing rows satisfy
+      // (Ne/isnotin under pandas semantics)
+      val vals = sample(
+        Gen.frequency(4 -> Gen.chooseNum(-40L, 40L).map(Option(_)), 1 -> Gen.const(None)),
+        8, seed).distinct
+      val present = vals.flatten
+      val stats =
+        if (present.isEmpty) Map.empty[String, (String, String)]
+        else Map("x" -> (present.min.toString, present.max.toString))
       val e = tree(3).apply(Gen.Parameters.default, Seed(seed * 7 + 1)).get
       val keep = graft.core.StatsPruner.keepFile(e, stats, schema)
-      val anyMatch = vals.exists(x => evalRow(e, x).contains(true))
+      val anyMatch = vals.exists(x => evalRow(e, x))
       if (!keep) {
         pruned += 1
         assert(!anyMatch, s"seed=$seed pruned a file with matching rows: $e vals=$vals")
