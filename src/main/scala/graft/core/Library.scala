@@ -96,7 +96,77 @@ final class Library(
     f.mkdirs(dir)
     val target = new Path(dir, f"v${m.version}%05d.json")
     if (f.exists(target)) return false // cheap fast-path; CommitCas below is the CAS
-    CommitCas.forFs(f).commit(f, target, VersionManifest.toJson(m))
+    CommitCas.forFs(f).commit(f, target, VersionManifest.toJson(deltaEncode(symbol, m)))
+  }
+
+  /** Delta chains longer than this checkpoint to a full manifest — the
+    * chain walk is one cached driver read per link, so 16 bounds cold
+    * resolution without giving back the write-amplification win.
+    */
+  private val MaxManifestChain = 16
+
+  /** Store a version as a delta against its predecessor when that is
+    * materially smaller than the full file list — the O(new data)
+    * manifest commit that lets a daily append on a 10⁵-file symbol write
+    * kilobytes instead of re-serializing every entry. Falls back to a
+    * full manifest when: there is no readable predecessor, the list is
+    * small (< 64 files — full is already cheap), the change touches a
+    * large fraction of entries (update/deleteRange shift downstream
+    * rowOffsets; tombstones empty the list), or the chain is due a
+    * checkpoint. Any failure reading the predecessor ⇒ full manifest —
+    * delta encoding is an optimization, never a correctness dependency.
+    */
+  private def deltaEncode(symbol: String, m: VersionManifest): VersionManifest = {
+    if (m.files.size < 64) return m
+    val prev =
+      try listVersions(symbol).filter(_ < m.version).lastOption.map(v => (v, manifest(symbol, v)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    prev match {
+      case Some((pv, p)) if p.chainDepth < MaxManifestChain =>
+        val newByPath = m.files.iterator.map(f => f.path -> f).toMap
+        val prevByPath = p.files.iterator.map(f => f.path -> f).toMap
+        val added = m.files.filter(f => !prevByPath.get(f.path).contains(f))
+        val removed = p.files.collect {
+          case f if !newByPath.get(f.path).contains(f) => f.path
+        }
+        if ((added.size + removed.size) * 2 < m.files.size)
+          m.copy(files = Vector.empty, baseVersion = Some(pv),
+            addedFiles = added, removedPaths = removed,
+            chainDepth = p.chainDepth + 1)
+        else m
+      case _ => m
+    }
+  }
+
+  /** Rewrite every surviving stored manifest whose delta chain passes
+    * through a version in `doomed` as a FULL manifest, so hard-deleting
+    * those versions cannot orphan a dependent. Runs before the deletes;
+    * the overwrite is an admin repair, not a racing commit (the CAS
+    * protects version-number allocation, which this does not change).
+    */
+  private def materializeChainsThrough(symbol: String, doomed: Set[Int]): Unit = {
+    if (doomed.isEmpty) return
+    val vDir = versionsDir(symbol)
+    val vfs = fs(vDir)
+    listVersions(symbol).filterNot(doomed).foreach { v =>
+      // stored (not cached-logical) form — the chain membership lives here
+      def chainHitsDoomed(version: Int): Boolean = {
+        val stored = VersionManifest.fromJson(
+          readString(new Path(vDir, f"v$version%05d.json")))
+        stored.baseVersion.exists(b => doomed(b) || chainHitsDoomed(b))
+      }
+      if (chainHitsDoomed(v)) {
+        val full = manifest(symbol, v) // logical, chain intact pre-delete
+        val target = new Path(vDir, f"v$v%05d.json")
+        // deliberate in-place OVERWRITE (not writeString/CommitCas): this
+        // repairs an existing version file, it does not allocate one
+        val out = vfs.create(target, true)
+        try out.write(VersionManifest.toJson(full.copy(chainDepth = 0))
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        manifestCache.remove((symbol, v))
+      }
+    }
   }
 
   def listVersions(symbol: String): Seq[Int] = {
@@ -150,11 +220,48 @@ final class Library(
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), VersionManifest]()
 
-  def manifest(symbol: String, version: Int): VersionManifest =
-    manifestCache.computeIfAbsent(
-      (symbol, version),
-      _ => VersionManifest.fromJson(
+  def manifest(symbol: String, version: Int): VersionManifest = {
+    val key = (symbol, version)
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
+    // resolveStored may recurse into manifest() for the delta base — that
+    // recursion must happen OUTSIDE a computeIfAbsent mapping function
+    // (a ConcurrentHashMap mapping function must not update the map it is
+    // computing into; see the q69 front-door note for the failure mode).
+    // putIfAbsent makes a racing duplicate computation harmless.
+    val logical = resolveStored(symbol, version,
+      VersionManifest.fromJson(
         readString(new Path(versionsDir(symbol), f"v$version%05d.json"))))
+    manifestCache.putIfAbsent(key, logical)
+    logical
+  }
+
+  /** Resolve a delta-encoded stored manifest to its LOGICAL form: walk to
+    * the base (through the cache — bases are full or already resolved),
+    * drop removed paths, splice added entries, restore index order via
+    * each entry's own rowOffset. Readers below manifest() never see a
+    * delta. A missing base is a loud error (it means an admin delete
+    * removed a base without materializing its dependents — see
+    * materializeChainsThrough).
+    */
+  private def resolveStored(
+      symbol: String, version: Int, stored: VersionManifest): VersionManifest =
+    stored.baseVersion match {
+      case None => stored
+      case Some(b) =>
+        val base =
+          try manifest(symbol, b)
+          catch {
+            case e: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"$symbol v$version delta-chains to missing base v$b", e)
+          }
+        val removed = stored.removedPaths.toSet
+        val files = (base.files.filterNot(f => removed(f.path)) ++ stored.addedFiles)
+          .sortBy(f => (f.rowOffset, f.path))
+        stored.copy(files = files, baseVersion = None,
+          addedFiles = Vector.empty, removedPaths = Vector.empty)
+    }
 
   /** Physical schema of a data file, from the manifest's dir→schema map
     * (files are immutable; dynamic-schema appends never rewrite them).
@@ -1255,6 +1362,9 @@ final class Library(
     // claim a number at or below today's latest, so a deleted version id
     // can never be reborn meaning different data
     recordHighWater(symbol, existing.max)
+    // survivors whose delta chain passes through a doomed version become
+    // full manifests first — a hard delete must never orphan a dependent
+    materializeChainsThrough(symbol, versions.toSet)
     val vDir = versionsDir(symbol)
     val vfs = fs(vDir)
     versions.foreach { v =>
@@ -1338,6 +1448,7 @@ final class Library(
     val pinned: Set[Int] = snapshotPins(symbol).keySet
     val keep = pinned + latest
 
+    materializeChainsThrough(symbol, versions.filterNot(keep).toSet)
     val vDir = versionsDir(symbol)
     val vfs = fs(vDir)
     versions.filterNot(keep).foreach { v =>

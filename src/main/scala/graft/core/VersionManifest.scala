@@ -49,7 +49,24 @@ final case class VersionManifest(
       * original layout and are aligned at read time. Missing entry ⇒ the
       * dir was written with `schemaDdl` (pre-dynamic manifests).
       */
-    dirSchemas: Map[String, String] = Map.empty)
+    dirSchemas: Map[String, String] = Map.empty,
+    /** Delta STORAGE encoding (Library.commitManifest) — the scale fix
+      * for manifest write amplification: a 100 TB symbol holds ~10⁵ file
+      * entries, and storing the full list per version makes every daily
+      * append an O(all files) manifest rewrite. When `baseVersion` is
+      * set, the stored `files` is EMPTY and the logical list is
+      * base.files minus `removedPaths` plus `addedFiles`, re-sorted by
+      * rowOffset (each entry carries its own offset, so order is
+      * recoverable). Library.manifest() resolves chains transparently —
+      * no reader below it ever sees a delta — and full "checkpoint"
+      * manifests bound chain length (same shape as Delta Lake's
+      * log-plus-checkpoint). `chainDepth` is the stored chain length
+      * (0 = full), used only to decide when to checkpoint.
+      */
+    baseVersion: Option[Int] = None,
+    addedFiles: Vector[FileEntry] = Vector.empty,
+    removedPaths: Vector[String] = Vector.empty,
+    chainDepth: Int = 0)
 
 object VersionManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)

@@ -964,6 +964,52 @@ class LibrarySpec extends SparkSuite {
     intercept[NoSuchElementException](lib.resolveVersion("s", AsOf.Version(-3)))
   }
 
+  test("delta manifests: appends commit O(new files), chains checkpoint, deletes materialize") {
+    val lib = newLib()
+    val root = new java.io.File(lib.root)
+    def storedJson(v: Int): String = {
+      val p = new java.io.File(root, f"s/_versions/v$v%05d.json")
+      new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+    }
+    def stored(v: Int) = graft.core.VersionManifest.fromJson(storedJson(v))
+    def df(lo: Int, hi: Int) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+    // base: enough files that delta encoding engages (>= 64 entries)
+    lib.write("s", df(0, 6500), Some("k"), targetRows = 100)
+    assert(stored(0).baseVersion.isEmpty && stored(0).files.size >= 64)
+    // 20 appends: each stored manifest is a small delta, never the full list
+    (1 to 20).foreach(i => lib.append("s", df(6500 + (i - 1) * 100, 6500 + i * 100)))
+    val deltas = (1 to 20).map(stored)
+    // every append stores a delta, except the periodic full checkpoint
+    // that bounds chain length (v17 here: depth hits MaxManifestChain)
+    assert(deltas.filter(_.baseVersion.isDefined).forall(_.files.isEmpty))
+    assert(deltas.count(_.baseVersion.isEmpty) == 1, "exactly one checkpoint in 20 appends")
+    assert(deltas(16).baseVersion.isEmpty && deltas(16).files.nonEmpty,
+      "the checkpoint stores the full list")
+    assert(deltas.filter(_.baseVersion.isDefined).forall(d =>
+      d.addedFiles.nonEmpty && d.addedFiles.size <= 3 && d.removedPaths.isEmpty))
+    // a delta-stored version's stored size stays KBs while logical grows
+    assert(storedJson(10).length < storedJson(0).length / 4,
+      s"delta ${storedJson(10).length}B vs full ${storedJson(0).length}B")
+    // logical reads resolve chains: every historical version is intact
+    assert(lib.read("s", AsOf.Version(0)).count() == 6500)
+    assert(lib.read("s", AsOf.Version(7)).count() == 7200)
+    assert(lib.read("s").count() == 8500)
+    // hard-deleting versions inside the chain materializes dependents
+    lib.delete("s", Seq(3, 4, 5))
+    assert(lib.read("s", AsOf.Version(7)).count() == 7200)
+    assert(lib.read("s").count() == 8500)
+    // fresh handle (cold cache) must agree — the stored form is complete
+    val lib2 = new Library(lib.root, spark)
+    assert(lib2.read("s", AsOf.Version(7)).count() == 7200)
+    assert(lib2.read("s", AsOf.Version(20)).count() == 8500)
+    // prune keeps only latest; reads still fine afterwards
+    lib.prunePreviousVersions("s")
+    assert(lib.read("s").count() == 8500)
+    val lib3 = new Library(lib.root, spark)
+    assert(lib3.read("s").count() == 8500)
+  }
+
   test("multi-index flatten/restore round-trips through write/read with pruning intact") {
     import graft.core.MultiIndex
     val df = spark.range(0, 1000)
