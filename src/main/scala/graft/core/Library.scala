@@ -2317,7 +2317,8 @@ object Library {
     import org.json4s.jackson.Serialization
     implicit val formats: Formats = Serialization.formats(NoTypeHints)
     def toJson(m: Map[String, Map[String, (String, String)]]): String =
-      Serialization.writePretty(m.view.mapValues(_.view.mapValues(v => List(v._1, v._2)).toMap).toMap)
+      // compact: the sidecar scales with files × stats-columns
+      Serialization.write(m.view.mapValues(_.view.mapValues(v => List(v._1, v._2)).toMap).toMap)
     def fromJson(s: String): Map[String, Map[String, (String, String)]] =
       Serialization.read[Map[String, Map[String, List[String]]]](s)
         .view.mapValues(_.view.mapValues(l => (l.head, l(1))).toMap).toMap

@@ -70,7 +70,9 @@ final case class VersionManifest(
 
 object VersionManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
-  def toJson(m: VersionManifest): String = Serialization.writePretty(m)
+  // compact, not pretty: at 10^5 file entries pretty-printing roughly
+  // doubles every manifest and checkpoint on disk and over the wire
+  def toJson(m: VersionManifest): String = Serialization.write(m)
   def fromJson(s: String): VersionManifest = Serialization.read[VersionManifest](s)
 }
 

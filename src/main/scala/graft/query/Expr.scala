@@ -114,6 +114,13 @@ object Expr {
       throw new IllegalArgumentException(
         s"uint64 (Decimal(20,0)) does not combine arithmetically with $l/$r; " +
           "comparisons and isin are exact — cast explicitly for arithmetic")
+    if (!isNumeric(l) || !isNumeric(r))
+      // the reference raises for non-numeric arithmetic operands
+      // (test_df_query_wrong_type: col + "1" is a UserInputException);
+      // falling through would CAST a string to double and silently
+      // numeric-parse it
+      throw new IllegalArgumentException(
+        s"non-numeric operand for arithmetic $op: $l vs $r")
     op match {
       case BinOp.Div | BinOp.Pow => DoubleType
       case _ =>
@@ -121,6 +128,33 @@ object Expr {
         else if (l == FloatType && r == FloatType) FloatType
         else DoubleType
     }
+  }
+
+  /** Comparison family of a type: the reference rejects cross-family
+    * comparisons and membership loudly (test_filter_bool_nonbool_comparison,
+    * test_df_query_wrong_type: bool vs numeric, numeric vs string, ... are
+    * UserInputExceptions, never coercions). Timestamp-vs-integral-ns-
+    * literal is the one sanctioned crossing, rewritten exactly BEFORE this
+    * check (tsVsNsLit).
+    */
+  private def cmpFamily(t: DataType): String = t match {
+    case BooleanType => "bool"
+    case StringType => "string"
+    case TimestampType | TimestampNTZType | DateType => "time"
+    case NullType => "null"
+    case tt if isNumeric(tt) || isUint64(tt) => "numeric"
+    case _ => "other"
+  }
+
+  private def familyOf(v: Any): String = v match {
+    case null => "null"
+    case _: Boolean => "bool"
+    case _: String => "string"
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double => "numeric"
+    case _: BigDecimal | _: java.math.BigDecimal => "numeric"
+    case _: java.time.LocalDateTime | _: java.sql.Timestamp | _: java.time.Instant |
+        _: java.time.LocalDate | _: java.sql.Date => "time"
+    case _ => "other"
   }
 
   /** Common type for dynamic-schema concat/append — the port of the
@@ -251,6 +285,13 @@ object Expr {
           val rc = compile(r, schema)
           op match {
             case BinOp.Eq | BinOp.Ne | BinOp.Lt | BinOp.Le | BinOp.Gt | BinOp.Ge =>
+              val (lf, rf) =
+                (cmpFamily(inferType(l, schema)), cmpFamily(inferType(r, schema)))
+              if (lf != "null" && rf != "null" && lf != rf)
+                throw new IllegalArgumentException(
+                  s"cannot compare ${inferType(l, schema)} to ${inferType(r, schema)}: " +
+                    "cross-family comparisons are rejected (reference " +
+                    "UserInputException semantics), not coerced")
               // Pandas/IEEE missing-value semantics (reference kernels are
               // C++ IEEE; its tests pin expected = pandas,
               // test_query_builder_nat.py): a missing operand (null, NaN,
@@ -288,16 +329,37 @@ object Expr {
     case IsIn(c, vs, neg) =>
       // Small sets: codegen'd isin. At scale a huge value set should become
       // a broadcast semi/anti join instead — see QueryBuilder.isinLarge.
-      // Pandas missing semantics, matching the comparisons above: a
-      // missing row (null/NaN) is in NO set, so isin → false and
-      // isnotin → TRUE (Spark's bare isin would null-propagate and drop
-      // the row from both). NaN literals inside `vs` do not match (NaN is
-      // missing, not a value) — documented deviation from pandas' special
-      // NaN-in-valueset case.
+      // Missing semantics match the reference exactly (its
+      // test_filter_isin_with_nan_in_set / _nat_in_set pin this,
+      // deliberately diverging from pandas): a missing ROW (null/NaN) is
+      // in NO set — isin → false, isnotin → TRUE — and missing VALUES in
+      // the set are IGNORED (isin([NaN, 3.0]) matches only 3.0). The set
+      // is cleaned at compile time: a null/NaN member left in place would
+      // null-propagate through Spark's IN and silently drop non-missing
+      // rows from isnotin.
       val cc = compile(c, schema)
       val missing =
         if (isFloating(inferType(c, schema))) cc.isNull || isnan(cc) else cc.isNull
-      val base = cc.isin(vs: _*)
+      val clean = vs.filterNot {
+        case null => true
+        case d: Double => d.isNaN
+        case f: Float => f.isNaN
+        case _ => false
+      }
+      // membership is family-checked like comparisons (reference:
+      // "Cannot check membership 'IS IN' of col1 (type=INT) in set of
+      // (type=STRING)" is a UserInputException, not a coercion)
+      val colFam = cmpFamily(inferType(c, schema))
+      clean.foreach { v =>
+        val vf = familyOf(v)
+        if (colFam != "other" && vf != colFam)
+          throw new IllegalArgumentException(
+            s"cannot check membership of $colFam column in a set containing " +
+              s"$vf value $v (reference UserInputException semantics)")
+      }
+      val base =
+        if (clean.isEmpty) org.apache.spark.sql.functions.lit(false)
+        else cc.isin(clean: _*)
       if (neg) !base || missing else base && !missing
 
     case RegexMatch(c, p) => compile(c, schema).rlike(p)

@@ -136,5 +136,50 @@ class ExprSpec extends SparkSuite {
     // isin/isnotin: missing is in no set; isnotin keeps the missing row
     assert(fids(col("x").isin(5.0, 7.0)) == Seq(1L, 3L))
     assert(fids(col("x").isNotIn(5.0)) == Seq(2L, 3L))
+    // missing VALUES in the set are ignored (reference
+    // test_filter_isin_with_nan_in_set: isin([NaN, 3.0]) matches only
+    // 3.0; isnotin([NaN, 3.0]) keeps the other rows INCLUDING NaN) —
+    // a raw null member would null-propagate and drop rows
+    assert(fids(col("x").isin(Double.NaN, 5.0)) == Seq(1L))
+    assert(fids(col("x").isNotIn(Double.NaN, 5.0)) == Seq(2L, 3L))
+    val tn = Seq(
+      (1L, Some("2024-01-01")), (2L, None), (3L, Some("2024-01-03")))
+      .toDF("id", "a").select($"id", $"a".cast(TimestampNTZType).as("a"))
+    def nids(e: Expr): Seq[Long] =
+      tn.filter(Expr.compile(e, tn.schema)).select("id").as[Long].collect().toSeq.sorted
+    val ts3 = 1704240000L * 1000000000L // 2024-01-03 in ns — isin takes raw values
+    assert(nids(col("a").isin(null, java.time.LocalDateTime.of(2024, 1, 3, 0, 0))) == Seq(3L))
+    assert(nids(col("a").isNotIn(null, java.time.LocalDateTime.of(2024, 1, 3, 0, 0)))
+      == Seq(1L, 2L))
+    // empty-after-cleaning set: isin matches nothing, isnotin everything
+    assert(nids(col("a").isin(null)) == Seq())
+    assert(nids(col("a").isNotIn(null)) == Seq(1L, 2L, 3L))
+  }
+
+  test("cross-family comparisons and membership are rejected, not coerced") {
+    // reference test_filter_bool_nonbool_comparison / test_df_query_wrong_type:
+    // bool vs numeric/string, numeric vs string, int-in-string-set, and
+    // string arithmetic are all UserInputExceptions there — never coercions
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("n", LongType),
+      StructField("s", StringType)))
+    def bad(e: Expr): Unit =
+      intercept[IllegalArgumentException](Expr.compile(e, schema))
+    bad(col("b") === col("n"))
+    bad(col("b") === col("s"))
+    bad(col("b") === lit(0))
+    bad(col("s") === lit(true))
+    bad(col("n") === lit(true))
+    bad(col("n") < col("s"))
+    bad(col("n").isin("2", "3"))
+    bad(col("s").isin(1, 2))
+    bad(col("n") + lit("1"))
+    bad(col("s") / col("n"))
+    // same-family still compiles (incl. ns-literal crossing for time)
+    Expr.compile(col("n") === lit(3L), schema)
+    Expr.compile(col("b") === lit(true), schema)
+    Expr.compile(col("s") === lit("x"), schema)
+    // null literal compares against anything (pandas: == null is false)
+    Expr.compile(col("n") === lit(null), schema)
   }
 }
