@@ -123,6 +123,24 @@ object SparkEntry {
   private def sortSmallAgg(df: DataFrame, cols: String*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** The synthetic corpus carries no natural PII, so PII-sensitive
+    * queries (q78 redaction, q92 corpus cleanup) plant a deterministic
+    * payload per doc_id residue class — mirrored verbatim in their
+    * oracle SQL.
+    */
+  private def piiInjected(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-867-5309"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".1"))).otherwise(lit(""))).as("text"))
+
   /** Scratch library roots are registered for deletion at JVM exit — a
     * bench pass constructs dozens of temp libraries (some holding a full
     * lineitem copy at sf1) and nothing else ever removes them from /tmp.
@@ -824,19 +842,7 @@ object SparkEntry {
       // detection counts, category-attribution order and byte-exact
       // redaction (md5 of the cleaned text). The scan itself is pure
       // codegen regexp composition: one pass over the text, no shuffle.
-      val docs = t(s, dir, "documents")
-      val injected = docs.select(
-        col("doc_id"),
-        concat(
-          col("text"),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit(" call 555-867-5309"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
-              lit(".1"))).otherwise(lit(""))).as("text"))
+      val injected = piiInjected(t(s, dir, "documents"))
       Pii.scan(injected, "doc_id", "text")
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
           md5(col("clean_text")).as("clean_md5"))
@@ -1252,6 +1258,71 @@ object SparkEntry {
         .select(col("event_type"), col("col.id").as("event_id"),
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
+    },
+    "q92_clean_corpus" -> { (s, dir) =>
+      // Composite C4/Gopher-style cleanup over the PII-injected corpus
+      // (q78's payload) so EVERY rule cuts documents at every sf: token
+      // bounds, quality floor, repetition cap, language id, PII density.
+      // The whole rule set is one narrow scan-side pass — zero shuffles
+      // (PlanSpec pin).
+      graft.functions.Clean.cleanCorpus(
+        piiInjected(t(s, dir, "documents")), "doc_id", "text",
+        graft.functions.Clean.Rules(
+          minTokens = 20, maxTokens = 95, minQuality = 0.55,
+          maxRepetition = 0.01, repetitionN = 3, lang = Some("en"),
+          maxPiiHits = 1))
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q93_dsir_weights" -> { (s, dir) =>
+      // DSIR importance weights toward the src0 "target domain": the
+      // 256-bucket hashed-unigram log-ratio table broadcasts; only
+      // (doc_id, bucket) longs shuffle. Micro-nat fixed-point makes the
+      // per-doc sum order-free (exact oracle replay).
+      val docs = t(s, dir, "documents")
+      graft.functions.Importance.dsirWeights(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text", 256)
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q94_token_entropy" -> { (s, dir) =>
+      // Per-doc bag-of-tokens Shannon entropy + type-token ratio: the
+      // lexical-diversity quality signals. Micro-nat term quantization
+      // before the doc sum keeps partial-agg order out of the result.
+      Unigram.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q95_domain_cap" -> { (s, dir) =>
+      // Domain-mixing cap: top-10 docs per source by fused quality
+      // score. Partial top-k aggregate (TopKByScore), NOT a per-domain
+      // window — the exchange stays O(domains × k × tasks) under any
+      // domain skew.
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        Text.qualityScoreOf(Text.textStats(col("text"))).as("quality"))
+      graft.functions.Sampling.capPerDomain(
+        scored, "doc_id", "source", col("quality"), 10)
+        .withColumnRenamed("score", "quality")
+        .transform(sortSmall(_, "source", "rank"))
+    },
+    "q96_json_props" -> { (s, dir) =>
+      // Semi-structured columns at scale: schema-on-read over the JSON
+      // props payload (from_json, codegen'd) straight into a grouped
+      // aggregate — the "log-enrichment" shape. Exact integer stats; the
+      // mean divides once (order-free).
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .select(col("event_type"), col("n"), col("sum_k"), col("min_k"),
+          col("max_k"),
+          round(col("sum_k").cast("double") / col("n").cast("double"), 6)
+            .as("avg_k"))
+        .transform(sortSmallAgg(_, "event_type"))
     })
 
   // =================================================================
@@ -1269,6 +1340,21 @@ object SparkEntry {
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB replay of [[piiInjected]] as an `inj(doc_id, text)` CTE —
+    * shared by the PII-sensitive oracles (q78, q92).
+    */
+  private val piiInjSql =
+    """inj AS (
+         SELECT doc_id, text ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.1'
+                ELSE '' END AS text
+         FROM documents)"""
 
   /** DuckDB replay of Dedup.h60: first 15 md5 hex digits parsed as a
     * non-negative BIGINT via a per-digit fold. */
@@ -1432,19 +1518,11 @@ object SparkEntry {
                 < printf('%04x', CAST(round(r.rate * 65536) AS INT))
           ORDER BY doc_id""",
     "q78_pii_redact" ->
-      s"""WITH inj AS (
-            SELECT doc_id, text ||
-              CASE WHEN doc_id % 7 = 0
-                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                   ELSE '' END ||
-              CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
-              CASE WHEN doc_id % 11 = 0
-                   THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.1'
-                   ELSE '' END AS t
-            FROM documents),
+      s"""WITH $piiInjSql,
+          withT AS (SELECT doc_id, text AS t FROM inj),
           s1 AS (SELECT doc_id, t,
                    regexp_replace(t, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g') AS t1
-                 FROM inj),
+                 FROM withT),
           s2 AS (SELECT doc_id, t, t1,
                    regexp_replace(t1, '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS t2
                  FROM s1)
@@ -2279,5 +2357,121 @@ object SparkEntry {
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
-         WHERE rn <= 3 ORDER BY event_type, rn""")
+         WHERE rn <= 3 ORDER BY event_type, rn""",
+    // Full rule-set replay over the SAME injected corpus as q78: token
+    // bounds + quality floor + repetition cap + langid + PII density.
+    "q92_clean_corpus" -> {
+      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = Text.LangMarkers.map { case (lang, ms) =>
+        s"(${ms.map(wcSql).mkString(" + ")}) AS s_$lang"
+      }.mkString(", ")
+      val best = s"greatest(${Text.LangMarkers.map(m => "s_" + m._1).mkString(", ")})"
+      val cases = Text.LangMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $piiInjSql,
+          st AS (SELECT doc_id, text,
+              len(string_split(text, ' ')) AS n_tokens,
+              round(CAST(len(list_filter(string_split(text, ' '),
+                  x -> x IN ($stop))) AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+              round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1), 6) AS mean_len
+            FROM inj),
+          q AS (SELECT doc_id, n_tokens,
+              round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                   + least(stop_ratio * 4.0, 1.0)
+                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+            FROM st),
+          norm AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM inj),
+          tot AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total_n FROM norm),
+          dist AS (SELECT doc_id, count(DISTINCT s) AS distinct_n FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM norm)
+            GROUP BY 1),
+          rep AS (SELECT t.doc_id,
+              round(CASE WHEN total_n <= 0 THEN 0.0
+                    ELSE 1.0 - CAST(coalesce(distinct_n, 0) AS DOUBLE) / total_n END, 6)
+                AS rep_ratio
+            FROM tot t LEFT JOIN dist d ON t.doc_id = d.doc_id),
+          lang AS (SELECT doc_id, $scores FROM (SELECT doc_id, text FROM inj)),
+          langp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lang),
+          pii AS (SELECT doc_id,
+              len(regexp_extract_all(text, '${Pii.EmailRe}')) +
+              len(regexp_extract_all(
+                regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+                '${Pii.PhoneRe}')) +
+              len(regexp_extract_all(
+                regexp_replace(regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+                  '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
+                '${Pii.Ipv4Re}')) AS hits
+            FROM inj)
+          SELECT q.doc_id, CAST(n_tokens AS INT) AS n_tokens, quality, rep_ratio, lang_pred
+          FROM q JOIN rep USING (doc_id) JOIN langp USING (doc_id) JOIN pii USING (doc_id)
+          WHERE n_tokens BETWEEN 20 AND 95 AND quality >= 0.55
+            AND rep_ratio <= 0.01 AND lang_pred = 'en' AND hits <= 1
+          ORDER BY doc_id"""
+    },
+    // DSIR replay: md5-derived 60-bit token hash → 256 buckets, add-one
+    // smoothed target/raw bucket ratios quantized to micro-nat BIGINTs,
+    // summed per doc (integer sum = order-free).
+    "q93_dsir_weights" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          b AS (SELECT doc_id, ${hex60Sql("tok")} % 256 AS bk FROM toks),
+          tgt AS (SELECT b.bk FROM b JOIN documents USING (doc_id)
+                  WHERE source = 'src0'),
+          tcnt AS (SELECT bk, count(*) AS ct FROM tgt GROUP BY 1),
+          rcnt AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+          tots AS (SELECT (SELECT count(*) FROM tgt) AS t,
+                          (SELECT count(*) FROM b) AS r),
+          lr AS (SELECT rcnt.bk,
+              CAST(round(ln(((coalesce(ct, 0) + 1.0) * (tots.r + 256))
+                           / ((cr + 1.0) * (tots.t + 256))) * 1e6) AS BIGINT) AS lrf
+            FROM rcnt LEFT JOIN tcnt USING (bk), tots)
+          SELECT doc_id, count(*) AS n_toks,
+            CAST(sum(lrf) AS DOUBLE) / 1e6 AS weight
+          FROM b JOIN lr USING (bk) GROUP BY 1 ORDER BY doc_id""",
+    // Entropy terms quantized to micro-nat BIGINTs before the per-doc
+    // sum — identical fixed-point discipline to the Spark side.
+    "q94_token_entropy" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT doc_id, len(w) AS n, unnest(w) AS tok FROM d),
+         counts AS (SELECT doc_id, n, tok, count(*) AS c FROM base GROUP BY 1, 2, 3),
+         terms AS (SELECT doc_id, n,
+             CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS tf
+           FROM counts)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS ttr,
+           CAST(sum(tf) AS DOUBLE) / 1e6 AS entropy
+         FROM terms GROUP BY 1 ORDER BY doc_id""",
+    "q95_domain_cap" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
+        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
+        s"/ greatest($nTok, 1), 6)"
+      val mean = s"round(CAST(length(text) - $nTok + 1 AS DOUBLE) / greatest($nTok, 1), 6)"
+      s"""WITH q AS (
+            SELECT doc_id, source,
+              round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                   + least(stop_ratio * 4.0, 1.0)
+                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+            FROM (SELECT doc_id, source, $nTok AS n_tokens, $stop AS stop_ratio,
+                    $mean AS mean_len FROM documents)),
+          r AS (SELECT source, doc_id, quality,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id) AS INT) AS rank
+            FROM q)
+          SELECT source, doc_id, quality, rank FROM r
+          WHERE rank <= 10 ORDER BY source, rank"""
+    },
+    "q96_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           round(CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_k
+         FROM (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+         GROUP BY 1 ORDER BY event_type""")
 }

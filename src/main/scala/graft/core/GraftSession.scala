@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its true default: round-10 measured
+      // the docs-recommended false (coalesce to the 64 MiB advisory
+      // size) at 2× the sf1 bench total — compute-bound reduce stages
+      // whose rows are small in BYTES (n-gram postings, text kernels)
+      // collapse to 1-2 tasks and serialize. Size-based coalescing is
+      // only safe when bytes track compute, which text pipelines break.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The generated-class cache defaults to 100 entries; a workload of

@@ -140,4 +140,32 @@ object Sampling {
       }
     }
   }
+
+  /** Keep the k best documents per domain by `scoreCol` (desc, ties by
+    * id asc) — the domain-mixing cap that stops one over-crawled host
+    * from dominating a training mix.
+    *
+    * Plan shape: a PARTIAL top-k aggregate (graft.plans.TopKByScore),
+    * NOT `row_number().over(partitionBy(domain))` — the window shuffles
+    * every row into one task per domain and sorts it (a billion-row
+    * domain = one task at 100 TB); the aggregate emits ≤k pairs per
+    * domain per map task, so the exchange is O(domains × k × tasks)
+    * regardless of corpus size and domain skew.
+    *
+    * Output: (domainCol, idCol, score, rank) with rank 1..k per domain.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      scoreCol: Column,
+      k: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    df.groupBy(domainCol)
+      .agg(graft.plans.TopKByScore.topK(
+        scoreCol.cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .select(col(domainCol), posexplode(col("__top")))
+      .select(col(domainCol), col("col.id").cast(idType).as(idCol),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
 }

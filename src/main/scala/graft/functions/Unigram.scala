@@ -161,4 +161,47 @@ object Unigram {
         round(col("cum").cast("double") / col("__t"), 6).as("cum_share"))
       .orderBy(col("freq").desc, col("tok"))
   }
+
+  /** Per-document token-distribution statistics: Shannon entropy (nats)
+    * of the document's OWN unigram distribution plus the type-token
+    * ratio — the cheap "is this text lexically diverse or a token loop"
+    * quality signals (low entropy ⇒ repetitive/templated; the rolling
+    * repetition ratio q56 sees n-gram structure, this sees the bag).
+    *
+    * Shape: explode → (doc, tok) count → doc re-aggregate: two shuffles,
+    * both keyed by (id[, token]) — the full text never shuffles, and
+    * partial aggregation bounds the first exchange by per-doc DISTINCT
+    * tokens. No windows, no collects.
+    *
+    * Determinism: each distinct token's entropy term −(c/n)·ln(c/n) is
+    * quantized to micro-nat longs BEFORE the per-doc sum (integer sums
+    * are order-free; summing doubles under Spark's partial aggregation
+    * vs the oracle's sequential sum flips 6th-decimal roundings — the
+    * q79 lesson). Output: (idCol, n_tokens, n_types, ttr, entropy).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("__n"),
+        explode(col("__w")).as("tok"))
+    val counts = base.groupBy(col(idCol), col("__n"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    // c == n (single-token-type doc) hits ln(1) = 0 exactly; c < n keeps
+    // ln(n/c) > 0, so terms are non-negative micro-nat longs.
+    val terms = counts.select(
+      col(idCol), col("__n"),
+      round((col("c").cast("double") / col("__n").cast("double")) *
+        log(col("__n").cast("double") / col("c").cast("double")) * lit(1e6))
+        .cast("long").as("__tf"))
+    terms.groupBy(col(idCol))
+      .agg(max("__n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum("__tf").as("__hf"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        (col("__hf").cast("double") / lit(1e6)).as("entropy"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Clean
+
+/** Composite rule-based cleanup: each rule individually cuts a planted
+  * document while the control doc survives every rule (the driver gate
+  * q92 replays the full rule set in DuckDB at sf scale).
+  */
+class CleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  // One doc per rule violation + one control that passes everything.
+  private val corpus = Seq(
+    // 16 tokens, en markers, diverse 3-grams, no PII → survives
+    (0L, "the cat sat on a mat and it is nice to see sun in the town"),
+    // 2 tokens → cut by minTokens
+    (1L, "tiny doc"),
+    // Spanish markers dominate → cut by lang
+    (2L, "el la que el la que uno dos tres cuatro cinco seis siete ocho"),
+    // 4 distinct of 12 3-grams → rep_ratio 2/3 → cut by maxRepetition;
+    // carries en markers so ONLY the repetition rule cuts it
+    (3L, "the a is dup dup dup dup dup dup dup dup dup dup dup"),
+    // en text with 2 PII hits → cut by maxPiiHits=1
+    (4L, "the a is nice so contact bob@example.com and call 555-867-5309 now ok")
+  ).toDF("doc_id", "text")
+
+  private val rules = Clean.Rules(
+    minTokens = 5, maxTokens = 50, minQuality = 0.0, maxRepetition = 0.5,
+    repetitionN = 3, lang = Some("en"), maxPiiHits = 1)
+
+  test("each rule cuts its planted doc; the control survives with signals") {
+    val out = Clean.cleanCorpus(corpus, "doc_id", "text", rules)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L), out.mkString("\n"))
+    val r = out.head
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_tokens", "quality", "rep_ratio", "lang_pred"))
+    assert(r.getAs[Int]("n_tokens") == 16)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Double]("rep_ratio") == 0.0)
+    assert(r.getAs[Double]("quality") > 0.5)
+  }
+
+  test("defaults pass everything; single rules isolate") {
+    val all = Clean.cleanCorpus(corpus, "doc_id", "text", Clean.Rules())
+    assert(all.count() == 5)
+    val noLang = Clean.cleanCorpus(corpus, "doc_id", "text",
+      Clean.Rules(lang = Some("es")))
+    assert(noLang.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val piiOnly = Clean.cleanCorpus(corpus, "doc_id", "text",
+      Clean.Rules(maxPiiHits = 1))
+    assert(!piiOnly.select("doc_id").as[Long].collect().contains(4L))
+  }
+}

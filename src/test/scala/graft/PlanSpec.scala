@@ -257,4 +257,43 @@ class PlanSpec extends SparkSuite {
           s"embedding must not shuffle: ${e.child.output}"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("corpus cleanup is one scan-side pass: only the determinism tail shuffles (q92)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q92_clean_corpus")(spark, sf)
+        .queryExecution.executedPlan
+      // the WHOLE rule set (token bounds, quality, repetition, langid,
+      // PII) must fuse into the scan stage — the only exchange allowed
+      // is the small-output deterministic-order tail
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1, s"rule evaluation must not shuffle:\n$p")
+      assert(p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.isEmpty, "rules are a filter, not an aggregation")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("DSIR ratio table broadcasts; doc-side shuffles carry longs, not text (q93)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q93_dsir_weights")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p.toString.contains("BroadcastHashJoin"), p.toString.take(2000))
+      assert(!p.toString.contains("SortMergeJoin"), p.toString.take(2000))
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach(e =>
+        assert(!e.child.output.map(_.name).contains("text"),
+          s"text must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("domain cap is a partial top-k aggregate, not a per-domain window (q95)") {
+    val p = plan("q95_domain_cap")
+    assert(p.contains("top_k_by_score"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }

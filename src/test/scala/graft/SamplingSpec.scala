@@ -97,4 +97,22 @@ class SamplingSpec extends SparkSuite {
     assert(byG.keySet == Set("0", "1")) // stratum "2" has no fraction ⇒ dropped
     assert(byG("0") > 6600 && math.abs(byG("1") / 6667.0 - 0.2) < 0.02)
   }
+
+  test("capPerDomain: k best per domain, score desc then id asc, no Window") {
+    val docs = Seq(
+      // domain x: scores force order (3, 1, 2) → ids 30, 10, 20; tie at
+      // 0.5 between 10 and 20 breaks toward the LOWER id
+      (10L, "x", 0.5), (20L, "x", 0.5), (30L, "x", 0.9), (40L, "x", 0.1),
+      // domain y: fewer rows than k → all kept
+      (50L, "y", 0.7)
+    ).toDF("id", "dom", "sc")
+    val out = Sampling.capPerDomain(docs, "id", "dom", col("sc"), 3)
+    assert(out.columns.toSeq == Seq("dom", "id", "score", "rank"))
+    val got = out.orderBy("dom", "rank")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("x", 30L, 0.9, 1), ("x", 10L, 0.5, 2), ("x", 20L, 0.5, 3),
+      ("y", 50L, 0.7, 1)), got)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }

@@ -11,6 +11,28 @@ import graft.functions.Unigram
 class UnigramSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Mirror of tokenEntropy's fixed-point term quantization. */
+  private def entropyOf(counts: Seq[Int]): Double = {
+    val n = counts.sum.toDouble
+    counts.map(c => math.round((c / n) * math.log(n / c) * 1e6)).sum / 1e6
+  }
+
+  test("tokenEntropy: uniform, degenerate and mixed bags match the replay") {
+    val docs = Seq(
+      (0L, "a b c d"), // uniform: H = ln 4
+      (1L, "a a a a"), // single type: H = 0, ttr 0.25
+      (2L, "a a b") // mixed
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Unigram.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ((0L, 4L, 4L, 1.0, entropyOf(Seq(1, 1, 1, 1)))))
+    assert(got(1) == ((1L, 4L, 1L, 0.25, 0.0)))
+    assert(got(2) == ((2L, 3L, 2L, 0.666667, entropyOf(Seq(2, 1)))))
+    // uniform fixed-point entropy is within a micro-nat of ln(4)
+    assert(math.abs(got(0)._5 - math.log(4)) < 4e-6)
+  }
+
   private val corpus = Seq(
     (0L, "a a a b"),
     (1L, "a b b c"),
