@@ -1259,6 +1259,23 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q97_qb_compose" -> { (s, dir) =>
+      // Pipelines are VALUES that compose (reference then/prepend,
+      // processing.py:927,945): a reusable date-window filter — its ns
+      // bounds built with the nanoseconds_from_utc/timedelta analogs
+      // (Ts.nanosFromUtc/nanos) — prepends onto a separately-built
+      // aggregation pipeline. The composed filter prefix still drives
+      // file-stats pruning (QueryBuilderSpec pins prefixFilters).
+      val lo = graft.core.Ts.nanosFromUtc(
+        java.time.Instant.parse("2024-01-05T00:00:00Z"))
+      val hi = lo + graft.core.Ts.nanos(java.time.Duration.ofDays(10))
+      val window = QueryBuilder().filter((e("ts") >= l(lo)) && (e("ts") < l(hi)))
+      val rollup = QueryBuilder().groupByAgg(Seq("event_type"),
+        Seq(("v_sum", "value", "sum"), ("n", "event_id", "count")))
+      rollup.prepend(window.optimiseForMemory())(t(s, dir, "events"))
+        .select(col("event_type"), round(col("v_sum"), 6).as("v_sum"), col("n"))
+        .transform(sortSmallAgg(_, "event_type"))
+    },
     "q92_clean_corpus" -> { (s, dir) =>
       // Composite C4/Gopher-style cleanup over the PII-injected corpus
       // (q78's payload) so EVERY rule cuts documents at every sf: token
@@ -2358,6 +2375,12 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q97_qb_compose" ->
+      """SELECT event_type, round(sum(value), 6) AS v_sum, count(event_id) AS n
+         FROM events
+         WHERE epoch_ns(ts) >= 1704412800000000000
+           AND epoch_ns(ts) < 1705276800000000000
+         GROUP BY 1 ORDER BY event_type""",
     // Full rule-set replay over the SAME injected corpus as q78: token
     // bounds + quality floor + repetition cap + langid + PII density.
     "q92_clean_corpus" -> {

@@ -33,6 +33,18 @@ object Ts {
 
   def isTs(t: DataType): Boolean = t == TimestampType || t == TimestampNTZType
 
+  /** Epoch-ns from a wall-clock instant — the reference's
+    * `nanoseconds_from_utc` (processing.py:368, pandas Timestamp.value)
+    * for building ns-domain filter literals in JVM code.
+    */
+  def nanosFromUtc(t: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000000L), t.getNano.toLong)
+
+  /** Duration → ns — the reference's `nanoseconds_timedelta`
+    * (processing.py:376, pandas Timedelta.value).
+    */
+  def nanos(d: java.time.Duration): Long = d.toNanos
+
   // overflow-safe ceiling: ns + 999 wraps negative within 999 of
   // Long.MaxValue — the Long.MaxValue-as-open-upper-bound idiom
   def ceilDivUs(ns: Long): Long =

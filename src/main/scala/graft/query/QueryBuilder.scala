@@ -29,6 +29,31 @@ final case class QueryBuilder(
   private def add(f: DataFrame => DataFrame): QueryBuilder =
     copy(clauses = clauses :+ f, prefixIntact = false)
 
+  /** Apply `other`'s processing AFTER this builder's (reference
+    * QueryBuilder.then, processing.py:927) — pipelines compose linearly,
+    * so reusable clause chains can be built separately and joined.
+    * `other`'s filter prefix keeps driving file-stats pruning as long as
+    * EVERYTHING before it (this builder) is also a pure filter prefix.
+    */
+  def `then`(other: QueryBuilder): QueryBuilder = QueryBuilder(
+    clauses ++ other.clauses,
+    if (prefixIntact) prefixFilters ++ other.prefixFilters else prefixFilters,
+    prefixIntact && other.prefixIntact)
+
+  /** Apply `other`'s processing BEFORE this builder's (processing.py:945). */
+  def prepend(other: QueryBuilder): QueryBuilder = other.`then`(this)
+
+  /** Reference API parity (processing.py:1220,1227): the reference's
+    * optimise_for_speed/_memory toggle eager reclamation of string-pool
+    * memory inside ITS column-sliced execution engine. Spark has no
+    * column slicing (SURVEY §2.1: Split/column segmentation is N/A by
+    * design) and Tungsten's UnsafeRow/off-heap management plays that
+    * role, so both hints are accepted no-ops — the plan is already the
+    * memory-bounded one.
+    */
+  def optimiseForSpeed(): QueryBuilder = this
+  def optimiseForMemory(): QueryBuilder = this
+
   /** FilterClause (clause.hpp:142-199) — boolean expression AST → keep rows. */
   def filter(e: Expr): QueryBuilder =
     copy(

@@ -94,4 +94,27 @@ class QueryBuilderSpec extends SparkSuite {
     // timestamp origin 4500: first bucket [4500, 8500)
     assert(labels(Resample.OriginTimestamp(4500L)).head == 4500L)
   }
+
+  test("then/prepend compose pipelines; filter prefixes merge only while intact") {
+    import graft.query.Expr.{col => e, lit => l}
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val f = QueryBuilder().filter(e("k") > l(1L))
+    val g = QueryBuilder().filter(e("v") < l(30.0))
+    val agg = QueryBuilder().groupByAgg(Seq("k"), Seq(("s", "v", "sum")))
+
+    // composition order: f then agg == agg prepend f
+    val a = f.`then`(agg)(df).orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = agg.prepend(f)(df).orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == Seq((2L, 20.0), (3L, 30.0)) && b.toSeq == a.toSeq)
+
+    // filter∘filter keeps BOTH in the pruning prefix…
+    assert(f.`then`(g).prefixFilters.size == 2)
+    // …but a post-barrier filter must NOT join the prefix (it sees
+    // derived columns, not stored ones)
+    assert(f.`then`(agg).`then`(g).prefixFilters.size == 1)
+    assert(agg.`then`(f).prefixFilters.isEmpty)
+
+    // optimisation hints are accepted no-ops (Spark has no column slicing)
+    assert(f.optimiseForMemory() == f && f.optimiseForSpeed() == f)
+  }
 }
