@@ -46,7 +46,12 @@ object Bench {
     "q55_hash_sample_stratified",
     "q56_repetition_ratio",
     // round-7 addition (side-effect-free)
-    "q68_decontaminate")
+    "q68_decontaminate",
+    // round-10 additions (side-effect-free): the fused rule-cleanup scan
+    // and the DSIR weight pipeline — the two pipeline ops with real
+    // compute at sf (the rest of q94–q97 are floor-bound at bench scale)
+    "q92_clean_corpus",
+    "q93_dsir_weights")
 
   /** Locate the sf1 generator script (bench tooling, not library code) and
     * materialize a deterministic 10×-scaled copy of `sfDir` at `dst`.

@@ -1107,14 +1107,13 @@ object SparkEntry {
     },
     // ---------------- LLM pipeline: text analysis ---------------------
     "q34_langid" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      val scored = Text.LangMarkers.foldLeft(d) { case (df, (lang, ms)) =>
-        df.withColumn(s"s_$lang", Text.langScore(col("text"), ms))
-      }
-      scored
-        .withColumn("lang_pred", Text.langId(col("text")))
-        .select(col("doc_id") +: col("lang_pred") +:
-          Text.LangMarkers.map { case (lang, _) => col(s"s_$lang") }: _*)
+      // scores and the argmax pick all derive from ONE marker_counts
+      // kernel array (codegen CSE) — a single pass over the text
+      val scores = Text.langScoresFused(col("text"))
+        .map { case (lang, sc) => sc.as(s"s_$lang") }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: Text.langId(col("text")).as("lang_pred") +:
+          scores: _*)
         .orderBy("doc_id")
     },
     "q35_quality" -> { (s, dir) =>

@@ -54,7 +54,10 @@ object Clean {
         col(idCol),
         text,
         st.getField("n_tokens").as("n_tokens"),
-        Text.qualityScoreOf(st).as("quality"),
+        // the fence keeps the rule filters ABOVE this projection: pushed
+        // down they would re-evaluate the fused kernels once per textual
+        // reference in the CSE-free filter context (OptimizerFence doc)
+        graft.plans.OptimizerFence(Text.qualityScoreOf(st)).as("quality"),
         repRatio(text, rules.repetitionN).as("rep_ratio"),
         Text.langId(text).as("lang_pred"))
     val langOk: Column =

@@ -48,22 +48,24 @@ object Pii {
   val PhoneTag = "<PHONE>"
   val IpTag    = "<IP>"
 
-  /** Occurrences of fixed substring `tag` in `text` — a plain substring
-    * scan (`split` by an escaped literal), ~10× cheaper than a Java-regex
-    * pass over the same bytes.
+  /** The email → phone → IP chain as ONE fused kernel call
+    * (graft.plans.SeqRedact): struct<n_emails, n_phones, n_ips, clean>.
+    * Each pattern runs over the text already redacted by earlier
+    * categories — identical java.util.regex semantics to the chained
+    * regexp_replace it replaces, but the chain is evaluated once per row
+    * in ANY expression context (Spark's filter codegen does no
+    * subexpression elimination, so the Column formulation paid ~3× the
+    * regex work inside density filters).
     */
-  private def tagCount(text: Column, tag: String): Column =
-    size(split(text, java.util.regex.Pattern.quote(tag))) - 1
+  private[graft] def piiKernel(text: Column): Column =
+    graft.plans.SeqRedact(text,
+      Seq(EmailRe -> EmailTag, PhoneRe -> PhoneTag, Ipv4Re -> IpTag),
+      Seq("n_emails", "n_phones", "n_ips"))
 
   /** Text with all three PII categories replaced by their tags, in the
     * fixed email → phone → IP order (the order counts are attributed in).
     */
-  def redact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, lit(EmailRe), lit(EmailTag)),
-        lit(PhoneRe), lit(PhoneTag)),
-      lit(Ipv4Re), lit(IpTag))
+  def redact(text: Column): Column = piiKernel(text).getField("clean")
 
   /** Per-document scan report: category counts plus the redacted text.
     * Output: idCol, n_emails, n_phones, n_ips, clean_text.
@@ -85,37 +87,30 @@ object Pii {
       in: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val afterEmail = regexp_replace(col(textCol), lit(EmailRe), lit(EmailTag))
-    val afterPhone = regexp_replace(afterEmail, lit(PhoneRe), lit(PhoneTag))
-    val afterIp    = regexp_replace(afterPhone, lit(Ipv4Re), lit(IpTag))
-    // Counts are derived from tag-count DIFFS over the redaction chain
-    // (each match inserts exactly one tag, and subtracting the input's
-    // pre-existing literal tags keeps the count exact even on adversarial
-    // text) — three regex passes total instead of six; the fixed-string
-    // scans are noise next to a regex pass. Codegen CSE shares the three
-    // redaction expressions between the counts and clean_text.
+    // one kernel call; codegen CSE shares it across the derived columns
+    val k = piiKernel(col(textCol))
     in.select(
       col(idCol),
-      (tagCount(afterEmail, EmailTag) - tagCount(col(textCol), EmailTag))
-        .as("n_emails"),
-      (tagCount(afterPhone, PhoneTag) - tagCount(afterEmail, PhoneTag))
-        .as("n_phones"),
-      (tagCount(afterIp, IpTag) - tagCount(afterPhone, IpTag)).as("n_ips"),
-      afterIp.as("clean_text"))
+      k.getField("n_emails").as("n_emails"),
+      k.getField("n_phones").as("n_phones"),
+      k.getField("n_ips").as("n_ips"),
+      k.getField("clean").as("clean_text"))
   }
 
   /** Drop documents whose PII density crosses `maxHits` total matches —
-    * the "this is a contact-info dump, don't train on it" filter. Pure
-    * codegen predicate; composes with any upstream clause.
+    * the "this is a contact-info dump, don't train on it" filter.
+    *
+    * The kernel is evaluated in a PROJECT (then the filter reads the
+    * tiny summed column and the helper is dropped) because Spark's
+    * filter codegen re-evaluates every duplicated subtree — projecting first
+    * keeps the regex chain at exactly one evaluation per row.
     */
   def dropPiiHeavy(df: DataFrame, textCol: String, maxHits: Int): DataFrame = {
-    val t = col(textCol)
-    val a1 = regexp_replace(t, lit(EmailRe), lit(EmailTag))
-    val a2 = regexp_replace(a1, lit(PhoneRe), lit(PhoneTag))
-    val a3 = regexp_replace(a2, lit(Ipv4Re), lit(IpTag))
-    val total = (tagCount(a1, EmailTag) - tagCount(t, EmailTag)) +
-      (tagCount(a2, PhoneTag) - tagCount(a1, PhoneTag)) +
-      (tagCount(a3, IpTag) - tagCount(a2, IpTag))
-    df.filter(total <= maxHits)
+    val k = piiKernel(col(textCol))
+    df.withColumn("__pii_total",
+        graft.plans.OptimizerFence(
+          k.getField("n_emails") + k.getField("n_phones") + k.getField("n_ips")))
+      .filter(col("__pii_total") <= maxHits)
+      .drop("__pii_total")
   }
 }

@@ -273,6 +273,16 @@ class PlanSpec extends SparkSuite {
       assert(p.collect {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       }.isEmpty, "rules are a filter, not an aggregation")
+      // OptimizerFence regression: the rule predicates must NOT be pushed
+      // through the signal projection — a pushed filter re-evaluates the
+      // fused kernels per textual reference (no CSE in filter codegen;
+      // measured 198 marker_counts occurrences and ~2.6× the wall)
+      p.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      }.foreach(c =>
+        assert(!c.contains("marker_counts") && !c.contains("seq_redact") &&
+          !c.contains("text_stats") && !c.contains("distinct_shingles"),
+          s"kernel leaked into a filter predicate: $c"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

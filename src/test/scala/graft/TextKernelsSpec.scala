@@ -38,4 +38,54 @@ class TextKernelsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     docs.foreach { case (id, text) => assert(got(id) == driverHash(text), s"doc $id") }
   }
+
+  test("markerCounts matches wordCount's non-overlapping split semantics") {
+    val rows = Seq(
+      "the the the cat", // adjacent repeats: ' the the the ' → 2 windows
+      "a a a a", // → 2
+      "is", "", "no markers here at all",
+      "la la le et der und 的")
+    val markers = Text.LangMarkers.flatMap(_._2)
+    val df = rows.toDF("text")
+    val viaKernel = df.select(
+      graft.plans.MarkerCounts(col("text"), markers).as("mc")).collect()
+      .map(_.getSeq[Int](0).toSeq)
+    val viaSplit = df.select(
+      array(markers.map(m => Text.wordCount(col("text"), m)): _*).as("wc"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(viaKernel.toSeq == viaSplit.toSeq)
+    // pinned: adjacent self-overlapping repeats count non-overlapping
+    assert(viaKernel(0)(markers.indexOf("the")) == 2)
+    assert(viaKernel(1)(markers.indexOf("a")) == 2)
+  }
+
+  test("SeqRedact equals the chained regexp_replace formulation") {
+    val rows = Seq(
+      "mail bob@x.com and carol@y.org call 555-123-4567 host 10.0.0.1",
+      "user@10.0.0.7 is an IP hit", // no alpha TLD → EmailRe misses, Ipv4Re fires
+      "<EMAIL> preexisting tag, no match",
+      "nothing to redact", "")
+    val df = rows.toDF("text")
+    val k = graft.functions.Pii.piiKernel(col("text"))
+    val got = df.select(k.getField("n_emails"), k.getField("n_phones"),
+      k.getField("n_ips"), k.getField("clean")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val exp = df.select(
+      size(split(regexp_replace(col("text"), graft.functions.Pii.EmailRe, graft.functions.Pii.EmailTag),
+        java.util.regex.Pattern.quote(graft.functions.Pii.EmailTag))) - 1 -
+        (size(split(col("text"), java.util.regex.Pattern.quote(graft.functions.Pii.EmailTag))) - 1),
+      lit(0), lit(0), // counts checked via the email column + clean text
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        graft.functions.Pii.EmailRe, graft.functions.Pii.EmailTag), graft.functions.Pii.PhoneRe, graft.functions.Pii.PhoneTag),
+        graft.functions.Pii.Ipv4Re, graft.functions.Pii.IpTag)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1, s"email count: $g vs $e")
+      assert(g._4 == e._4, s"clean text: $g vs $e")
+    }
+    // pinned attribution: a dotted-quad "email host" has no alpha TLD, so
+    // the IP category claims it; a pre-existing tag literal never counts
+    assert(got(1) == ((0, 0, 1, "user@<IP> is an IP hit")))
+    assert(got(2) == ((0, 0, 0, "<EMAIL> preexisting tag, no match")))
+  }
 }
