@@ -358,4 +358,60 @@ class PropertySpec extends SparkSuite {
         org.apache.spark.sql.types.LongType)
     }
   }
+
+  test("property: MarkerCounts equals the split formulation on random marker soup") {
+    // random texts over an alphabet that DELIBERATELY collides with the
+    // markers (adjacent repeats, markers at both edges, empty tokens are
+    // impossible by construction but 1-char gaps are not)
+    import graft.functions.Text
+    val markers = Text.LangMarkers.flatMap(_._2)
+    val word = Gen.oneOf(markers ++ Seq("cat", "x", "lala", "thee", "a", "the"))
+    val textGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = sample(textGen, 300, seed = 20251114L)
+    val df = texts.toDF("text")
+    val viaKernel = df.select(
+      graft.plans.MarkerCounts(col("text"), markers).as("mc"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    val viaSplit = df.select(
+      array(markers.map(m => Text.wordCount(col("text"), m)): _*))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    viaKernel.zip(viaSplit).zipWithIndex.foreach { case ((k, s), i) =>
+      assert(k == s, s"text '${texts(i)}'")
+    }
+  }
+
+  test("property: SeqRedact equals the chained regexp_replace on planted PII") {
+    import graft.functions.Pii
+    val piiBit = Gen.oneOf(
+      "bob@x.com", "a.b-c@mail.example.org", "555-123-4567", "10.0.0.1",
+      "999.1.2.3", "user@10.0.0.7", "<EMAIL>", "<IP>", "not-a-phone-5551234567",
+      "almost@nodot", "1.2.3", "x@y.zz")
+    val word = Gen.oneOf(Seq("lorem", "ipsum", "text", "ok") )
+    val tok = Gen.frequency(2 -> piiBit, 3 -> word)
+    val textGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val texts = sample(textGen, 300, seed = 77L)
+    val df = texts.toDF("text")
+    val k = Pii.piiKernel(col("text"))
+    val got = df.select(k.getField("n_emails"), k.getField("n_phones"),
+      k.getField("n_ips"), k.getField("clean")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // oracle: the chained Column formulation with tag-count DIFF counts
+    def tagCount(c: org.apache.spark.sql.Column, tag: String) =
+      size(split(c, java.util.regex.Pattern.quote(tag))) - 1
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, lit(Pii.EmailRe), lit(Pii.EmailTag))
+    val t2 = regexp_replace(t1, lit(Pii.PhoneRe), lit(Pii.PhoneTag))
+    val t3 = regexp_replace(t2, lit(Pii.Ipv4Re), lit(Pii.IpTag))
+    val exp = df.select(
+      (tagCount(t1, Pii.EmailTag) - tagCount(t0, Pii.EmailTag)).as("e"),
+      (tagCount(t2, Pii.PhoneTag) - tagCount(t1, Pii.PhoneTag)).as("p"),
+      (tagCount(t3, Pii.IpTag) - tagCount(t2, Pii.IpTag)).as("i"),
+      t3.as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"text '${texts(i)}'")
+    }
+  }
 }
