@@ -1258,6 +1258,15 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q98_bigram_logprob" -> { (s, dir) =>
+      // Stupid-backoff bigram LM (Brants 2007) self-trained on the
+      // corpus: kept bigram → conditional, else backoff 0.4×unigram,
+      // else OOV floor; first token on the plain unigram path. All
+      // model entries micro-nat-quantized so per-doc sums are integer
+      // (order-free, exact DuckDB replay).
+      Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q97_qb_compose" -> { (s, dir) =>
       // Pipelines are VALUES that compose (reference then/prepend,
       // processing.py:927,945): a reusable date-window filter — its ns
@@ -2374,6 +2383,45 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    // Stupid-backoff replay: same micro-nat quantization (round = half
+    // away from zero on both engines), integer per-doc sums, one final
+    // division. Cutoffs are relative shares of the unigram/bigram mass.
+    "q98_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         toks AS (
+           SELECT doc_id, len(w) AS n, i, w[i] AS cur,
+             CASE WHEN i = 1 THEN NULL ELSE w[i-1] END AS prev
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)),
+         uni AS (SELECT cur AS tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+         big AS (SELECT prev AS w1, cur AS w2, count(*) AS cb
+                 FROM toks WHERE prev IS NOT NULL GROUP BY 1, 2),
+         totb AS (SELECT CAST(coalesce(sum(cb), 0) AS DOUBLE) AS tb FROM big),
+         ukept AS (
+           SELECT tok,
+             CAST(round(ln(c / t.t) * 1e6) AS BIGINT) AS lp_first,
+             CAST(round(ln(0.4 * c / t.t) * 1e6) AS BIGINT) AS lp_back
+           FROM uni, tot t WHERE c >= 0.001 * t.t),
+         bkept AS (
+           SELECT w1, w2,
+             CAST(round(ln(CAST(cb AS DOUBLE) / u.c) * 1e6) AS BIGINT) AS lp_big
+           FROM big JOIN uni u ON u.tok = big.w1, totb
+           WHERE cb >= 0.001 * totb.tb),
+         floors AS (
+           SELECT CAST(round(ln(0.5 / greatest(t, 1)) * 1e6) AS BIGINT) AS ff,
+             CAST(round(ln(0.4 * 0.5 / greatest(t, 1)) * 1e6) AS BIGINT) AS fb
+           FROM tot),
+         terms AS (
+           SELECT toks.doc_id, toks.n,
+             CASE WHEN toks.i = 1 THEN coalesce(uk.lp_first, floors.ff)
+                  ELSE coalesce(bk.lp_big, uk.lp_back, floors.fb) END AS term
+           FROM toks
+           LEFT JOIN bkept bk ON toks.prev = bk.w1 AND toks.cur = bk.w2
+           LEFT JOIN ukept uk ON toks.cur = uk.tok, floors)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE) / 1e6 / CAST(max(n) AS DOUBLE), 6)
+             AS lp_mean
+         FROM terms GROUP BY 1 ORDER BY doc_id""",
     "q97_qb_compose" ->
       """SELECT event_type, round(sum(value), 6) AS v_sum, count(event_id) AS n
          FROM events

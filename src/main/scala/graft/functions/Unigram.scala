@@ -162,6 +162,121 @@ object Unigram {
       .orderBy(col("freq").desc, col("tok"))
   }
 
+  /** Per-document mean bigram log-probability with STUPID BACKOFF
+    * (Brants et al. 2007, "Large Language Models in Machine Translation"
+    * — the backoff that scales because it needs no discount tuning):
+    *
+    *   score(w_i | w_{i-1}) = ln(c(w_{i-1} w_i) / c(w_{i-1}))   if the
+    *                          bigram is in the kept model,
+    *                        = ln(0.4 · c(w_i) / total)           else if
+    *                          w_i is a kept unigram,
+    *                        = ln(0.4 · 0.5 / total)              else.
+    *   The first token scores on the plain unigram path (no backoff
+    *   penalty): ln(c(w_1)/total), OOV → ln(0.5/total).
+    *
+    * Model bounds (the 100 TB discipline, as logProbScore): kept bigrams
+    * need ≥ `minShare` of the total bigram mass and kept unigrams
+    * ≥ `minShare` of token mass — each set is ≤ ceil(1/minShare) entries
+    * BY CONSTRUCTION, so the two collects/broadcasts are bounded however
+    * heavy the corpus tail; counts aggregate distributedly first.
+    *
+    * Determinism: every model entry's ln is quantized to micro-nat LONGS
+    * at build; the per-doc sum is integer (order-free); ONE division at
+    * the end. Output: (idCol, n_tokens, lp_mean).
+    *
+    * Bigram extraction is `posexplode(arrays_zip(slice, slice))` — pure
+    * codegen, no self-join, no interpreted HOF; only (doc_id, w1, w2)
+    * strings shuffle, never documents.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare $minShare not in (0,1] — 0 would unbound the model collect")
+    val spark = df.sparkSession
+    // half-AWAY-FROM-ZERO micro-nat quantization: Math.round alone rounds
+    // negative ties toward +∞ (floor(x+.5)), but model log-probs are
+    // negative and the oracle's round() is half-away-from-zero — the
+    // sign-symmetric form matches DuckDB (and Spark's SQL round) exactly
+    def micro(x: Double): Long = {
+      val y = x * 1e6
+      if (y >= 0) Math.round(y) else -Math.round(-y)
+    }
+
+    val toks = Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__w"))
+    val uniCnt = toks.select(explode(col("__w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigCnt = toks
+      .select(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))).as("__a"),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))).as("__b"))
+      .select(explode(arrays_zip(col("__a"), col("__b"))).as("bg"))
+      .select(col("bg.__a").as("w1"), col("bg.__b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (total, uniKept, bigKept) =
+      try {
+        val tot = uniCnt.agg(sum(col("c"))).head.getLong(0).toDouble
+        val totB = bigCnt.agg(sum(col("cb"))).head match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getLong(0).toDouble
+        }
+        val uk = uniCnt
+          .where(col("c").cast("double") >= lit(minShare) * lit(tot))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        // kept-bigram scores divide by the FULL unigram count of w1 —
+        // which need not itself clear the unigram cutoff, so it is read
+        // from the (distributed) unigram aggregate via a join, never
+        // from the kept set
+        val bk = bigCnt
+          .where(col("cb").cast("double") >= lit(minShare) * lit(totB))
+          .join(uniCnt.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"),
+            Seq("w1"))
+          .collect()
+          .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+            micro(math.log(r.getAs[Long]("cb").toDouble / r.getAs[Long]("c1")))))
+        (tot, uk, bk)
+      } finally { uniCnt.unpersist(false); bigCnt.unpersist(false) }
+
+    val floorFirst = micro(math.log(0.5 / math.max(total, 1.0)))
+    val floorBack = micro(math.log(0.4 * 0.5 / math.max(total, 1.0)))
+    val uniModel = spark.createDataFrame(spark.sparkContext.parallelize(
+        uniKept.toSeq.map { case (t, c) =>
+          (t, micro(math.log(c / total)), micro(math.log(0.4 * c / total)))
+        }, 1)).toDF("tok", "lp_first", "lp_back")
+    val bigModel = spark.createDataFrame(
+      spark.sparkContext.parallelize(bigKept.toSeq, 1)).toDF("w1", "w2", "lp_big")
+
+    toks
+      // zip (null +: w[1..n-1]) with w: per position i, prev = w[i-1]
+      // (null at i=1), cur = w[i]. Both zip inputs are pre-named columns
+      // so the struct field names are stable ("__p", "__w").
+      .select(col(idCol), col("__w"),
+        concat(array(lit(null).cast("string")),
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0)))).as("__p"))
+      .select(col(idCol), size(col("__w")).cast("long").as("__n"),
+        posexplode(arrays_zip(col("__p"), col("__w"))))
+      .select(col(idCol), col("__n"), (col("pos") + 1).as("__i"),
+        col("col.__p").as("__prev"), col("col.__w").as("__cur"))
+      .join(broadcast(bigModel),
+        col("__prev") === col("w1") && col("__cur") === col("w2"), "left")
+      .join(broadcast(uniModel), col("__cur") === col("tok"), "left")
+      .select(col(idCol), col("__n"),
+        when(col("__i") === 1, coalesce(col("lp_first"), lit(floorFirst)))
+          .otherwise(coalesce(col("lp_big"), col("lp_back"), lit(floorBack)))
+          .as("__term"))
+      .groupBy(idCol)
+      .agg(max("__n").as("n_tokens"), sum("__term").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 6).as("lp_mean"))
+  }
+
   /** Per-document token-distribution statistics: Shannon entropy (nats)
     * of the document's OWN unigram distribution plus the type-token
     * ratio — the cheap "is this text lexically diverse or a token loop"

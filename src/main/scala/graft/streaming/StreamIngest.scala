@@ -199,6 +199,20 @@ object StreamIngest {
       textCol: String): DataFrame =
     graft.functions.Pii.scanSelect(stream, idCol, textCol)
 
+  /** Streaming twin of [[graft.functions.Clean.cleanCorpus]]: the whole
+    * rule set is a stateless narrow map+filter (fused kernels, zero
+    * aggregation), so it applies to an unbounded stream unchanged —
+    * live-ingest corpus hygiene before anything stateful (dedup,
+    * budgets) sees the document. Same output contract as the batch
+    * operator (StreamingSpec pins row identity).
+    */
+  def cleanStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: graft.functions.Clean.Rules): DataFrame =
+    graft.functions.Clean.cleanCorpus(stream, idCol, textCol, rules)
+
   /** Row shape of [[tokenBudgetStream]] (both its internal typed stream
     * and its output). NOT private: the Encoder's generated projections
     * must be able to instantiate it from codegen'd classes.

@@ -240,4 +240,29 @@ class StreamingSpec extends SparkSuite {
     // the pre-tagged literal [EMAIL] is not counted; the real address is
     assert(streamed.find(_._1 == 4L).get._2 == 1)
   }
+
+  test("cleanStream applies the full rule set identically to the batch operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, "the cat sat on a mat and it is nice to see sun in the town"),
+      (1L, "tiny doc"), // cut: minTokens
+      (2L, "el la que el la que uno dos tres cuatro cinco seis"), // cut: lang
+      (3L, "the a is so contact bob@x.com or carol@y.org right now ok")) // cut: pii
+    val rules = graft.functions.Clean.Rules(
+      minTokens = 5, maxRepetition = 0.9, lang = Some("en"), maxPiiHits = 1)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamIngest.cleanStream(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", rules)
+    val q = out.writeStream.format("memory").queryName("cleanstream")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cleanstream")
+      .as[(Long, Int, Double, Double, String)].collect().toSet
+    val batch = graft.functions.Clean
+      .cleanCorpus(rows.toDF("doc_id", "text"), "doc_id", "text", rules)
+      .as[(Long, Int, Double, Double, String)].collect().toSet
+    assert(streamed == batch && streamed.map(_._1) == Set(0L))
+  }
 }

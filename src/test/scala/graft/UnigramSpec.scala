@@ -42,6 +42,29 @@ class UnigramSpec extends SparkSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("bigramLogProb: kept-bigram, backoff and floor paths all hand-check") {
+    // corpus: a=3 b=3 c=1 z=1 (total 8); bigrams (a,b)=3 (b,a)=1 (b,c)=1
+    // (total 5). minShare .25 → kept unigrams {a,b}, kept bigram {(a,b)}.
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "z"))
+      .toDF("doc_id", "text")
+    def q(x: Double): Long = { val y = x * 1e6; if (y >= 0) Math.round(y) else -Math.round(-y) }
+    val lpFirstA = q(math.log(3 / 8.0)) // first-token unigram path
+    val lpBackA = q(math.log(0.4 * 3 / 8.0)) // backoff through kept 'a'
+    val lpBigAB = q(math.log(3.0 / 3)) // ln c(a b)/c(a) = 0
+    val ff = q(math.log(0.5 / 8)) // first-token OOV floor
+    val fb = q(math.log(0.4 * 0.5 / 8)) // backoff OOV floor
+    def mean(terms: Seq[Long]): Double =
+      BigDecimal(terms.sum / 1e6 / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.functions.Unigram
+      .bigramLogProb(docs, "doc_id", "text", 0.25)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0) == ((0L, 4L,
+      mean(Seq(lpFirstA, lpBigAB, lpBackA, lpBigAB))))) // a | ab | (b,a)→back a | ab
+    assert(got(1) == ((1L, 3L, mean(Seq(lpFirstA, lpBigAB, fb))))) // (b,c)→c OOV
+    assert(got(2) == ((2L, 1L, mean(Seq(ff))))) // single OOV token
+  }
+
   test("logProbScore: vocab cutoff by relative share, OOV floor, per-doc mean") {
     // minShare 0.15 → threshold 1.5 tokens → vocab {a (p=.5), b (p=.3)};
     // c and z fall to the OOV floor ln(0.5/10).
