@@ -1258,6 +1258,15 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q99_bpe_merges" -> { (s, dir) =>
+      // Distributed BPE training (Sennrich 2016): 3 merges over the
+      // word-frequency table — one corpus pass, then vocab-bounded
+      // iterations; merge choice deterministic (count desc, pair asc).
+      // The oracle replays ALL THREE iterations: pair counts, argmax,
+      // and greedy run-parity application.
+      graft.functions.Bpe.trainMerges(t(s, dir, "documents"), "text", 3)
+        .orderBy("rank")
+    },
     "q98_bigram_logprob" -> { (s, dir) =>
       // Stupid-backoff bigram LM (Brants 2007) self-trained on the
       // corpus: kept bigram → conditional, else backoff 0.4×unigram,
@@ -2383,6 +2392,58 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    // Full 3-iteration BPE replay: per iteration, weighted pair counts →
+    // (count desc, l, r) argmax → greedy merge application expressed as
+    // match positions filtered by run parity (overlapping matches only
+    // arise in L==R runs; keeping even run offsets IS the left-to-right
+    // greedy scan).
+    "q99_bpe_merges" -> {
+      def iter(i: Int): String = {
+        val s = s"seg$i"
+        val nxt = s"seg${i + 1}"
+        s"""pairs$i AS (
+              SELECT l, r, sum(freq) AS c FROM (
+                SELECT freq, s[q] AS l, s[q+1] AS r
+                FROM (SELECT w, freq, s, unnest(range(1, len(s))) AS q FROM $s))
+              GROUP BY 1, 2),
+            best$i AS (SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
+            pos$i AS (
+              SELECT b.w, b.q AS p
+              FROM (SELECT w, s, unnest(range(1, len(s))) AS q FROM $s) b, best$i
+              WHERE b.s[b.q] = best$i.l AND b.s[b.q+1] = best$i.r),
+            kept$i AS (
+              SELECT w, p FROM (
+                SELECT w, p, min(p) OVER (PARTITION BY w, p - rn) AS rs FROM (
+                  SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+                  FROM pos$i))
+              WHERE (p - rs) % 2 = 0),
+            $nxt AS (
+              SELECT w, freq, list(tok ORDER BY q) AS s FROM (
+                SELECT b.w, b.freq, b.q,
+                  CASE WHEN k1.p IS NOT NULL THEN b.s[b.q] || b.s[b.q+1]
+                       ELSE b.s[b.q] END AS tok
+                FROM (SELECT w, freq, s, unnest(range(1, len(s) + 1)) AS q
+                      FROM $s) b
+                LEFT JOIN kept$i k1 ON k1.w = b.w AND k1.p = b.q
+                LEFT JOIN kept$i k2 ON k2.w = b.w AND k2.p = b.q - 1
+                WHERE k2.p IS NULL)
+              GROUP BY 1, 2)"""
+      }
+      s"""WITH words AS (
+            SELECT tok AS w, count(*) AS freq FROM (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY 1),
+          seg1 AS (SELECT w, freq, string_split(w, '') AS s FROM words),
+          ${iter(1)}, ${iter(2)}, ${iter(3)}
+          SELECT * FROM (
+            SELECT 1 AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS freq
+            FROM best1
+            UNION ALL
+            SELECT 2, l, r, CAST(c AS BIGINT) FROM best2
+            UNION ALL
+            SELECT 3, l, r, CAST(c AS BIGINT) FROM best3)
+          ORDER BY rank"""
+    },
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-vocabulary construction step every pretraining stack runs
+  * before anything else sees the corpus.
+  *
+  * The scale insight (what makes this a counter problem, not a corpus
+  * problem): BPE statistics are a function of the WORD-FREQUENCY TABLE.
+  * One corpus pass aggregates (word, freq) — bounded by the distinct-word
+  * vocabulary, with map-side partial aggregation — and every merge
+  * iteration then runs on that table alone: k iterations cost k scans of
+  * the vocab table plus ONE corpus scan, never k corpus scans.
+  *
+  * Per iteration:
+  *   1. adjacent-pair counts weighted by word freq — pair extraction is
+  *      `explode(arrays_zip(slice, slice))`, pure codegen;
+  *   2. best pair = max count, ties by (left, right) ascending — a
+  *      deterministic 1-row limit (driver reads one row per iteration);
+  *   3. the merge applies to every word's segmentation via the
+  *      [[graft.plans.ApplyMerge]] kernel: greedy LEFT-TO-RIGHT
+  *      non-overlapping pair replacement (the classic BPE application
+  *      order; for L==R runs like "a a a" the first pair wins → "aa a").
+  *
+  * Segmentations start as character lists (no end-of-word marker — kept
+  * minimal; add one upstream by appending a sentinel char if needed).
+  * The DuckDB oracle replays every iteration exactly: pair counts, the
+  * (count desc, left, right) argmax, and greedy application expressed as
+  * match positions filtered by run parity (equivalent to the left-to-
+  * right scan: overlapping matches only arise in L==R runs, where
+  * keeping even run offsets IS the greedy choice).
+  */
+object Bpe {
+
+  /** The first `k` BPE merges over the corpus' word distribution.
+    * Output: (rank 1..k, left, right, freq) where freq is the pair's
+    * weighted count at selection time. Fewer than k rows when the corpus
+    * runs out of mergeable pairs.
+    */
+  def trainMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, s"merge count $k out of (0, 4096]")
+    val spark = df.sparkSession
+    val words = Kernels.spread(df, Seq(textCol))
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var seg = words.select(col("freq"), col("s"))
+      var i = 0
+      var exhausted = false
+      while (i < k && !exhausted) {
+        val best = pairCounts(seg)
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((i + 1, l, r, c))
+          seg = seg.select(col("freq"),
+            graft.plans.ApplyMerge(col("s"), l, r).as("s"))
+        }
+        i += 1
+      }
+      spark.createDataFrame(merges.toSeq).toDF("rank", "left", "right", "freq")
+    } finally words.unpersist(false)
+  }
+
+  /** Weighted adjacent-pair counts of the current segmentations. */
+  private def pairCounts(seg: DataFrame): DataFrame = seg
+    .select(col("freq"),
+      slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))).as("__a"),
+      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("__b"))
+    .select(col("freq"), explode(arrays_zip(col("__a"), col("__b"))).as("p"))
+    .select(col("freq"), col("p.__a").as("l"), col("p.__b").as("r"))
+    .groupBy("l", "r").agg(sum("freq").as("c"))
+
+  /** Final segmentations of every distinct corpus word under an ordered
+    * merge list — the "tokenize with a trained vocab" half, exposed for
+    * specs and downstream token pipelines. Output: (word, freq, tokens).
+    */
+  def segmentWords(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = Kernels.spread(df, Seq(textCol))
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    merges
+      .foldLeft(words.select(col("word"), col("freq"), split(col("word"), "").as("tokens"))) {
+        case (acc, (l, r)) =>
+          acc.select(col("word"), col("freq"),
+            graft.plans.ApplyMerge(col("tokens"), l, r).as("tokens"))
+      }
+  }
+}

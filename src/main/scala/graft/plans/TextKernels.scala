@@ -131,17 +131,6 @@ object TextKernels {
     s
   }
 
-  /** One scan over the RAW text → (n_tokens, n_stop, n_chars):
-    *  - n_tokens: split-on-single-space token count = #(' ') + 1, the exact
-    *    semantics of `size(split(text, " "))` (empty tokens included);
-    *  - n_stop: maximal non-space tokens equal to a stopword — the exact
-    *    match set of `regexp_count(' '||text||' ', '(?<= )(?:stop|…)(?= )')`,
-    *    whose lookaround alternation was the single hottest expression in
-    *    the q35 quality pipeline (~1.8s of java.util.regex at sf1);
-    *  - n_chars: numChars, as Catalyst's Length(string).
-    * Comparison is case-sensitive on the raw text, like the regex it
-    * replaces.
-    */
   /** Non-overlapping occurrence count of each padded needle `" w "` in
     * `" text "` — Text.wordCount's split-count semantics, one padded
     * string build + one indexOf scan per needle (no regex, no splits).
@@ -164,6 +153,17 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One scan over the RAW text → (n_tokens, n_stop, n_chars):
+    *  - n_tokens: split-on-single-space token count = #(' ') + 1, the exact
+    *    semantics of `size(split(text, " "))` (empty tokens included);
+    *  - n_stop: maximal non-space tokens equal to a stopword — the exact
+    *    match set of `regexp_count(' '||text||' ', '(?<= )(?:stop|…)(?= )')`,
+    *    whose lookaround alternation was the single hottest expression in
+    *    the q35 quality pipeline (~1.8s of java.util.regex at sf1);
+    *  - n_chars: numChars, as Catalyst's Length(string).
+    * Comparison is case-sensitive on the raw text, like the regex it
+    * replaces.
+    */
   def textStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
     val n = s.length
@@ -185,6 +185,27 @@ object TextKernels {
     checkToken(tokStart, n)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](spaces + 1, stop, text.numChars()))
+  }
+
+  /** Greedy left-to-right non-overlapping application of one BPE merge
+    * (l, r) → l+r over a token array (see plans.ApplyMerge).
+    */
+  def applyMerge(seg: ArrayData, l: String, r: String): ArrayData = {
+    val n = seg.numElements()
+    if (n < 2) return seg
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = seg.getUTF8String(i)
+      if (i + 1 < n && cur.toString == l && seg.getUTF8String(i + 1).toString == r) {
+        out.add(UTF8String.fromString(l + r))
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 
@@ -607,4 +628,45 @@ object SeqRedact {
   def apply(text: Column, pairs: Seq[(String, String)], fieldNames: Seq[String]): Column =
     CatalystBridge.column(
       SeqRedact(CatalystBridge.expression(text), pairs, fieldNames))
+}
+
+/** `apply_merge(seg, l, r)`: one BPE merge applied to a token array —
+  * greedy left-to-right non-overlapping replacement of adjacent (l, r)
+  * pairs by their concatenation (the classic application order; in
+  * L==R runs the leftmost pair wins). One codegen kernel per merge;
+  * an `aggregate` HOF fold would run interpreted.
+  */
+final case class ApplyMerge(child: Expression, l: String, r: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"apply_merge expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.applyMerge(input.asInstanceOf[ArrayData], l, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("mergeL", l, "java.lang.String")
+    val rRef = ctx.addReferenceObj("mergeR", r, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.applyMerge($c, $lRef, $rRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyMerge =
+    copy(child = newChild)
+
+  override def prettyName: String = "apply_merge"
+}
+
+object ApplyMerge {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(seg: Column, l: String, r: String): Column =
+    CatalystBridge.column(ApplyMerge(CatalystBridge.expression(seg), l, r))
 }
