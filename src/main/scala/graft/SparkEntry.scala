@@ -1258,6 +1258,26 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q100_agg_types" -> { (s, dir) =>
+      // Reference aggregator TYPE rules (unsorted_aggregation.cpp):
+      // bool supports ALL aggregators (sum counts trues, mean is the
+      // true-fraction, min/max stay bool) and datetime supports mean
+      // (datetime-typed output, exact integer ns floor here vs the
+      // reference's double-truncate — ±1 ns at double's mantissa edge).
+      // The timestamp mean is emitted as epoch-µs (driver convention).
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (col("value") > 0.5).as("b"), col("ts"), col("event_id"))
+      QueryBuilder()
+        .groupByAgg(Seq("event_type"), Seq(
+          ("sum_b", "b", "sum"), ("mean_b", "b", "mean"),
+          ("min_b", "b", "min"), ("max_b", "b", "max"),
+          ("mean_ts", "ts", "mean"), ("n", "event_id", "count")))(ev)
+        .select(col("event_type"), col("sum_b"), col("mean_b"), col("min_b"),
+          col("max_b"),
+          unix_micros(col("mean_ts").cast("timestamp")).as("mean_ts_us"),
+          col("n"))
+        .transform(sortSmallAgg(_, "event_type"))
+    },
     "q99_bpe_merges" -> { (s, dir) =>
       // Distributed BPE training (Sennrich 2016): 3 merges over the
       // word-frequency table — one corpus pass, then vocab-bounded
@@ -2392,6 +2412,16 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q100_agg_types" ->
+      """SELECT event_type,
+           sum(CASE WHEN b THEN 1 ELSE 0 END) AS sum_b,
+           avg(CASE WHEN b THEN 1 ELSE 0 END) AS mean_b,
+           min(b) AS min_b, max(b) AS max_b,
+           CAST((sum(CAST(epoch_us(ts) AS HUGEINT) * 1000) // count(ts)) // 1000
+             AS BIGINT) AS mean_ts_us,
+           count(event_id) AS n
+         FROM (SELECT event_type, value > 0.5 AS b, ts, event_id FROM events)
+         GROUP BY 1 ORDER BY event_type""",
     // Full 3-iteration BPE replay: per iteration, weighted pair counts →
     // (count desc, l, r) argmax → greedy merge application expressed as
     // match positions filtered by run parity (overlapping matches only

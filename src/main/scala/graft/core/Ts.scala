@@ -63,6 +63,24 @@ object Ts {
     case other => throw new IllegalArgumentException(s"not a time-index type: $other")
   }
 
+  /** Inverse of [[toNs]]: an epoch-ns long column back to the physical
+    * index type. µs-typed targets floor sub-µs amounts (the physical
+    * type cannot carry them); the ns→µs division runs in Decimal so an
+    * ~1.7e18 ns epoch never transits a 52-bit double mantissa.
+    */
+  def fromNs(ns: Column, t: DataType): Column = t match {
+    case LongType => ns
+    case TimestampType =>
+      timestamp_micros(floor(ns.cast(DecimalType(38, 0)) / lit(1000)).cast(LongType))
+    case TimestampNTZType =>
+      timestamp_micros(floor(ns.cast(DecimalType(38, 0)) / lit(1000)).cast(LongType))
+        .cast(TimestampNTZType)
+    case DateType =>
+      timestamp_micros(floor(ns.cast(DecimalType(38, 0)) / lit(1000)).cast(LongType))
+        .cast(DateType)
+    case other => throw new IllegalArgumentException(s"not a time-index type: $other")
+  }
+
   /** Event-time column for streaming/session operators: a real
     * TimestampType column regardless of the source representation. Takes
     * the column NAME so the ns-long branch can use SQL integer `div`

@@ -27,13 +27,55 @@ object NullSemantics {
     * (Spark already); sum of all-null group yields 0 in pandas — Spark
     * yields null, fixed up with coalesce.
     */
+  private def isTime(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType || t == DateType
+
+  private def isNum(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Column-type gates exactly as the reference enforces them
+    * (unsorted_aggregation.cpp get_output_data_type checks; library.py
+    * docstring: strings support only count/first/last, datetimes support
+    * everything EXCEPT sum). Spark would otherwise COERCE a string column
+    * to double inside sum/avg and return nulls — a silent wrong answer
+    * where the reference raises SchemaException.
+    */
+  private def gate(op: String, t: DataType, ok: Boolean): Unit =
+    if (!ok) throw new IllegalArgumentException(
+      s"$op aggregation not supported with column type ${t.simpleString} " +
+        "(reference unsorted_aggregation.cpp type checks)")
+
   def agg(op: String, in: Column, t: DataType, out: String): Column = {
     val c = nanToNull(in, t)
     val a = op match {
-      case "sum" => coalesce(sum(c), lit(0).cast(if (isFloating(t)) DoubleType else LongType))
-      case "mean" => avg(c)
-      case "min" => min(c)
-      case "max" => max(c)
+      case "sum" =>
+        // bool sums count trues (reference: UINT64 output); datetime sum
+        // raises (library.py: "all aggregators EXCEPT sum")
+        gate(op, t, isNum(t) || t == BooleanType)
+        if (t == BooleanType) coalesce(sum(c.cast(LongType)), lit(0L))
+        else coalesce(sum(c), lit(0).cast(if (isFloating(t)) DoubleType else LongType))
+      case "mean" =>
+        gate(op, t, isNum(t) || t == BooleanType || isTime(t))
+        if (t == BooleanType) avg(c.cast(IntegerType))
+        else if (isTime(t)) {
+          // datetime mean keeps the datetime type (MeanAggregatorData::
+          // get_output_data_type). The reference divides a DOUBLE ns sum
+          // (Fraction::to_double) and truncates; this computes the exact
+          // integer floor instead — identical except ±1 ns where the
+          // reference's 52-bit mantissa rounds, and exactly replayable.
+          val ns = graft.core.Ts.toNs(c, t)
+          val meanNs = floor(sum(ns.cast(DecimalType(38, 0))) / count(c))
+            .cast(LongType)
+          graft.core.Ts.fromNs(meanNs, t)
+        } else avg(c)
+      case "min" =>
+        gate(op, t, isNum(t) || t == BooleanType || isTime(t))
+        min(c)
+      case "max" =>
+        gate(op, t, isNum(t) || t == BooleanType || isTime(t))
+        max(c)
       case "count" => count(c)
       case other => throw new IllegalArgumentException(s"unsupported agg op $other")
     }

@@ -117,4 +117,29 @@ class QueryBuilderSpec extends SparkSuite {
     // optimisation hints are accepted no-ops (Spark has no column slicing)
     assert(f.optimiseForMemory() == f && f.optimiseForSpeed() == f)
   }
+
+  test("aggregator type gates match the reference: strings and datetime sums reject") {
+    import java.sql.Timestamp
+    val df = Seq(("a", "x", 1.0, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "s", "v", "ts")
+    def agg(in: String, op: String) =
+      QueryBuilder().groupByAgg(Seq("k"), Seq(("o", in, op)))(df)
+    // Spark alone would COERCE the string to double and return null sums —
+    // the reference raises SchemaException (strings: count/first/last only)
+    intercept[IllegalArgumentException](agg("s", "sum"))
+    intercept[IllegalArgumentException](agg("s", "mean"))
+    intercept[IllegalArgumentException](agg("s", "min"))
+    intercept[IllegalArgumentException](agg("s", "max"))
+    assert(agg("s", "count").collect().head.getLong(1) == 1L)
+    // datetime: everything EXCEPT sum (library.py resample/groupby doc)
+    intercept[IllegalArgumentException](agg("ts", "sum"))
+    assert(agg("ts", "min").collect().head.getTimestamp(1) != null)
+    // bool: all aggregators; sum counts trues, mean is the fraction
+    val b = Seq(("a", true), ("a", true), ("a", false)).toDF("k", "b")
+    val r = QueryBuilder().groupByAgg(Seq("k"), Seq(
+      ("sb", "b", "sum"), ("mb", "b", "mean"),
+      ("nb", "b", "min"), ("xb", "b", "max")))(b).collect().head
+    assert(r.getLong(1) == 2L && math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
+    assert(!r.getBoolean(3) && r.getBoolean(4))
+  }
 }
