@@ -2415,7 +2415,7 @@ object SparkEntry {
     "q100_agg_types" ->
       """SELECT event_type,
            sum(CASE WHEN b THEN 1 ELSE 0 END) AS sum_b,
-           avg(CASE WHEN b THEN 1 ELSE 0 END) AS mean_b,
+           avg(CASE WHEN b THEN 1 WHEN NOT b THEN 0 END) AS mean_b,
            min(b) AS min_b, max(b) AS max_b,
            CAST((sum(CAST(epoch_us(ts) AS HUGEINT) * 1000) // count(ts)) // 1000
              AS BIGINT) AS mean_ts_us,

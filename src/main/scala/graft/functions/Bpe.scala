@@ -51,13 +51,24 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      // Each iteration's segmentation is PERSISTED and the predecessor
+      // released once its successor has materialized: without this the
+      // i-th pairCounts would re-apply all i−1 previous merges from the
+      // raw vocab (O(k²) kernel work) and Catalyst would analyze an
+      // ever-deeper k-level Project chain. With it, every plan is one
+      // ApplyMerge over an InMemoryRelation — k scans total, constant
+      // plan depth, vocab-bounded cache footprint (≤2 copies live).
       var seg = words.select(col("freq"), col("s"))
+      var prev: Option[DataFrame] = None
       var i = 0
       var exhausted = false
       while (i < k && !exhausted) {
         val best = pairCounts(seg)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
+        // `seg` is materialized now — its predecessor can go
+        prev.foreach(_.unpersist(false))
+        prev = if (i == 0) None else Some(seg)
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) =
@@ -65,9 +76,12 @@ object Bpe {
           merges += ((i + 1, l, r, c))
           seg = seg.select(col("freq"),
             graft.plans.ApplyMerge(col("s"), l, r).as("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         }
         i += 1
       }
+      prev.foreach(_.unpersist(false))
+      if (!exhausted && k > 0) seg.unpersist(false)
       spark.createDataFrame(merges.toSeq).toDF("rank", "left", "right", "freq")
     } finally words.unpersist(false)
   }

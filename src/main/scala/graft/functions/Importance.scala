@@ -54,16 +54,28 @@ object Importance {
     val rawToks = toks(raw)
     val tgtToks = toks(target)
 
-    // 1-row totals (legitimate driver collects) + bucket-bounded counts.
-    val tTot = tgtToks.count()
-    val rTot = rawToks.count()
+    // Bucket-bounded counts; totals derive from the SAME aggregates
+    // (1-row sums over ≤`buckets` rows) instead of separate count() jobs
+    // that would re-tokenize and re-hash the whole corpus.
     val tCnt = tgtToks.groupBy("bk").agg(count(lit(1)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rCnt = rawToks.groupBy("bk").agg(count(lit(1)).as("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def total(cnt: DataFrame, c: String): Long =
+      cnt.agg(sum(col(c))).head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val tTot = total(tCnt, "ct")
+    val rTot = total(rCnt, "cr")
 
     // log(p_t/p_r) with add-one smoothing, as exact micro-nat longs.
     // Only buckets some raw token hits can influence a document, so the
-    // raw side anchors the join.
-    val ratio = rCnt
+    // raw side anchors the join. The table is ≤`buckets` rows by
+    // construction: collect it and re-ship as a 1-partition local DF so
+    // the count caches can be released NOW (the scoring join otherwise
+    // holds their lineage until the caller finally executes).
+    val ratioRows = rCnt
       .join(tCnt, Seq("bk"), "left")
       .na.fill(0L, Seq("ct"))
       .select(
@@ -73,6 +85,13 @@ object Importance {
             ((col("ct") + lit(1.0)) * lit((rTot + buckets).toDouble)) /
               ((col("cr") + lit(1.0)) * lit((tTot + buckets).toDouble))) * lit(1e6))
           .cast("long").as("lrf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    tCnt.unpersist(false)
+    rCnt.unpersist(false)
+    val ratio = raw.sparkSession
+      .createDataFrame(raw.sparkSession.sparkContext.parallelize(ratioRows.toSeq, 1))
+      .toDF("bk", "lrf")
 
     rawToks
       .join(broadcast(ratio), Seq("bk"))

@@ -220,7 +220,10 @@ object Unigram {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (total, uniKept, bigKept) =
       try {
-        val tot = uniCnt.agg(sum(col("c"))).head.getLong(0).toDouble
+        val tot = uniCnt.agg(sum(col("c"))).head match {
+          case r if r.isNullAt(0) => 0.0 // empty corpus: sum over no rows is null
+          case r => r.getLong(0).toDouble
+        }
         val totB = bigCnt.agg(sum(col("cb"))).head match {
           case r if r.isNullAt(0) => 0.0
           case r => r.getLong(0).toDouble

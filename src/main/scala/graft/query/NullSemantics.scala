@@ -65,9 +65,17 @@ object NullSemantics {
           // (Fraction::to_double) and truncates; this computes the exact
           // integer floor instead — identical except ±1 ns where the
           // reference's 52-bit mantissa rounds, and exactly replayable.
+          // Spark's decimal division rounds HALF_UP at its result scale
+          // BEFORE floor() sees the quotient, so a mean a hair under an
+          // integer can round up and the floor overshoot by 1 for large
+          // groups — correct the candidate against the exact remainder
+          // (all operations below are exact decimal arithmetic).
           val ns = graft.core.Ts.toNs(c, t)
-          val meanNs = floor(sum(ns.cast(DecimalType(38, 0))) / count(c))
-            .cast(LongType)
+          val sumNs = sum(ns.cast(DecimalType(38, 0)))
+          val n = count(c).cast(DecimalType(38, 0))
+          val qc = floor(sumNs / n).cast(DecimalType(38, 0))
+          val meanNs =
+            when(qc * n > sumNs, qc - 1).otherwise(qc).cast(LongType)
           graft.core.Ts.fromNs(meanNs, t)
         } else avg(c)
       case "min" =>

@@ -142,4 +142,28 @@ class QueryBuilderSpec extends SparkSuite {
     assert(r.getLong(1) == 2L && math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
     assert(!r.getBoolean(3) && r.getBoolean(4))
   }
+
+  test("datetime mean floors exactly: decimal-division HALF_UP overshoot corrected") {
+    // Engineer a group whose true ns-mean fraction is (c-1)/c with
+    // c ≈ 2e6: Spark's decimal division rounds HALF_UP at scale 6, so
+    // the raw floor(sum/n) would overshoot to the next integer — the
+    // remainder correction must bring it back down.
+    val c = 2000003L // coprime to 1000, so a µs-aligned residue exists
+    val inv1000 = BigInt(1000).modInverse(BigInt(c))
+    val xUs = ((BigInt(c) - 1) * inv1000 % BigInt(c)).toLong // 1000·x ≡ c−1 (mod c)
+    val baseUs = 1704067200000000L // 2024-01-01 in epoch-µs
+    val df = spark.range(c).select(
+      lit("g").as("k"),
+      org.apache.spark.sql.functions
+        .timestamp_micros(lit(baseUs) + when(col("id") === 0, lit(xUs)).otherwise(lit(0L)))
+        .as("ts"))
+    val got = QueryBuilder()
+      .groupByAgg(Seq("k"), Seq(("m", "ts", "mean")))(df)
+      .select(org.apache.spark.sql.functions.unix_micros(col("m")).as("us"))
+      .head.getLong(0)
+    // exact integer floor of the true ns mean, then ns→µs floor
+    val meanNsFloor = (BigInt(baseUs) * 1000 * c + BigInt(xUs) * 1000) / c
+    assert(got == (meanNsFloor / 1000).toLong,
+      s"got $got expected ${(meanNsFloor / 1000).toLong}")
+  }
 }
