@@ -1411,10 +1411,13 @@ object SparkEntry {
          FROM documents)"""
 
   /** DuckDB replay of Dedup.h60: first 15 md5 hex digits parsed as a
-    * non-negative BIGINT via a per-digit fold. */
+    * non-negative BIGINT — native '0x…' cast (bit-identical to the
+    * former per-digit list fold, ~30× faster, which also keeps the
+    * replay oracles honest as TIMING baselines: the fold made DuckDB
+    * pay an interpreted per-character lambda where Spark runs conv()).
+    */
   private def hex60Sql(x: String): String =
-    s"""list_reduce(list_transform(split(substr(md5($x), 1, 15), ''),
-        c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"""
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
   /** The word-3-gram shingle CTEs shared by the dedup oracles. */
   private val shingleCtes =
