@@ -62,10 +62,18 @@ class ImportanceSpec extends SparkSuite {
     }
   }
 
-  test("the ratio-table join broadcasts; no sort-merge join on the doc side") {
-    val plan = Importance.dsirWeights(raw, target, "doc_id", "text", 256)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("scoring is join-free: the model rides the kernel, docs never key-shuffle") {
+    val p = Importance.dsirWeights(raw, target, "doc_id", "text", 256)
+      .queryExecution.executedPlan
+    assert(p.toString.contains("dsir_score"), p.toString)
+    assert(!p.toString.contains("Join"), p.toString)
+    // the only allowed exchange is Kernels.spread's ROUND-ROBIN
+    // compute-spread (split-starved tiny scans; a no-op at corpus
+    // scale) — no hash/range repartitioning of documents
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(
+      e.outputPartitioning.toString.contains("RoundRobinPartitioning"),
+      s"docs must not key-shuffle: ${e.outputPartitioning}"))
   }
 }
