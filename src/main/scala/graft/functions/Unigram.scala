@@ -298,28 +298,21 @@ object Unigram {
     * q79 lesson). Output: (idCol, n_tokens, n_types, ttr, entropy).
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = Kernels.spread(df, Seq(idCol, textCol))
-      .select(col(idCol), Text.tokens(col(textCol)).as("__w"))
-      .select(col(idCol), size(col("__w")).cast("long").as("__n"),
-        explode(col("__w")).as("tok"))
-    val counts = base.groupBy(col(idCol), col("__n"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-    // c == n (single-token-type doc) hits ln(1) = 0 exactly; c < n keeps
-    // ln(n/c) > 0, so terms are non-negative micro-nat longs.
-    val terms = counts.select(
-      col(idCol), col("__n"),
-      round((col("c").cast("double") / col("__n").cast("double")) *
-        log(col("__n").cast("double") / col("c").cast("double")) * lit(1e6))
-        .cast("long").as("__tf"))
-    terms.groupBy(col(idCol))
-      .agg(max("__n").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum("__tf").as("__hf"))
+    // ONE narrow kernel pass (graft.plans.TokenEntropy): the per-doc
+    // token bag counts in a local hash map and the micro-nat terms sum
+    // as integers — order-free, so this is row-identical to the
+    // two-shuffle (doc,tok)-count → doc-reaggregate formulation it
+    // replaced (and to the DuckDB oracle that still computes that way);
+    // the corpus never leaves its scan partitions.
+    val k = graft.plans.TokenEntropy(col(textCol))
+    Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol), k.as("__te"))
       .select(
         col(idCol),
-        col("n_tokens"),
-        col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("ttr"),
-        (col("__hf").cast("double") / lit(1e6)).as("entropy"))
+        col("__te.n_tokens").as("n_tokens"),
+        col("__te.n_types").as("n_types"),
+        round(col("__te.n_types").cast("double") /
+          col("__te.n_tokens").cast("double"), 6).as("ttr"),
+        (col("__te.hf").cast("double") / lit(1e6)).as("entropy"))
   }
 }

@@ -187,6 +187,38 @@ object TextKernels {
       Array[Any](spaces + 1, stop, text.numChars()))
   }
 
+  /** Single-pass bag-of-tokens statistics for plans.TokenEntropy:
+    * (n_tokens, n_types, Σ round((c/n)·ln(n/c)·1e6)). The entropy term
+    * quantizes per DISTINCT token before the sum (integer addition is
+    * order-free, so hash-map iteration order cannot matter), with the
+    * identical double-arithmetic shape the relational formulation and
+    * the DuckDB oracle compute.
+    */
+  def tokenEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[String, Int](32)
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        counts.merge(s.substring(start, i), 1, Integer.sum _)
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var hf = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      val term = (c.toDouble / n.toDouble) * math.log(n.toDouble / c.toDouble) * 1e6
+      hf += (if (term >= 0) Math.round(term) else -Math.round(-term))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size().toLong, hf))
+  }
+
   /** Greedy left-to-right non-overlapping application of one BPE merge
     * (l, r) → l+r over a token array (see plans.ApplyMerge).
     */
@@ -630,6 +662,77 @@ object SeqRedact {
       SeqRedact(CatalystBridge.expression(text), pairs, fieldNames))
 }
 
+/** Broadcast shingle set for [[ShingleHit]] — plain normalized-shingle
+  * STRINGS (no hash-function parity to maintain), wrapped so the
+  * reference object serializes once per executor.
+  */
+final class ShingleSet(shingles: Array[String]) extends Serializable {
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](shingles.length * 2)
+    shingles.foreach(s.add)
+    s
+  }
+
+  def hit(text: UTF8String, n: Int): Boolean = {
+    val toks = TextKernels.normTokens(text)
+    if (toks.length < n) return false
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (set.contains(sb.toString)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `shingle_hit(text)`: does ANY word-n-gram of the normalized text
+  * appear in the broadcast shingle set? The pure-FILTER formulation of
+  * substring decontamination — usable on unbounded STREAMS where the
+  * batch operator's explode → semi-join → distinct → anti-join chain is
+  * not (no aggregation state, no join; early-exits on the first hit).
+  */
+final case class ShingleHit(child: Expression, n: Int, set: ShingleSet)
+  extends UnaryExpression {
+
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hit expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    set.hit(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("shingleSet", set, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $setRef.hit($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHit =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hit"
+}
+
+object ShingleHit {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, n: Int, set: ShingleSet): Column =
+    CatalystBridge.column(ShingleHit(CatalystBridge.expression(text), n, set))
+}
+
 /** `apply_merge(seg, l, r)`: one BPE merge applied to a token array —
   * greedy left-to-right non-overlapping replacement of adjacent (l, r)
   * pairs by their concatenation (the classic application order; in
@@ -669,4 +772,45 @@ object ApplyMerge {
 
   def apply(seg: Column, l: String, r: String): Column =
     CatalystBridge.column(ApplyMerge(CatalystBridge.expression(seg), l, r))
+}
+
+/** `token_entropy(text)`: per-document bag-of-tokens statistics in ONE
+  * pass — struct<n_tokens long, n_types long, hf long> where hf is the
+  * Shannon entropy in micro-nats: Σ over distinct tokens of
+  * round((c/n)·ln(n/c)·1e6). Terms quantize to longs BEFORE summing, so
+  * the sum is order-free and the relational two-shuffle formulation
+  * ((doc,tok) count → doc re-aggregate) replays it exactly — this kernel
+  * removes BOTH shuffles: the corpus never leaves its scan partitions.
+  */
+final case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("hf", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_entropy expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.tokenEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_entropy"
+}
+
+object TokenEntropy {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(TokenEntropy(CatalystBridge.expression(text)))
 }

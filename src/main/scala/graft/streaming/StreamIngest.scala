@@ -213,6 +213,36 @@ object StreamIngest {
       rules: graft.functions.Clean.Rules): DataFrame =
     graft.functions.Clean.cleanCorpus(stream, idCol, textCol, rules)
 
+  /** Streaming substring decontamination: drop arriving documents that
+    * share ANY normalized word-n-gram with the (BATCH, bounded) eval
+    * set. The batch operator's explode → semi-join → distinct →
+    * anti-join chain cannot run on an unbounded stream; this is the
+    * pure-FILTER formulation — eval shingles collect once (hard-bounded
+    * by `maxShingles`), ride the closure, and each arriving doc is a
+    * stateless `shingle_hit` membership test that early-exits on the
+    * first overlap. Row-identical to Dedup.decontaminateSubstring on
+    * the same data (StreamingSpec pins it).
+    */
+  def decontaminateSubstringStream(
+      stream: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      maxShingles: Int = 1 << 22): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shingles = contam
+      .select(explode(graft.plans.DistinctShingles(col(textCol), shingleLen)).as("s"))
+      .distinct()
+      .limit(maxShingles + 1)
+      .collect().map(_.getString(0))
+    require(shingles.length <= maxShingles,
+      s"eval set exceeds $maxShingles distinct shingles — not a bounded " +
+        "contamination set; raise maxShingles deliberately or shrink the eval set")
+    val set = new graft.plans.ShingleSet(shingles)
+    stream.filter(!graft.plans.ShingleHit(col(textCol), shingleLen, set))
+  }
+
   /** Row shape of [[tokenBudgetStream]] (both its internal typed stream
     * and its output). NOT private: the Encoder's generated projections
     * must be able to instantiate it from codegen'd classes.

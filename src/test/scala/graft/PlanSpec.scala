@@ -311,4 +311,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("top_k_by_score"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("token entropy is one narrow kernel pass — corpus never key-shuffles (q94)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q94_token_entropy")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p.toString.contains("token_entropy"), p.toString.take(2000))
+      val keyed = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") &&
+              !e.outputPartitioning.toString.contains("SinglePartition") => e
+      }
+      assert(keyed.isEmpty, s"entropy must not key-shuffle the corpus:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

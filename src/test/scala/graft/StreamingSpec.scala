@@ -265,4 +265,33 @@ class StreamingSpec extends SparkSuite {
       .as[(Long, Int, Double, Double, String)].collect().toSet
     assert(streamed == batch && streamed.map(_._1) == Set(0L))
   }
+
+  test("decontaminateSubstringStream equals the batch operator row-for-row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares 'beta gamma delta' → drop
+      (1L, "one two three four five six"),
+      (2L, "Beta, GAMMA delta!! unrelated tail here"), // normalized overlap → drop
+      (3L, "zeta epsilon delta gamma beta alpha")) // reversed: no shared 3-gram
+    val eval = Seq((100L, "xx beta gamma delta yy")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamIngest.decontaminateSubstringStream(
+      mem.toDF.toDF("doc_id", "text"), eval, "doc_id", "text", 3)
+    val q = out.writeStream.format("memory").queryName("deconstream")
+      .outputMode("append").start()
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("deconstream")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.functions.Dedup
+      .decontaminateSubstring(corpus.toDF("doc_id", "text"), eval, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed == Set(1L, 3L), s"streamed=$streamed")
+    // the bound is a hard gate, not advice
+    intercept[IllegalArgumentException] {
+      StreamIngest.decontaminateSubstringStream(
+        mem.toDF.toDF("doc_id", "text"), eval, "doc_id", "text", 3, maxShingles = 1)
+    }
+  }
 }
