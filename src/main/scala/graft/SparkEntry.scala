@@ -1258,6 +1258,17 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q101_embed_quantize" -> { (s, dir) =>
+      // Scalar int8 embedding quantization: dimension-bounded stats
+      // aggregate + one shuffle-free map (QuantizeVec kernel). Codes
+      // are exact integers — the strongest possible gate (every vec ×
+      // every dim re-derived by the oracle from per-dim min/max).
+      graft.functions.Vectors.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").as("code"))
+        .transform(sortGuarded(_, "vec_id", "dim"))
+    },
     "q100_agg_types" -> { (s, dir) =>
       // Reference aggregator TYPE rules (unsorted_aggregation.cpp):
       // bool supports ALL aggregators (sum counts trues, mean is the
@@ -2415,6 +2426,17 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q101_embed_quantize" ->
+      """WITH flat AS (
+           SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1)
+         SELECT f.vec_id, f.dim,
+           CAST(CASE WHEN mx = mn THEN 0
+                ELSE round((f.x - mn) / ((mx - mn) / 255.0)) END AS INT) AS code
+         FROM flat f JOIN stats USING (dim)
+         ORDER BY vec_id, dim""",
     "q100_agg_types" ->
       """SELECT event_type,
            sum(CASE WHEN b THEN 1 ELSE 0 END) AS sum_b,

@@ -327,4 +327,49 @@ object Vectors {
       .distinct()
       .filter(col("sim") >= threshold)
   }
+
+  /** Scalar int8 quantization of an embedding column — the 4×
+    * compression step run before indexing a 100 TB embedding store.
+    * Per-dimension affine codes: code_d = round((x_d − min_d)/scale_d),
+    * scale_d = (max_d − min_d)/255, constant dims → 0.
+    *
+    * Shape at scale: the per-dimension bounds aggregate to exactly `dim`
+    * rows (posexplode → min/max with partial aggregation — the shuffle
+    * is dimension-bounded, never corpus-bounded), collect legitimately
+    * (require dim ≤ 8192), and quantization itself is ONE shuffle-free
+    * narrow map (graft.plans.QuantizeVec — no explode, no join).
+    * Output: (idCol, codes array<int>); pair with [[dequantizeInt8]]
+    * for reconstruction.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dim = inferDim(df, vecCol)
+    require(dim <= 8192,
+      s"embedding dim $dim exceeds the 8192 bound for the driver-side model")
+    val stats = df
+      .select(posexplode(col(vecCol)))
+      .groupBy("pos")
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .collect()
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    stats.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    val model = new graft.plans.QuantModel(mins, maxs)
+    df.select(col(idCol),
+      graft.plans.QuantizeVec(col(vecCol), model).as("codes"))
+  }
+
+  /** Reconstruction of [[quantizeInt8]] codes given the same corpus
+    * bounds: x̂_d = min_d + code_d · scale_d (exposed for specs and
+    * downstream rescoring; max per-dim error is scale_d / 2).
+    */
+  private[graft] def dequantizeInt8(
+      codes: Array[Int], mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    codes.indices.map { d =>
+      val scale = (maxs(d) - mins(d)) / 255.0
+      mins(d) + codes(d) * scale
+    }.toArray
 }

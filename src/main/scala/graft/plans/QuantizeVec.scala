@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-dimension affine int8 quantization model: code_d =
+  * round((x_d − min_d) / ((max_d − min_d) / 255)), constant dims → 0.
+  * The arithmetic shape is fixed (same expression the DuckDB oracle
+  * replays over exact per-dim min/max), so codes are deterministic
+  * integers on any engine.
+  */
+final class QuantModel(val mins: Array[Double], val maxs: Array[Double])
+  extends Serializable {
+
+  require(mins.length == maxs.length)
+
+  def quantize(vec: ArrayData): ArrayData = {
+    val d = mins.length
+    require(vec.numElements() == d,
+      s"embedding has ${vec.numElements()} dims, model has $d")
+    val out = new Array[Any](d)
+    var i = 0
+    while (i < d) {
+      val x = vec.getFloat(i).toDouble
+      val mn = mins(i)
+      val mx = maxs(i)
+      out(i) =
+        if (mx == mn) 0
+        else {
+          val q = (x - mn) / ((mx - mn) / 255.0)
+          (if (q >= 0) Math.round(q) else -Math.round(-q)).toInt
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `quantize_vec(embedding)`: scalar int8 quantization of a float
+  * embedding against broadcast per-dimension bounds — ONE narrow map,
+  * no explode, no shuffle; the 4× (float→int8-range) compression step
+  * a 100 TB embedding store runs before indexing.
+  */
+final case class QuantizeVec(child: Expression, model: QuantModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec expects array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("quantModel", model, classOf[QuantModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.quantize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_vec"
+}
+
+object QuantizeVec {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(vec: Column, model: QuantModel): Column =
+    CatalystBridge.column(QuantizeVec(CatalystBridge.expression(vec), model))
+}

@@ -185,4 +185,30 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(recallAt5 >= 0.2, s"recall@5 $recallAt5") // bucketed ANN on near-orthogonal
     // synthetic vectors — loose bound; the exactness checks above are the gate
   }
+
+  test("quantizeInt8: exact codes on a hand case; round-trip error within scale/2") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (0L, Array(0.0f, -1.0f, 5.0f)),
+      (1L, Array(1.0f, 1.0f, 5.0f)), // dim 2 constant → code 0
+      (2L, Array(0.5f, 0.0f, 5.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.functions.Vectors.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect().toMap
+    // dim0: [0,1] scale 1/255 → codes 0, 255, round(0.5*255)=128 (HALF_UP)
+    // dim1: [-1,1] scale 2/255 → codes 0, 255, round(1/ (2/255))=128
+    assert(got(0L) == Seq(0, 0, 0))
+    assert(got(1L) == Seq(255, 255, 0))
+    assert(got(2L) == Seq(128, 128, 0))
+    // round trip: every dim reconstructs within half a quantization step
+    val mins = Array(0.0, -1.0, 5.0)
+    val maxs = Array(1.0, 1.0, 5.0)
+    vecs.foreach { case (id, v) =>
+      val back = graft.functions.Vectors.dequantizeInt8(got(id).toArray, mins, maxs)
+      v.indices.foreach { d =>
+        val halfStep = (maxs(d) - mins(d)) / 255.0 / 2 + 1e-12
+        assert(math.abs(back(d) - v(d)) <= halfStep, s"vec $id dim $d")
+      }
+    }
+  }
 }
