@@ -1258,6 +1258,13 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q102_domain_divergence" -> { (s, dir) =>
+      // Pairwise Jensen–Shannon between domain unigram distributions —
+      // the domain-mixing similarity matrix. Counter-bounded shuffles;
+      // micro-nat term quantization before the pair sum (order-free).
+      CorpusStats.domainDivergence(t(s, dir, "documents"), "text", "source")
+        .transform(sortSmallAgg(_, "domain_a", "domain_b"))
+    },
     "q101_embed_quantize" -> { (s, dir) =>
       // Scalar int8 embedding quantization: dimension-bounded stats
       // aggregate + one shuffle-free map (QuantizeVec kernel). Codes
@@ -2426,6 +2433,30 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q102_domain_divergence" ->
+      """WITH cnt AS (
+           SELECT source AS d, tok, count(*) AS c FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1, 2),
+         tot AS (SELECT d, sum(c) AS t FROM cnt GROUP BY 1),
+         pairs AS (SELECT a.d AS da, b.d AS db FROM tot a JOIN tot b ON a.d < b.d),
+         sided AS (
+           SELECT p.da, p.db, cnt.tok,
+             CASE WHEN cnt.d = p.da
+                  THEN CAST(cnt.c AS DOUBLE) / CAST(t.t AS DOUBLE) ELSE 0 END AS p,
+             CASE WHEN cnt.d = p.db
+                  THEN CAST(cnt.c AS DOUBLE) / CAST(t.t AS DOUBLE) ELSE 0 END AS q
+           FROM cnt JOIN tot t ON cnt.d = t.d
+           JOIN pairs p ON cnt.d = p.da OR cnt.d = p.db),
+         pv AS (SELECT da, db, tok, max(p) AS p, max(q) AS q FROM sided GROUP BY 1, 2, 3),
+         terms AS (SELECT da, db,
+             CAST(round(((CASE WHEN p > 0 THEN (p / 2) * ln((p * 2) / (p + q)) ELSE 0 END)
+               + (CASE WHEN q > 0 THEN (q / 2) * ln((q * 2) / (p + q)) ELSE 0 END)) * 1e6)
+               AS BIGINT) AS tf
+           FROM pv)
+         SELECT da AS domain_a, db AS domain_b,
+           CAST(sum(tf) AS DOUBLE) / 1e6 AS js
+         FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
     "q101_embed_quantize" ->
       """WITH flat AS (
            SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x

@@ -77,4 +77,71 @@ object CorpusStats {
       .groupBy(col(domainCol), col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the domains' unigram
+    * token distributions — the "how different are these sources really"
+    * matrix a mix designer reads before setting domain weights (JS is
+    * symmetric, bounded by ln 2, and defined even where supports
+    * differ, unlike KL).
+    *
+    * Scale shape: (domain, token) counts aggregate partially (shuffle
+    * bounded by vocab × domains, never the corpus); each count row then
+    * fans out to the ≤ D(D−1)/2 BROADCAST pairs containing its domain,
+    * and per-(pair, token) terms re-aggregate. Everything is counters;
+    * nothing collects but the D-row total table (require D ≤ 64 — the
+    * fan-out is quadratic in D by design, this is a between-SOURCES
+    * tool, not a per-key one).
+    *
+    * Determinism: per-token terms quantize to micro-nats BEFORE the
+    * pair sum (integer sums are order-free; same discipline as
+    * q93/q94/q98). Output: (domain_a, domain_b, js) with a < b.
+    */
+  def domainDivergence(df: DataFrame, textCol: String, domainCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cnt = Kernels.spread(df, Seq(domainCol, textCol))
+      .select(col(domainCol).as("d"), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy("d", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = cnt.groupBy("d").agg(sum("c").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(totals.size <= 64,
+        s"${totals.size} domains exceed the 64 bound — the pair fan-out is " +
+          "quadratic in domain count by design")
+      val domains = totals.keys.toSeq.sorted
+      val pairs = for {
+        i <- domains.indices; j <- (i + 1) until domains.size
+      } yield (domains(i), domains(j))
+      val pairDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pairs, 1)).toDF("da", "db")
+      val totDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(totals.toSeq.sorted, 1)).toDF("d", "t")
+      // fan each (d, tok, c) row out to its pairs, pivot the two sides per
+      // (pair, token), then quantize the JS term:
+      //   m = (p+q)/2;  term = p/2·ln(p/m) + q/2·ln(q/m)  (0·ln → 0)
+      val sided = cnt
+        .join(broadcast(totDf), Seq("d"))
+        .join(broadcast(pairDf), col("d") === col("da") || col("d") === col("db"))
+        .select(col("da"), col("db"), col("tok"),
+          when(col("d") === col("da"), col("c").cast("double") / col("t").cast("double"))
+            .otherwise(lit(0.0)).as("p"),
+          when(col("d") === col("db"), col("c").cast("double") / col("t").cast("double"))
+            .otherwise(lit(0.0)).as("q"))
+      sided
+        .groupBy("da", "db", "tok")
+        .agg(max("p").as("p"), max("q").as("q"))
+        .select(col("da"), col("db"),
+          round((when(col("p") > 0,
+              (col("p") / 2) * log((col("p") * 2) / (col("p") + col("q"))))
+              .otherwise(lit(0.0)) +
+            when(col("q") > 0,
+              (col("q") / 2) * log((col("q") * 2) / (col("p") + col("q"))))
+              .otherwise(lit(0.0))) * lit(1e6))
+            .cast("long").as("__tf"))
+        .groupBy("da", "db")
+        .agg(sum("__tf").as("__js"))
+        .select(col("da").as("domain_a"), col("db").as("domain_b"),
+          (col("__js").cast("double") / lit(1e6)).as("js"))
+    } finally cnt.unpersist(false)
+  }
 }

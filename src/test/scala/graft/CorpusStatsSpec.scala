@@ -65,4 +65,29 @@ class CorpusStatsSpec extends SparkSuite {
     assert(got == expect)
     assert(got.map(_._1) == Set("a", "b"))
   }
+
+  test("domainDivergence: hand-computed JS, zero for identical distributions") {
+    val docs = Seq(
+      ("X", "a a b"), ("Y", "a b b"), ("Z", "a a b")
+    ).toDF("source", "text").withColumnRenamed("source", "src")
+    val got = CorpusStats.domainDivergence(docs, "text", "src")
+      .orderBy("domain_a", "domain_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // mirror of the micro-nat pipeline
+    def term(p: Double, q: Double): Long = {
+      val t = (if (p > 0) (p / 2) * math.log((p * 2) / (p + q)) else 0.0) +
+        (if (q > 0) (q / 2) * math.log((q * 2) / (p + q)) else 0.0)
+      val y = t * 1e6
+      if (y >= 0) Math.round(y) else -Math.round(-y)
+    }
+    val js = (term(2.0 / 3, 1.0 / 3) + term(1.0 / 3, 2.0 / 3)) / 1e6
+    assert(got.toSeq == Seq(("X", "Y", js), ("X", "Z", 0.0), ("Y", "Z", js)), got.toSeq)
+    // JS is bounded by ln 2
+    assert(js > 0 && js < math.log(2.0))
+    // quadratic fan-out is gated
+    val many = (0 until 65).map(i => (s"d$i", "a b")).toDF("src", "text")
+    intercept[IllegalArgumentException] {
+      CorpusStats.domainDivergence(many, "text", "src").collect()
+    }
+  }
 }
