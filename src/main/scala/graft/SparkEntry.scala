@@ -1258,6 +1258,17 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q103_ann_quantized" -> { (s, dir) =>
+      // Asymmetric quantized search: float queries against the
+      // int8-dequantized corpus — the read path of a compressed
+      // embedding index. Oracle re-derives codes, reconstructions and
+      // the full ranking.
+      val emb = t(s, dir, "embeddings")
+      Vectors.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    },
     "q102_domain_divergence" -> { (s, dir) =>
       // Pairwise Jensen–Shannon between domain unigram distributions —
       // the domain-mixing similarity matrix. Counter-bounded shuffles;
@@ -2433,6 +2444,40 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q103_ann_quantized" ->
+      """WITH flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1),
+         deq AS (
+           SELECT f.vec_id, f.i,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + CAST(round((f.x - mn) / ((mx - mn) / 255.0)) AS INT)
+                       * ((mx - mn) / 255.0) END AS x
+           FROM flat f JOIN stats USING (i)),
+         qnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat
+                   WHERE vec_id < 5 GROUP BY 1),
+         cnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM deq GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN deq c ON q.i = c.i
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN qnorm nq ON query_id = nq.vec_id
+           JOIN cnorm nc ON corpus_id = nc.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, corpus_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, corpus_id, sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "q102_domain_divergence" ->
       """WITH cnt AS (
            SELECT source AS d, tok, count(*) AS c FROM (

@@ -342,6 +342,17 @@ object Vectors {
     * for reconstruction.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val model = fitQuantModel(df, vecCol)
+    df.select(col(idCol),
+      graft.plans.QuantizeVec(col(vecCol), model).as("codes"))
+  }
+
+  /** Per-dimension corpus bounds as a broadcastable model — the stats
+    * aggregate is dimension-bounded (partial aggregation), the collect
+    * gated at dim ≤ 8192.
+    */
+  private[graft] def fitQuantModel(
+      df: DataFrame, vecCol: String): graft.plans.QuantModel = {
     val dim = inferDim(df, vecCol)
     require(dim <= 8192,
       s"embedding dim $dim exceeds the 8192 bound for the driver-side model")
@@ -357,9 +368,33 @@ object Vectors {
       mins(r.getInt(0)) = r.getDouble(1)
       maxs(r.getInt(0)) = r.getDouble(2)
     }
-    val model = new graft.plans.QuantModel(mins, maxs)
-    df.select(col(idCol),
-      graft.plans.QuantizeVec(col(vecCol), model).as("codes"))
+    new graft.plans.QuantModel(mins, maxs)
+  }
+
+  /** Asymmetric quantized search: exact FLOAT queries scored against the
+    * int8-DEQUANTIZED corpus (the standard quantized-index read path —
+    * queries stay full precision, only the stored side pays the
+    * compression error). Same scale shape as [[bruteForceTopK]]:
+    * broadcast queries × narrow corpus scan, partial top-k aggregate;
+    * quantize → dequantize both ride shuffle-free kernels.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val model = fitQuantModel(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      graft.plans.DequantizeVec(
+        graft.plans.QuantizeVec(col(vecCol), model), model).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(
+        col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    rankTopK(scored, k)
   }
 
   /** Reconstruction of [[quantizeInt8]] codes given the same corpus

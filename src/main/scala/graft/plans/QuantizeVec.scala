@@ -37,6 +37,58 @@ final class QuantModel(val mins: Array[Double], val maxs: Array[Double])
     }
     new GenericArrayData(out)
   }
+
+  /** x̂_d = min_d + code_d · scale_d — the reconstruction the asymmetric
+    * search path scores against.
+    */
+  def dequantize(codes: ArrayData): ArrayData = {
+    val d = mins.length
+    require(codes.numElements() == d,
+      s"code vector has ${codes.numElements()} dims, model has $d")
+    val out = new Array[Any](d)
+    var i = 0
+    while (i < d) {
+      out(i) = mins(i) + codes.getInt(i) * ((maxs(i) - mins(i)) / 255.0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `dequantize_vec(codes)`: int8 codes back to array<double> against the
+  * broadcast model — the read half of the quantized index.
+  */
+final case class DequantizeVec(child: Expression, model: QuantModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dequantize_vec expects array<int>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.dequantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("quantModel", model, classOf[QuantModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.dequantize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DequantizeVec =
+    copy(child = newChild)
+
+  override def prettyName: String = "dequantize_vec"
+}
+
+object DequantizeVec {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(codes: Column, model: QuantModel): Column =
+    CatalystBridge.column(DequantizeVec(CatalystBridge.expression(codes), model))
 }
 
 /** `quantize_vec(embedding)`: scalar int8 quantization of a float

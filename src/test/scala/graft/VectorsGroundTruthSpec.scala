@@ -211,4 +211,23 @@ class VectorsGroundTruthSpec extends SparkSuite {
       }
     }
   }
+
+  test("quantizedTopK recalls the exact top-k on the real fixture") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = hits(graft.functions.Vectors
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id"))
+    val quant = hits(graft.functions.Vectors
+      .quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id"))
+    val recall = exact.map { case (q, ids) => quant(q).intersect(ids).size }.sum /
+      exact.values.map(_.size).sum.toDouble
+    // int8 at 64 dims is a mild perturbation — the top sets barely move
+    assert(recall >= 0.8, s"recall@5 $recall")
+  }
 }
