@@ -98,7 +98,11 @@ object CorpusStats {
     */
   def domainDivergence(df: DataFrame, textCol: String, domainCol: String): DataFrame = {
     val spark = df.sparkSession
-    val cnt = Kernels.spread(df, Seq(domainCol, textCol))
+    // null domains are excluded up front (a null group key would NPE the
+    // driver-side domain sort; callers wanting an "unknown" domain name
+    // it explicitly); null text explodes to nothing anyway
+    val cnt = Kernels.spread(
+        df.filter(col(domainCol).isNotNull), Seq(domainCol, textCol))
       .select(col(domainCol).as("d"), explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy("d", "tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -127,7 +131,12 @@ object CorpusStats {
             .otherwise(lit(0.0)).as("p"),
           when(col("d") === col("db"), col("c").cast("double") / col("t").cast("double"))
             .otherwise(lit(0.0)).as("q"))
-      sided
+      // The matrix is ≤ D(D−1)/2 ≤ 2016 rows by the gate above:
+      // materialize it NOW (so the count cache is actually reused across
+      // the totals collect and this job, then released for real) and
+      // hand back a local DataFrame — the same eager-bounded-result
+      // contract as Bpe.trainMerges.
+      val rows = sided
         .groupBy("da", "db", "tok")
         .agg(max("p").as("p"), max("q").as("q"))
         .select(col("da"), col("db"),
@@ -140,8 +149,10 @@ object CorpusStats {
             .cast("long").as("__tf"))
         .groupBy("da", "db")
         .agg(sum("__tf").as("__js"))
-        .select(col("da").as("domain_a"), col("db").as("domain_b"),
-          (col("__js").cast("double") / lit(1e6)).as("js"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 1e6))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+        .toDF("domain_a", "domain_b", "js")
     } finally cnt.unpersist(false)
   }
 }

@@ -90,7 +90,9 @@ object Importance {
     // stream and paid two extra job waves (measured: q93 sf0.1 scoring
     // 1.15 s → ~0.4 s).
     val k = graft.plans.DsirScore(col(textCol), new graft.plans.DsirModel(lrfArr))
-    Kernels.spread(raw, Seq(idCol, textCol))
+    // null-text docs are DROPPED, as the former explode formulation (and
+    // the replay oracle's unnest) did — not emitted with null scores
+    Kernels.spread(raw.filter(col(textCol).isNotNull), Seq(idCol, textCol))
       .select(col(idCol), k.as("__sc"))
       .select(col(idCol), col("__sc.n_toks").as("n_toks"),
         (col("__sc.ws").cast("double") / lit(1e6)).as("weight"))

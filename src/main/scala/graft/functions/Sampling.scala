@@ -161,14 +161,7 @@ object Sampling {
       scoreCol: Column,
       k: Int): DataFrame = {
     val idType = df.schema(idCol).dataType
-    idType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"capPerDomain id column must be integral (got $other); a silent " +
-          "string→long cast would null unparsable ids and DROP their rows " +
-          "from the top-k (TopKByScore's analysis gate exists to stop this)")
-    }
+    graft.plans.TopKByScore.requireIntegralId(idType, "capPerDomain")
     df.groupBy(domainCol)
       .agg(graft.plans.TopKByScore.topK(
         scoreCol.cast("double"), col(idCol).cast("long"), k).as("__top"))

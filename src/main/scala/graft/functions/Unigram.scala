@@ -305,7 +305,9 @@ object Unigram {
     // replaced (and to the DuckDB oracle that still computes that way);
     // the corpus never leaves its scan partitions.
     val k = graft.plans.TokenEntropy(col(textCol))
-    Kernels.spread(df, Seq(idCol, textCol))
+    // null-text docs are DROPPED, as the former explode formulation (and
+    // the replay oracle's unnest) did — not emitted with null stats
+    Kernels.spread(df.filter(col(textCol).isNotNull), Seq(idCol, textCol))
       .select(col(idCol), k.as("__te"))
       .select(
         col(idCol),

@@ -66,13 +66,7 @@ object Vectors {
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val idType = scored.schema("corpus_id").dataType
-    idType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"top-k id column must be integral (got $other); hash or index " +
-          "non-integral ids to a long before ranking")
-    }
+    graft.plans.TopKByScore.requireIntegralId(idType, "top-k")
     scored.groupBy("query_id")
       .agg(graft.plans.TopKByScore.topK(
         col("sim").cast("double"), col("corpus_id").cast("long"), k).as("hits"))
@@ -362,6 +356,11 @@ object Vectors {
       .agg(min(col("col").cast("double")).as("mn"),
         max(col("col").cast("double")).as("mx"))
       .collect()
+    // ragged embedding columns would index past the first-row dim (an
+    // unexplained AIOOBE) or under-specify the model — gate loudly
+    require(stats.length == dim && stats.forall(r => r.getInt(0) < dim),
+      s"ragged embedding column: first row has $dim dims but the corpus " +
+        s"has positions ${stats.map(_.getInt(0)).sorted.mkString(",")}")
     val mins = new Array[Double](dim)
     val maxs = new Array[Double](dim)
     stats.foreach { r =>

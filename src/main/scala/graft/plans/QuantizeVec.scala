@@ -24,6 +24,9 @@ final class QuantModel(val mins: Array[Double], val maxs: Array[Double])
     val out = new Array[Any](d)
     var i = 0
     while (i < d) {
+      // a silent getFloat on a null slot would read 0.0 and emit an
+      // out-of-range code — reject loudly instead
+      require(!vec.isNullAt(i), s"null embedding element at dim $i")
       val x = vec.getFloat(i).toDouble
       val mn = mins(i)
       val mx = maxs(i)
@@ -48,6 +51,7 @@ final class QuantModel(val mins: Array[Double], val maxs: Array[Double])
     val out = new Array[Any](d)
     var i = 0
     while (i < d) {
+      require(!codes.isNullAt(i), s"null code element at dim $i")
       out(i) = mins(i) + codes.getInt(i) * ((maxs(i) - mins(i)) / 255.0)
       i += 1
     }

@@ -134,4 +134,15 @@ object TopKByScore {
         CatalystBridge.expression(score),
         CatalystBridge.expression(id),
         k).toAggregateExpression())
+
+  /** Shared caller-side gate for operators that widen an id column to
+    * long for this aggregate: only integral types may cast (a silent
+    * string→long cast nulls unparsable ids and DROPS their rows).
+    */
+  def requireIntegralId(t: DataType, what: String): Unit = t match {
+    case ByteType | ShortType | IntegerType | LongType => ()
+    case other => throw new IllegalArgumentException(
+      s"$what id column must be integral (got $other); hash or index " +
+        "non-integral ids to a long before ranking")
+  }
 }

@@ -240,7 +240,10 @@ object StreamIngest {
       s"eval set exceeds $maxShingles distinct shingles — not a bounded " +
         "contamination set; raise maxShingles deliberately or shrink the eval set")
     val set = new graft.plans.ShingleSet(shingles)
-    stream.filter(!graft.plans.ShingleHit(col(textCol), shingleLen, set))
+    // null text has no shingles → the batch anti-join KEEPS such docs;
+    // coalesce preserves that here (a bare !hit would null out and drop)
+    stream.filter(
+      !coalesce(graft.plans.ShingleHit(col(textCol), shingleLen, set), lit(false)))
   }
 
   /** Row shape of [[tokenBudgetStream]] (both its internal typed stream
