@@ -359,6 +359,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: random then/prepend compositions equal the inline clause chain") {
+    // metamorphic: any split of a clause chain into (prefix, suffix)
+    // composed via then/prepend must equal applying the chain inline —
+    // and the prefix-filter bookkeeping must keep exactly the leading
+    // all-filter run of the composed pipeline.
+    import graft.query.Expr.{col => ec, lit => el}
+    val df = spark.range(200).selectExpr("id as k", "cast(id % 7 as double) as v",
+      "cast(id % 13 as long) as g")
+    sealed trait C
+    case object F1 extends C; case object F2 extends C
+    case object P extends C; case object G extends C
+    def toQb(cs: Seq[C]): QueryBuilder = cs.foldLeft(QueryBuilder()) {
+      case (qb, F1) => qb.filter(ec("k") > el(20L))
+      case (qb, F2) => qb.filter(ec("v") < el(5.0))
+      case (qb, P) => qb.project("w", ec("v") + el(1.0))
+      case (qb, G) => qb.groupByAgg(Seq("g"), Seq(("s", "v", "sum")))
+    }
+    val chains = sample(
+      Gen.chooseNum(0, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf[C](F1, F2, P, G))).map(_.toList),
+      40, seed = 31L)
+      // at most one barrier, always terminal (post-agg clauses would
+      // reference pre-agg columns the barrier drops)
+      .filter(cs => cs.count(_ == G) <= 1 &&
+        (cs.indexOf(G) < 0 || cs.indexOf(G) == cs.length - 1))
+    chains.foreach { cs =>
+      val inline = toQb(cs)
+      (0 to cs.length).foreach { cut =>
+        val (a, b) = cs.splitAt(cut)
+        val composed = toQb(a).`then`(toQb(b))
+        val viaPrepend = toQb(b).prepend(toQb(a))
+        val want = inline(df).collect().map(_.toString).sorted.toSeq
+        assert(composed(df).collect().map(_.toString).sorted.toSeq == want, s"$cs @ $cut")
+        assert(viaPrepend(df).collect().map(_.toString).sorted.toSeq == want, s"$cs @ $cut")
+        val leadingFilters = cs.takeWhile(c => c == F1 || c == F2).length
+        assert(composed.prefixFilters.length == leadingFilters, s"$cs @ $cut")
+      }
+    }
+  }
+
   test("property: MarkerCounts equals the split formulation on random marker soup") {
     // random texts over an alphabet that DELIBERATELY collides with the
     // markers (adjacent repeats, markers at both edges, empty tokens are
