@@ -1258,6 +1258,14 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q104_shuffle_order" -> { (s, dir) =>
+      // Deterministic corpus shuffle for training order: global 1-based
+      // positions under md5(seed:id), assigned DISTRIBUTEDLY (two-level
+      // range-partition + offset scheme — no one-task global sort;
+      // PlanSpec pins the window shape).
+      graft.functions.Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id", 42L)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q103_ann_quantized" -> { (s, dir) =>
       // Asymmetric quantized search: float queries against the
       // int8-dequantized corpus — the read path of a compressed
@@ -2444,6 +2452,11 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q104_shuffle_order" ->
+      """SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         FROM documents ORDER BY doc_id""",
     "q103_ann_quantized" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -154,6 +154,41 @@ object Sampling {
     *
     * Output: (domainCol, idCol, score, rank) with rank 1..k per domain.
     */
+  /** Deterministic training-order shuffle: every row gets a GLOBAL
+    * 1-based position under the pseudo-random order md5(seed:id) — the
+    * "shuffle the corpus before training" step, reproducible on any
+    * engine/partitioning (same md5, same order) unlike rand()-based
+    * orderings.
+    *
+    * Position assignment is DISTRIBUTED (the coverageVocab two-level
+    * scheme): range-partition by the shuffle key, number rows WITHIN
+    * each partition (parallel windows), then offset each partition by
+    * the counts of its predecessors — the only unpartitioned window
+    * runs over the #partitions-row summary, never the corpus (a bare
+    * row_number() over a global ORDER BY is a one-task sort of
+    * everything). Output: (idCol, pos).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol),
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))).as("__k"))
+    val parts = keyed
+      .repartitionByRange(col("__k").asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val local = parts.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid")
+        .orderBy(col("__k").asc, col(idCol).asc)))
+    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__before",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__before")
+    local.join(broadcast(offsets), "__pid")
+      .select(col(idCol), (col("__before") + col("__rn")).as("pos"))
+  }
+
   def capPerDomain(
       df: DataFrame,
       idCol: String,

@@ -98,6 +98,28 @@ class SamplingSpec extends SparkSuite {
     assert(byG("0") > 6600 && math.abs(byG("1") / 6667.0 - 0.2) < 0.02)
   }
 
+  test("shuffleOrder: a deterministic permutation, seed-sensitive, partition-stable") {
+    val df = ids.toDF()
+    val p1 = Sampling.shuffleOrder(df, "id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation of 1..n
+    assert(p1.values.toSeq.sorted == (1L to 20000L).toSeq)
+    // identical under a different physical partitioning
+    val p2 = Sampling.shuffleOrder(df.repartition(13), "id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p2)
+    // a different seed is a different permutation
+    val p3 = Sampling.shuffleOrder(df, "id", 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 != p1 && p3.values.toSeq.sorted == (1L to 20000L).toSeq)
+    // matches the single-window definition on a driver-side replay
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 20000L).sortBy(id => (md5hex(s"7:$id"), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(p1 == expected)
+  }
+
   test("capPerDomain: k best per domain, score desc then id asc, no Window") {
     val docs = Seq(
       // domain x: scores force order (3, 1, 2) → ids 30, 10, 20; tie at
