@@ -1258,6 +1258,16 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q105_curriculum_order" -> { (s, dir) =>
+      // Curriculum schedule: quality-decile buckets descend, docs
+      // shuffle deterministically within each bucket. Same distributed
+      // two-level position engine as q104.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        floor(Text.qualityScoreOf(Text.textStats(col("text"))) * 10)
+          .cast("long").as("qb"))
+      graft.functions.Sampling.curriculumOrder(docs, "doc_id", "qb", 42L)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q104_shuffle_order" -> { (s, dir) =>
       // Deterministic corpus shuffle for training order: global 1-based
       // positions under md5(seed:id), assigned DISTRIBUTEDLY (two-level
@@ -2452,6 +2462,25 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q105_curriculum_order" -> {
+      val nTok = "len(string_split(text, ' '))"
+      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
+        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
+        s"/ greatest($nTok, 1), 6)"
+      val mean = s"round(CAST(length(text) - $nTok + 1 AS DOUBLE) / greatest($nTok, 1), 6)"
+      s"""WITH q AS (
+            SELECT doc_id,
+              CAST(floor(round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                   + least(stop_ratio * 4.0, 1.0)
+                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) * 10) AS BIGINT) AS qb
+            FROM (SELECT doc_id, $nTok AS n_tokens, $stop AS stop_ratio,
+                    $mean AS mean_len FROM documents))
+          SELECT doc_id,
+            row_number() OVER (ORDER BY qb DESC,
+              md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+          FROM q ORDER BY doc_id"""
+    },
     "q104_shuffle_order" ->
       """SELECT doc_id,
            row_number() OVER (

@@ -168,22 +168,43 @@ object Sampling {
     * row_number() over a global ORDER BY is a one-task sort of
     * everything). Output: (idCol, pos).
     */
-  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    positionsBy(df, idCol,
+      Seq(shuffleKey(col(idCol), seed).asc, col(idCol).asc))
+
+  /** Curriculum training order: buckets descend (highest-quality bucket
+    * first), documents SHUFFLE deterministically within each bucket —
+    * the easy-first / quality-first ordering curriculum schedules use,
+    * with the same engine-portable reproducibility as [[shuffleOrder]].
+    * Output: (idCol, pos).
+    */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, bucketCol: String, seed: Long): DataFrame =
+    positionsBy(df, idCol,
+      Seq(col(bucketCol).desc, shuffleKey(col(idCol), seed).asc, col(idCol).asc))
+
+  private def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), id.cast("string")))
+
+  /** Global 1-based positions under a total order, assigned
+    * DISTRIBUTEDLY (the coverageVocab two-level scheme): range-partition
+    * by the order, number rows WITHIN each partition (parallel windows),
+    * offset by predecessor-partition counts — the only unpartitioned
+    * window runs over the #partitions-row summary, never the data (a
+    * bare global row_number is a one-task sort of everything).
+    */
+  private def positionsBy(
+      df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.select(col(idCol),
-      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))).as("__k"))
-    val parts = keyed
-      .repartitionByRange(col("__k").asc, col(idCol).asc)
+    val parts = df
+      .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val local = parts.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid")
-        .orderBy(col("__k").asc, col(idCol).asc)))
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
     val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__before",
-        coalesce(sum(col("__n")).over(
-          org.apache.spark.sql.expressions.Window.orderBy("__pid")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
+        coalesce(sum(col("__n")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pid", "__before")
     local.join(broadcast(offsets), "__pid")
       .select(col(idCol), (col("__before") + col("__rn")).as("pos"))

@@ -120,6 +120,20 @@ class SamplingSpec extends SparkSuite {
     assert(p1 == expected)
   }
 
+  test("curriculumOrder: buckets strictly descend along positions; shuffled within") {
+    val df = ids.withColumn("b", pmod(col("id"), lit(4)).cast("long"))
+    val pos = Sampling.curriculumOrder(df, "id", "b", 7L)
+      .join(df, "id").select("id", "pos", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pos.map(_._2).sorted.toSeq == (1L to 20000L).toSeq)
+    // bucket is non-increasing along the position order
+    val byPos = pos.sortBy(_._2).map(_._3)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a >= b })
+    // within a bucket, order is the seed-7 shuffle order (not id order)
+    val b3 = pos.filter(_._3 == 3L).sortBy(_._2).map(_._1)
+    assert(b3 != b3.sorted.toSeq)
+  }
+
   test("capPerDomain: k best per domain, score desc then id asc, no Window") {
     val docs = Seq(
       // domain x: scores force order (3, 1, 2) → ids 30, 10, 20; tie at
