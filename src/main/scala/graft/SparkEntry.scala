@@ -1442,6 +1442,28 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB replay fragments of the Text quality pipeline
+    * (Text.textStats → qualityScoreOf), shared by every quality-bearing
+    * oracle (q35, q79, q92, q95, q105) so the formula lives ONCE — a
+    * score change edited in one copy and missed in another would
+    * silently desynchronize an oracle from the engine. `meanLenSql` is
+    * the arithmetic identity Σ len(token) = len(text) − (n−1) (split
+    * consumes exactly one character per separator), bit-equal to the
+    * list_sum formulation some oracles previously spelled out.
+    */
+  private val nTokSql = "len(string_split(text, ' '))"
+  private val stopRatioSql =
+    s"round(CAST(len(list_filter(string_split(text, ' '), " +
+      s"x -> x IN (${graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) " +
+      s"AS DOUBLE) / greatest($nTokSql, 1), 6)"
+  private val meanLenSql =
+    s"round(CAST(length(text) - $nTokSql + 1 AS DOUBLE) / greatest($nTokSql, 1), 6)"
+  private def qualityExprSql(n: String, stop: String, mean: String): String =
+    s"""round((least(CAST($n AS DOUBLE) / 64.0, 1.0)
+             + least($stop * 4.0, 1.0)
+             + CASE WHEN $mean >= 3.0 AND $mean <= 10.0
+                    THEN 1.0 ELSE 0.5 END) / 3.0, 6)"""
+
   /** DuckDB replay of [[piiInjected]] as an `inj(doc_id, text)` CTE —
     * shared by the PII-sensitive oracles (q78, q92).
     */
@@ -1637,18 +1659,9 @@ object SparkEntry {
             md5(regexp_replace(t2, '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g')) AS clean_md5
           FROM s2 ORDER BY doc_id""",
     "q79_corpus_health" -> {
-      val nTok = "len(string_split(text, ' '))"
-      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
-        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
-        s"/ greatest($nTok, 1), 6)"
-      val mean = s"round(CAST(list_sum(list_transform(string_split(text, ' '), " +
-        s"x -> length(x))) AS DOUBLE) / greatest($nTok, 1), 6)"
       s"""WITH per_doc AS (
-            SELECT source, $nTok AS n_tokens, md5($normSql) AS fp,
-              round((least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
-                   + least($stop * 4.0, 1.0)
-                   + CASE WHEN $mean >= 3.0 AND $mean <= 10.0 THEN 1.0 ELSE 0.5 END)
-                  / 3.0, 6) AS quality
+            SELECT source, $nTokSql AS n_tokens, md5($normSql) AS fp,
+              ${qualityExprSql(nTokSql, stopRatioSql, meanLenSql)} AS quality
             FROM documents)
           SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
             round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
@@ -2367,22 +2380,12 @@ object SparkEntry {
             ${Text.LangMarkers.map(m => "s_" + m._1).mkString(", ")}
           FROM (SELECT doc_id, text, $scores FROM documents) ORDER BY doc_id"""
     },
-    "q35_quality" -> {
-      val nTok = "len(string_split(text, ' '))"
-      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
-        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
-        s"/ greatest($nTok, 1), 6)"
-      val mean = s"round(CAST(list_sum(list_transform(string_split(text, ' '), " +
-        s"x -> length(x))) AS DOUBLE) / greatest($nTok, 1), 6)"
+    "q35_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, mean_len,
-            round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-                 + least(stop_ratio * 4.0, 1.0)
-                 + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.5 END)
-                / 3.0, 6) AS quality
-          FROM (SELECT doc_id, $nTok AS n_tokens, $stop AS stop_ratio, $mean AS mean_len
-                FROM documents)
-          ORDER BY doc_id"""
-    },
+            ${qualityExprSql("n_tokens", "stop_ratio", "mean_len")} AS quality
+          FROM (SELECT doc_id, $nTokSql AS n_tokens, $stopRatioSql AS stop_ratio,
+                  $meanLenSql AS mean_len FROM documents)
+          ORDER BY doc_id""",
     "q51_sql_surface" ->
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
             $normSql AS norm, md5($normSql) AS fp
@@ -2463,19 +2466,12 @@ object SparkEntry {
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
     "q105_curriculum_order" -> {
-      val nTok = "len(string_split(text, ' '))"
-      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
-        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
-        s"/ greatest($nTok, 1), 6)"
-      val mean = s"round(CAST(length(text) - $nTok + 1 AS DOUBLE) / greatest($nTok, 1), 6)"
       s"""WITH q AS (
             SELECT doc_id,
-              CAST(floor(round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-                   + least(stop_ratio * 4.0, 1.0)
-                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
-                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) * 10) AS BIGINT) AS qb
-            FROM (SELECT doc_id, $nTok AS n_tokens, $stop AS stop_ratio,
-                    $mean AS mean_len FROM documents))
+              CAST(floor(${qualityExprSql("n_tokens", "stop_ratio", "mean_len")}
+                * 10) AS BIGINT) AS qb
+            FROM (SELECT doc_id, $nTokSql AS n_tokens, $stopRatioSql AS stop_ratio,
+                    $meanLenSql AS mean_len FROM documents))
           SELECT doc_id,
             row_number() OVER (ORDER BY qb DESC,
               md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
@@ -2665,7 +2661,6 @@ object SparkEntry {
     // Full rule-set replay over the SAME injected corpus as q78: token
     // bounds + quality floor + repetition cap + langid + PII density.
     "q92_clean_corpus" -> {
-      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
       val scores = Text.LangMarkers.map { case (lang, ms) =>
         s"(${ms.map(wcSql).mkString(" + ")}) AS s_$lang"
       }.mkString(", ")
@@ -2674,19 +2669,11 @@ object SparkEntry {
         s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
       }.mkString(" ")
       s"""WITH $piiInjSql,
-          st AS (SELECT doc_id, text,
-              len(string_split(text, ' ')) AS n_tokens,
-              round(CAST(len(list_filter(string_split(text, ' '),
-                  x -> x IN ($stop))) AS DOUBLE)
-                / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
-              round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-                / greatest(len(string_split(text, ' ')), 1), 6) AS mean_len
+          st AS (SELECT doc_id, text, $nTokSql AS n_tokens,
+              $stopRatioSql AS stop_ratio, $meanLenSql AS mean_len
             FROM inj),
           q AS (SELECT doc_id, n_tokens,
-              round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-                   + least(stop_ratio * 4.0, 1.0)
-                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
-                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+              ${qualityExprSql("n_tokens", "stop_ratio", "mean_len")} AS quality
             FROM st),
           norm AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM inj),
           tot AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total_n FROM norm),
@@ -2752,19 +2739,12 @@ object SparkEntry {
            CAST(sum(tf) AS DOUBLE) / 1e6 AS entropy
          FROM terms GROUP BY 1 ORDER BY doc_id""",
     "q95_domain_cap" -> {
-      val nTok = "len(string_split(text, ' '))"
-      val stop = s"round(CAST(len(list_filter(string_split(text, ' '), " +
-        s"x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) " +
-        s"/ greatest($nTok, 1), 6)"
-      val mean = s"round(CAST(length(text) - $nTok + 1 AS DOUBLE) / greatest($nTok, 1), 6)"
       s"""WITH q AS (
             SELECT doc_id, source,
-              round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-                   + least(stop_ratio * 4.0, 1.0)
-                   + CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
-                          THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
-            FROM (SELECT doc_id, source, $nTok AS n_tokens, $stop AS stop_ratio,
-                    $mean AS mean_len FROM documents)),
+              ${qualityExprSql("n_tokens", "stop_ratio", "mean_len")} AS quality
+            FROM (SELECT doc_id, source, $nTokSql AS n_tokens,
+                    $stopRatioSql AS stop_ratio, $meanLenSql AS mean_len
+                  FROM documents)),
           r AS (SELECT source, doc_id, quality,
               CAST(row_number() OVER (PARTITION BY source
                 ORDER BY quality DESC, doc_id) AS INT) AS rank

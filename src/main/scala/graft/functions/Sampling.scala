@@ -169,8 +169,7 @@ object Sampling {
     * everything). Output: (idCol, pos).
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long): DataFrame =
-    positionsBy(df, idCol,
-      Seq(shuffleKey(col(idCol), seed).asc, col(idCol).asc))
+    positionsBy(df, idCol, None, seed)
 
   /** Curriculum training order: buckets descend (highest-quality bucket
     * first), documents SHUFFLE deterministically within each bucket —
@@ -180,33 +179,62 @@ object Sampling {
     */
   def curriculumOrder(
       df: DataFrame, idCol: String, bucketCol: String, seed: Long): DataFrame =
-    positionsBy(df, idCol,
-      Seq(col(bucketCol).desc, shuffleKey(col(idCol), seed).asc, col(idCol).asc))
+    positionsBy(df, idCol, Some((col(bucketCol), true)), seed)
 
+  /** Nulls PROPAGATE (concat, not concat_ws — ws would silently skip a
+    * null id and give all null ids the same fake key) and sort LAST, the
+    * DuckDB/ANSI default, so the oracle replays the order exactly.
+    */
   private def shuffleKey(id: Column, seed: Long): Column =
-    md5(concat_ws(":", lit(seed.toString), id.cast("string")))
+    md5(concat(lit(seed.toString), lit(":"), id.cast("string")))
 
-  /** Global 1-based positions under a total order, assigned
-    * DISTRIBUTEDLY (the coverageVocab two-level scheme): range-partition
-    * by the order, number rows WITHIN each partition (parallel windows),
-    * offset by predecessor-partition counts — the only unpartitioned
-    * window runs over the #partitions-row summary, never the data (a
-    * bare global row_number is a one-task sort of everything).
+  /** Global 1-based positions under (bucketOrder, md5-key, id), assigned
+    * DISTRIBUTEDLY and DETERMINISTICALLY. Two-level scheme over a
+    * PURE-FUNCTION sub-bucket — the first two hex digits of the shuffle
+    * key (256 uniform sub-buckets; the key-prefix order embeds in the
+    * key order, so (bucket, kb, key, id) == (bucket, key, id)):
+    *   1. per-(bucket, kb) parallel windows number rows locally,
+    *   2. (bucket, kb) counts aggregate to a SUMMARY (≤ 256·|buckets|
+    *      rows); the only unpartitioned window computes prefix offsets
+    *      over that summary, never the data.
+    * Every partition assignment is a deterministic function of the ROW —
+    * no RangePartitioner sampling, no spark_partition_id — so repeated
+    * subtree evaluation (exchange reuse on or off, retries, speculative
+    * tasks) cannot disagree about which rows a summary row covers. A
+    * range-partition formulation reads better but silently depends on
+    * the two branches reusing ONE sampled exchange; sampled bounds may
+    * differ per evaluation and positions would stop being a permutation.
     */
   private def positionsBy(
-      df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
+      df: DataFrame,
+      idCol: String,
+      bucket: Option[(Column, Boolean)], // (expr, descending)
+      seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = df
-      .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = parts.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
-    val offsets = parts.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val key = shuffleKey(col(idCol), seed)
+    val bucketProj = bucket.map { case (c, _) => c.as("__b") }.toSeq
+    val keyed = df.select(
+      (col(idCol) +: bucketProj) :+ key.as("__k") :+
+        conv(substring(key, 1, 2), 16, 10).cast("int").as("__kb"): _*)
+    val bucketCols = bucket.map(_ => col("__b")).toSeq
+    val bucketSorts = bucket.toSeq.map { case (_, desc) =>
+      if (desc) col("__b").desc_nulls_last else col("__b").asc_nulls_last
+    }
+    val rowOrder = Seq(col("__k").asc_nulls_last, col(idCol).asc_nulls_last)
+    val local = keyed.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy((bucketCols :+ col("__kb")): _*)
+          .orderBy(rowOrder: _*)))
+    val offsets = keyed
+      .groupBy((bucketCols :+ col("__kb")): _*)
+      .agg(count(lit(1)).as("__n"))
       .withColumn("__before",
-        coalesce(sum(col("__n")).over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__before")
-    local.join(broadcast(offsets), "__pid")
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(bucketSorts :+ col("__kb").asc_nulls_last: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    local
+      .join(broadcast(offsets), bucket.map(_ => "__b").toSeq :+ "__kb")
       .select(col(idCol), (col("__before") + col("__rn")).as("pos"))
   }
 

@@ -312,22 +312,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p.take(2000))
   }
 
-  test("shuffle order: per-partition windows + summary offsets, no global sort window (q104)") {
+  test("shuffle order: sub-bucket windows + summary offsets, no global sort window (q104)") {
     val p = SparkEntry.queries("q104_shuffle_order")(spark, sf)
       .queryExecution.executedPlan
     // every Window over the corpus must be partitioned (parallel); the
-    // only unpartitioned window runs over the #partitions-row summary
-    // (same pin as coverageVocab — a bare row_number over a global
-    // ORDER BY funnels the corpus through one task)
+    // only unpartitioned window runs over the sub-bucket COUNT summary
+    // (identified by its output columns, not leaf paths — robust under
+    // exchange-reuse/canonicalization changes; same pin style as
+    // coverageVocab's)
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.nonEmpty, p.toString.take(1500))
-    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
-    unpartitioned.foreach { w =>
-      assert(w.child.collectLeaves().forall(l =>
-        !l.toString.contains("documents")),
-        s"unpartitioned window must only see the partition summary:\n$w")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.contains("doc_id") && !childCols.contains("__k"),
+        s"unpartitioned window must only see the sub-bucket summary, " +
+          s"saw $childCols")
     }
   }
 

@@ -386,11 +386,11 @@ class PropertySpec extends SparkSuite {
         (cs.indexOf(G) < 0 || cs.indexOf(G) == cs.length - 1))
     chains.foreach { cs =>
       val inline = toQb(cs)
+      val want = inline(df).collect().map(_.toString).sorted.toSeq
       (0 to cs.length).foreach { cut =>
         val (a, b) = cs.splitAt(cut)
         val composed = toQb(a).`then`(toQb(b))
         val viaPrepend = toQb(b).prepend(toQb(a))
-        val want = inline(df).collect().map(_.toString).sorted.toSeq
         assert(composed(df).collect().map(_.toString).sorted.toSeq == want, s"$cs @ $cut")
         assert(viaPrepend(df).collect().map(_.toString).sorted.toSeq == want, s"$cs @ $cut")
         val leadingFilters = cs.takeWhile(c => c == F1 || c == F2).length

@@ -130,8 +130,8 @@ class SamplingSpec extends SparkSuite {
     val byPos = pos.sortBy(_._2).map(_._3)
     assert(byPos.zip(byPos.tail).forall { case (a, b) => a >= b })
     // within a bucket, order is the seed-7 shuffle order (not id order)
-    val b3 = pos.filter(_._3 == 3L).sortBy(_._2).map(_._1)
-    assert(b3 != b3.sorted.toSeq)
+    val b3 = pos.filter(_._3 == 3L).sortBy(_._2).map(_._1).toSeq
+    assert(b3 != b3.sorted)
   }
 
   test("capPerDomain: k best per domain, score desc then id asc, no Window") {
