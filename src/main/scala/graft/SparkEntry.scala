@@ -1258,6 +1258,14 @@ object SparkEntry {
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
         .transform(sortSmall(_, "event_type", "rn"))
     },
+    "q106_drop_bad_blocks" -> { (s, dir) =>
+      // Block-level quality cleanup: 10-token blocks must have ≥3 tokens
+      // and at least one stopword (the C4 line-filter analog); survivors
+      // reassemble in order, stripped docs come back empty.
+      graft.functions.Clean.dropBadBlocks(
+        t(s, dir, "documents"), "doc_id", "text", 10, 3)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q105_curriculum_order" -> { (s, dir) =>
       // Curriculum schedule: quality-decile buckets descend, docs
       // shuffle deterministically within each bucket. Same distributed
@@ -2465,6 +2473,26 @@ object SparkEntry {
                                 ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY event_type, rn""",
+    "q106_drop_bad_blocks" -> {
+      val stops = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          blocks AS (
+            SELECT doc_id, i - 1 AS pos,
+              array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' ') AS block
+            FROM (SELECT doc_id, w,
+                    unnest(range(1, CAST(ceil(len(w) / 10.0) AS INT) + 1)) AS i
+                  FROM w)),
+          kept AS (
+            SELECT doc_id, pos, block FROM blocks
+            WHERE len(string_split(block, ' ')) >= 3
+              AND len(list_intersect(string_split(block, ' '), [$stops])) > 0),
+          rebuilt AS (
+            SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY 1)
+          SELECT d.doc_id, coalesce(r.text, '') AS text
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+          ORDER BY d.doc_id"""
+    },
     "q105_curriculum_order" -> {
       s"""WITH q AS (
             SELECT doc_id,

@@ -70,6 +70,47 @@ object Clean {
     Pii.dropPiiHeavy(kept, textCol, rules.maxPiiHits).drop(textCol)
   }
 
+  /** Block-LEVEL quality cleanup (the C4 line-filter analog for this
+    * corpus' single-line documents): split each document into fixed
+    * `blockWords`-token blocks (the q89 block definition), DROP blocks
+    * that fail the per-block rules — too few tokens, or no stopword at
+    * all (C4 drops lines without terminal punctuation; stopword presence
+    * is the equivalent "is this prose" signal on an unpunctuated
+    * corpus) — and reassemble the survivors in order.
+    *
+    * Scale shape is dropRepeatedBlocks': blocks explode/shuffle keyed by
+    * doc, reassembly is a bounded per-doc aggregate (array_sort over
+    * ≤ⅆoc-blocks elements), no corpus-wide window. Fully-stripped docs
+    * come back as empty text (callers drop or keep them explicitly).
+    */
+  def dropBadBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 10,
+      minBlockTokens: Int = 3,
+      requireStopword: Boolean = true): DataFrame = {
+    require(blockWords >= 1 && minBlockTokens >= 0,
+      s"bad params $blockWords/$minBlockTokens")
+    val nBlocks = ceil(size(col("__w")) / lit(blockWords.toDouble)).cast("int")
+    val blocks = df
+      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("__w"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), nBlocks - 1),
+        i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords))))))
+      .toDF("id", "pos", "block")
+    val toks = split(col("block"), " ", -1)
+    val stopHit = arrays_overlap(toks,
+      lit(Text.Stopwords.toArray))
+    val ok = (size(toks) >= minBlockTokens) &&
+      (if (requireStopword) stopHit else lit(true))
+    val rebuilt = blocks.filter(ok).groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          e => e.getField("block"))).as(textCol))
+    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("id"), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** The q56 repetition signal as a column (Dedup.repetitionRatio's
     * formula, inlined so it composes into this operator's single scan).
     */

@@ -41,6 +41,23 @@ class CleanSpec extends SparkSuite {
     assert(r.getAs[Double]("quality") > 0.5)
   }
 
+  test("dropBadBlocks: short and stopword-free blocks drop; stripped docs empty") {
+    val docs = Seq(
+      // block1 has stopwords, block2 (tail, 3 tokens) has none → drop b2
+      (0L, "the cat sat on a mat and it is nice xx yy zz"),
+      // every 10-token block stopword-free → fully stripped
+      (1L, "one two three four five six seven eight nine ten"),
+      // 2-token tail block with a stopword still drops on minBlockTokens
+      (2L, "the aa bb cc dd ee ff gg hh ii the it")
+    ).toDF("doc_id", "text")
+    val got = Clean.dropBadBlocks(docs, "doc_id", "text", 10, 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "the cat sat on a mat and it is nice"),
+      (1L, ""),
+      (2L, "the aa bb cc dd ee ff gg hh ii")), got)
+  }
+
   test("defaults pass everything; single rules isolate") {
     val all = Clean.cleanCorpus(corpus, "doc_id", "text", Clean.Rules())
     assert(all.count() == 5)
