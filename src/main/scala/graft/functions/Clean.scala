@@ -92,23 +92,14 @@ object Clean {
       requireStopword: Boolean = true): DataFrame = {
     require(blockWords >= 1 && minBlockTokens >= 0,
       s"bad params $blockWords/$minBlockTokens")
-    val nBlocks = ceil(size(col("__w")) / lit(blockWords.toDouble)).cast("int")
-    val blocks = df
-      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("__w"))
-      .select(col("id"), posexplode(transform(sequence(lit(0), nBlocks - 1),
-        i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords))))))
-      .toDF("id", "pos", "block")
-    val toks = split(col("block"), " ", -1)
-    val stopHit = arrays_overlap(toks,
-      lit(Text.Stopwords.toArray))
-    val ok = (size(toks) >= minBlockTokens) &&
+    // shared substrate with dropRepeatedBlocks (one block definition for
+    // q89 and q106); rules evaluate on the TOKEN ARRAY the explode
+    // already carries — no join-and-resplit per predicate
+    val blocks = Dedup.explodeBlocks(df, idCol, textCol, blockWords)
+    val stopHit = arrays_overlap(col("__btoks"), lit(Text.Stopwords.toArray))
+    val ok = (size(col("__btoks")) >= minBlockTokens) &&
       (if (requireStopword) stopHit else lit(true))
-    val rebuilt = blocks.filter(ok).groupBy("id")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("block")))),
-          e => e.getField("block"))).as(textCol))
-    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("id"), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    Dedup.reassembleBlocks(df, blocks.filter(ok), idCol, textCol)
   }
 
   /** The q56 repetition signal as a column (Dedup.repetitionRatio's

@@ -921,23 +921,43 @@ object Dedup {
       blockWords: Int = 10,
       minDocFreq: Int = 2): DataFrame = {
     require(blockWords >= 1 && minDocFreq >= 2, s"bad params $blockWords/$minDocFreq")
+    val blocks = explodeBlocks(df, idCol, textCol, blockWords)
+    val stats = blocks.groupBy("__block")
+      .agg(count_distinct(col("__bid")).as("__df"), min(col("__bid")).as("__canon"))
+    val kept = blocks.join(stats, Seq("__block"))
+      .filter(col("__df") < minDocFreq || col("__bid") === col("__canon"))
+    reassembleBlocks(df, kept, idCol, textCol)
+  }
+
+  /** Fixed `blockWords`-token blocks of every document — the shared
+    * block substrate of dropRepeatedBlocks (q89) and Clean.dropBadBlocks
+    * (q106); one definition so the two operators (and their oracles)
+    * cannot drift. Output: (__bid, __pos, __btoks array, __block string)
+    * — double-underscored internals so caller column names (even "id"/
+    * "pos"/"block") cannot collide.
+    */
+  private[graft] def explodeBlocks(
+      df: DataFrame, idCol: String, textCol: String, blockWords: Int): DataFrame = {
     val nBlocks = ceil(size(col("__w")) / lit(blockWords.toDouble)).cast("int")
-    val blocks = df
-      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("__w"))
-      .select(col("id"), posexplode(transform(sequence(lit(0), nBlocks - 1),
-        i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords))))))
-      .toDF("id", "pos", "block")
-    val stats = blocks.groupBy("block")
-      .agg(count_distinct(col("id")).as("__df"), min(col("id")).as("__canon"))
-    val kept = blocks.join(stats, Seq("block"))
-      .filter(col("__df") < minDocFreq || col("id") === col("__canon"))
-    val rebuilt = kept.groupBy("id")
+    df.select(col(idCol).as("__bid"), split(col(textCol), " ", -1).as("__w"))
+      .select(col("__bid"), posexplode(transform(sequence(lit(0), nBlocks - 1),
+        i => slice(col("__w"), i * blockWords + 1, lit(blockWords)))))
+      .toDF("__bid", "__pos", "__btoks")
+      .withColumn("__block", concat_ws(" ", col("__btoks")))
+  }
+
+  /** Reassemble surviving blocks in position order (bounded per-doc
+    * aggregate, no corpus window); docs whose every block was dropped
+    * come back as EMPTY text via the left join.
+    */
+  private[graft] def reassembleBlocks(
+      df: DataFrame, kept: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rebuilt = kept.groupBy("__bid")
       .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("block")))),
-          e => e.getField("block"))).as(textCol))
-    // left join so fully-stripped docs come back as empty text
-    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("id"), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+        transform(array_sort(collect_list(struct(col("__pos"), col("__block")))),
+          e => e.getField("__block"))).as("__text"))
+    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("__bid"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
 
   /** ---- SimHash ----
