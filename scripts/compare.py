@@ -61,7 +61,20 @@ def main():
         ok = True
         for c in g.columns:
             a, b = g[c], e[c]
-            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            # The driver hashes exact value strings, so an int64-vs-float64
+            # column ("134" vs "134.0") hash-fails even when values are
+            # equal — the q79/q100 class (DuckDB sum(BIGINT) -> HUGEINT ->
+            # pandas float64). Flag it here so the local gate matches.
+            a_f = np.issubdtype(a.dtype, np.floating)
+            b_f = np.issubdtype(b.dtype, np.floating)
+            a_i = np.issubdtype(a.dtype, np.integer)
+            b_i = np.issubdtype(b.dtype, np.integer)
+            if (a_f and b_i) or (a_i and b_f):
+                print(f"{name}: DTYPE_HASH_RISK col={c} "
+                      f"spark={a.dtype} oracle={b.dtype}")
+                ok = False
+                break
+            if a_f or b_f:
                 aa = a.astype(float).to_numpy()
                 bb = b.astype(float).to_numpy()
                 same = (np.isclose(aa, bb, atol=1e-9, equal_nan=True)

@@ -1671,7 +1671,8 @@ object SparkEntry {
             SELECT source, $nTokSql AS n_tokens, md5($normSql) AS fp,
               ${qualityExprSql(nTokSql, stopRatioSql, meanLenSql)} AS quality
             FROM documents)
-          SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
             round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
             max(n_tokens) AS max_tokens,
             count(*) - count(DISTINCT fp) AS dup_docs,
@@ -2581,7 +2582,7 @@ object SparkEntry {
          ORDER BY vec_id, dim""",
     "q100_agg_types" ->
       """SELECT event_type,
-           sum(CASE WHEN b THEN 1 ELSE 0 END) AS sum_b,
+           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS sum_b,
            avg(CASE WHEN b THEN 1 WHEN NOT b THEN 0 END) AS mean_b,
            min(b) AS min_b, max(b) AS max_b,
            CAST((sum(CAST(epoch_us(ts) AS HUGEINT) * 1000) // count(ts)) // 1000

@@ -98,6 +98,11 @@ object CorpusStats {
     */
   def domainDivergence(df: DataFrame, textCol: String, domainCol: String): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(domainCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"domainDivergence requires a string domain column; '$domainCol' is " +
+        s"${df.schema(domainCol).dataType.simpleString} — cast it explicitly " +
+        "(the output names domains by their string value)")
     // null domains are excluded up front (a null group key would NPE the
     // driver-side domain sort; callers wanting an "unknown" domain name
     // it explicitly); null text explodes to nothing anyway

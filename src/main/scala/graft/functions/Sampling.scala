@@ -141,19 +141,6 @@ object Sampling {
     }
   }
 
-  /** Keep the k best documents per domain by `scoreCol` (desc, ties by
-    * id asc) — the domain-mixing cap that stops one over-crawled host
-    * from dominating a training mix.
-    *
-    * Plan shape: a PARTIAL top-k aggregate (graft.plans.TopKByScore),
-    * NOT `row_number().over(partitionBy(domain))` — the window shuffles
-    * every row into one task per domain and sorts it (a billion-row
-    * domain = one task at 100 TB); the aggregate emits ≤k pairs per
-    * domain per map task, so the exchange is O(domains × k × tasks)
-    * regardless of corpus size and domain skew.
-    *
-    * Output: (domainCol, idCol, score, rank) with rank 1..k per domain.
-    */
   /** Deterministic training-order shuffle: every row gets a GLOBAL
     * 1-based position under the pseudo-random order md5(seed:id) — the
     * "shuffle the corpus before training" step, reproducible on any
@@ -233,11 +220,35 @@ object Sampling {
           Window.orderBy(bucketSorts :+ col("__kb").asc_nulls_last: _*)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__n")
+    // Null keys (null id -> null __k/__kb; null bucket value -> null __b)
+    // must still receive positions: a plain equi-join would silently drop
+    // them and the output would stop being a permutation of the input. The
+    // null-safe join keeps them, and the asc_nulls_last/desc_nulls_last
+    // window orders above already place them LAST per the shuffleKey
+    // contract.
+    val off = bucket.map(_ => offsets.withColumnRenamed("__b", "__ob"))
+      .getOrElse(offsets)
+      .withColumnRenamed("__kb", "__okb")
+    val joinCond = (bucket.map(_ => col("__b") <=> col("__ob")).toSeq :+
+      (col("__kb") <=> col("__okb"))).reduce(_ && _)
     local
-      .join(broadcast(offsets), bucket.map(_ => "__b").toSeq :+ "__kb")
+      .join(broadcast(off), joinCond)
       .select(col(idCol), (col("__before") + col("__rn")).as("pos"))
   }
 
+  /** Keep the k best documents per domain by `scoreCol` (desc, ties by
+    * id asc) — the domain-mixing cap that stops one over-crawled host
+    * from dominating a training mix.
+    *
+    * Plan shape: a PARTIAL top-k aggregate (graft.plans.TopKByScore),
+    * NOT `row_number().over(partitionBy(domain))` — the window shuffles
+    * every row into one task per domain and sorts it (a billion-row
+    * domain = one task at 100 TB); the aggregate emits ≤k pairs per
+    * domain per map task, so the exchange is O(domains × k × tasks)
+    * regardless of corpus size and domain skew.
+    *
+    * Output: (domainCol, idCol, score, rank) with rank 1..k per domain.
+    */
   def capPerDomain(
       df: DataFrame,
       idCol: String,

@@ -89,5 +89,12 @@ class CorpusStatsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       CorpusStats.domainDivergence(many, "text", "src").collect()
     }
+    // a non-string domain column is a loud contract error, not a
+    // ClassCastException from the driver-side collect
+    val intDom = Seq((1, "a b"), (2, "a b")).toDF("src", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.domainDivergence(intDom, "text", "src")
+    }
+    assert(e.getMessage.contains("string domain column"))
   }
 }

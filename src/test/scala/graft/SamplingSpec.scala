@@ -134,6 +134,29 @@ class SamplingSpec extends SparkSuite {
     assert(b3 != b3.sorted)
   }
 
+  test("positionsBy: null ids and null buckets keep their rows and sort LAST") {
+    // a null id yields a null shuffle key (nulls PROPAGATE per the
+    // shuffleKey contract) — the row must still receive a position, and
+    // it must be the last one
+    val withNullId = Seq(Some("a"), Some("b"), Some("c"), None)
+      .toDF("id")
+    val p = Sampling.shuffleOrder(withNullId, "id", 7L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
+    assert(p.length == 4 && p.map(_._2).sorted.toSeq == (1L to 4L))
+    assert(p.find(_._1.isEmpty).map(_._2).contains(4L))
+    // a null bucket value sorts after every real bucket (desc_nulls_last)
+    // and its rows are not dropped
+    val withNullBucket = Seq(
+      (1L, Some(2L)), (2L, Some(1L)), (3L, None), (4L, Some(2L)), (5L, None)
+    ).toDF("id", "b")
+    val cp = Sampling.curriculumOrder(withNullBucket, "id", "b", 7L)
+      .join(withNullBucket, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(cp.length == 5 && cp.map(_._2).sorted.toSeq == (1L to 5L))
+    val nullPositions = cp.filter(_._3.isEmpty).map(_._2).sorted.toSeq
+    assert(nullPositions == Seq(4L, 5L), nullPositions)
+  }
+
   test("capPerDomain: k best per domain, score desc then id asc, no Window") {
     val docs = Seq(
       // domain x: scores force order (3, 1, 2) → ids 30, 10, 20; tie at
