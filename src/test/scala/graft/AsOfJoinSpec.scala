@@ -40,4 +40,47 @@ class AsOfJoinSpec extends SparkSuite {
     val got = AsOfJoin.asofJoin(l, r, "ts", Seq("k"), Seq("rv")).collect()
     assert(got(0).getDouble(3) == 9.0)
   }
+
+  test("chunked formulation: identical rows on the hand cases") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSeq
+    for (chunks <- Seq(1, 2, 3, 64)) {
+      assert(rows(AsOfJoin.asofJoinChunked(
+          left, right, "ts", Seq("k"), Seq("rv"), chunks = chunks)) ==
+        rows(AsOfJoin.asofJoin(left, right, "ts", Seq("k"), Seq("rv"))),
+        s"chunks=$chunks")
+      assert(rows(AsOfJoin.asofJoinChunked(
+          left, right, "ts", Seq("k"), Seq("rv"), toleranceNs = 50L,
+          chunks = chunks)) ==
+        rows(AsOfJoin.asofJoin(
+          left, right, "ts", Seq("k"), Seq("rv"), toleranceNs = 50L)),
+        s"chunks=$chunks tolerance")
+    }
+  }
+
+  test("chunked == window on a randomized corpus, incl. null right values") {
+    // deterministic pseudo-random frames: unique (k, ts) right rows (the
+    // documented tie condition), ~1/5 null right values so the
+    // per-column ignoreNulls carry is exercised across chunk boundaries
+    val rnd = new scala.util.Random(42)
+    val ls = (1 to 2000).map { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(100000).toLong * 13L, i.toLong) }
+    val rs = rnd.shuffle((1 to 1500).map { i =>
+      (rnd.nextInt(9).toLong, i.toLong * 700L + rnd.nextInt(600),
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble()),
+        s"tag${rnd.nextInt(3)}") }.toVector)
+    val l = ls.toDF("k", "ts", "lv")
+    val r = rs.toDF("k", "ts", "rv", "rs")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "ts", "lv").collect().map(_.toSeq).toSeq
+    for (tol <- Seq(-1L, 5000L); chunks <- Seq(2, 17, 64)) {
+      val w = canon(AsOfJoin.asofJoin(
+        l, r, "ts", Seq("k"), Seq("rv", "rs"), toleranceNs = tol))
+      val c = canon(AsOfJoin.asofJoinChunked(
+        l, r, "ts", Seq("k"), Seq("rv", "rs"), toleranceNs = tol,
+        chunks = chunks))
+      assert(w == c, s"tol=$tol chunks=$chunks")
+    }
+  }
 }
