@@ -56,8 +56,9 @@ object Text {
     * (zero-width lookarounds pin full-token matches and handle adjacent
     * stopwords) instead of an interpreted `filter` array lambda.
     */
-  def stopwordRatio(text: Column): Column = {
-    val pat = s"(?<= )(?:${Stopwords.mkString("|")})(?= )"
+  def stopwordRatio(
+      text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val pat = s"(?<= )(?:${stopwords.mkString("|")})(?= )"
     val stop = regexp_count(concat(lit(" "), text, lit(" ")), lit(pat))
     round(stop.cast("double") / greatest(size(tokens(text)), lit(1)).cast("double"), 6)
   }
@@ -79,14 +80,30 @@ object Text {
     * training corpora: prefers mid-length docs, some stopwords, sane mean
     * token length. Deterministic arithmetic, SQL-replayable.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(
+      text: Column, p: QualityParams = QualityParams()): Column = {
     val n = tokenCount(text).cast("double")
-    val lengthScore = least(n / lit(64.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val lengthScore = least(n / lit(p.targetTokens), lit(1.0))
+    val stopScore = least(
+      stopwordRatio(text, p.stopwords) * lit(p.stopMultiplier), lit(1.0))
     val mtl = meanTokenLength(text)
-    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val lenOk = when(mtl >= p.mtlMin && mtl <= p.mtlMax, lit(1.0))
+      .otherwise(lit(0.5))
     round((lengthScore + stopScore + lenOk) / lit(3.0), 6)
   }
+
+  /** The quality-score calibration table (VERDICT r10 #7): the default
+    * values are tuned to the synthetic gate corpus; a real web corpus
+    * passes its own targets here (and its own marker table to
+    * [[langId]]) instead of editing constants. `stopwords` feeds both
+    * the ratio and [[textStats]]-based variants.
+    */
+  case class QualityParams(
+      targetTokens: Double = 64.0,
+      stopMultiplier: Double = 4.0,
+      mtlMin: Double = 3.0,
+      mtlMax: Double = 10.0,
+      stopwords: Seq[String] = Stopwords)
 
   /** Language markers: tiny per-language keyword lists. On real corpora
     * these would be the top character n-grams per language; the mechanism
@@ -110,17 +127,20 @@ object Text {
     * non-overlapping padded-substring semantics, so oracles are
     * unchanged.
     */
-  private def markerCountsAll(text: Column): Column =
-    graft.plans.MarkerCounts(text, LangMarkers.flatMap(_._2))
+  private def markerCountsAll(
+      text: Column, markers: Seq[(String, Seq[String])]): Column =
+    graft.plans.MarkerCounts(text, markers.flatMap(_._2))
 
   /** Per-language scores derived from ONE [[markerCountsAll]] array —
     * codegen CSE evaluates the kernel once per row however many language
     * columns are derived.
     */
-  private[graft] def langScoresFused(text: Column): Seq[(String, Column)] = {
-    val mc = markerCountsAll(text)
+  private[graft] def langScoresFused(
+      text: Column,
+      markers: Seq[(String, Seq[String])] = LangMarkers): Seq[(String, Column)] = {
+    val mc = markerCountsAll(text, markers)
     var idx = 0
-    LangMarkers.map { case (lang, ms) =>
+    markers.map { case (lang, ms) =>
       val s = ms.indices.map(j => element_at(mc, idx + j + 1))
         .reduce[Column](_ + _)
       idx += ms.length
@@ -131,8 +151,10 @@ object Text {
   /** Predicted language = argmax marker score; ties resolved by list
     * order; all-zero scores → "und".
     */
-  def langId(text: Column): Column = {
-    val scored = langScoresFused(text)
+  def langId(
+      text: Column,
+      markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scored = langScoresFused(text, markers)
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
@@ -170,6 +192,12 @@ object Text {
     */
   def textStats(text: Column): Column = graft.plans.TextStats(text)
 
+  /** [[textStats]] with a caller-supplied stopword table (the n_stop
+    * slot counts exactly these; length bounds recompute automatically).
+    */
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    graft.plans.TextStats(text, stopwords)
+
   /** stopwordRatio/meanTokenLength/qualityScore expressed over a shared
     * [[textStats]] struct — bit-identical arithmetic to the standalone
     * columns (same rounding points), minus their per-column text scans.
@@ -184,12 +212,15 @@ object Text {
         greatest(st.getField("n_tokens"), lit(1)).cast("double"),
       6)
 
-  def qualityScoreOf(st: Column): Column = {
+  def qualityScoreOf(
+      st: Column, p: QualityParams = QualityParams()): Column = {
     val n = st.getField("n_tokens").cast("double")
-    val lengthScore = least(n / lit(64.0), lit(1.0))
-    val stopScore = least(stopwordRatioOf(st) * lit(4.0), lit(1.0))
+    val lengthScore = least(n / lit(p.targetTokens), lit(1.0))
+    val stopScore = least(
+      stopwordRatioOf(st) * lit(p.stopMultiplier), lit(1.0))
     val mtl = meanTokenLengthOf(st)
-    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val lenOk = when(mtl >= p.mtlMin && mtl <= p.mtlMax, lit(1.0))
+      .otherwise(lit(0.5))
     round((lengthScore + stopScore + lenOk) / lit(3.0), 6)
   }
 

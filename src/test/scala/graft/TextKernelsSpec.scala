@@ -88,4 +88,37 @@ class TextKernelsSpec extends SparkSuite {
     assert(got(1) == ((0, 0, 1, "user@<IP> is an IP hit")))
     assert(got(2) == ((0, 0, 0, "<EMAIL> preexisting tag, no match")))
   }
+  test("calibration hooks: custom stopword/marker/threshold tables") {
+    val df = Seq(
+      (1L, "foo bar the baz foo"),
+      (2L, "le chat et la table et le livre")).toDF("id", "text")
+    // custom stopwords flow through both the regex ratio and the fused
+    // kernel struct, and the two formulations agree
+    val custom = Seq("foo", "bar")
+    val got = df.select(
+      Text.stopwordRatio(col("text"), custom).as("r"),
+      Text.stopwordRatioOf(Text.textStats(col("text"), custom)).as("rk"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0)._1 == 0.6 && got(0)._2 == 0.6, got(0)) // foo, bar, foo / 5
+    assert(got(1)._1 == 0.0 && got(1)._2 == 0.0)
+    // default tables unchanged: "the" counts, "foo" does not
+    val dflt = df.select(Text.stopwordRatio(col("text"))).head.getDouble(0)
+    assert(dflt == 0.2, dflt)
+    // custom marker table: a French-only classifier sees fr, never en
+    val frOnly = Seq("fr" -> Seq("le", "et"), "en" -> Seq("the"))
+    val langs = df.select(Text.langId(col("text"), frOnly)).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "fr"), langs.toSeq) // doc 1 has "the"
+    // custom thresholds move the score; defaults reproduce the old value
+    val p = Text.QualityParams(targetTokens = 5.0, stopMultiplier = 1.0,
+      mtlMin = 1.0, mtlMax = 100.0, stopwords = custom)
+    val q = df.select(
+      Text.qualityScore(col("text"), p).as("a"),
+      Text.qualityScoreOf(Text.textStats(col("text"), custom), p).as("b"),
+      Text.qualityScore(col("text")).as("d"))
+      .head()
+    assert(q.getDouble(0) == q.getDouble(1), q)
+    // doc 1 with p: lengthScore 1.0 (5/5), stopScore 0.6, lenOk 1.0 -> 0.866667
+    assert(q.getDouble(0) == 0.866667, q)
+    assert(q.getDouble(2) != q.getDouble(0))
+  }
 }
