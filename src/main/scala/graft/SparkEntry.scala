@@ -1228,6 +1228,26 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("user_id"), col("right_value"))
         .transform(sortGuarded(_, "event_id"))
     },
+    "q108_pack_offsets" -> { (s, dir) =>
+      // Sequence packing (concat-and-chunk): the per-document placement
+      // map into 512-token context windows. The global token prefix sum
+      // runs chunked (per-chunk parallel windows + a <=256-row summary
+      // scan) — never a one-task corpus sort.
+      graft.functions.Pack.packOffsets(
+        t(s, dir, "documents"), "doc_id", "text", 512L)
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q109_temperature_mixture" -> { (s, dir) =>
+      // mT5-style temperature mixing at alpha = 0.5: head domains
+      // flatten, tail domains boost; kept set deterministic in doc_id.
+      graft.functions.Sampling.temperatureMixture(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        alpha = 0.5, targetTokens = 1000L)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q55_hash_sample_stratified" -> { (s, dir) =>
       // Deterministic engine-portable sampling: md5-prefix thresholds give
       // the same rows on any engine/partitioning (rand(seed) does not).
@@ -2451,6 +2471,38 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts
          ORDER BY p.event_id""",
+    "q108_pack_offsets" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+               AS BIGINT) AS tok_start
+           FROM d)
+         SELECT doc_id, n AS n_tokens, tok_start,
+           CASE WHEN n > 0 THEN tok_start // 512 END AS ex_first,
+           CASE WHEN n > 0 THEN (tok_start + n - 1) // 512 END AS ex_last
+         FROM c ORDER BY doc_id""",
+    "q109_temperature_mixture" ->
+      """WITH tot AS (
+           SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS p
+           FROM documents GROUP BY source),
+         s AS (SELECT source, p,
+             CAST(round(sqrt(CAST(p AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+           FROM tot WHERE p > 0),
+         ts AS (SELECT CAST(sum(sq) AS BIGINT) AS stot FROM s),
+         r AS (SELECT source,
+             least(1.0, 1000.0 * CAST(sq AS DOUBLE) / CAST(stot AS DOUBLE)
+               / CAST(p AS DOUBLE)) AS rate
+           FROM s, ts)
+         SELECT d.doc_id, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN r USING (source)
+         WHERE CAST(round(r.rate * 65536) AS INT) >= 65536
+            OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+               < printf('%04x', CAST(round(r.rate * 65536) AS INT))
+         ORDER BY doc_id""",
     "q107_asof_join_chunked" ->
       """SELECT p.event_id, epoch_us(p.ts) AS ts, p.user_id, s.value AS right_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -101,6 +101,72 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-flattened domain mixture (the mT5/multilingual mixing
+    * rule): the TARGET mix weights are w_d ∝ p_d^alpha where p_d is
+    * domain d's token mass — alpha = 1 keeps natural proportions,
+    * alpha = 0 weights every domain equally, values between flatten the
+    * head and boost the tail. Each domain keeps
+    * rate_d = min(1, targetTokens · w_d / p_d) of its rows under the
+    * engine-portable md5 predicate, so the kept token mass approaches
+    * targetTokens · w_d per domain.
+    *
+    * Determinism discipline: per-domain pow terms quantize to integer
+    * micro-units BEFORE the cross-domain sum (double addition is
+    * order-dependent; integer sums are order-free — the q79/q93
+    * lesson), and the rate arithmetic is a fixed left-to-right division
+    * chain, so any engine replays the exact kept set. (The replay gate
+    * uses alpha = 0.5, where pow == sqrt is correctly rounded IEEE on
+    * every platform; other alphas are supported but last-ulp pow
+    * differences across math libraries may flip a row at a threshold
+    * boundary.)
+    *
+    * Scale shape: one per-domain counter aggregate, ONE 1-row global
+    * sum, a broadcast rate table, a codegen'd filter. No driver collect
+    * of the domain table, so the domain count is unbounded. Null
+    * domains are dropped (same semantics as [[sampleTokenBudget]]).
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      alpha: Double,
+      targetTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha must be in [0, 1]")
+    require(targetTokens > 0, s"targetTokens $targetTokens must be positive")
+    val toks = Text.tokenCount(col(textCol)).cast("long")
+    // alpha 0 / 0.5 / 1 avoid pow entirely: IEEE sqrt is correctly
+    // rounded on every platform while fdlibm-lineage pow is only
+    // 1-ulp-accurate, and the quantized term must replay bit-for-bit
+    def powered(p: Column): Column = alpha match {
+      case 0.0 => lit(1.0)
+      case 0.5 => sqrt(p)
+      case 1.0 => p
+      case a => pow(p, lit(a))
+    }
+    val perDomain = df.groupBy(col(domainCol)).agg(sum(toks).as("__p"))
+      .filter(col("__p") > 0)
+      .withColumn("__s",
+        round(powered(col("__p").cast("double")) * 1e6).cast("long"))
+    // 1-row aggregate to a literal (the asofJoinChunked bounds pattern) —
+    // a cross-joined total would re-derive the same aggregate subtree
+    // and trip self-join lineage dedup. The domain agg runs twice (the
+    // total job + the final query), both counter-only shuffles.
+    val sTotal = perDomain.agg(sum("__s")).first().getLong(0)
+    val rates = perDomain
+      .select(col(domainCol),
+        least(lit(1.0),
+          lit(targetTokens.toDouble) * col("__s").cast("double") /
+            lit(sTotal.toDouble) / col("__p").cast("double"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashSampleCondBy(col(idCol), col("__rate")))
+      .drop("__rate")
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashSampleCondBy(col(idCol), col("__rate")))
+      .drop("__rate")
+  }
+
   /** Leakage-safe train/val/test splits: documents connected by a
     * near-duplicate relation must land in the SAME split, or the eval
     * split leaks (near-copies of) training documents. Every doc is

@@ -134,6 +134,50 @@ class SamplingSpec extends SparkSuite {
     assert(b3 != b3.sorted)
   }
 
+  test("temperatureMixture: alpha endpoints and exact driver replay") {
+    // domain a: 4x the token mass of b — natural mix 80/20
+    val docs = ((0 until 400).map(i => (i.toLong, "a", "w " * 19 + "w")) ++
+      (400 until 500).map(i => (i.toLong, "b", "w " * 19 + "w")))
+      .toDF("doc_id", "src", "text")
+    def rates(alpha: Double, target: Long): Map[String, Double] = {
+      val p = Map("a" -> 8000L, "b" -> 2000L)
+      // mirror the operator's alpha special-casing exactly (sqrt, not pow)
+      def powv(v: Double): Double = alpha match {
+        case 0.0 => 1.0
+        case 0.5 => math.sqrt(v)
+        case 1.0 => v
+        case a => math.pow(v, a)
+      }
+      val s = p.view.mapValues(v => Math.round(powv(v.toDouble) * 1e6)).toMap
+      val tot = s.values.sum
+      p.map { case (d, pd) =>
+        d -> math.min(1.0, target.toDouble * s(d) / tot / pd)
+      }
+    }
+    def replay(alpha: Double, target: Long): Set[Long] = {
+      val r = rates(alpha, target)
+      def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+      (0 until 500).filter { i =>
+        val rate = r(if (i < 400) "a" else "b")
+        val n = Math.round(rate * 65536).toInt
+        n >= 65536 || md5hex(i.toString) < f"$n%04x"
+      }.map(_.toLong).toSet
+    }
+    for (alpha <- Seq(0.0, 0.5, 1.0); target <- Seq(500L, 3000L, 50000L)) {
+      val got = Sampling.temperatureMixture(
+        docs, "doc_id", "text", "src", alpha, target)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == replay(alpha, target), s"alpha=$alpha target=$target")
+    }
+    // alpha=1 keeps natural proportions (equal rates); alpha=0 boosts
+    // the tail domain toward equal token mass
+    val r1 = rates(1.0, 3000L)
+    assert(math.abs(r1("a") - r1("b")) < 1e-12)
+    val r0 = rates(0.0, 3000L)
+    assert(r0("b") == 4 * r0("a"), r0)
+  }
+
   test("positionsBy: null ids and null buckets keep their rows and sort LAST") {
     // a null id yields a null shuffle key (nulls PROPAGATE per the
     // shuffleKey contract) — the row must still receive a position, and
