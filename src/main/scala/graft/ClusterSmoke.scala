@@ -41,14 +41,18 @@ object ClusterSmoke {
     * top-k TypedImperativeAggregate (q31), broadcast-hash join + agg
     * (q39), range as-of join (q41), keyed window (q42), broadcast
     * shingle postings + anti-join (q68), fused text kernels with the
-    * OptimizerFence (q92), model-in-closure DSIR scoring (q93).
+    * OptimizerFence (q92), model-in-closure DSIR scoring (q93), the
+    * iterative driver-loop BPE trainer (q99), the two-level position
+    * engine (q104), the chunked as-of carry scan (q107), and the
+    * chunked token-packing prefix sum (q108).
     */
   private[graft] val smoke = Seq(
     "q01_filter_numeric", "q06_project_arith", "q08_groupby_agg",
     "q10_resample_1h", "q20_merge_update", "q27_dedup_exact",
     "q31_ann_bruteforce", "q39_join_broadcast_agg", "q41_asof_join",
     "q42_window_running", "q68_decontaminate", "q92_clean_corpus",
-    "q93_dsir_weights")
+    "q93_dsir_weights", "q99_bpe_merges", "q104_shuffle_order",
+    "q107_asof_join_chunked", "q108_pack_offsets")
 
   /** Order-free content fingerprint: (rows, sum of per-row 64-bit
     * hashes over the name-sorted JSON row image). Addition commutes, so

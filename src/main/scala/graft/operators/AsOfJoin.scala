@@ -139,10 +139,20 @@ object AsOfJoin {
       chunks: Int = 64): DataFrame = {
     require(chunks >= 1 && chunks <= 4096, s"chunks must be in [1, 4096], got $chunks")
     val tsType = left.schema(tsCol).dataType
+    // A null ts is a LOUD error on every path (checked in the same
+    // bounds job, so delegating branches enforce it too): the window
+    // formulation sorts nulls first (a null-ts right row back-fills
+    // every left row — itself a dubious outcome), while a null chunk
+    // would fall outside the carry grid and silently diverge; neither
+    // is as-of semantics.
     val bounds = left.select(Ts.toNs(col(tsCol), tsType).as("n"))
       .unionByName(right.select(
         Ts.toNs(col(tsCol), right.schema(tsCol).dataType).as("n")))
-      .agg(min("n").as("lo"), max("n").as("hi")).first()
+      .agg(min("n").as("lo"), max("n").as("hi"),
+        count(lit(1)).as("rows"), count("n").as("nonnull")).first()
+    require(bounds.getLong(2) == bounds.getLong(3),
+      s"asofJoinChunked: ${bounds.getLong(2) - bounds.getLong(3)} null ts " +
+        "rows — as-of needs a total time order")
     if (chunks == 1 || bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1))
       return asofJoin(left, right, tsCol, by, rightValueCols, toleranceNs)
     val lo = bounds.getLong(0)

@@ -59,6 +59,24 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("chunked: null ts is a loud error, not a silent divergence") {
+    // the window form sorts null ts FIRST (a null-ts right row would
+    // back-fill everything); chunked refuses rather than diverging
+    val l = Seq((1L, Some(100L), 0), (1L, Some(900L), 1)).toDF("k", "ts", "x")
+    val r = Seq((1L, Option.empty[Long], 9.0)).toDF("k", "ts", "rv")
+    val e = intercept[Exception] {
+      AsOfJoin.asofJoinChunked(l, r, "ts", Seq("k"), Seq("rv"), chunks = 4)
+        .collect()
+    }
+    assert(e.getMessage.contains("null ts"), e.getMessage)
+    // the delegating single-chunk branch enforces the same contract
+    val e2 = intercept[Exception] {
+      AsOfJoin.asofJoinChunked(l, r, "ts", Seq("k"), Seq("rv"), chunks = 1)
+        .collect()
+    }
+    assert(e2.getMessage.contains("null ts"), e2.getMessage)
+  }
+
   test("chunked == window on a randomized corpus, incl. null right values") {
     // deterministic pseudo-random frames: unique (k, ts) right rows (the
     // documented tie condition), ~1/5 null right values so the
