@@ -1096,6 +1096,22 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q110_ann_ivf_persisted" -> { (s, dir) =>
+      // The PERSISTED index path: train once, write (cell, id, vec)
+      // through the Library layer sorted on the cell index, then search
+      // via the routing symbol + a cell-pruned index read. Gated at
+      // nProbe = nlist (exact by construction, the q52 argument) against
+      // the same exact-top-k oracle — hard-gating build -> write ->
+      // prune-read -> rescore -> rank end to end.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "ann",
+        nlist = 8, iters = 2, targetRows = 2000L)
+      Vectors.ivfSearchIndexed(lib, "ann", emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
     "q33_cosine_neardup" -> { (s, dir) =>
       // 0.45 so the check discriminates (the synthetic embeddings' max
       // off-diagonal cosine is ~0.51 at sf0.01 — at 0.8 ground truth is
@@ -2386,6 +2402,33 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    // q110 shares q52's exact-top-k oracle: at nProbe = nlist the
+    // persisted-index search is exact by the same construction
+    "q110_ann_ivf_persisted" ->
+      """WITH flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         ranked AS (
+           SELECT query_id, corpus_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, corpus_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, corpus_id, sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "q52_ann_ivf" ->
       """WITH flat AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

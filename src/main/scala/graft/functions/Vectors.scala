@@ -214,6 +214,79 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Persist a trained IVF index through the Library layer — build once,
+    * probe many (re-training per query, [[ivfTopK]]'s shape, is a dev
+    * convenience; a 100 TB embedding store trains ONCE and every search
+    * after that must touch only its probed cells). Two symbols:
+    *  - `<name>__centroids`: (cell, centroid) — the routing table, tiny;
+    *  - `<name>__index`: (cell, corpus_id, vec) written SORTED on the
+    *    `cell` index column in bounded files with footer + column stats,
+    *    so a probe's cell filter PRUNES FILES: at nlist=1024 / nProbe=8
+    *    a search reads ~8/1024 of the index bytes (spec-pinned via the
+    *    pruning plan). Versioning, snapshots and as-of reads come free
+    *    from the Library layer — an index rebuild is just a new version.
+    */
+  def buildIvfIndex(
+      lib: graft.core.Library,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      nlist: Int,
+      iters: Int = 2,
+      targetRows: Long = 100000L): Unit = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+      .select(col("cell").cast("long").as("cell"), col("centroid"))
+    lib.write(s"${name}__centroids", centroids, Some("cell"))
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      centroids.select(col("cell").cast("int").as("cell"), col("centroid")))
+      .select(col("cell").cast("long").as("cell"),
+        col("cid").as("corpus_id"), col("cvec").as("vec"))
+    lib.write(s"${name}__index", assigned, Some("cell"), targetRows = targetRows)
+  }
+
+  /** Probe a [[buildIvfIndex]] index: route queries to their nProbe best
+    * cells against the (broadcast) centroid symbol, read ONLY those
+    * cells from the index symbol (the probed cell set is bounded by
+    * queries × nProbe — the query side of a search is small by
+    * construction — and drives index-range file pruning), rescore with
+    * exact cosine, rank with the partial top-k aggregate. At
+    * nProbe = nlist the result is exact by construction (the q52 gate
+    * argument), which is how q110 hard-gates this whole persisted path.
+    */
+  def ivfSearchIndexed(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val centroids = lib.read(s"${name}__centroids")
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("__sim"))
+      .groupBy("query_id")
+      .agg(first(col("qvec")).as("qvec"),
+        graft.plans.TopKByScore.topK(col("__sim"), col("cell"), nProbe)
+          .as("cells"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("cells"), e => e.getField("id"))).as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // contiguous cell ranges collapse to dateRange-style bounds; isin
+    // over the expression AST prunes per-file via the index stats
+    val idx = lib.read(s"${name}__index",
+      exprFilter = Some(graft.query.Expr.col("cell").isin(cells: _*)))
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate REMOVAL: cosine pairs → connected
     * components → keep the canonical (min-id) row per cluster — the
     * embedding-space twin of Dedup.dropNearDuplicates, sharing its

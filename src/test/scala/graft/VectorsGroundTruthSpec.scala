@@ -230,4 +230,43 @@ class VectorsGroundTruthSpec extends SparkSuite {
     // int8 at 64 dims is a mild perturbation — the top sets barely move
     assert(recall >= 0.8, s"recall@5 $recall")
   }
+  test("persisted IVF index: exact at nProbe=nlist, cell filter prunes files") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-ivf-").toString, spark)
+    // ~125 rows/cell at sf0.001 (1000 vecs, nlist=8): targetRows=60 gives
+    // every cell >=2 files, so cell pruning has something to skip
+    Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "ann", nlist = 8,
+      iters = 2, targetRows = 60L)
+    // probing every cell == exact top-k (same construction as the q52
+    // gate), now through the persisted read path
+    val got = Vectors.ivfSearchIndexed(lib, "ann",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nProbe = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = exactTopK(vecs.keys.filter(_ < 5).toSeq, 5)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val ids = rows.sortBy(_._4).map(_._2).toSeq
+      assert(ids == expected(q).map(_._1).toSeq, s"query $q")
+      rows.foreach { case (_, c, sim, _) =>
+        assert(math.abs(sim - r6(cosine(vecs(q), vecs(c)))) < 1e-6)
+      }
+    }
+    // the index read really prunes: a one-cell filter must touch fewer
+    // files than the full index (index bounds come from the manifest —
+    // no createColumnStats call needed)
+    val all = lib.read("ann__index").inputFiles.length
+    val one = lib.read("ann__index",
+      exprFilter = Some(graft.query.Expr.col("cell") === graft.query.Expr.lit(3L)))
+      .inputFiles.length
+    assert(all >= 8, s"expected multi-file index, got $all")
+    assert(one < all / 2, s"pruned read touched $one of $all files")
+    // nProbe < nlist through the same persisted path: sane recall
+    val part = Vectors.ivfSearchIndexed(lib, "ann",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nProbe = 6)
+      .as[(Long, Long, Double, Int)].collect()
+    val hits = part.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(expected(q).map(_._1).toSet).size
+    }.sum
+    assert(hits.toDouble / expected.values.map(_.size).sum >= 0.4)
+  }
 }
