@@ -1096,6 +1096,35 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q111_gopher_rules" -> { (s, dir) =>
+      // The Gopher document-quality rule family over a corpus with
+      // planted rule-trippers (the q78 payload convention — mirrored
+      // verbatim in the oracle): %3 symbols, %5 bullet lines, %7 an
+      // ellipsis line, %11 numeric tokens, %13 very long words, plus
+      // the natural cuts (short docs, docs without 'the'). Thresholds
+      // tuned so every rule provably discriminates on this corpus.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" ## ## ##")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\n- first item\n- second item")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" 100 200 300 400 500 600 700 800")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" pseudopseudohypoparathyroidism" +
+              " floccinaucinihilipilification" +
+              " pneumonoultramicroscopicsilicovolcanoconiosis" +
+              " supercalifragilisticexpialidocious")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nto be continued...")).otherwise(lit(""))).as("text"))
+      graft.functions.Clean.gopherRules(docs, "doc_id", "text",
+        graft.functions.Clean.GopherParams(
+          minWords = 20, maxWords = 200, minMeanWordLen = 3.0,
+          maxMeanWordLen = 5.5, maxSymbolRatio = 0.05,
+          maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.3,
+          minAlphaWordFrac = 0.9, minRequiredStops = 1))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q110_ann_ivf_persisted" -> { (s, dir) =>
       // The PERSISTED index path: train once, write (cell, id, vec)
       // through the Library layer sorted on the cell index, then search
@@ -2402,6 +2431,61 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    "q111_gopher_rules" -> {
+      val req = graft.functions.Clean.GopherParams().requiredStops
+      val reqSql = req.map(w =>
+        s"(CASE WHEN len(string_split(' ' || text || ' ', ' $w ')) - 1 > 0 " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH inj AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 3 = 0 THEN ' ## ## ##' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || '- first item' || chr(10) || '- second item'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0
+                   THEN ' 100 200 300 400 500 600 700 800' ELSE '' END ||
+              CASE WHEN doc_id % 13 = 0
+                   THEN ' pseudopseudohypoparathyroidism' ||
+                        ' floccinaucinihilipilification' ||
+                        ' pneumonoultramicroscopicsilicovolcanoconiosis' ||
+                        ' supercalifragilisticexpialidocious'
+                   ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN chr(10) || 'to be continued...' ELSE '' END AS text
+            FROM documents),
+          sig AS (
+            SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1), 6) AS mean_word_len,
+              round(CAST((len(string_split(text, '#')) - 1)
+                  + (len(string_split(text, '...')) - 1) AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1), 6) AS symbol_ratio,
+              round(CAST((len(string_split(text, chr(10) || '- ')) - 1)
+                  + (len(string_split(text, chr(10) || '* ')) - 1)
+                  + (CASE WHEN starts_with(text, '- ') OR starts_with(text, '* ')
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                / len(string_split(text, chr(10))), 6) AS bullet_line_frac,
+              round(CAST((len(string_split(text, '...' || chr(10))) - 1)
+                  + (CASE WHEN ends_with(text, '...') THEN 1 ELSE 0 END) AS DOUBLE)
+                / len(string_split(text, chr(10))), 6) AS ellipsis_line_frac,
+              round(CAST(len(list_filter(string_split(text, ' '),
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1), 6) AS alpha_word_frac,
+              $reqSql AS n_required_stops
+            FROM inj)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+            bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+            n_required_stops,
+            (n_words BETWEEN 20 AND 200
+              AND mean_word_len BETWEEN 3.0 AND 5.5
+              AND symbol_ratio <= 0.05
+              AND bullet_line_frac <= 0.5
+              AND ellipsis_line_frac <= 0.3
+              AND alpha_word_frac >= 0.9
+              AND n_required_stops >= 1) AS keep
+          FROM sig ORDER BY doc_id"""
+    },
     // q110 shares q52's exact-top-k oracle: at nProbe = nlist the
     // persisted-index search is exact by the same construction
     "q110_ann_ivf_persisted" ->

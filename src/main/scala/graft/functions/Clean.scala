@@ -70,6 +70,87 @@ object Clean {
     Pii.dropPiiHeavy(kept, textCol, rules.maxPiiHits).drop(textCol)
   }
 
+  /** The Gopher rule family's thresholds (Rae et al. 2021, Appendix A —
+    * public). Defaults are the paper's; gate queries tune them to the
+    * synthetic corpus so every rule provably cuts. All ratio cuts
+    * compare ROUNDED (6-place) signals — the engine-portable boundary
+    * discipline.
+    */
+  final case class GopherParams(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minRequiredStops: Int = 2)
+
+  /** Gopher-style document quality rules, one scan-side pass, zero
+    * shuffles. Emits every signal plus per-rule booleans and the
+    * composite `keep`, so downstream mixes can weight rules instead of
+    * hard-filtering. Counting is pure arithmetic over split/replace
+    * (the Text.wordCount convention) or fused kernels — no interpreted
+    * HOFs — and every formula has an exact DuckDB replay (the q111
+    * oracle), so rule outcomes are engine-portable:
+    *  - words/mean-word-length from the TextStats kernel;
+    *  - symbol ratio: '#' chars + non-overlapping "..." occurrences
+    *    per word;
+    *  - bullet/ellipsis line fractions over newline-split lines
+    *    (bullets "- " and "* " at line start; "..." at line end);
+    *  - alpha-word fraction via one lookaround-anchored regexp_count
+    *    (the stopwordRatio adjacency pattern);
+    *  - required-stopword presence via ONE MarkerCounts kernel pass.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: GopherParams = GopherParams()): DataFrame = {
+    def countSubstr(c: Column, s: String): Column =
+      size(split(c, java.util.regex.Pattern.quote(s), -1)) - 1
+    val text = col(textCol)
+    val st = col("__st")
+    val mc = col("__mc")
+    val staged = df
+      .select(col(idCol), text, Text.textStats(text).as("__st"),
+        graft.plans.MarkerCounts(text, p.requiredStops).as("__mc"))
+      .select(
+        col(idCol),
+        st.getField("n_tokens").as("n_words"),
+        Text.meanTokenLengthOf(st).as("mean_word_len"),
+        round((countSubstr(text, "#") + countSubstr(text, "...")).cast("double") /
+          greatest(st.getField("n_tokens"), lit(1)).cast("double"), 6)
+          .as("symbol_ratio"),
+        round((countSubstr(text, "\n- ") + countSubstr(text, "\n* ") +
+            when(text.startsWith("- ") || text.startsWith("* "), 1).otherwise(0))
+            .cast("double") /
+          (countSubstr(text, "\n") + lit(1)).cast("double"), 6)
+          .as("bullet_line_frac"),
+        round((countSubstr(text, "...\n") +
+            when(text.endsWith("..."), 1).otherwise(0)).cast("double") /
+          (countSubstr(text, "\n") + lit(1)).cast("double"), 6)
+          .as("ellipsis_line_frac"),
+        round(regexp_count(concat(lit(" "), text, lit(" ")),
+            lit("(?<= )[^ ]*[A-Za-z][^ ]*(?= )")).cast("double") /
+          greatest(st.getField("n_tokens"), lit(1)).cast("double"), 6)
+          .as("alpha_word_frac"),
+        p.requiredStops.indices
+          .map(i => when(element_at(mc, i + 1) > 0, 1).otherwise(0))
+          .reduce[Column](_ + _).as("n_required_stops"))
+    staged.withColumn("keep",
+      col("n_words").between(p.minWords, p.maxWords) &&
+        col("mean_word_len").between(p.minMeanWordLen, p.maxMeanWordLen) &&
+        col("symbol_ratio") <= p.maxSymbolRatio &&
+        col("bullet_line_frac") <= p.maxBulletLineFrac &&
+        col("ellipsis_line_frac") <= p.maxEllipsisLineFrac &&
+        col("alpha_word_frac") >= p.minAlphaWordFrac &&
+        col("n_required_stops") >= p.minRequiredStops)
+  }
+
   /** Block-LEVEL quality cleanup (the C4 line-filter analog for this
     * corpus' single-line documents): split each document into fixed
     * `blockWords`-token blocks (the q89 block definition), DROP blocks

@@ -68,4 +68,36 @@ class CleanSpec extends SparkSuite {
       Clean.Rules(maxPiiHits = 1))
     assert(!piiOnly.select("doc_id").as[Long].collect().contains(4L))
   }
+  test("gopherRules: each rule isolates on a hand-crafted doc") {
+    val base = "the quick brown fox jumps over the lazy dog again " * 5 // 50 words
+    val docs = Seq(
+      (0L, base.trim),                                   // keeper
+      (1L, "the tiny doc"),                              // too few words
+      (2L, base.trim + " aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 8), // long words
+      (3L, base.trim + " # # # # # # # #"),              // symbols
+      (4L, base.trim + "\n- one\n- two\n- three"),       // bullet lines
+      (5L, base.trim + "\nto be continued..."),          // ellipsis line
+      (6L, base.trim + (" 11 22 33" * 5)),               // numeric tokens
+      (7L, ("zz yy xx ww vv " * 10).trim)                // no required stopword
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Clean.gopherRules(docs, "doc_id", "text",
+      graft.functions.Clean.GopherParams(
+        minWords = 20, maxWords = 200, maxMeanWordLen = 6.0,
+        maxSymbolRatio = 0.05, maxBulletLineFrac = 0.5,
+        maxEllipsisLineFrac = 0.3, minAlphaWordFrac = 0.9,
+        minRequiredStops = 1))
+      .orderBy("doc_id").collect()
+    val keep = got.map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(keep == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> false), keep)
+    // signal sanity on the keeper
+    val k = got.head
+    assert(k.getInt(1) == 50)                      // n_words
+    assert(k.getDouble(6) == 1.0)                  // alpha_word_frac
+    assert(k.getInt(7) >= 1)                       // has 'the'
+    // rule isolation: doc 4 fails ONLY the bullet rule
+    val d4 = got(4)
+    assert(d4.getDouble(4) == 0.75, d4)            // 3 bullet lines of 4
+    assert(d4.getDouble(5) == 0.0)
+  }
 }
