@@ -1096,6 +1096,21 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q112_drop_repeated_spans" -> { (s, dir) =>
+      // Cross-doc exact-substring dedup (ExactSubstr analog): sliding
+      // 8-token spans duplicated across >= 2 distinct docs are removed
+      // from every non-canonical doc. The generator plants shared
+      // passages across docs, so the gate cuts real text (24 docs at
+      // sf0.01); removed_chars pins the exact excision, not just ids.
+      val docs = t(s, dir, "documents")
+      val cleaned = graft.functions.Dedup.dropRepeatedSpans(
+        docs, "doc_id", "text", spanWords = 8, minDocFreq = 2)
+      docs.select(col("doc_id"), length(col("text")).as("__olen"))
+        .join(cleaned, "doc_id")
+        .select(col("doc_id"), col("text"),
+          (col("__olen") - length(col("text"))).cast("long").as("removed_chars"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q111_gopher_rules" -> { (s, dir) =>
       // The Gopher document-quality rule family over a corpus with
       // planted rule-trippers (the q78 payload convention — mirrored
@@ -2431,6 +2446,38 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    // Sliding 8-gram replay of dropRepeatedSpans: positions covered by a
+    // duplicated non-canonical span start drop; survivors reassemble in
+    // position order. Same canon (min doc id) and distinct-doc-frequency
+    // rules as the Spark side.
+    "q112_drop_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g0 AS (SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks) - 8 + 2, 1))) AS s
+                FROM w),
+         grams AS (
+           SELECT doc_id, s,
+             array_to_string(list_slice(toks, s, s + 8 - 1), ' ') AS gram
+           FROM g0),
+         stats AS (
+           SELECT gram, count(DISTINCT doc_id) AS df, min(doc_id) AS canon
+           FROM grams GROUP BY 1),
+         dup AS (
+           SELECT g.doc_id, g.s FROM grams g JOIN stats st USING (gram)
+           WHERE st.df >= 2 AND g.doc_id <> st.canon),
+         cov AS (SELECT DISTINCT doc_id, s + unnest(range(0, 8)) AS pos FROM dup),
+         toks AS (
+           SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+           FROM w),
+         clean AS (
+           SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+           FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.doc_id IS NULL GROUP BY 1)
+         SELECT d.doc_id, coalesce(cl.text, '') AS text,
+           CAST(length(d.text) - length(coalesce(cl.text, '')) AS BIGINT)
+             AS removed_chars
+         FROM documents d LEFT JOIN clean cl USING (doc_id)
+         ORDER BY doc_id""",
     "q111_gopher_rules" -> {
       val req = graft.functions.Clean.GopherParams().requiredStops
       val reqSql = req.map(w =>

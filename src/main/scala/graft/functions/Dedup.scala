@@ -960,6 +960,65 @@ object Dedup {
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
 
+  /** Cross-document exact-substring dedup over SLIDING token spans — the
+    * distributed analog of ExactSubstr dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): any
+    * `spanWords`-token span whose exact text occurs in >= `minDocFreq`
+    * DISTINCT documents is removed from every non-canonical document
+    * (the smallest doc id keeps its copy — the same canon rule as
+    * dropRepeatedBlocks). Spans slide one token at a time, so a shared
+    * passage is caught at ANY alignment, where the block variant (q89)
+    * only sees duplication that lands on fixed block boundaries; a token
+    * is dropped when at least one duplicated span covers it, and the
+    * survivors reassemble in position order (fully-duplicated docs come
+    * back as empty text). Within-doc repetition is out of scope here
+    * (count is per distinct doc): that is repetitionRatio (q56) /
+    * dropRepeatedBlocks territory.
+    *
+    * Scale shape: the corpus-wide shuffles are keyed by span text
+    * (bounded postings, ~spanWords tokens wide) and by (id, position)
+    * for the covered-token anti-join; covered positions fan out at most
+    * spanWords rows per duplicated start, and reassembly is a bounded
+    * per-doc aggregate — no corpus window, no driver collect. At 100 TB
+    * the span key would be xxhash64(span) to cut the shuffle width
+    * (exact modulo ~2^-64 collisions); the text key here keeps the
+    * operator bit-exact and engine-portable for the q112 oracle.
+    */
+  def dropRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 8,
+      minDocFreq: Int = 2): DataFrame = {
+    require(spanWords >= 2 && minDocFreq >= 2, s"bad params $spanWords/$minDocFreq")
+    val w = df.select(col(idCol).as("__sid"), split(col(textCol), " ", -1).as("__w"))
+    // sequence() guarded by the size filter: Spark's sequence(1, n) runs
+    // DESCENDING for n < 1, so short docs must never reach it.
+    val grams = w.filter(size(col("__w")) >= spanWords)
+      .select(col("__sid"), posexplode(transform(
+        sequence(lit(1), size(col("__w")) - spanWords + 1),
+        start => concat_ws(" ", slice(col("__w"), start, lit(spanWords))))))
+      .select(col("__sid"), (col("pos") + 1).as("__s"), col("col").as("__gram"))
+    val stats = grams.groupBy("__gram")
+      .agg(count_distinct(col("__sid")).as("__df"), min(col("__sid")).as("__canon"))
+    val dupStarts = grams.join(stats, "__gram")
+      .filter(col("__df") >= minDocFreq && col("__sid") =!= col("__canon"))
+      .select(col("__sid"), col("__s"))
+    val covered = dupStarts
+      .select(col("__sid"),
+        explode(sequence(col("__s"), col("__s") + spanWords - 1)).as("__pos"))
+      .distinct()
+    val toks = w.select(col("__sid"), posexplode(col("__w")))
+      .select(col("__sid"), (col("pos") + 1).as("__pos"), col("col").as("__tok"))
+    val rebuilt = toks.join(covered, Seq("__sid", "__pos"), "left_anti")
+      .groupBy("__sid")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          e => e.getField("__tok"))).as("__text"))
+    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("__sid"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** ---- SimHash ----
     * 64-bit signature per doc: bit j = sign of Σ over shingles of
     * (bit j of xxhash64(shingle) ? +1 : -1). The shingle hash is

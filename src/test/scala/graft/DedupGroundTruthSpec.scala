@@ -331,4 +331,43 @@ class DedupGroundTruthSpec extends SparkSuite {
       ("here to subscribe", 2L),
       ("here to unsubscribe", 1L)))
   }
+
+  test("dropRepeatedSpans: any-alignment excision, canon keeps its copy") {
+    // Docs 1 and 2 share a 4-token passage at DIFFERENT offsets (block
+    // dedup on 4-token boundaries would miss doc 2's alignment); doc 3
+    // is entirely the shared passage; doc 4 is short (< spanWords) and
+    // must pass through even though it is a prefix of the passage.
+    val corpus = Seq(
+      (1L, "alpha shared one two three four tail"),
+      (2L, "x shared one two three four y z"),
+      (3L, "shared one two three four"),
+      (4L, "shared one two"),
+      (5L, "completely unrelated text body here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", spanWords = 4,
+        minDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    // doc 1 is canon (min id) for every duplicated 4-gram → untouched
+    assert(got(1L) == "alpha shared one two three four tail")
+    // docs 2/3: every position covered by some duplicated 4-gram drops;
+    // doc 2 keeps only its unique flanks, doc 3 empties entirely
+    assert(got(2L) == "x y z")
+    assert(got(3L) == "")
+    assert(got(4L) == "shared one two")
+    assert(got(5L) == "completely unrelated text body here now")
+  }
+
+  test("dropRepeatedSpans: within-doc repetition alone never cuts") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "different words entirely in this second doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", spanWords = 3,
+        minDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    // doc frequency is per DISTINCT doc: doc 1's internal repeats count
+    // once, so nothing reaches minDocFreq = 2
+    assert(got(1L) == "spam spam spam spam spam spam spam spam")
+    assert(got(2L) == "different words entirely in this second doc")
+  }
 }

@@ -239,6 +239,22 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("span dedup: no corpus window, no nested-loop; bounded reassembly (q112)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q112_drop_repeated_spans")(spark, sf)
+        .queryExecution.executedPlan
+      val s = p.toString
+      // sliding spans shuffle on gram text / (id, pos) keys only — never
+      // a corpus-wide window task, never an all-pairs product
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "no Window over the span stream")
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+        s.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("embedding decontamination broadcasts eval; embeddings never shuffle (q90)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
