@@ -1096,6 +1096,15 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q113_chunk_documents" -> { (s, dir) =>
+      // RAG sliding-window chunking: 32-token windows, stride 24
+      // (8-token overlap). Median doc is 56 tokens, max 99, so the gate
+      // exercises 1..4 chunks per doc including ragged tails.
+      graft.functions.Pack.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
+        .transform(sortGuarded(_, "doc_id", "chunk_idx"))
+    },
     "q112_drop_repeated_spans" -> { (s, dir) =>
       // Cross-doc exact-substring dedup (ExactSubstr analog): sliding
       // 8-token spans duplicated across >= 2 distinct docs are removed
@@ -2446,6 +2455,17 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    "q113_chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS p,
+                 unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - 32, 0)
+                   / 24.0) AS BIGINT))) AS i
+               FROM w)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx, i * 24 + 1 AS start_tok,
+           least(32, p - i * 24) AS n_tokens,
+           array_to_string(list_slice(toks, i * 24 + 1, least(i * 24 + 32, p)),
+             ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
     // Sliding 8-gram replay of dropRepeatedSpans: positions covered by a
     // duplicated non-canonical span start drop; survivors reassemble in
     // position order. Same canon (min doc id) and distinct-doc-frequency

@@ -127,4 +127,43 @@ object Pack {
           greatest(col("example_id") * contextLen, col("tok_start")))
           .as("len"))
   }
+
+  /** Per-document sliding-window chunking — the retrieval-side
+    * counterpart of packOffsets (the RAG indexing shape: chunk → embed →
+    * ANN): each document splits into overlapping `chunkTokens`-token
+    * windows whose starts advance by `strideTokens`. Chunk 0 always
+    * exists (an empty doc yields one empty chunk); the chunk count is
+    * 1 + ⌈max(P − chunkTokens, 0) / strideTokens⌉, so every token lands
+    * in at least one chunk and no start lies past the text. Pure
+    * scan-side explode — no shuffle, no per-doc state: at 100 TB this
+    * is a single narrow map stage feeding the embedder, and the
+    * (start_tok, n_tokens) span makes each chunk traceable back to its
+    * source offsets for citation.
+    *
+    * Output: (idCol, chunk_idx 0-based, start_tok 1-based, n_tokens,
+    * chunk_text).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 64,
+      strideTokens: Int = 48): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"bad chunk geometry $chunkTokens/$strideTokens")
+    val p = size(col("__w"))
+    val nChunks = (ceil(greatest(p - chunkTokens, lit(0)) /
+      lit(strideTokens.toDouble))).cast("int") + 1
+    df.select(col(idCol), split(col(textCol), " ", -1).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => i * strideTokens)))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        (col("col") + 1).cast("long").as("start_tok"),
+        least(lit(chunkTokens), size(col("__w")) - col("col")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

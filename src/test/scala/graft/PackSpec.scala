@@ -108,4 +108,39 @@ class PackSpec extends SparkSuite {
       Pack.packOffsets(strId, "doc_id", "text", 16L)
     }
   }
+
+  test("chunkDocuments: driver replay — full coverage, ragged tails, empty doc") {
+    val docs = mkDocs(500, 11)
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val (w, stride) = (8, 5)
+    val got = Pack.chunkDocuments(df, "doc_id", "text", w, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(c => (c._1, c._2)).toSeq
+    val expected = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val c = 1 + math.ceil(math.max(toks.length - w, 0) / stride.toDouble).toInt
+      (0 until c).map { i =>
+        val start = i * stride
+        (id, i, start + 1L, math.min(w, toks.length - start).toLong,
+          toks.slice(start, start + w).mkString(" "))
+      }
+    }
+    assert(got == expected)
+    // every token position of every doc is covered by >= 1 chunk
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val p = docs.toMap.apply(id).split(" ", -1).length
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (1L to p).toSet, s"doc $id coverage")
+    }
+    // empty text -> exactly one empty chunk
+    val empty = Pack.chunkDocuments(Seq((1L, "")).toDF("doc_id", "text"), "doc_id",
+      "text", w, stride).collect()
+    assert(empty.length == 1 && empty(0).getString(4) == "" &&
+      empty(0).getLong(3) == 1L) // "" splits to one empty token
+    intercept[IllegalArgumentException] {
+      Pack.chunkDocuments(df, "doc_id", "text", 8, 9) // stride > window
+    }
+  }
 }
