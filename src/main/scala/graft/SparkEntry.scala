@@ -1096,6 +1096,20 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q114_kmeans_topics" -> { (s, dir) =>
+      // Portable-mode Lloyd k-means (k=8, 2 assignment passes) over the
+      // embeddings: micro-unit integer centroids + multiplied-out
+      // decimal distances make every step bit-reproducible, so DuckDB
+      // replays the ENTIRE iterative pipeline — seeds, both argmin
+      // passes, the centroid update — and the assignment itself is the
+      // hash gate (ivfCentroids' clustering was previously only gated
+      // through nProbe=nlist search, which is exact regardless of
+      // centroid quality).
+      graft.functions.Vectors.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, portable = true)
+        .transform(sortGuarded(_, "vec_id"))
+    },
     "q113_chunk_documents" -> { (s, dir) =>
       // RAG sliding-window chunking: 32-token windows, stride 24
       // (8-token overlap). Median doc is 56 tokens, max 99, so the gate
@@ -2455,6 +2469,53 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    // Full iterative replay of portable k-means: md5-ranked seeds, two
+    // argmin passes with HUGEINT multiplied-out squared distances
+    // (Spark: Decimal(38)), exact micro-unit centroid sums between them.
+    // Distances become doubles only at the final division, so both
+    // engines compute identical values and the (dist, cluster) argmin
+    // cannot diverge.
+    "q114_kmeans_topics" ->
+      """WITH pts AS (
+           SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         seeds AS (
+           SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS c
+           FROM (SELECT DISTINCT vec_id FROM embeddings)
+           QUALIFY c < 8),
+         c0 AS (
+           SELECT s.c, p.i, p.q AS sd, CAST(1 AS BIGINT) AS n
+           FROM seeds s JOIN pts p USING (vec_id)),
+         d1 AS (
+           SELECT p.vec_id, c.c,
+             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+           FROM pts p JOIN c0 c ON p.i = c.i
+           GROUP BY 1, 2, c.n),
+         m1 AS (
+           SELECT vec_id, c FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+         upd AS (
+           SELECT m.c, p.i, sum(p.q) AS sd, count(*) AS n
+           FROM m1 m JOIN pts p USING (vec_id) GROUP BY 1, 2),
+         c1 AS (
+           SELECT c0.c, c0.i, coalesce(u.sd, c0.sd) AS sd, coalesce(u.n, c0.n) AS n
+           FROM c0 LEFT JOIN upd u ON c0.c = u.c AND c0.i = u.i),
+         d2 AS (
+           SELECT p.vec_id, c.c,
+             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+           FROM pts p JOIN c1 c ON p.i = c.i
+           GROUP BY 1, 2, c.n)
+         SELECT vec_id, CAST(c AS INT) AS cluster, round(dist, 6) AS dist
+         FROM d2
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
+         ORDER BY vec_id""",
     "q113_chunk_documents" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks, len(toks) AS p,

@@ -170,6 +170,126 @@ object Vectors {
     centroids
   }
 
+  /** Topic clustering: classic squared-L2 Lloyd k-means ASSIGNMENTS
+    * (id, cluster, dist) — the corpus-partitioning operator behind
+    * cluster-balanced sampling and diversity-aware dedup (ivfCentroids
+    * is the cosine/spherical sibling that only serves IVF routing and
+    * never exposes assignments). `iters` counts assignment passes: seed
+    * → assign → (update → assign) × (iters−1); empty clusters keep
+    * their previous centroid.
+    *
+    * Scale shape (both modes): per iteration ONE narrow corpus pass
+    * with the k×dim centroid table broadcast; no corpus shuffle ever —
+    * production mode updates centroids via the partial vector-sum
+    * aggregate (VectorMean: one (count, Σ) buffer of dim doubles per
+    * cluster per map task), portable mode via a posexplode keyed on
+    * (cluster, dim) whose shuffle is k×dim partials per task.
+    *
+    * `portable=false` (production): xxhash64-ranked seeds, double
+    * centroids, unrounded distances — the fast path for a real corpus.
+    * `portable=true` (the q114 gate): every arithmetic step is
+    * bit-reproducible on ANY engine — md5-ranked seeds; components
+    * quantized to 1e-6 micro-units (round-half-away, exact longs);
+    * centroids kept as EXACT integer (Σ micro-units, count) pairs;
+    * squared distance compares points against centroids with the
+    * denominator multiplied out, Σ_d (q_d·n − S_d)² computed in
+    * 38-digit decimals (DuckDB: HUGEINT) and converted to a double
+    * only once at the end — so distances are identical doubles on
+    * every engine and argmin (tie-break: cluster index) cannot
+    * diverge. Integer bounds: |q| ≤ 1e6·max|x|, so the squared terms
+    * stay under 10³⁸ for corpora up to ~10⁹ rows per cluster at
+    * |x| ≤ 10 — beyond that, use production mode.
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad kmeans params k=$k iters=$iters")
+    graft.plans.TopKByScore.requireIntegralId(
+      corpus.schema(idCol).dataType, "kmeansAssign")
+    val xs = transform(col(vecCol), v => v.cast("double"))
+    if (portable) kmeansPortable(corpus, idCol, xs, k, iters)
+    else kmeansFast(corpus, idCol, xs, k, iters)
+  }
+
+  private def kmeansFast(
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = corpus.select(col(idCol).as("__kid"), xs.as("__x"))
+    val seedW = Window.orderBy(xxhash64(col("__kid")), col("__kid"))
+    var cent = pts.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("__c"),
+        col("__x").as("__cv"))
+    def assign(ct: DataFrame): DataFrame = {
+      val d = aggregate(zip_with(col("__x"), col("__cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      pts.crossJoin(broadcast(ct))
+        .select(col("__kid"), col("__x"), col("__c"), d.as("__d"))
+        .groupBy("__kid")
+        .agg(first(col("__x")).as("__x"),
+          min(struct(col("__d"), col("__c"))).as("__m"))
+        .select(col("__kid"), col("__x"),
+          col("__m").getField("__c").as("__c"),
+          col("__m").getField("__d").as("__d"))
+    }
+    (1 until iters).foreach { _ =>
+      val upd = assign(cent).groupBy("__c")
+        .agg(graft.plans.VectorMean.mean(col("__x")).as("__cv1"))
+      cent = cent.join(upd, Seq("__c"), "left")
+        .select(col("__c"), coalesce(col("__cv1"), col("__cv")).as("__cv"))
+    }
+    assign(cent).select(col("__kid").as(idCol),
+      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
+  }
+
+  private def kmeansPortable(
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = corpus.select(col(idCol).as("__kid"),
+      transform(xs, v => round(v * 1e6).cast("long")).as("__q"))
+    def seedH = md5(col("__kid").cast("string"))
+    val seedW = Window.orderBy(seedH, col("__kid"))
+    var cent = pts.orderBy(seedH, col("__kid")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("__c"),
+        col("__q").as("__s"), lit(1L).as("__n"))
+    def assign(ct: DataFrame): DataFrame = {
+      val num = aggregate(
+        zip_with(col("__q"), col("__s"), (p, s) => {
+          val d = p * col("__n") - s
+          d.cast(dec) * d.cast(dec)
+        }),
+        lit(java.math.BigDecimal.ZERO).cast(dec), _ + _)
+      val d = num.cast("double") /
+        ((col("__n") * col("__n")).cast("double") * 1e12)
+      pts.crossJoin(broadcast(ct))
+        .select(col("__kid"), col("__q"), col("__c"), d.as("__d"))
+        .groupBy("__kid")
+        .agg(first(col("__q")).as("__q"),
+          min(struct(col("__d"), col("__c"))).as("__m"))
+        .select(col("__kid"), col("__q"),
+          col("__m").getField("__c").as("__c"),
+          col("__m").getField("__d").as("__d"))
+    }
+    (1 until iters).foreach { _ =>
+      val a = assign(cent)
+      val sums = a.select(col("__c"), posexplode(col("__q")))
+        .groupBy(col("__c"), col("pos")).agg(sum(col("col")).as("__sd"))
+        .groupBy("__c")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__sd")))),
+          e => e.getField("__sd")).as("__s1"))
+      val cnts = a.groupBy("__c").agg(count(lit(1)).as("__n1"))
+      cent = cent.join(sums.join(cnts, "__c"), Seq("__c"), "left")
+        .select(col("__c"), coalesce(col("__s1"), col("__s")).as("__s"),
+          coalesce(col("__n1"), col("__n")).as("__n"))
+    }
+    assign(cent).select(col("__kid").as(idCol),
+      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
+  }
+
   /** Nearest-centroid assignment: one narrow pass over the corpus with the
     * (small) centroid table broadcast; `max_by` picks the arg-max cell.
     */

@@ -269,4 +269,121 @@ class VectorsGroundTruthSpec extends SparkSuite {
     }.sum
     assert(hits.toDouble / expected.values.map(_.size).sum >= 0.4)
   }
+
+  /** Three tight separated blobs, with blob membership arranged so the 3
+    * hash-ranked seeds of the given mode land in DISTINCT blobs (plain
+    * hash seeding is not k-means++ — duplicate-blob seeds converge to a
+    * legitimate local optimum that merges blobs, which is expected Lloyd
+    * behavior, not what this recovery test probes).
+    */
+  private def blobCorpus(seedOrder: Long => (String, Long)): (Seq[(Long, Array[Float])], Map[Long, Int]) = {
+    val rnd = new scala.util.Random(3)
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val ids = (0L until 90L).toSeq
+    val seeds = ids.sortBy(seedOrder).take(3)
+    val blobOf = ids.map { id =>
+      id -> (seeds.indexOf(id) match {
+        case -1 => (id % 3).toInt
+        case s  => s
+      })
+    }.toMap
+    (ids.map { id =>
+      (id, centers(blobOf(id)).map(_ + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }, blobOf)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("kmeansAssign (both modes) recovers well-separated blobs") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    for (portable <- Seq(false, true)) {
+      val order: Long => (String, Long) =
+        if (portable) id => (md5hex(id.toString), id)
+        else id => ("%020d".format(BigInt(XXH64.hashLong(id, 42L)) + BigInt(2).pow(63)), id)
+      val (corpus, blobOf) = blobCorpus(order)
+      val df = corpus.toDF("vec_id", "embedding").repartition(5)
+      val got = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 3,
+          iters = 3, portable = portable)
+        .as[(Long, Int, Double)].collect()
+      assert(got.length == 90)
+      // every blob lands in exactly one cluster, blobs in distinct clusters
+      val byBlob = got.groupBy(r => blobOf(r._1)).map { case (b, rows) =>
+        b -> rows.map(_._2).toSet
+      }
+      byBlob.foreach { case (b, cs) => assert(cs.size == 1, s"blob $b split: $cs") }
+      assert(byBlob.values.flatten.toSet.size == 3, s"blobs merged: $byBlob")
+      // converged: every point sits within the blob radius of its centroid
+      got.foreach { case (id, _, d) => assert(d < 1.0, s"vec $id dist $d") }
+    }
+  }
+
+  test("kmeansAssign portable mode: exact driver-side replay of the full loop") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(6)((rnd.nextFloat() - 0.5f) * 1.2f)))
+    val (k, iters) = (5, 2)
+    val got = Vectors.kmeansAssign(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = k, iters = iters, portable = true)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+
+    // driver replay with exact integer arithmetic (BigInt = the decimal /
+    // HUGEINT carrier) and the same md5 seed ranking
+    val q: Map[Long, Array[Long]] = corpus.map { case (id, v) =>
+      id -> v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toMap
+    var cent: Seq[(Array[BigInt], Long)] = corpus.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+      .map(id => (q(id).map(BigInt(_)), 1L))
+    def assign(): Map[Long, (Int, Double)] = q.map { case (id, p) =>
+      val ds = cent.zipWithIndex.map { case ((s, n), c) =>
+        val num = p.indices.map { d =>
+          val diff = BigInt(p(d)) * n - s(d); diff * diff
+        }.sum
+        (num.toDouble / (n.toDouble * n * 1e12), c)
+      }
+      id -> { val m = ds.min; (m._2, m._1) }
+    }
+    (1 until iters).foreach { _ =>
+      val a = assign()
+      val members = a.toSeq.groupBy(_._2._1)
+      cent = cent.zipWithIndex.map { case (old, c) =>
+        members.get(c) match {
+          case Some(ms) =>
+            val ids = ms.map(_._1)
+            (Array.tabulate(6)(d => ids.map(id => BigInt(q(id)(d))).sum),
+              ids.size.toLong)
+          case None => old
+        }
+      }
+    }
+    val expected = assign()
+    got.foreach { case (id, cl, dist) =>
+      val (ecl, edist) = expected(id)
+      assert(cl == ecl, s"vec $id cluster $cl != $ecl")
+      assert(math.abs(dist - r6(edist)) < 1e-9, s"vec $id dist")
+    }
+  }
+
+  test("kmeansAssign: empty clusters keep their centroid; k > n survives") {
+    // two tight duplicated points, k=4: at least two clusters go empty
+    val df = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) Array(5f, 5f) else Array(-5f, -5f)))
+      .toDF("vec_id", "embedding")
+    for (portable <- Seq(false, true)) {
+      val got = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 4,
+          iters = 3, portable = portable)
+        .as[(Long, Int, Double)].collect()
+      assert(got.length == 40)
+      assert(got.map(_._2).toSet.size >= 2)
+    }
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val g2 = Vectors.kmeansAssign(tiny, "vec_id", "embedding", k = 5,
+      iters = 2, portable = true).collect()
+    assert(g2.length == 2)
+  }
 }
