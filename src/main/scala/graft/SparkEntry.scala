@@ -1096,6 +1096,24 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("sim"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
+    "q116_topk_keywords" -> { (s, dir) =>
+      // Per-doc TF-IDF keyword profile: top-3 terms by tf*ln((N+1)/(df+1)),
+      // quantized to 1e-9 units before the per-doc window rank so ties
+      // and order are exact-integer decisions on both engines.
+      graft.functions.Retrieval.topKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .transform(sortGuarded(_, "doc_id", "rank"))
+    },
+    "q115_bm25" -> { (s, dir) =>
+      // BM25 over a 3-term query with a wide idf spread ('dup' df=25 of
+      // 500 at sf0.01 vs ~380 for the common terms): per-term
+      // contributions quantize to 1e-9 longs before the per-doc sum, so
+      // ranking compares exact integers.
+      graft.functions.Retrieval.bm25(
+        t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("dup", "vector", "merge"), k = 20)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q114_kmeans_topics" -> { (s, dir) =>
       // Portable-mode Lloyd k-means (k=8, 2 assignment passes) over the
       // embeddings: micro-unit integer centroids + multiplied-out
@@ -2469,6 +2487,44 @@ object SparkEntry {
          FROM feat GROUP BY doc_id ORDER BY id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
+    // Both retrieval oracles mirror the Spark expression STRUCTURE
+    // token-for-token (same literals, same associativity) so the doubles
+    // match bit-for-bit before quantization.
+    "q116_topk_keywords" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         nn AS (SELECT count(*) AS n FROM docs),
+         tf AS (SELECT doc_id, t, count(*) AS tf
+                FROM (SELECT doc_id, unnest(w) AS t FROM docs) GROUP BY 1, 2),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         wq AS (SELECT tf.doc_id, tf.t,
+                  CAST(round(tf.tf * ln((nn.n + 1.0) / (dft.df + 1.0)) * 1e9)
+                    AS BIGINT) AS wq
+                FROM tf JOIN dft USING (t) CROSS JOIN nn)
+         SELECT doc_id, t AS term, round(wq / 1e9, 6) AS weight,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, t)
+             AS INT) AS rank
+         FROM wq QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+    "q115_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
+         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1)
+         SELECT doc_id, round(sq / 1e9, 6) AS score,
+           CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank
+         FROM scored
+         ORDER BY sq DESC, doc_id LIMIT 20""",
     // Full iterative replay of portable k-means: md5-ranked seeds, two
     // argmin passes with HUGEINT multiplied-out squared distances
     // (Spark: Decimal(38)), exact micro-unit centroid sums between them.
