@@ -12,6 +12,10 @@ object Verify {
     // optional trailing names restrict the dump (dev loop: one new query
     // + scripts/compare.py without paying the full 100+-query dump)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        "(a misspelled filter would otherwise look like an empty passing run)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

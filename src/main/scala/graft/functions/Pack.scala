@@ -154,16 +154,19 @@ object Pack {
     val p = size(col("__w"))
     val nChunks = (ceil(greatest(p - chunkTokens, lit(0)) /
       lit(strideTokens.toDouble))).cast("int") + 1
+    // posexplode outputs are __-aliased immediately: an input whose id
+    // column is literally named "pos"/"col" must not ambiguate (the
+    // same internal-name convention as Dedup/Retrieval).
     df.select(col(idCol), split(col(textCol), " ", -1).as("__w"))
       .select(col(idCol), col("__w"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => i * strideTokens)))
+          i => i * strideTokens)).as(Seq("__pos", "__start")))
       .select(col(idCol),
-        col("pos").cast("int").as("chunk_idx"),
-        (col("col") + 1).cast("long").as("start_tok"),
-        least(lit(chunkTokens), size(col("__w")) - col("col")).cast("long")
+        col("__pos").cast("int").as("chunk_idx"),
+        (col("__start") + 1).cast("long").as("start_tok"),
+        least(lit(chunkTokens), size(col("__w")) - col("__start")).cast("long")
           .as("n_tokens"),
-        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(chunkTokens)))
+        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
 }

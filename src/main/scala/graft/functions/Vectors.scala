@@ -179,7 +179,11 @@ object Vectors {
     * their previous centroid.
     *
     * Scale shape (both modes): per iteration ONE narrow corpus pass
-    * with the k×dim centroid table broadcast; no corpus shuffle ever —
+    * with the k×dim centroid table broadcast — the table is
+    * MATERIALIZED to the driver between iterations (see
+    * [[materialized]]; k ≤ 2^16 gated) so the per-iteration plan stays
+    * constant-size instead of doubling as lineage; no corpus shuffle
+    * ever —
     * production mode updates centroids via the partial vector-sum
     * aggregate (VectorMean: one (count, Σ) buffer of dim doubles per
     * cluster per map task), portable mode via a posexplode keyed on
@@ -208,6 +212,9 @@ object Vectors {
       iters: Int = 2,
       portable: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1, s"bad kmeans params k=$k iters=$iters")
+    require(k <= (1 << 16),
+      s"k=$k exceeds 2^16: the centroid table rides the driver between " +
+        "iterations and must stay model-sized")
     graft.plans.TopKByScore.requireIntegralId(
       corpus.schema(idCol).dataType, "kmeansAssign")
     val xs = transform(col(vecCol), v => v.cast("double"))
@@ -215,14 +222,28 @@ object Vectors {
     else kmeansFast(corpus, idCol, xs, k, iters)
   }
 
+  /** Materialize a centroid table as a driver-local relation: without
+    * this, each Lloyd iteration's `cent` is unmaterialized LINEAGE that
+    * references the prior `cent` twice (assign + the update join), so
+    * the plan doubles per iteration and every prior assignment pass is
+    * recomputed — ~2^iters corpus passes instead of one per iteration.
+    * The table is k×dim (require-gated ≤ 2^16 rows), so the collect is
+    * model-sized; the rebuilt LocalRelation also broadcasts trivially.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   private def kmeansFast(
       corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = corpus.select(col(idCol).as("__kid"), xs.as("__x"))
     val seedW = Window.orderBy(xxhash64(col("__kid")), col("__kid"))
-    var cent = pts.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
+    var cent = materialized(pts.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("__c"),
-        col("__x").as("__cv"))
+        col("__x").as("__cv")))
     def assign(ct: DataFrame): DataFrame = {
       val d = aggregate(zip_with(col("__x"), col("__cv"),
         (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
@@ -238,8 +259,8 @@ object Vectors {
     (1 until iters).foreach { _ =>
       val upd = assign(cent).groupBy("__c")
         .agg(graft.plans.VectorMean.mean(col("__x")).as("__cv1"))
-      cent = cent.join(upd, Seq("__c"), "left")
-        .select(col("__c"), coalesce(col("__cv1"), col("__cv")).as("__cv"))
+      cent = materialized(cent.join(upd, Seq("__c"), "left")
+        .select(col("__c"), coalesce(col("__cv1"), col("__cv")).as("__cv")))
     }
     assign(cent).select(col("__kid").as(idCol),
       col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
@@ -253,9 +274,9 @@ object Vectors {
       transform(xs, v => round(v * 1e6).cast("long")).as("__q"))
     def seedH = md5(col("__kid").cast("string"))
     val seedW = Window.orderBy(seedH, col("__kid"))
-    var cent = pts.orderBy(seedH, col("__kid")).limit(k)
+    var cent = materialized(pts.orderBy(seedH, col("__kid")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("__c"),
-        col("__q").as("__s"), lit(1L).as("__n"))
+        col("__q").as("__s"), lit(1L).as("__n")))
     def assign(ct: DataFrame): DataFrame = {
       val num = aggregate(
         zip_with(col("__q"), col("__s"), (p, s) => {
@@ -282,9 +303,9 @@ object Vectors {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__sd")))),
           e => e.getField("__sd")).as("__s1"))
       val cnts = a.groupBy("__c").agg(count(lit(1)).as("__n1"))
-      cent = cent.join(sums.join(cnts, "__c"), Seq("__c"), "left")
+      cent = materialized(cent.join(sums.join(cnts, "__c"), Seq("__c"), "left")
         .select(col("__c"), coalesce(col("__s1"), col("__s")).as("__s"),
-          coalesce(col("__n1"), col("__n")).as("__n"))
+          coalesce(col("__n1"), col("__n")).as("__n")))
     }
     assign(cent).select(col("__kid").as(idCol),
       col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
