@@ -1145,7 +1145,7 @@ object SparkEntry {
       // sf0.01); removed_chars pins the exact excision, not just ids.
       val docs = t(s, dir, "documents")
       val cleaned = graft.functions.Dedup.dropRepeatedSpans(
-        docs, "doc_id", "text", spanWords = 8, minDocFreq = 2)
+        docs, "doc_id", "text", spanWords = 8, minDocFreq = 2, portable = true)
       docs.select(col("doc_id"), length(col("text")).as("__olen"))
         .join(cleaned, "doc_id")
         .select(col("doc_id"), col("text"),
@@ -2583,24 +2583,26 @@ object SparkEntry {
            array_to_string(list_slice(toks, i * 24 + 1, least(i * 24 + 32, p)),
              ' ') AS chunk_text
          FROM c ORDER BY doc_id, chunk_idx""",
-    // Sliding 8-gram replay of dropRepeatedSpans: positions covered by a
+    // Sliding 8-gram replay of dropRepeatedSpans (portable mode):
+    // gram keys are the md5-derived 60-bit hash — the SAME longs the
+    // Spark side shuffles, so doc frequency, canon (min doc id) and any
+    // hash collision replay bit-for-bit; positions covered by a
     // duplicated non-canonical span start drop; survivors reassemble in
-    // position order. Same canon (min doc id) and distinct-doc-frequency
-    // rules as the Spark side.
+    // position order.
     "q112_drop_repeated_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          g0 AS (SELECT doc_id, toks,
                   unnest(range(1, greatest(len(toks) - 8 + 2, 1))) AS s
                 FROM w),
          grams AS (
            SELECT doc_id, s,
-             array_to_string(list_slice(toks, s, s + 8 - 1), ' ') AS gram
+             ${hex60Sql("array_to_string(list_slice(toks, s, s + 8 - 1), ' ')")} AS gh
            FROM g0),
          stats AS (
-           SELECT gram, count(DISTINCT doc_id) AS df, min(doc_id) AS canon
+           SELECT gh, count(DISTINCT doc_id) AS df, min(doc_id) AS canon
            FROM grams GROUP BY 1),
          dup AS (
-           SELECT g.doc_id, g.s FROM grams g JOIN stats st USING (gram)
+           SELECT g.doc_id, g.s FROM grams g JOIN stats st USING (gh)
            WHERE st.df >= 2 AND g.doc_id <> st.canon),
          cov AS (SELECT DISTINCT doc_id, s + unnest(range(0, 8)) AS pos FROM dup),
          toks AS (

@@ -975,48 +975,66 @@ object Dedup {
     * (count is per distinct doc): that is repetitionRatio (q56) /
     * dropRepeatedBlocks territory.
     *
-    * Scale shape: the corpus-wide shuffles are keyed by span text
-    * (bounded postings, ~spanWords tokens wide) and by (id, position)
-    * for the covered-token anti-join; covered positions fan out at most
-    * spanWords rows per duplicated start, and reassembly is a bounded
-    * per-doc aggregate — no corpus window, no driver collect. At 100 TB
-    * the span key would be xxhash64(span) to cut the shuffle width
-    * (exact modulo ~2^-64 collisions); the text key here keeps the
-    * operator bit-exact and engine-portable for the q112 oracle.
+    * Scale shape (the r12 shuffle-diet re-plan — nothing token-level
+    * ever reaches an exchange):
+    *  1. spans hash map-side to an 8-byte key (xxhash64; `portable`
+    *     swaps the md5-derived [[h60]] so the oracle replays every key
+    *     bit-for-bit) — the stats aggregate and the dup-join shuffle
+    *     8-byte longs, never ~spanWords-token strings;
+    *  2. duplicated non-canonical starts aggregate per doc into ONE
+    *     sorted array row (collect_set bounded by doc length), so the
+    *     join back to the corpus is per-AFFECTED-doc, not per token;
+    *  3. excision runs map-side in a codegen kernel
+    *     ([[graft.plans.ExciseSpans]]): one merge-sweep over the raw
+    *     string — no token posexplode, no (doc,pos) anti-join, no
+    *     collect_list reassembly. Unaffected docs pass through verbatim
+    *     (split+rejoin on " " is the identity, so this is bit-equal to
+    *     the old reassembly; null text still comes back as "").
+    * A hash collision (2^-64 / 2^-60 per gram pair) can only merge two
+    * distinct grams' doc sets — and portable mode keeps even that
+    * replayable by the verification oracle.
     */
   def dropRepeatedSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       spanWords: Int = 8,
-      minDocFreq: Int = 2): DataFrame = {
+      minDocFreq: Int = 2,
+      portable: Boolean = false): DataFrame = {
     require(spanWords >= 2 && minDocFreq >= 2, s"bad params $spanWords/$minDocFreq")
+    val gh: Column => Column = if (portable) h60 else (c => xxhash64(c))
     val w = df.select(col(idCol).as("__sid"), split(col(textCol), " ", -1).as("__w"))
     // sequence() guarded by the size filter: Spark's sequence(1, n) runs
     // DESCENDING for n < 1, so short docs must never reach it.
-    val grams = w.filter(size(col("__w")) >= spanWords)
-      .select(col("__sid"), posexplode(transform(
+    val hashes = w.filter(size(col("__w")) >= spanWords)
+      .select(col("__sid"), transform(
         sequence(lit(1), size(col("__w")) - spanWords + 1),
-        start => concat_ws(" ", slice(col("__w"), start, lit(spanWords))))))
-      .select(col("__sid"), (col("pos") + 1).as("__s"), col("col").as("__gram"))
-    val stats = grams.groupBy("__gram")
-      .agg(count_distinct(col("__sid")).as("__df"), min(col("__sid")).as("__canon"))
-    val dupStarts = grams.join(stats, "__gram")
-      .filter(col("__df") >= minDocFreq && col("__sid") =!= col("__canon"))
-      .select(col("__sid"), col("__s"))
-    val covered = dupStarts
-      .select(col("__sid"),
-        explode(sequence(col("__s"), col("__s") + spanWords - 1)).as("__pos"))
-      .distinct()
-    val toks = w.select(col("__sid"), posexplode(col("__w")))
-      .select(col("__sid"), (col("pos") + 1).as("__pos"), col("col").as("__tok"))
-    val rebuilt = toks.join(covered, Seq("__sid", "__pos"), "left_anti")
+        start => gh(concat_ws(" ", slice(col("__w"), start, lit(spanWords)))))
+        .as("__ghs"))
+    val grams = hashes
+      .select(col("__sid"), posexplode(col("__ghs")).as(Seq("__p", "__gh")))
+      .select(col("__sid"), (col("__p") + 1).cast("long").as("__s"), col("__gh"))
+    // doc frequency via map-side per-doc dedup + plain count: bit-equal
+    // to groupBy(__gh).agg(count_distinct(__sid)) but ONE single-stage
+    // partial aggregate over per-doc-distinct pairs, instead of the
+    // two-exchange expand plan Spark gives a distinct aggregate (which
+    // would shuffle every gram INSTANCE twice)
+    val dupGrams = hashes
+      .select(col("__sid"), explode(array_distinct(col("__ghs"))).as("__gh"))
+      .groupBy("__gh")
+      .agg(count(lit(1)).as("__df"), min(col("__sid")).as("__canon"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__gh"), col("__canon"))
+    val starts = grams.join(dupGrams, "__gh")
+      .filter(col("__sid") =!= col("__canon"))
       .groupBy("__sid")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-          e => e.getField("__tok"))).as("__text"))
-    df.select(col(idCol)).join(rebuilt, df(idCol) === rebuilt("__sid"), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+      .agg(array_sort(collect_set(col("__s"))).as("__starts"))
+    df.select(col(idCol), col(textCol))
+      .join(starts, col(idCol) === col("__sid"), "left")
+      .select(col(idCol),
+        when(col("__starts").isNotNull,
+          graft.plans.ExciseSpans(col(textCol), col("__starts"), spanWords))
+          .otherwise(coalesce(col(textCol), lit(""))).as(textCol))
   }
 
   /** ---- SimHash ----

@@ -220,6 +220,49 @@ object TextKernels {
       Array[Any](n, counts.size().toLong, hf))
   }
 
+  /** Map-side span excision for exact-substring dedup
+    * (Dedup.dropRepeatedSpans): drop every token of `text` whose
+    * 1-based split-on-" " position lands inside any interval
+    * [s, s+spanWords-1] for s in the SORTED-ascending `starts` array,
+    * and rejoin survivors with " ". One merge-sweep over the string —
+    * no token array materialized, O(len + |starts|): the coveredUntil
+    * high-water mark folds overlapping spans as the start pointer
+    * advances. Empty tokens (consecutive spaces) are positions too,
+    * exactly like `split(text, " ", -1)`; a fully-covered doc returns
+    * "". This kernel replaces what was a corpus-sized posexplode →
+    * (doc,pos) anti-join → collect_list reassembly — two token-level
+    * exchanges — with a per-affected-doc array join + this scan.
+    */
+  def exciseSpans(text: UTF8String, starts: ArrayData, spanWords: Int): UTF8String = {
+    val s = text.toString
+    val k = starts.numElements()
+    val sb = new java.lang.StringBuilder(s.length)
+    var j = 0               // next unconsumed start
+    var coveredUntil = 0L   // highest covered position so far
+    var pos = 1L            // 1-based token position
+    var tokStart = 0
+    var kept = false
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        while (j < k && starts.getLong(j) <= pos) {
+          val e = starts.getLong(j) + spanWords - 1
+          if (e > coveredUntil) coveredUntil = e
+          j += 1
+        }
+        if (pos > coveredUntil) {
+          if (kept) sb.append(' ')
+          sb.append(s, tokStart, i)
+          kept = true
+        }
+        pos += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Greedy left-to-right non-overlapping application of one BPE merge
     * (l, r) → l+r over a token array (see plans.ApplyMerge).
     */
@@ -842,4 +885,44 @@ object TokenEntropy {
 
   def apply(text: Column): Column =
     CatalystBridge.column(TokenEntropy(CatalystBridge.expression(text)))
+}
+
+/** `excise_spans(text, starts, spanWords)`: codegen'd span excision for
+  * exact-substring dedup (see TextKernels.exciseSpans). `starts` must be
+  * a sorted-ascending array<long> of 1-based duplicated span starts.
+  */
+final case class ExciseSpans(left: Expression, right: Expression, spanWords: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"excise_spans expects (string, array<long>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(text: Any, starts: Any): Any =
+    TextKernels.exciseSpans(
+      text.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], spanWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, st) =>
+      s"${ev.value} = graft.plans.TextKernels.exciseSpans($t, $st, $spanWords);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExciseSpans =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "excise_spans"
+}
+
+object ExciseSpans {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, starts: Column, spanWords: Int): Column =
+    CatalystBridge.column(ExciseSpans(
+      CatalystBridge.expression(text), CatalystBridge.expression(starts), spanWords))
 }

@@ -357,6 +357,39 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(got(5L) == "completely unrelated text body here now")
   }
 
+  test("dropRepeatedSpans: portable (md5) and production (xxhash64) keys agree") {
+    val corpus = Seq(
+      (1L, "alpha shared one two three four tail"),
+      (2L, "x shared one two three four y z"),
+      (3L, "shared one two three four"),
+      (5L, "completely unrelated text body here now")
+    ).toDF("doc_id", "text")
+    val prod = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", spanWords = 4,
+      minDocFreq = 2).as[(Long, String)].collect().toMap
+    val port = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", spanWords = 4,
+      minDocFreq = 2, portable = true).as[(Long, String)].collect().toMap
+    assert(prod == port)
+  }
+
+  test("dropRepeatedSpans: overlapping spans merge; empty tokens are positions") {
+    // docs 1/2 share two OVERLAPPING 3-gram spans ("a b c", "b c d") —
+    // the kernel's coveredUntil sweep must fold them into one interval;
+    // doc 2's double space makes an empty token that counts as a
+    // position (split(" ", -1) semantics) and survives excision intact
+    val corpus = Seq(
+      (1L, "a b c d one"),
+      (2L, "pre a b c d  post"),
+      (3L, "unrelated filler words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", spanWords = 3,
+      minDocFreq = 2).as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b c d one") // canon untouched
+    // doc 2: positions 2..5 ("a b c d") covered; the empty token between
+    // "d" and "post" is position 6 — kept, so the double space persists
+    assert(got(2L) == "pre  post")
+    assert(got(3L) == "unrelated filler words here")
+  }
+
   test("dropRepeatedSpans: within-doc repetition alone never cuts") {
     val corpus = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),

@@ -239,19 +239,53 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("span dedup: no corpus window, no nested-loop; bounded reassembly (q112)") {
+  test("span dedup: one gram explode, hashed-key shuffles, map-side excision (q112)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = SparkEntry.queries("q112_drop_repeated_spans")(spark, sf)
         .queryExecution.executedPlan
       val s = p.toString
-      // sliding spans shuffle on gram text / (id, pos) keys only — never
-      // a corpus-wide window task, never an all-pairs product
       assert(p.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.isEmpty, "no Window over the span stream")
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
         s.take(2000))
+      // the r12 shuffle diet: every Generate explodes the per-doc gram
+      // HASH array (__ghs) — the old token-level posexplode(__w) →
+      // (doc,pos) anti-join → collect_list reassembly, and the covered-
+      // position explode(sequence(__s…)), must never come back. Two
+      // Generates are expected: the positioned gram stream for the dup
+      // join and the per-doc-distinct stream for the doc-frequency
+      // aggregate (map-side recompute — CPU, not an exchange).
+      val gens = p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.nonEmpty && gens.size <= 2, s"got ${gens.size} Generates")
+      gens.foreach { g =>
+        // bound generators print input TYPES: the gram-hash array is
+        // array<bigint>; a token-level explode would be array<string>
+        // (posexplode(__w)) and the covered-position rebuild a
+        // sequence(...) generator
+        val gen = g.boundGenerator.toString
+        assert(gen.contains("array<bigint>") || gen.contains("xxhash64(") ||
+          gen.contains("md5("),
+          s"non-gram-hash explode crept back: ${gen.take(300)}")
+        assert(!gen.contains("array<string>") && !gen.contains("sequence(input["),
+          s"token-level explode crept back: ${gen.take(300)}")
+      }
+      // excision is the codegen kernel, not a relational rebuild
+      assert(s.contains("excise_spans"), "map-side excise_spans kernel in plan")
+      // gram-side exchanges carry 8-byte hash keys, never document text:
+      // the only shuffle allowed to carry a text column is the final
+      // doc-keyed join back to the corpus (no __gh/__s on board there)
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        val names = e.child.output.map(_.name)
+        if (names.exists(n => n == "__gh" || n == "__s" || n == "__starts"))
+          assert(!names.contains("text"),
+            s"gram/starts exchange must not carry text: $names")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -121,4 +121,27 @@ class TextKernelsSpec extends SparkSuite {
     assert(q.getDouble(0) == 0.866667, q)
     assert(q.getDouble(2) != q.getDouble(0))
   }
+
+  test("exciseSpans kernel: merge-sweep, empty tokens, boundary spans") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def run(text: String, starts: Seq[Long], span: Int): String =
+      graft.plans.TextKernels.exciseSpans(UTF8String.fromString(text),
+        new GenericArrayData(starts.toArray), span).toString
+    // single span mid-string
+    assert(run("a b c d e", Seq(2L), 2) == "a d e")
+    // overlapping spans fold into one interval
+    assert(run("a b c d e f", Seq(1L, 2L), 3) == "e f")
+    // span touching the last token
+    assert(run("a b c d", Seq(3L), 2) == "a b")
+    // full coverage -> empty string
+    assert(run("a b c", Seq(1L), 3) == "")
+    // no starts -> identity, including consecutive-space empty tokens
+    assert(run("a  b", Seq.empty, 2) == "a  b")
+    // empty token at a covered position drops like any token: "a::b"
+    // splits to [a, "", "", b]; covering positions 2..3 keeps "a b"
+    assert(run("a   b", Seq(2L), 2) == "a b")
+    // start past the end is inert
+    assert(run("a b", Seq(9L), 2) == "a b")
+  }
 }
