@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Retrieval
+
+/** Ground-truth and plan-shape tests for the lexical retrieval operators
+  * (bm25 q115, topKeywords q116) — the oracle gates replay the pipelines
+  * at corpus scale; these pin the semantics on hand-checkable inputs:
+  * tie-breaks on EXACT quantized scores, empty/no-match inputs, require
+  * gates, and the 100 TB plan shape (query-vocab filter below the
+  * aggregation exchange; per-doc windows only).
+  */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple banana"),
+    (3L, "cherry cherry cherry durian"),
+    (4L, "elderberry fig grape plum"),
+    (5L, "apple banana apple cherry") // exact twin of doc 1
+  ).toDF("doc_id", "text")
+
+  // ---- bm25 ----
+
+  test("bm25: only docs matching >= 1 query term appear; ranked desc, id-asc ties") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple", "cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 4 shares no query term -> absent
+    assert(!got.map(_._1).contains(4L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+    // ranks are 1..n dense in output order
+    assert(got.map(_._3).toSeq == (1 to got.length))
+    // docs 1 and 5 are identical texts -> identical quantized scores;
+    // the tie MUST break id-ascending (1 before 5, adjacent ranks)
+    val r1 = got.find(_._1 == 1L).get
+    val r5 = got.find(_._1 == 5L).get
+    assert(r1._2 == r5._2, s"twin docs must tie exactly: $r1 $r5")
+    assert(r5._3 == r1._3 + 1, s"tie must break id-asc: $r1 $r5")
+    // scores weakly decreasing in rank order
+    assert(got.sortBy(_._3).sliding(2).forall {
+      case Array(a, b) => a._2 >= b._2
+      case _ => true
+    })
+  }
+
+  test("bm25: driver-side replay of the exact formula (quantized longs)") {
+    val n = 5.0
+    val avgdl = (4 + 2 + 4 + 4 + 4) / 5.0
+    val (k1, b) = (1.2, 0.75)
+    // term "apple": df=3 (docs 1,2,5); doc 2: tf=1, dl=2
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def contrib(tf: Double, dl: Double, df: Double) =
+      math.round(idf(df) * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b + b * dl / avgdl)) * 1e9)
+    val expected2 = contrib(1, 2, 3) / 1e9
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple"), k = 10)
+      .filter(col("doc_id") === 2L).select(round(col("score"), 6))
+      .head.getDouble(0)
+    assert(got == math.rint(expected2 * 1e6) / 1e6, s"$got vs $expected2")
+  }
+
+  test("bm25: k truncates AFTER global ranking; empty query/bad k refuse") {
+    val top1 = Retrieval.bm25(corpus, "doc_id", "text", Seq("cherry"), k = 1)
+      .collect()
+    assert(top1.length == 1)
+    // doc 3 has tf=3 of "cherry" -> highest score
+    assert(top1.head.getLong(0) == 3L && top1.head.getInt(2) == 1)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(corpus, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(corpus, "doc_id", "text", Seq("apple"), k = 0)
+    }
+  }
+
+  test("bm25: no query term in corpus -> empty result, not an error") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text", Seq("zzz"), k = 5)
+    assert(got.count() == 0)
+  }
+
+  test("bm25 plan: query-vocab filter sits below the aggregation exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Retrieval.bm25(corpus, "doc_id", "text", Seq("apple", "cherry"))
+        .queryExecution.executedPlan
+      // every shuffle exchange's input is already filtered to query
+      // terms: the full posting stream must never ride an exchange.
+      // Walk each exchange's subtree: if it contains the token Generate,
+      // the isin filter must sit between them.
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val hasGen = e.child.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.nonEmpty
+        if (hasGen) {
+          val filtered = e.child.collect {
+            case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("INSET") ||
+                f.condition.toString.contains("IN (") ||
+                f.condition.toString.contains("= apple") ||
+                f.condition.toString.contains("IN(") => f
+          }
+          assert(filtered.nonEmpty,
+            s"exploded tokens must be query-filtered pre-shuffle:\n${e.child}")
+        }
+      }
+      // ranking is top-k over quantized longs — no corpus-wide window
+      // before the final k-row rank assignment (the one Window runs on
+      // an already-limited k-row input)
+      val s = p.toString
+      assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"), s)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // ---- topKeywords ----
+
+  test("topKeywords: per-doc tf-idf ranking, term-asc ties, k truncation") {
+    val got = Retrieval.topKeywords(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = got.groupBy(_._1)
+    // every doc has keywords (corpus-universal terms score ln((N+1)/(N+1))=0
+    // but still rank); each doc emits at most k rows with dense ranks
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    // doc 3: "cherry" tf=3 df=3 -> 3*ln(6/4); "durian" tf=1 df=1 -> ln(6/2)
+    val d3 = byDoc(3L).sortBy(_._4)
+    assert(d3.head._2 == "cherry")
+    assert(d3.head._3 == math.rint(3 * math.log(6.0 / 4.0) * 1e6) / 1e6)
+    assert(d3(1)._2 == "durian")
+    // docs 1 and 5 are twins: identical keyword lists, weights, ranks
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq ==
+      byDoc(5L).map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq)
+    // tie-break: doc 2 "apple"/"banana" both tf=1; apple df=3, banana
+    // df=3 -> equal weights, term-ASC order decides rank
+    val d2 = byDoc(2L).sortBy(_._4)
+    assert(d2.map(_._2).toSeq == Seq("apple", "banana"))
+    assert(d2.head._3 == d2(1)._3)
+  }
+
+  test("topKeywords: bad k refuses; window partitions per doc only") {
+    intercept[IllegalArgumentException] {
+      Retrieval.topKeywords(corpus, "doc_id", "text", k = 0)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Retrieval.topKeywords(corpus, "doc_id", "text", k = 3)
+        .queryExecution.executedPlan
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty)
+      // the ranking window is keyed by doc id — group size bounded by
+      // doc length, never a corpus-wide (empty-partition-spec) window
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        "topKeywords window must partition by doc"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
