@@ -1114,6 +1114,22 @@ object SparkEntry {
         queryTerms = Seq("dup", "vector", "merge"), k = 20)
         .transform(sortGuarded(_, "rank"))
     },
+    "q117_bm25_indexed" -> { (s, dir) =>
+      // The PERSISTED lexical index path (retrieval twin of q110):
+      // tokenize once, write (term, doc_id, dl, tf) through Library
+      // sorted on the string term index, then score the SAME 3-term
+      // query from a term-pruned postings read. Gated against q115's
+      // oracle verbatim — the indexed path must reproduce the
+      // corpus-rescan ranking bit-for-bit (same quantized-long scores),
+      // hard-gating build -> write -> pruned read -> score end to end.
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, t(s, dir, "documents"), "doc_id", "text", "lex",
+        targetRows = 4000L)
+      graft.functions.Retrieval.bm25Indexed(
+        lib, "lex", Seq("dup", "vector", "merge"), k = 20)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q114_kmeans_topics" -> { (s, dir) =>
       // Portable-mode Lloyd k-means (k=8, 2 assignment passes) over the
       // embeddings: micro-unit integer centroids + multiplied-out
@@ -2505,6 +2521,29 @@ object SparkEntry {
              AS INT) AS rank
          FROM wq QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     "q115_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
+         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1)
+         SELECT doc_id, round(sq / 1e9, 6) AS score,
+           CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank
+         FROM scored
+         ORDER BY sq DESC, doc_id LIMIT 20""",
+    // q117 shares q115's oracle verbatim: the persisted-index path
+    // must reproduce the corpus-rescan BM25 ranking bit-for-bit.
+    "q117_bm25_indexed" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
          stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),

@@ -57,6 +57,24 @@ object Retrieval {
       .filter(col("__t").isin(terms: _*))
       .groupBy("__rid", "__dl", "__t").agg(count(lit(1)).as("__tf"))
     val dfT = tf.groupBy("__t").agg(count_distinct(col("__rid")).as("__df"))
+    scoreAndRank(tf, dfT, stats, idCol, k, k1, b)
+  }
+
+  /** Shared BM25 scoring + ranking tail over (__rid, __dl, __t, __tf) /
+    * (__t, __df) / one-row (__n, __tok): the SAME arithmetic feeds both
+    * the corpus-rescanning [[bm25]] and the persisted [[bm25Indexed]],
+    * so the two paths are bit-identical by construction (all inputs are
+    * exact longs; the only doubles are the per-term contribution, which
+    * quantizes to 1e-9 longs before the per-doc sum).
+    */
+  private def scoreAndRank(
+      tf: DataFrame,
+      dfT: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     val contrib = tf
       .join(broadcast(dfT), "__t")
       .crossJoin(broadcast(stats))
@@ -76,6 +94,78 @@ object Retrieval {
           .orderBy(col("__sq").desc, col("__rid"))))
       .select(col("__rid").as(idCol),
         round(col("__sq") / 1e9, 6).as("score"), col("rank"))
+  }
+
+  /** Persist a BM25 lexical index through the Library layer — the
+    * retrieval twin of Vectors.buildIvfIndex: build once, query many.
+    * [[bm25]] rescans the whole corpus per query; a 100 TB retrieval
+    * deployment tokenizes ONCE and each query after that must touch only
+    * its own terms' postings. Two symbols:
+    *  - `<name>__stats`: one row (n_docs, n_tokens) — the corpus-level
+    *    constants of the scoring formula;
+    *  - `<name>__postings`: (term, doc_id, dl, tf) written SORTED on the
+    *    string `term` index in bounded files with manifest key ranges,
+    *    so a query's term filter PRUNES FILES (the q57 string-keyed
+    *    index machinery): a 2-term query reads a bounded subset of the
+    *    index bytes, spec-pinned like the IVF sibling. Doc length rides
+    *    each posting row (denormalized) so scoring needs no second
+    *    symbol join. Versioning/snapshots/as-of come free from Library;
+    *    an index rebuild is just a new version.
+    * Per-term document frequency is intentionally NOT a third symbol:
+    * df(t) = row count of t's postings, recomputed from the pruned read
+    * itself — always consistent with the postings, no drift possible.
+    */
+  def buildBm25Index(
+      lib: graft.core.Library,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      targetRows: Long = 100000L): Unit = {
+    val docs = corpus.select(col(idCol).as("__rid"),
+      split(col(textCol), " ", -1).as("__w"))
+      .select(col("__rid"), col("__w"), size(col("__w")).cast("long").as("__dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("n_tokens"))
+    lib.write(s"${name}__stats", stats)
+    val postings = docs
+      .select(col("__rid"), col("__dl"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("__rid"), col("__dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("__rid").as("doc_id"), col("__dl").as("dl"),
+        col("tf"))
+    lib.write(s"${name}__postings", postings, Some("term"), targetRows = targetRows)
+  }
+
+  /** Query a [[buildBm25Index]] index: read ONLY the query terms'
+    * postings (string-index file pruning via the manifest key ranges),
+    * derive per-term df from the pruned rows, and run the exact
+    * [[scoreAndRank]] tail — identical ranking and scores to [[bm25]]
+    * on the same corpus by construction, which is how the q117 gate
+    * hard-gates build → write → pruned read → score end to end.
+    */
+  def bm25Indexed(
+      lib: graft.core.Library,
+      name: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "empty query or bad k")
+    val terms = queryTerms.distinct
+    // exprFilter PRUNES files via manifest string-key ranges; the exact
+    // row filter still runs below (pruning only skips provably-empty
+    // files — same contract as every Library.read caller)
+    val posts = lib.read(s"${name}__postings",
+      exprFilter = Some(graft.query.Expr.col("term").isin(terms: _*)))
+      .filter(col("term").isin(terms: _*))
+    val tf = posts.select(col("doc_id").as("__rid"), col("dl").as("__dl"),
+      col("term").as("__t"), col("tf").as("__tf"))
+    // postings are unique per (term, doc): plain count == distinct docs
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stats = lib.read(s"${name}__stats")
+      .select(col("n_docs").as("__n"), col("n_tokens").as("__tok"))
+    scoreAndRank(tf, dfT, stats, idCol, k, k1, b)
   }
 
   /** Top `k` TF-IDF keywords per document: weight = tf · ln((N+1)/(df+1)),

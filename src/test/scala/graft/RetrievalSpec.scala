@@ -145,6 +145,34 @@ class RetrievalSpec extends SparkSuite {
     assert(d2.head._3 == d2(1)._3)
   }
 
+  test("persisted BM25 index: identical to corpus rescan; term filter prunes files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-bm25-").toString, spark)
+    // sf0.001: ~27k postings rows; targetRows=1200 gives a multi-file
+    // index so term pruning has something to skip
+    Retrieval.buildBm25Index(lib, docs, "doc_id", "text", "lex",
+      targetRows = 1200L)
+    val q = Seq("dup", "vector", "merge")
+    val rescan = Retrieval.bm25(docs, "doc_id", "text", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val indexed = Retrieval.bm25Indexed(lib, "lex", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    // bit-identical ranking AND scores (shared quantized-long tail)
+    assert(indexed == rescan)
+    // the term read really prunes: postings are sorted on the string
+    // term index, so a 2-term query's file set is a strict subset
+    // (bounds come from the manifest — no createColumnStats call)
+    val all = lib.read("lex__postings").inputFiles.length
+    val pruned = lib.read("lex__postings",
+      exprFilter = Some(graft.query.Expr.col("term").isin("dup", "merge")))
+      .inputFiles.length
+    assert(all >= 8, s"expected multi-file index, got $all")
+    assert(pruned < all / 2, s"pruned read touched $pruned of $all files")
+    // index rebuild is just a new version: as-of 1 still serves v1
+    assert(lib.read("lex__postings").count() > 0)
+  }
+
   test("topKeywords: bad k refuses; window partitions per doc only") {
     intercept[IllegalArgumentException] {
       Retrieval.topKeywords(corpus, "doc_id", "text", k = 0)
