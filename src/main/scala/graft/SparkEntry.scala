@@ -1114,6 +1114,29 @@ object SparkEntry {
         queryTerms = Seq("dup", "vector", "merge"), k = 20)
         .transform(sortGuarded(_, "rank"))
     },
+    "q118_array_column_versioned" -> { (s, dir) =>
+      // Dim1 array cells through the FULL versioned path (reference:
+      // test_array_column_type.py + library.py:1069 backfill): write the
+      // embeddings symbol indexed on vec_id, splice-update the first 5
+      // rows' arrays in place (negated elements), then dynamic-schema
+      // append rows that LACK the array column (backfills NULL — the
+      // 'everything else -> None' default) while bringing a new long
+      // column (backfills 0 on the old rows). Cell-derived scalars gate
+      // the values end to end.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      lib.write("arr", emb.select(col("vec_id"), col("embedding")), Some("vec_id"))
+      lib.update("arr", emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+      lib.append("arr", emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("vec_id").as("n")), dynamicSchema = true)
+      lib.read("arr")
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("veclen"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          col("n"))
+        .transform(sortGuarded(_, "vec_id"))
+    },
     "q117_bm25_indexed" -> { (s, dir) =>
       // The PERSISTED lexical index path (retrieval twin of q110):
       // tokenize once, write (term, doc_id, dl, tf) through Library
@@ -2541,6 +2564,21 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank
          FROM scored
          ORDER BY sq DESC, doc_id LIMIT 20""",
+    // Versioned array-cell replay: update splice on the low ids, null
+    // backfill for the array column the appended frame lacks, 0 backfill
+    // for the long column the original rows lack.
+    "q118_array_column_versioned" ->
+      """WITH merged AS (
+           SELECT vec_id,
+             CASE WHEN vec_id < 5 THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding,
+             0 AS n
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, NULL, vec_id FROM embeddings)
+         SELECT vec_id, CAST(len(embedding) AS BIGINT) AS veclen,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS e0, CAST(n AS BIGINT) AS n
+         FROM merged ORDER BY vec_id""",
     // q117 shares q115's oracle verbatim: the persisted-index path
     // must reproduce the corpus-rescan BM25 ranking bit-for-bit.
     "q117_bm25_indexed" ->

@@ -163,14 +163,23 @@ object Expr {
     * int, int+float → double, float+float → wider float; no
     * string/numeric mixing.
     */
-  def commonType(a: DataType, b: DataType): DataType =
-    if (a == b) a
-    else if (isIntegral(a) && isIntegral(b)) rankInt(math.max(intRank(a), intRank(b)))
-    else if (a == FloatType && b == FloatType) FloatType
-    else if (isNumeric(a) && isNumeric(b)) DoubleType
-    else if (a == NullType) b
-    else if (b == NullType) a
-    else throw new IllegalArgumentException(s"no common type for $a vs $b")
+  def commonType(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    // Dim1 array cells promote ELEMENT-wise like their scalar types
+    // (reference: has_valid_common_type recurses into the dimension,
+    // type_utils.hpp:17-43); array vs scalar stays a loud error — the
+    // reference refuses to mix scalars and arrays in one column
+    // (test_array_column_type.py::TestFailure).
+    case (ArrayType(ae, an), ArrayType(be, bn)) =>
+      ArrayType(commonType(ae, be), an || bn)
+    case _ if isIntegral(a) && isIntegral(b) =>
+      rankInt(math.max(intRank(a), intRank(b)))
+    case _ if a == FloatType && b == FloatType => FloatType
+    case _ if isNumeric(a) && isNumeric(b) => DoubleType
+    case (NullType, _) => b
+    case (_, NullType) => a
+    case _ => throw new IllegalArgumentException(s"no common type for $a vs $b")
+  }
 
   /** Infer the Spark type an expression evaluates to against a schema. */
   def inferType(e: Expr, schema: StructType): DataType = e match {

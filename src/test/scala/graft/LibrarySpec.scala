@@ -1032,4 +1032,77 @@ class LibrarySpec extends SparkSuite {
     // flatten requires every named level to exist
     intercept[IllegalArgumentException](MultiIndex.flatten(df, Seq("k", "nope")))
   }
+
+  test("array (Dim1) columns round-trip: ragged, empty, null rows, NaN elements") {
+    // reference: test_array_column_type.py (TestNonEmptyArrays /
+    // TestEmptyArrays): per-cell arrays of int/float widths, ragged
+    // shapes, None rows and NaN elements all survive write -> read
+    val lib = newLib()
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f)),
+      (3L, Seq.empty[Float]),
+      (5L, Seq(Float.NaN, 0.5f))
+    ).toDF("k", "vec")
+      .union(Seq((4L, null.asInstanceOf[Seq[Float]])).toDF("k", "vec"))
+    lib.write("arr", rows, Some("k"))
+    val back = lib.read("arr").orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Float](1))))
+    assert(back.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(back(0)._2.get == Seq(1.0f, 2.0f, 3.0f))
+    assert(back(1)._2.get == Seq(1.0f))
+    assert(back(2)._2.get.isEmpty, "empty array stays empty, not null")
+    assert(back(3)._2.isEmpty, "null row stays null, not empty")
+    assert(back(4)._2.get(0).isNaN && back(4)._2.get(1) == 0.5f)
+  }
+
+  test("array columns: append, update splice, and as-of all preserve cells") {
+    val lib = newLib()
+    val v0 = lib.write("av", Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("k", "vec"), Some("k"))
+    lib.append("av", Seq((3L, Seq(4, 5, 6))).toDF("k", "vec"))
+    // splice-update row 2's array in place
+    lib.update("av", Seq((2L, Seq(30, 31))).toDF("k", "vec"))
+    val latest = lib.read("av").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    assert(latest.toSeq == Seq(1L -> Seq(1, 2), 2L -> Seq(30, 31), 3L -> Seq(4, 5, 6)))
+    // as-of the initial version still serves the original cells
+    val v1 = lib.read("av", AsOf.Version(v0)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    assert(v1.toSeq == Seq(1L -> Seq(1, 2), 2L -> Seq(3)))
+  }
+
+  test("dynamic schema with arrays: null backfill both directions, element promotion") {
+    val lib = newLib()
+    lib.write("dyn", Seq((1L, Seq(1, 2))).toDF("k", "vec"), Some("k"))
+    // appended frame LACKS the array column -> backfills NULL (the
+    // reference's 'everything else -> None' default, library.py:1069),
+    // and brings a new long column that backfills 0 on the OLD rows
+    lib.append("dyn", Seq((2L, 7L)).toDF("k", "n"), dynamicSchema = true)
+    val got = lib.read("dyn").orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Int](1)), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, Some(Seq(1, 2)), 0L), (2L, None, 7L)))
+    // element types promote like scalars: int array + long array -> long
+    lib.append("dyn", Seq((3L, Seq(9L), 1L)).toDF("k", "vec", "n"),
+      dynamicSchema = true)
+    val sch = lib.read("dyn").schema("vec").dataType
+    assert(sch == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType), sch.toString)
+    val prom = lib.read("dyn").orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Long](1))))
+    assert(prom.toSeq == Seq((1L, Some(Seq(1L, 2L))), (2L, None), (3L, Some(Seq(9L)))))
+  }
+
+  test("array vs scalar is a loud error, matching the reference's refusal") {
+    // reference: TestFailure.test_cannot_append_scalar_to_array / inverse
+    val lib = newLib()
+    lib.write("strict", Seq((1L, Seq(1, 2))).toDF("k", "vec"), Some("k"))
+    intercept[IllegalArgumentException] {
+      lib.append("strict", Seq((2L, 5)).toDF("k", "vec"), dynamicSchema = true)
+    }
+    lib.write("strict2", Seq((1L, 5)).toDF("k", "vec"), Some("k"))
+    intercept[IllegalArgumentException] {
+      lib.append("strict2", Seq((2L, Seq(1, 2))).toDF("k", "vec"),
+        dynamicSchema = true)
+    }
+  }
 }
