@@ -385,6 +385,25 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("event_type"), col("value"))
         .transform(sortGuarded(_, "event_id"))
     },
+    "q119_open_date_range" -> { (s, dir) =>
+      // Open-ended date_range — the reference's (None, t1)/(t0, None)
+      // read shape (library.py:2022) — through BOTH surfaces: the
+      // versioned Library read (manifest file pruning on the present
+      // side, LibrarySpec-pinned) and the QueryBuilder clause (one-sided
+      // pushed predicate). The cut sits mid-corpus so each side is a
+      // strict subset.
+      val ev = t(s, dir, "events")
+      val lib = new Library(tmpRoot(), s)
+      lib.write("ev", ev, Some("ts"), targetRows = 3000)
+      val cut = 1704240000000000000L
+      val le = lib.readOpen("ev", None, Some(cut))
+        .select(lit("le").as("side"), col("event_id"), tsUs)
+      val ge = lib.readOpen("ev", Some(cut), None)
+        .select(lit("ge").as("side"), col("event_id"), tsUs)
+      val qb = QueryBuilder().dateRange("ts", None, Some(cut))(ev)
+        .select(lit("qb").as("side"), col("event_id"), tsUs)
+      le.union(ge).union(qb).transform(sortGuarded(_, "side", "event_id"))
+    },
     "q13_head" -> { (s, dir) =>
       QueryBuilder().head(Seq("ts"), 20)(t(s, dir, "events"))
         .select(tsUs, col("event_id"), col("event_type"))
@@ -2104,6 +2123,16 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
+    "q119_open_date_range" ->
+      """SELECT 'le' AS side, event_id, epoch_us(ts) AS ts FROM events
+         WHERE epoch_ns(ts) <= 1704240000000000000
+         UNION ALL
+         SELECT 'ge', event_id, epoch_us(ts) FROM events
+         WHERE epoch_ns(ts) >= 1704240000000000000
+         UNION ALL
+         SELECT 'qb', event_id, epoch_us(ts) FROM events
+         WHERE epoch_ns(ts) <= 1704240000000000000
+         ORDER BY side, event_id""",
     "q13_head" ->
       """SELECT epoch_us(ts) AS ts, event_id, event_type FROM events
          ORDER BY ts LIMIT 20""",

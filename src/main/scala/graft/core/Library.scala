@@ -1002,6 +1002,24 @@ final class Library(
     * row index from manifest offsets — a per-file window, never a global
     * sort.
     */
+  /** Open-ended date_range read — the reference's
+    * `lib.read(sym, date_range=(None, t1))` / `(t0, None)` shape
+    * (library.py:2022). Missing bounds widen to the ns-domain extremes,
+    * which convert saturation-safely to manifest µs units (ceil/floorDiv
+    * shrink magnitudes), so manifest file pruning on the PRESENT side is
+    * exactly the two-sided path's; `(None, None)` degenerates to a full
+    * read, matching `date_range=None`.
+    */
+  def readOpen(
+      symbol: String,
+      from: Option[Long],
+      to: Option[Long],
+      asOf: AsOf = AsOf.Latest,
+      columns: Option[Seq[String]] = None): DataFrame =
+    read(symbol, asOf,
+      Some((from.getOrElse(Long.MinValue), to.getOrElse(Long.MaxValue))),
+      columns)
+
   def read(
       symbol: String,
       asOf: AsOf = AsOf.Latest,

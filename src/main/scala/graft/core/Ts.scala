@@ -148,6 +148,16 @@ object Ts {
   def betweenNs(c: Column, t: DataType, loNs: Long, hiNs: Long): Column =
     cmpNs(c, t, ">=", loNs) && cmpNs(c, t, "<=", hiNs)
 
+  /** Open-ended inclusive range: only the PRESENT bounds compare — the
+    * reference's `date_range=(None, t1)` / `(t0, None)` call shape
+    * (library.py:2022). Both-None is the degenerate full range (filter
+    * folds to true), matching `date_range=None`.
+    */
+  def betweenNsOpen(
+      c: Column, t: DataType, loNs: Option[Long], hiNs: Option[Long]): Column =
+    (loNs.map(cmpNs(c, t, ">=", _)) ++ hiNs.map(cmpNs(c, t, "<=", _)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
   /** Convert a caller-facing ns bound pair into the MANIFEST unit of an
     * index type (µs for timestamp/date indexes, ns for long indexes),
     * rounding inward so inclusive-[lo,hi] semantics are preserved exactly

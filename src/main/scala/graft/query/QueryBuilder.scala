@@ -165,6 +165,15 @@ final case class QueryBuilder(
     add(df => df.filter(
       graft.core.Ts.betweenNs(col(tsCol), df.schema(tsCol).dataType, t0, t1)))
 
+  /** Open-ended DateRangeClause — the reference's common
+    * `date_range=(None, t1)` / `(t0, None)` call shape (library.py:2022):
+    * only the present bounds compare; the pushed predicate is one-sided,
+    * so parquet row-group pruning still applies on that side.
+    */
+  def dateRange(tsCol: String, t0: Option[Long], t1: Option[Long]): QueryBuilder =
+    add(df => df.filter(
+      graft.core.Ts.betweenNsOpen(col(tsCol), df.schema(tsCol).dataType, t0, t1)))
+
   /** RowRangeClause head variant (clause.hpp:649-723): first n rows in
     * index order.
     */

@@ -1105,4 +1105,31 @@ class LibrarySpec extends SparkSuite {
         dynamicSchema = true)
     }
   }
+
+  test("readOpen: open-ended bounds still prune manifest files on the present side") {
+    // reference library.py:2022: date_range=(None, t1) / (t0, None)
+    val lib = newLib()
+    lib.write("ev", events, Some("ts"), targetRows = 250)
+    val all = lib.read("ev").inputFiles.length
+    assert(all >= 4, s"expected multi-file symbol, got $all")
+    // a cut strictly inside the second file (3/8 of the rows): each open
+    // side must touch a strict subset of files
+    val cutUs = events.select(tsUs.as("tus")).orderBy(col("tus"))
+      .limit((events.count() * 3 / 8).toInt).agg(max(col("tus"))).head.getLong(0)
+    val cutNs = cutUs * 1000L
+    val head = lib.readOpen("ev", None, Some(cutNs))
+    val tail = lib.readOpen("ev", Some(cutNs), None)
+    assert(head.inputFiles.length <= all / 2,
+      s"(None, t1) touched ${head.inputFiles.length} of $all files")
+    assert(tail.inputFiles.length < all,
+      s"(t0, None) touched ${tail.inputFiles.length} of $all files")
+    // row semantics: inclusive bounds, complementary cover with overlap
+    // exactly at the cut
+    val n = events.count()
+    val hn = head.count(); val tn = tail.count()
+    val atCut = events.filter(tsUs === cutUs).count()
+    assert(hn + tn == n + atCut, s"$hn + $tn vs $n + $atCut")
+    // (None, None) degenerates to the full read
+    assert(lib.readOpen("ev", None, None).count() == n)
+  }
 }
