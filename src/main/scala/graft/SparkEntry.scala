@@ -378,6 +378,23 @@ object SparkEntry {
         .select(tsUs, col("v_min"), col("v_max"), col("n"))
         .transform(sortSmallAgg(_, "ts"))
     },
+    "q120_resample_subus_nslong" -> { (s, dir) =>
+      // Sub-µs resampling is legal ONLY on the ns-long index (SURVEY
+      // §1.2: the reference index is NANOSECONDS_UTC64; the µs
+      // TimestampType carrier refuses sub-µs rules loudly —
+      // QueryBuilderSpec pins the refusal table). Deterministic sub-µs
+      // jitter (event_id % 997) makes the 2500ns buckets real ns-domain
+      // arithmetic, not µs data in disguise.
+      val ev = t(s, dir, "events").select(
+        (unix_micros(col("ts").cast("timestamp")) * 1000L +
+          pmod(col("event_id"), lit(997L))).as("ts"),
+        col("value"))
+      QueryBuilder()
+        .resample("ts", "2500ns", Seq(
+          ("v_sum", "value", "sum"), ("n", "value", "count")))(ev)
+        .select(col("ts"), round(col("v_sum"), 6).as("v_sum"), col("n"))
+        .transform(sortGuarded(_, "ts"))
+    },
     // ---------------- date_range / row ops (SURVEY §2.1) --------------
     "q12_date_range" -> { (s, dir) =>
       QueryBuilder()
@@ -2119,6 +2136,11 @@ object SparkEntry {
                  + 5400000000000) // 1000 AS ts,
            min(value) AS v_min, max(value) AS v_max, count(value) AS n
          FROM events, a GROUP BY 1 ORDER BY 1""",
+    "q120_resample_subus_nslong" ->
+      """WITH e AS (SELECT epoch_ns(ts) + event_id % 997 AS nts, value FROM events)
+         SELECT nts - nts % 2500 AS ts, round(sum(value), 6) AS v_sum,
+           count(value) AS n
+         FROM e GROUP BY 1 ORDER BY 1""",
     "q12_date_range" ->
       """SELECT event_id, epoch_us(ts) AS ts, event_type, value FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000

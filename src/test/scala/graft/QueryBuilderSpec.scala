@@ -95,6 +95,45 @@ class QueryBuilderSpec extends SparkSuite {
     assert(labels(Resample.OriginTimestamp(4500L)).head == 4500L)
   }
 
+  test("sub-µs resample: loud refusal on µs timestamp indexes, green on ns-long") {
+    // SURVEY §1.2: the reference index is NANOSECONDS_UTC64; the repo's
+    // µs TimestampType carrier cannot represent sub-µs buckets, so any
+    // sub-µs rule/offset/origin must REFUSE — a silent truncation would
+    // shift labels instead of failing. The same rules gate green on the
+    // ns-long index, where sub-µs arithmetic is exact.
+    val tsDf = spark.range(6)
+      .select(timestamp_micros(col("id") * 1000000L).as("ts"),
+        lit(1.0).as("v"))
+    val nsDf = (0 until 6).map(i => (i * 1000L + 500L, 1.0)).toDF("ts", "v")
+    val aggs = Seq(("n", "v", "count"))
+    def run(df: org.apache.spark.sql.DataFrame)(qb: QueryBuilder) = qb(df).collect()
+    // refusal table: (rule, offset, origin) with any sub-µs component
+    val bad = Seq(
+      ("500ns", 0L, Resample.Epoch: Resample.Origin),
+      ("1us500ns", 0L, Resample.Epoch),
+      ("2us", 500L, Resample.Epoch),
+      ("2us", 0L, Resample.OriginTimestamp(1500L)))
+    bad.foreach { case (rule, off, orig) =>
+      val e = intercept[IllegalArgumentException] {
+        run(tsDf)(QueryBuilder().resample("ts", rule, aggs,
+          offsetNs = off, origin = orig))
+      }
+      assert(e.getMessage.contains("µs-aligned"), s"($rule,$off,$orig): $e")
+    }
+    // µs-aligned rules stay green on the timestamp index
+    assert(run(tsDf)(QueryBuilder().resample("ts", "2us", aggs)).nonEmpty)
+    // every refused combination is legal on the ns-long index
+    bad.foreach { case (rule, off, orig) =>
+      assert(run(nsDf)(QueryBuilder().resample("ts", rule, aggs,
+        offsetNs = off, origin = orig)).nonEmpty, s"($rule,$off,$orig)")
+    }
+    // and sub-µs bucketing really buckets: 500ns rule over ns points at
+    // x*1000+500 puts each point in its own [500-aligned) bucket
+    val lbls = run(nsDf)(QueryBuilder().resample("ts", "500ns", aggs))
+      .map(_.getLong(0)).sorted.toSeq
+    assert(lbls == (0 until 6).map(i => i * 1000L + 500L))
+  }
+
   test("then/prepend compose pipelines; filter prefixes merge only while intact") {
     import graft.query.Expr.{col => e, lit => l}
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
