@@ -40,7 +40,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GEN_VERSION = "gen-sf1-v4"
-REPLICAS = 10
+REPLICAS = 10  # overridden by argv[3] for scale-rehearsal dirs (sf5/sf10)
 
 # table -> list of (column, stride_source_table, stride_source_column)
 # stride_source lets foreign keys reuse the primary table's stride.
@@ -72,8 +72,10 @@ def stride_above(v):
 
 def main(src, dst):
     marker = os.path.join(dst, "_GRAFT_SF1_OK")
-    if os.path.isfile(marker) and open(marker).read().strip() == GEN_VERSION:
-        print(f"sf1 dir up to date: {dst}")
+    # replica-count-qualified marker (bare GEN_VERSION == the default 10)
+    want = GEN_VERSION if REPLICAS == 10 else f"{GEN_VERSION}-r{REPLICAS}"
+    if os.path.isfile(marker) and open(marker).read().strip() == want:
+        print(f"scaled dir up to date: {dst}")
         return
     tmp = dst + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -144,15 +146,16 @@ def main(src, dst):
         # Numeric tables keep the single-file default (their row groups
         # are big enough that byte splits land on them).
         if t in ("documents", "embeddings"):
+            nfiles = 16 if REPLICAS <= 10 else 64
             idc = KEY_COLS[t][0][0]
             os.makedirs(out)
             # materialize the replica expansion ONCE; 16 filtered COPYs
             # from the temp table instead of re-running the expansion
             # query (cross-join replication + text rewrite) per bucket
             con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS {q}")
-            for b in range(16):
+            for b in range(nfiles):
                 con.execute(
-                    f"COPY (SELECT * FROM _exp WHERE {idc} % 16 = {b}) "
+                    f"COPY (SELECT * FROM _exp WHERE {idc} % {nfiles} = {b}) "
                     f"TO '{out}/part-{b:02d}.parquet' "
                     "(FORMAT PARQUET, ROW_GROUP_SIZE 4096)")
             con.execute("DROP TABLE _exp")
@@ -160,7 +163,7 @@ def main(src, dst):
             con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
 
     with open(os.path.join(tmp, "_GRAFT_SF1_OK"), "w") as f:
-        f.write(GEN_VERSION)
+        f.write(want)
     os.rename(tmp, dst)
     print(f"wrote {dst}")
 
@@ -184,4 +187,6 @@ def scale_events(src, out):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 3:
+        REPLICAS = int(sys.argv[3])
     main(sys.argv[1], sys.argv[2])

@@ -1002,15 +1002,14 @@ object Dedup {
       minDocFreq: Int = 2,
       portable: Boolean = false): DataFrame = {
     require(spanWords >= 2 && minDocFreq >= 2, s"bad params $spanWords/$minDocFreq")
-    val gh: Column => Column = if (portable) h60 else (c => xxhash64(c))
-    val w = df.select(col(idCol).as("__sid"), split(col(textCol), " ", -1).as("__w"))
-    // sequence() guarded by the size filter: Spark's sequence(1, n) runs
-    // DESCENDING for n < 1, so short docs must never reach it.
-    val hashes = w.filter(size(col("__w")) >= spanWords)
-      .select(col("__sid"), transform(
-        sequence(lit(1), size(col("__w")) - spanWords + 1),
-        start => gh(concat_ws(" ", slice(col("__w"), start, lit(spanWords)))))
-        .as("__ghs"))
+    // ONE byte-level kernel pass per doc builds the sliding gram-hash
+    // array (plans.GramHashes): no per-gram string construction, no
+    // split/slice/concat_ws chain — bit-equal to hashing
+    // concat_ws(" ", slice(split(text," ",-1), j, spanWords)) because
+    // split-on-single-space round-trips byte slices of the raw text.
+    // Short docs yield an empty array (no size-filter split pass).
+    val hashes = df.select(col(idCol).as("__sid"),
+      graft.plans.GramHashes(col(textCol), spanWords, portable).as("__ghs"))
     val grams = hashes
       .select(col("__sid"), posexplode(col("__ghs")).as(Seq("__p", "__gh")))
       .select(col("__sid"), (col("__p") + 1).cast("long").as("__s"), col("__gh"))

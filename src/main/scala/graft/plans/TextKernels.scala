@@ -263,6 +263,68 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Sliding `spanWords`-token gram hashes of `text` under
+    * split-on-single-space tokenization — the map-side key stream of
+    * Dedup.dropRepeatedSpans, ONE pass over the raw bytes.
+    *
+    * The load-bearing identity: `split(text, " ", -1)` preserves empty
+    * tokens, so `concat_ws(" ", slice(tokens, j, k))` is exactly the
+    * BYTE SLICE of the original text from token j's first byte to token
+    * j+k-1's last byte (single-space separators round-trip, runs of
+    * spaces become interior empty tokens that rejoin to the same run).
+    * Hashing those windows directly replaces the Column formulation's
+    * per-gram string build (concat_ws+slice allocations) and, in
+    * portable mode, the hex-string md5 → conv(substring) chain — the
+    * measured dominant CPU of q112 at sf5 (ScaleProbe r12). Bit-equal
+    * outputs: portable = first 15 md5 hex digits as a long (extracted
+    * from the raw digest bytes: 7 full bytes + the high nibble of byte
+    * 7), production = XXH64(bytes, seed 42) — precisely Spark's
+    * xxhash64. A doc with fewer than spanWords tokens yields an empty
+    * array (0x20 never occurs inside a multi-byte UTF-8 sequence, so
+    * byte-level space scanning is codepoint-safe).
+    */
+  def gramHashes(text: UTF8String, spanWords: Int, portable: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token start offsets under split-on-" ": 0 and every byte after a space
+    var tokens = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) tokens += 1; i += 1 }
+    if (tokens < spanWords) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = n + 1 // sentinel: end_i = starts(i+1) - 1
+    val grams = tokens - spanWords + 1
+    val out = new Array[Any](grams)
+    val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    var j = 0
+    while (j < grams) {
+      val from = starts(j)
+      val until = starts(j + spanWords) - 1 // last byte of token j+spanWords-1
+      if (portable) {
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        // first 15 hex digits == 7 full bytes + high nibble of byte 7
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        out(j) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      } else {
+        out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Greedy left-to-right non-overlapping application of one BPE merge
     * (l, r) → l+r over a token array (see plans.ApplyMerge).
     */
@@ -925,4 +987,39 @@ object ExciseSpans {
   def apply(text: Column, starts: Column, spanWords: Int): Column =
     CatalystBridge.column(ExciseSpans(
       CatalystBridge.expression(text), CatalystBridge.expression(starts), spanWords))
+}
+
+/** `gram_hashes(text, spanWords, portable)`: sliding token-gram hash
+  * array in one byte-level pass (see TextKernels.gramHashes).
+  */
+final case class GramHashes(child: Expression, spanWords: Int, portable: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramHashes(input.asInstanceOf[UTF8String], spanWords, portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.gramHashes($c, $spanWords, $portable);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_hashes"
+}
+
+object GramHashes {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, spanWords: Int, portable: Boolean): Column =
+    CatalystBridge.column(GramHashes(
+      CatalystBridge.expression(text), spanWords, portable))
 }

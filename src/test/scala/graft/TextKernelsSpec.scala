@@ -144,4 +144,41 @@ class TextKernelsSpec extends SparkSuite {
     // start past the end is inert
     assert(run("a b", Seq(9L), 2) == "a b")
   }
+
+  test("gramHashes kernel == Column formulation (md5-h60 and xxhash64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tricky shapes: runs of spaces (empty tokens), leading/trailing
+    // spaces, short docs, unicode multi-byte, exactly-spanWords docs
+    val docs = Seq(
+      "alpha beta gamma delta epsilon",
+      "a  b   c d e",           // empty tokens are positions
+      " leading and trailing ",
+      "short doc",              // < spanWords -> no grams
+      "",                       // single empty token
+      "caf\u00e9 na\u00efve \u4e2d\u6587 tokens here",
+      "x y z w"                 // exactly spanWords tokens -> 1 gram
+    ).toDF("text")
+    val span = 4
+    def columnFormulation(portable: Boolean) = {
+      val w = split(col("text"), " ", -1)
+      val gh: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+        else c => xxhash64(c)
+      when(size(w) >= span,
+        transform(sequence(lit(1), size(w) - span + 1),
+          start => gh(concat_ws(" ", slice(w, start, lit(span))))))
+        .otherwise(array().cast("array<long>"))
+    }
+    for (portable <- Seq(true, false)) {
+      val got = docs.select(
+        graft.plans.GramHashes(col("text"), span, portable).as("k"),
+        columnFormulation(portable).as("c"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"portable=$portable: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
 }
