@@ -28,6 +28,10 @@ object ScaleProbe {
     "q93_dsir_weights",
     "q112_drop_repeated_spans",
     "q110_ann_ivf_persisted")
+  // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
+  // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
+  // incidence path — the dense-vocab generator corpus has no rare
+  // shingles. PrefixProbe carries the vocabulary-skewed A/B instead.
 
   /** Probe-only variants: q30 with the maxDocFreq skew/scale dial set —
     * the production configuration for exact Jaccard on a big corpus
@@ -39,7 +43,18 @@ object ScaleProbe {
     "q30_jaccard_cap256" -> ((s, dir) =>
       graft.functions.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        shingleLen = 3, threshold = 0.2, maxDocFreq = 256)))
+        shingleLen = 3, threshold = 0.2, maxDocFreq = 256)),
+    // high-threshold regime through the PUBLIC dispatch: past the dense
+    // gate + t >= 0.5 routes to the prefix-filtered path (r12) — the
+    // measured answer to the uncapped quadratic at sf10
+    "q30_jaccard_t08_prefix" -> ((s, dir) =>
+      graft.functions.Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.8)),
+    "q30_jaccard_t05_prefix" -> ((s, dir) =>
+      graft.functions.Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)))
 
   private def query(name: String): (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame =

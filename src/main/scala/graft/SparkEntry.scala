@@ -842,6 +842,20 @@ object SparkEntry {
         maxDocFreq = 9, forceDense = Some(false))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q121_ngram_jaccard_prefix" -> { (s, dir) =>
+      // The PREFIX-FILTERED exact-Jaccard path (AllPairs/PPJoin shape,
+      // Vernica et al. 2010) forced on, at the t=0.5 dispatch cutoff:
+      // candidates come only from global-rarity-prefix buckets plus the
+      // size-ratio bound, then verify with an exact intersection count —
+      // 100% recall by construction, so the oracle is the same
+      // brute-force Jaccard replay as q30 at the higher threshold. This
+      // is the big-corpus high-threshold strategy (SURVEY §15: the
+      // incidence path is Σ|bucket|²-bound; ScaleProbe measured the
+      // prefix path 50× cheaper at sf10/t=0.8).
+      Dedup.ngramJaccardPairsImpl(t(s, dir, "documents"), "doc_id", "text", 3, 0.5,
+        maxDocFreq = 0, forceDense = Some(false), forcePrefix = Some(true))
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
+    },
     "q77_decontamination_report" -> { (s, dir) =>
       // Per-eval-doc contamination health: which benchmark items are
       // burned into the corpus, by how many docs, and how badly.
@@ -2313,6 +2327,28 @@ object SparkEntry {
           JOIN sizes sa ON id_a = sa.doc_id
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2
+          ORDER BY id_a, id_b""",
+    // q121: same brute-force Jaccard replay as q30, threshold 0.5 —
+    // the prefix-filtered physical path must reproduce it exactly.
+    "q121_ngram_jaccard_prefix" ->
+      s"""WITH docs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+          FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
           ORDER BY id_a, id_b""",
     "q56_repetition_ratio" ->
       s"""WITH docs AS (

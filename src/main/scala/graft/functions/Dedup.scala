@@ -409,7 +409,8 @@ object Dedup {
       shingleLen: Int,
       threshold: Double,
       maxDocFreq: Long,
-      forceDense: Option[Boolean]): DataFrame = {
+      forceDense: Option[Boolean],
+      forcePrefix: Option[Boolean] = None): DataFrame = {
     // The pair machinery (BucketPairs/tile kernel) carries doc ids as
     // longs. A non-integral id would silently cast to null and read back
     // as garbage — reject it up front (same guard as Vectors.rankTopK);
@@ -467,9 +468,13 @@ object Dedup {
           (statsBytes > DenseMaxDocs * 8L &&
             df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs)
     }
-    if (fallback)
-      bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
-    else {
+    if (fallback) {
+      val prefix = forcePrefix.getOrElse(threshold >= PrefixPathMinThreshold)
+      if (prefix)
+        prefixJaccardPairs(posts, idType, threshold, maxDocFreq,
+          force = forcePrefix.contains(true))
+      else bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
+    } else {
       // Dense-index sizes ride the same spread input, so the
       // DistinctShingles kernel in this collect parallelizes with the
       // postings kernel above rather than re-running on the one split.
@@ -744,6 +749,107 @@ object Dedup {
       .filter(col("jac") >= threshold)
       // ids were widened to long for the pair kernel; narrow back so the
       // output schema matches the input id column's type
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("jac"))
+  }
+
+  /** Threshold at/above which the big-corpus fallback uses prefix
+    * filtering instead of the all-incidence aggregate. Below it the
+    * prefix barely shrinks (p = n − ⌈t·n⌉ + 1 keeps ~(1−t) of each
+    * doc's shingles) and its extra passes cost more than they save —
+    * the r12 ScaleProbe measured the t=0.2 regime as incidence-bound
+    * either way.
+    */
+  private val PrefixPathMinThreshold = 0.5
+
+  /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family;
+    * distributed shape after Vernica, Carey & Li, SIGMOD 2010
+    * "Efficient Parallel Set-Similarity Joins Using MapReduce") — the
+    * high-threshold answer to the quadratic wall ScaleProbe measured at
+    * sf10 (SURVEY §15): the all-incidence aggregate pays Σ|bucket|²
+    * co-occurrences, but for Jaccard ≥ t any qualifying pair must (a)
+    * satisfy t·max(|A|,|B|) ≤ min(|A|,|B|) and (b) collide on at least
+    * one shingle inside BOTH docs' (global-rarity-ordered) prefixes of
+    * length n − ⌈t·n⌉ + 1 — proof: the globally-smallest shared shingle
+    * cannot sit past either prefix, else that doc's ≥ ⌈t·n⌉ overlap
+    * could not fit in its ⌈t·n⌉ − 1 suffix slots. So candidates come
+    * from RARE-shingle buckets only, then verify with an exact
+    * intersection count — 100% recall at ANY threshold (this is a
+    * physical optimization, not a recall dial; the parity spec pins it
+    * against both other paths), and the shuffles are 8-byte-keyed
+    * posting-linear: freq join, one bounded per-doc prefix aggregate,
+    * candidate distinct, and two verification joins proportional to
+    * Σ_candidates |A| — never Σ|bucket|².
+    *
+    * The ceil slack (−1e-9) errs toward a LONGER prefix when t·n lands
+    * on a double-representation boundary: more candidates, never lost
+    * recall.
+    */
+  /** Above this average shingle doc-frequency the prefix path DELEGATES
+    * to the incidence aggregate (auto dispatch only — a forced call runs
+    * prefix regardless): with every shingle shared by many docs there
+    * are no "rare" shingles, prefix buckets stay population-sized, and
+    * the verification join amplifies the un-pruned candidates by doc
+    * length — measured as a 75 GB spill on the sf10 rehearsal corpus
+    * (300k distinct shingles across 500k docs, median df 141; see
+    * PrefixProbe/SURVEY §15). Natural corpora sit at avg df ≈ 1–3
+    * (most shingles contain doc-unique content), which is the regime
+    * prefix filtering is FOR. The gate costs one aggregate over the
+    * freq table the path builds anyway.
+    */
+  private val PrefixMaxAvgDf = 8.0
+
+  private[graft] def prefixJaccardPairs(
+      posts: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double,
+      maxDocFreq: Long,
+      force: Boolean = false): DataFrame = {
+    // maxDocFreq semantics identical to the incidence path: over-cap
+    // shingles leave the universe entirely (prefix selection AND
+    // verification), so the capped answer matches bucketAgg's bit-for-bit
+    val base =
+      if (maxDocFreq <= 0) posts
+      else {
+        val bad = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("s")
+        posts.join(bad, Seq("s"), "left_anti")
+      }
+    val freq = base.groupBy("s").agg(count(lit(1)).as("__df"))
+    if (!force) {
+      val d = freq.agg(count(lit(1)).as("__n"), sum(col("__df")).as("__tot")).head
+      val (nShingles, totPosts) = (d.getLong(0), d.getLong(1))
+      if (nShingles == 0L || totPosts.toDouble / nShingles > PrefixMaxAvgDf)
+        return bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
+    }
+    val prefixes = base.join(freq, "s")
+      .groupBy("id")
+      .agg(first(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("__df"), col("s")))).as("__ss"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("__ss"), lit(1),
+          greatest(lit(1),
+            (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+              .cast("int"))))
+          .as("__e"))
+      .select(col("id"), col("sz"), col("__e").getField("s").as("s"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // size-ratio bound: i ≥ t·max(a,b) and i ≤ min(a,b)
+          col("a.sz") >= lit(threshold) * col("b.sz") - lit(1e-9) &&
+          col("b.sz") >= lit(threshold) * col("a.sz") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("a.sz") + col("b.sz")).as("szsum"))
+      .distinct()
+    val withA = cand.join(base.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+    withA.join(base.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"), first(col("szsum")).as("szsum"))
+      .withColumn("jac",
+        round(col("inter").cast("double") /
+          (col("szsum") - col("inter")).cast("double"), 6))
+      .filter(col("jac") >= threshold)
       .select(col("id_a").cast(idType).as("id_a"),
         col("id_b").cast(idType).as("id_b"), col("jac"))
   }

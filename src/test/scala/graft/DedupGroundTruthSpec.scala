@@ -100,6 +100,37 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(runCapped(dense = true) == runCapped(dense = false))
   }
 
+  test("prefix-filtered path agrees with dense and incidence at every threshold") {
+    // the prefix path is a PHYSICAL optimization (100% recall by the
+    // smallest-shared-shingle argument), so it must match the other two
+    // strategies bit-for-bit at ANY threshold — including below its own
+    // dispatch cutoff — and under a doc-frequency cap
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    def run(threshold: Double, cap: Long, dense: Option[Boolean],
+        prefix: Option[Boolean]) =
+      Dedup.ngramJaccardPairsImpl(df, "doc_id", "text", 3, threshold,
+        maxDocFreq = cap, forceDense = dense, forcePrefix = prefix)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val viaPrefix = run(t, 0, Some(false), Some(true))
+      val viaAgg = run(t, 0, Some(false), Some(false))
+      val viaDense = run(t, 0, Some(true), None)
+      assert(viaPrefix == viaAgg, s"prefix vs agg at t=$t")
+      assert(viaPrefix == viaDense, s"prefix vs dense at t=$t")
+    }
+    assert(run(0.2, 0, Some(false), Some(true)).nonEmpty, "vacuous at 0.2")
+    // capped: over-frequent shingles leave the universe in both paths
+    assert(run(0.1, 3, Some(false), Some(true)) ==
+      run(0.1, 3, Some(false), Some(false)))
+    // tiny-set edge: single-shingle docs (n=1 -> prefix length 1)
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b d"))
+      .toDF("doc_id", "text")
+    val gotTiny = Dedup.ngramJaccardPairsImpl(tiny, "doc_id", "text", 3, 0.9,
+      maxDocFreq = 0, forceDense = Some(false), forcePrefix = Some(true))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotTiny == Seq((1L, 2L, 1.0)))
+  }
+
   test("blocked path handles docs spread across many blocks (tiny corpus)") {
     // 40 docs force the 8-block parallelism floor: every tile shape
     // (diagonal, cross, absent) occurs, and several near-dup pairs span
