@@ -856,6 +856,24 @@ object SparkEntry {
         maxDocFreq = 0, forceDense = Some(false), forcePrefix = Some(true))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q122_bpe_encode" -> { (s, dir) =>
+      // The tokenizer's ENCODE half (Sennrich 2016 §3): train 3 merges
+      // (vocab-bounded, the q99 path), then tokenize the whole corpus in
+      // ONE map-side codegen kernel pass — the merge list rides the
+      // closure, so no dictionary join, no explode-shuffle; tokens
+      // materialize inside the scan partitions (the 100 TB shape: the
+      // only exchange below is the determinism tail). Exploded to
+      // (doc_id, pos, token) rows so the oracle hash pins every emitted
+      // subword and its position.
+      val docs = t(s, dir, "documents")
+      val ranks = graft.functions.Bpe.trainMerges(docs, "text", 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Bpe.encode(docs, "doc_id", "text", ranks)
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .transform(sortGuarded(_, "doc_id", "pos"))
+    },
     "q77_decontamination_report" -> { (s, dir) =>
       // Per-eval-doc contamination health: which benchmark items are
       // burned into the corpus, by how many docs, and how badly.
@@ -1761,6 +1779,51 @@ object SparkEntry {
 
   private def wcSql(word: String): String =
     s"(len(string_split(' ' || text || ' ', ' $word ')) - 1)"
+
+  // BPE training replay, shared by the q99 (merge table) and q122
+  // (corpus encode) oracles: the corpus word-frequency table and one
+  // CTE block per merge iteration — pair counts, the (count desc, l, r)
+  // argmax, and greedy left-to-right application expressed as match
+  // positions filtered by run parity. seg${i+1} is the vocabulary's
+  // segmentation after merge i.
+  private val bpeWordsCte =
+    """words AS (
+         SELECT tok AS w, count(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1),
+       seg1 AS (SELECT w, freq, string_split(w, '') AS s FROM words)"""
+
+  private def bpeIterSql(i: Int): String = {
+    val s = s"seg$i"
+    val nxt = s"seg${i + 1}"
+    s"""pairs$i AS (
+          SELECT l, r, sum(freq) AS c FROM (
+            SELECT freq, s[q] AS l, s[q+1] AS r
+            FROM (SELECT w, freq, s, unnest(range(1, len(s))) AS q FROM $s))
+          GROUP BY 1, 2),
+        best$i AS (SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
+        pos$i AS (
+          SELECT b.w, b.q AS p
+          FROM (SELECT w, s, unnest(range(1, len(s))) AS q FROM $s) b, best$i
+          WHERE b.s[b.q] = best$i.l AND b.s[b.q+1] = best$i.r),
+        kept$i AS (
+          SELECT w, p FROM (
+            SELECT w, p, min(p) OVER (PARTITION BY w, p - rn) AS rs FROM (
+              SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+              FROM pos$i))
+          WHERE (p - rs) % 2 = 0),
+        $nxt AS (
+          SELECT w, freq, list(tok ORDER BY q) AS s FROM (
+            SELECT b.w, b.freq, b.q,
+              CASE WHEN k1.p IS NOT NULL THEN b.s[b.q] || b.s[b.q+1]
+                   ELSE b.s[b.q] END AS tok
+            FROM (SELECT w, freq, s, unnest(range(1, len(s) + 1)) AS q
+                  FROM $s) b
+            LEFT JOIN kept$i k1 ON k1.w = b.w AND k1.p = b.q
+            LEFT JOIN kept$i k2 ON k2.w = b.w AND k2.p = b.q - 1
+            WHERE k2.p IS NULL)
+          GROUP BY 1, 2)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_numeric" ->
@@ -3145,43 +3208,8 @@ object SparkEntry {
     // arise in L==R runs; keeping even run offsets IS the left-to-right
     // greedy scan).
     "q99_bpe_merges" -> {
-      def iter(i: Int): String = {
-        val s = s"seg$i"
-        val nxt = s"seg${i + 1}"
-        s"""pairs$i AS (
-              SELECT l, r, sum(freq) AS c FROM (
-                SELECT freq, s[q] AS l, s[q+1] AS r
-                FROM (SELECT w, freq, s, unnest(range(1, len(s))) AS q FROM $s))
-              GROUP BY 1, 2),
-            best$i AS (SELECT l, r, c FROM pairs$i ORDER BY c DESC, l, r LIMIT 1),
-            pos$i AS (
-              SELECT b.w, b.q AS p
-              FROM (SELECT w, s, unnest(range(1, len(s))) AS q FROM $s) b, best$i
-              WHERE b.s[b.q] = best$i.l AND b.s[b.q+1] = best$i.r),
-            kept$i AS (
-              SELECT w, p FROM (
-                SELECT w, p, min(p) OVER (PARTITION BY w, p - rn) AS rs FROM (
-                  SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn
-                  FROM pos$i))
-              WHERE (p - rs) % 2 = 0),
-            $nxt AS (
-              SELECT w, freq, list(tok ORDER BY q) AS s FROM (
-                SELECT b.w, b.freq, b.q,
-                  CASE WHEN k1.p IS NOT NULL THEN b.s[b.q] || b.s[b.q+1]
-                       ELSE b.s[b.q] END AS tok
-                FROM (SELECT w, freq, s, unnest(range(1, len(s) + 1)) AS q
-                      FROM $s) b
-                LEFT JOIN kept$i k1 ON k1.w = b.w AND k1.p = b.q
-                LEFT JOIN kept$i k2 ON k2.w = b.w AND k2.p = b.q - 1
-                WHERE k2.p IS NULL)
-              GROUP BY 1, 2)"""
-      }
-      s"""WITH words AS (
-            SELECT tok AS w, count(*) AS freq FROM (
-              SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-            GROUP BY 1),
-          seg1 AS (SELECT w, freq, string_split(w, '') AS s FROM words),
-          ${iter(1)}, ${iter(2)}, ${iter(3)}
+      s"""WITH $bpeWordsCte,
+          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)}
           SELECT * FROM (
             SELECT 1 AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS freq
             FROM best1
@@ -3190,6 +3218,28 @@ object SparkEntry {
             UNION ALL
             SELECT 3, l, r, CAST(c AS BIGINT) FROM best3)
           ORDER BY rank"""
+    },
+    // q122: corpus encode under the q99-replayed 3-merge list — seg4 is
+    // the word → tokens mapping after all three merges; every document's
+    // word stream joins it and unnests with per-word ordinality, one row
+    // per emitted subword token, position numbered within the doc.
+    "q122_bpe_encode" -> {
+      s"""WITH $bpeWordsCte,
+          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)},
+          docw AS (
+            SELECT doc_id, wq, toks[wq] AS w FROM (
+              SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wq
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))),
+          segt AS (
+            SELECT w, tq, s[tq] AS token FROM (
+              SELECT w, s, unnest(range(1, len(s) + 1)) AS tq FROM seg4))
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wq, tq) - 1
+                      AS BIGINT) AS pos,
+                 token
+          FROM docw JOIN segt USING (w)
+          ORDER BY doc_id, pos"""
     },
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final

@@ -113,4 +113,44 @@ object Bpe {
             graft.plans.ApplyMerge(col("tokens"), l, r).as("tokens"))
       }
   }
+
+  /** Tokenize every document under a TRAINED merge list — the encode
+    * half of the tokenizer (Sennrich et al. 2016 §3): whole corpus →
+    * per-document subword sequences, the step that feeds token budgets
+    * ([[Sampling.sampleToTokenBudget]]) and sequence packing
+    * ([[Pack.packSequences]]).
+    *
+    * Scale shape: the model is the MERGE LIST (vocab-sized, gated
+    * ≤65,536 entries like the other model-in-closure operators), shipped
+    * once per executor inside the [[graft.plans.BpeEncodeText]] codegen
+    * kernel. Encoding is therefore a pure map: no word-dictionary join,
+    * no shuffle, no explode — a 100 TB corpus tokenizes inside the scan
+    * partitions that read it, and the only exchange anywhere downstream
+    * is whatever the CALLER aggregates. Per word the kernel merges the
+    * leftmost lowest-rank pair first, which for trained merge lists is
+    * provably identical to the rank-ordered exhaustive application the
+    * training loop uses (see BpeRanks scaladoc; BpeSpec pins the
+    * equivalence against segmentWords' ApplyMerge fold).
+    *
+    * The merge list must be rank-ordered (as [[trainMerges]] returns
+    * it); ranks are positional. Output: (idCol, tokens array<string>,
+    * n_tokens long). Null text encodes to null tokens / null count.
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge; " +
+      "for raw per-char tokens split the text directly")
+    require(merges.size <= 65536,
+      s"merge list has ${merges.size} entries, above the 65,536 " +
+        "model-in-closure gate")
+    val model = new graft.plans.BpeRanks(merges.toArray)
+    Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol),
+        graft.plans.BpeEncodeText(col(textCol), model).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
 }

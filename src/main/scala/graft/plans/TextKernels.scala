@@ -908,6 +908,122 @@ object ApplyMerge {
     CatalystBridge.column(ApplyMerge(CatalystBridge.expression(seg), l, r))
 }
 
+/** An ordered BPE merge list packaged for executor-side encoding: a
+  * (left, right) → rank hash map, serialized ONCE per executor as a
+  * codegen reference object (the ShingleSet pattern). Encoding runs
+  * leftmost-lowest-rank-first per word, which for a TRAINED merge list
+  * (each merge's components contain only characters and products of
+  * strictly earlier merges — what [[graft.functions.Bpe.trainMerges]]
+  * produces by construction) is exactly equivalent to applying each
+  * merge exhaustively in rank order, i.e. to folding
+  * [[graft.plans.ApplyMerge]] over ranks 1..k: a later merge can never
+  * create an earlier merge's pair, and one greedy pass per rank is a
+  * fixpoint (a merge's product l+r can never equal its own l or r).
+  * BpeSpec pins the equivalence against the segmentWords fold.
+  */
+final class BpeRanks(merges: Array[(String, String)]) extends Serializable {
+  require(merges.nonEmpty, "empty merge list")
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      // A space never appears inside a trained token (words are
+      // split on spaces first), so the joined key is collision-free.
+      m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, i)
+      i += 1
+    }
+    m
+  }
+
+  private def rankOf(l: String, r: String): Int = {
+    val v = rank.get(l + " " + r)
+    if (v == null) Int.MaxValue else v.intValue()
+  }
+
+  /** Tokenize one document: split on single spaces (the Text.tokens /
+    * DuckDB string_split convention every token-path operator shares),
+    * seed each word with its per-char segmentation, then repeatedly
+    * merge the leftmost lowest-rank adjacent pair until none applies.
+    * Word boundaries are hard: no merge crosses a space, and empty
+    * words (leading/trailing/double spaces) contribute no tokens.
+    */
+  def encode(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any](words.length * 4)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        val seg = new java.util.ArrayList[String](word.length)
+        var c = 0
+        while (c < word.length) { seg.add(String.valueOf(word.charAt(c))); c += 1 }
+        var done = false
+        while (!done && seg.size > 1) {
+          var best = -1
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i < seg.size - 1) {
+            val rk = rankOf(seg.get(i), seg.get(i + 1))
+            if (rk < bestRank) { bestRank = rk; best = i }
+            i += 1
+          }
+          if (best < 0) done = true
+          else {
+            seg.set(best, seg.get(best) + seg.get(best + 1))
+            seg.remove(best + 1)
+          }
+        }
+        var t = 0
+        while (t < seg.size) { out.add(UTF8String.fromString(seg.get(t))); t += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_encode(text)`: whole-document subword tokenization under a
+  * trained merge list, in ONE codegen pass — the "apply the tokenizer
+  * to the corpus" step that follows [[graft.functions.Bpe.trainMerges]]
+  * in every pretraining pipeline. The model rides the closure (merge
+  * lists are vocab-sized, ≤64k entries by the Bpe.encode gate), so a
+  * 100 TB corpus encodes entirely map-side: no dictionary join, no
+  * shuffle, tokens materialize inside the scan partition that read the
+  * text.
+  */
+final case class BpeEncodeText(child: Expression, model: BpeRanks)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeRanks", model, classOf[BpeRanks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
+object BpeEncodeText {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: BpeRanks): Column =
+    CatalystBridge.column(BpeEncodeText(CatalystBridge.expression(text), model))
+}
+
 /** `token_entropy(text)`: per-document bag-of-tokens statistics in ONE
   * pass — struct<n_tokens long, n_types long, hf long> where hf is the
   * Shannon entropy in micro-nats: Σ over distinct tokens of

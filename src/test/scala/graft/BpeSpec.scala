@@ -39,4 +39,81 @@ class BpeSpec extends SparkSuite {
     val got = Bpe.trainMerges(docs, "text", 5).collect()
     assert(got.isEmpty, got.mkString(","))
   }
+
+  test("encode tokenizes documents under the trained merges") {
+    val docs = Seq((1L, "low low lower"), (2L, "lower low")).toDF("id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val got = Bpe.encode(docs, "id", "text", merges)
+      .orderBy("id").as[(Long, Seq[String], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq("low", "low", "low", "er"), 4L),
+      (2L, Seq("low", "er", "low"), 3L)), got)
+  }
+
+  test("encode: leftmost-lowest-rank equals the segmentWords rank fold") {
+    // Trained merge lists make the two application orders provably equal
+    // (BpeRanks scaladoc); pin it on a corpus with L==R runs, nested
+    // products, and rank ties resolved at training time.
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"aaa${"ab" * (i % 4)} banana bandana low lower aaaa"))
+      .toDF("id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 6)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val byWord = Bpe.segmentWords(docs, "text", merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map(w => w._1 -> w._3).toMap
+    val enc = Bpe.encode(docs, "id", "text", merges)
+      .as[(Long, Seq[String], Long)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    enc.foreach { case (id, toks, n) =>
+      val expect = texts(id).split(" ", -1).filter(_.nonEmpty).toSeq.flatMap(byWord)
+      assert(toks == expect, s"doc $id: $toks vs $expect")
+      assert(n == toks.size.toLong)
+    }
+  }
+
+  test("encode: word boundaries are hard, empty words vanish, null is null") {
+    val docs = Seq((1L, "a b  a b"), (2L, " ab "), (3L, null))
+      .toDF("id", "text")
+    val got = Bpe.encode(docs, "id", "text", Seq(("a", "b")))
+      .orderBy("id").as[(Long, Seq[String], Option[Long])].collect().toSeq
+    // doc 1: the (a,b) merge never crosses the space between words; the
+    // double space contributes nothing. doc 2: leading/trailing spaces
+    // drop, "ab" chars merge. doc 3: null text → null tokens, null count.
+    assert(got(0) == ((1L, Seq("a", "b", "a", "b"), Some(4L))), got(0))
+    assert(got(1) == ((2L, Seq("ab"), Some(1L))), got(1))
+    assert(got(2)._2 == null && got(2)._3.isEmpty, got(2))
+  }
+
+  test("encode is map-side: no keyed shuffle, no join in the plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val docs = Seq((1L, "low lower")).toDF("id", "text")
+    val plan = Bpe.encode(docs, "id", "text", Seq(("l", "o")))
+      .queryExecution.executedPlan
+    // Kernels.spread may inject its bounded ROUND-ROBIN fan-out on a
+    // single-split scan; anything keyed (a dictionary join's hash
+    // exchange) would break the model-in-closure contract.
+    val keyed = plan.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+    }
+    assert(keyed.isEmpty, plan)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, plan)
+  }
+
+  test("encode gates: empty and oversized merge lists refuse") {
+    val docs = Seq((1L, "a")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.encode(docs, "id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.encode(docs, "id", "text",
+        Seq.tabulate(65537)(i => (s"x$i", s"y$i")))
+    }
+  }
 }
