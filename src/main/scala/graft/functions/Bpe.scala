@@ -147,9 +147,18 @@ object Bpe {
       s"merge list has ${merges.size} entries, above the 65,536 " +
         "model-in-closure gate")
     val model = new graft.plans.BpeRanks(merges.toArray)
+    // The fence keeps the kernel in ITS OWN projection: without it,
+    // CollapseProject inlines bpe_encode into whatever the caller
+    // composes next — a posexplode's Generate re-evaluates the kernel
+    // in its null/empty generator condition (3 occurrences measured in
+    // the q122 plan), and the Generate context has no subexpression
+    // elimination. Same trade as Clean/Pii: encode output columns are
+    // compute-derived, so there is nothing for a pushed filter to prune
+    // on anyway — filter the corpus BEFORE encoding it.
     Kernels.spread(df, Seq(idCol, textCol))
       .select(col(idCol),
-        graft.plans.BpeEncodeText(col(textCol), model).as("tokens"))
+        graft.plans.OptimizerFence(
+          graft.plans.BpeEncodeText(col(textCol), model)).as("tokens"))
       .select(col(idCol), col("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
   }

@@ -106,6 +106,19 @@ class BpeSpec extends SparkSuite {
     assert(joins.isEmpty, plan)
   }
 
+  test("encode runs the kernel ONCE even composed with an explode") {
+    // Without the OptimizerFence, CollapseProject inlines the kernel
+    // into posexplode's Generate, whose null/empty generator condition
+    // re-evaluates it (3 occurrences in the unfenced q122 plan).
+    import org.apache.spark.sql.functions.posexplode
+    val docs = Seq((1L, "low lower")).toDF("id", "text")
+    val plan = Bpe.encode(docs, "id", "text", Seq(("l", "o")))
+      .select($"id", posexplode($"tokens"))
+      .queryExecution.executedPlan.toString
+    val occurrences = "bpe_encode".r.findAllIn(plan).size
+    assert(occurrences == 1, s"$occurrences kernel occurrences in:\n$plan")
+  }
+
   test("encode gates: empty and oversized merge lists refuse") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException] {
