@@ -162,4 +162,31 @@ object Bpe {
       .select(col(idCol), col("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
   }
+
+  /** [[encode]] emitting INTEGER token ids — the training-ready shape
+    * (~4 bytes/token before compression instead of re-materialized
+    * substrings). Ids derive from the model alone, so this is the same
+    * zero-shuffle map: a merge product's id is its 0-based rank; a
+    * single-char token's id is `merges.size + codePoint` (collision-free
+    * by construction, replayable in plain SQL — see
+    * [[graft.plans.BpeRanks.idOf]]). Output: (idCol, ids array<int>,
+    * n_tokens long).
+    */
+  def encodeIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "encodeIds needs at least one merge")
+    require(merges.size <= 65536,
+      s"merge list has ${merges.size} entries, above the 65,536 " +
+        "model-in-closure gate")
+    val model = new graft.plans.BpeRanks(merges.toArray)
+    Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol),
+        graft.plans.OptimizerFence(
+          graft.plans.BpeEncodeIds(col(textCol), model)).as("ids"))
+      .select(col(idCol), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"))
+  }
 }

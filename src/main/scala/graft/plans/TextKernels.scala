@@ -941,6 +941,33 @@ final class BpeRanks(merges: Array[(String, String)]) extends Serializable {
     if (v == null) Int.MaxValue else v.intValue()
   }
 
+  /** Token → integer id, derived from the MODEL alone (no corpus pass,
+    * no vocab table): a merge PRODUCT gets its 0-based rank — every
+    * multi-char token is some merge's product, since tokens only grow
+    * by merging — and a single-char token gets `merges.length + its
+    * code point`. Deterministic, collision-free, and replayable in SQL
+    * from the training CTEs (`k + unicode(t)` / the rank of `l || r`).
+    * First rank wins if a degenerate hand-built list repeats a product
+    * string; trained lists never do.
+    */
+  @transient private lazy val productId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + merges(i)._2, i)
+      i += 1
+    }
+    m
+  }
+
+  def idOf(token: String): Int =
+    if (token.length == 1) merges.length + token.charAt(0).toInt
+    else {
+      val v = productId.get(token)
+      require(v != null, s"token '$token' is neither single-char nor a merge product")
+      v.intValue()
+    }
+
   /** Tokenize one document: split on single spaces (the Text.tokens /
     * DuckDB string_split convention every token-path operator shares),
     * seed each word with its per-char segmentation, then repeatedly
@@ -948,6 +975,29 @@ final class BpeRanks(merges: Array[(String, String)]) extends Serializable {
     * Word boundaries are hard: no merge crosses a space, and empty
     * words (leading/trailing/double spaces) contribute no tokens.
     */
+  private def segmentWord(word: String): java.util.ArrayList[String] = {
+    val seg = new java.util.ArrayList[String](word.length)
+    var c = 0
+    while (c < word.length) { seg.add(String.valueOf(word.charAt(c))); c += 1 }
+    var done = false
+    while (!done && seg.size > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < seg.size - 1) {
+        val rk = rankOf(seg.get(i), seg.get(i + 1))
+        if (rk < bestRank) { bestRank = rk; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        seg.set(best, seg.get(best) + seg.get(best + 1))
+        seg.remove(best + 1)
+      }
+    }
+    seg
+  }
+
   def encode(text: UTF8String): ArrayData = {
     val words = text.toString.split(" ", -1)
     val out = new java.util.ArrayList[Any](words.length * 4)
@@ -955,27 +1005,26 @@ final class BpeRanks(merges: Array[(String, String)]) extends Serializable {
     while (w < words.length) {
       val word = words(w)
       if (word.nonEmpty) {
-        val seg = new java.util.ArrayList[String](word.length)
-        var c = 0
-        while (c < word.length) { seg.add(String.valueOf(word.charAt(c))); c += 1 }
-        var done = false
-        while (!done && seg.size > 1) {
-          var best = -1
-          var bestRank = Int.MaxValue
-          var i = 0
-          while (i < seg.size - 1) {
-            val rk = rankOf(seg.get(i), seg.get(i + 1))
-            if (rk < bestRank) { bestRank = rk; best = i }
-            i += 1
-          }
-          if (best < 0) done = true
-          else {
-            seg.set(best, seg.get(best) + seg.get(best + 1))
-            seg.remove(best + 1)
-          }
-        }
+        val seg = segmentWord(word)
         var t = 0
         while (t < seg.size) { out.add(UTF8String.fromString(seg.get(t))); t += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Same tokenization, emitted as integer ids (see [[idOf]]). */
+  def encodeIds(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any](words.length * 4)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        val seg = segmentWord(word)
+        var t = 0
+        while (t < seg.size) { out.add(idOf(seg.get(t))); t += 1 }
       }
       w += 1
     }
@@ -1022,6 +1071,43 @@ object BpeEncodeText {
 
   def apply(text: Column, model: BpeRanks): Column =
     CatalystBridge.column(BpeEncodeText(CatalystBridge.expression(text), model))
+}
+
+/** `bpe_encode_ids(text)`: [[BpeEncodeText]] emitting integer token ids
+  * instead of strings (see [[BpeRanks.idOf]]) — the training-ready
+  * shape: an int per token instead of a re-materialized substring, so
+  * the encoded corpus is ~4 bytes/token before compression.
+  */
+final case class BpeEncodeIds(child: Expression, model: BpeRanks)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encodeIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeRanks", model, classOf[BpeRanks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.encodeIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode_ids"
+}
+
+object BpeEncodeIds {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: BpeRanks): Column =
+    CatalystBridge.column(BpeEncodeIds(CatalystBridge.expression(text), model))
 }
 
 /** `token_entropy(text)`: per-document bag-of-tokens statistics in ONE
