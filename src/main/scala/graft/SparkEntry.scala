@@ -1205,6 +1205,38 @@ object SparkEntry {
           col("n"))
         .transform(sortGuarded(_, "vec_id"))
     },
+    "q123_minhash_index_dedup" -> { (s, dir) =>
+      // The PERSISTED dedup index path (dedup twin of q110/q117):
+      // signature the corpus ONCE into a band-sorted Library symbol,
+      // then dedup a new ingest batch (doc_id % 3 == 0) against it —
+      // LSH candidates from the index, exact-Jaccard verification
+      // against a candidate-pruned read of the corpus symbol. The index
+      // is built in TWO increments (write + unsorted append) so the
+      // fragmented-index maintenance path is inside the gate; portable
+      // md5 banding makes the whole pipeline — signatures, band keys,
+      // combined-population cap, candidate pairs, exact verification —
+      // replay bit-for-bit in the oracle.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val lib = new Library(tmpRoot(), s)
+      lib.write("docs", corpus, Some("doc_id"), targetRows = 2000L)
+      Dedup.buildMinhashIndex(lib, corpus.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", "mh", portable = true, targetRows = 2000L)
+      Dedup.appendToMinhashIndex(lib, corpus.filter(col("doc_id") % 3 === 2),
+        "mh", "doc_id", "text", targetRows = 2000L)
+      val m = Dedup.matchesAgainstIndex(lib, batch, "mh", "docs",
+        "doc_id", "text", threshold = 0.5)
+      val agg = m.groupBy(col("id_new").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("best_jac"),
+          min(col("id_indexed")).as("first_match"))
+      batch.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jac"), col("first_match"), col("n_matches").isNull.as("kept"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q117_bm25_indexed" -> { (s, dir) =>
       // The PERSISTED lexical index path (retrieval twin of q110):
       // tokenize once, write (term, doc_id, dl, tf) through Library
@@ -2546,6 +2578,62 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, corpus_id, sim, rnk FROM ranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Persisted-index incremental dedup replay: the SAME portable LSH
+    // pipeline as q28 (signatures depend only on each doc's own
+    // shingles, so index-vs-batch banding replays from one banded CTE
+    // split by side), combined-population cap on keys BOTH sides hold,
+    // candidate pairs, then exact-Jaccard verification — the write +
+    // unsorted-append index construction is semantically invisible here,
+    // which is exactly the property the gate pins.
+    "q123_minhash_index_dedup" ->
+      s"""WITH $shingleCtes,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          hs AS (
+            SELECT doc_id, i,
+              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
+            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
+          banded AS (
+            SELECT doc_id, b AS band,
+              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
+              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
+            FROM msig, range(0, 4) t(b)),
+          ib AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+          nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+          ok AS (
+            SELECT i.band, i.key
+            FROM (SELECT band, key, count(*) AS ni FROM ib GROUP BY 1, 2) i
+            JOIN (SELECT band, key, count(*) AS nn FROM nb GROUP BY 1, 2) n
+              ON i.band = n.band AND i.key = n.key
+            WHERE ni + nn <= 1000),
+          cand AS (
+            SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_indexed
+            FROM nb n
+            JOIN ok c ON n.band = c.band AND n.key = c.key
+            JOIN ib i ON i.band = c.band AND i.key = c.key
+            WHERE n.doc_id <> i.doc_id),
+          inter AS (
+            SELECT c.id_new, c.id_indexed, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_indexed
+            JOIN sh b ON b.doc_id = c.id_new AND b.s = a.s
+            GROUP BY 1, 2),
+          m AS (
+            SELECT id_new, id_indexed,
+              round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) AS jac
+            FROM inter
+            JOIN sizes sn ON id_new = sn.doc_id
+            JOIN sizes si ON id_indexed = si.doc_id
+            WHERE round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) >= 0.5),
+          agg AS (
+            SELECT id_new AS doc_id, count(*) AS n_matches,
+              max(jac) AS best_jac, min(id_indexed) AS first_match
+            FROM m GROUP BY 1)
+          SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+            a.best_jac, a.first_match, a.n_matches IS NULL AS kept
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+          LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id""",
     // Full LSH replay (portable md5 hash): 12 minhash signatures → 4
     // 3-slot band keys → ≤1000 bucket cap → candidate pairs, recomputed
     // from scratch in DuckDB. No recall argument — the oracle IS the LSH.

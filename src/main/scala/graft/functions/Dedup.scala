@@ -296,28 +296,7 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
-    // Explicit id prefilter: the self-join's a.id < b.id would infer
-    // isnotnull(id) on the join sides only, leaving the cap's count branch
-    // with a DIFFERENT scan subtree — breaking AQE stage reuse and
-    // re-executing the whole shingle→signature pipeline for the count.
-    // With the filter shared, the signature exchange materializes ONCE
-    // (verified: count branch plans a ReusedExchange).
-    val sig = minhashSignatures(
-      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen),
-      numHashes, portable)
-    // One key per band of r consecutive signature slots; docs sharing ANY
-    // band key are candidates. Production: a 64-bit xxhash64 of the slots.
-    // Portable: the slots themselves, ':'-joined — no re-hash, so the
-    // verification engine reproduces the exact bucket partition.
-    val bandHashes = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      if (portable) concat_ws(":", lit(b) +: slots: _*)
-      else xxhash64(lit(b) +: slots: _*)
-    }
-    val banded = sig
-      .select(col("id"), posexplode(array(bandHashes: _*)))
-      .toDF("id", "band", "bandhash")
+    val banded = bandedRows(df, idCol, textCol, shingleLen, numHashes, bands, portable)
     // Cap via groupBy-count → anti-join on over-cap buckets (not a count
     // window — see decontaminate): only (band, bandhash, count) partials
     // shuffle for the cap decision, and a mega-bucket is never buffered on
@@ -334,6 +313,279 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** The (id, band, bandhash) LSH band rows of a corpus — the shared
+    * front half of [[minhashCandidates]] and the persisted-index pair
+    * ([[buildMinhashIndex]] / [[minhashCandidatesAgainstIndex]]), so the
+    * self-join and index paths bucket IDENTICALLY by construction.
+    *
+    * Explicit id prefilter: the self-join's a.id < b.id would infer
+    * isnotnull(id) on the join sides only, leaving the cap's count branch
+    * with a DIFFERENT scan subtree — breaking AQE stage reuse and
+    * re-executing the whole shingle→signature pipeline for the count.
+    * With the filter shared, the signature exchange materializes ONCE
+    * (verified: count branch plans a ReusedExchange).
+    *
+    * One key per band of r consecutive signature slots; docs sharing ANY
+    * band key are candidates. Production: a 64-bit xxhash64 of the slots.
+    * Portable: the slots themselves, ':'-joined — no re-hash, so the
+    * verification engine reproduces the exact bucket partition.
+    */
+  private[graft] def bandedRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      portable: Boolean): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes $numHashes must divide into bands $bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(
+      shinglePostings(df.filter(col(idCol).isNotNull), idCol, textCol, shingleLen),
+      numHashes, portable)
+    val bandHashes = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      if (portable) concat_ws(":", lit(b) +: slots: _*)
+      else xxhash64(lit(b) +: slots: _*)
+    }
+    sig.select(col("id"), posexplode(array(bandHashes: _*)))
+      .toDF("id", "band", "bandhash")
+  }
+
+  /** ---- Persisted MinHash-LSH index: incremental dedup at corpus scale ----
+    *
+    * The dedup twin of Vectors.buildIvfIndex / Retrieval.buildBm25Index:
+    * signature the corpus ONCE, persist the band rows through the Library
+    * layer, and dedup each NEW INGEST INCREMENT against the accumulated
+    * corpus without ever rescanning it. This is the shape production
+    * pretraining pipelines actually run — a daily crawl drop is deduped
+    * against the full history, and re-shingling 100 TB per drop (what
+    * [[minhashCandidates]] over the union would do) is the cost this
+    * index removes. Two symbols:
+    *  - `<name>__meta`: one row (shingle_len, num_hashes, bands,
+    *    portable) — the signature parameters are part of the index
+    *    identity; probing with different parameters would silently
+    *    produce garbage buckets, so probes read them from here.
+    *  - `<name>__bands`: (bandkey, band, id) written SORTED on bandkey
+    *    (long xxhash64 keys in production, the ':'-joined slot string in
+    *    portable mode) in bounded files with footer key ranges, so a
+    *    batch's probe-key filter PRUNES FILES: a bounded increment reads
+    *    ~|batch|·bands / rows-per-file of the index, independent of
+    *    corpus size. ~bands rows of ~24 bytes per document — the index
+    *    is O(1%) of corpus text bytes even when it IS fully scanned.
+    * Versioning, snapshots and as-of reads come free from Library: an
+    * index rebuild is just a new version, and a botched increment rolls
+    * back by reading the prior version.
+    */
+  def buildMinhashIndex(
+      lib: graft.core.Library,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      portable: Boolean = false,
+      targetRows: Long = 100000L): Unit = {
+    import corpus.sparkSession.implicits._
+    val meta = Seq((shingleLen, numHashes, bands, portable))
+      .toDF("shingle_len", "num_hashes", "bands", "portable")
+    lib.write(s"${name}__meta", meta)
+    val rows = bandedRows(corpus, idCol, textCol, shingleLen, numHashes, bands, portable)
+      .select(col("bandhash").as("bandkey"), col("band"), col("id"))
+    lib.write(s"${name}__bands", rows, Some("bandkey"), targetRows = targetRows)
+  }
+
+  /** Incremental index maintenance: band the new documents under the
+    * index's OWN parameters and append their rows as a new version.
+    * Hash keys are unordered across increments, so the append skips the
+    * monotone-index validation; each appended file still records its own
+    * footer key range (writeData sorts within the increment), so probe
+    * pruning stays CORRECT — ranges merely overlap more as increments
+    * accumulate, degrading pruning gracefully until a Library.compact
+    * rewrites the symbol globally sorted again (the same
+    * fragmentation-then-compact lifecycle the reference documents for
+    * its append path, library.py:1361 + compact).
+    */
+  def appendToMinhashIndex(
+      lib: graft.core.Library,
+      docs: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val (sl, nh, nb, portable) = minhashMeta(lib, name)
+    val rows = bandedRows(docs, idCol, textCol, sl, nh, nb, portable)
+      .select(col("bandhash").as("bandkey"), col("band"), col("id"))
+    lib.append(s"${name}__bands", rows, targetRows = targetRows,
+      validateIndex = false)
+  }
+
+  private def minhashMeta(
+      lib: graft.core.Library, name: String): (Int, Int, Int, Boolean) = {
+    val r = lib.read(s"${name}__meta").head()
+    (r.getAs[Int]("shingle_len"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Boolean]("portable"))
+  }
+
+  /** Candidate near-duplicate pairs of a NEW batch against a
+    * [[buildMinhashIndex]] index: (id_new, id_indexed) for every batch
+    * doc sharing an under-cap band bucket with an indexed doc. Buckets
+    * identically to [[minhashCandidates]] over (indexed ∪ batch) — the
+    * parity the spec pins — because both sides use [[bandedRows]] and
+    * the cap counts the COMBINED (index + batch) bucket population.
+    *
+    * Scale shape: the batch's band keys are counted first (a bounded
+    * aggregate over batch×bands counter rows); when the distinct-key set
+    * fits `maxProbeKeys` it collects to the driver and drives FILE
+    * PRUNING of the index read — incremental-admission cost proportional
+    * to the batch, not the corpus. Past the cap it falls back to a full
+    * band-index scan joined on the key (sort-merge on 8-byte keys over
+    * the signature index — still never re-shingling or shuffling corpus
+    * TEXT). Same-id pairs are dropped: an id present on both sides is
+    * the same record re-observed, not a duplicate of itself.
+    */
+  def minhashCandidatesAgainstIndex(
+      lib: graft.core.Library,
+      batch: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int = 1000,
+      maxProbeKeys: Int = 100000): DataFrame = {
+    val (sl, nh, nb, portable) = minhashMeta(lib, name)
+    val bb = bandedRows(batch, idCol, textCol, sl, nh, nb, portable)
+      .withColumnRenamed("bandhash", "bandkey")
+    // Bounded-batch fast path: collect the probe keys (limit cap+1 so an
+    // over-cap batch never materializes an unbounded driver array) and
+    // prune index files through the manifest key ranges. The equi-join
+    // below re-applies the exact predicate, so pruning only has to be
+    // conservative, never exact.
+    val probeKeys = bb.select("bandkey").distinct().limit(maxProbeKeys + 1).collect()
+    val idx0 =
+      if (probeKeys.length > maxProbeKeys) lib.read(s"${name}__bands")
+      else {
+        val vals = probeKeys.map(_.get(0))
+        lib.read(s"${name}__bands",
+          exprFilter = Some(graft.query.Expr.col("bandkey").isin(
+            vals.toIndexedSeq: _*)))
+      }
+    val idx = idx0.select(col("bandkey"), col("band"), col("id").as("id_indexed"))
+    // Combined bucket population (index members + batch members): a key
+    // yields pairs only when BOTH sides hold it, so the cap decision
+    // joins the two counter aggregates inner — counter rows only, the
+    // mega-bucket is never buffered to be discarded (minhashCandidates'
+    // cap argument).
+    val iCnt = idx.groupBy("band", "bandkey").agg(count(lit(1)).as("__ni"))
+    val bCnt = bb.groupBy("band", "bandkey").agg(count(lit(1)).as("__nb"))
+    val bad = iCnt.join(bCnt, Seq("band", "bandkey"))
+      .filter(col("__ni") + col("__nb") > maxBucket)
+      .select("band", "bandkey")
+    idx.join(bad, Seq("band", "bandkey"), "left_anti")
+      .join(bb.join(bad, Seq("band", "bandkey"), "left_anti"),
+        Seq("band", "bandkey"))
+      .filter(col("id") =!= col("id_indexed"))
+      .select(col("id").as("id_new"), col("id_indexed"))
+      .distinct()
+  }
+
+  /** Verified near-duplicate matches of a batch against a persisted
+    * index: LSH candidates from [[minhashCandidatesAgainstIndex]], then
+    * EXACT n-gram Jaccard ≥ threshold against the candidate corpus
+    * documents' text — read from the `corpusSymbol` Library symbol
+    * PRUNED to the candidate ids (an id-sorted corpus symbol + a bounded
+    * candidate set ⇒ the verification re-reads a candidate-sized slice
+    * of corpus text, never the corpus). Output: (id_new, id_indexed,
+    * jac) with jac rounded to 6.
+    *
+    * Precision is exact (every emitted match verified by intersection
+    * count over distinct shingle sets, the q30 semantics); recall is the
+    * LSH band recall, replayable end-to-end in portable mode.
+    */
+  def matchesAgainstIndex(
+      lib: graft.core.Library,
+      batch: DataFrame,
+      name: String,
+      corpusSymbol: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000,
+      maxProbeKeys: Int = 100000,
+      maxCandidateIds: Int = 1000000): DataFrame = {
+    val (sl, _, _, _) = minhashMeta(lib, name)
+    val cand = minhashCandidatesAgainstIndex(
+      lib, batch, name, idCol, textCol, maxBucket, maxProbeKeys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = cand.select("id_indexed").distinct()
+        .limit(maxCandidateIds + 1).collect()
+      val corpusTexts =
+        if (candIds.length > maxCandidateIds)
+          lib.read(corpusSymbol)
+            .join(cand.select(col("id_indexed").as(idCol)).distinct(),
+              Seq(idCol), "left_semi")
+        else if (candIds.isEmpty)
+          lib.read(corpusSymbol).limit(0)
+        else
+          lib.read(corpusSymbol,
+            exprFilter = Some(graft.query.Expr.col(idCol).isin(
+              candIds.map(_.get(0)).toIndexedSeq: _*)))
+            .join(cand.select(col("id_indexed").as(idCol)).distinct(),
+              Seq(idCol), "left_semi")
+      // Exact verification on candidate docs only: shingle postings of
+      // the candidate corpus slice × postings of batch docs that have a
+      // candidate, joined on the raw shingle (exact, the q30 semantics),
+      // restricted to candidate PAIRS before scoring.
+      val cp = shinglePostings(corpusTexts, idCol, textCol, sl)
+        .select(col("s"), col("id").as("id_indexed"), col("sz").as("__szi"))
+      val bp = shinglePostings(
+        batch.join(cand.select(col("id_new").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, sl)
+        .select(col("s"), col("id").as("id_new"), col("sz").as("__szn"))
+      val inter = cp.join(bp, "s")
+        .groupBy("id_new", "id_indexed")
+        .agg(count(lit(1)).as("__i"),
+          first(col("__szi")).as("__szi"), first(col("__szn")).as("__szn"))
+        .join(cand, Seq("id_new", "id_indexed"), "left_semi")
+      val out = inter
+        .select(col("id_new"), col("id_indexed"),
+          round(col("__i").cast("double") /
+            (col("__szn") + col("__szi") - col("__i")).cast("double"), 6)
+            .as("jac"))
+        .filter(col("jac") >= threshold)
+      // cand is consumed twice above (semi-joins) plus inside out's plan;
+      // sever the lineage before unpersisting so the returned frame does
+      // not silently recompute the candidate pipeline per action.
+      out.localCheckpoint(true)
+    } finally { cand.unpersist(false); () }
+  }
+
+  /** Incremental dedup admission: the batch rows that survive
+    * [[matchesAgainstIndex]] — drop every new doc with a verified
+    * near-duplicate already in the corpus. Combine with
+    * [[appendToMinhashIndex]] on the survivors to advance the index one
+    * increment (the dedup-then-admit loop).
+    */
+  def dedupAgainstIndex(
+      lib: graft.core.Library,
+      batch: DataFrame,
+      name: String,
+      corpusSymbol: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000,
+      maxProbeKeys: Int = 100000): DataFrame = {
+    val dupes = matchesAgainstIndex(lib, batch, name, corpusSymbol, idCol,
+      textCol, threshold, maxBucket, maxProbeKeys)
+      .select(col("id_new").as(idCol)).distinct()
+    batch.join(dupes, Seq(idCol), "left_anti")
   }
 
   /** Exact Jaccard similarity between two docs' shingle SETS — used to
