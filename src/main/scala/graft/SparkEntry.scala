@@ -1625,6 +1625,19 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q124_perplexity_buckets" -> { (s, dir) =>
+      // CCNet §4.4: LM trained on a TRUSTED slice (sources 0–3 standing
+      // in for Wikipedia), scored over the whole crawl, head/middle/tail
+      // cut at the 1/3 and 2/3 percentiles PER LANGUAGE. Ranks come from
+      // the two-level distributed rank engine (no per-language mega-task);
+      // every number in the pipeline is integer micro-nat math, so the
+      // bucket boundary replays exactly.
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(
+        col("source").isin("src0", "src1", "src2", "src3"))
+      Unigram.perplexityBuckets(docs, "doc_id", "text", "lang", ref)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q97_qb_compose" -> { (s, dir) =>
       // Pipelines are VALUES that compose (reference then/prepend,
       // processing.py:927,945): a reusable date-window filter — its ns
@@ -3332,6 +3345,64 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Full CCNet replay: the q98 bigram-LM CTEs with the model counted
+    // from the REFERENCE slice only, scored over all docs, then the
+    // per-language percentile cut from row_number + group counts — the
+    // same (lp_mean desc, doc_id) order and the same ceil(frac·n) double
+    // math (literals are the Scala-printed 1.0/3 and 2.0/3).
+    "q124_perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, source
+           FROM documents),
+         toks AS (
+           SELECT doc_id, source, len(w) AS n, i, w[i] AS cur,
+             CASE WHEN i = 1 THEN NULL ELSE w[i-1] END AS prev
+           FROM (SELECT doc_id, source, w, unnest(range(1, len(w) + 1)) AS i
+                 FROM d)),
+         rt AS (SELECT * FROM toks
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         uni AS (SELECT cur AS tok, count(*) AS c FROM rt GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+         big AS (SELECT prev AS w1, cur AS w2, count(*) AS cb
+                 FROM rt WHERE prev IS NOT NULL GROUP BY 1, 2),
+         totb AS (SELECT CAST(coalesce(sum(cb), 0) AS DOUBLE) AS tb FROM big),
+         ukept AS (
+           SELECT tok,
+             CAST(round(ln(c / t.t) * 1e6) AS BIGINT) AS lp_first,
+             CAST(round(ln(0.4 * c / t.t) * 1e6) AS BIGINT) AS lp_back
+           FROM uni, tot t WHERE c >= 0.001 * t.t),
+         bkept AS (
+           SELECT w1, w2,
+             CAST(round(ln(CAST(cb AS DOUBLE) / u.c) * 1e6) AS BIGINT) AS lp_big
+           FROM big JOIN uni u ON u.tok = big.w1, totb
+           WHERE cb >= 0.001 * totb.tb),
+         floors AS (
+           SELECT CAST(round(ln(0.5 / greatest(t, 1)) * 1e6) AS BIGINT) AS ff,
+             CAST(round(ln(0.4 * 0.5 / greatest(t, 1)) * 1e6) AS BIGINT) AS fb
+           FROM tot),
+         terms AS (
+           SELECT toks.doc_id, toks.n,
+             CASE WHEN toks.i = 1 THEN coalesce(uk.lp_first, floors.ff)
+                  ELSE coalesce(bk.lp_big, uk.lp_back, floors.fb) END AS term
+           FROM toks
+           LEFT JOIN bkept bk ON toks.prev = bk.w1 AND toks.cur = bk.w2
+           LEFT JOIN ukept uk ON toks.cur = uk.tok, floors),
+         scored AS (
+           SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+             round(CAST(sum(term) AS DOUBLE) / 1e6 / CAST(max(n) AS DOUBLE), 6)
+               AS lp_mean
+           FROM terms GROUP BY 1),
+         rk AS (
+           SELECT s.doc_id, dd.lang, s.n_tokens, s.lp_mean,
+             row_number() OVER (PARTITION BY dd.lang
+               ORDER BY s.lp_mean DESC NULLS LAST, s.doc_id) AS r,
+             count(*) OVER (PARTITION BY dd.lang) AS gn
+           FROM scored s JOIN documents dd USING (doc_id))
+         SELECT doc_id, lang, n_tokens, lp_mean,
+           round(exp(-lp_mean), 6) AS ppl,
+           CASE WHEN r <= ceil(0.3333333333333333 * gn) THEN 'head'
+                WHEN r <= ceil(0.6666666666666666 * gn) THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM rk ORDER BY doc_id""",
     "q98_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          toks AS (

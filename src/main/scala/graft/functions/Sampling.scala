@@ -302,6 +302,65 @@ object Sampling {
       .select(col(idCol), (col("__before") + col("__rn")).as("pos"))
   }
 
+  /** Global (or per-group) 1-based ranks under (score, id) order —
+    * [[positionsBy]]'s two-level engine generalized from random shuffle
+    * keys to an arbitrary NUMERIC score, the primitive percentile-bucket
+    * operators (CCNet head/middle/tail) need. `row_number().over
+    * (partitionBy(group).orderBy(score))` buffers a whole group in one
+    * task (a billion-row language at 100 TB); here the sub-bucket is a
+    * PURE FUNCTION of the score — `floor(score · subBucketScale)` — so
+    * its order embeds in the score order and the scheme applies
+    * unchanged:
+    *   1. per-(group, sb) parallel windows number rows locally under
+    *      (score, id),
+    *   2. (group, sb) counts aggregate to a summary; the only
+    *      unpartitioned window computes prefix offsets over that
+    *      summary, never the data.
+    * Deterministic (no sampling, no partition ids): retries and
+    * exchange-reuse modes cannot disagree about coverage — the same
+    * argument as [[positionsBy]]. Sub-bucket granularity only affects
+    * PARALLELISM (all-one-bucket degenerates to the plain window);
+    * correctness never depends on the score distribution. Null scores
+    * rank LAST (null sub-bucket, nulls-last orders, null-safe join),
+    * ties break by id asc. Output: (groupCol?, idCol, rank).
+    */
+  def rankByScore(
+      df: DataFrame,
+      idCol: String,
+      groupCol: Option[String],
+      score: Column,
+      descending: Boolean = false,
+      subBucketScale: Double = 16.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(subBucketScale > 0, s"subBucketScale $subBucketScale must be > 0")
+    val gProj = groupCol.map(col).toSeq
+    val keyed = df.select(
+      gProj ++ Seq(col(idCol), score.cast("double").as("__s"),
+        floor(score.cast("double") * lit(subBucketScale)).as("__sb")): _*)
+    val gCols = groupCol.map(col).toSeq
+    def dir(c: Column) = if (descending) c.desc_nulls_last else c.asc_nulls_last
+    val rowOrder = Seq(dir(col("__s")), col(idCol).asc_nulls_last)
+    val local = keyed.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(gCols :+ col("__sb"): _*).orderBy(rowOrder: _*)))
+    val offsets = keyed
+      .groupBy(gCols :+ col("__sb"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__before",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(gCols: _*).orderBy(dir(col("__sb")))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val off = groupCol.foldLeft(offsets)((o, g) => o.withColumnRenamed(g, "__og"))
+      .withColumnRenamed("__sb", "__osb")
+    val joinCond = (groupCol.map(g => col(g) <=> col("__og")).toSeq :+
+      (col("__sb") <=> col("__osb"))).reduce(_ && _)
+    local
+      .join(broadcast(off), joinCond)
+      .select(gProj ++ Seq(col(idCol),
+        (col("__before") + col("__rn")).as("rank")): _*)
+  }
+
   /** Keep the k best documents per domain by `scoreCol` (desc, ties by
     * id asc) — the domain-mixing cap that stops one over-crawled host
     * from dominating a training mix.

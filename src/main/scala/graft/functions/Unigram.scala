@@ -192,10 +192,35 @@ object Unigram {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minShare: Double): DataFrame = {
+      minShare: Double): DataFrame =
+    bigramScore(df, idCol, textCol, bigramModel(df, idCol, textCol, minShare))
+
+  /** A trained stupid-backoff bigram model: two broadcast-sized score
+    * tables (micro-nat long scores) plus the OOV floors. Both tables are
+    * ≤ ceil(1/minShare) rows BY CONSTRUCTION (see [[bigramModel]]), so a
+    * model always broadcasts however heavy the training corpus.
+    */
+  final case class BigramModel private[functions] (
+      uniModel: DataFrame, // (tok, lp_first, lp_back)
+      bigModel: DataFrame, // (w1, w2, lp_big)
+      floorFirst: Long,
+      floorBack: Long)
+
+  /** Train the [[bigramLogProb]] model on `ref` WITHOUT scoring — the
+    * CCNet split (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data"): the LM is trained on a
+    * trusted reference corpus and applied to the whole crawl, so model
+    * construction and scoring must be separable. Counts aggregate
+    * distributedly; only the ≥ minShare survivors collect.
+    */
+  def bigramModel(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShare: Double): BigramModel = {
     require(minShare > 0 && minShare <= 1,
       s"minShare $minShare not in (0,1] — 0 would unbound the model collect")
-    val spark = df.sparkSession
+    val spark = ref.sparkSession
     // half-AWAY-FROM-ZERO micro-nat quantization: Math.round alone rounds
     // negative ties toward +∞ (floor(x+.5)), but model log-probs are
     // negative and the oracle's round() is half-away-from-zero — the
@@ -205,7 +230,7 @@ object Unigram {
       if (y >= 0) Math.round(y) else -Math.round(-y)
     }
 
-    val toks = Kernels.spread(df, Seq(idCol, textCol))
+    val toks = Kernels.spread(ref, Seq(idCol, textCol))
       .select(col(idCol), Text.tokens(col(textCol)).as("__w"))
     val uniCnt = toks.select(explode(col("__w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -254,7 +279,21 @@ object Unigram {
         }, 1)).toDF("tok", "lp_first", "lp_back")
     val bigModel = spark.createDataFrame(
       spark.sparkContext.parallelize(bigKept.toSeq, 1)).toDF("w1", "w2", "lp_big")
+    BigramModel(uniModel, bigModel, floorFirst, floorBack)
+  }
 
+  /** Score `df` under a trained [[BigramModel]] — the apply half of
+    * [[bigramLogProb]] (one corpus scan, both model tables broadcast,
+    * integer micro-nat per-doc sums → ONE final division). Output:
+    * (idCol, n_tokens, lp_mean).
+    */
+  def bigramScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BigramModel): DataFrame = {
+    val toks = Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol), Text.tokens(col(textCol)).as("__w"))
     toks
       // zip (null +: w[1..n-1]) with w: per position i, prev = w[i-1]
       // (null at i=1), cur = w[i]. Both zip inputs are pre-named columns
@@ -266,18 +305,67 @@ object Unigram {
         posexplode(arrays_zip(col("__p"), col("__w"))))
       .select(col(idCol), col("__n"), (col("pos") + 1).as("__i"),
         col("col.__p").as("__prev"), col("col.__w").as("__cur"))
-      .join(broadcast(bigModel),
+      .join(broadcast(model.bigModel),
         col("__prev") === col("w1") && col("__cur") === col("w2"), "left")
-      .join(broadcast(uniModel), col("__cur") === col("tok"), "left")
+      .join(broadcast(model.uniModel), col("__cur") === col("tok"), "left")
       .select(col(idCol), col("__n"),
-        when(col("__i") === 1, coalesce(col("lp_first"), lit(floorFirst)))
-          .otherwise(coalesce(col("lp_big"), col("lp_back"), lit(floorBack)))
+        when(col("__i") === 1, coalesce(col("lp_first"), lit(model.floorFirst)))
+          .otherwise(coalesce(col("lp_big"), col("lp_back"), lit(model.floorBack)))
           .as("__term"))
       .groupBy(idCol)
       .agg(max("__n").as("n_tokens"), sum("__term").as("__s"))
       .select(col(idCol), col("n_tokens"),
         round(col("__s").cast("double") / lit(1e6) /
           col("n_tokens").cast("double"), 6).as("lp_mean"))
+  }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.4): train
+    * the stupid-backoff bigram LM on a TRUSTED REFERENCE corpus `ref`
+    * (CCNet uses Wikipedia), score every document of `df`, and bucket
+    * each into head / middle / tail at the `headFrac`/`midFrac`
+    * percentile cut WITHIN its `byCol` group (CCNet cuts per language —
+    * a fixed global threshold would empty low-resource languages).
+    * Lower perplexity = higher lp_mean = better; rank 1 is the best doc
+    * of its group.
+    *
+    * Ranking is [[Sampling.rankByScore]] — the two-level distributed
+    * rank (sub-buckets are a pure function of the score) — so no task
+    * ever buffers a whole language; group sizes join back from a
+    * counter aggregate. Deterministic end to end: lp_mean is micro-nat
+    * integer math (order-free sums, one division, round 6), ranks break
+    * ties by id, and the cut `rank ≤ ceil(frac · n)` replays exactly in
+    * the oracle from the same doubles.
+    *
+    * Output: (idCol, byCol, n_tokens, lp_mean, ppl, bucket) — ppl is
+    * round(exp(−lp_mean), 6), the conventional reporting unit. Docs the
+    * scorer drops (null text ⇒ no token rows) are absent, as in
+    * [[bigramLogProb]].
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      ref: DataFrame,
+      minShare: Double = 0.001,
+      headFrac: Double = 1.0 / 3,
+      midFrac: Double = 2.0 / 3): DataFrame = {
+    require(headFrac > 0 && headFrac <= midFrac && midFrac <= 1,
+      s"fractions ($headFrac, $midFrac) must satisfy 0 < head <= mid <= 1")
+    val scored = bigramScore(df, idCol, textCol,
+      bigramModel(ref, idCol, textCol, minShare))
+      .join(df.select(col(idCol), col(byCol)), Seq(idCol))
+    val ranks = Sampling.rankByScore(
+      scored, idCol, Some(byCol), col("lp_mean"), descending = true)
+    val sizes = scored.groupBy(byCol).agg(count(lit(1)).as("__gn"))
+    scored
+      .join(ranks.select(col(idCol), col("rank").as("__r")), Seq(idCol))
+      .join(broadcast(sizes), Seq(byCol))
+      .select(col(idCol), col(byCol), col("n_tokens"), col("lp_mean"),
+        round(exp(-col("lp_mean")), 6).as("ppl"),
+        when(col("__r") <= ceil(lit(headFrac) * col("__gn")), lit("head"))
+          .when(col("__r") <= ceil(lit(midFrac) * col("__gn")), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** Per-document token-distribution statistics: Shannon entropy (nats)

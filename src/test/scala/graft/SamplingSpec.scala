@@ -218,4 +218,42 @@ class SamplingSpec extends SparkSuite {
       ("y", 50L, 0.7, 1)), got)
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("rankByScore: grouped ranks match driver sort; scale-invariant; nulls last") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map { id =>
+      (id, s"g${id % 3}",
+        if (id % 37 == 0) None else Some(rnd.nextDouble() * 10 - 5))
+    }
+    val df = rows.toDF("id", "g", "sc")
+    def expected(desc: Boolean): Map[(String, Long), Long] =
+      rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy { case (id, _, sc) =>
+          // nulls last in both directions, ties by id asc
+          (sc.isEmpty, sc.map(v => if (desc) -v else v).getOrElse(0.0), id)
+        }
+        sorted.zipWithIndex.map { case ((id, _, _), i) => (g, id) -> (i + 1L) }
+      }
+    for (desc <- Seq(true, false); scale <- Seq(0.25, 16.0, 4096.0)) {
+      val got = Sampling.rankByScore(df, "id", Some("g"), col("sc"),
+          descending = desc, subBucketScale = scale)
+        .as[(String, Long, Long)].collect()
+        .map { case (g, id, r) => (g, id) -> r }.toMap
+      assert(got == expected(desc), s"desc=$desc scale=$scale")
+    }
+    // ungrouped: one global permutation
+    val global = Sampling.rankByScore(df, "id", None, col("sc"))
+      .as[(Long, Long)].collect()
+    assert(global.map(_._2).sorted.toSeq == (1L to 400L))
+  }
+
+  test("rankByScore: per-(group,sub-bucket) windows only — no whole-group task") {
+    val df = (1L to 100L).map(i => (i, i.toDouble / 7.0)).toDF("id", "sc")
+    val plan = Sampling.rankByScore(df, "id", None, col("sc"))
+      .queryExecution.executedPlan.toString
+    // the data-side window must partition by the sub-bucket; the only
+    // unpartitioned window may run over the counter summary
+    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).toSeq
+    assert(windows.exists(_.contains("__sb")), plan)
+  }
 }

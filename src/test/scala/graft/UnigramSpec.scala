@@ -139,4 +139,57 @@ class UnigramSpec extends SparkSuite {
     // the vocab-sized running sum must be a PARTITIONED window
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
+
+  test("bigramModel/bigramScore: ref-trained scoring differs from self-trained only via the model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // self-trained split form == the fused bigramLogProb, row for row
+    val fused = Unigram.bigramLogProb(docs, "doc_id", "text", 0.001)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val split = Unigram.bigramScore(docs, "doc_id", "text",
+        Unigram.bigramModel(docs, "doc_id", "text", 0.001))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(fused == split)
+    // a model trained on a narrow slice is a DIFFERENT model: same doc
+    // coverage, but scores move (the direction is corpus-dependent — a
+    // smaller training total raises both the kept shares and the floor,
+    // so no inequality is guaranteed; only identity would be a bug)
+    val ref = docs.filter($"doc_id" % 17 === 0)
+    val refScored = Unigram.bigramScore(docs, "doc_id", "text",
+        Unigram.bigramModel(ref, "doc_id", "text", 0.001))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(refScored.keySet == fused.keySet)
+    assert(refScored.exists { case (id, (_, lp)) => lp != fused(id)._2 },
+      "ref-trained scores identical to self-trained — model not applied")
+  }
+
+  test("perplexityBuckets: CCNet cut sizes, order and ppl hand-check") {
+    // two langs: 'a' with 7 docs, 'b' with 2. Bucket sizes per lang:
+    // n=7 → head ceil(7/3)=3, middle ceil(14/3)-3=2, tail 2;
+    // n=2 → head ceil(2/3)=1, middle ceil(4/3)-1=1, tail 0.
+    val docs = (1L to 7L).map { i =>
+      // doc i repeats "x y" i times then i unique junk tokens: more junk
+      // = more OOV floor terms = strictly lower lp_mean ⇒ rank == i
+      val good = Seq.fill(8 - i.toInt)("x y").mkString(" ")
+      val junk = (1 to i.toInt).map(j => s"junk${i}_$j").mkString(" ")
+      (i, s"$good $junk", "a")
+    } ++ Seq((8L, "x y x y", "b"), (9L, "zz qq ww", "b"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val out = Unigram.perplexityBuckets(df, "doc_id", "text", "lang", df,
+        minShare = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    assert(out.size == 9)
+    val aBuckets = (1L to 7L).map(out(_)._4)
+    assert(aBuckets == Seq("head", "head", "head", "middle", "middle",
+      "tail", "tail"), aBuckets)
+    assert(out(8L)._4 == "head" && out(9L)._4 == "middle")
+    // ppl really is round(exp(-lp_mean), 6)
+    out.values.foreach { case (_, lp, ppl, _) =>
+      val e = BigDecimal(math.exp(-lp))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ppl - e) < 1e-9)
+    }
+  }
 }
