@@ -1253,6 +1253,17 @@ object SparkEntry {
         lib, "lex", Seq("dup", "vector", "merge"), k = 20)
         .transform(sortGuarded(_, "rank"))
     },
+    "q125_semdedup" -> { (s, dir) =>
+      // SemDeDup over the embeddings: portable kmeans (k=8) generates
+      // the candidates, within-cluster cosine ≥ 0.3 connects duplicate
+      // groups, the farthest-from-centroid member of each group is kept.
+      // Every stage replays in the oracle — the kmeans CTEs, exact
+      // cosine, recursive components, and the (dist desc, id) keeper.
+      graft.functions.Vectors.semDedupReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, eps = 0.3, iters = 2, portable = true)
+        .transform(sortGuarded(_, "vec_id"))
+    },
     "q114_kmeans_topics" -> { (s, dir) =>
       // Portable-mode Lloyd k-means (k=8, 2 assignment passes) over the
       // embeddings: micro-unit integer centroids + multiplied-out
@@ -1815,6 +1826,49 @@ object SparkEntry {
          FROM sigparts GROUP BY 1)"""
 
   /** Exact-cosine CTEs (the q31 shapes): flat/norms for `embeddings`. */
+  /** Portable-mode Lloyd k-means replay (k=8, 2 assignment passes) over
+    * the embeddings table — micro-unit integer centroids, multiplied-out
+    * HUGEINT distances. `d2` holds the final per-(point, centroid)
+    * distances; callers pick the argmin row. Shared by q114 and q125.
+    */
+  private val kmeansCtes =
+    """pts AS (
+           SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         seeds AS (
+           SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS c
+           FROM (SELECT DISTINCT vec_id FROM embeddings)
+           QUALIFY c < 8),
+         c0 AS (
+           SELECT s.c, p.i, p.q AS sd, CAST(1 AS BIGINT) AS n
+           FROM seeds s JOIN pts p USING (vec_id)),
+         d1 AS (
+           SELECT p.vec_id, c.c,
+             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+           FROM pts p JOIN c0 c ON p.i = c.i
+           GROUP BY 1, 2, c.n),
+         m1 AS (
+           SELECT vec_id, c FROM d1
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+         upd AS (
+           SELECT m.c, p.i, sum(p.q) AS sd, count(*) AS n
+           FROM m1 m JOIN pts p USING (vec_id) GROUP BY 1, 2),
+         c1 AS (
+           SELECT c0.c, c0.i, coalesce(u.sd, c0.sd) AS sd, coalesce(u.n, c0.n) AS n
+           FROM c0 LEFT JOIN upd u ON c0.c = u.c AND c0.i = u.i),
+         d2 AS (
+           SELECT p.vec_id, c.c,
+             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+           FROM pts p JOIN c1 c ON p.i = c.i
+           GROUP BY 1, 2, c.n)"""
+
   private val cosineCtes =
     """flat AS (
          SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -2860,46 +2914,56 @@ object SparkEntry {
     // engines compute identical values and the (dist, cluster) argmin
     // cannot diverge.
     "q114_kmeans_topics" ->
-      """WITH pts AS (
-           SELECT vec_id, i,
-             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
-           FROM (SELECT vec_id, embedding,
-                   unnest(range(1, len(embedding) + 1)) AS i
-                 FROM embeddings)),
-         seeds AS (
-           SELECT vec_id,
-             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-               - 1 AS c
-           FROM (SELECT DISTINCT vec_id FROM embeddings)
-           QUALIFY c < 8),
-         c0 AS (
-           SELECT s.c, p.i, p.q AS sd, CAST(1 AS BIGINT) AS n
-           FROM seeds s JOIN pts p USING (vec_id)),
-         d1 AS (
-           SELECT p.vec_id, c.c,
-             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
-               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
-           FROM pts p JOIN c0 c ON p.i = c.i
-           GROUP BY 1, 2, c.n),
-         m1 AS (
-           SELECT vec_id, c FROM d1
-           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
-         upd AS (
-           SELECT m.c, p.i, sum(p.q) AS sd, count(*) AS n
-           FROM m1 m JOIN pts p USING (vec_id) GROUP BY 1, 2),
-         c1 AS (
-           SELECT c0.c, c0.i, coalesce(u.sd, c0.sd) AS sd, coalesce(u.n, c0.n) AS n
-           FROM c0 LEFT JOIN upd u ON c0.c = u.c AND c0.i = u.i),
-         d2 AS (
-           SELECT p.vec_id, c.c,
-             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
-               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
-           FROM pts p JOIN c1 c ON p.i = c.i
-           GROUP BY 1, 2, c.n)
+      s"""WITH $kmeansCtes
          SELECT vec_id, CAST(c AS INT) AS cluster, round(dist, 6) AS dist
          FROM d2
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
          ORDER BY vec_id""",
+    // Full SemDeDup replay: the q114 portable-kmeans CTEs give the
+    // assignment, within-cluster pairs score by exact cosine, the q63
+    // recursive CTE connects groups, and the keeper is the row_number-1
+    // row under (dist desc, id) — the farthest-from-centroid member.
+    "q125_semdedup" ->
+      s"""WITH RECURSIVE $kmeansCtes,
+         asg AS (
+           SELECT vec_id, c AS cluster, round(dist, 6) AS dist FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+         $cosineCtes,
+         cand AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT cd.id_a, cd.id_b, sum(q.x * c.x) AS dot
+           FROM cand cd
+           JOIN flat q ON q.vec_id = cd.id_a
+           JOIN flat c ON c.vec_id = cd.id_b AND c.i = q.i
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM dots
+           JOIN norms na ON na.vec_id = id_a
+           JOIN norms nb ON nb.vec_id = id_b
+           WHERE round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                            ELSE dot / (na.nrm * nb.nrm) END, 6) >= 0.3),
+         edges AS (
+           SELECT id_a AS ea, id_b AS eb FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT ea, ea FROM edges
+           UNION
+           SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.id),
+         comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY 1),
+         rk AS (
+           SELECT c.id, c.group_id, a.dist,
+             row_number() OVER (PARTITION BY c.group_id
+               ORDER BY a.dist DESC, c.id) AS rn,
+             count(*) OVER (PARTITION BY c.group_id) AS gn
+           FROM comp c JOIN asg a ON a.vec_id = c.id)
+         SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, a.dist,
+           r.group_id, coalesce(r.gn, 1) AS group_n,
+           coalesce(r.rn = 1, TRUE) AS kept
+         FROM asg a LEFT JOIN rk r ON r.id = a.vec_id
+         ORDER BY a.vec_id""",
     "q113_chunk_documents" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks, len(toks) AS p,

@@ -1119,8 +1119,11 @@ object Dedup {
     * cluster's diameter is tiny — everything is similar to everything).
     * For adversarial long-chain graphs the round cap bounds cost; the
     * published alternating small-star/large-star construction drops in
-    * here if ever needed. Each round materializes via persist so lineage
-    * stays O(1), not O(rounds).
+    * here if ever needed. Each round materializes via localCheckpoint —
+    * persist alone keeps compute O(1) but the LOGICAL plan still chains
+    * (labels appears twice per round, so analysis walks a 2^rounds tree
+    * — a driver GC storm once the pair pipeline feeding `edges` is
+    * heavy); the checkpoint truncates lineage so plans stay O(1) too.
     */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1148,7 +1151,7 @@ object Dedup {
       while (round < maxRounds && changed > 0) {
         // moved rides along in the persisted frame; propagate()'s explicit
         // select never reads it, so it costs one cached boolean column.
-        val next = propagate().persist()
+        val next = propagate().localCheckpoint(true)
         changed = delta(next)
         labels.unpersist()
         labels = next

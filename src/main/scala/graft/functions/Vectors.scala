@@ -451,6 +451,102 @@ object Vectors {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means cluster the
+    * embeddings, find within-cluster cosine pairs ≥ `eps`, connect them
+    * into duplicate groups, and from each group KEEP the member farthest
+    * from its cluster centroid (max kmeans dist, ties to the lower id) —
+    * the paper's low-centroid-similarity keeper, which preserves the
+    * cluster's diversity rather than its mode. The clustering replaces
+    * LSH as the candidate generator ([[cosineNearDupPairs]] is the LSH
+    * sibling): candidates are exactly the within-cluster pairs, so
+    * recall is governed by k, not by band geometry.
+    *
+    * Scale shape: one kmeans pass (broadcast centroids, no corpus
+    * shuffle), then ONE shuffle of (id, vec, cluster) keyed by cluster
+    * for the pair join — within-cluster scoring is O(Σᵢ cᵢ²), the
+    * SemDeDup design point (pick k ≈ n/√target so clusters stay small;
+    * the paper runs k = 50k on 100M+ points). `maxCluster` skips
+    * pathological clusters via the groupBy-count → anti-join cap (the
+    * minhashCandidates argument: counter rows shuffle, a mega-cluster
+    * is never buffered) — capped clusters keep all their members.
+    * Groups come from [[graft.functions.Dedup.duplicateClusters]]
+    * (iterative min-label propagation, no driver graph).
+    *
+    * Output (the report): (idCol, cluster, dist, group_id, group_n,
+    * kept) — group_id is null for rows with no within-cluster
+    * near-duplicate (group_n 1, kept true). [[semDedup]] returns the
+    * surviving rows of `df` directly.
+    */
+  def semDedupReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double,
+      iters: Int = 2,
+      portable: Boolean = false,
+      maxCluster: Int = 100000): DataFrame = {
+    require(eps >= -1 && eps <= 1, s"eps $eps outside [-1,1]")
+    // materialize the assignment once: it feeds THREE consumers (the
+    // pair join's two sides via `a`, the keeper's dist lookup, and the
+    // final report join) and duplicateClusters' iterative rounds — left
+    // as lineage the kmeans pipeline would re-plan per consumer and the
+    // propagation loop's analysis would walk it exponentially
+    val assign = kmeansAssign(df, idCol, vecCol, k, iters, portable)
+      .localCheckpoint(true)
+    val a = assign
+      .join(df.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .select(col(idCol).as("__sid"), col("cluster"), col("dist"), col("__v"))
+    val big = a.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCluster).select("cluster")
+    val inCap = a.join(big, Seq("cluster"), "left_anti")
+    val pairs = inCap.as("x")
+      .join(inCap.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.__sid") < col("y.__sid"))
+      .select(col("x.__sid").as("id_a"), col("y.__sid").as("id_b"),
+        round(cosine(col("x.__v"), col("y.__v")), 6).as("sim"))
+      .filter(col("sim") >= eps)
+    val comp = graft.functions.Dedup
+      .duplicateClusters(pairs.select("id_a", "id_b"))
+      .select(col("id"), col("cluster_id").as("group_id"))
+    val withDist = comp.join(
+      assign.select(col(idCol).as("id"), col("dist")), Seq("id"))
+    // keeper per group: max dist, ties to the LOWER id — max(struct) with
+    // the id negated keeps one deterministic total order (dist ≥ 0 always,
+    // so no -0.0 cross-engine ordering hazard)
+    val keepers = withDist.groupBy("group_id")
+      .agg(max(struct(col("dist").as("d"), (-col("id")).as("ni"))).as("__k"),
+        count(lit(1)).as("group_n"))
+      .select(col("group_id"), (-col("__k.ni")).as("__keep"), col("group_n"))
+    val marks = withDist.join(keepers, Seq("group_id"))
+      .select(col("id"), col("group_id"), col("group_n"),
+        (col("id") === col("__keep")).as("kept"))
+    assign
+      .join(marks.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("dist"), col("group_id"),
+        coalesce(col("group_n"), lit(1L)).as("group_n"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
+  /** The surviving rows of SemDeDup — `df` minus every non-keeper member
+    * of a semantic duplicate group (see [[semDedupReport]]).
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      eps: Double,
+      iters: Int = 2,
+      portable: Boolean = false,
+      maxCluster: Int = 100000): DataFrame =
+    df.join(
+      semDedupReport(df, idCol, vecCol, k, eps, iters, portable, maxCluster)
+        .filter(col("kept")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
     * threshold, via LSH buckets (exact within-bucket scoring — precision
     * is always 1; bits/bands set recall).

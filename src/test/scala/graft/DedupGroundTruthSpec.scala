@@ -421,6 +421,22 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(got(3L) == "unrelated filler words here")
   }
 
+  test("duplicateClusters converges on a deep path graph (diameter ≈ maxRounds)") {
+    // a 26-node path needs ~25 min-label propagation rounds — the deep
+    // case that used to blow the driver up when each round's plan chained
+    // the previous round's lineage (now truncated per round); also pins
+    // that the result is still the true component minimum
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxRounds = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 25L).map(_ -> 0L).toMap)
+    // and the round cap still trips loudly when genuinely exceeded
+    val err = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxRounds = 3).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("dropRepeatedSpans: within-doc repetition alone never cuts") {
     val corpus = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),

@@ -386,4 +386,68 @@ class VectorsGroundTruthSpec extends SparkSuite {
       iters = 2, portable = true).collect()
     assert(g2.length == 2)
   }
+
+  test("semDedupReport matches a full driver-side SemDeDup mirror") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (portable <- Seq(true, false)) {
+      // trust the separately-spec'd kmeansAssign for the clustering;
+      // mirror everything downstream of it: within-cluster pairs,
+      // union-find groups, the (dist desc, id asc) keeper
+      val assign = Vectors.kmeansAssign(emb, "vec_id", "embedding",
+          k = 3, iters = 2, portable = portable)
+        .as[(Long, Int, Double)].collect()
+      val cluster = assign.map(a => a._1 -> a._2).toMap
+      val dist = assign.map(a => a._1 -> a._3).toMap
+      val eps = 0.2
+      val ids = vecs.keys.toSeq.sorted
+      val pairs = for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        a = ids(i); b = ids(j)
+        if cluster(a) == cluster(b) && r6(cosine(vecs(a), vecs(b))) >= eps
+      } yield (a, b)
+      assert(pairs.nonEmpty, "no within-cluster near-dups — test is vacuous")
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        parent(x) = r; r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val groups = ids.groupBy(find).filter(_._2.size > 1)
+      assert(groups.nonEmpty)
+      val expected = ids.map { id =>
+        groups.find(_._2.contains(id)) match {
+          case Some((root, members)) =>
+            val keeper = members.minBy(m => (-dist(m), m))
+            id -> (Some(root), members.size.toLong, id == keeper)
+          case None => id -> (None, 1L, true)
+        }
+      }.toMap
+      val got = Vectors.semDedupReport(emb, "vec_id", "embedding",
+          k = 3, eps = eps, iters = 2, portable = portable)
+        .collect().map { r =>
+          r.getLong(0) -> (
+            (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+            r.getLong(4), r.getBoolean(5))
+        }.toMap
+      assert(got == expected, s"portable=$portable")
+      // survivors API agrees with the report
+      val kept = Vectors.semDedup(emb, "vec_id", "embedding",
+          k = 3, eps = eps, iters = 2, portable = portable)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == expected.collect { case (id, (_, _, true)) => id }.toSet)
+    }
+  }
+
+  test("semDedup maxCluster cap: capped clusters keep all members") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // cap below every cluster's population (500 points / 3 clusters):
+    // no pair stage anywhere, everything survives
+    val rep = Vectors.semDedupReport(emb, "vec_id", "embedding",
+      k = 3, eps = 0.2, iters = 2, maxCluster = 10)
+    assert(rep.filter(!col("kept")).count() == 0)
+    assert(rep.count() == 500)
+  }
 }
