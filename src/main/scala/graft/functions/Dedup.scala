@@ -425,7 +425,7 @@ object Dedup {
       validateIndex = false)
   }
 
-  private def minhashMeta(
+  private[graft] def minhashMeta(
       lib: graft.core.Library, name: String): (Int, Int, Int, Boolean) = {
     val r = lib.read(s"${name}__meta").head()
     (r.getAs[Int]("shingle_len"), r.getAs[Int]("num_hashes"),

@@ -100,6 +100,77 @@ object StreamIngest {
         ()
       }
 
+  /** Streaming dedup-then-admit against a persisted MinHash index — the
+    * full incremental-corpus loop ([[graft.functions.Dedup.buildMinhashIndex]])
+    * as a sink. Each micro-batch:
+    *   1. drops ids the corpus ALREADY holds (replay guard: a batch
+    *      re-delivered after a partial commit re-admits nothing — id
+    *      lookups prune the id-sorted corpus symbol's files),
+    *   2. dedups WITHIN the batch (exact + n-gram Jaccard ≥ threshold,
+    *      [[graft.functions.Dedup.dropNearDuplicates]]),
+    *   3. drops batch docs with a verified near-duplicate in the corpus
+    *      ([[graft.functions.Dedup.dedupAgainstIndex]]: LSH candidates
+    *      from the index probe, exact verification against a
+    *      candidate-pruned corpus read),
+    *   4. appends the survivors to the corpus symbol AND their band rows
+    *      to the index — so the NEXT batch dedups against them.
+    * Per-batch cost is proportional to the batch (probe-pruned index
+    * read + candidate-sized corpus slice), never the corpus — the shape
+    * that admits a daily crawl drop into a 100 TB store.
+    *
+    * Consistency: corpus append and index append are two commits; a
+    * crash between them leaves admitted docs unindexed for ONE batch
+    * (they are still id-guarded on replay, and a later
+    * [[graft.functions.Dedup.appendToMinhashIndex]] backfill or index
+    * rebuild reconciles) — the same at-least-once-until-finalize
+    * contract as [[stageSink]].
+    */
+  def dedupAdmitSink(
+      lib: Library,
+      stream: DataFrame,
+      indexName: String,
+      corpusSymbol: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      targetRows: Long = Library.DefaultTargetRows,
+      maxBucket: Int = 1000,
+      maxProbeKeys: Int = 100000,
+      maxGuardIds: Int = 1000000): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          val ids = b.select(col(idCol)).distinct()
+            .limit(maxGuardIds + 1).collect()
+          // replay guard: bounded batches prune the corpus read by id
+          // range; oversized ones fall back to a column-pruned anti-join
+          val existing =
+            if (ids.length > maxGuardIds) lib.read(corpusSymbol).select(col(idCol))
+            else lib.read(corpusSymbol,
+              exprFilter = Some(graft.query.Expr.col(idCol).isin(
+                ids.map(_.get(0)).toIndexedSeq: _*))).select(col(idCol))
+          val fresh = b.join(existing, Seq(idCol), "left_anti")
+          val (sl, _, _, _) = graft.functions.Dedup.minhashMeta(lib, indexName)
+          val selfDeduped = graft.functions.Dedup.dropNearDuplicates(
+            fresh, idCol, textCol, shingleLen = sl, threshold = threshold)
+          val admitted = graft.functions.Dedup.dedupAgainstIndex(
+            lib, selfDeduped, indexName, corpusSymbol, idCol, textCol,
+            threshold, maxBucket, maxProbeKeys).localCheckpoint(true)
+          if (admitted.limit(1).count() > 0) {
+            lib.append(corpusSymbol, admitted, targetRows, validateIndex = false)
+            graft.functions.Dedup.appendToMinhashIndex(
+              lib, admitted, indexName, idCol, textCol, targetRows)
+          }
+        }
+        ()
+      }
+
   /** Streaming resample: per-bucket aggregates over an event-time ns-long
     * ts column, emitting a bucket only once the watermark passes its end
     * (append mode ⇒ results match the batch resample on the same data).

@@ -294,4 +294,45 @@ class StreamingSpec extends SparkSuite {
         mem.toDF.toDF("doc_id", "text"), eval, "doc_id", "text", 3, maxShingles = 1)
     }
   }
+
+  test("dedupAdmitSink: per-batch dedup against the growing corpus + index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF.toDF("doc_id", "text")
+    val lib = new Library(tmp("graft-admit-lib-"), spark)
+    val ckpt = tmp("graft-admit-ckpt-")
+    val base = "the quick brown fox jumps over the lazy dog and then naps"
+    def distinct(i: Long) =
+      s"document number $i speaks entirely about topic_$i in its own terms " +
+        s"word_${i}_a word_${i}_b word_${i}_c word_${i}_d word_${i}_e"
+    // seed corpus + index with docs 1..3 (doc 1 is the near-dup magnet)
+    val seed = Seq((1L, base), (2L, distinct(2)), (3L, distinct(3)))
+      .toDF("doc_id", "text")
+    lib.write("corpus", seed, Some("doc_id"))
+    graft.functions.Dedup.buildMinhashIndex(
+      lib, seed, "doc_id", "text", "mhidx")
+
+    // batch 1: 10 = near-dup of seed doc 1 (drop), 11 = fresh (admit),
+    // 12 ≈ 11 within-batch (drop), 2 = id already in corpus (replay guard)
+    mem.addData((10L, base + " zzz"), (11L, distinct(11)),
+      (12L, distinct(11) + " tail"), (2L, "replayed row, any text"))
+    val q1 = StreamIngest.dedupAdmitSink(lib, df, "mhidx", "corpus",
+      "doc_id", "text", threshold = 0.5, ckpt).start()
+    q1.awaitTermination()
+    val after1 = lib.read("corpus").select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(1L, 2L, 3L, 11L), s"after1=$after1")
+
+    // batch 2: 20 = near-dup of doc 11 ADMITTED IN BATCH 1 — only caught
+    // if batch 1 advanced the index; 21 = fresh
+    mem.addData((20L, distinct(11) + " coda"), (21L, distinct(21)))
+    val q2 = StreamIngest.dedupAdmitSink(lib, df, "mhidx", "corpus",
+      "doc_id", "text", threshold = 0.5, ckpt).start()
+    q2.awaitTermination()
+    val after2 = lib.read("corpus").select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 3L, 11L, 21L), s"after2=$after2")
+    // the index grew in lockstep: band rows exist for every admitted doc
+    val indexed = lib.read("mhidx__bands").select("id").as[Long]
+      .collect().toSet
+    assert(indexed == Set(1L, 2L, 3L, 11L, 21L), s"indexed=$indexed")
+  }
 }
