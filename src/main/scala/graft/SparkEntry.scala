@@ -1636,6 +1636,21 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q126_nb_quality_admit" -> { (s, dir) =>
+      // The GPT-3 data filter: a Naive-Bayes classifier trained
+      // curated-vs-crawl (sources 0–3 vs 10–19) scores every document
+      // by mean token log-likelihood-ratio, then Pareto admission keeps
+      // the high-score mass plus a deterministic heavy tail of low
+      // scorers (md5-derandomized, engine-portable).
+      val docs = t(s, dir, "documents")
+      val pos = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+      val neg = docs.filter(col("source").isin(
+        (10 to 19).map("src" + _): _*))
+      Unigram.nbQualityScore(docs, "doc_id", "text", pos, neg)
+        .withColumn("kept", Unigram.paretoAdmitCond(
+          col("doc_id"), col("llr_mean"), alpha = 2.0, seed = 7L))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q124_perplexity_buckets" -> { (s, dir) =>
       // CCNet §4.4: LM trained on a TRUSTED slice (sources 0–3 standing
       // in for Wikipedia), scored over the whole crawl, head/middle/tail
@@ -3409,6 +3424,52 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Full GPT-3-filter replay: per-class token counts, the union kept
+    // vocabulary, Laplace llr micro-nats, per-doc integer sums, and the
+    // md5-48-bit Pareto admission — every double identical by
+    // construction (round-6 threshold, integer hash fraction).
+    "q126_nb_quality_admit" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, source
+           FROM documents),
+         tk AS (SELECT doc_id, source, unnest(w) AS tok FROM d),
+         pc AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+         ncnt AS (SELECT tok, count(*) AS c FROM tk
+                  WHERE source IN ('src10', 'src11', 'src12', 'src13',
+                    'src14', 'src15', 'src16', 'src17', 'src18', 'src19')
+                  GROUP BY 1),
+         tp AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM pc),
+         tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ncnt),
+         kept AS (
+           SELECT coalesce(p.tok, n.tok) AS tok,
+             coalesce(p.c, 0) AS cp, coalesce(n.c, 0) AS cn
+           FROM pc p FULL JOIN ncnt n ON p.tok = n.tok, tp, tn
+           WHERE coalesce(p.c, 0) >= 0.001 * tp.t
+              OR coalesce(n.c, 0) >= 0.001 * tn.t),
+         v AS (SELECT count(*) AS v FROM kept),
+         model AS (
+           SELECT tok,
+             CAST(round((ln((cp + 1) / (tp.t + v.v + 1)) -
+                         ln((cn + 1) / (tn.t + v.v + 1))) * 1e6) AS BIGINT)
+               AS llr
+           FROM kept, tp, tn, v),
+         fl AS (
+           SELECT CAST(round((ln(1 / (tp.t + v.v + 1)) -
+                              ln(1 / (tn.t + v.v + 1))) * 1e6) AS BIGINT) AS f
+           FROM tp, tn, v),
+         terms AS (
+           SELECT tk.doc_id, coalesce(m.llr, fl.f) AS term
+           FROM tk LEFT JOIN model m USING (tok), fl),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(sum(term) AS DOUBLE) / 1e6 / count(*), 6) AS llr_mean
+           FROM terms GROUP BY 1)
+         SELECT doc_id, n_tokens, llr_mean,
+           llr_mean > round(1 - (pow(1 -
+             CAST(CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+               1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0,
+             -0.5) - 1), 6) AS kept
+         FROM scored ORDER BY doc_id""",
     // Full CCNet replay: the q98 bigram-LM CTEs with the model counted
     // from the REFERENCE slice only, scored over all docs, then the
     // per-language percentile cut from row_number + group counts — the

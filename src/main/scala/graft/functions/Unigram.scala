@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -317,6 +317,105 @@ object Unigram {
       .select(col(idCol), col("n_tokens"),
         round(col("__s").cast("double") / lit(1e6) /
           col("n_tokens").cast("double"), 6).as("lp_mean"))
+  }
+
+  /** Multinomial Naive-Bayes quality classifier — the GPT-3 data-filter
+    * shape (Brown et al. 2020, Appendix A: a classifier trained
+    * high-quality-vs-crawl scores every document): token-count models
+    * of a POSITIVE reference (curated text) and a NEGATIVE reference
+    * (raw crawl), per-document mean log-likelihood-ratio
+    *
+    *   llr(w) = ln p_pos(w) − ln p_neg(w),
+    *   p_c(w) = (c_c(w) + 1) / (total_c + V + 1)   (Laplace; OOV ⇒ c=0)
+    *
+    * where V is the kept vocabulary — tokens holding ≥ `minShare` of
+    * EITHER class's token mass, so the model is ≤ 2·ceil(1/minShare)
+    * rows BY CONSTRUCTION and always broadcasts (the [[bigramModel]]
+    * discipline); counts aggregate distributedly first. Every llr is
+    * quantized to micro-nat longs, per-doc sums are integer
+    * (order-free), ONE division at the end. Positive scores read
+    * "looks like the curated reference". Output: (idCol, n_tokens,
+    * llr_mean) rounded to 6.
+    */
+  def nbQualityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      posRef: DataFrame,
+      negRef: DataFrame,
+      minShare: Double = 0.001): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare $minShare not in (0,1] — 0 would unbound the model collect")
+    val spark = df.sparkSession
+    def micro(x: Double): Long = {
+      val y = x * 1e6
+      if (y >= 0) Math.round(y) else -Math.round(-y)
+    }
+    def classCounts(ref: DataFrame): DataFrame =
+      tokenCounts(ref, idCol, textCol)
+    val pc = classCounts(posRef).persist(StorageLevel.MEMORY_AND_DISK)
+    val nc = classCounts(negRef).persist(StorageLevel.MEMORY_AND_DISK)
+    val (model, floor) =
+      try {
+        def total(c: DataFrame): Double = c.agg(sum(col("c"))).head match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getLong(0).toDouble
+        }
+        val (tp, tn) = (total(pc), total(nc))
+        // kept = union of the two per-class ≥minShare sets, with BOTH
+        // counts read from the full (distributed) aggregates — a token
+        // can clear the cutoff in one class and be rare in the other
+        val kept = pc.select(col("tok"), col("c").as("cp"))
+          .join(nc.select(col("tok"), col("c").as("cn")), Seq("tok"), "full")
+          .select(col("tok"),
+            coalesce(col("cp"), lit(0L)).as("cp"),
+            coalesce(col("cn"), lit(0L)).as("cn"))
+          .where(col("cp").cast("double") >= lit(minShare) * lit(tp) ||
+            col("cn").cast("double") >= lit(minShare) * lit(tn))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val v = kept.length.toDouble
+        def lp(c: Long, tot: Double): Double =
+          math.log((c + 1).toDouble / (tot + v + 1.0))
+        val entries = kept.toSeq.map { case (t, cp, cn) =>
+          (t, micro(lp(cp, tp) - lp(cn, tn)))
+        }
+        val fl = micro(lp(0, tp) - lp(0, tn))
+        (spark.createDataFrame(
+          spark.sparkContext.parallelize(entries, 1)).toDF("tok", "llr"), fl)
+      } finally { pc.unpersist(false); nc.unpersist(false) }
+    Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("llr"), lit(floor))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 6).as("llr_mean"))
+  }
+
+  /** GPT-3's Pareto admission (Brown et al. 2020, Appendix A), hash-
+    * derandomized: a document is kept iff
+    *
+    *   score > 1 − ((1 − u)^(−1/α) − 1),   u = md5-uniform in [0,1)
+    *
+    * — the classic "keep the high-scoring mass but admit a heavy tail
+    * of low scorers" mix that avoids collapsing the corpus onto the
+    * classifier's mode. `u` is the first 12 hex digits of
+    * md5(seed:id) as a 48-bit fraction, so admission is deterministic
+    * in the id, engine-portable, and a pure codegen'd filter (the
+    * [[hashSample]] discipline — no rand(), no partition sensitivity).
+    * The Pareto threshold is rounded to 6 places before the compare so
+    * both sides of the oracle replay compute identical doubles.
+    */
+  def paretoAdmitCond(
+      idCol: Column, score: Column, alpha: Double, seed: Long): Column = {
+    require(alpha > 0, s"alpha $alpha must be positive")
+    val u = conv(substring(
+        md5(concat_ws(":", lit(seed.toString), idCol.cast("string"))), 1, 12),
+        16, 10).cast("double") / lit(281474976710656.0) // 2^48
+    score > round(lit(1.0) - (pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)), 6)
   }
 
   /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.4): train

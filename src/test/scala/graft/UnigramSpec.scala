@@ -163,6 +163,48 @@ class UnigramSpec extends SparkSuite {
       "ref-trained scores identical to self-trained — model not applied")
   }
 
+  test("nbQualityScore: Laplace llr hand-check on a two-class toy corpus") {
+    // pos "a a a b" (tp=4), neg "b b b c" (tn=4), minShare .2 → kept
+    // {a,b,c} (V=3, denominators 8): llr(a)=ln4, llr(b)=llr(c)=ln.5,
+    // OOV floor ln(1/8)-ln(1/8)=0
+    val pos = Seq((100L, "a a a b")).toDF("doc_id", "text")
+    val neg = Seq((200L, "b b b c")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b z"), (1L, "a a"), (2L, "c")).toDF("doc_id", "text")
+    def q(x: Double): Long = { val y = x * 1e6; if (y >= 0) Math.round(y) else -Math.round(-y) }
+    def mean(terms: Seq[Long]): Double =
+      BigDecimal(terms.sum / 1e6 / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val llrA = q(math.log(4.0 / 8) - math.log(1.0 / 8))
+    val llrB = q(math.log(2.0 / 8) - math.log(4.0 / 8))
+    val llrC = q(math.log(1.0 / 8) - math.log(2.0 / 8))
+    val got = Unigram.nbQualityScore(docs, "doc_id", "text", pos, neg, 0.2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0) == ((0L, 3L, mean(Seq(llrA, llrB, 0L))))) // z = OOV floor
+    assert(got(1) == ((1L, 2L, mean(Seq(llrA, llrA)))))
+    assert(got(2) == ((2L, 1L, mean(Seq(llrC)))))
+  }
+
+  test("paretoAdmitCond: deterministic, tail admission near the analytic rate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ids = spark.range(4096).toDF("id")
+    def keptCount(score: Double, seed: Long): Long =
+      ids.filter(Unigram.paretoAdmitCond(col("id"), lit(score), 2.0, seed)).count()
+    // deterministic in (id, seed); seed changes the admitted set
+    assert(keptCount(0.6, 7L) == keptCount(0.6, 7L))
+    assert(keptCount(0.6, 7L) != keptCount(0.6, 8L))
+    // analytic rate at alpha=2, score .6: P(u > 1 - 1/1.96) ≈ 0.51
+    val f = keptCount(0.6, 7L) / 4096.0
+    assert(f > 0.45 && f < 0.57, s"admit rate $f")
+    // a score above the threshold's supremum (1.0) is always admitted
+    assert(keptCount(1.5, 7L) == 4096L)
+    // monotone: raising the score never drops an admitted doc
+    val at06 = ids.filter(Unigram.paretoAdmitCond(col("id"), lit(0.6), 2.0, 7L))
+      .as[Long].collect().toSet
+    val at09 = ids.filter(Unigram.paretoAdmitCond(col("id"), lit(0.9), 2.0, 7L))
+      .as[Long].collect().toSet
+    assert(at06.subsetOf(at09))
+  }
+
   test("perplexityBuckets: CCNet cut sizes, order and ppl hand-check") {
     // two langs: 'a' with 7 docs, 'b' with 2. Bucket sizes per lang:
     // n=7 → head ceil(7/3)=3, middle ceil(14/3)-3=2, tail 2;
