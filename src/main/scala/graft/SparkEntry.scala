@@ -1636,6 +1636,26 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q127_hll_sketch" -> { (s, dir) =>
+      // Persisted HyperLogLog distinct-3-shingle sketch (p=9, portable
+      // md5-60 hashing): built from the even-doc half, the odd half
+      // MERGED as an increment (register max through a new Library
+      // version), estimated from the stored registers — alongside the
+      // exact distinct count for reference. The oracle recomputes every
+      // register and the exact-integer harmonic sum from scratch over
+      // the union, which must equal the two-increment build.
+      val docs = t(s, dir, "documents")
+      def sh(f: DataFrame): DataFrame =
+        Dedup.shinglePostings(f, "doc_id", "text", 3).select(col("s"))
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Sketch.buildHllSketch(
+        lib, sh(docs.filter(col("doc_id") % 2 === 0)), "s", "hll",
+        p = 9, portable = true)
+      graft.functions.Sketch.mergeIntoHllSketch(
+        lib, sh(docs.filter(col("doc_id") % 2 === 1)), "s", "hll")
+      graft.functions.Sketch.estimateHllSketch(lib, "hll")
+        .crossJoin(sh(docs).agg(countDistinct(col("s")).as("n_exact")))
+    },
     "q126_nb_quality_admit" -> { (s, dir) =>
       // The GPT-3 data filter: a Naive-Bayes classifier trained
       // curated-vs-crawl (sources 0–3 vs 10–19) scores every document
@@ -3424,6 +3444,37 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Full HLL replay: md5-60 hash → top-9-bit bucket + 51 value bits,
+    // rho from length(bin(v)), register max over the WHOLE corpus (merge
+    // is max, so the two-increment build equals the one-shot registers),
+    // exact-integer harmonic sum in HUGEINT, one double division. The
+    // alpha·m²·2⁶⁴ numerator literal is Scala-printed so both engines
+    // parse the identical double.
+    "q127_hll_sketch" -> {
+      val num = 0.7213 / (1 + 1.079 / 512) * 512.0 * 512.0 * math.pow(2.0, 64)
+      s"""WITH $shingleCtes,
+         h AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+               FROM sh WHERE s IS NOT NULL),
+         r AS (SELECT h >> 51 AS bucket,
+                 CASE WHEN (h & 2251799813685247) = 0 THEN 52
+                      ELSE 51 - length(bin(h & 2251799813685247)) + 1
+                 END AS rho
+               FROM h),
+         regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY 1),
+         agg AS (SELECT count(*) AS nz,
+                   sum(CAST(pow(2, 64 - rho) AS HUGEINT)) AS sp FROM regs),
+         est AS (SELECT CAST(512 AS INT) AS m, nz,
+                  $num / CAST((512 - nz) *
+                    CAST('18446744073709551616' AS HUGEINT) + sp AS DOUBLE)
+                    AS raw,
+                  CAST(512 - nz AS DOUBLE) AS v
+                 FROM agg)
+         SELECT m, nz AS nonzero,
+           round(CASE WHEN raw <= 1280.0 AND v > 0
+                      THEN 512.0 * ln(512.0 / v) ELSE raw END, 4)
+             AS n_distinct_est,
+           (SELECT count(DISTINCT s) FROM sh) AS n_exact
+         FROM est""" },
     // Full GPT-3-filter replay: per-class token counts, the union kept
     // vocabulary, Laplace llr micro-nats, per-doc integer sums, and the
     // md5-48-bit Pareto admission — every double identical by
