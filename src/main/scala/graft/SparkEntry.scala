@@ -1636,6 +1636,30 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q128_bloom_novelty" -> { (s, dir) =>
+      // Persisted n-gram Bloom filter (2^16 bits, k=4, portable md5
+      // hashing — a deliberately small m so real false positives
+      // exercise the membership math): built from the doc_id%4==0
+      // slice, %4==1 OR-merged as an increment, then every document
+      // scores novelty (fraction of its shingles unseen) and a
+      // decontamination verdict (kept iff ≤20 contained shingles).
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Bloom.buildNgramBloom(
+        lib, docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        "bf", shingleLen = 3, logM = 16, k = 4, portable = true)
+      graft.functions.Bloom.mergeIntoNgramBloom(
+        lib, docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", "bf")
+      val nov = graft.functions.Bloom.noveltyScore(
+        lib, docs, "doc_id", "text", "bf")
+      val kept = graft.functions.Bloom.decontaminateByBloom(
+        lib, docs, "doc_id", "text", "bf", maxHits = 20L)
+        .select(col("doc_id"), lit(true).as("kept"))
+      nov.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("novel_frac"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q127_hll_sketch" -> { (s, dir) =>
       // Persisted HyperLogLog distinct-3-shingle sketch (p=9, portable
       // md5-60 hashing): built from the even-doc half, the odd half
@@ -3444,6 +3468,47 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Full Bloom replay: the reference slices' shingles hash to k=4
+    // md5-60 positions mod 2^16, pack by bit_or into 64-bit words
+    // (merge is OR, so the two-increment build equals the one-shot
+    // filter over the union); every document's grams — keyed by the
+    // SAME 60-bit gram hash the engine shuffles, so even hash
+    // collisions replay — probe the packed words bit for bit.
+    "q128_bloom_novelty" ->
+      s"""WITH $shingleCtes,
+         ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 <= 1),
+         pos AS (
+           SELECT s, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
+             1, 15) AS BIGINT) % 65536 AS p
+           FROM ref, range(0, 4) t(i)),
+         words AS (
+           -- HUGEINT packing: DuckDB range-checks BIGINT << 63 (Spark's
+           -- long wraps bitwise); the 128-bit word keeps the identical
+           -- BIT SET, which is all the membership test reads
+           SELECT p >> 6 AS word,
+             bit_or(CAST(1 AS HUGEINT) << CAST(p & 63 AS INT)) AS bits
+           FROM pos GROUP BY 1),
+         qp AS (
+           SELECT doc_id, ${hex60Sql("s")} AS gh,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
+               1, 15) AS BIGINT) % 65536 AS p
+           FROM sh, range(0, 4) t(i)),
+         hit AS (
+           SELECT q.doc_id, q.gh,
+             sum(CASE WHEN (coalesce(w.bits, CAST(0 AS HUGEINT)) &
+               (CAST(1 AS HUGEINT) << CAST(q.p & 63 AS INT))) <> 0
+               THEN 1 ELSE 0 END) AS hits
+           FROM qp q LEFT JOIN words w ON (q.p >> 6) = w.word
+           GROUP BY 1, 2),
+         doc AS (
+           SELECT doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS contained
+           FROM hit GROUP BY 1)
+         SELECT doc_id, n_shingles,
+           round(CAST(n_shingles - contained AS DOUBLE) / n_shingles, 6)
+             AS novel_frac,
+           contained <= 20 AS kept
+         FROM doc ORDER BY doc_id""",
     // Full HLL replay: md5-60 hash → top-9-bit bucket + 51 value bits,
     // rho from length(bin(v)), register max over the WHOLE corpus (merge
     // is max, so the two-increment build equals the one-shot registers),
