@@ -1636,6 +1636,22 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q129_corpus_ledger" -> { (s, dir) =>
+      // Incremental corpus-health ledger: per-domain mergeable stats +
+      // per-domain HLL vocabulary sketches persisted through Library,
+      // built from the even-doc half and FOLDED with the odd half —
+      // the report must equal a from-scratch computation over the
+      // union, which is exactly what the oracle does.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.CorpusStats.buildLedger(
+        lib, docs.filter(col("doc_id") % 2 === 0), "text", "source",
+        "led", p = 10, portable = true)
+      graft.functions.CorpusStats.mergeIntoLedger(
+        lib, docs.filter(col("doc_id") % 2 === 1), "text", "source", "led")
+      graft.functions.CorpusStats.readLedger(lib, "led")
+        .transform(sortGuarded(_, "domain"))
+    },
     "q128_bloom_novelty" -> { (s, dir) =>
       // Persisted n-gram Bloom filter (2^16 bits, k=4, portable md5
       // hashing — a deliberately small m so real false positives
@@ -3468,6 +3484,48 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Full ledger replay: per-domain counts/sums/extrema plus the
+    // per-domain HLL registers and estimator (p=10) recomputed from
+    // scratch over the union — fold-equals-one-shot is the property
+    // under test (sums add, extrema fold, registers max).
+    "q129_corpus_ledger" -> {
+      val num = 0.7213 / (1 + 1.079 / 1024) * 1024.0 * 1024.0 * math.pow(2.0, 64)
+      s"""WITH t AS (
+           SELECT source AS domain, text, len(string_split(text, ' ')) AS nt,
+             length(text) AS nc
+           FROM documents),
+         stats AS (
+           SELECT domain, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             min(nt) AS min_tokens, max(nt) AS max_tokens
+           FROM t GROUP BY 1),
+         tk AS (SELECT domain, unnest(string_split(text, ' ')) AS tok FROM t),
+         h AS (SELECT domain, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                 AS h
+               FROM tk WHERE tok IS NOT NULL),
+         r AS (SELECT domain, h >> 50 AS bucket,
+                 CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                      ELSE 50 - length(bin(h & 1125899906842623)) + 1
+                 END AS rho
+               FROM h),
+         regs AS (SELECT domain, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+         agg AS (SELECT domain, count(*) AS nz,
+                   sum(CAST(pow(2, 64 - rho) AS HUGEINT)) AS sp
+                 FROM regs GROUP BY 1),
+         est AS (SELECT domain,
+                  $num / CAST((1024 - nz) *
+                    CAST('18446744073709551616' AS HUGEINT) + sp AS DOUBLE)
+                    AS raw,
+                  CAST(1024 - nz AS DOUBLE) AS v
+                 FROM agg)
+         SELECT s.domain, s.n_docs, s.n_tokens, s.n_chars,
+           round(CAST(s.n_tokens AS DOUBLE) / s.n_docs, 6) AS mean_tokens,
+           s.min_tokens, s.max_tokens,
+           round(CASE WHEN raw <= 2560.0 AND v > 0
+                      THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 4)
+             AS distinct_tokens_est
+         FROM stats s JOIN est USING (domain) ORDER BY s.domain""" },
     // Full Bloom replay: the reference slices' shingles hash to k=4
     // md5-60 positions mod 2^16, pack by bit_or into 64-bit words
     // (merge is OR, so the two-increment build equals the one-shot

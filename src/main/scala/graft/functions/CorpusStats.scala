@@ -160,4 +160,106 @@ object CorpusStats {
         .toDF("domain_a", "domain_b", "js")
     } finally cnt.unpersist(false)
   }
+
+  /** ---- Incremental corpus-health ledger ----
+    * A per-domain statistics symbol that FOLDS ingest increments instead
+    * of rescanning history — the always-on health dashboard of a growing
+    * corpus. Two symbols:
+    *  - `<name>__stats`: per-domain mergeable aggregates — doc/token/
+    *    char counts and token-length min/max (sums add, extrema fold;
+    *    means derive at read time from (Σ, n), never stored — a stored
+    *    mean is not mergeable).
+    *  - `<name>__hll`: per-domain HLL registers ([[Sketch.hllRegistersBy]]
+    *    over tokens) — distinct-vocabulary estimates that keep absorbing
+    *    increments by register max.
+    * Merging is associative and idempotent in the HLL half and
+    * associative in the sums half (NOT idempotent: folding the same
+    * increment twice double-counts — pair with an id replay guard as in
+    * StreamIngest.dedupAdmitSink when delivery is at-least-once).
+    * Null domains fold under the "__null__" sentinel, the
+    * sampleTokenBudget convention.
+    */
+  def buildLedger(
+      lib: graft.core.Library,
+      df: DataFrame,
+      textCol: String,
+      domainCol: String,
+      name: String,
+      p: Int = 12,
+      portable: Boolean = false): Unit = {
+    import df.sparkSession.implicits._
+    lib.write(s"${name}__meta", Seq((p, portable)).toDF("p", "portable"))
+    lib.write(s"${name}__stats", ledgerStats(df, textCol, domainCol),
+      Some("domain"))
+    lib.write(s"${name}__hll",
+      ledgerRegisters(df, textCol, domainCol, p, portable), Some("domain"))
+  }
+
+  def mergeIntoLedger(
+      lib: graft.core.Library,
+      df: DataFrame,
+      textCol: String,
+      domainCol: String,
+      name: String): Unit = {
+    val meta = lib.read(s"${name}__meta").head()
+    val (p, portable) = (meta.getAs[Int]("p"), meta.getAs[Boolean]("portable"))
+    val stats = lib.read(s"${name}__stats")
+      .unionByName(ledgerStats(df, textCol, domainCol))
+      .groupBy("domain")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"), min("min_tokens").as("min_tokens"),
+        max("max_tokens").as("max_tokens"))
+    val regs = Sketch.hllMergeBy(
+      lib.read(s"${name}__hll").select(col("domain").as("group"),
+        col("bucket"), col("rho")),
+      ledgerRegisters(df, textCol, domainCol, p, portable)
+        .withColumnRenamed("domain", "group"))
+      .withColumnRenamed("group", "domain")
+    // localCheckpoint: both merged plans READ the symbol version they
+    // are about to supersede
+    lib.write(s"${name}__stats", stats.localCheckpoint(true), Some("domain"))
+    lib.write(s"${name}__hll", regs.localCheckpoint(true), Some("domain"))
+  }
+
+  /** The ledger report: per-domain counts, derived mean token length,
+    * extrema, and the HLL distinct-token estimate. Output: (domain,
+    * n_docs, n_tokens, n_chars, mean_tokens, min_tokens, max_tokens,
+    * distinct_tokens_est).
+    */
+  def readLedger(lib: graft.core.Library, name: String): DataFrame = {
+    val p = lib.read(s"${name}__meta").head().getAs[Int]("p")
+    lib.read(s"${name}__stats")
+      .join(
+        Sketch.hllEstimateBy(
+          lib.read(s"${name}__hll").select(col("domain").as("group"),
+            col("bucket"), col("rho")), p)
+          .select(col("group").as("domain"),
+            col("n_distinct_est").as("distinct_tokens_est")),
+        Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"), col("distinct_tokens_est"))
+  }
+
+  private def ledgerStats(
+      df: DataFrame, textCol: String, domainCol: String): DataFrame =
+    df.select(coalesce(col(domainCol).cast("string"), lit("__null__"))
+        .as("domain"),
+        Text.tokenCount(col(textCol)).cast("long").as("__nt"),
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("__nc"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+        sum("__nc").as("n_chars"), min("__nt").as("min_tokens"),
+        max("__nt").as("max_tokens"))
+
+  private def ledgerRegisters(
+      df: DataFrame, textCol: String, domainCol: String, p: Int,
+      portable: Boolean): DataFrame =
+    Sketch.hllRegistersBy(
+      df.select(coalesce(col(domainCol).cast("string"), lit("__null__"))
+          .as("__d"),
+          explode(Text.tokens(col(textCol))).as("__tok")),
+      col("__d"), col("__tok"), p, portable)
+      .withColumnRenamed("group", "domain")
 }

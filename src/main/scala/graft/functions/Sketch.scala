@@ -62,6 +62,60 @@ object Sketch {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("rho")).as("rho"))
 
+  /** Grouped registers: one sketch per key of `group` — (group, bucket,
+    * rho), ≤ 2^p rows per group. The per-domain variant corpus ledgers
+    * need; same partial-aggregation bound, keyed by (group, bucket).
+    * Null group keys form their own sketch (pandas-groupby callers
+    * should coalesce to a sentinel first, as in sampleTokenBudget).
+    */
+  def hllRegistersBy(
+      df: DataFrame, group: Column, value: Column, p: Int,
+      portable: Boolean = false): DataFrame = {
+    require(p >= 4 && p <= 18, s"p $p outside [4,18] (2^p registers)")
+    val bits = if (portable) 60 else 64
+    val vbits = bits - p
+    val h = if (portable) Dedup.h60(value) else xxhash64(value)
+    val in = df.filter(value.isNotNull)
+      .select(group.as("__g"), h.as("__h"))
+    val bucket =
+      if (portable) shiftright(col("__h"), vbits)
+      else shiftrightunsigned(col("__h"), vbits)
+    val v = col("__h").bitwiseAND(lit((1L << vbits) - 1))
+    in.select(col("__g"),
+        bucket.cast("int").as("bucket"),
+        when(v === 0, lit(vbits + 1))
+          .otherwise(lit(vbits) - length(bin(v)) + 1).cast("int").as("__r"))
+      .groupBy("__g", "bucket").agg(max(col("__r")).as("rho"))
+      .withColumnRenamed("__g", "group")
+  }
+
+  /** Grouped merge and estimate — per-group twins of [[hllMerge]] /
+    * [[hllEstimate]]; estimate output (group, nonzero, n_distinct_est).
+    */
+  def hllMergeBy(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("group", "bucket").agg(max(col("rho")).as("rho"))
+
+  def hllEstimateBy(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p $p outside [4,18]")
+    val m = 1 << p
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val two64 = new java.math.BigDecimal("18446744073709551616")
+    val num = alphaFor(m) * m.toDouble * m.toDouble * math.pow(2.0, 64)
+    registers
+      .groupBy("group")
+      .agg(count(lit(1)).as("__nz"),
+        sum(pow(lit(2.0), lit(64) - col("rho")).cast(dec)).as("__sp"))
+      .select(col("group"), col("__nz"),
+        (lit(num) / ((lit(m).cast(dec) - col("__nz").cast(dec)) * lit(two64) +
+          col("__sp")).cast("double")).as("__raw"),
+        (lit(m.toDouble) - col("__nz").cast("double")).as("__v"))
+      .select(col("group"), col("__nz").as("nonzero"),
+        round(
+          when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__raw")), 4).as("n_distinct_est"))
+  }
+
   private def alphaFor(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697

@@ -382,6 +382,66 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("perplexity buckets: every per-doc window is partitioned (q124)") {
+    val p = SparkEntry.queries("q124_perplexity_buckets")(spark, sf)
+      .queryExecution.executedPlan
+    // rankByScore's two-level discipline: doc-row windows partition by
+    // (lang, sub-bucket); an unpartitioned window may only see the
+    // per-(lang, sub-bucket) counter summary
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p.toString.take(1500))
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.contains("doc_id") && !childCols.contains("lp_mean"),
+        s"unpartitioned window over doc rows: $childCols")
+    }
+  }
+
+  test("bloom probe: gram text never shuffles — exchanges carry hashes only (q128)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q128_bloom_novelty")(spark, sf)
+        .queryExecution.executedPlan
+      // the per-gram membership re-aggregate keys on the 8-byte gram
+      // hash (__gh) and the packed word id; the shingle string column
+      // ("s") and document text must never ride an exchange
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.contains("s") && !cols.contains("text"),
+          s"gram/doc text in a shuffle: $cols")
+      }
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "no Window anywhere in the bloom pipeline")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("NB quality: model broadcasts; corpus shuffles only id-keyed counters (q126)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q126_nb_quality_admit")(spark, sf)
+        .queryExecution.executedPlan
+      val s = p.toString
+      assert(s.contains("BroadcastHashJoin"), s.take(2000))
+      // KEYED exchanges carry (tok, count) partials or (doc_id, sums) —
+      // doc text never key-shuffles (the RoundRobin scan-spreader of
+      // Kernels.spread is scan parallelism, not data movement by key;
+      // same exclusion as the q94 pin)
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") &&
+              !e.outputPartitioning.toString.contains("SinglePartition") => e
+      }.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.contains("text"), s"doc text in a keyed shuffle: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("token entropy is one narrow kernel pass — corpus never key-shuffles (q94)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

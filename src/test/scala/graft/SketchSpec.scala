@@ -72,6 +72,54 @@ class SketchSpec extends SparkSuite {
     assert(estD == estS)
   }
 
+  test("grouped registers/estimates equal per-group global sketches") {
+    val rows = (1 to 6000).map(i => (s"g${i % 3}", s"item_${i % 1500}_${i % 7}"))
+    val df = rows.toDF("g", "v")
+    val grouped = Sketch.hllRegistersBy(df, col("g"), col("v"), 8,
+        portable = true)
+      .as[(String, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toMap).toMap
+    val expected = rows.map(_._1).distinct.map { g =>
+      g -> Sketch.hllRegisters(df.filter(col("g") === g), col("v"), 8,
+        portable = true).as[(Int, Int)].collect().toMap
+    }.toMap
+    assert(grouped == expected)
+    val estBy = Sketch.hllEstimateBy(
+      Sketch.hllRegistersBy(df, col("g"), col("v"), 8, portable = true), 8)
+      .select("group", "n_distinct_est").as[(String, Double)].collect().toMap
+    expected.keys.foreach { g =>
+      val solo = Sketch.hllEstimate(
+        Sketch.hllRegisters(df.filter(col("g") === g), col("v"), 8,
+          portable = true), 8)
+        .select("n_distinct_est").as[Double].head()
+      assert(estBy(g) == solo, s"group $g")
+    }
+  }
+
+  test("corpus ledger: two increments equal the one-shot build") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def freshLib() = new Library(
+      java.nio.file.Files.createTempDirectory("graft-ledger-").toString, spark)
+    val inc = freshLib()
+    graft.functions.CorpusStats.buildLedger(
+      inc, docs.filter(col("doc_id") % 2 === 0), "text", "lang", "led", p = 8,
+      portable = true)
+    graft.functions.CorpusStats.mergeIntoLedger(
+      inc, docs.filter(col("doc_id") % 2 === 1), "text", "lang", "led")
+    val one = freshLib()
+    graft.functions.CorpusStats.buildLedger(
+      one, docs, "text", "lang", "led", p = 8, portable = true)
+    def rows(l: Library) = graft.functions.CorpusStats.readLedger(l, "led")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(rows(inc) == rows(one))
+    // and the report is sane: every domain's distinct estimate is
+    // positive and no larger than its token count
+    rows(one).foreach { case (d, vs) =>
+      assert(vs(1).asInstanceOf[Long] > 0, d)
+      assert(vs.last.asInstanceOf[Double] > 0, d)
+    }
+  }
+
   test("persisted lifecycle: two increments equal the one-shot build") {
     val lib = new Library(
       java.nio.file.Files.createTempDirectory("graft-hll-").toString, spark)
