@@ -124,6 +124,51 @@ class MinhashIndexSpec extends SparkSuite {
     assert(fast == slow)
   }
 
+  test("fragmentation lifecycle: appends overlap ranges, compact restores pruning") {
+    // three hash-keyed increments overlap each file's key range almost
+    // fully (uniform hashes), so a one-key probe touches ~every file;
+    // Library.compact rewrites globally sorted and pruning recovers —
+    // the append-then-compact maintenance loop the reference documents
+    val lib = tmpLib()
+    val thirds = (0 to 2).map(i => docsDf.filter(col("doc_id") % 3 === i))
+    Dedup.buildMinhashIndex(lib, thirds(0), "doc_id", "text", "mh",
+      targetRows = 40L)
+    Dedup.appendToMinhashIndex(lib, thirds(1), "mh", "doc_id", "text",
+      targetRows = 40L)
+    Dedup.appendToMinhashIndex(lib, thirds(2), "mh", "doc_id", "text",
+      targetRows = 40L)
+    val one = batch.filter(col("doc_id") === batch.select(min("doc_id"))
+      .as[Long].head())
+    val keys = Dedup.bandedRows(one, "doc_id", "text", 3, 12, 4, portable = false)
+      .select(col("bandhash")).as[Long].collect().toIndexedSeq
+    def prunedFiles(): Int = lib.read("mh__bands",
+      exprFilter = Some(graft.query.Expr.col("bandkey").isin(keys: _*)))
+      .inputFiles.length
+    val allBefore = lib.read("mh__bands").inputFiles.length
+    val before = prunedFiles()
+    // the same candidates must come out before AND after compact
+    val candBefore = Dedup.minhashCandidatesAgainstIndex(lib, batch, "mh",
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    lib.compact("mh__bands", targetRows = 40L)
+    val allAfter = lib.read("mh__bands").inputFiles.length
+    val after = prunedFiles()
+    assert(allBefore >= 9, s"expected fragmented multi-file index, got $allBefore")
+    // pruning DEGRADES under increments (each increment is sorted within
+    // itself, so a probe touches ~one file per key per increment — still
+    // far from a full scan) and compact strictly restores it
+    assert(before < allBefore, s"per-increment ranges must still prune " +
+      s"something: $before of $allBefore")
+    // at this tiny scale the probe touches ~#keys files either way;
+    // compact must never make it worse, and at real fan-in (many more
+    // increments than keys) the win is the increments factor
+    assert(after <= before, s"compact worsened pruning: $after > $before")
+    assert(after < allAfter / 2, s"compact must restore pruning: " +
+      s"$after of $allAfter")
+    val candAfter = Dedup.minhashCandidatesAgainstIndex(lib, batch, "mh",
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(candAfter == candBefore)
+  }
+
   test("combined-population cap kills buckets both sides inflate") {
     // 30 identical corpus docs + 10 identical batch copies of the same
     // text: every band bucket holds 40 members; maxBucket=39 must yield
