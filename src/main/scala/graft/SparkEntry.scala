@@ -1636,6 +1636,34 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q130_pipeline_e2e" -> { (s, dir) =>
+      // The whole pretraining-data pipeline as ONE composed plan — the
+      // FineWeb shape: length+quality gate → exact dedup → NB quality
+      // classifier (trained on the pipeline's own cleaned slices) with
+      // Pareto admission → deterministic 50% hash sample → per-source
+      // mix report. Every stage is an existing operator; the gate pins
+      // that they COMPOSE (train-on-filtered, score-on-filtered, sample
+      // last) and the oracle replays the entire chain in one query.
+      val docs = t(s, dir, "documents")
+      val nTok = graft.functions.Text.tokenCount(col("text"))
+      val cleaned = docs.filter(
+        nTok >= 20 && nTok <= 95 &&
+          graft.functions.Text.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.dropExactDuplicates(cleaned, "doc_id", "text")
+      val pos = deduped.filter(
+        col("source").isin("src0", "src1", "src2", "src3"))
+      val neg = deduped.filter(
+        col("source").isin((10 to 19).map("src" + _): _*))
+      val scored = Unigram.nbQualityScore(deduped, "doc_id", "text", pos, neg)
+      val admitted = deduped.join(scored, Seq("doc_id"))
+        .filter(Unigram.paretoAdmitCond(
+          col("doc_id"), col("llr_mean"), alpha = 2.0, seed = 13L))
+      graft.functions.Sampling.hashSample(admitted, "doc_id", 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok.cast("long")).as("n_tokens"))
+        .transform(sortGuarded(_, "source"))
+    },
     "q129_corpus_ledger" -> { (s, dir) =>
       // Incremental corpus-health ledger: per-domain mergeable stats +
       // per-domain HLL vocabulary sketches persisted through Library,
@@ -3484,6 +3512,66 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Whole-pipeline replay: the q35 quality formula gates, md5
+    // fingerprints dedup, the q126 NB CTEs retrained on the PIPELINE'S
+    // OWN cleaned+deduped token stream, Pareto admission (seed 13),
+    // the 4-hex md5 50% sample, one mix report.
+    "q130_pipeline_e2e" ->
+      s"""WITH cleaned AS (
+           SELECT doc_id, text, source FROM documents
+           WHERE $nTokSql BETWEEN 20 AND 95
+             AND ${qualityExprSql(nTokSql, stopRatioSql, meanLenSql)} >= 0.5),
+         keep AS (SELECT min(doc_id) AS doc_id FROM cleaned
+                  GROUP BY md5($normSql)),
+         dd AS (SELECT c.doc_id, c.text, c.source
+                FROM cleaned c JOIN keep USING (doc_id)),
+         tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                FROM dd),
+         pc AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+         ncnt AS (SELECT tok, count(*) AS c FROM tk
+                  WHERE source IN ('src10', 'src11', 'src12', 'src13',
+                    'src14', 'src15', 'src16', 'src17', 'src18', 'src19')
+                  GROUP BY 1),
+         tp AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM pc),
+         tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ncnt),
+         kept AS (
+           SELECT coalesce(p.tok, n.tok) AS tok,
+             coalesce(p.c, 0) AS cp, coalesce(n.c, 0) AS cn
+           FROM pc p FULL JOIN ncnt n ON p.tok = n.tok, tp, tn
+           WHERE coalesce(p.c, 0) >= 0.001 * tp.t
+              OR coalesce(n.c, 0) >= 0.001 * tn.t),
+         v AS (SELECT count(*) AS v FROM kept),
+         model AS (
+           SELECT tok,
+             CAST(round((ln((cp + 1) / (tp.t + v.v + 1)) -
+                         ln((cn + 1) / (tn.t + v.v + 1))) * 1e6) AS BIGINT)
+               AS llr
+           FROM kept, tp, tn, v),
+         fl AS (
+           SELECT CAST(round((ln(1 / (tp.t + v.v + 1)) -
+                              ln(1 / (tn.t + v.v + 1))) * 1e6) AS BIGINT) AS f
+           FROM tp, tn, v),
+         terms AS (
+           SELECT tk.doc_id, coalesce(m.llr, fl.f) AS term
+           FROM tk LEFT JOIN model m USING (tok), fl),
+         scored AS (
+           SELECT doc_id,
+             round(CAST(sum(term) AS DOUBLE) / 1e6 / count(*), 6) AS llr_mean
+           FROM terms GROUP BY 1),
+         admitted AS (
+           SELECT dd.doc_id, dd.source, dd.text
+           FROM dd JOIN scored USING (doc_id)
+           WHERE llr_mean > round(1 - (pow(1 -
+             CAST(CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)),
+               1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0,
+             -0.5) - 1), 6)),
+         sampled AS (
+           SELECT * FROM admitted
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM sampled GROUP BY 1 ORDER BY 1""",
     // Full ledger replay: per-domain counts/sums/extrema plus the
     // per-domain HLL registers and estimator (p=10) recomputed from
     // scratch over the union — fold-equals-one-shot is the property
