@@ -1636,6 +1636,23 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q131_ledger_drift" -> { (s, dir) =>
+      // Versioned time-travel analytics: drift between ledger VERSION 1
+      // (the even-doc build) and latest (after the odd-doc fold) — what
+      // the increment changed per domain, computed entirely from two
+      // ≤(domains×2^p)-row symbol reads, never touching corpus data.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.CorpusStats.buildLedger(
+        lib, docs.filter(col("doc_id") % 2 === 0), "text", "source",
+        "led", p = 8, portable = true)
+      graft.functions.CorpusStats.mergeIntoLedger(
+        lib, docs.filter(col("doc_id") % 2 === 1), "text", "source", "led")
+      val v0 = lib.listVersions("led__stats").min
+      graft.functions.CorpusStats.ledgerDrift(
+        lib, "led", Library.AsOf.Version(v0))
+        .transform(sortGuarded(_, "domain"))
+    },
     "q130_pipeline_e2e" -> { (s, dir) =>
       // The whole pretraining-data pipeline as ONE composed plan — the
       // FineWeb shape: length+quality gate → exact dedup → NB quality
@@ -3512,6 +3529,55 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Drift replay: BOTH ledger snapshots (even-half and union)
+    // recomputed from scratch at p=8, full-joined on domain — version-1
+    // and latest symbol reads must equal them exactly (fold = one-shot,
+    // and as-of resolves the pre-fold state).
+    "q131_ledger_drift" -> {
+      val num = 0.7213 / (1 + 1.079 / 256) * 256.0 * 256.0 * math.pow(2.0, 64)
+      def side(x: String, filt: String): String =
+        s"""t_$x AS (SELECT source AS domain, text FROM documents WHERE $filt),
+         stats_$x AS (
+           SELECT domain, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM t_$x GROUP BY 1),
+         h_$x AS (
+           SELECT domain, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM (SELECT domain, unnest(string_split(text, ' ')) AS tok
+                 FROM t_$x)
+           WHERE tok IS NOT NULL),
+         regs_$x AS (
+           SELECT domain, h >> 52 AS bucket,
+             max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                      ELSE 52 - length(bin(h & 4503599627370495)) + 1
+                 END) AS rho
+           FROM h_$x GROUP BY 1, 2),
+         est_$x AS (
+           SELECT domain,
+             round(CASE WHEN raw <= 640.0 AND v > 0
+                        THEN 256.0 * ln(256.0 / v) ELSE raw END, 4) AS vocab
+           FROM (
+             SELECT domain,
+               $num / CAST((256 - count(*)) *
+                 CAST('18446744073709551616' AS HUGEINT) +
+                 sum(CAST(pow(2, 64 - rho) AS HUGEINT)) AS DOUBLE) AS raw,
+               CAST(256 - count(*) AS DOUBLE) AS v
+             FROM regs_$x GROUP BY 1)),
+         snap_$x AS (
+           SELECT s.domain, s.n_docs, s.n_tokens, e.vocab
+           FROM stats_$x s LEFT JOIN est_$x e USING (domain))"""
+      s"""WITH ${side("f", "doc_id % 2 = 0")},
+         ${side("t", "TRUE")}
+         SELECT coalesce(f.domain, t.domain) AS domain,
+           coalesce(f.n_docs, 0) AS n_docs_from,
+           coalesce(t.n_docs, 0) AS n_docs_to,
+           coalesce(t.n_docs, 0) - coalesce(f.n_docs, 0) AS d_docs,
+           coalesce(t.n_tokens, 0) - coalesce(f.n_tokens, 0) AS d_tokens,
+           coalesce(f.vocab, 0.0) AS vocab_from,
+           coalesce(t.vocab, 0.0) AS vocab_to,
+           round(coalesce(t.vocab, 0.0) - coalesce(f.vocab, 0.0), 4) AS d_vocab
+         FROM snap_f f FULL JOIN snap_t t ON f.domain = t.domain
+         ORDER BY 1""" },
     // Whole-pipeline replay: the q35 quality formula gates, md5
     // fingerprints dedup, the q126 NB CTEs retrained on the PIPELINE'S
     // OWN cleaned+deduped token stream, Pareto admission (seed 13),

@@ -242,6 +242,48 @@ object CorpusStats {
         col("min_tokens"), col("max_tokens"), col("distinct_tokens_est"))
   }
 
+
+  /** Corpus drift between two LEDGER VERSIONS — versioned time-travel
+    * analytics the Library gives for free: "what did the last N
+    * increments change, per domain" without touching any corpus data
+    * (both snapshots are ≤(domains × 2^p)-row symbol reads). Domains
+    * absent from a side report zero counts; vocabulary drift compares
+    * the HLL estimates (new-domain vocab growth is the estimate
+    * itself). Output: (domain, n_docs_from, n_docs_to, d_docs,
+    * d_tokens, vocab_from, vocab_to, d_vocab).
+    */
+  def ledgerDrift(
+      lib: graft.core.Library,
+      name: String,
+      from: graft.core.Library.AsOf,
+      to: graft.core.Library.AsOf = graft.core.Library.AsOf.Latest): DataFrame = {
+    val p = lib.read(s"${name}__meta").head().getAs[Int]("p")
+    def snap(asOf: graft.core.Library.AsOf, tag: String): DataFrame =
+      lib.read(s"${name}__stats", asOf = asOf)
+        .select(col("domain"), col("n_docs").as(s"n_docs_$tag"),
+          col("n_tokens").as(s"n_tokens_$tag"))
+        .join(
+          Sketch.hllEstimateBy(
+            lib.read(s"${name}__hll", asOf = asOf)
+              .select(col("domain").as("group"), col("bucket"), col("rho")),
+            p)
+            .select(col("group").as("domain"),
+              col("n_distinct_est").as(s"vocab_$tag")),
+          Seq("domain"), "left")
+    snap(from, "from").join(snap(to, "to"), Seq("domain"), "full")
+      .select(col("domain"),
+        coalesce(col("n_docs_from"), lit(0L)).as("n_docs_from"),
+        coalesce(col("n_docs_to"), lit(0L)).as("n_docs_to"),
+        (coalesce(col("n_docs_to"), lit(0L)) -
+          coalesce(col("n_docs_from"), lit(0L))).as("d_docs"),
+        (coalesce(col("n_tokens_to"), lit(0L)) -
+          coalesce(col("n_tokens_from"), lit(0L))).as("d_tokens"),
+        coalesce(col("vocab_from"), lit(0.0)).as("vocab_from"),
+        coalesce(col("vocab_to"), lit(0.0)).as("vocab_to"),
+        round(coalesce(col("vocab_to"), lit(0.0)) -
+          coalesce(col("vocab_from"), lit(0.0)), 4).as("d_vocab"))
+  }
+
   private def ledgerStats(
       df: DataFrame, textCol: String, domainCol: String): DataFrame =
     df.select(coalesce(col(domainCol).cast("string"), lit("__null__"))

@@ -120,6 +120,33 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("ledgerDrift: increment deltas, new domains, zero-drift identity") {
+    val lib = new Library(
+      java.nio.file.Files.createTempDirectory("graft-drift-").toString, spark)
+    val v1 = Seq((1L, "alpha beta gamma", "a"), (2L, "alpha alpha", "a"),
+      (3L, "delta epsilon", "b")).toDF("doc_id", "text", "dom")
+    val inc = Seq((4L, "zeta eta theta iota", "a"), // grows a
+      (5L, "kappa lambda", "c")) // NEW domain
+      .toDF("doc_id", "text", "dom")
+    graft.functions.CorpusStats.buildLedger(lib, v1, "text", "dom", "led",
+      p = 8, portable = true)
+    graft.functions.CorpusStats.mergeIntoLedger(lib, inc, "text", "dom", "led")
+    val first = lib.listVersions("led__stats").min
+    val drift = graft.functions.CorpusStats.ledgerDrift(
+      lib, "led", Library.AsOf.Version(first))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(drift("a") == ((2L, 3L, 1L, 4L))) // +1 doc, +4 tokens
+    assert(drift("b") == ((1L, 1L, 0L, 0L))) // untouched
+    assert(drift("c") == ((0L, 1L, 1L, 2L))) // born in the increment
+    // self-drift is identically zero
+    val zero = graft.functions.CorpusStats.ledgerDrift(
+      lib, "led", Library.AsOf.Latest)
+      .collect()
+    assert(zero.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L &&
+      r.getDouble(7) == 0.0))
+  }
+
   test("persisted lifecycle: two increments equal the one-shot build") {
     val lib = new Library(
       java.nio.file.Files.createTempDirectory("graft-hll-").toString, spark)
