@@ -1636,6 +1636,18 @@ object SparkEntry {
       Unigram.bigramLogProb(t(s, dir, "documents"), "doc_id", "text", 0.001)
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q132_contrastive_pairs" -> { (s, dir) =>
+      // Contrastive training pairs over the portable kmeans candidate
+      // space: per anchor, up to 3 positives (cosine ≥ 0.2) and 3 hard
+      // negatives (same cluster, cosine < 0, hardest first) via the
+      // partial top-k aggregate. The oracle replays the clustering, the
+      // exact cosines, the band labels and the per-anchor ranking.
+      graft.functions.Vectors.mineContrastivePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, posLo = 0.2, negHi = 0.0, perAnchor = 3, iters = 2,
+        portable = true)
+        .transform(sortGuarded(_, "anchor", "label", "rank"))
+    },
     "q131_ledger_drift" -> { (s, dir) =>
       // Versioned time-travel analytics: drift between ledger VERSION 1
       // (the even-doc build) and latest (after the odd-doc fold) — what
@@ -3529,6 +3541,44 @@ object SparkEntry {
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.
+    // Contrastive replay: q114 kmeans CTEs → within-cluster directed
+    // pairs → exact cosine → pos/neg bands → per-(anchor, label)
+    // row_number under (sim desc, other) — the TopKByScore tie rule.
+    "q132_contrastive_pairs" ->
+      s"""WITH $kmeansCtes,
+         asg AS (
+           SELECT vec_id, c AS cluster FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+         $cosineCtes,
+         cand AS (
+           SELECT a.vec_id AS anchor, b.vec_id AS other
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         dots AS (
+           SELECT cd.anchor, cd.other, sum(q.x * c.x) AS dot
+           FROM cand cd
+           JOIN flat q ON q.vec_id = cd.anchor
+           JOIN flat c ON c.vec_id = cd.other AND c.i = q.i
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT anchor, other,
+             round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE dot / (na.nrm * nb.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms na ON na.vec_id = anchor
+           JOIN norms nb ON nb.vec_id = other),
+         lab AS (
+           SELECT anchor, other, sim,
+             CASE WHEN sim >= 0.2 THEN 'pos'
+                  WHEN sim < 0.0 THEN 'neg' END AS label
+           FROM scored WHERE sim >= 0.2 OR sim < 0.0),
+         rk AS (
+           SELECT anchor, other, sim, label,
+             CAST(row_number() OVER (PARTITION BY anchor, label
+               ORDER BY sim DESC, other) AS INT) AS rank
+           FROM lab)
+         SELECT anchor, other, sim, label, rank FROM rk
+         WHERE rank <= 3 ORDER BY anchor, label, rank""",
     // Drift replay: BOTH ledger snapshots (even-half and union)
     // recomputed from scratch at p=8, full-joined on domain — version-1
     // and latest symbol reads must equal them exactly (fold = one-shot,
@@ -3623,7 +3673,7 @@ object SparkEntry {
            FROM tk LEFT JOIN model m USING (tok), fl),
          scored AS (
            SELECT doc_id,
-             round(CAST(sum(term) AS DOUBLE) / 1e6 / count(*), 6) AS llr_mean
+             CASE WHEN sum(term) < 0 THEN -floor((abs(sum(term)) * 2 + count(*)) / (count(*) * 2)) ELSE floor((sum(term) * 2 + count(*)) / (count(*) * 2)) END / 1e6 AS llr_mean
            FROM terms GROUP BY 1),
          admitted AS (
            SELECT dd.doc_id, dd.source, dd.text
@@ -3790,7 +3840,7 @@ object SparkEntry {
            FROM tk LEFT JOIN model m USING (tok), fl),
          scored AS (
            SELECT doc_id, count(*) AS n_tokens,
-             round(CAST(sum(term) AS DOUBLE) / 1e6 / count(*), 6) AS llr_mean
+             CASE WHEN sum(term) < 0 THEN -floor((abs(sum(term)) * 2 + count(*)) / (count(*) * 2)) ELSE floor((sum(term) * 2 + count(*)) / (count(*) * 2)) END / 1e6 AS llr_mean
            FROM terms GROUP BY 1)
          SELECT doc_id, n_tokens, llr_mean,
            llr_mean > round(1 - (pow(1 -
@@ -3841,7 +3891,7 @@ object SparkEntry {
            LEFT JOIN ukept uk ON toks.cur = uk.tok, floors),
          scored AS (
            SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
-             round(CAST(sum(term) AS DOUBLE) / 1e6 / CAST(max(n) AS DOUBLE), 6)
+             CASE WHEN sum(term) < 0 THEN -floor((abs(sum(term)) * 2 + max(n)) / (max(n) * 2)) ELSE floor((sum(term) * 2 + max(n)) / (max(n) * 2)) END / 1e6
                AS lp_mean
            FROM terms GROUP BY 1),
          rk AS (
@@ -3889,7 +3939,7 @@ object SparkEntry {
            LEFT JOIN bkept bk ON toks.prev = bk.w1 AND toks.cur = bk.w2
            LEFT JOIN ukept uk ON toks.cur = uk.tok, floors)
          SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
-           round(CAST(sum(term) AS DOUBLE) / 1e6 / CAST(max(n) AS DOUBLE), 6)
+           CASE WHEN sum(term) < 0 THEN -floor((abs(sum(term)) * 2 + max(n)) / (max(n) * 2)) ELSE floor((sum(term) * 2 + max(n)) / (max(n) * 2)) END / 1e6
              AS lp_mean
          FROM terms GROUP BY 1 ORDER BY doc_id""",
     "q97_qb_compose" ->

@@ -28,6 +28,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Unigram {
 
+  /** Exact micro-unit mean: (sum / n) in 1e-6 units, ROUNDED HALF-AWAY
+    * IN INTEGER SPACE — floor((2·|sum| + n) / (2n)), sign restored —
+    * then one exact division by 1e6. The naive `round(sum/1e6/n, 6)`
+    * rounds a BINARY double whose shortest decimal print can sit on the
+    * other side of the half boundary (0.0079195 prints as the half but
+    * IS 0.00791949…), so Spark's decimal-string round and any
+    * binary-rounding engine disagree on exact ties; the integer form is
+    * engine-independent. Exactness: quotient distance from an integer
+    * is ≥ 1/(2n) ≫ double ulp, and the final /1e6 of an integer < 2^53
+    * is correctly rounded — valid while 2·|sum| < 2^53 (per-doc micro
+    * sums are ≤ ~3e13 even at 10⁶ tokens/doc).
+    */
+  private[functions] def microMean(s: Column, n: Column): Column = {
+    val q = floor((abs(s) * 2 + n) / (n * 2))
+    when(s < 0, -q).otherwise(q) / lit(1e6)
+  }
+
   /** (tok, c) counts over the corpus — the counter shuffle is bounded by the
     * vocabulary. `Kernels.spread` buys kernel parallelism on split-starved
     * scans (see Kernels.scala).
@@ -315,8 +332,7 @@ object Unigram {
       .groupBy(idCol)
       .agg(max("__n").as("n_tokens"), sum("__term").as("__s"))
       .select(col(idCol), col("n_tokens"),
-        round(col("__s").cast("double") / lit(1e6) /
-          col("n_tokens").cast("double"), 6).as("lp_mean"))
+        microMean(col("__s"), col("n_tokens")).as("lp_mean"))
   }
 
   /** Multinomial Naive-Bayes quality classifier — the GPT-3 data-filter
@@ -355,7 +371,7 @@ object Unigram {
       tokenCounts(ref, idCol, textCol)
     val pc = classCounts(posRef).persist(StorageLevel.MEMORY_AND_DISK)
     val nc = classCounts(negRef).persist(StorageLevel.MEMORY_AND_DISK)
-    val (model, floor) =
+    val (model, floorLlr) =
       try {
         def total(c: DataFrame): Double = c.agg(sum(col("c"))).head match {
           case r if r.isNullAt(0) => 0.0
@@ -389,10 +405,9 @@ object Unigram {
       .join(broadcast(model), Seq("tok"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("llr"), lit(floor))).as("__s"))
+        sum(coalesce(col("llr"), lit(floorLlr))).as("__s"))
       .select(col(idCol), col("n_tokens"),
-        round(col("__s").cast("double") / lit(1e6) /
-          col("n_tokens").cast("double"), 6).as("llr_mean"))
+        microMean(col("__s"), col("n_tokens")).as("llr_mean"))
   }
 
   /** GPT-3's Pareto admission (Brown et al. 2020, Appendix A), hash-

@@ -488,19 +488,8 @@ object Vectors {
       portable: Boolean = false,
       maxCluster: Int = 100000): DataFrame = {
     require(eps >= -1 && eps <= 1, s"eps $eps outside [-1,1]")
-    // materialize the assignment once: it feeds THREE consumers (the
-    // pair join's two sides via `a`, the keeper's dist lookup, and the
-    // final report join) and duplicateClusters' iterative rounds — left
-    // as lineage the kmeans pipeline would re-plan per consumer and the
-    // propagation loop's analysis would walk it exponentially
-    val assign = kmeansAssign(df, idCol, vecCol, k, iters, portable)
-      .localCheckpoint(true)
-    val a = assign
-      .join(df.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
-      .select(col(idCol).as("__sid"), col("cluster"), col("dist"), col("__v"))
-    val big = a.groupBy("cluster").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxCluster).select("cluster")
-    val inCap = a.join(big, Seq("cluster"), "left_anti")
+    val (assign, inCap) =
+      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster)
     val pairs = inCap.as("x")
       .join(inCap.as("y"),
         col("x.cluster") === col("y.cluster") &&
@@ -528,6 +517,86 @@ object Vectors {
       .select(col(idCol), col("cluster"), col("dist"), col("group_id"),
         coalesce(col("group_n"), lit(1L)).as("group_n"),
         coalesce(col("kept"), lit(true)).as("kept"))
+  }
+
+  /** Shared front half of the cluster-candidate operators
+    * ([[semDedupReport]], [[mineContrastivePairs]]): the kmeans
+    * assignment — MATERIALIZED once, since it feeds several consumers
+    * and iterative loops whose analysis would otherwise re-walk the
+    * kmeans lineage exponentially — plus the capped (cluster, __sid,
+    * dist, __v) row set (groupBy-count → anti-join population cap, the
+    * minhashCandidates argument).
+    */
+  private def clusteredVectors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      portable: Boolean,
+      maxCluster: Int): (DataFrame, DataFrame) = {
+    val assign = kmeansAssign(df, idCol, vecCol, k, iters, portable)
+      .localCheckpoint(true)
+    val a = assign
+      .join(df.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .select(col(idCol).as("__sid"), col("cluster"), col("dist"), col("__v"))
+    val big = a.groupBy("cluster").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCluster).select("cluster")
+    (assign, a.join(big, Seq("cluster"), "left_anti"))
+  }
+
+  /** Contrastive training-pair mining over the kmeans candidate space —
+    * the (anchor, positive, hard-negative) generator embedding-model
+    * fine-tuning pipelines run over a corpus:
+    *   - POSITIVES: same-cluster pairs with cosine ≥ `posLo` (near
+    *     paraphrases; exact duplicates should be SemDeDup'd away first),
+    *   - HARD NEGATIVES: same-cluster pairs with cosine < `negHi` —
+    *     close in coarse (cluster) space yet dissimilar, the negatives
+    *     that actually teach a contrastive loss (random negatives are
+    *     trivially easy; in-cluster ones are not).
+    * Each anchor keeps its `perAnchor` best per label — positives by
+    * similarity desc, negatives HARDEST FIRST (highest cosine below the
+    * bar) — via the partial top-k aggregate (TopKByScore: no per-anchor
+    * window, O(anchors × k) exchange). Pairs mine in both orientations
+    * (each side anchors). Output: (anchor, other, sim, label, rank).
+    */
+  def mineContrastivePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      posLo: Double,
+      negHi: Double,
+      perAnchor: Int = 3,
+      iters: Int = 2,
+      portable: Boolean = false,
+      maxCluster: Int = 100000): DataFrame = {
+    require(posLo > negHi,
+      s"posLo $posLo must exceed negHi $negHi — overlapping bands would " +
+        "emit one pair as both positive and negative")
+    require(perAnchor >= 1, s"perAnchor $perAnchor must be >= 1")
+    val idType = df.schema(idCol).dataType
+    val (_, inCap) =
+      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster)
+    val scored = inCap.as("x")
+      .join(inCap.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.__sid") =!= col("y.__sid"))
+      .select(col("x.__sid").as("anchor"), col("y.__sid").as("other"),
+        round(cosine(col("x.__v"), col("y.__v")), 6).as("sim"))
+    val labeled = scored
+      .select(col("anchor"), col("other"), col("sim"),
+        when(col("sim") >= posLo, lit("pos"))
+          .when(col("sim") < negHi, lit("neg")).as("label"))
+      .filter(col("label").isNotNull)
+    labeled
+      .groupBy("anchor", "label")
+      .agg(graft.plans.TopKByScore.topK(
+        col("sim"), col("other").cast("long"), perAnchor).as("__top"))
+      .select(col("anchor"), col("label"), posexplode(col("__top")))
+      .select(col("anchor"), col("col.id").cast(idType).as("other"),
+        col("col.score").as("sim"), col("label"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** The surviving rows of SemDeDup — `df` minus every non-keeper member

@@ -53,9 +53,13 @@ class UnigramSpec extends SparkSuite {
     val lpBigAB = q(math.log(3.0 / 3)) // ln c(a b)/c(a) = 0
     val ff = q(math.log(0.5 / 8)) // first-token OOV floor
     val fb = q(math.log(0.4 * 0.5 / 8)) // backoff OOV floor
-    def mean(terms: Seq[Long]): Double =
-      BigDecimal(terms.sum / 1e6 / terms.size)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mean(terms: Seq[Long]): Double = {
+      // mirror of Unigram.microMean: integer half-away rounding of the
+      // micro-nat quotient, then one exact /1e6
+      val (s, n) = (terms.sum, terms.size.toLong)
+      val q = (math.abs(s) * 2 + n) / (2 * n)
+      (if (s < 0) -q else q) / 1e6
+    }
     val got = graft.functions.Unigram
       .bigramLogProb(docs, "doc_id", "text", 0.25)
       .orderBy("doc_id").as[(Long, Long, Double)].collect()
@@ -171,9 +175,13 @@ class UnigramSpec extends SparkSuite {
     val neg = Seq((200L, "b b b c")).toDF("doc_id", "text")
     val docs = Seq((0L, "a b z"), (1L, "a a"), (2L, "c")).toDF("doc_id", "text")
     def q(x: Double): Long = { val y = x * 1e6; if (y >= 0) Math.round(y) else -Math.round(-y) }
-    def mean(terms: Seq[Long]): Double =
-      BigDecimal(terms.sum / 1e6 / terms.size)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mean(terms: Seq[Long]): Double = {
+      // mirror of Unigram.microMean: integer half-away rounding of the
+      // micro-nat quotient, then one exact /1e6
+      val (s, n) = (terms.sum, terms.size.toLong)
+      val q = (math.abs(s) * 2 + n) / (2 * n)
+      (if (s < 0) -q else q) / 1e6
+    }
     val llrA = q(math.log(4.0 / 8) - math.log(1.0 / 8))
     val llrB = q(math.log(2.0 / 8) - math.log(4.0 / 8))
     val llrC = q(math.log(1.0 / 8) - math.log(2.0 / 8))
