@@ -439,15 +439,19 @@ object Dedup {
     * parity the spec pins — because both sides use [[bandedRows]] and
     * the cap counts the COMBINED (index + batch) bucket population.
     *
-    * Scale shape: the batch's band keys are counted first (a bounded
-    * aggregate over batch×bands counter rows); when the distinct-key set
-    * fits `maxProbeKeys` it collects to the driver and drives FILE
-    * PRUNING of the index read — incremental-admission cost proportional
-    * to the batch, not the corpus. Past the cap it falls back to a full
-    * band-index scan joined on the key (sort-merge on 8-byte keys over
-    * the signature index — still never re-shingling or shuffling corpus
-    * TEXT). Same-id pairs are dropped: an id present on both sides is
-    * the same record re-observed, not a duplicate of itself.
+    * Scale shape, measured (IndexProbe sf1→sf5: scratch re-signaturing
+    * grows 1.02→1.99 s with a 5× corpus, this path stays flat
+    * 1.37→1.16 s at fixed batch): what the index removes is the
+    * CORPUS-side work — re-shingling and re-minhashing every document
+    * per drop. The index side is a band-row table ≈1% of corpus text
+    * bytes; bounded probes (≤ `maxProbeKeys` distinct keys) drive
+    * manifest FILE PRUNING of it, which pays off when the probe-key set
+    * is narrow relative to the file count (uniform hash keys spread a
+    * LARGE batch's keys across every file, so pruning asymptotes to a
+    * full scan of the 1%-scale band table — still never touching
+    * corpus text; past the cap the fallback join has the same bound).
+    * Same-id pairs are dropped: an id present on both sides is the
+    * same record re-observed, not a duplicate of itself.
     */
   def minhashCandidatesAgainstIndex(
       lib: graft.core.Library,
