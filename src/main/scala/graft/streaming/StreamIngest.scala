@@ -171,6 +171,44 @@ object StreamIngest {
         ()
       }
 
+  /** Fold every micro-batch into a persisted corpus-health ledger
+    * ([[graft.functions.CorpusStats.buildLedger]]) — the always-on
+    * health dashboard over live ingest: per-domain counts/extrema and
+    * HLL vocabulary registers advance one bounded symbol write per
+    * batch, and `readLedger`/`ledgerDrift` answer "what changed today"
+    * at any time without scanning history. Creates the ledger from the
+    * first non-empty batch. The HLL half is idempotent under replay;
+    * the sums half is not — pair with an id replay guard upstream when
+    * delivery is at-least-once (see [[dedupAdmitSink]]), or accept
+    * at-least-once counting as the reference's staging contract does.
+    */
+  def ledgerSink(
+      lib: Library,
+      stream: DataFrame,
+      textCol: String,
+      domainCol: String,
+      name: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      p: Int = 12,
+      portable: Boolean = false): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          if (!lib.hasSymbol(s"${name}__meta"))
+            graft.functions.CorpusStats.buildLedger(
+              lib, b, textCol, domainCol, name, p, portable)
+          else
+            graft.functions.CorpusStats.mergeIntoLedger(
+              lib, b, textCol, domainCol, name)
+        }
+        ()
+      }
+
   /** Streaming resample: per-bucket aggregates over an event-time ns-long
     * ts column, emitting a bucket only once the watermark passes its end
     * (append mode ⇒ results match the batch resample on the same data).

@@ -295,6 +295,32 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ledgerSink: streamed increments equal the one-shot batch ledger") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF.toDF("doc_id", "text", "dom")
+    val lib = new Library(tmp("graft-ledger-stream-"), spark)
+    val ckpt = tmp("graft-ledger-ckpt-")
+    val rows1 = Seq((1L, "alpha beta gamma", "a"), (2L, "delta", "b"))
+    val rows2 = Seq((3L, "epsilon zeta alpha", "a"), (4L, "eta", "c"))
+    mem.addData(rows1: _*)
+    StreamIngest.ledgerSink(lib, df, "text", "dom", "led", ckpt, p = 8,
+      portable = true).start().awaitTermination()
+    mem.addData(rows2: _*)
+    StreamIngest.ledgerSink(lib, df, "text", "dom", "led", ckpt, p = 8,
+      portable = true).start().awaitTermination()
+    val streamed = graft.functions.CorpusStats.readLedger(lib, "led")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val oneShotLib = new Library(tmp("graft-ledger-oneshot-"), spark)
+    graft.functions.CorpusStats.buildLedger(oneShotLib,
+      (rows1 ++ rows2).toDF("doc_id", "text", "dom"), "text", "dom", "led",
+      p = 8, portable = true)
+    val oneShot = graft.functions.CorpusStats.readLedger(oneShotLib, "led")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed == oneShot)
+    assert(streamed.keySet == Set("a", "b", "c"))
+  }
+
   test("dedupAdmitSink: per-batch dedup against the growing corpus + index") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
