@@ -856,6 +856,18 @@ object SparkEntry {
         maxDocFreq = 0, forceDense = Some(false), forcePrefix = Some(true))
         .repartition(1).sortWithinPartitions("id_a", "id_b")
     },
+    "q133_bpe_fertility" -> { (s, dir) =>
+      // Tokenizer evaluation: fertility (subwords per word) per source
+      // domain under the corpus-trained 3-merge model — the metric that
+      // tells you which domains your vocabulary undertrains. Encode is
+      // the q122 kernel pass; the report is one counter aggregate.
+      val docs = t(s, dir, "documents")
+      val ranks = graft.functions.Bpe.trainMerges(docs, "text", 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Bpe.fertility(docs, "doc_id", "text", "source", ranks)
+        .transform(sortGuarded(_, "source"))
+    },
     "q122_bpe_encode" -> { (s, dir) =>
       // The tokenizer's ENCODE half (Sennrich 2016 §3): train 3 merges
       // (vocab-bounded, the q99 path), then tokenize the whole corpus in
@@ -3520,6 +3532,27 @@ object SparkEntry {
     // the word → tokens mapping after all three merges; every document's
     // word stream joins it and unnests with per-word ordinality, one row
     // per emitted subword token, position numbered within the doc.
+    // Fertility replay: the q122 training + segmentation CTEs, every
+    // word instance joined to its segmentation length, per-source
+    // counters, one rounded ratio.
+    "q133_bpe_fertility" -> {
+      s"""WITH $bpeWordsCte,
+          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)},
+          docw AS (
+            SELECT doc_id, source, toks[wq] AS w FROM (
+              SELECT doc_id, source, toks,
+                unnest(range(1, len(toks) + 1)) AS wq
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents))),
+          sub AS (SELECT w, len(s) AS nsub FROM seg4),
+          agg AS (
+            SELECT d.source, count(DISTINCT d.doc_id) AS n_docs,
+              count(*) AS n_words,
+              CAST(sum(sub.nsub) AS BIGINT) AS n_subwords
+            FROM docw d JOIN sub USING (w) GROUP BY 1)
+          SELECT source, n_docs, n_words, n_subwords,
+            round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility
+          FROM agg ORDER BY source""" },
     "q122_bpe_encode" -> {
       s"""WITH $bpeWordsCte,
           ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)},

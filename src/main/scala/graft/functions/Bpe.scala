@@ -189,4 +189,32 @@ object Bpe {
       .select(col(idCol), col("ids"),
         size(col("ids")).cast("long").as("n_tokens"))
   }
+
+  /** Tokenizer FERTILITY per group — subwords emitted per whitespace
+    * word under a trained merge list, the standard tokenizer-evaluation
+    * metric (fertility ≈ 1 on in-domain text; it climbs on domains the
+    * vocabulary undertrains, which is exactly what a per-domain report
+    * surfaces). One encode pass (the merge list rides the closure — no
+    * dictionary join) + one counter aggregate; nothing shuffles but
+    * (group, counters). Output: (byCol, n_docs, n_words, n_subwords,
+    * fertility).
+    */
+  def fertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = encode(df, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens").as("__sub"))
+    df.select(col(idCol), col(byCol),
+        Text.tokenCount(col(textCol)).cast("long").as("__w"))
+      .join(enc, Seq(idCol))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__sub")).as("n_subwords"))
+      .select(col(byCol), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
 }

@@ -129,4 +129,21 @@ class BpeSpec extends SparkSuite {
         Seq.tabulate(65537)(i => (s"x$i", s"y$i")))
     }
   }
+
+  test("fertility: per-domain subwords-per-word hand-check") {
+    import spark.implicits._
+    // merges (a,b) then (ab,c): "abc"→[abc] 1 subword, "ab"→[ab] 1,
+    // "xy"→[x,y] 2, "abcabc"→[abc,abc] 2
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc ab", "d1"), // 2 words, 2 subwords
+      (2L, "xy", "d1"), // 1 word, 2 subwords
+      (3L, "abcabc xy xy", "d2") // 3 words, 2+2+2 = 6 subwords
+    ).toDF("doc_id", "text", "dom")
+    val got = Bpe.fertility(docs, "doc_id", "text", "dom", merges)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("d1", 2L, 3L, 4L, 1.333333),
+      ("d2", 1L, 3L, 6L, 2.0)), got)
+  }
 }
