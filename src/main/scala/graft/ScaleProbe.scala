@@ -27,7 +27,15 @@ object ScaleProbe {
     "q68_decontaminate",
     "q93_dsir_weights",
     "q112_drop_repeated_spans",
-    "q110_ann_ivf_persisted")
+    "q110_ann_ivf_persisted",
+    // round-13 operators: the rank-engine percentile cut, the Bloom
+    // build+probe lifecycle, the ledger fold, and SemDeDup with k
+    // scaled to the corpus (the gate's k=8 is oracle-sized; SemDeDup's
+    // design point is k ~ n/500 so clusters stay pair-joinable)
+    "q124_perplexity_buckets",
+    "q128_bloom_novelty",
+    "q129_corpus_ledger",
+    "q125_semdedup_scaledk")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
@@ -54,7 +62,14 @@ object ScaleProbe {
     "q30_jaccard_t05_prefix" -> ((s, dir) =>
       graft.functions.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        shingleLen = 3, threshold = 0.5)))
+        shingleLen = 3, threshold = 0.5)),
+    "q125_semdedup_scaledk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      graft.functions.Vectors.semDedupReport(
+        emb, "vec_id", "embedding",
+        k = math.max(8, (n / 500).toInt), eps = 0.3, iters = 2)
+    }))
 
   private def query(name: String): (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame =

@@ -3766,9 +3766,9 @@ object SparkEntry {
     // Full Bloom replay: the reference slices' shingles hash to k=4
     // md5-60 positions mod 2^16, pack by bit_or into 64-bit words
     // (merge is OR, so the two-increment build equals the one-shot
-    // filter over the union); every document's grams — keyed by the
-    // SAME 60-bit gram hash the engine shuffles, so even hash
-    // collisions replay — probe the packed words bit for bit.
+    // filter over the union); every document's DISTINCT grams probe the
+    // packed words bit for bit (per gram STRING — the closure-kernel
+    // fast path's grouping).
     "q128_bloom_novelty" ->
       s"""WITH $shingleCtes,
          ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 <= 1),
@@ -3784,12 +3784,12 @@ object SparkEntry {
              bit_or(CAST(1 AS HUGEINT) << CAST(p & 63 AS INT)) AS bits
            FROM pos GROUP BY 1),
          qp AS (
-           SELECT doc_id, ${hex60Sql("s")} AS gh,
+           SELECT doc_id, s,
              CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
                1, 15) AS BIGINT) % 65536 AS p
            FROM sh, range(0, 4) t(i)),
          hit AS (
-           SELECT q.doc_id, q.gh,
+           SELECT q.doc_id, q.s,
              sum(CASE WHEN (coalesce(w.bits, CAST(0 AS HUGEINT)) &
                (CAST(1 AS HUGEINT) << CAST(q.p & 63 AS INT))) <> 0
                THEN 1 ELSE 0 END) AS hits

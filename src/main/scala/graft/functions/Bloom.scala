@@ -111,14 +111,51 @@ object Bloom {
     lib.write(s"${name}__words", merged.localCheckpoint(true), Some("word"))
   }
 
-  /** Per-(doc, gram) membership against a persisted filter — the shared
-    * probe of [[noveltyScore]] / [[decontaminateByBloom]]. Output:
-    * (idCol, __gh, __sz, __contained). Scale shape: grams explode to k
-    * word-keyed probe rows scan-side; the packed table joins word-keyed
-    * (broadcast when it fits — 2^20 bits is 128 KiB); the per-gram
-    * re-aggregate shuffles the 8-byte gram HASH, never gram text.
+  /** Largest logM whose dense word array ships inside the stage task
+    * binary (2^24 bits = 2 MiB of longs): filters at or under it probe
+    * through the [[graft.plans.BloomHits]] closure kernel — membership
+    * for a whole document in ONE narrow call, ZERO exchanges (measured:
+    * the join path shuffled one row per (doc, gram), 639 MB at sf5).
+    * Bigger filters fall back to the word-keyed join path below.
     */
-  private def probe(
+  val FastClosureMaxLogM: Int = 24
+
+  /** Per-document (n_shingles, contained) against a persisted filter —
+    * the shared probe of [[noveltyScore]] / [[decontaminateByBloom]].
+    * Dispatches on filter size: closure kernel (shuffle-free) up to
+    * [[FastClosureMaxLogM]], word-keyed join beyond. Docs too short to
+    * shingle (or with null text) are ABSENT, both paths.
+    */
+  private def probeCounts(
+      lib: Library, df: DataFrame, idCol: String, textCol: String,
+      name: String): DataFrame = {
+    val (logM, k, sl, portable) = bloomMeta(lib, name)
+    if (logM <= FastClosureMaxLogM) {
+      val dense = new Array[Long](1 << (logM - 6))
+      lib.read(s"${name}__words").select("word", "bits").collect()
+        .foreach(r => dense(r.getInt(0)) = r.getLong(1))
+      val model = new graft.plans.BloomBits(dense, logM, k, sl, portable)
+      df.select(col(idCol),
+          graft.plans.OptimizerFence(
+            graft.plans.BloomHits(col(textCol), model)).as("__h"))
+        .select(col(idCol), col("__h.n_shingles").as("__n"),
+          col("__h.contained").as("__c"))
+        .filter(col("__n") > 0)
+    } else
+      probeJoin(lib, df, idCol, textCol, name)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__contained"), 1L).otherwise(0L)).as("__c"))
+  }
+
+  /** Per-(doc, gram) membership via the word-keyed JOIN — the path for
+    * filters too big for a task closure. Output: (idCol, __gh, __sz,
+    * __contained). Scale shape: grams explode to k word-keyed probe
+    * rows scan-side; the packed table joins word-keyed (broadcast when
+    * it fits); the per-gram re-aggregate shuffles the 8-byte gram HASH,
+    * never gram text — one exchanged row per (doc, gram).
+    */
+  private[graft] def probeJoin(
       lib: Library, df: DataFrame, idCol: String, textCol: String,
       name: String): DataFrame = {
     val (logM, k, sl, portable) = bloomMeta(lib, name)
@@ -155,13 +192,10 @@ object Bloom {
   def noveltyScore(
       lib: Library, df: DataFrame, idCol: String, textCol: String,
       name: String): DataFrame =
-    probe(lib, df, idCol, textCol, name)
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(!col("__contained"), 1L).otherwise(0L)).as("__novel"))
-      .select(col(idCol), col("n_shingles"),
-        round(col("__novel").cast("double") /
-          col("n_shingles").cast("double"), 6).as("novel_frac"))
+    probeCounts(lib, df, idCol, textCol, name)
+      .select(col(idCol), col("__n").as("n_shingles"),
+        round((col("__n") - col("__c")).cast("double") /
+          col("__n").cast("double"), 6).as("novel_frac"))
 
   /** Drop corpus docs sharing more than `maxHits` shingles with the
     * filtered reference set — [[Dedup.decontaminate]]'s shape with the
@@ -172,10 +206,8 @@ object Bloom {
   def decontaminateByBloom(
       lib: Library, corpus: DataFrame, idCol: String, textCol: String,
       name: String, maxHits: Long = 0L): DataFrame = {
-    val bad = probe(lib, corpus, idCol, textCol, name)
-      .groupBy(idCol)
-      .agg(sum(when(col("__contained"), 1L).otherwise(0L)).as("__hits"))
-      .filter(col("__hits") > maxHits)
+    val bad = probeCounts(lib, corpus, idCol, textCol, name)
+      .filter(col("__c") > maxHits)
       .select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
   }

@@ -1225,3 +1225,106 @@ object GramHashes {
     CatalystBridge.column(GramHashes(
       CatalystBridge.expression(text), spanWords, portable))
 }
+
+/** Model-in-closure Bloom filter: the packed bit words of a persisted
+  * n-gram filter (graft.functions.Bloom), shipped to executors inside
+  * the stage's task binary — membership for a whole document evaluates
+  * in ONE narrow kernel call, so novelty / decontamination probes are
+  * shuffle-free scans (the join-path alternative exchanges one row per
+  * (doc, gram)). Bounded by the caller to filters whose dense word
+  * array stays task-binary-sized (Bloom.FastClosureMaxLogM).
+  *
+  * Hashing mirrors the Column formulation bit for bit: position i of
+  * gram g is md5("i:" ++ g) first-15-hex (portable — the Dedup.h60
+  * convention, digest-byte extraction as TextKernels.gramHashes) or
+  * Spark's chained xxhash64(i, g) (production), taken pmod 2^logM.
+  */
+final class BloomBits(
+    val words: Array[Long],
+    val logM: Int,
+    val k: Int,
+    val shingleLen: Int,
+    val portable: Boolean) extends Serializable {
+
+  /** (n_shingles, contained) of a document's DISTINCT normalized
+    * shingle set — the TextKernels.shingles semantics, so the kernel
+    * and the shinglePostings join path see identical gram sets.
+    */
+  def hits(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = TextKernels.shingles(text, shingleLen)
+    val n = grams.numElements()
+    val m = 1L << logM
+    val md =
+      if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    var contained = 0L
+    var g = 0
+    while (g < n) {
+      val gram = grams.getUTF8String(g).getBytes
+      var allSet = true
+      var i = 0
+      while (allSet && i < k) {
+        val h =
+          if (portable) {
+            md.reset()
+            md.update(String.valueOf(i).getBytes)
+            md.update(':'.toByte)
+            md.update(gram)
+            val d = md.digest()
+            var v = 0L
+            var b = 0
+            while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+            (v << 4) | ((d(7) >> 4) & 0xfL)
+          } else {
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              gram, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              gram.length,
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
+          }
+        val pos = java.lang.Math.floorMod(h, m)
+        if ((words((pos >> 6).toInt) & (1L << (pos & 63L))) == 0L)
+          allSet = false
+        i += 1
+      }
+      if (allSet) contained += 1
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, contained)
+  }
+}
+
+/** (n_shingles, contained) struct of a document against a closure-held
+  * Bloom filter — see [[BloomBits]].
+  */
+final case class BloomHits(child: Expression, model: BloomBits)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("contained", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_hits expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.hits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bloomBits", model, classOf[BloomBits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.hits($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHits =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_hits"
+}
+
+object BloomHits {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: BloomBits): Column =
+    CatalystBridge.column(BloomHits(CatalystBridge.expression(text), model))
+}

@@ -57,6 +57,35 @@ class BloomSpec extends SparkSuite {
     assert(fp < 0.005, s"fp rate $fp")
   }
 
+  test("closure-kernel probe == join-path probe, doc for doc") {
+    val lib = new Library(
+      java.nio.file.Files.createTempDirectory("graft-bloomk-").toString, spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val name = s"bf_$portable"
+      Bloom.buildNgramBloom(lib, docs.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", name, shingleLen = 3, logM = 16, k = 4,
+        portable = portable)
+      // kernel path (logM 16 <= FastClosureMaxLogM)
+      val fast = Bloom.noveltyScore(lib, docs, "doc_id", "text", name)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      // join path, via the internal per-gram probe aggregated the same way
+      val slow = Bloom.probeJoin(lib, docs, "doc_id", "text", name)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("__contained"), 1L).otherwise(0L)).as("nov"))
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1),
+            BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toMap
+      assert(fast == slow, s"portable=$portable")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("noveltyScore + decontaminateByBloom end to end through Library") {
     val lib = new Library(
       java.nio.file.Files.createTempDirectory("graft-bloom-").toString, spark)
