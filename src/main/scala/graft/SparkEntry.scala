@@ -1028,22 +1028,25 @@ object SparkEntry {
         .orderBy("event_id")
     },
     "q87_image_header_meta" -> { (s, dir) =>
-      // Real container-metadata extraction (PNG/JPEG/GIF headers) over
-      // synthetic payloads: dims derive from doc_id, payloads are built
-      // per-partition (the sandbox has no codecs), and the header kernel
-      // parses them back — gated against the direct arithmetic in DuckDB.
-      // A parser that misreads any header offset fails the gate.
+      // Real container-metadata extraction (PNG/JPEG/GIF/BMP/WEBP
+      // headers) over synthetic payloads: dims derive from doc_id,
+      // payloads are built per-partition (the sandbox has no codecs),
+      // and the header kernel parses them back — gated against the
+      // direct arithmetic in DuckDB. A parser that misreads any header
+      // offset fails the gate.
       import s.implicits._
       val dims = t(s, dir, "documents").select(col("doc_id"),
         (lit(1) + col("doc_id") % 640).cast("int").as("w0"),
         (lit(1) + col("doc_id") % 480).cast("int").as("h0"),
-        (col("doc_id") % 3).cast("int").as("f0"))
+        (col("doc_id") % 5).cast("int").as("f0"))
       val withBin = dims.as[(Long, Int, Int, Int)]
         .mapPartitions(_.map { case (id, w, h, f) =>
           val bytes = f match {
             case 0 => graft.plans.ImageHeaders.buildPng(w, h)
             case 1 => graft.plans.ImageHeaders.buildJpeg(w, h)
-            case _ => graft.plans.ImageHeaders.buildGif(w, h)
+            case 2 => graft.plans.ImageHeaders.buildGif(w, h)
+            case 3 => graft.plans.ImageHeaders.buildBmp(w, h)
+            case _ => graft.plans.ImageHeaders.buildWebp(w, h)
           }
           (id, bytes)
         }).toDF("doc_id", "img")
@@ -2313,8 +2316,8 @@ object SparkEntry {
          ORDER BY event_id""",
     "q87_image_header_meta" ->
       """SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                ELSE 'gif' END AS format,
+           CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'webp' END AS format,
            CAST(1 + doc_id % 640 AS INT) AS width,
            CAST(1 + doc_id % 480 AS INT) AS height
          FROM documents ORDER BY doc_id""",

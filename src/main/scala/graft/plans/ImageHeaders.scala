@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure-JVM image CONTAINER metadata: width/height as declared by the
-  * header bytes — PNG IHDR, JPEG SOFn frame header, GIF logical screen
+  * header bytes — PNG IHDR, JPEG SOFn frame header, GIF logical screen,
+  * BMP BITMAPINFOHEADER, WEBP VP8X/VP8L/VP8 chunk
   * descriptor. No codec is involved (the payload is never decoded), so
   * this runs anywhere the JVM runs and shrinks Multimodal's stub boundary
   * to feature extraction only: schema-level metadata (`width`, `height`,
@@ -39,6 +40,12 @@ object ImageHeaders {
       val (w, h) = jpegDims(b)
       if (w == Unknown) ("unknown", Unknown, Unknown) else ("jpeg", w, h)
     } else if (isGif(b)) ("gif", le16(b, 6), le16(b, 8))
+    else if (isBmp(b)) {
+      // BITMAPINFOHEADER (DIB size >= 40): signed LE32 dims at 18/22;
+      // negative height = top-down row order, magnitude is the height
+      val h = le32(b, 22)
+      ("bmp", le32(b, 18), math.abs(h))
+    } else if (isWebp(b)) webpDims(b)
     else ("unknown", Unknown, Unknown)
   }
 
@@ -53,6 +60,39 @@ object ImageHeaders {
   private def isGif(b: Array[Byte]): Boolean =
     b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40
+
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** WEBP container dims per the three chunk layouts (RIFF spec):
+    * VP8X canvas = 24-bit LE (width-1, height-1) at payload+4/+7,
+    * VP8L packs 14-bit (width-1, height-1) after the 0x2F signature,
+    * lossy VP8 carries 14-bit dims after the 9D 01 2A start code.
+    */
+  private def webpDims(b: Array[Byte]): (String, Int, Int) = {
+    def le24(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    val tag = new String(b.slice(12, 16), "US-ASCII")
+    tag match {
+      case "VP8X" if b.length >= 30 =>
+        ("webp", 1 + le24(24), 1 + le24(27))
+      case "VP8L" if b.length >= 25 && b(20) == 0x2f =>
+        val q = le32(b, 21)
+        ("webp", 1 + (q & 0x3fff), 1 + ((q >> 14) & 0x3fff))
+      case "VP8 " if b.length >= 30 &&
+          b(23) == 0x9d.toByte && b(24) == 0x01 && b(25) == 0x2a =>
+        ("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      case _ => ("unknown", Unknown, Unknown)
+    }
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   /** Walk JPEG marker segments to the first SOFn frame header (the set of
     * start-of-frame markers per ITU T.81, excluding DHT/JPG/DAC C4/C8/CC).
@@ -120,6 +160,39 @@ object ImageHeaders {
     b(6) = (w & 0xff).toByte; b(7) = ((w >> 8) & 0xff).toByte
     b(8) = (h & 0xff).toByte; b(9) = ((h >> 8) & 0xff).toByte
     b
+  }
+
+  def buildBmp(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](54) // 14-byte file header + 40-byte DIB
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, 54); putLe32(b, 10, 54) // size, pixel offset
+    putLe32(b, 14, 40) // BITMAPINFOHEADER
+    putLe32(b, 18, w); putLe32(b, 22, h)
+    b(26) = 1; b(28) = 24 // planes, bpp
+    b
+  }
+
+  /** VP8X (extended) container — the layout real encoders emit for any
+    * webp with metadata; canvas dims are (value − 1) in 24-bit LE.
+    */
+  def buildWebp(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](30)
+    Array('R', 'I', 'F', 'F').zipWithIndex.foreach { case (c, i) => b(i) = c.toByte }
+    putLe32(b, 4, 22) // RIFF payload size
+    Array('W', 'E', 'B', 'P', 'V', 'P', '8', 'X').zipWithIndex
+      .foreach { case (c, i) => b(8 + i) = c.toByte }
+    putLe32(b, 16, 10) // VP8X chunk size
+    val (w1, h1) = (w - 1, h - 1)
+    b(24) = (w1 & 0xff).toByte; b(25) = ((w1 >> 8) & 0xff).toByte
+    b(26) = ((w1 >> 16) & 0xff).toByte
+    b(27) = (h1 & 0xff).toByte; b(28) = ((h1 >> 8) & 0xff).toByte
+    b(29) = ((h1 >> 16) & 0xff).toByte
+    b
+  }
+
+  private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
   }
 
   private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
