@@ -1027,6 +1027,32 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q134_audio_header_meta" -> { (s, dir) =>
+      // Audio twin of q87: WAV / FLAC payloads built per-partition from
+      // doc_id-derived parameters, parsed back by the header kernel —
+      // chunk-walk offsets, FLAC's 20/3/5/36-bit STREAMINFO packing and
+      // the frame arithmetic are all gated against DuckDB arithmetic.
+      import s.implicits._
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+        (lit(8000) + (col("doc_id") % 6) * 8000).cast("int").as("rate"),
+        (lit(8) + (col("doc_id") % 3) * 8).cast("int").as("bits"),
+        (lit(1000) + col("doc_id") * 7 % 90000).as("frames"),
+        (col("doc_id") % 2).cast("int").as("f0"))
+      val withBin = dims.as[(Long, Int, Int, Int, Long, Int)]
+        .mapPartitions(_.map { case (id, ch, rate, bits, frames, f) =>
+          val bytes =
+            if (f == 0) graft.plans.AudioHeaders.buildWav(ch, rate, bits, frames)
+            else graft.plans.AudioHeaders.buildFlac(ch, rate, bits, frames)
+          (id, bytes)
+        }).toDF("doc_id", "audio")
+      withBin.select(col("doc_id"), Multimodal.audioMeta(col("audio")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"), col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    },
     "q87_image_header_meta" -> { (s, dir) =>
       // Real container-metadata extraction (PNG/JPEG/GIF/BMP/WEBP
       // headers) over synthetic payloads: dims derive from doc_id,
@@ -2314,6 +2340,15 @@ object SparkEntry {
          FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
+    "q134_audio_header_meta" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'wav' ELSE 'flac' END
+             AS format,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 6) * 8000 AS INT) AS sample_rate,
+           CAST(8 + (doc_id % 3) * 8 AS INT) AS bits,
+           1000 + doc_id * 7 % 90000 AS n_frames
+         FROM documents ORDER BY doc_id""",
     "q87_image_header_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

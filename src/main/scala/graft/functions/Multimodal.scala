@@ -50,6 +50,13 @@ object Multimodal {
     */
   def imageMeta(bytes: Column): Column = graft.plans.ImageMeta(bytes)
 
+  /** Audio container metadata (WAV RIFF chunk walk, FLAC STREAMINFO) —
+    * struct(format, channels, sample_rate, bits, n_frames) parsed in
+    * one codegen'd pass, no codec (graft.plans.AudioHeaders). Unknown
+    * containers yield ("unknown", -1, -1, -1, -1).
+    */
+  def audioMeta(bytes: Column): Column = graft.plans.AudioMeta(bytes)
+
   /** [[asMedia]] with width/height filled from the container header —
     * the stub boundary is now feature extraction only.
     */
