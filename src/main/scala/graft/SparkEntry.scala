@@ -1027,6 +1027,30 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q135_video_header_meta" -> { (s, dir) =>
+      // Video member of the metadata triad: MP4 ftyp+moov(mvhd, trak
+      // (tkhd)) headers built per-partition (alternating mvhd v0/v1
+      // layouts), box-walked back — timescale, duration and the 16.16
+      // fixed-point dims all gated against DuckDB arithmetic, plus the
+      // derived duration in milliseconds.
+      import s.implicits._
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(1000) + (col("doc_id") % 5) * 7000).cast("int").as("ts"),
+        (lit(10000) + col("doc_id") * 13 % 1000000).as("dur"),
+        (lit(16) + col("doc_id") % 1904).cast("int").as("w0"),
+        (lit(16) + col("doc_id") % 1064).cast("int").as("h0"),
+        (col("doc_id") % 2 === 1).as("v1"))
+      val withBin = dims.as[(Long, Int, Long, Int, Int, Boolean)]
+        .mapPartitions(_.map { case (id, ts, dur, w, h, v1) =>
+          (id, graft.plans.VideoHeaders.buildMp4(ts, dur, w, h, v1))
+        }).toDF("doc_id", "video")
+      withBin.select(col("doc_id"), Multimodal.videoMeta(col("video")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
+          (col("m.duration") * 1000 / col("m.timescale")).as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("doc_id")
+    },
     "q134_audio_header_meta" -> { (s, dir) =>
       // Audio twin of q87: WAV / FLAC payloads built per-partition from
       // doc_id-derived parameters, parsed back by the header kernel —
@@ -2340,6 +2364,15 @@ object SparkEntry {
          FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
+    "q135_video_header_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+           CAST(1000 + (doc_id % 5) * 7000 AS INT) AS timescale,
+           10000 + doc_id * 13 % 1000000 AS duration,
+           (10000 + doc_id * 13 % 1000000) * 1000 /
+             (1000 + (doc_id % 5) * 7000) AS duration_ms,
+           CAST(16 + doc_id % 1904 AS INT) AS width,
+           CAST(16 + doc_id % 1064 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
     "q134_audio_header_meta" ->
       """SELECT doc_id,
            CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'wav' ELSE 'flac' END

@@ -57,6 +57,13 @@ object Multimodal {
     */
   def audioMeta(bytes: Column): Column = graft.plans.AudioMeta(bytes)
 
+  /** MP4/ISO-BMFF container metadata (moov→mvhd walk + first video
+    * tkhd) — struct(format, timescale, duration, width, height), no
+    * codec (graft.plans.VideoHeaders). Duration is in timescale units:
+    * seconds = duration / timescale.
+    */
+  def videoMeta(bytes: Column): Column = graft.plans.VideoMeta(bytes)
+
   /** [[asMedia]] with width/height filled from the container header —
     * the stub boundary is now feature extraction only.
     */

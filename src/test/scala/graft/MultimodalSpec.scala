@@ -154,6 +154,30 @@ class MultimodalSpec extends SparkSuite {
       assert(got(id) == want, s"id=$id got ${got(id)}") }
   }
 
+  test("videoMeta: mvhd v0/v1 layouts, audio-track 0x0 skip, malformed boxes") {
+    // hand-patch the builder's tkhd to a 0x0 audio track: dims must
+    // stay unknown rather than reporting the audio track's zeros
+    val audioOnly = graft.plans.VideoHeaders.buildMp4(600, 1200L, 0, 0)
+    val cases = Seq(
+      (1L, graft.plans.VideoHeaders.buildMp4(90000, 123456789L, 1920, 1080),
+        ("mp4", 90000, 123456789L, 1920, 1080)),
+      // v1 mvhd: 64-bit duration past the 32-bit range
+      (2L, graft.plans.VideoHeaders.buildMp4(600, 7000000000L, 640, 360,
+        v1 = true), ("mp4", 600, 7000000000L, 640, 360)),
+      (3L, audioOnly, ("mp4", 600, 1200L, -1, -1)),
+      (4L, "ftypnope".getBytes, ("unknown", -1, -1L, -1, -1)),
+      (5L, graft.plans.ImageHeaders.buildPng(4, 4), ("unknown", -1, -1L, -1, -1)))
+    val df = cases.map { case (id, b, _) => (id, b) }.toDF("id", "video")
+    val got = df.select(col("id"), Multimodal.videoMeta(col("video")).as("m"))
+      .select(col("id"), col("m.format"), col("m.timescale"),
+        col("m.duration"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id=$id got ${got(id)}") }
+  }
+
   test("imageMeta: BMP (JDK encoder + top-down) and all three WEBP layouts") {
     def jdkBmp(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
