@@ -128,6 +128,19 @@ object SparkEntry {
     * payload per doc_id residue class — mirrored verbatim in their
     * oracle SQL.
     */
+  /** Markup wrapper for the q136 extraction gate: a comment, a style
+    * block, a script whose string literal CONTAINS tags (the non-greedy
+    * trap), heading/paragraph structure, and entities including the
+    * double-escape &amp;lt; (must decode to the literal "&lt;").
+    */
+  private val HtmlPrefix =
+    "<html><head><title>T</title><!-- nav menu --><style>p { color: red }" +
+      "</style><script>var x = '<div>junk</div>';</script></head>" +
+      "<body><h1>Heading!</h1><p>"
+  private val HtmlSuffix =
+    "</p><br><a href=\"x\">link&amp;more</a>&nbsp;&#39;q&#39; &amp;lt;tag" +
+      "</body></html>"
+
   private def piiInjected(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
     concat(
@@ -1026,6 +1039,25 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("event_type"),
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
+    },
+    "q136_html_extract" -> { (s, dir) =>
+      // Web-crawl text extraction: even docs get wrapped in realistic
+      // markup (comments, style, a script whose STRING contains tags,
+      // entities incl. the double-escape &amp;lt;), odd docs stay plain
+      // — the extractor must strip all of it and pass plain text
+      // through up to whitespace collapse. Every regex is Java∩RE2, so
+      // the oracle runs the identical chain.
+      val docs = t(s, dir, "documents")
+      val wrapped = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)))
+          .otherwise(col("text")).as("html"))
+      wrapped.select(col("doc_id"),
+          graft.functions.Clean.extractHtmlText(col("html")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          graft.functions.Text.tokenCount(col("clean")).cast("long")
+            .as("n_tokens"))
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q135_video_header_meta" -> { (s, dir) =>
       // Video member of the metadata triad: MP4 ftyp+moov(mvhd, trak
@@ -2364,6 +2396,34 @@ object SparkEntry {
          FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
+    // Identical extraction chain in DuckDB (regexp_replace with 'g' +
+    // inline (?is) flags, literal replace() for entities in the same
+    // order, explicit whitespace class).
+    "q136_html_extract" -> {
+      def q(s0: String): String = s0.replace("'", "''")
+      val chain =
+        """trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '[ \t\n\r\f]+', ' ', 'g'))"""
+      s"""WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '${q(HtmlPrefix)}' || text || '${q(HtmlSuffix)}'
+                  ELSE text END AS html
+           FROM documents),
+         ext AS (SELECT doc_id, $chain AS clean FROM inj)
+         SELECT doc_id, clean,
+           CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         FROM ext ORDER BY doc_id""" },
     "q135_video_header_meta" ->
       """SELECT doc_id, 'mp4' AS format,
            CAST(1000 + (doc_id % 5) * 7000 AS INT) AS timescale,

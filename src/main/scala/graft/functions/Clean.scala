@@ -195,4 +195,33 @@ object Clean {
           total.cast("double")),
       6)
   }
+
+  /** HTML → plain-text extraction — the boilerplate-stripping front of
+    * every web-crawl pipeline (the trafilatura/jusText stage reduced to
+    * its deterministic core): strip comments, then script and style
+    * blocks WITH their contents (non-greedy to the closing tag, so tag
+    * characters inside script strings don't end the block early), drop
+    * all remaining tags, decode the six common entities (&amp; LAST, so
+    * "&amp;lt;" correctly yields the literal "&lt;"), collapse
+    * whitespace runs to single spaces and trim.
+    *
+    * Every step is a codegen'd regexp_replace / literal replace in the
+    * Java∩RE2 regex subset (the Pii discipline) with an EXPLICIT
+    * whitespace class — Java's \s and RE2's \s disagree on vertical
+    * tab — so an independent engine replays the extraction exactly.
+    * Plain text passes through unchanged up to whitespace collapse.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
 }

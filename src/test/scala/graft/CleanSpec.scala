@@ -100,4 +100,27 @@ class CleanSpec extends SparkSuite {
     assert(d4.getDouble(4) == 0.75, d4)            // 3 bullet lines of 4
     assert(d4.getDouble(5) == 0.0)
   }
+
+  test("extractHtmlText: comments, script traps, entities, whitespace") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script string containing tags must not end the block early
+      (1L, "<p>a</p><script>var x = '<div>b</div>';</script><p>c</p>", "a c"),
+      // style with newlines; multi-line comment
+      (2L, "x<style>\np { a }\n</style><!-- y\nz -->w", "x w"),
+      // entity decode order: &amp;lt; is the LITERAL &lt;
+      (3L, "&amp;lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;b", "&lt;tag> \"q\" 'a' b"),
+      // plain text passes through, whitespace collapsed
+      (4L, "  hello\t\tworld \n", "hello world"),
+      // attributes with > inside quotes are NOT handled (documented
+      // simple-tag model) but ordinary attributes strip fine
+      (5L, "<a href=\"u\" title='t'>link</a>", "link"),
+      (6L, "<SCRIPT TYPE=\"text/javascript\">s</SCRIPT>done", "done"))
+    val df = cases.map { case (id, h, _) => (id, h) }.toDF("id", "h")
+    val got = df.select(col("id"),
+        Clean.extractHtmlText(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id=$id got '${got(id)}'") }
+  }
 }
