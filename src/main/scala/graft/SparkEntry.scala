@@ -1334,6 +1334,27 @@ object SparkEntry {
           col("best_jac"), col("first_match"), col("n_matches").isNull.as("kept"))
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q137_bm25_incremental" -> { (s, dir) =>
+      // Incremental lexical index: build from one third of the corpus,
+      // fold the other two thirds in as increments (postings append +
+      // exact stats merge; df derives at probe time), then score the
+      // q117 query — must equal the one-shot full-corpus ranking
+      // bit-for-bit (same oracle verbatim).
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "lex",
+        targetRows = 2000L)
+      graft.functions.Retrieval.appendToBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 1), "lex", "doc_id", "text",
+        targetRows = 2000L)
+      graft.functions.Retrieval.appendToBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 2), "lex", "doc_id", "text",
+        targetRows = 2000L)
+      graft.functions.Retrieval.bm25Indexed(
+        lib, "lex", Seq("dup", "vector", "merge"), k = 20)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q117_bm25_indexed" -> { (s, dir) =>
       // The PERSISTED lexical index path (retrieval twin of q110):
       // tokenize once, write (term, doc_id, dl, tf) through Library
@@ -2097,6 +2118,32 @@ object SparkEntry {
                AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
            FROM pts p JOIN c1 c ON p.i = c.i
            GROUP BY 1, 2, c.n)"""
+
+  /** BM25 over the whole documents table for the 3-term gate query —
+    * shared by q117 (one-shot index) and q137 (incremental index): both
+    * persisted paths must reproduce this corpus-rescan ranking exactly.
+    */
+  private val bm25FullCorpusOracle: String =
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
+         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1)
+         SELECT doc_id, round(sq / 1e9, 6) AS score,
+           CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank
+         FROM scored
+         ORDER BY sq DESC, doc_id LIMIT 20"""
 
   private val cosineCtes =
     """flat AS (
@@ -3161,27 +3208,10 @@ object SparkEntry {
          FROM merged ORDER BY vec_id""",
     // q117 shares q115's oracle verbatim: the persisted-index path
     // must reproduce the corpus-rescan BM25 ranking bit-for-bit.
-    "q117_bm25_indexed" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
-         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
-         tf AS (SELECT doc_id, dl, t, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
-                WHERE t IN ('dup', 'vector', 'merge')
-                GROUP BY 1, 2, 3),
-         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         contrib AS (
-           SELECT tf.doc_id,
-             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
-               (tf.tf * (1.2 + 1)) /
-               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
-                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
-           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
-         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1)
-         SELECT doc_id, round(sq / 1e9, 6) AS score,
-           CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank
-         FROM scored
-         ORDER BY sq DESC, doc_id LIMIT 20""",
+    "q117_bm25_indexed" -> bm25FullCorpusOracle,
+    // the INCREMENTAL build must reproduce the identical full-corpus
+    // ranking — same oracle verbatim
+    "q137_bm25_incremental" -> bm25FullCorpusOracle,
     // Full iterative replay of portable k-means: md5-ranked seeds, two
     // argmin passes with HUGEINT multiplied-out squared distances
     // (Spark: Decimal(38)), exact micro-unit centroid sums between them.

@@ -136,6 +136,44 @@ object Retrieval {
     lib.write(s"${name}__postings", postings, Some("term"), targetRows = targetRows)
   }
 
+  /** Fold an ingest increment into a persisted BM25 index — the
+    * lexical twin of Dedup.appendToMinhashIndex: the increment's
+    * postings append as a new version (hash-free STRING keys, so
+    * per-increment sorted files keep usable footer ranges; a
+    * Library.compact restores global order when fragmentation
+    * accumulates), and the one-row corpus stats merge by exact sums.
+    * Per-term df never persists — [[bm25Indexed]] derives it from the
+    * pruned postings at probe time, which is precisely what makes the
+    * index incrementally correct with NO rescan. Increments must carry
+    * ids the index has not seen (the admission loop's contract): a doc
+    * split across increments would double-post its terms.
+    */
+  def appendToBm25Index(
+      lib: graft.core.Library,
+      docs: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val d = docs.select(col(idCol).as("__rid"),
+      split(col(textCol), " ", -1).as("__w"))
+      .select(col("__rid"), col("__w"), size(col("__w")).cast("long").as("__dl"))
+    val inc = d.agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("n_tokens"))
+    val merged = lib.read(s"${name}__stats").unionByName(inc)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val postings = d
+      .select(col("__rid"), col("__dl"), explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("__rid"), col("__dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("__rid").as("doc_id"), col("__dl").as("dl"),
+        col("tf"))
+    // localCheckpoint: the merged stats plan READS the version it is
+    // about to supersede
+    lib.write(s"${name}__stats", merged.localCheckpoint(true))
+    lib.append(s"${name}__postings", postings, targetRows,
+      validateIndex = false)
+  }
+
   /** Query a [[buildBm25Index]] index: read ONLY the query terms'
     * postings (string-index file pruning via the manifest key ranges),
     * derive per-term df from the pruned rows, and run the exact

@@ -191,4 +191,34 @@ class RetrievalSpec extends SparkSuite {
         "topKeywords window must partition by doc"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("incremental index == one-shot: three folds, several query sets") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    def tmpLib() = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-bm25i-").toString, spark)
+    val inc = tmpLib()
+    Retrieval.buildBm25Index(inc, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", "lex", targetRows = 1200L)
+    Retrieval.appendToBm25Index(inc, docs.filter(col("doc_id") % 3 === 1),
+      "lex", "doc_id", "text", targetRows = 1200L)
+    Retrieval.appendToBm25Index(inc, docs.filter(col("doc_id") % 3 === 2),
+      "lex", "doc_id", "text", targetRows = 1200L)
+    val one = tmpLib()
+    Retrieval.buildBm25Index(one, docs, "doc_id", "text", "lex",
+      targetRows = 1200L)
+    // merged stats row is exact
+    val sInc = inc.read("lex__stats").collect().head
+    val sOne = one.read("lex__stats").collect().head
+    assert((sInc.getLong(0), sInc.getLong(1)) == ((sOne.getLong(0), sOne.getLong(1))))
+    for (q <- Seq(Seq("dup", "vector", "merge"), Seq("the"), Seq("table", "a"))) {
+      val a = Retrieval.bm25Indexed(inc, "lex", q, k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val b = Retrieval.bm25Indexed(one, "lex", q, k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(a == b, s"query $q")
+      assert(a.nonEmpty)
+    }
+  }
 }
