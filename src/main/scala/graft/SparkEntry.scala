@@ -1040,6 +1040,23 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q138_unicode_normalize" -> { (s, dir) =>
+      // Unicode hygiene: docs get a suffix of DECOMPOSED characters
+      // (base + combining acute/diaeresis) and messy whitespace; NFC +
+      // lowercase + collapse must produce the precomposed lowercase
+      // form — byte-identical to DuckDB's nfc_normalize chain.
+      val docs = t(s, dir, "documents")
+      val suffix =
+        lit("  Cafe\u0301   U\u0308ber\tRe\u0301sume\u0301  x ")
+      val wrapped = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), suffix))
+          .otherwise(col("text")).as("raw"))
+      wrapped.select(col("doc_id"),
+          graft.functions.Text.normalizeUnicode(col("raw")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).cast("long").as("n_chars"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q136_html_extract" -> { (s, dir) =>
       // Web-crawl text extraction: even docs get wrapped in realistic
       // markup (comments, style, a script whose STRING contains tags,
@@ -2443,6 +2460,25 @@ object SparkEntry {
          FROM events
          WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
          ORDER BY event_id""",
+    // The same suffix built from chr() codepoints (769 = combining
+    // acute, 776 = diaeresis, 9 = tab), normalized by DuckDB's own
+    // nfc_normalize — byte-identical composition is the gate.
+    "q138_unicode_normalize" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || '  Cafe' || chr(769) || '   U' || chr(776) ||
+                       'ber' || chr(9) || 'Re' || chr(769) || 'sume' ||
+                       chr(769) || '  x '
+                  ELSE text END AS raw
+           FROM documents),
+         ext AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(raw)),
+               '[ \t\n\r\f]+', ' ', 'g')) AS norm
+           FROM inj)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
+         FROM ext ORDER BY doc_id""",
     // Identical extraction chain in DuckDB (regexp_replace with 'g' +
     // inline (?is) flags, literal replace() for entities in the same
     // order, explicit whitespace class).

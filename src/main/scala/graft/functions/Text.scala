@@ -19,6 +19,20 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode hygiene: NFC canonical composition (precomposed and
+    * base+combining-mark spellings become byte-identical — the step
+    * that keeps hashing/dedup from seeing two "café"s), optional
+    * lowercasing, whitespace runs collapsed with an EXPLICIT class
+    * (Java \s ≠ RE2 \s on vertical tab) and trimmed. NFC, not NFKC:
+    * canonical equivalence is lossless; compatibility folding changes
+    * content and stays a caller decision.
+    */
+  def normalizeUnicode(text: Column, lowercase: Boolean = true): Column = {
+    val n = graft.plans.NfcNormalize(text)
+    val cased = if (lowercase) lower(n) else n
+    trim(regexp_replace(cased, "[ \t\n\r\f]+", " "))
+  }
+
   /** BPE-ish subword proxy: count of alnum runs + count of non-alnum,
     * non-space marks — approximates byte-pair token inflation without a
     * vocab file.

@@ -68,6 +68,17 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** NFC canonical composition (see plans.NfcNormalize). Fast path:
+    * java.text.Normalizer.isNormalized is O(n) with no allocation, and
+    * real corpora are overwhelmingly already-NFC.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Rolling polynomial hash (base 31 mod 2^31-1) over the normalized
     * text's characters — Rabin-Karp document fingerprint. NOT bit-equal to
     * the `aggregate(split(norm, ''), ...)` fold it replaced: `split` with
@@ -1327,4 +1338,42 @@ object BloomHits {
 
   def apply(text: Column, model: BloomBits): Column =
     CatalystBridge.column(BloomHits(CatalystBridge.expression(text), model))
+}
+
+/** Unicode NFC normalization (canonical composition) — the hygiene step
+  * that makes byte-level dedup/hashing see "café" identically whether a
+  * crawler delivered it precomposed or as base+combining mark. NFC (not
+  * NFKC) deliberately: canonical equivalence is lossless and replayable
+  * by any engine with a normalizer (DuckDB: nfc_normalize);
+  * compatibility folding (ligatures, width) changes content and stays a
+  * caller decision.
+  */
+final case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
 }

@@ -181,4 +181,24 @@ class TextKernelsSpec extends SparkSuite {
       }
     }
   }
+
+  test("normalizeUnicode: NFC composition, casing, explicit whitespace class") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "Cafe\u0301", "caf\u00e9"), // decomposed -> precomposed
+      (2L, "caf\u00e9", "caf\u00e9"), // already NFC: unchanged
+      (3L, "A\u0308  B\tC\n", "\u00e4 b c"), // diaeresis + ws collapse
+      (4L, "plain ascii  text", "plain ascii text"))
+    val df = cases.map { case (id, r, _) => (id, r) }.toDF("id", "raw")
+    val got = df.select(col("id"),
+        graft.functions.Text.normalizeUnicode(col("raw")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id=$id got ${got(id).codePoints().toArray.toSeq}") }
+    // idempotent
+    val twice = df.select(graft.functions.Text.normalizeUnicode(
+      graft.functions.Text.normalizeUnicode(col("raw"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == cases.map(_._3).map(w => w))
+  }
 }
