@@ -154,6 +154,28 @@ object SparkEntry {
         concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
           lit(".1"))).otherwise(lit(""))).as("text"))
 
+  /** Anchor-markup wrapper for the q140/q141 web-graph gates: two
+    * absolute links with doc_id-derived target hosts, then per residue
+    * class either a relative + mailto pair (must still EXTRACT, but
+    * yield NULL host) or an UPPERCASE-tag anchor with an explicit port
+    * (case-insensitive match, port stripped). Mirrored verbatim in the
+    * oracle's html CTE.
+    */
+  private def linkWrapped(docs: DataFrame): DataFrame = {
+    def tgt(off: Int) = concat(lit("h"),
+      ((col("doc_id") * 7 + lit(off.toLong)) % 23).cast("string"),
+      lit(".example.com"))
+    def anchor(off: Int) = concat(
+      lit("<a class=\"x\" href=\"https://"), tgt(off),
+      lit("/p/"), col("doc_id").cast("string"), lit("\">t</a> "))
+    val third = when(col("doc_id") % 5 === 0,
+      lit("<a href=\"/about\">rel</a> <a href=\"mailto:a@b.c\">m</a>"))
+      .otherwise(concat(lit("<A HREF=\"https://"), tgt(26),
+        lit(":8080/q\">z</A>")))
+    docs.select(col("doc_id"),
+      concat(anchor(0), anchor(13), third, lit(" "), col("text")).as("html"))
+  }
+
   /** Scratch library roots are registered for deletion at JVM exit — a
     * bench pass constructs dozens of temp libraries (some holding a full
     * lineitem copy at sf1) and nothing else ever removes them from /tmp.
@@ -1039,6 +1061,63 @@ object SparkEntry {
         .select(col("event_id"), tsUs, col("event_type"),
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
+    },
+    "q140_link_extract" -> { (s, dir) =>
+      // Web-graph front door: one regexp_extract_all pass per doc
+      // emits every href in document order, a second anchored regex
+      // derives the lowercased, port-stripped host — NULL for
+      // relative/mailto URLs, so downstream edge-builders filter on
+      // it. Both regexes are Java∩RE2 with explicit whitespace
+      // classes; the oracle replays the identical chain. Map-side
+      // only: a 100 TB crawl emits its edges inside the scan
+      // partitions, the sole exchange below is the determinism tail.
+      val html = linkWrapped(t(s, dir, "documents"))
+      html.select(col("doc_id"),
+          posexplode(graft.functions.Clean.extractLinks(col("html")))
+            .as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"),
+          graft.functions.Clean.linkHost(col("url")).as("host"))
+        .transform(sortGuarded(_, "doc_id", "pos"))
+    },
+    "q141_link_pagerank" -> { (s, dir) =>
+      // Host-graph PageRank over the q140 edges, 4 damped iterations
+      // in EXACT integer micro-units (order-free long sums, integral
+      // div — the Unigram micro-nat discipline applied to graph mass),
+      // so the oracle's unrolled-CTE replay is bit-identical. Per
+      // iteration: one keyed join edges⋈ranks + one keyed aggregate —
+      // the canonical distributed shape; ranks localCheckpoint each
+      // round so iterative lineage can't double the analyzed plan.
+      val html = linkWrapped(t(s, dir, "documents"))
+      val edges = html.select(
+          concat(lit("h"), (col("doc_id") % 23).cast("string"),
+            lit(".example.com")).as("src"),
+          explode(graft.functions.Clean.extractLinks(col("html"))).as("url"))
+        .select(col("src"),
+          graft.functions.Clean.linkHost(col("url")).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.pageRank(edges, "src", "dst", iters = 4)
+        .select(col("node").as("host"), col("out_links"), col("rank_mu"),
+          col("rank"))
+        .transform(sortSmallAgg(_, "host"))
+    },
+    "q139_bpe_decode_roundtrip" -> { (s, dir) =>
+      // The tokenizer's DECODE half closes the encode↔decode loop:
+      // train 3 merges (the q99 path), encode the corpus to integer
+      // ids (q122's kernel), detokenize with the id→token closed form
+      // (rank → merge product, offset code unit → char) — all three
+      // stages model-in-closure, zero exchanges until the determinism
+      // tail. Word boundaries are not representable in the id stream
+      // (encode drops the spaces it split on), so the exact law this
+      // gate hashes corpus-wide is decode(encode(text)) == text with
+      // spaces removed; the id stream itself is pinned by q122.
+      val docs = t(s, dir, "documents")
+      val ranks = graft.functions.Bpe.trainMerges(docs, "text", 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val ids = graft.functions.Bpe.encodeIds(docs, "doc_id", "text", ranks)
+      graft.functions.Bpe.decodeIds(ids, "doc_id", "ids", ranks)
+        .select(col("doc_id"), col("text").as("decoded"))
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q138_unicode_normalize" -> { (s, dir) =>
       // Unicode hygiene: docs get a suffix of DECOMPOSED characters
@@ -2217,7 +2296,75 @@ object SparkEntry {
           GROUP BY 1, 2)"""
   }
 
+  // Shared by the q140 (link extraction) and q141 (PageRank) oracles:
+  // the verbatim anchor-markup synthesis from linkWrapped, the same
+  // Java∩RE2 href/host regexes, per-doc ordinal positions.
+  private val linkCtes =
+    """html AS (
+         SELECT doc_id,
+           '<a class="x" href="https://h' || ((doc_id * 7) % 23) ||
+           '.example.com/p/' || doc_id || '">t</a> ' ||
+           '<a class="x" href="https://h' || ((doc_id * 7 + 13) % 23) ||
+           '.example.com/p/' || doc_id || '">t</a> ' ||
+           CASE WHEN doc_id % 5 = 0
+                THEN '<a href="/about">rel</a> <a href="mailto:a@b.c">m</a>'
+                ELSE '<A HREF="https://h' || ((doc_id * 7 + 26) % 23) ||
+                     '.example.com:8080/q">z</A>' END ||
+           ' ' || text AS html
+         FROM documents),
+       lnk AS (
+         SELECT doc_id, regexp_extract_all(html,
+           '(?i)<a[ \t\n\r][^>]*href="([^"]*)"', 1) AS u
+         FROM html),
+       lpairs AS (
+         SELECT doc_id, CAST(q - 1 AS BIGINT) AS pos, u[q] AS url
+         FROM (SELECT doc_id, u, unnest(range(1, len(u) + 1)) AS q FROM lnk)),
+       lhosts AS (
+         SELECT doc_id, pos, url,
+           nullif(regexp_extract(lower(url), '^https?://([^/?#:]+)', 1), '')
+             AS host
+         FROM lpairs)"""
+
+  // One damped PageRank iteration in exact integer micro-units —
+  // identical arithmetic to graft.functions.Graph.pageRank (long floor
+  // divisions on non-negative mass, damping applied once to the sum).
+  private def prIterSql(i: Int): String = {
+    val cur = s"r$i"
+    val nxt = s"r${i + 1}"
+    s"""$nxt AS (
+          SELECT n.node,
+            CAST(150000 + (17 * coalesce(m.s, 0)) // 20 AS BIGINT) AS mu
+          FROM prnodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.mu // d.deg) AS s
+            FROM predges e
+            JOIN $cur r ON r.node = e.src
+            JOIN proutdeg d ON d.src = e.src
+            GROUP BY 1) m ON m.node = n.node)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q140_link_extract" ->
+      s"""WITH $linkCtes
+         SELECT doc_id, pos, url, host FROM lhosts ORDER BY doc_id, pos""",
+    "q141_link_pagerank" ->
+      s"""WITH $linkCtes,
+         predges AS (
+           SELECT 'h' || (doc_id % 23) || '.example.com' AS src, host AS dst
+           FROM lhosts WHERE host IS NOT NULL),
+         prnodes AS (
+           SELECT DISTINCT src AS node FROM predges
+           UNION SELECT DISTINCT dst FROM predges),
+         proutdeg AS (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM predges GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mu FROM prnodes),
+         ${prIterSql(0)}, ${prIterSql(1)}, ${prIterSql(2)}, ${prIterSql(3)}
+         SELECT n.node AS host, coalesce(d.deg, 0) AS out_links,
+           r4.mu AS rank_mu, r4.mu / 1000000.0 AS rank
+         FROM prnodes n
+         JOIN r4 ON r4.node = n.node
+         LEFT JOIN proutdeg d ON d.src = n.node
+         ORDER BY host""",
     "q01_filter_numeric" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
          WHERE l_quantity < 5.0 AND l_discount > 0.05
@@ -2463,6 +2610,12 @@ object SparkEntry {
     // The same suffix built from chr() codepoints (769 = combining
     // acute, 776 = diaeresis, 9 = tab), normalized by DuckDB's own
     // nfc_normalize — byte-identical composition is the gate.
+    // Round-trip law, not a replay: decode∘encode must reproduce the
+    // corpus text up to the spaces encode splits on and drops — any
+    // bug in the id closed form or the decode map breaks the hash.
+    "q139_bpe_decode_roundtrip" ->
+      """SELECT doc_id, replace(text, ' ', '') AS decoded
+         FROM documents ORDER BY doc_id""",
     "q138_unicode_normalize" ->
       """WITH inj AS (
            SELECT doc_id,

@@ -190,6 +190,35 @@ object Bpe {
         size(col("ids")).cast("long").as("n_tokens"))
   }
 
+  /** The tokenizer's DECODE half: integer token ids back to text, in
+    * the same model-in-closure shape as [[encodeIds]] — ids resolve
+    * from the merge list alone (rank → merge product, `merges.size +
+    * code unit` → single char, see [[graft.plans.BpeRanks.idOf]]), so
+    * detokenizing a 100 TB encoded corpus is a pure map: no vocab
+    * join, no shuffle, text re-materializes inside the scan partition
+    * that read the ids. Word boundaries are not representable in the
+    * id stream (encode splits on single spaces and drops them), so the
+    * exact round-trip law — which the q139 gate hashes corpus-wide —
+    * is decodeIds(encodeIds(text)) == text with spaces removed.
+    * Out-of-range ids fail loudly. Output: (idCol, text string); null
+    * ids decode to null text.
+    */
+  def decodeIds(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "decodeIds needs at least one merge")
+    require(merges.size <= 65536,
+      s"merge list has ${merges.size} entries, above the 65,536 " +
+        "model-in-closure gate")
+    val model = new graft.plans.BpeRanks(merges.toArray)
+    Kernels.spread(df, Seq(idCol, idsCol))
+      .select(col(idCol),
+        graft.plans.OptimizerFence(
+          graft.plans.BpeDecodeIds(col(idsCol), model)).as("text"))
+  }
+
   /** Tokenizer FERTILITY per group — subwords emitted per whitespace
     * word under a trained merge list, the standard tokenizer-evaluation
     * metric (fertility ≈ 1 on in-domain text; it climbs on domains the

@@ -224,4 +224,30 @@ object Clean {
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
   }
+
+  /** Outbound links of an HTML document, in document order — the
+    * edge-emitting front of a web-graph pipeline (PageRank, domain
+    * authority, link-spam features). Matches `<a ... href="...">`
+    * anchors: any attributes before href, case-insensitive tag and
+    * attribute names, double-quoted values (the dominant form crawls
+    * emit after normalization). A pure per-row regexp_extract_all in
+    * the Java∩RE2 subset with an EXPLICIT whitespace class (Java's \s
+    * and RE2's disagree on vertical tab), so an independent engine
+    * replays the extraction exactly — and a 100 TB crawl emits its
+    * edges map-side, inside the scan partitions that read the HTML.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a[ \\t\\n\\r][^>]*href=\"([^\"]*)\""), lit(1))
+
+  /** Host extraction for absolute http(s) URLs: the lowercased
+    * authority up to the first `/ ? # :` (ports stripped). Relative,
+    * mailto and other non-http(s) URLs yield NULL — filter on it
+    * before building graph edges. Same Java∩RE2 replay discipline as
+    * [[extractLinks]].
+    */
+  def linkHost(url: Column): Column = {
+    val h = regexp_extract(lower(url), "^https?://([^/?#:]+)", 1)
+    when(h === "", lit(null)).otherwise(h)
+  }
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over crawl-extracted edges
+  * ([[Clean.extractLinks]] / [[Clean.linkHost]] emit them) — the
+  * authority signals a pretraining pipeline folds into document
+  * quality scores (a page linked from high-rank hosts is worth more
+  * than its text statistics alone say).
+  */
+object Graph {
+
+  /** Distributed PageRank in EXACT integer micro-units.
+    *
+    * The recurrence is the constant-injection form with damping
+    * `d = dampNum/dampDen` (default 17/20 = 0.85):
+    *
+    *   rank₀(v)   = 1.0
+    *   rankₜ₊₁(v) = (1 − d) + d · Σ_{u→v} rankₜ(u) / outdeg(u)
+    *
+    * computed entirely in long micro-units: each edge contributes
+    * `mu div outdeg` (floor), the per-node sum is a sum of longs
+    * (order-free, so any engine replays it bit-for-bit), and damping
+    * applies ONCE to the summed mass as `(dampNum·Σ) div dampDen`.
+    * Doubles appear only in the final display column, derived from the
+    * exact integer — the same micro-unit discipline as
+    * [[Unigram]]'s log-probs, chosen for the same reason: a
+    * float-summed PageRank differs between engines (and between
+    * partitionings of the SAME engine) in the last ulps, which a
+    * hash gate cannot tolerate.
+    *
+    * Semantics pinned deliberately: parallel edges count with their
+    * multiplicity; self-loops are legal; dangling nodes (no outlinks)
+    * absorb mass — the constant-injection form keeps every node's rank
+    * ≥ (1−d) without a global dangling-mass redistribution term, which
+    * would need an extra all-reduce per iteration.
+    *
+    * Scale shape: per iteration, one shuffle join of edges⋈ranks on
+    * the source key and one keyed aggregate on the destination — the
+    * canonical relational PageRank; nothing is driver-side and no
+    * structure is per-node. Each iteration's rank table is
+    * `localCheckpoint`ed: iterative lineage otherwise doubles the
+    * analyzed plan per round (the Lloyd/label-propagation GC storm the
+    * kmeans work measured). On a real cluster, substitute a reliable
+    * checkpoint dir for executor-local blocks; the plan shape is
+    * unchanged.
+    *
+    * Output: (node, out_links long, rank_mu long, rank double) — one
+    * row per node appearing as source or destination.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 4,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters outside [1, 50]")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping $dampNum/$dampDen outside (0, 1)")
+
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("__node"))
+      .union(e.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+
+    val baseMu = (1000000L * (dampDen - dampNum)) / dampDen
+
+    var ranks = nodes.select(col("__node"), lit(1000000L).as("__mu"))
+    var i = 0
+    while (i < iters) {
+      val inMass = e
+        .join(ranks.withColumnRenamed("__node", "__src"), Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        // `div`, not `/`: Column./ is double division; the recurrence
+        // needs exact integral floor (== DuckDB's // on non-negatives).
+        .select(col("__dst"), expr("__mu div __deg").as("__c"))
+        .groupBy("__dst")
+        .agg(sum(col("__c")).as("__s"))
+      ranks = nodes
+        .join(inMass.withColumnRenamed("__dst", "__node"), Seq("__node"), "left")
+        .select(col("__node"),
+          (lit(baseMu) +
+            expr(s"(coalesce(__s, CAST(0 AS BIGINT)) * " +
+              s"CAST($dampNum AS BIGINT)) div CAST($dampDen AS BIGINT)"))
+            .as("__mu"))
+        .localCheckpoint()
+      i += 1
+    }
+
+    ranks
+      .join(outdeg.withColumnRenamed("__src", "__node"), Seq("__node"), "left")
+      .select(col("__node").as("node"),
+        coalesce(col("__deg"), lit(0L)).as("out_links"),
+        col("__mu").as("rank_mu"),
+        (col("__mu").cast("double") / 1e6).as("rank"))
+  }
+}

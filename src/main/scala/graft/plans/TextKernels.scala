@@ -1025,6 +1025,33 @@ final class BpeRanks(merges: Array[(String, String)]) extends Serializable {
     new GenericArrayData(out.toArray)
   }
 
+  /** Inverse of [[idOf]]: a rank id maps back to its merge PRODUCT
+    * string, a char id back to its single UTF-16 unit. Loud on
+    * out-of-range ids — silent garbage here would poison a
+    * detokenized corpus one bad id at a time.
+    */
+  def tokenOf(id: Int): String = {
+    require(id >= 0 && id < merges.length + 65536,
+      s"token id $id outside [0, ${merges.length + 65536}) for a " +
+        s"${merges.length}-merge model")
+    if (id < merges.length) merges(id)._1 + merges(id)._2
+    else String.valueOf((id - merges.length).toChar)
+  }
+
+  /** Detokenize one id array: token strings concatenate in order. Word
+    * boundaries are not representable in the id stream (encode splits
+    * on single spaces and drops them), so the exact round-trip identity
+    * is decode(encodeIds(text)) == text with spaces removed — the
+    * property the q139 gate hashes corpus-wide.
+    */
+  def decodeIds(ids: ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 3)
+    var i = 0
+    while (i < n) { sb.append(tokenOf(ids.getInt(i))); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Same tokenization, emitted as integer ids (see [[idOf]]). */
   def encodeIds(text: UTF8String): ArrayData = {
     val words = text.toString.split(" ", -1)
@@ -1376,4 +1403,46 @@ object NfcNormalize {
 
   def apply(text: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
+}
+
+/** `bpe_decode_ids(ids)`: detokenization — the inverse map of
+  * [[BpeEncodeIds]], in the same model-in-closure shape: the merge list
+  * rides the task binary, every id array decodes inside the scan
+  * partition that read it, zero exchanges at any corpus size. Ids
+  * resolve per [[BpeRanks.idOf]]'s closed form (rank → merge product,
+  * `merges.size + code unit` → single char), so decode needs no vocab
+  * table or join. Out-of-range ids fail loudly (see
+  * [[BpeRanks.tokenOf]]).
+  */
+final case class BpeDecodeIds(child: Expression, model: BpeRanks)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids expects array<int>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.decodeIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeRanks", model, classOf[BpeRanks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.decodeIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_decode_ids"
+}
+
+object BpeDecodeIds {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(ids: Column, model: BpeRanks): Column =
+    CatalystBridge.column(BpeDecodeIds(CatalystBridge.expression(ids), model))
 }

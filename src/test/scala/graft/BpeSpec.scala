@@ -146,4 +146,38 @@ class BpeSpec extends SparkSuite {
       ("d1", 2L, 3L, 4L, 1.333333),
       ("d2", 1L, 3L, 6L, 2.0)), got)
   }
+
+  test("decodeIds inverts encodeIds up to the dropped spaces") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "  spaced  out "), // empty words contribute no ids
+      (3L, "")).toDF("id", "text")
+    val ids = Bpe.encodeIds(docs, "id", "text", merges)
+    val got = Bpe.decodeIds(ids, "id", "ids", merges)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "lowlowlower"), (2L, "spacedout"), (3L, "")), got)
+  }
+
+  test("decodeIds resolves rank ids to products, offset ids to chars") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    // 1 -> "low" (rank-1 product), 2 -> "er", merges.size+'x' -> "x"
+    val df = Seq((1L, Seq(1, 2, 3 + 'x'.toInt))).toDF("id", "ids")
+    val got = Bpe.decodeIds(df, "id", "ids", merges)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "lowerx")), got)
+  }
+
+  test("decodeIds fails loudly on out-of-range ids") {
+    val merges = Seq(("a", "b"))
+    val bad = Seq((1L, Seq(merges.size + 65536))).toDF("id", "ids")
+    val e = intercept[Exception] {
+      Bpe.decodeIds(bad, "id", "ids", merges).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("token id")), chain(e).mkString(" | "))
+  }
 }
