@@ -1062,6 +1062,18 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q142_mmr_rerank" -> { (s, dir) =>
+      // Diversified retrieval: exact top-6 cosine pool per query, then
+      // 3 greedy MMR picks at λ=1/2. Selection compares only den-scaled
+      // µ-int longs (ties to the smaller id), so the oracle's unrolled
+      // step CTEs replay the argmax chain exactly; the corpus-side cost
+      // stays the bruteForce partial top-k, the greedy loop touches
+      // (queries × C) rows only.
+      val emb = t(s, dir, "embeddings")
+      Vectors.mmrTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+        "embedding", candidates = 6, k = 3)
+        .transform(sortSmallAgg(_, "query_id", "step"))
+    },
     "q140_link_extract" -> { (s, dir) =>
       // Web-graph front door: one regexp_extract_all pass per doc
       // emits every href in document order, a second anchored regex
@@ -2342,7 +2354,86 @@ object SparkEntry {
             GROUP BY 1) m ON m.node = n.node)"""
   }
 
+  // One greedy MMR step for the q142 oracle: selected-so-far = rows of
+  // ms1..ms{t-1}; candidates not yet selected score
+  // rel_µ − max_{s∈selected} pairsim_µ (λ=1/2 den-scaled, all BIGINT),
+  // argmax per query with ties to the smaller corpus_id — identical
+  // arithmetic to Vectors.mmrTopK's pick().
+  private def mmrStepSql(t: Int): String = {
+    val prevSel = (1 until t)
+      .map(i => s"SELECT query_id, corpus_id FROM ms$i")
+      .mkString(" UNION ALL ")
+    s"""msel$t AS ($prevSel),
+       ms$t AS (
+         SELECT query_id, corpus_id, rel, marg, $t AS step FROM (
+           SELECT c.query_id, c.corpus_id, c.rel, c.rel - mx.m AS marg,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY (c.rel - mx.m) DESC, c.corpus_id)
+               AS rn
+           FROM mcand c
+           JOIN (SELECT p.query_id, p.c1, max(p.ps) AS m
+                 FROM mpair p JOIN msel$t s
+                   ON s.query_id = p.query_id AND s.corpus_id = p.c2
+                 GROUP BY 1, 2) mx
+             ON mx.query_id = c.query_id AND mx.c1 = c.corpus_id
+           WHERE NOT EXISTS (SELECT 1 FROM msel$t s
+                             WHERE s.query_id = c.query_id
+                               AND s.corpus_id = c.corpus_id))
+         WHERE rn = 1)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q142_mmr_rerank" ->
+      s"""WITH $cosineCtes,
+         mdots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         mscored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM mdots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         mcand AS (
+           SELECT query_id, corpus_id,
+             CAST(round(sim * 1000000) AS BIGINT) AS rel
+           FROM (SELECT query_id, corpus_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, corpus_id) AS rnk
+                 FROM mscored)
+           WHERE rnk <= 6),
+         mpdots AS (
+           SELECT a.query_id, a.corpus_id AS c1, b.corpus_id AS c2,
+             sum(fa.x * fb.x) AS dot
+           FROM mcand a
+           JOIN mcand b
+             ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+           JOIN flat fa ON fa.vec_id = a.corpus_id
+           JOIN flat fb ON fb.vec_id = b.corpus_id AND fb.i = fa.i
+           GROUP BY 1, 2, 3),
+         mpair AS (
+           SELECT query_id, c1, c2,
+             CAST(round(round(CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+                                   ELSE dot / (n1.nrm * n2.nrm) END, 6)
+                  * 1000000) AS BIGINT) AS ps
+           FROM mpdots
+           JOIN norms n1 ON n1.vec_id = c1
+           JOIN norms n2 ON n2.vec_id = c2),
+         ms1 AS (
+           SELECT query_id, corpus_id, rel, rel AS marg, 1 AS step
+           FROM mcand
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, corpus_id) = 1),
+         ${mmrStepSql(2)}, ${mmrStepSql(3)}
+         SELECT query_id, step, corpus_id, rel / 1000000.0 AS rel,
+           marg / 2000000.0 AS mmr
+         FROM (SELECT * FROM ms1 UNION ALL SELECT * FROM ms2
+               UNION ALL SELECT * FROM ms3)
+         ORDER BY query_id, step""",
     "q140_link_extract" ->
       s"""WITH $linkCtes
          SELECT doc_id, pos, url, host FROM lhosts ORDER BY doc_id, pos""",

@@ -76,6 +76,107 @@ object Vectors {
         col("hit.score").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): from each query's exact top-`candidates` cosine
+    * pool, greedily select `k` items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+    * redundancy-suppressing re-rank for RAG retrieval and for picking
+    * diverse exemplars out of a near-duplicate-heavy corpus.
+    *
+    * Selection arithmetic is EXACT: the 6-dp-rounded cosines become
+    * µ-int longs, and the marginal is kept λ-denominator-scaled as
+    * `lambdaNum·rel_µ − (lambdaDen−lambdaNum)·maxsim_µ`, so every
+    * comparison the greedy argmax makes is long-vs-long (ties break on
+    * the smaller id) — an independent engine unrolling the k steps
+    * replays the selection bit-for-bit. maxsim over the empty set is
+    * 0: step 1 is the pure-relevance pick. Doubles appear only in the
+    * display columns, derived from the exact integers.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s partial
+    * top-k (the corpus never ships more than `candidates` rows per
+    * task per query); everything after runs on (queries × C) rows —
+    * C² pair sims per query and k tiny keyed joins, each selection
+    * round `localCheckpoint`ed so iterative lineage stays flat. The
+    * sequential k-step loop is inherent to MMR; making each step a
+    * keyed argmax over all queries at once is what distributes it.
+    *
+    * Output: (query_id, step 1..k, corpus_id, rel, mmr) where rel is
+    * the query cosine and mmr the λ-weighted marginal at selection.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidates: Int,
+      k: Int,
+      lambdaNum: Long = 1L,
+      lambdaDen: Long = 2L): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got candidates=$candidates k=$k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda $lambdaNum/$lambdaDen outside [0, 1]")
+    val lamRel = lambdaNum
+    val lamDiv = lambdaDen - lambdaNum
+
+    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, candidates)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("sim") * 1e6).cast("long").as("__rel"))
+      .localCheckpoint()
+    // Candidate vectors: semi-join the corpus against the (small)
+    // candidate id set, then pair-score candidates of the same query —
+    // (queries × C) rows, C² pairs per query, all broadcast-sized.
+    val cvecs = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .join(broadcast(cands.select("corpus_id").distinct()), Seq("corpus_id"))
+    val cv = cands.select(col("query_id"), col("corpus_id"))
+      .join(cvecs, Seq("corpus_id"))
+      .localCheckpoint()
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.corpus_id") =!= col("b.corpus_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.corpus_id").as("__c"), col("b.corpus_id").as("__s"),
+        round(round(cosine(col("a.__v"), col("b.__v")), 6) * 1e6)
+          .cast("long").as("__ps"))
+      .localCheckpoint()
+
+    // One greedy round: argmax of the den-scaled marginal per query,
+    // ties to the smaller corpus_id (struct min is lexicographic).
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored
+        .select(col("query_id"), col("corpus_id"), col("__rel"),
+          (col("__rel") * lamRel - col("__maxsim") * lamDiv).as("__marg"))
+        .groupBy("query_id")
+        .agg(min(struct((-col("__marg")).as("n"), col("corpus_id").as("id"),
+          col("__rel").as("rel"), col("__marg").as("m"))).as("w"))
+        .select(col("query_id"), col("w.id").as("corpus_id"),
+          col("w.rel").as("__rel"), col("w.m").as("__marg"),
+          lit(step).as("step"))
+
+    var selected = pick(cands.withColumn("__maxsim", lit(0L)), 1)
+    var t = 2
+    while (t <= k) {
+      val maxSim = pairs
+        .join(selected.select(col("query_id"), col("corpus_id").as("__s")),
+          Seq("query_id", "__s"))
+        .groupBy(col("query_id"), col("__c").as("corpus_id"))
+        .agg(max(col("__ps")).as("__maxsim"))
+      val rem = cands
+        .join(selected.select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "corpus_id"), "left")
+        .select(col("query_id"), col("corpus_id"), col("__rel"),
+          coalesce(col("__maxsim"), lit(0L)).as("__maxsim"))
+      selected = selected.union(pick(rem, t)).localCheckpoint()
+      t += 1
+    }
+
+    selected.select(col("query_id"), col("step"), col("corpus_id"),
+      (col("__rel").cast("double") / 1e6).as("rel"),
+      (col("__marg").cast("double") / (1e6 * lambdaDen)).as("mmr"))
+  }
+
   /** Embedding dimensionality from the first row — one cheap driver-side
     * action so LSH plane vectors match the data (dim is a plan-time
     * constant, not a per-row value).

@@ -450,4 +450,69 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(rep.filter(!col("kept")).count() == 0)
     assert(rep.count() == 500)
   }
+
+  test("mmrTopK matches the hand-worked diversification trace") {
+    // corpus: 1 and 2 are identical (near-dup pair), 3 is orthogonal
+    // to them with lower relevance — pure top-k would return 1,2,3;
+    // MMR must demote the duplicate behind the diverse item.
+    val corpus = Seq(
+      (1L, Array(0.8f, 0.6f, 0f)),
+      (2L, Array(0.8f, 0.6f, 0f)),
+      (3L, Array(0.6f, -0.8f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Vectors.mmrTopK(corpus, queries, "vec_id", "embedding",
+      candidates = 3, k = 3)
+      .orderBy("step").as[(Long, Int, Long, Double, Double)].collect().toSeq
+    // step1: pure relevance, tie 1 vs 2 at 0.8 → smaller id 1, mmr λ·0.8
+    // step2: marg(2) = 0.8−1.0 vs marg(3) = 0.6−0.0 → 3, mmr 0.3
+    // step3: only 2 remains, mmr (0.8−1.0)/2 = −0.1
+    assert(got == Seq(
+      (100L, 1, 1L, 0.8, 0.4),
+      (100L, 2, 3L, 0.6, 0.3),
+      (100L, 3, 2L, 0.8, -0.1)), got)
+  }
+
+  test("mmrTopK matches a driver-side greedy replay on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queryIds = Seq(0L, 1L, 2L)
+    val C = 6
+    val K = 3
+    val got = Vectors.mmrTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", candidates = C, k = K)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._5)).toSeq).toMap
+    val want = queryIds.map { q =>
+      val pool = vecs.toSeq.filter(_._1 != q)
+        .map { case (c, v) => (c, math.round(r6(cosine(vecs(q), v)) * 1e6)) }
+        .sortBy { case (c, s) => (-s, c) }.take(C)
+      val pairMu = (for ((a, _) <- pool; (b, _) <- pool if a != b)
+        yield (a, b) -> math.round(r6(cosine(vecs(a), vecs(b))) * 1e6)).toMap
+      var sel = Vector.empty[(Long, Long)]
+      var remaining = pool
+      for (_ <- 1 to K) {
+        val stepScores = remaining.map { case (c, rel) =>
+          val ms = if (sel.isEmpty) 0L else sel.map(s => pairMu((c, s._1))).max
+          (c, rel - ms)
+        }
+        val picked = stepScores.minBy { case (c, m) => (-m, c) }
+        sel :+= picked
+        remaining = remaining.filterNot(_._1 == picked._1)
+      }
+      q -> sel.map { case (id, m) => (id, m / 2e6) }
+    }.toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("mmrTopK refuses degenerate parameters") {
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Vectors.mmrTopK(emb, q, "vec_id", "embedding", candidates = 2, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Vectors.mmrTopK(emb, q, "vec_id", "embedding", candidates = 3, k = 2,
+        lambdaNum = 3, lambdaDen = 2)
+    }
+  }
 }
