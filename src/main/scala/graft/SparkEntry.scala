@@ -1062,6 +1062,35 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q143_script_profile" -> { (s, dir) =>
+      // Writing-system census: residue classes of the corpus get
+      // cyrillic / greek / cjk+hangul payloads appended (long enough
+      // to outweigh the latin base text), the kernel's single
+      // codepoint pass must count every script bucket and call the
+      // dominant script — explicit codepoint intervals and an
+      // alphabetical tie rule, so the oracle replays the census as
+      // plain integer CASE logic over unicode().
+      val docs = t(s, dir, "documents")
+      val inj = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            repeat(lit(" привет мир это тест"), 8))
+            .when(col("doc_id") % 4 === 2,
+              repeat(lit(" αβγ δεζ ηθι κλμ"), 10))
+            .when(col("doc_id") % 4 === 3,
+              repeat(lit(" 中文测试 한국어 かな"), 8))
+            .otherwise(lit(""))).as("raw"))
+      inj.select(col("doc_id"),
+          graft.functions.Text.scriptProfile(col("raw")).as("p"))
+        .select(col("doc_id"), col("p.n_latin").as("n_latin"),
+          col("p.n_digit").as("n_digit"), col("p.n_greek").as("n_greek"),
+          col("p.n_cyrillic").as("n_cyrillic"),
+          col("p.n_arabic").as("n_arabic"),
+          col("p.n_hangul").as("n_hangul"), col("p.n_cjk").as("n_cjk"),
+          col("p.n_space").as("n_space"), col("p.n_other").as("n_other"),
+          col("p.dominant").as("dominant"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q142_mmr_rerank" -> { (s, dir) =>
       // Diversified retrieval: exact top-6 cosine pool per query, then
       // 3 greedy MMR picks at λ=1/2. Selection compares only den-scaled
@@ -2383,6 +2412,72 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Same payload injection, then a pure-integer census: split to
+    // codepoints, bucket by the kernel's explicit ranges, dominant via
+    // the >=-greatest CASE ladder (alphabetically-first max).
+    "q143_script_profile" ->
+      """WITH inj AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 1 THEN repeat(' привет мир это тест', 8)
+                  WHEN doc_id % 4 = 2 THEN repeat(' αβγ δεζ ηθι κλμ', 10)
+                  WHEN doc_id % 4 = 3 THEN repeat(' 中文测试 한국어 かな', 8)
+                  ELSE '' END AS raw
+           FROM documents),
+         ch AS (
+           SELECT doc_id, unicode(c) AS cp
+           FROM (SELECT doc_id, unnest(string_split(raw, '')) AS c FROM inj)
+           WHERE c <> ''),
+         cnt AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN (cp BETWEEN 65 AND 90)
+                            OR (cp BETWEEN 97 AND 122)
+                            OR (cp BETWEEN 192 AND 591)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
+             CAST(sum(CASE WHEN cp BETWEEN 48 AND 57
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+             CAST(sum(CASE WHEN cp BETWEEN 880 AND 1023
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_greek,
+             CAST(sum(CASE WHEN cp BETWEEN 1024 AND 1279
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic,
+             CAST(sum(CASE WHEN cp BETWEEN 1536 AND 1791
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_arabic,
+             CAST(sum(CASE WHEN cp BETWEEN 44032 AND 55203
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hangul,
+             CAST(sum(CASE WHEN (cp BETWEEN 19968 AND 40959)
+                            OR (cp BETWEEN 12352 AND 12543)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+             CAST(sum(CASE WHEN cp IN (32, 9, 10, 13, 12)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_space
+           FROM ch GROUP BY 1),
+         fin AS (
+           SELECT d.doc_id,
+             coalesce(n_latin, 0) AS n_latin,
+             coalesce(n_digit, 0) AS n_digit,
+             coalesce(n_greek, 0) AS n_greek,
+             coalesce(n_cyrillic, 0) AS n_cyrillic,
+             coalesce(n_arabic, 0) AS n_arabic,
+             coalesce(n_hangul, 0) AS n_hangul,
+             coalesce(n_cjk, 0) AS n_cjk,
+             coalesce(n_space, 0) AS n_space,
+             coalesce(n_all, 0) - coalesce(n_latin, 0) - coalesce(n_digit, 0)
+               - coalesce(n_greek, 0) - coalesce(n_cyrillic, 0)
+               - coalesce(n_arabic, 0) - coalesce(n_hangul, 0)
+               - coalesce(n_cjk, 0) - coalesce(n_space, 0) AS n_other
+           FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id)
+         SELECT doc_id, n_latin, n_digit, n_greek, n_cyrillic, n_arabic,
+           n_hangul, n_cjk, n_space, n_other,
+           CASE WHEN greatest(n_latin, n_greek, n_cyrillic, n_arabic,
+                              n_hangul, n_cjk) = 0 THEN 'none'
+                WHEN n_arabic >= greatest(n_cjk, n_cyrillic, n_greek,
+                                          n_hangul, n_latin) THEN 'arabic'
+                WHEN n_cjk >= greatest(n_cyrillic, n_greek, n_hangul,
+                                       n_latin) THEN 'cjk'
+                WHEN n_cyrillic >= greatest(n_greek, n_hangul, n_latin)
+                  THEN 'cyrillic'
+                WHEN n_greek >= greatest(n_hangul, n_latin) THEN 'greek'
+                WHEN n_hangul >= n_latin THEN 'hangul'
+                ELSE 'latin' END AS dominant
+         FROM fin ORDER BY doc_id""",
     "q142_mmr_rerank" ->
       s"""WITH $cosineCtes,
          mdots AS (

@@ -33,6 +33,13 @@ object Text {
     trim(regexp_replace(cased, "[ \t\n\r\f]+", " "))
   }
 
+  /** Writing-system census: per-script codepoint counts + the dominant
+    * script, one codegen pass (see [[graft.plans.ScriptProfile]] for
+    * the explicit range table and the alphabetical tie rule) — the
+    * charset gate a crawl pipeline applies before language-ID proper.
+    */
+  def scriptProfile(text: Column): Column = graft.plans.ScriptProfile(text)
+
   /** BPE-ish subword proxy: count of alnum runs + count of non-alnum,
     * non-space marks — approximates byte-pair token inflation without a
     * vocab file.

@@ -231,6 +231,48 @@ object TextKernels {
       Array[Any](n, counts.size().toLong, hf))
   }
 
+  /** One codepoint walk → per-script character counts + the dominant
+    * script (see plans.ScriptProfile for the range table and the
+    * tie rule). Counts are by CODEPOINT (surrogate pairs step as one),
+    * matching an engine that splits UTF-8 text into codepoints.
+    */
+  def scriptProfile(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var latin, digit, greek, cyr, arabic, hangul, cjk, space, other = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) arabic += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7A3) hangul += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+        (cp >= 0x3040 && cp <= 0x30FF)) cjk += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        cp == '\f') space += 1
+      else other += 1
+    }
+    // Alphabetically-first script name achieving the max count — the
+    // exact semantics of the oracle's >=-greatest CASE ladder.
+    val m = math.max(latin, math.max(greek, math.max(cyr,
+      math.max(arabic, math.max(hangul, cjk)))))
+    val dominant =
+      if (m == 0) "none"
+      else if (arabic == m) "arabic"
+      else if (cjk == m) "cjk"
+      else if (cyr == m) "cyrillic"
+      else if (greek == m) "greek"
+      else if (hangul == m) "hangul"
+      else "latin"
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](latin, digit, greek, cyr, arabic, hangul, cjk, space,
+        other, UTF8String.fromString(dominant)))
+  }
+
   /** Map-side span excision for exact-substring dedup
     * (Dedup.dropRepeatedSpans): drop every token of `text` whose
     * 1-based split-on-" " position lands inside any interval
@@ -1445,4 +1487,62 @@ object BpeDecodeIds {
 
   def apply(ids: Column, model: BpeRanks): Column =
     CatalystBridge.column(BpeDecodeIds(CatalystBridge.expression(ids), model))
+}
+
+/** `script_profile(text)`: per-document writing-system census in ONE
+  * codepoint pass — struct of per-script character counts plus the
+  * dominant script — the charset/language front gate web-crawl
+  * pipelines apply before language-ID proper (a doc whose dominant
+  * script is cyrillic never reaches the latin-ngram langid model).
+  *
+  * Ranges are deliberate EXPLICIT codepoint intervals (not library
+  * Unicode tables, whose versions drift between engines):
+  * latin A–Z a–z U+00C0–U+024F (Latin-1 supplement + Extended-A/B,
+  * wholesale — the ×/÷ signs inside are a documented simplification),
+  * digits 0–9, greek U+0370–03FF, cyrillic U+0400–04FF, arabic
+  * U+0600–06FF, hangul syllables U+AC00–D7A3, cjk U+4E00–9FFF +
+  * kana U+3040–30FF, whitespace the explicit 5-char class, everything
+  * else `other`. Dominant = alphabetically-first script name achieving
+  * the max count over the six scripts; `none` when all six are zero.
+  * Every rule is replayable integer logic over codepoints, so an
+  * independent engine agrees exactly.
+  */
+final case class ScriptProfile(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_greek", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_hangul", LongType, nullable = false),
+    StructField("n_cjk", LongType, nullable = false),
+    StructField("n_space", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false),
+    StructField("dominant", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"script_profile expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.scriptProfile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.scriptProfile($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
+    copy(child = newChild)
+
+  override def prettyName: String = "script_profile"
+}
+
+object ScriptProfile {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column): Column =
+    CatalystBridge.column(ScriptProfile(CatalystBridge.expression(text)))
 }

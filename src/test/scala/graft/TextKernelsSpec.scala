@@ -201,4 +201,28 @@ class TextKernelsSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSeq
     assert(twice == cases.map(_._3).map(w => w))
   }
+
+  test("scriptProfile: per-script counts, dominance, ties, non-BMP") {
+    import org.apache.spark.sql.functions.col
+    def profile(s: String): (Seq[Long], String) = {
+      val r = Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.Text.scriptProfile(col("t")).as("p"))
+        .select("p.*").collect().head
+      ((0 to 8).map(r.getLong), r.getString(9))
+    }
+    // ab ×2 latin, é latin (0xC0-0x24F), 1 digit, αβ greek, бв cyrillic,
+    // ا arabic, 한 hangul, 中 cjk, か kana→cjk, tab+spaces, € other
+    val (c, dom) = profile("abé1 αβ бв ا 한 中か\t€")
+    assert(c == Seq(3L, 1L, 2L, 2L, 1L, 1L, 2L, 6L, 1L), c)
+    assert(dom == "latin")
+    // tie at 2: cjk vs cyrillic vs greek → alphabetically first = cjk
+    assert(profile("αβ бв 中か")._2 == "cjk")
+    // all-zero scripts → none (digits/space/other don't count)
+    assert(profile("123 .,;")._2 == "none")
+    assert(profile("")._1.forall(_ == 0L))
+    // non-BMP (U+20000, CJK ext B — outside the explicit ranges) steps
+    // as ONE codepoint into other, not two broken surrogates
+    val (c2, _) = profile(new String(Character.toChars(0x20000)))
+    assert(c2 == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L), c2)
+  }
 }
