@@ -1062,6 +1062,28 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q144_ann_ivf_append" -> { (s, dir) =>
+      // Incremental IVF: build the index on the first 400 vectors,
+      // fold the rest in as an append assigned against the PERSISTED
+      // centroids (add-without-retrain — increments never re-run
+      // Lloyd). Probing every cell makes the post-append search exact
+      // by construction over the FULL corpus (the q52/q110 argument),
+      // so the plain exact-top-k oracle hash-gates the whole fold: a
+      // lost, duplicated or vector-corrupted appended row breaks it.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      Vectors.buildIvfIndex(lib, emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", "annidx", nlist = 8, iters = 2,
+        targetRows = 200L)
+      Vectors.appendToIvfIndex(lib, "annidx",
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        targetRows = 200L)
+      Vectors.ivfSearchIndexed(lib, "annidx", emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 4, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"), col("sim"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
     "q143_script_profile" -> { (s, dir) =>
       // Writing-system census: residue classes of the corpus get
       // cyrillic / greek / cjk+hangul payloads appended (long enough
@@ -2412,6 +2434,31 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // nProbe = nlist ⇒ the persisted build+append+probe pipeline must
+    // equal plain exact top-k over the full corpus, independent of
+    // where Lloyd put the centroids.
+    "q144_ann_ivf_append" ->
+      s"""WITH $cosineCtes,
+         adots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         ascored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM adots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         aranked AS (
+           SELECT query_id, corpus_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, corpus_id ASC) AS rnk
+           FROM ascored)
+         SELECT query_id, corpus_id, sim, rnk FROM aranked
+         WHERE rnk <= 4 ORDER BY query_id, rnk""",
     // Same payload injection, then a pure-integer census: split to
     // codepoints, bucket by the kernel's explicit ranges, dominant via
     // the >=-greatest CASE ladder (alphabetically-first max).

@@ -488,6 +488,39 @@ object Vectors {
     lib.write(s"${name}__index", assigned, Some("cell"), targetRows = targetRows)
   }
 
+  /** Fold a NEW embedding batch into a persisted IVF index — the
+    * classic add-without-retrain path: vectors assign to the nearest
+    * EXISTING trained centroid (the routing table is immutable after
+    * build; train-once is the contract that makes increments cheap —
+    * [[buildIvfIndex]] is the rebuild path when drift accumulates) and
+    * the assigned rows APPEND to the index symbol as a new version.
+    * `validateIndex = false` deliberately: an increment spans the whole
+    * cell range, the out-of-order append the sorted-append contract
+    * exempts for index symbols whose reads always filter (the same
+    * stance as the MinHash and BM25 index folds); the commit path still
+    * sorts the increment itself on `cell`, so each appended file stays
+    * cell-contiguous and probe-time manifest pruning keeps biting
+    * inside every increment. A probe after N appends is identical to a
+    * probe after one build over the union with the same centroids —
+    * the q144 gate hashes that equivalence end to end.
+    */
+  def appendToIvfIndex(
+      lib: graft.core.Library,
+      name: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val centroids = lib.read(s"${name}__centroids")
+    val assigned = assignCells(
+      batch.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      centroids.select(col("cell").cast("int").as("cell"), col("centroid")))
+      .select(col("cell").cast("long").as("cell"),
+        col("cid").as("corpus_id"), col("cvec").as("vec"))
+    lib.append(s"${name}__index", assigned, targetRows,
+      validateIndex = false)
+  }
+
   /** Probe a [[buildIvfIndex]] index: route queries to their nProbe best
     * cells against the (broadcast) centroid symbol, read ONLY those
     * cells from the index symbol (the probed cell set is bounded by

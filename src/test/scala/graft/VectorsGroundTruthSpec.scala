@@ -451,6 +451,47 @@ class VectorsGroundTruthSpec extends SparkSuite {
     assert(rep.count() == 500)
   }
 
+  test("appendToIvfIndex: exact fold, routing parity, pruning intact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-ivfapp-").toString, spark)
+    Vectors.buildIvfIndex(lib, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", "ann", nlist = 8, iters = 2, targetRows = 60L)
+    Vectors.appendToIvfIndex(lib, "ann", emb.filter(col("vec_id") >= 300),
+      "vec_id", "embedding", targetRows = 60L)
+    // every corpus vector present exactly once after the fold
+    val idx = lib.read("ann__index")
+    assert(idx.count() == emb.count())
+    assert(idx.select("corpus_id").distinct().count() == emb.count())
+    // appended rows route to a max-cosine cell of the PERSISTED
+    // centroids (value comparison, so centroid-sim ties can't flake)
+    val cents = lib.read("ann__centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Long, Array[Float])].collect().toMap
+    idx.filter(col("corpus_id") >= 300)
+      .select(col("cell"), col("corpus_id"), col("vec"))
+      .as[(Long, Long, Array[Float])].collect().foreach { case (cell, id, v) =>
+        val best = cents.values.map(c => cosine(v, c)).max
+        assert(math.abs(cosine(v, cents(cell)) - best) < 1e-12,
+          s"vec $id routed to cell $cell, not a max-cosine cell")
+      }
+    // post-append probe at nProbe=nlist == exact top-k over the union
+    val got = Vectors.ivfSearchIndexed(lib, "ann",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nProbe = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val expected = exactTopK(Seq(0L, 1L, 2L), 5)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq == expected(q).map(_._1), s"query $q")
+    }
+    // manifest pruning still bites across build + increment files
+    val all = lib.read("ann__index").inputFiles.length
+    val one = lib.read("ann__index",
+      exprFilter = Some(graft.query.Expr.col("cell") === graft.query.Expr.lit(3L)))
+      .inputFiles.length
+    assert(all >= 8, s"expected multi-file index, got $all")
+    assert(one < all / 2.0, s"pruned read touched $one of $all files")
+  }
+
   test("mmrTopK matches the hand-worked diversification trace") {
     // corpus: 1 and 2 are identical (near-dup pair), 3 is orthogonal
     // to them with lower relevance — pure top-k would return 1,2,3;
