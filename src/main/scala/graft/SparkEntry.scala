@@ -1062,6 +1062,16 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q145_zipf_fit" -> { (s, dir) =>
+      // One-number corpus-health check: least-squares Zipf slope of
+      // ln(freq) vs ln(rank). Logs floor-quantize to milli-nat longs
+      // BEFORE summing (floor is pure binary — no decimal-string round
+      // anywhere), the five regression sums are exact integers, and the
+      // closing double arithmetic is mirrored expression-for-expression
+      // by the oracle. Ranks come from the two-level engine, not a
+      // global vocab window.
+      graft.functions.CorpusStats.zipfFit(t(s, dir, "documents"), "text")
+    },
     "q144_ann_ivf_append" -> { (s, dir) =>
       // Incremental IVF: build the index on the first 400 vectors,
       // fold the rest in as an append assigned against the PERSISTED
@@ -2434,6 +2444,42 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // Identical quantization chain: floor(ln·1000) milli-nat BIGINTs,
+    // exact integer sums, then the same fixed sequence of double ops.
+    "q145_zipf_fit" ->
+      """WITH tf AS (
+           SELECT t, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY 1),
+         rk AS (
+           SELECT t, f, row_number() OVER (ORDER BY f DESC, t ASC) AS r
+           FROM tf),
+         xy AS (
+           SELECT f, CAST(floor(ln(r) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(f) * 1000) AS BIGINT) AS y
+           FROM rk),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(f) AS BIGINT) AS tok,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM xy),
+         sl AS (
+           SELECT n, tok,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                  THEN 0.0
+                  ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END AS slope
+           FROM ag)
+         SELECT n AS n_types, tok AS n_tokens, slope,
+           (syd - slope * sxd) / nd / 1000.0 AS intercept
+         FROM sl""",
     // nProbe = nlist ⇒ the persisted build+append+probe pipeline must
     // equal plain exact top-k over the full corpus, independent of
     // where Lloyd put the centroids.

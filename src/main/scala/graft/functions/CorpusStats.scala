@@ -304,4 +304,59 @@ object CorpusStats {
           explode(Text.tokens(col(textCol))).as("__tok")),
       col("__d"), col("__tok"), p, portable)
       .withColumnRenamed("group", "domain")
+
+  /** Zipf power-law fit of the corpus token-frequency distribution:
+    * least-squares slope/intercept of ln(freq) against ln(rank) — the
+    * standard one-number corpus-health check (natural language sits
+    * near slope −1; a slope collapsing toward 0 means boilerplate or
+    * template flooding, a cliff below −1.5 means vocabulary starvation).
+    *
+    * Determinism discipline: both logs are FLOOR-quantized to milli-nat
+    * longs before any sum (floor of a double is pure binary — no
+    * decimal-string rounding anywhere), all five regression sums are
+    * exact integer sums (order-free, engine-independent), and the final
+    * slope/intercept arithmetic is a fixed sequence of IEEE double ops
+    * on those exact integers — the oracle writes the identical
+    * expression shape. Milli (not micro) quantization keeps
+    * Σx², Σxy within long range up to ~10⁹ vocabulary types.
+    *
+    * Scale shape: one token-count shuffle (vocab-sized), ranks from
+    * [[Sampling.rankByScore]]'s two-level engine (no single-task global
+    * window over the vocabulary), one vocab-sized join, one counter
+    * aggregate. Output: one row (n_types, n_tokens, slope, intercept).
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__f"))
+    val ranked = Sampling.rankByScore(
+      freq, "__t", None, col("__f"), descending = true)
+    val xy = freq.join(ranked, Seq("__t"))
+      .select(col("__f"),
+        floor(log(col("rank").cast("double")) * 1000).as("__x"),
+        floor(log(col("__f").cast("double")) * 1000).as("__y"))
+    val agg = xy.agg(
+      count(lit(1)).as("__n"), sum(col("__f")).as("__tok"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val d = agg.select(
+      col("__n"), col("__tok"),
+      col("__n").cast("double").as("__nd"),
+      col("__sx").cast("double").as("__sxd"),
+      col("__sy").cast("double").as("__syd"),
+      col("__sxy").cast("double").as("__sxyd"),
+      col("__sxx").cast("double").as("__sxxd"))
+    val den = col("__nd") * col("__sxxd") - col("__sxd") * col("__sxd")
+    d.select(col("__n"), col("__tok"), col("__nd"), col("__sxd"),
+        col("__syd"),
+        when(den === 0.0, lit(0.0))
+          .otherwise((col("__nd") * col("__sxyd") -
+            col("__sxd") * col("__syd")) / den).as("slope"))
+      .select(col("__n").as("n_types"), col("__tok").as("n_tokens"),
+        col("slope"),
+        ((col("__syd") - col("slope") * col("__sxd")) / col("__nd") /
+          lit(1000.0)).as("intercept"))
+  }
 }

@@ -97,4 +97,29 @@ class CorpusStatsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("string domain column"))
   }
+
+  test("zipfFit matches the hand-worked 3-type regression") {
+    // freqs a=4 b=2 c=1 → ranks 1,2,3; milli-nat floors:
+    // x = [0, 693, 1098], y = [1386, 693, 0]
+    val docs = Seq("a a a a b b c").toDF("text")
+    val got = CorpusStats.zipfFit(docs, "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    val x = Seq(0L, 693L, 1098L)
+    val y = Seq(1386L, 693L, 0L)
+    val n = 3.0
+    val sx = x.sum.toDouble
+    val sy = y.sum.toDouble
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = x.map(a => a * a).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got._1 == 3L && got._2 == 7L, got)
+    assert(math.abs(got._3 - slope) < 1e-12, got)
+    assert(math.abs(got._4 - (sy - slope * sx) / n / 1000.0) < 1e-12, got)
+  }
+
+  test("zipfFit: single-type corpus degenerates to slope 0") {
+    val got = CorpusStats.zipfFit(Seq("a a").toDF("text"), "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((1L, 2L, 0.0, 0.693)), got)
+  }
 }
