@@ -1062,6 +1062,20 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q146_quality_dedup" -> { (s, dir) =>
+      // Quality-aware keeper: near-dup clusters keep their longest
+      // capture (score = char length — the simplest real keeper rule),
+      // ties to the smaller id, at both the exact-fingerprint and
+      // Jaccard-component tiers. The oracle replays cluster discovery
+      // (q64's recursive CTEs) with the keeper argmax swapped in, so a
+      // wrong keeper anywhere flips the survivor set and the hash.
+      val docs = t(s, dir, "documents")
+        .withColumn("__score", length(col("text")).cast("double"))
+      Dedup.dropNearDuplicatesByQuality(docs, "doc_id", "text", "__score",
+        3, 0.2)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q145_zipf_fit" -> { (s, dir) =>
       // One-number corpus-health check: least-squares Zipf slope of
       // ln(freq) vs ln(rank). Logs floor-quantize to milli-nat longs
@@ -2444,6 +2458,51 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q146_quality_dedup" ->
+      s"""WITH RECURSIVE kept AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY md5($normSql)
+                ORDER BY length(text) DESC, doc_id) AS rn
+              FROM documents) WHERE rn = 1),
+          docs AS (
+            SELECT d.doc_id, string_split($normSql, ' ') AS w
+            FROM documents d JOIN kept USING (doc_id)),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.2),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          keepers AS (
+            SELECT id FROM (
+              SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY length(d.text) DESC, c.id) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.id)
+            WHERE rn = 1),
+          losers AS (
+            SELECT id FROM comp
+            WHERE id NOT IN (SELECT id FROM keepers))
+          SELECT k.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+          LEFT JOIN losers l ON k.doc_id = l.id
+          WHERE l.id IS NULL ORDER BY 1""",
     // Identical quantization chain: floor(ln·1000) milli-nat BIGINTs,
     // exact integer sums, then the same fixed sequence of double ops.
     "q145_zipf_fit" ->

@@ -1261,6 +1261,50 @@ object Dedup {
     exact.join(losers, exact(idCol) === losers("id"), "left_anti")
   }
 
+  /** Quality-aware near-duplicate removal: the cluster discovery of
+    * [[dropNearDuplicates]], but every duplicate group keeps its BEST
+    * document under (`scoreCol` desc, id asc) instead of the min-id
+    * canonical — the keeper rule real crawl pipelines want: when the
+    * same page was captured five times, keep the highest-quality
+    * capture (longest extraction, best quality score, newest snapshot —
+    * whatever the caller scores), not the smallest id. Applies at BOTH
+    * tiers: identical-fingerprint groups and Jaccard-connected
+    * components each resolve to their (score desc, id asc) argmax.
+    *
+    * Scale shape unchanged from the canonical variant: keeper selection
+    * is a keyed `min(struct(-score, id))` aggregate — running state is
+    * one (score, id) pair per group, never a window buffering a
+    * 500M-copy boilerplate cluster on one task. Ties on score fall to
+    * the smaller id, so selection is deterministic for any score the
+    * caller derives deterministically.
+    */
+  def dropNearDuplicatesByQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Long = 0): DataFrame = {
+    def best(grouped: DataFrame, key: String): DataFrame =
+      grouped.groupBy(key)
+        .agg(min(struct((-col("__q")).as("n"), col("__bid").as("id"))).as("w"))
+        .select(col("w.id").as("__bid"))
+    val fp = df.select(col(idCol).as("__bid"), col(scoreCol).as("__q"),
+      Text.fingerprint(col(textCol)).as("__fp"))
+    val exactKeep = best(fp, "__fp").withColumnRenamed("__bid", idCol)
+    val exact = df.join(exactKeep, Seq(idCol), "left_semi")
+    val pairs = ngramJaccardPairs(exact, idCol, textCol, shingleLen,
+      threshold, maxDocFreq)
+    val clusters = duplicateClusters(pairs) // (id, cluster_id)
+    val scored = clusters.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__q")), Seq("id"))
+      .withColumnRenamed("id", "__bid")
+    val keepers = best(scored, "cluster_id").withColumnRenamed("__bid", "id")
+    val losers = clusters.select("id").join(keepers, Seq("id"), "left_anti")
+    exact.join(losers, exact(idCol) === losers("id"), "left_anti")
+  }
+
   /** ---- Block-level (paragraph) dedup ----
     * The CCNet/RefinedWeb paragraph-dedup step adapted to block
     * granularity: split each doc into consecutive `blockWords`-word

@@ -450,4 +450,27 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(got(1L) == "spam spam spam spam spam spam spam spam")
     assert(got(2L) == "different words entirely in this second doc")
   }
+
+  test("dropNearDuplicatesByQuality keeps the best-scoring member per tier") {
+    // 1,2 identical text (exact tier) with the higher score on 2;
+    // 3,4 near-dups (jaccard 5/7 at shingleLen 2) favoring 4; 5 alone.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", 0.1),
+      (2L, "alpha beta gamma delta epsilon", 0.9),
+      (3L, "one two three four five six seven", 0.8),
+      (4L, "one two three four five six eight", 0.9),
+      (5L, "totally unrelated content here", 0.5)
+    ).toDF("id", "text", "score")
+    val got = Dedup.dropNearDuplicatesByQuality(docs, "id", "text", "score",
+      shingleLen = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L, 5L), got)
+    // score ties fall to the smaller id (the canonical rule)
+    val tied = Seq(
+      (7L, "same exact text here", 0.5),
+      (6L, "same exact text here", 0.5)).toDF("id", "text", "score")
+    val got2 = Dedup.dropNearDuplicatesByQuality(tied, "id", "text", "score")
+      .select("id").as[Long].collect().toSeq
+    assert(got2 == Seq(6L), got2)
+  }
 }
