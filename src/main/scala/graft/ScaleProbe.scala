@@ -35,7 +35,17 @@ object ScaleProbe {
     "q124_perplexity_buckets",
     "q128_bloom_novelty",
     "q129_corpus_ledger",
-    "q125_semdedup_scaledk")
+    "q125_semdedup_scaledk",
+    // q139-q146 additions: link extraction + integer PageRank (edge
+    // emission scales with the corpus, the graph itself is host-sized),
+    // the one-pass script census (pure scan-bound kernel), the Zipf
+    // regression (vocab-sized rank engine), and the quality-aware
+    // dedup keeper (the generator's 10x replicas are exactly the
+    // exact-tier mass it must absorb before the jaccard tier)
+    "q141_link_pagerank",
+    "q143_script_profile",
+    "q145_zipf_fit",
+    "q146_quality_dedup")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare

@@ -1062,6 +1062,24 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q147_link_hits" -> { (s, dir) =>
+      // HITS over the q141 host graph: 2 iterations of the
+      // hub↔authority fixed point, sums and max-normalization all in
+      // exact integer micro-units (the float formulation's L2 norm
+      // can't be hash-gated) — the oracle unrolls both iterations.
+      val html = linkWrapped(t(s, dir, "documents"))
+      val edges = html.select(
+          concat(lit("h"), (col("doc_id") % 23).cast("string"),
+            lit(".example.com")).as("src"),
+          explode(graft.functions.Clean.extractLinks(col("html"))).as("url"))
+        .select(col("src"),
+          graft.functions.Clean.linkHost(col("url")).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.functions.Graph.hits(edges, "src", "dst", iters = 2)
+        .select(col("node").as("host"), col("hub_mu"), col("auth_mu"),
+          col("hub"), col("auth"))
+        .transform(sortSmallAgg(_, "host"))
+    },
     "q146_quality_dedup" -> { (s, dir) =>
       // Quality-aware keeper: near-dup clusters keep their longest
       // capture (score = char length — the simplest real keeper rule),
@@ -2457,7 +2475,50 @@ object SparkEntry {
          WHERE rn = 1)"""
   }
 
+  // One HITS iteration in exact integer micro-units — identical
+  // arithmetic to graft.functions.Graph.hits (auth from current hubs,
+  // max-normalize, hubs from the NEW authorities, max-normalize).
+  private def hitsIterSql(t: Int): String = {
+    val hPrev = s"h${t - 1}"
+    s"""has$t AS (
+          SELECT e.dst AS node, sum(h.v) AS s
+          FROM hedges e JOIN $hPrev h ON h.node = e.src
+          GROUP BY 1),
+        har$t AS (
+          SELECT n.node, coalesce(s.s, 0) AS v FROM hnodes n
+          LEFT JOIN has$t s ON s.node = n.node),
+        ham$t AS (SELECT max(v) AS m FROM har$t),
+        ha$t AS (SELECT node, CAST((v * 1000000) // m AS BIGINT) AS v
+                 FROM har$t, ham$t),
+        hhs$t AS (
+          SELECT e.src AS node, sum(a.v) AS s
+          FROM hedges e JOIN ha$t a ON a.node = e.dst
+          GROUP BY 1),
+        hhr$t AS (
+          SELECT n.node, coalesce(s.s, 0) AS v FROM hnodes n
+          LEFT JOIN hhs$t s ON s.node = n.node),
+        hhm$t AS (SELECT max(v) AS m FROM hhr$t),
+        h$t AS (SELECT node, CAST((v * 1000000) // m AS BIGINT) AS v
+                FROM hhr$t, hhm$t)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q147_link_hits" ->
+      s"""WITH $linkCtes,
+         hedges AS (
+           SELECT 'h' || (doc_id % 23) || '.example.com' AS src, host AS dst
+           FROM lhosts WHERE host IS NOT NULL),
+         hnodes AS (
+           SELECT DISTINCT src AS node FROM hedges
+           UNION SELECT DISTINCT dst FROM hedges),
+         h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM hnodes),
+         ${hitsIterSql(1)}, ${hitsIterSql(2)}
+         SELECT n.node AS host, h.v AS hub_mu, a.v AS auth_mu,
+           h.v / 1000000.0 AS hub, a.v / 1000000.0 AS auth
+         FROM hnodes n
+         JOIN h2 h ON h.node = n.node
+         JOIN ha2 a ON a.node = n.node
+         ORDER BY host""",
     "q146_quality_dedup" ->
       s"""WITH RECURSIVE kept AS (
             SELECT doc_id FROM (

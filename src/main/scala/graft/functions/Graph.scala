@@ -102,4 +102,78 @@ object Graph {
         col("__mu").as("rank_mu"),
         (col("__mu").cast("double") / 1e6).as("rank"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) in EXACT integer
+    * micro-units — [[pageRank]]'s companion for bidirectional link
+    * signals: a good HUB points at good authorities, a good AUTHORITY
+    * is pointed at by good hubs. Per iteration:
+    *
+    *   auth'(v) = Σ_{u→v} hub(u)     then max-normalized to 1e6
+    *   hub'(u)  = Σ_{u→v} auth'(v)   then max-normalized to 1e6
+    *
+    * Both sums are order-free long sums; normalization is
+    * `x·1e6 div max` where the max of exact integers is itself exact —
+    * so the whole fixed-point iteration is engine-replayable (the
+    * float formulation normalizes by an L2 norm whose sqrt and
+    * summation order cannot be hash-gated). Parallel edges count with
+    * multiplicity, mirroring [[pageRank]].
+    *
+    * Scale shape: two keyed join+aggregate passes per iteration (one
+    * per direction) and a 1-row max that broadcasts back — scores
+    * localCheckpoint each round like pageRank. Output: (node,
+    * hub_mu, auth_mu, hub, auth).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters outside [1, 50]")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("__node"))
+      .union(e.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint()
+
+    // max-normalize a (node, col) score frame to 1e6 micro-units; the
+    // 1-row max crossJoins back (broadcast by AQE). max >= 1 always:
+    // scores start at 1e6 and a sum of non-negative longs with at
+    // least one positive stays positive on a non-empty edge set.
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val m = scores.agg(max(col(c)).as("__m"))
+      scores.crossJoin(broadcast(m))
+        .select(col("__node"),
+          expr(s"($c * CAST(1000000 AS BIGINT)) div __m").as(c))
+    }
+
+    var hub = nodes.select(col("__node"), lit(1000000L).as("__h"))
+    var auth = nodes.select(col("__node"), lit(1000000L).as("__a"))
+    var i = 0
+    while (i < iters) {
+      val aSum = e.join(hub.withColumnRenamed("__node", "__src"), Seq("__src"))
+        .groupBy(col("__dst").as("__node"))
+        .agg(sum(col("__h")).as("__a"))
+      auth = normalized(
+        nodes.join(aSum, Seq("__node"), "left")
+          .select(col("__node"), coalesce(col("__a"), lit(0L)).as("__a")),
+        "__a").localCheckpoint()
+      val hSum = e.join(auth.withColumnRenamed("__node", "__dst"), Seq("__dst"))
+        .groupBy(col("__src").as("__node"))
+        .agg(sum(col("__a")).as("__h"))
+      hub = normalized(
+        nodes.join(hSum, Seq("__node"), "left")
+          .select(col("__node"), coalesce(col("__h"), lit(0L)).as("__h")),
+        "__h").localCheckpoint()
+      i += 1
+    }
+
+    hub.join(auth, Seq("__node"))
+      .select(col("__node").as("node"),
+        col("__h").as("hub_mu"), col("__a").as("auth_mu"),
+        (col("__h").cast("double") / 1e6).as("hub"),
+        (col("__a").cast("double") / 1e6).as("auth"))
+  }
 }

@@ -63,6 +63,24 @@ class GraphSpec extends SparkSuite {
       ("b", 0L, 716666L, 0.716666)), got)
   }
 
+  test("hits matches the hand-worked one-iteration trace") {
+    // a→{b,c}, b→{c,d}, c→a.
+    // auth sums: a=1e6(c), b=1e6(a), c=2e6(a+b), d=1e6(b); max 2e6
+    //   → auth: a=b=d=500000, c=1000000
+    // hub sums: a=1.5e6(b+c), b=1.5e6(c+d), c=5e5(a), d=0; max 1.5e6
+    //   → hub: a=b=1000000, c=333333, d=0
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "a")).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 1)
+      .orderBy("node").as[(String, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 1000000L, 500000L, 1.0, 0.5),
+      ("b", 1000000L, 500000L, 1.0, 0.5),
+      ("c", 333333L, 1000000L, 0.333333, 1.0),
+      ("d", 0L, 500000L, 0.0, 0.5)), got)
+  }
+
   test("pageRank refuses degenerate parameters") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {
