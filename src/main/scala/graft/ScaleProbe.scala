@@ -45,7 +45,9 @@ object ScaleProbe {
     "q141_link_pagerank",
     "q143_script_profile",
     "q145_zipf_fit",
-    "q146_quality_dedup")
+    "q146_quality_dedup",
+    "q146_quality_cap256",
+    "q147_link_hits")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
@@ -73,6 +75,18 @@ object ScaleProbe {
       graft.functions.Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         shingleLen = 3, threshold = 0.5)),
+    // the q146 gate runs the oracle-replayable uncapped jaccard tier;
+    // this is the production configuration (maxDocFreq skew cap), the
+    // same dial as q30_jaccard_cap256
+    "q146_quality_cap256" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("__score",
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("double"))
+      graft.functions.Dedup.dropNearDuplicatesByQuality(
+        docs, "doc_id", "text", "__score", shingleLen = 3,
+        threshold = 0.2, maxDocFreq = 256)
+    }),
     "q125_semdedup_scaledk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()

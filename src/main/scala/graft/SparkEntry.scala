@@ -1062,6 +1062,35 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q148_canonical_url" -> { (s, dir) =>
+      // Crawl-dedup URL hygiene: five residue classes of messy URLs —
+      // uppercase scheme/host + default port + tracking params +
+      // fragment, :443 strip + trailing slash, gclid-only query,
+      // relative, and non-http scheme (the last two must canonicalize
+      // to NULL). The oracle replays the identical regex chain (RE2
+      // replacement syntax \1 for Java's $1 — same semantics).
+      val docs = t(s, dir, "documents")
+      val messy = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://H"), (col("doc_id") % 23).cast("string"),
+            lit(".Example.com:80/Path/"), col("doc_id").cast("string"),
+            lit("/?utm_source=abc&utm_medium=x&keep="),
+            col("doc_id").cast("string"), lit("#frag")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("https://h"), (col("doc_id") % 23).cast("string"),
+              lit(".example.com:443/p/"), col("doc_id").cast("string"),
+              lit("/")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://h"), (col("doc_id") % 23).cast("string"),
+              lit(".example.com/p?gclid=x"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("/relative/"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("ftp://h"), (col("doc_id") % 23).cast("string"),
+            lit(".example.com/x"))).as("url"))
+      messy.select(col("doc_id"), col("url"),
+          graft.functions.Clean.canonicalUrl(col("url")).as("canon"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q147_link_hits" -> { (s, dir) =>
       // HITS over the q141 host graph: 2 iterations of the
       // hub↔authority fixed point, sums and max-normalization all in
@@ -2503,6 +2532,51 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q148_canonical_url" -> {
+      val track = """([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*&?"""
+      val tr4 = (1 to 4).foldLeft("rest0") { (c, _) =>
+        s"regexp_replace($c, '$track', '\\1', 'g')"
+      }
+      s"""WITH messy AS (
+           SELECT doc_id,
+             CASE
+               WHEN doc_id % 5 = 0 THEN
+                 'HTTP://H' || (doc_id % 23) || '.Example.com:80/Path/' ||
+                 doc_id || '/?utm_source=abc&utm_medium=x&keep=' ||
+                 doc_id || '#frag'
+               WHEN doc_id % 5 = 1 THEN
+                 'https://h' || (doc_id % 23) || '.example.com:443/p/' ||
+                 doc_id || '/'
+               WHEN doc_id % 5 = 2 THEN
+                 'https://h' || (doc_id % 23) || '.example.com/p?gclid=x' ||
+                 doc_id
+               WHEN doc_id % 5 = 3 THEN '/relative/' || doc_id
+               ELSE 'ftp://h' || (doc_id % 23) || '.example.com/x'
+             END AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+           FROM messy),
+         cleaned AS (
+           SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostraw, ':80$$', '', 'g')
+                  ELSE regexp_replace(hostraw, ':443$$', '', 'g') END AS host,
+             regexp_replace(regexp_replace($tr4,
+               '[?&]+$$', '', 'g'), '/+$$', '', 'g') AS rest
+           FROM parts)
+         SELECT doc_id, url,
+           CASE WHEN scheme IN ('http', 'https') AND host <> ''
+                THEN scheme || '://' || host || rest
+                ELSE NULL END AS canon
+         FROM cleaned ORDER BY doc_id"""
+    },
     "q147_link_hits" ->
       s"""WITH $linkCtes,
          hedges AS (

@@ -240,6 +240,40 @@ object Clean {
     regexp_extract_all(html,
       lit("(?i)<a[ \\t\\n\\r][^>]*href=\"([^\"]*)\""), lit(1))
 
+  /** Canonical form of an absolute http(s) URL — the normalization
+    * every crawl dedup keys on (the same page arrives as
+    * `HTTP://Site.Com:80/p/?utm_source=x#frag` and
+    * `http://site.com/p`): scheme and authority lowercased, default
+    * ports (:80 http / :443 https) stripped, fragment dropped,
+    * tracking parameters removed (`utm_*`, `gclid`, `fbclid`),
+    * dangling `?`/`&` cleaned, trailing slashes stripped (root
+    * included — `site.com/` ≡ `site.com`, a documented convention).
+    * Path/query case is preserved (paths ARE case-sensitive).
+    * Non-http(s) and relative URLs yield NULL, matching [[linkHost]].
+    *
+    * Pure regexp chain in the Java∩RE2 subset. The tracking-param
+    * replace applies FOUR times because a single global pass consumes
+    * the separator of an adjacent following param (both regex engines
+    * resume after the replaced region — identical semantics, so parity
+    * holds at any depth); ≥5 ADJACENT tracking params in one URL is
+    * the documented truncation bound.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .otherwise(regexp_replace(hostRaw, ":443$", ""))
+    val rest0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val trackRe = "([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*&?"
+    val rest1 = (1 to 4).foldLeft(rest0)((c, _) =>
+      regexp_replace(c, trackRe, "$1"))
+    val rest = regexp_replace(regexp_replace(rest1, "[?&]+$", ""), "/+$", "")
+    when(scheme === "http" || scheme === "https",
+      when(host === "", lit(null))
+        .otherwise(concat(scheme, lit("://"), host, rest)))
+      .otherwise(lit(null))
+  }
+
   /** Host extraction for absolute http(s) URLs: the lowercased
     * authority up to the first `/ ? # :` (ports stripped). Relative,
     * mailto and other non-http(s) URLs yield NULL — filter on it

@@ -123,4 +123,27 @@ class CleanSpec extends SparkSuite {
     cases.foreach { case (id, _, want) =>
       assert(got(id) == want, s"id=$id got '${got(id)}'") }
   }
+
+  test("canonicalUrl: case, ports, tracking params, fragments, slashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("HTTP://Site.Com:80/P/?utm_source=a&utm_medium=b&keep=1#f",
+        Some("http://site.com/P/?keep=1")), // path case preserved
+      ("https://a.com:443/p/", Some("https://a.com/p")),
+      ("https://a.com:8443/p", Some("https://a.com:8443/p")), // non-default kept
+      ("https://a.com/p?gclid=x", Some("https://a.com/p")),
+      ("https://a.com/p?a=1&fbclid=z&b=2", Some("https://a.com/p?a=1&b=2")),
+      ("https://a.com/", Some("https://a.com")), // root convention
+      ("https://a.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4",
+        Some("https://a.com/p")), // 4 adjacent tracked params, all gone
+      ("/relative/x", None),
+      ("mailto:a@b.c", None),
+      ("ftp://a.com/x", None))
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Clean.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"url=$u got ${got(u)}") }
+  }
 }
