@@ -1062,6 +1062,16 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q149_best_snippet" -> { (s, dir) =>
+      // Snippet selection: one rolling-count kernel pass finds each
+      // doc's densest 5-token window for the query {spark, stream,
+      // hash}, ties to the smallest start; the oracle replays it as a
+      // positions × starts range join with the same tie rule.
+      graft.functions.Retrieval.bestSnippet(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "hash"), window = 5)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q148_canonical_url" -> { (s, dir) =>
       // Crawl-dedup URL hygiene: five residue classes of messy URLs —
       // uppercase scheme/host + default port + tracking params +
@@ -2532,6 +2542,38 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q149_best_snippet" ->
+      """WITH sdocs AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         stok AS (
+           SELECT doc_id, q AS p, len(w) AS n,
+             (w[q] IN ('spark', 'stream', 'hash')) AS m, w[q] AS t
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS q
+                 FROM sdocs)),
+         sst AS (
+           SELECT doc_id, q AS s
+           FROM (SELECT doc_id,
+                   unnest(range(1, greatest(len(w) - least(5, len(w)) + 1, 1)
+                     + 1)) AS q
+                 FROM sdocs)),
+         ssc AS (
+           SELECT s.doc_id, s.s, sum(CASE WHEN t.m THEN 1 ELSE 0 END) AS hits
+           FROM sst s JOIN stok t ON t.doc_id = s.doc_id
+             AND t.p BETWEEN s.s AND s.s + least(5, t.n) - 1
+           GROUP BY 1, 2),
+         sbest AS (
+           SELECT doc_id, s, hits FROM ssc
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, s) = 1),
+         ssnip AS (
+           SELECT b.doc_id, b.s, b.hits,
+             string_agg(t.t, ' ' ORDER BY t.p) AS snippet
+           FROM sbest b JOIN stok t ON t.doc_id = b.doc_id
+             AND t.p BETWEEN b.s AND b.s + least(5, t.n) - 1
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(s AS BIGINT) AS snip_start,
+           CAST(hits AS BIGINT) AS n_hits, snippet
+         FROM ssnip ORDER BY doc_id""",
     "q148_canonical_url" -> {
       val track = """([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*&?"""
       val tr4 = (1 to 4).foldLeft("rest0") { (c, _) =>

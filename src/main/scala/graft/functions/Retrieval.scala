@@ -234,4 +234,34 @@ object Retrieval {
       .select(col("__rid").as(idCol), col("__t").as("term"),
         round(col("__wq") / 1e9, 6).as("weight"), col("rank"))
   }
+
+  /** Best query-term window per document — snippet/passage selection,
+    * the "show WHY this document matched" tail of a BM25 pipeline and
+    * the one-window-per-doc passage picker for RAG. The query term set
+    * rides the closure (queries are tiny), so the whole corpus scans
+    * map-side in ONE rolling-count kernel pass — no token explode, no
+    * shuffle. Window semantics: split-on-single-space positions,
+    * effective width min(window, n_tokens), hit count = query terms in
+    * the window (exact token equality), ties to the smallest start.
+    * Output: (idCol, snip_start 1-based, n_hits, snippet); null text
+    * yields null columns.
+    */
+  def bestSnippet(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      window: Int = 5): DataFrame = {
+    require(queryTerms.nonEmpty, "bestSnippet needs at least one query term")
+    require(queryTerms.size <= 65536,
+      s"query term set has ${queryTerms.size} entries, above the " +
+        "65,536 model-in-closure gate")
+    Kernels.spread(df, Seq(idCol, textCol))
+      .select(col(idCol),
+        graft.plans.OptimizerFence(
+          graft.plans.BestSnippet(col(textCol), queryTerms, window))
+          .as("__s"))
+      .select(col(idCol), col("__s.snip_start").as("snip_start"),
+        col("__s.n_hits").as("n_hits"), col("__s.snippet").as("snippet"))
+  }
 }

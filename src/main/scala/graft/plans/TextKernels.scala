@@ -273,6 +273,56 @@ object TextKernels {
         other, UTF8String.fromString(dominant)))
   }
 
+  /** Best query-term window of one document (see plans.BestSnippet):
+    * tokens under split-on-single-space semantics (empty tokens are
+    * positions, like exciseSpans), effective window w = min(window, n),
+    * hits(s) = matching positions in [s, s+w-1], best start = max hits
+    * with ties to the SMALLEST start — one rolling-count pass, snippet
+    * rebuilt as the original substring (single spaces preserved).
+    */
+  def snippetWindow(
+      text: UTF8String,
+      terms: StopSet,
+      window: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val tokStarts = new java.util.ArrayList[Integer](16)
+    val tokEnds = new java.util.ArrayList[Integer](16)
+    var tokStart = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        tokStarts.add(tokStart); tokEnds.add(i); tokStart = i + 1
+      }
+      i += 1
+    }
+    val n = tokStarts.size
+    val w = math.min(window, n)
+    val m = new Array[Boolean](n)
+    var p = 0
+    while (p < n) {
+      m(p) = terms.set.contains(
+        s.substring(tokStarts.get(p), tokEnds.get(p)))
+      p += 1
+    }
+    var cur = 0
+    var j = 0
+    while (j < w) { if (m(j)) cur += 1; j += 1 }
+    var best = cur
+    var bestStart = 0
+    var st = 1
+    while (st + w - 1 < n) {
+      if (m(st - 1)) cur -= 1
+      if (m(st + w - 1)) cur += 1
+      if (cur > best) { best = cur; bestStart = st }
+      st += 1
+    }
+    val snippet =
+      s.substring(tokStarts.get(bestStart), tokEnds.get(bestStart + w - 1))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((bestStart + 1).toLong, best.toLong,
+        UTF8String.fromString(snippet)))
+  }
+
   /** Map-side span excision for exact-substring dedup
     * (Dedup.dropRepeatedSpans): drop every token of `text` whose
     * 1-based split-on-" " position lands inside any interval
@@ -1545,4 +1595,52 @@ object ScriptProfile {
 
   def apply(text: Column): Column =
     CatalystBridge.column(ScriptProfile(CatalystBridge.expression(text)))
+}
+
+/** `best_snippet(text)`: the highest-query-term-density window of a
+  * document — retrieval snippet/passage selection (the "show the user
+  * WHY this document matched" tail of a BM25 pipeline, and the
+  * passage-picking front of a RAG chunker when only one window per doc
+  * may be kept). Query terms ride the closure (a query is tiny); one
+  * rolling-count pass per document, zero exchanges at any corpus size.
+  * Ties on hit count go to the SMALLEST start — deterministic and
+  * SQL-replayable. Output struct: (snip_start 1-based long, n_hits
+  * long, snippet string).
+  */
+final case class BestSnippet(child: Expression, terms: StopSet, window: Int)
+  extends UnaryExpression {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("snip_start", LongType, nullable = false),
+    StructField("n_hits", LongType, nullable = false),
+    StructField("snippet", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"best_snippet expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.snippetWindow(input.asInstanceOf[UTF8String], terms, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", terms, classOf[StopSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.snippetWindow($c, $termsRef, $window);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestSnippet =
+    copy(child = newChild)
+
+  override def prettyName: String = "best_snippet"
+}
+
+object BestSnippet {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, terms: Seq[String], window: Int): Column =
+    CatalystBridge.column(
+      BestSnippet(CatalystBridge.expression(text), new StopSet(terms), window))
 }

@@ -221,4 +221,40 @@ class RetrievalSpec extends SparkSuite {
       assert(a.nonEmpty)
     }
   }
+
+  test("bestSnippet: rolling window, ties to smallest start, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // best window [4..6]: x q q — 2 hits; earlier [3..5] has 2 too?
+      // positions: 1:a 2:q 3:b 4:x 5:q 6:q — w=3: [1]=1 hit,
+      // [2]=1, [3]=1, [4]=2 → start 4
+      (1L, "a q b x q q"),
+      // tie everywhere (no hits): smallest start 1, snippet = first 3
+      (2L, "n o p r s"),
+      // doc shorter than window: whole doc is the window
+      (3L, "q z"),
+      // empty text: single empty token, zero hits
+      (4L, "")).toDF("id", "text")
+    val got = Retrieval.bestSnippet(docs, "id", "text", Seq("q"), window = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, "x q q"),
+      (2L, 1L, 0L, "n o p"),
+      (3L, 1L, 1L, "q z"),
+      (4L, 1L, 0L, "")), got)
+  }
+
+  test("bestSnippet is map-side and refuses an empty query") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    // Kernels.spread's round-robin repartition is the only legal
+    // exchange (tiny-input parallelism); no KEYED shuffle, no join.
+    val plan = Retrieval.bestSnippet(docs, "id", "text", Seq("a"), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning") && !plan.contains("Join"), plan)
+    intercept[IllegalArgumentException] {
+      Retrieval.bestSnippet(docs, "id", "text", Seq.empty)
+    }
+  }
 }
