@@ -1062,6 +1062,22 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q150_phrase_search" -> { (s, dir) =>
+      // Positional-index phrase search: build the term-sorted
+      // (term, doc, pos) postings through the Library, then find every
+      // document containing "batch batch" consecutively — anchor+offset
+      // semi-join over ONE pruned term's postings. The corpus has docs
+      // with "batch batch batch" runs, so overlapping occurrences
+      // (counted individually, n_matches > 1) are exercised; the
+      // oracle replays positions with the same adjacency join.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildPositionalIndex(
+        lib, docs, "pos", "doc_id", "text", targetRows = 5000L)
+      graft.functions.Retrieval.phraseSearch(
+        lib, "pos", Seq("batch", "batch"))
+        .transform(sortSmallAgg(_, "doc_id"))
+    },
     "q149_best_snippet" -> { (s, dir) =>
       // Snippet selection: one rolling-count kernel pass finds each
       // doc's densest 5-token window for the query {spark, stream,
@@ -2542,6 +2558,20 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q150_phrase_search" ->
+      """WITH pdocs AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         ppos AS (
+           SELECT doc_id, q - 1 AS p, w[q] AS t
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS q
+                 FROM pdocs)),
+         pm AS (
+           SELECT a.doc_id, a.p FROM ppos a
+           JOIN ppos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+             AND b.t = 'batch'
+           WHERE a.t = 'batch')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         FROM pm GROUP BY 1 ORDER BY 1""",
     "q149_best_snippet" ->
       """WITH sdocs AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

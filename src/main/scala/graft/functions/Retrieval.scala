@@ -235,6 +235,58 @@ object Retrieval {
         round(col("__wq") / 1e9, 6).as("weight"), col("rank"))
   }
 
+  /** Persist a POSITIONAL postings index — (term, doc_id, pos) written
+    * term-sorted through the Library — the structure phrase queries
+    * need that bag-of-words BM25 postings can't answer. Build once;
+    * [[phraseSearch]] reads only the phrase terms' postings via
+    * manifest string-key file pruning (the q117 contract).
+    */
+  def buildPositionalIndex(
+      lib: graft.core.Library,
+      docs: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val posts = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+    lib.write(s"${name}__positions", posts, Some("term"),
+      targetRows = targetRows)
+  }
+
+  /** Exact phrase search against a [[buildPositionalIndex]] index:
+    * documents containing the words of `phrase` CONSECUTIVELY (split-
+    * on-single-space positions), with the occurrence count —
+    * overlapping occurrences count individually ("a a a" matches
+    * "a a" twice). Plan: read ONLY the phrase terms' postings (pruned),
+    * anchor on the first term and left-semi join each later term at
+    * position anchor+i keyed on (doc, position) — k−1 keyed joins over
+    * term-bounded row sets, never a corpus scan. Output:
+    * (idCol, n_matches ≥ 1).
+    */
+  def phraseSearch(
+      lib: graft.core.Library,
+      name: String,
+      phrase: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one word")
+    val terms = phrase.distinct
+    val posts = lib.read(s"${name}__positions",
+      exprFilter = Some(graft.query.Expr.col("term").isin(terms: _*)))
+      .filter(col("term").isin(terms: _*))
+    var cur = posts.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("__p0"))
+    for (i <- 1 until phrase.size) {
+      val pi = posts.filter(col("term") === phrase(i))
+        .select(col("doc_id"), (col("pos") - i).as("__p0"))
+      cur = cur.join(pi, Seq("doc_id", "__p0"), "left_semi")
+    }
+    cur.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .select(col("doc_id").as(idCol), col("n_matches"))
+  }
+
   /** Best query-term window per document — snippet/passage selection,
     * the "show WHY this document matched" tail of a BM25 pipeline and
     * the one-window-per-doc passage picker for RAG. The query term set

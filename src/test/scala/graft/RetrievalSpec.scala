@@ -222,6 +222,38 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("phraseSearch: adjacency, overlaps, repeated words, pruning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), // "a a" overlaps: 2 matches; "a a a": 1
+      (2L, "a b a b a"), // "a b a": 2 (overlapping at 0 and 2)
+      (3L, "b a"), // no "a b"
+      (4L, "x y z")).toDF("doc_id", "text")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-pos-").toString, spark)
+    graft.functions.Retrieval.buildPositionalIndex(
+      lib, docs, "p", "doc_id", "text", targetRows = 3L)
+    def search(ph: String*) =
+      graft.functions.Retrieval.phraseSearch(lib, "p", ph)
+        .as[(Long, Long)].collect().toMap
+    assert(search("a", "a") == Map(1L -> 2L), search("a", "a"))
+    assert(search("a", "a", "a") == Map(1L -> 1L))
+    assert(search("a", "b", "a") == Map(2L -> 2L))
+    assert(search("a", "b") == Map(1L -> 1L, 2L -> 2L))
+    assert(search("q", "r").isEmpty)
+    // single term degenerates to term frequency
+    assert(search("a") == Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
+    // term-sorted postings prune: a one-term read touches fewer files
+    val all = lib.read("p__positions").inputFiles.length
+    val one = lib.read("p__positions",
+      exprFilter = Some(graft.query.Expr.col("term") ===
+        graft.query.Expr.lit("z"))).inputFiles.length
+    assert(all >= 3 && one < all, s"pruned $one of $all")
+    intercept[IllegalArgumentException] {
+      graft.functions.Retrieval.phraseSearch(lib, "p", Seq.empty)
+    }
+  }
+
   test("bestSnippet: rolling window, ties to smallest start, short docs") {
     import spark.implicits._
     val docs = Seq(
