@@ -89,10 +89,13 @@ object ScaleProbe {
     }),
     "q125_semdedup_scaledk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val n = emb.count()
+      // k = -1: the ENFORCED auto-k envelope (k = ceil(n/512)) — the
+      // row this probe prints is the evidence that per-cluster cost
+      // stays ~flat as the corpus grows (r13's fixed-k run measured
+      // 26× shuffle at 5× corpus; the envelope is the fix)
       graft.functions.Vectors.semDedupReport(
         emb, "vec_id", "embedding",
-        k = math.max(8, (n / 500).toInt), eps = 0.3, iters = 2)
+        k = -1, eps = 0.3, iters = 2)
     }))
 
   private def query(name: String): (org.apache.spark.sql.SparkSession, String) =>

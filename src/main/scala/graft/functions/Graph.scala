@@ -142,11 +142,22 @@ object Graph {
     // 1-row max crossJoins back (broadcast by AQE). max >= 1 always:
     // scores start at 1e6 and a sum of non-negative longs with at
     // least one positive stays positive on a non-empty edge set.
+    // The scale-up multiply runs in DECIMAL(38,0): a pre-normalization
+    // score is a sum of up-to-1e6 micro-unit hub values over a node's
+    // in-edges, so score*1e6 overflows Long past in-degree ~9.2e6 —
+    // real for popular hosts in a web-scale graph. Decimal headroom
+    // covers in-degree to ~1e25; `div` on decimals is Spark's integral
+    // divide (bigint result), identical to the long path wherever the
+    // long path didn't overflow, so gate hashes are unchanged. The
+    // remaining bound is the long SUM itself: per-node Σ ≤ 1e6 ×
+    // in-degree must stay under 2^63, i.e. in-degree < ~9.2e12 —
+    // beyond any real host graph.
     def normalized(scores: DataFrame, c: String): DataFrame = {
       val m = scores.agg(max(col(c)).as("__m"))
       scores.crossJoin(broadcast(m))
         .select(col("__node"),
-          expr(s"($c * CAST(1000000 AS BIGINT)) div __m").as(c))
+          expr(s"(CAST($c AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)))" +
+            s" div CAST(__m AS DECIMAL(38,0))").as(c))
     }
 
     var hub = nodes.select(col("__node"), lit(1000000L).as("__h"))

@@ -56,7 +56,11 @@ object Retrieval {
     val tf = docs.select(col("__rid"), col("__dl"), explode(col("__w")).as("__t"))
       .filter(col("__t").isin(terms: _*))
       .groupBy("__rid", "__dl", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT = tf.groupBy("__t").agg(count_distinct(col("__rid")).as("__df"))
+    // tf is unique per (__rid, __t) after its groupBy (__dl is
+    // functionally dependent on __rid), so a plain count IS the distinct
+    // doc count — count_distinct would plan a second exchange for rows
+    // that are already distinct.
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     scoreAndRank(tf, dfT, stats, idCol, k, k1, b)
   }
 
@@ -167,11 +171,21 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("__rid").as("doc_id"), col("__dl").as("dl"),
         col("tf"))
+    // Commit ORDER is the crash-safety contract: postings append FIRST,
+    // stats overwrite LAST. A crash between the two leaves stats
+    // UNDER-counting (the appended increment's postings are live but
+    // not yet in n_docs/n_tokens) — recoverable by re-deriving stats
+    // from the postings themselves (n_docs = count distinct doc_id,
+    // n_tokens = Σ dl over one row per doc) or by re-running this fold's
+    // stats write. The reverse order would permanently OVER-count: stats
+    // claiming documents whose postings never landed skew idf and length
+    // normalization with nothing left to rebuild from.
     // localCheckpoint: the merged stats plan READS the version it is
-    // about to supersede
-    lib.write(s"${name}__stats", merged.localCheckpoint(true))
+    // about to supersede.
+    val mergedStats = merged.localCheckpoint(true)
     lib.append(s"${name}__postings", postings, targetRows,
       validateIndex = false)
+    lib.write(s"${name}__stats", mergedStats)
   }
 
   /** Query a [[buildBm25Index]] index: read ONLY the query terms'
@@ -222,7 +236,11 @@ object Retrieval {
     val n = docs.agg(count(lit(1)).as("__n"))
     val tf = docs.select(col("__rid"), explode(col("__w")).as("__t"))
       .groupBy("__rid", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT = tf.groupBy("__t").agg(count_distinct(col("__rid")).as("__df"))
+    // tf is already unique per (__rid, __t): plain count == distinct
+    // docs, and count_distinct would plan Spark's TWO-exchange distinct
+    // aggregation over the corpus-sized posting set (expand + re-shuffle)
+    // where one exchange of count partials is identical.
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__rid").orderBy(col("__wq").desc, col("__t"))
     tf.join(dfT, "__t").crossJoin(broadcast(n))

@@ -599,8 +599,12 @@ object Vectors {
     * Scale shape: one kmeans pass (broadcast centroids, no corpus
     * shuffle), then ONE shuffle of (id, vec, cluster) keyed by cluster
     * for the pair join — within-cluster scoring is O(Σᵢ cᵢ²), the
-    * SemDeDup design point (pick k ≈ n/√target so clusters stay small;
-    * the paper runs k = 50k on 100M+ points). `maxCluster` skips
+    * SemDeDup design point (the paper runs k = 50k on 100M+ points).
+    * The k ∝ n envelope is ENFORCED: `k <= 0` (the default) derives
+    * k = ⌈n / targetMeanCluster⌉ from one corpus count, and an explicit
+    * k failing n/k ≤ maxMeanCluster throws before the pair join runs —
+    * a fixed k on a growing corpus is a quadratic, not a parameter
+    * choice. `maxCluster` skips
     * pathological clusters via the groupBy-count → anti-join cap (the
     * minhashCandidates argument: counter rows shuffle, a mega-cluster
     * is never buffered) — capped clusters keep all their members.
@@ -616,14 +620,17 @@ object Vectors {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      eps: Double,
+      k: Int = -1,
+      eps: Double = 0.95,
       iters: Int = 2,
       portable: Boolean = false,
-      maxCluster: Int = 100000): DataFrame = {
+      maxCluster: Int = 100000,
+      targetMeanCluster: Int = 512,
+      maxMeanCluster: Int = 10000): DataFrame = {
     require(eps >= -1 && eps <= 1, s"eps $eps outside [-1,1]")
     val (assign, inCap) =
-      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster)
+      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster,
+        targetMeanCluster, maxMeanCluster)
     val pairs = inCap.as("x")
       .join(inCap.as("y"),
         col("x.cluster") === col("y.cluster") &&
@@ -636,13 +643,15 @@ object Vectors {
       .select(col("id"), col("cluster_id").as("group_id"))
     val withDist = comp.join(
       assign.select(col(idCol).as("id"), col("dist")), Seq("id"))
-    // keeper per group: max dist, ties to the LOWER id — max(struct) with
-    // the id negated keeps one deterministic total order (dist ≥ 0 always,
-    // so no -0.0 cross-engine ordering hazard)
+    // keeper per group: max dist, ties to the LOWER id — negate the
+    // always-numeric DIST, never the id: `-id` on a string id column
+    // casts to double and yields null, which would silently mark every
+    // group member kept (the dropNearDuplicatesByQuality.best pattern).
+    // All zeros negate to -0.0 uniformly, so no mixed ±0.0 ordering.
     val keepers = withDist.groupBy("group_id")
-      .agg(max(struct(col("dist").as("d"), (-col("id")).as("ni"))).as("__k"),
+      .agg(min(struct((-col("dist")).as("nd"), col("id").as("i"))).as("__k"),
         count(lit(1)).as("group_n"))
-      .select(col("group_id"), (-col("__k.ni")).as("__keep"), col("group_n"))
+      .select(col("group_id"), col("__k.i").as("__keep"), col("group_n"))
     val marks = withDist.join(keepers, Seq("group_id"))
       .select(col("id"), col("group_id"), col("group_n"),
         (col("id") === col("__keep")).as("kept"))
@@ -668,8 +677,31 @@ object Vectors {
       k: Int,
       iters: Int,
       portable: Boolean,
-      maxCluster: Int): (DataFrame, DataFrame) = {
-    val assign = kmeansAssign(df, idCol, vecCol, k, iters, portable)
+      maxCluster: Int,
+      targetMeanCluster: Int,
+      maxMeanCluster: Int): (DataFrame, DataFrame) = {
+    // ---- the k ∝ n envelope, ENFORCED, not just documented ----
+    // Within-cluster pair cost is Σᵢ|cᵢ|² ≈ n·(n/k) when balanced: hold
+    // k fixed while the corpus grows 100× and the pair join grows 100×
+    // per cluster — the one super-linear shuffle ScaleProbe measured at
+    // sf5 (11.3 s/22.8 MB → 32.5 s/597.6 MB with fixed k). SemDeDup's
+    // own prescription is k ∝ n (the paper runs k = 50k on 100M+
+    // points). So: k ≤ 0 derives k = ⌈n / targetMeanCluster⌉ from one
+    // corpus count, and an EXPLICIT k must keep the expected mean
+    // cluster n/k within maxMeanCluster or fail loudly here, before
+    // the quadratic join ever runs.
+    val n = df.count()
+    val kEff =
+      if (k > 0) k
+      else math.max(1L, (n + targetMeanCluster - 1) / targetMeanCluster)
+        .min(1L << 16).toInt
+    require(n <= kEff.toLong * maxMeanCluster,
+      s"semantic-dedup envelope: n=$n with k=$kEff gives expected mean " +
+        s"cluster ${n / kEff} > maxMeanCluster=$maxMeanCluster — the " +
+        "within-cluster pair join grows as Σ|c|²; scale k with the corpus " +
+        "(SemDeDup prescribes k ∝ n), pass k <= 0 to derive it, or raise " +
+        "maxMeanCluster deliberately")
+    val assign = kmeansAssign(df, idCol, vecCol, kEff, iters, portable)
       .localCheckpoint(true)
     val a = assign
       .join(df.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
@@ -704,14 +736,17 @@ object Vectors {
       perAnchor: Int = 3,
       iters: Int = 2,
       portable: Boolean = false,
-      maxCluster: Int = 100000): DataFrame = {
+      maxCluster: Int = 100000,
+      targetMeanCluster: Int = 512,
+      maxMeanCluster: Int = 10000): DataFrame = {
     require(posLo > negHi,
       s"posLo $posLo must exceed negHi $negHi — overlapping bands would " +
         "emit one pair as both positive and negative")
     require(perAnchor >= 1, s"perAnchor $perAnchor must be >= 1")
     val idType = df.schema(idCol).dataType
     val (_, inCap) =
-      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster)
+      clusteredVectors(df, idCol, vecCol, k, iters, portable, maxCluster,
+        targetMeanCluster, maxMeanCluster)
     val scored = inCap.as("x")
       .join(inCap.as("y"),
         col("x.cluster") === col("y.cluster") &&
@@ -740,13 +775,16 @@ object Vectors {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      eps: Double,
+      k: Int = -1,
+      eps: Double = 0.95,
       iters: Int = 2,
       portable: Boolean = false,
-      maxCluster: Int = 100000): DataFrame =
+      maxCluster: Int = 100000,
+      targetMeanCluster: Int = 512,
+      maxMeanCluster: Int = 10000): DataFrame =
     df.join(
-      semDedupReport(df, idCol, vecCol, k, eps, iters, portable, maxCluster)
+      semDedupReport(df, idCol, vecCol, k, eps, iters, portable, maxCluster,
+        targetMeanCluster, maxMeanCluster)
         .filter(col("kept")).select(col(idCol)),
       Seq(idCol), "left_semi")
 

@@ -65,8 +65,15 @@ object AudioHeaders {
         if (channels > 0 && bits > 0)
           frames = size / (channels.toLong * (bits / 8))
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // LONG space: RIFF sizes are unsigned 32-bit, so a size >= 2^31
+      // truncated to Int goes negative and the walk would loop forever
+      // (advance 0) or crash backwards — the VideoHeaders `size < 8`
+      // class of guard. A next offset past Int.MaxValue cannot index an
+      // Array[Byte] at all, so stop with what parsed so far.
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > Int.MaxValue.toLong) i = b.length
+      else i = next.toInt
     }
     if (channels == Unknown) ("unknown", Unknown, Unknown, Unknown, UnknownL)
     else ("wav", channels, rate, bits, frames)
