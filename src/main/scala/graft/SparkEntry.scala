@@ -1062,6 +1062,57 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q153_mmr_indexed" -> { (s, dir) =>
+      // MMR over the PERSISTED IVF index: candidates and their
+      // pair-similarity vectors both come from the manifest-pruned cell
+      // read (no corpus rescan anywhere in the plan). nProbe = nlist
+      // makes the pool exact, so the whole build → pruned read → greedy
+      // composition must reproduce q142's corpus-rescan MMR bit-for-bit
+      // — q142's oracle verbatim gates it.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "mmridx",
+        nlist = 8, iters = 2, targetRows = 200L)
+      Vectors.mmrTopKIndexed(lib, "mmridx", emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", candidates = 6, k = 3, nProbe = 8)
+        .transform(sortSmallAgg(_, "query_id", "step"))
+    },
+    "q152_positional_incremental" -> { (s, dir) =>
+      // Incremental positional index: build from one third of the
+      // corpus, fold the other two thirds in as appends, then run the
+      // q150 phrase query — must equal the one-shot full-corpus result
+      // bit-for-bit (same oracle verbatim, the q137 pattern).
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 0), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      graft.functions.Retrieval.appendToPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 1), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      graft.functions.Retrieval.appendToPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 2), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      graft.functions.Retrieval.phraseSearch(
+        lib, "pos", Seq("batch", "batch"))
+        .transform(sortSmallAgg(_, "doc_id"))
+    },
+    "q151_lsh_quality_dedup" -> { (s, dir) =>
+      // The LSH-fed quality keeper — the 100 TB spelling of q146's
+      // operator: MinHash-LSH candidates (portable mode, the q28 chain)
+      // feed the pair-injection overload, and each connected component
+      // keeps its (length desc, id asc) best capture. The oracle
+      // replays the WHOLE composition — md5 signatures → band buckets →
+      // cap → pairs → recursive components → keeper argmax → surviving
+      // rows — so a drift anywhere in the chain flips the hash.
+      val docs = t(s, dir, "documents")
+        .withColumn("__score", length(col("text")).cast("double"))
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        portable = true)
+      Dedup.dropNearDuplicatesByQuality(docs, pairs, "doc_id", "__score")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q150_phrase_search" -> { (s, dir) =>
       // Positional-index phrase search: build the term-sorted
       // (term, doc, pos) postings through the Library, then find every
@@ -2557,21 +2608,127 @@ object SparkEntry {
                 FROM hhr$t, hhm$t)"""
   }
 
+  /** Shared by q150 (one-shot positional index) and q152 (the split
+    * build+append fold): both must equal this full-corpus positional
+    * replay of the "batch batch" phrase query.
+    */
+  private val phraseSearchOracle: String =
+    """WITH pdocs AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       ppos AS (
+         SELECT doc_id, q - 1 AS p, w[q] AS t
+         FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS q
+               FROM pdocs)),
+       pm AS (
+         SELECT a.doc_id, a.p FROM ppos a
+         JOIN ppos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+           AND b.t = 'batch'
+         WHERE a.t = 'batch')
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       FROM pm GROUP BY 1 ORDER BY 1"""
+
+  /** Shared by q142 (corpus-rescan MMR) and q153 (MMR over the
+    * persisted IVF index at nProbe = nlist): the unrolled greedy
+    * replay — exact top-6 pool, pair sims, 3 argmax steps.
+    */
+  private def mmrRerankOracle: String =
+    s"""WITH $cosineCtes,
+         mdots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         mscored AS (
+           SELECT query_id, corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM mdots
+           JOIN norms nq ON query_id = nq.vec_id
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         mcand AS (
+           SELECT query_id, corpus_id,
+             CAST(round(sim * 1000000) AS BIGINT) AS rel
+           FROM (SELECT query_id, corpus_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, corpus_id) AS rnk
+                 FROM mscored)
+           WHERE rnk <= 6),
+         mpdots AS (
+           SELECT a.query_id, a.corpus_id AS c1, b.corpus_id AS c2,
+             sum(fa.x * fb.x) AS dot
+           FROM mcand a
+           JOIN mcand b
+             ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+           JOIN flat fa ON fa.vec_id = a.corpus_id
+           JOIN flat fb ON fb.vec_id = b.corpus_id AND fb.i = fa.i
+           GROUP BY 1, 2, 3),
+         mpair AS (
+           SELECT query_id, c1, c2,
+             CAST(round(round(CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+                                   ELSE dot / (n1.nrm * n2.nrm) END, 6)
+                  * 1000000) AS BIGINT) AS ps
+           FROM mpdots
+           JOIN norms n1 ON n1.vec_id = c1
+           JOIN norms n2 ON n2.vec_id = c2),
+         ms1 AS (
+           SELECT query_id, corpus_id, rel, rel AS marg, 1 AS step
+           FROM mcand
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, corpus_id) = 1),
+         ${mmrStepSql(2)}, ${mmrStepSql(3)}
+         SELECT query_id, step, corpus_id, rel / 1000000.0 AS rel,
+           marg / 2000000.0 AS mmr
+         FROM (SELECT * FROM ms1 UNION ALL SELECT * FROM ms2
+               UNION ALL SELECT * FROM ms3)
+         ORDER BY query_id, step"""
+
   def oracleSql: Map[String, String] = Map(
-    "q150_phrase_search" ->
-      """WITH pdocs AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         ppos AS (
-           SELECT doc_id, q - 1 AS p, w[q] AS t
-           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS q
-                 FROM pdocs)),
-         pm AS (
-           SELECT a.doc_id, a.p FROM ppos a
-           JOIN ppos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
-             AND b.t = 'batch'
-           WHERE a.t = 'batch')
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-         FROM pm GROUP BY 1 ORDER BY 1""",
+    // q28's portable-MinHash replay fused with q146's keeper argmax:
+    // the full LSH-fed quality-dedup composition recomputed in DuckDB.
+    "q151_lsh_quality_dedup" ->
+      s"""WITH RECURSIVE $shingleCtes,
+          hs AS (
+            SELECT doc_id, i,
+              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
+            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
+          banded AS (
+            SELECT doc_id,
+              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
+              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
+            FROM msig, range(0, 4) t(b)),
+          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
+          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key)),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          keepers AS (
+            SELECT id FROM (
+              SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY length(d.text) DESC, c.id) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.id)
+            WHERE rn = 1),
+          losers AS (
+            SELECT id FROM comp
+            WHERE id NOT IN (SELECT id FROM keepers))
+          SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+          WHERE l.id IS NULL ORDER BY 1""",
+    "q150_phrase_search" -> phraseSearchOracle,
+    // The incremental positional index must answer the phrase query
+    // identically to the one-shot build — same oracle verbatim (the
+    // q137 equivalence pattern): a lost, duplicated or position-shifted
+    // appended posting flips n_matches or the matched doc set.
+    "q152_positional_incremental" -> phraseSearchOracle,
     "q149_best_snippet" ->
       """WITH sdocs AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2837,57 +2994,11 @@ object SparkEntry {
                 WHEN n_hangul >= n_latin THEN 'hangul'
                 ELSE 'latin' END AS dominant
          FROM fin ORDER BY doc_id""",
-    "q142_mmr_rerank" ->
-      s"""WITH $cosineCtes,
-         mdots AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-             sum(q.x * c.x) AS dot
-           FROM flat q JOIN flat c ON q.i = c.i
-           WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
-           GROUP BY 1, 2),
-         mscored AS (
-           SELECT query_id, corpus_id,
-             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
-                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
-           FROM mdots
-           JOIN norms nq ON query_id = nq.vec_id
-           JOIN norms nc ON corpus_id = nc.vec_id),
-         mcand AS (
-           SELECT query_id, corpus_id,
-             CAST(round(sim * 1000000) AS BIGINT) AS rel
-           FROM (SELECT query_id, corpus_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, corpus_id) AS rnk
-                 FROM mscored)
-           WHERE rnk <= 6),
-         mpdots AS (
-           SELECT a.query_id, a.corpus_id AS c1, b.corpus_id AS c2,
-             sum(fa.x * fb.x) AS dot
-           FROM mcand a
-           JOIN mcand b
-             ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
-           JOIN flat fa ON fa.vec_id = a.corpus_id
-           JOIN flat fb ON fb.vec_id = b.corpus_id AND fb.i = fa.i
-           GROUP BY 1, 2, 3),
-         mpair AS (
-           SELECT query_id, c1, c2,
-             CAST(round(round(CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
-                                   ELSE dot / (n1.nrm * n2.nrm) END, 6)
-                  * 1000000) AS BIGINT) AS ps
-           FROM mpdots
-           JOIN norms n1 ON n1.vec_id = c1
-           JOIN norms n2 ON n2.vec_id = c2),
-         ms1 AS (
-           SELECT query_id, corpus_id, rel, rel AS marg, 1 AS step
-           FROM mcand
-           QUALIFY row_number() OVER (PARTITION BY query_id
-                                      ORDER BY rel DESC, corpus_id) = 1),
-         ${mmrStepSql(2)}, ${mmrStepSql(3)}
-         SELECT query_id, step, corpus_id, rel / 1000000.0 AS rel,
-           marg / 2000000.0 AS mmr
-         FROM (SELECT * FROM ms1 UNION ALL SELECT * FROM ms2
-               UNION ALL SELECT * FROM ms3)
-         ORDER BY query_id, step""",
+    "q142_mmr_rerank" -> mmrRerankOracle,
+    // nProbe = nlist makes the indexed candidate pool exact, so the
+    // persisted-index MMR (build -> pruned cell read -> greedy) must
+    // equal the corpus-rescan MMR bit-for-bit — q142's oracle verbatim.
+    "q153_mmr_indexed" -> mmrRerankOracle,
     "q140_link_extract" ->
       s"""WITH $linkCtes
          SELECT doc_id, pos, url, host FROM lhosts ORDER BY doc_id, pos""",

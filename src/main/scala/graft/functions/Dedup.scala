@@ -1286,23 +1286,77 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Long = 0): DataFrame = {
-    def best(grouped: DataFrame, key: String): DataFrame =
-      grouped.groupBy(key)
-        .agg(min(struct((-col("__q")).as("n"), col("__bid").as("id"))).as("w"))
-        .select(col("w.id").as("__bid"))
     val fp = df.select(col(idCol).as("__bid"), col(scoreCol).as("__q"),
       Text.fingerprint(col(textCol)).as("__fp"))
-    val exactKeep = best(fp, "__fp").withColumnRenamed("__bid", idCol)
+    val exactKeep = bestByScore(fp, "__fp").withColumnRenamed("__bid", idCol)
     val exact = df.join(exactKeep, Seq(idCol), "left_semi")
     val pairs = ngramJaccardPairs(exact, idCol, textCol, shingleLen,
       threshold, maxDocFreq)
-    val clusters = duplicateClusters(pairs) // (id, cluster_id)
+    dropByQualityFromPairs(exact, pairs, idCol, scoreCol)
+  }
+
+  /** (score desc, id asc) argmax per `key` group over a (__bid, __q, key)
+    * frame — ONE keyed min(struct) aggregate (running state is a single
+    * (−score, id) pair per group; never a window buffering a mega-group
+    * on one task). The score is negated, never the id: `-id` on a string
+    * id silently casts to double-null.
+    */
+  private def bestByScore(grouped: DataFrame, key: String): DataFrame =
+    grouped.groupBy(key)
+      .agg(min(struct((-col("__q")).as("n"), col("__bid").as("id"))).as("w"))
+      .select(col("w.id").as("__bid"))
+
+  /** Quality-aware near-duplicate removal over CALLER-SUPPLIED duplicate
+    * pairs — the composition API that gives the LSH-fed 100 TB posture a
+    * spelling: the sibling overload hardcodes [[ngramJaccardPairs]] as
+    * its pair tier (exact, corpus-quadratic in candidate incidences at
+    * low thresholds), whereas a web-scale pipeline generates candidates
+    * with MinHash-LSH ([[minhashCandidates]] for a self-join corpus,
+    * [[minhashCandidatesAgainstIndex]]/[[matchesAgainstIndex]] for the
+    * persisted-index increment loop) and feeds them here:
+    *
+    * {{{
+    * val pairs = Dedup.minhashCandidates(docs, "id", "text")   // or any
+    * Dedup.dropNearDuplicatesByQuality(docs, pairs, "id", "score")
+    * }}}
+    *
+    * `pairs` must expose `id_a`/`id_b` (the contract every pair
+    * generator in this module emits). Each connected component keeps its
+    * (`scoreCol` desc, id asc) argmax; rows in no pair survive untouched.
+    * No exact-fingerprint pre-tier runs — identical texts hash to
+    * identical signatures, so an LSH generator already pairs them; a
+    * generator with different semantics keeps authority over what
+    * "duplicate" means, which is the point of injecting pairs.
+    *
+    * Scale shape: clustering is [[duplicateClusters]]' iterative keyed
+    * min-label propagation; keeper selection one keyed aggregate; the
+    * final anti-join is id-keyed. Nothing rescans text, so the cost is
+    * the pair generator's — with LSH candidates, the whole pipeline is
+    * corpus-linear plus bounded bucket joins.
+    */
+  def dropNearDuplicatesByQuality(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    dropByQualityFromPairs(df, pairs, idCol, scoreCol)
+
+  /** Shared keeper tail of both [[dropNearDuplicatesByQuality]]
+    * overloads: cluster the pairs, keep each cluster's (score desc, id
+    * asc) argmax, anti-join the losers away.
+    */
+  private def dropByQualityFromPairs(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val clusters = duplicateClusters(pairs.select("id_a", "id_b")) // (id, cluster_id)
     val scored = clusters.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("__q")), Seq("id"))
       .withColumnRenamed("id", "__bid")
-    val keepers = best(scored, "cluster_id").withColumnRenamed("__bid", "id")
+    val keepers = bestByScore(scored, "cluster_id").withColumnRenamed("__bid", "id")
     val losers = clusters.select("id").join(keepers, Seq("id"), "left_anti")
-    exact.join(losers, exact(idCol) === losers("id"), "left_anti")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
   /** ---- Block-level (paragraph) dedup ----

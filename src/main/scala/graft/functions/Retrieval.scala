@@ -274,6 +274,34 @@ object Retrieval {
       targetRows = targetRows)
   }
 
+  /** Fold an ingest increment into a persisted positional index — the
+    * phrase-search twin of [[appendToBm25Index]] (this was the one
+    * persisted index family without an increment fold): the increment's
+    * (term, doc_id, pos) rows append as a new version. No stats symbol
+    * exists to keep consistent — positions are self-contained — so the
+    * fold is a single append; `validateIndex = false` because an
+    * increment spans the whole term range (the index-symbol exemption
+    * every other fold uses), while the commit path still sorts the
+    * increment itself on `term`, keeping each appended file
+    * term-contiguous for manifest pruning. Same contract as the BM25
+    * fold: increments must carry doc ids the index has not seen — a doc
+    * split across increments would duplicate its positions.
+    */
+  def appendToPositionalIndex(
+      lib: graft.core.Library,
+      docs: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val posts = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+    lib.append(s"${name}__positions", posts, targetRows,
+      validateIndex = false)
+  }
+
   /** Exact phrase search against a [[buildPositionalIndex]] index:
     * documents containing the words of `phrase` CONSECUTIVELY (split-
     * on-single-space positions), with the occurrence count —

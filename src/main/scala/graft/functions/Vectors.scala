@@ -116,18 +116,74 @@ object Vectors {
       s"need candidates >= k >= 1, got candidates=$candidates k=$k")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda $lambdaNum/$lambdaDen outside [0, 1]")
-    val lamRel = lambdaNum
-    val lamDiv = lambdaDen - lambdaNum
-
     val cands = bruteForceTopK(corpus, queries, idCol, vecCol, candidates)
       .select(col("query_id"), col("corpus_id"),
         round(col("sim") * 1e6).cast("long").as("__rel"))
       .localCheckpoint()
-    // Candidate vectors: semi-join the corpus against the (small)
-    // candidate id set, then pair-score candidates of the same query —
-    // (queries × C) rows, C² pairs per query, all broadcast-sized.
-    val cvecs = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+    mmrGreedy(cands,
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v")),
+      k, lambdaNum, lambdaDen)
+  }
+
+  /** MMR re-rank over a PERSISTED IVF index ([[buildIvfIndex]] /
+    * [[appendToIvfIndex]]): candidate pools come from
+    * [[ivfSearchIndexed]]'s manifest-pruned cell read instead of
+    * [[bruteForceTopK]]'s full corpus rescan — the composition a 100 TB
+    * deployment runs (plain mmrTopK re-reads the whole embedding store
+    * per query set; here the pool read touches ~nProbe/nlist of the
+    * index bytes, and the candidate VECTORS for the pair-similarity
+    * step come from that same pruned read, not a second corpus scan).
+    * At nProbe = nlist the candidate pool is exact, so the result
+    * equals [[mmrTopK]] over the indexed corpus by construction — the
+    * q153 gate hashes that equivalence against q142's oracle. Greedy
+    * selection arithmetic is [[mmrTopK]]'s, shared via [[mmrGreedy]].
+    */
+  def mmrTopKIndexed(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      candidates: Int,
+      k: Int,
+      nProbe: Int,
+      lambdaNum: Long = 1L,
+      lambdaDen: Long = 2L): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got candidates=$candidates k=$k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda $lambdaNum/$lambdaDen outside [0, 1]")
+    val (ranked, pool) =
+      ivfSearchIndexedWithPool(lib, name, queries, idCol, vecCol,
+        candidates, nProbe)
+    val cands = ranked
+      .select(col("query_id"), col("corpus_id"),
+        round(col("sim") * 1e6).cast("long").as("__rel"))
+      .localCheckpoint()
+    mmrGreedy(cands,
+      pool.select(col("corpus_id"), col("vec").as("__v")), k,
+      lambdaNum, lambdaDen)
+  }
+
+  /** The shared greedy-selection tail of [[mmrTopK]] and
+    * [[mmrTopKIndexed]]: `cands` is the per-query candidate pool
+    * (query_id, corpus_id, __rel µ-int), `vecs` any (corpus_id, __v)
+    * superset of the candidate vectors (semi-joined down here — the
+    * corpus for the rescan path, the pruned index read for the
+    * persisted path).
+    */
+  private def mmrGreedy(
+      cands: DataFrame,
+      vecs: DataFrame,
+      k: Int,
+      lambdaNum: Long,
+      lambdaDen: Long): DataFrame = {
+    val lamRel = lambdaNum
+    val lamDiv = lambdaDen - lambdaNum
+    // Candidate vectors: semi-join against the (small) candidate id set,
+    // then pair-score candidates of the same query — (queries × C) rows,
+    // C² pairs per query, all broadcast-sized.
+    val cvecs = vecs
       .join(broadcast(cands.select("corpus_id").distinct()), Seq("corpus_id"))
     val cv = cands.select(col("query_id"), col("corpus_id"))
       .join(cvecs, Seq("corpus_id"))
@@ -537,7 +593,23 @@ object Vectors {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    ivfSearchIndexedWithPool(lib, name, queries, idCol, vecCol, k, nProbe)._1
+
+  /** [[ivfSearchIndexed]] plus the manifest-pruned candidate pool it
+    * read — (ranked top-k, pool (cell, corpus_id, vec)) — so composed
+    * operators ([[mmrTopKIndexed]]) can reuse the SAME pruned cell read
+    * for their pair-similarity vectors instead of re-scanning the
+    * corpus or re-reading the index.
+    */
+  private[graft] def ivfSearchIndexedWithPool(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val centroids = lib.read(s"${name}__centroids")
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(centroids))
@@ -559,7 +631,7 @@ object Vectors {
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("qvec"), col("vec")), 6).as("sim"))
-    rankTopK(scored, k)
+    (rankTopK(scored, k), idx)
   }
 
   /** Embedding near-duplicate REMOVAL: cosine pairs → connected

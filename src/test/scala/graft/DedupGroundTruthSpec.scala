@@ -473,4 +473,45 @@ class DedupGroundTruthSpec extends SparkSuite {
       .select("id").as[Long].collect().toSeq
     assert(got2 == Seq(6L), got2)
   }
+
+  test("dropNearDuplicatesByQuality(pairs): injected-pair keeper composition") {
+    // The LSH-fed spelling: the caller's pair generator owns candidate
+    // discovery; the keeper resolves each connected component to its
+    // (score desc, id asc) argmax and rows in no pair survive untouched.
+    val docs = Seq(
+      (1L, "x", 0.1), (2L, "x", 0.9), // pair (1,2) → keep 2
+      (3L, "y", 0.8), (4L, "y", 0.7), (5L, "y", 0.7), // chain 3-4,4-5 → keep 3
+      (6L, "z", 0.0) // no pair → survives
+    ).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dropNearDuplicatesByQuality(docs, pairs, "id", "score")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 6L), got)
+    // score ties fall to the smaller id
+    val tied = Seq((7L, "t", 0.5), (6L, "t", 0.5)).toDF("id", "text", "score")
+    val tp = Seq((6L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.dropNearDuplicatesByQuality(tied, tp, "id", "score")
+      .select("id").as[Long].collect().toSeq == Seq(6L))
+    // string ids work: the keeper negates the SCORE, never the id (a
+    // negated string id casts to double-null and would keep everything)
+    val sdocs = Seq(("a", 0.2), ("b", 0.9)).toDF("id", "score")
+    val sp = Seq(("a", "b")).toDF("id_a", "id_b")
+    assert(Dedup.dropNearDuplicatesByQuality(sdocs, sp, "id", "score")
+      .select("id").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("dropNearDuplicatesByQuality(pairs) with minhash candidates matches the exact tier") {
+    // feed portable MinHash-LSH candidates through the overload — on a
+    // corpus where LSH recall is total (identical/near-identical docs
+    // collide in every band), the composition equals the exact-pair path
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", 0.2),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", 0.9),
+      (3L, "completely different text with other words entirely", 0.5)
+    ).toDF("id", "text", "score")
+    val pairs = Dedup.minhashCandidates(docs, "id", "text", portable = true)
+    val got = Dedup.dropNearDuplicatesByQuality(docs, pairs, "id", "score")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), got)
+  }
 }

@@ -154,6 +154,26 @@ class MultimodalSpec extends SparkSuite {
       assert(got(id) == want, s"id=$id got ${got(id)}") }
   }
 
+  test("audioMeta: >= 2^31 RIFF chunk size terminates (no Int-wrap loop)") {
+    // RIFF sizes are unsigned 32-bit: a chunk size of 0x80000010 made the
+    // old Int-truncating walk advance by a NEGATIVE amount — an infinite
+    // executor loop or a backwards index crash. The walk must terminate
+    // and keep what parsed before the huge chunk.
+    val b = graft.plans.AudioHeaders.buildWav(2, 48000, 16, 100L)
+    // overwrite the data-chunk size (bytes 40..43 LE) with 0x80000010
+    b(40) = 0x10.toByte; b(41) = 0; b(42) = 0; b(43) = 0x80.toByte
+    val (f, ch, rate, bits, frames) = graft.plans.AudioHeaders.parse(b)
+    assert((f, ch, rate, bits) == (("wav", 2, 48000, 16)), (f, ch, rate, bits))
+    // the huge data size itself is legal metadata: frames derive from it
+    assert(frames == 0x80000010L / (2L * 2L), frames)
+    // a huge size on the FIRST chunk (fmt_ position) must also terminate
+    val c = graft.plans.AudioHeaders.buildWav(1, 8000, 8, 1L)
+    c(16) = 0xff.toByte; c(17) = 0xff.toByte
+    c(18) = 0xff.toByte; c(19) = 0xff.toByte // fmt chunk size = 0xffffffff
+    val r = graft.plans.AudioHeaders.parse(c) // must return, not hang
+    assert(r._1 == "wav" || r._1 == "unknown")
+  }
+
   test("videoMeta: mvhd v0/v1 layouts, audio-track 0x0 skip, malformed boxes") {
     // hand-patch the builder's tkhd to a 0x0 audio track: dims must
     // stay unknown rather than reporting the audio track's zeros

@@ -74,6 +74,25 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("topKeywords df(t) is a plain count — no two-exchange distinct agg (q116)") {
+    // postings are unique per (doc, term) after the tf groupBy, so the
+    // document frequency is a plain count(1): count_distinct would plan
+    // Spark's expand + second exchange over the corpus-sized posting set
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q116_topk_keywords")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      assert(!p.toString.contains("count(distinct"), p.toString.take(2000))
+      val n = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      // 2× tf groupBy (join side + df(t) side), df(t) on __t, the 1-row
+      // corpus count, the per-doc window, the deterministic tail — a
+      // count_distinct regression adds a 7th
+      assert(n == 6, s"expected 6 shuffle exchanges, got $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ngram postings pipeline has no cartesian or nested-loop join (q30)") {
     val p = plan("q30_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), p)

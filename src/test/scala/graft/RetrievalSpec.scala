@@ -254,6 +254,35 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("appendToPositionalIndex: split build+append equals the one-shot index") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b a b a"), (3L, "b a"),
+      (4L, "x y z"), (5L, "a b")).toDF("doc_id", "text")
+    val one = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-pos1-").toString, spark)
+    graft.functions.Retrieval.buildPositionalIndex(
+      one, docs, "p", "doc_id", "text", targetRows = 3L)
+    val inc = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-pos2-").toString, spark)
+    graft.functions.Retrieval.buildPositionalIndex(
+      inc, docs.filter(col("doc_id") <= 2), "p", "doc_id", "text", targetRows = 3L)
+    graft.functions.Retrieval.appendToPositionalIndex(
+      inc, docs.filter(col("doc_id") === 3 || col("doc_id") === 4),
+      "p", "doc_id", "text", targetRows = 3L)
+    graft.functions.Retrieval.appendToPositionalIndex(
+      inc, docs.filter(col("doc_id") === 5), "p", "doc_id", "text",
+      targetRows = 3L)
+    for (ph <- Seq(Seq("a", "b"), Seq("a"), Seq("a", "b", "a"), Seq("x", "y"))) {
+      val a = graft.functions.Retrieval.phraseSearch(one, "p", ph)
+        .as[(Long, Long)].collect().toMap
+      val b = graft.functions.Retrieval.phraseSearch(inc, "p", ph)
+        .as[(Long, Long)].collect().toMap
+      assert(a == b, s"phrase $ph: one-shot $a vs incremental $b")
+      assert(a.nonEmpty, s"vacuous phrase $ph")
+    }
+  }
+
   test("bestSnippet: rolling window, ties to smallest start, short docs") {
     import spark.implicits._
     val docs = Seq(

@@ -441,6 +441,46 @@ class VectorsGroundTruthSpec extends SparkSuite {
     }
   }
 
+  test("semDedup envelope: under-scaled explicit k throws; k <= 0 derives auto-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // 500 vectors with k=1 → mean cluster 500 > the 100 bound: the
+    // quadratic within-cluster join must be refused BEFORE it runs
+    val e = intercept[IllegalArgumentException] {
+      Vectors.semDedupReport(emb, "vec_id", "embedding", k = 1, eps = 0.2,
+        maxMeanCluster = 100)
+    }
+    assert(e.getMessage.contains("envelope"), e.getMessage)
+    // auto-k: ⌈500/100⌉ = 5 clusters; still one report row per vector
+    val rep = Vectors.semDedupReport(emb, "vec_id", "embedding", k = -1,
+      eps = 0.2, targetMeanCluster = 100)
+    assert(rep.count() == 500)
+    assert(rep.select(max(col("cluster"))).head().getInt(0) <= 4)
+  }
+
+  test("mmrTopKIndexed equals mmrTopK at nProbe = nlist; pool read prunes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-mmri-").toString, spark)
+    Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "mmr",
+      nlist = 4, iters = 2, targetRows = 100L)
+    val q = emb.filter(col("vec_id") < 2)
+    val a = Vectors.mmrTopK(emb, q, "vec_id", "embedding",
+        candidates = 5, k = 3)
+      .orderBy("query_id", "step").collect().toSeq
+    val b = Vectors.mmrTopKIndexed(lib, "mmr", q, "vec_id", "embedding",
+        candidates = 5, k = 3, nProbe = 4)
+      .orderBy("query_id", "step").collect().toSeq
+    assert(a == b, s"\nrescan: $a\nindexed: $b")
+    // the composed pool read is the SAME manifest-pruned cell read the
+    // q110 spec pins: at nProbe=1 it must touch fewer index files than
+    // the full symbol holds
+    val (_, pool) = Vectors.ivfSearchIndexedWithPool(
+      lib, "mmr", q, "vec_id", "embedding", 5, 1)
+    val allFiles = lib.read("mmr__index").inputFiles.length
+    assert(allFiles >= 3 && pool.inputFiles.length < allFiles,
+      s"pool ${pool.inputFiles.length} of $allFiles")
+  }
+
   test("semDedup maxCluster cap: capped clusters keep all members") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // cap below every cluster's population (500 points / 3 clusters):
