@@ -92,10 +92,45 @@ object ScaleProbe {
       // k = -1: the ENFORCED auto-k envelope (k = ceil(n/512)) — the
       // row this probe prints is the evidence that per-cluster cost
       // stays ~flat as the corpus grows (r13's fixed-k run measured
-      // 26× shuffle at 5× corpus; the envelope is the fix)
+      // 26× shuffle at 5× corpus; the envelope is the fix). eps = 0.3
+      // matches the q125 gate but floods the component stage: within a
+      // kmeans cluster most cosines clear 0.3 (that's what a cluster
+      // IS), so ~every within-cluster pair ships to the clustering —
+      // the eps09 row below is the production-eps companion.
       graft.functions.Vectors.semDedupReport(
         emb, "vec_id", "embedding",
         k = -1, eps = 0.3, iters = 2)
+    }),
+    "q125_cluster_sizes" -> ((s, dir) => {
+      // diagnostic: the auto-k cluster SIZE DISTRIBUTION — the envelope
+      // bounds the mean; this row shows how far the max strays from it
+      // (a 50k-member cluster is 50k² cosines in one join task)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val k = math.max(1L, (n + 511) / 512).toInt
+      val sizes = graft.functions.Vectors.kmeansAssign(
+          emb, "vec_id", "embedding", k, iters = 2)
+        .groupBy("cluster").count()
+      val top = sizes.orderBy(org.apache.spark.sql.functions.desc("count"))
+        .limit(10).collect().map(_.getLong(1))
+      val stats = sizes.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.avg("count")).head
+      println(s"[sizes] $dir n=$n k=$k nonEmpty=${stats.getLong(0)} " +
+        f"mean=${stats.getDouble(1)}%.0f top10=${top.mkString(",")}")
+      sizes
+    }),
+    "q125_semdedup_eps09" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // The SemDeDup-paper operating point (eps ≈ 0.9+: drop only
+      // near-identical embeddings): pair generation still costs
+      // Σ|c|² cosines inside the join, but almost nothing passes the
+      // filter, so the components stage sees a trickle — this is the
+      // envelope evidence row for the 100 TB posture.
+      graft.functions.Vectors.semDedupReport(
+        emb, "vec_id", "embedding",
+        k = -1, eps = 0.9, iters = 2)
     }))
 
   private def query(name: String): (org.apache.spark.sql.SparkSession, String) =>
@@ -125,9 +160,20 @@ object ScaleProbe {
 
     // SCALE_SKIP: comma-separated substrings; a matching query name is
     // skipped (lets the known-quadratic uncapped q30 sf10 cell — ~8 min
-    // measured, recorded in SURVEY §15 — be excluded from re-runs)
+    // measured, recorded in SURVEY §15 — be excluded from re-runs).
+    // SCALE_ONLY: comma-separated substrings; when set, ONLY matching
+    // names run — and the manual-only Extra variants (the prefix-path
+    // q30_jaccard_t05/t08 cells) become reachable, which is how the
+    // Zipf-vocabulary dirs exercise the prefix dispatch on an sf-dir
+    // corpus instead of only the planted PrefixProbe fixture.
     val skip = sys.env.get("SCALE_SKIP").map(_.split(',').toSeq).getOrElse(Nil)
-    for (dir <- dirs; name <- Queries if !skip.exists(name.contains)) {
+    val only = sys.env.get("SCALE_ONLY").map(_.split(',').toSeq).getOrElse(Nil)
+    val names =
+      if (only.isEmpty) Queries
+      else (Queries ++ Extra.keys.toSeq.sorted ++
+          SparkEntry.queries.keys.toSeq.sorted)
+        .distinct.filter(n => only.exists(n.contains))
+    for (dir <- dirs; name <- names if !skip.exists(name.contains)) {
       val label = s"${dir.split('/').last}/$name"
       try {
         // noop write, NOT count(): count() lets Catalyst eliminate

@@ -395,29 +395,43 @@ object Vectors {
 
   private def kmeansFast(
       corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pts = corpus.select(col(idCol).as("__kid"), xs.as("__x"))
-    val seedW = Window.orderBy(xxhash64(col("__kid")), col("__kid"))
-    var cent = materialized(pts.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
-      .select((row_number().over(seedW) - 1).cast("long").as("__c"),
-        col("__x").as("__cv")))
-    def assign(ct: DataFrame): DataFrame = {
-      val d = aggregate(zip_with(col("__x"), col("__cv"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      pts.crossJoin(broadcast(ct))
-        .select(col("__kid"), col("__x"), col("__c"), d.as("__d"))
-        .groupBy("__kid")
-        .agg(first(col("__x")).as("__x"),
-          min(struct(col("__d"), col("__c"))).as("__m"))
+    // Seeds: the k vectors with smallest id-hash, index = sort position —
+    // identical to the former row_number formulation (sorted limit
+    // preserves order on collect). The centroid table lives DRIVER-side
+    // between iterations (it always did — `materialized` collected it);
+    // holding it as raw arrays feeds the codegen'd kernel directly.
+    var cent: Array[Array[Double]] =
+      pts.orderBy(xxhash64(col("__kid")), col("__kid")).limit(k)
+        .select(col("__x")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    // Assignment is ONE codegen'd narrow map (plans.NearestCentroid):
+    // the former crossJoin(broadcast) + interpreted HOF distance +
+    // min(struct) re-aggregate materialized n×k rows and ran the inner
+    // loop interpreted — ScaleProbe sf10 measured 42 s single tasks in
+    // that shape (154 s wall for bare kmeansAssign at 200k×391×64);
+    // the kernel replays the identical IEEE arithmetic with zero joins.
+    def assign(ct: Array[Array[Double]]): DataFrame =
+      pts.select(col("__kid"), col("__x"),
+          graft.plans.NearestCentroid(col("__x"),
+            new graft.plans.CentroidModel(ct)).as("__m"))
         .select(col("__kid"), col("__x"),
-          col("__m").getField("__c").as("__c"),
-          col("__m").getField("__d").as("__d"))
-    }
+          col("__m").getField("cluster").as("__c"),
+          col("__m").getField("dist").as("__d"))
     (1 until iters).foreach { _ =>
+      // centroid update: partial vector-sum aggregate, k×dim result rows
+      // collect driver-side (k ≤ 2^16 gated); empty clusters keep their
+      // previous centroid, as before
       val upd = assign(cent).groupBy("__c")
         .agg(graft.plans.VectorMean.mean(col("__x")).as("__cv1"))
-      cent = materialized(cent.join(upd, Seq("__c"), "left")
-        .select(col("__c"), coalesce(col("__cv1"), col("__cv")).as("__cv")))
+        .collect()
+        // VectorMean emits array<float>; widen to double exactly as the
+        // former coalesce(array<float>, array<double>) column did, so
+        // updated centroids (and thus assignments) stay bit-identical
+        .map(r => r.getLong(0).toInt ->
+          r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+        .toMap
+      cent = cent.indices.map(c => upd.getOrElse(c, cent(c))).toArray
     }
     assign(cent).select(col("__kid").as(idCol),
       col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
