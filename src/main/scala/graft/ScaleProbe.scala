@@ -101,6 +101,28 @@ object ScaleProbe {
         emb, "vec_id", "embedding",
         k = -1, eps = 0.3, iters = 2)
     }),
+    "q155_pq_prod" -> ((s, dir) => {
+      // production PQ: m codegen'd kmeans passes + broadcast ADC tables;
+      // the scale question is whether code assignment stays narrow and
+      // the (query, corpus) partial-agg exchange stays bounded
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Pq.pqTopK(emb, emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, m = 8, ksub = 16, iters = 2)
+    }),
+    "q151_keeper_prod" -> ((s, dir) => {
+      // q151's production spelling: xxhash64 minhash (the gate runs
+      // portable=true md5 so DuckDB can replay — an oracle tax, not
+      // the deployment path) feeding the pair-injection keeper
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("__score",
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("double"))
+      val pairs = graft.functions.Dedup.minhashCandidates(
+        docs, "doc_id", "text", portable = false)
+      graft.functions.Dedup.dropNearDuplicatesByQuality(
+        docs, pairs, "doc_id", "__score")
+    }),
     "q125_cluster_sizes" -> ((s, dir) => {
       // diagnostic: the auto-k cluster SIZE DISTRIBUTION — the envelope
       // bounds the mean; this row shows how far the max strays from it

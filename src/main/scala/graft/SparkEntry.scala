@@ -1062,6 +1062,45 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q155_pq_adc_search" -> { (s, dir) =>
+      // Product quantization + asymmetric-distance search, portable
+      // mode: 2 subspaces × 4 centroids trained by the q114 portable
+      // kmeans machinery per subspace, per-(query, sub, centroid)
+      // distances floor-quantized to µ-longs, ADC = order-free long
+      // sum, rank on exact integers. The oracle replays EVERYTHING —
+      // both subspace Lloyd loops, codes, distance tables, the summed
+      // ranking — so this is a hash gate on an approximate-ANN
+      // operator with zero recall argument.
+      val emb = t(s, dir, "embeddings")
+      graft.functions.Pq.pqTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, m = 2, ksub = 4, iters = 2,
+        portable = true)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
+    "q154_positional_compact" -> { (s, dir) =>
+      // The fragmentation-then-compact index lifecycle, gated end to
+      // end: three unordered increments leave term ranges overlapping
+      // across files (pruning degrades gracefully); compact rewrites
+      // the runs globally term-sorted — and the phrase query must
+      // still equal the one-shot full-corpus replay bit-for-bit
+      // (q150's oracle verbatim). A compact that loses/duplicates a
+      // posting row or breaks the string-key manifest order flips it.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 0), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      graft.functions.Retrieval.appendToPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 1), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      graft.functions.Retrieval.appendToPositionalIndex(
+        lib, docs.filter(col("doc_id") % 3 === 2), "pos", "doc_id", "text",
+        targetRows = 5000L)
+      lib.compact("pos__positions", targetRows = 50000L)
+      graft.functions.Retrieval.phraseSearch(
+        lib, "pos", Seq("batch", "batch"))
+        .transform(sortSmallAgg(_, "doc_id"))
+    },
     "q153_mmr_indexed" -> { (s, dir) =>
       // MMR over the PERSISTED IVF index: candidates and their
       // pair-similarity vectors both come from the manifest-pruned cell
@@ -2683,7 +2722,82 @@ object SparkEntry {
                UNION ALL SELECT * FROM ms3)
          ORDER BY query_id, step"""
 
+  /** One subspace's PQ replay: the q114 portable-kmeans CTE chain over
+    * dims [lo, hi] with `_s` suffixes, plus the code argmin and the
+    * query µ-dist table (queries = vec_id < 3, floor-quantized).
+    */
+  private def pqSubCtes(s: Int, lo: Int, hi: Int, ksub: Int): String =
+    s"""pts_$s AS (
+          SELECT vec_id, i,
+            CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM (SELECT vec_id, embedding, unnest(range($lo, ${hi + 1})) AS i
+                FROM embeddings)),
+        seeds_$s AS (
+          SELECT vec_id,
+            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              - 1 AS c
+          FROM (SELECT DISTINCT vec_id FROM embeddings)
+          QUALIFY c < $ksub),
+        c0_$s AS (
+          SELECT se.c, p.i, p.q AS sd, CAST(1 AS BIGINT) AS n
+          FROM seeds_$s se JOIN pts_$s p USING (vec_id)),
+        d1_$s AS (
+          SELECT p.vec_id, c.c,
+            CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+              AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+          FROM pts_$s p JOIN c0_$s c ON p.i = c.i
+          GROUP BY 1, 2, c.n),
+        m1_$s AS (
+          SELECT vec_id, c FROM d1_$s
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+        upd_$s AS (
+          SELECT m.c, p.i, sum(p.q) AS sd, count(*) AS n
+          FROM m1_$s m JOIN pts_$s p USING (vec_id) GROUP BY 1, 2),
+        c1_$s AS (
+          SELECT c0_$s.c, c0_$s.i, coalesce(u.sd, c0_$s.sd) AS sd,
+            coalesce(u.n, c0_$s.n) AS n
+          FROM c0_$s LEFT JOIN upd_$s u
+            ON c0_$s.c = u.c AND c0_$s.i = u.i),
+        d2_$s AS (
+          SELECT p.vec_id, c.c,
+            CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+              AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
+          FROM pts_$s p JOIN c1_$s c ON p.i = c.i
+          GROUP BY 1, 2, c.n),
+        code_$s AS (
+          SELECT vec_id, c FROM d2_$s
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+        qd_$s AS (
+          SELECT p.vec_id AS query_id, c.c,
+            CAST(floor(
+              CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
+                AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) * 1000000)
+              AS BIGINT) AS qd
+          FROM pts_$s p JOIN c1_$s c ON p.i = c.i
+          WHERE p.vec_id < 3
+          GROUP BY 1, 2, c.n)"""
+
   def oracleSql: Map[String, String] = Map(
+    // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
+    // codes, query distance tables, the order-free µ-long ADC sum.
+    "q155_pq_adc_search" ->
+      s"""WITH ${pqSubCtes(0, 1, 32, 4)},
+          ${pqSubCtes(1, 33, 64, 4)},
+          adc AS (
+            SELECT q0.query_id, a0.vec_id AS corpus_id, q0.qd + q1.qd AS score
+            FROM code_0 a0
+            JOIN qd_0 q0 ON q0.c = a0.c
+            JOIN code_1 a1 ON a1.vec_id = a0.vec_id
+            JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.c = a1.c
+            WHERE a0.vec_id <> q0.query_id),
+          pranked AS (
+            SELECT query_id, corpus_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score, corpus_id) AS rnk
+            FROM adc)
+          SELECT query_id, corpus_id, score / 1000000.0 AS adc,
+            CAST(rnk AS INT) AS rank
+          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
     // q28's portable-MinHash replay fused with q146's keeper argmax:
     // the full LSH-fed quality-dedup composition recomputed in DuckDB.
     "q151_lsh_quality_dedup" ->
@@ -2729,6 +2843,8 @@ object SparkEntry {
     // q137 equivalence pattern): a lost, duplicated or position-shifted
     // appended posting flips n_matches or the matched doc set.
     "q152_positional_incremental" -> phraseSearchOracle,
+    // Compact must be a pure physical reorganization: same oracle again.
+    "q154_positional_compact" -> phraseSearchOracle,
     "q149_best_snippet" ->
       """WITH sdocs AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -64,7 +64,7 @@ object Vectors {
     * output; non-integral ids (e.g. string keys) are rejected up front —
     * hash them to a long first if needed.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val idType = scored.schema("corpus_id").dataType
     graft.plans.TopKByScore.requireIntegralId(idType, "top-k")
     scored.groupBy("query_id")
@@ -394,7 +394,15 @@ object Vectors {
   }
 
   private def kmeansFast(
-      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame =
+    kmeansFastFull(corpus, idCol, xs, k, iters)._1
+
+  /** [[kmeansFast]] plus the final driver-resident centroid arrays —
+    * the fast-mode twin of [[kmeansPortableFull]].
+    */
+  private[graft] def kmeansFastFull(
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Double]]) = {
     val pts = corpus.select(col(idCol).as("__kid"), xs.as("__x"))
     // Seeds: the k vectors with smallest id-hash, index = sort position —
     // identical to the former row_number formulation (sorted limit
@@ -433,12 +441,23 @@ object Vectors {
         .toMap
       cent = cent.indices.map(c => upd.getOrElse(c, cent(c))).toArray
     }
-    assign(cent).select(col("__kid").as(idCol),
-      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
+    (assign(cent).select(col("__kid").as(idCol),
+      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist")),
+      cent)
   }
 
   private def kmeansPortable(
-      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame = {
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int): DataFrame =
+    kmeansPortableFull(corpus, idCol, xs, k, iters)._1
+
+  /** [[kmeansPortable]] plus the FINAL exact-integer centroid table
+    * (__c long, __s array<long> Σ micro-units, __n long count) — the
+    * model consumers like product quantization's asymmetric distance
+    * tables need (assignments alone don't carry the centroids).
+    */
+  private[graft] def kmeansPortableFull(
+      corpus: DataFrame, idCol: String, xs: Column, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val pts = corpus.select(col(idCol).as("__kid"),
@@ -478,8 +497,9 @@ object Vectors {
         .select(col("__c"), coalesce(col("__s1"), col("__s")).as("__s"),
           coalesce(col("__n1"), col("__n")).as("__n")))
     }
-    assign(cent).select(col("__kid").as(idCol),
-      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist"))
+    (assign(cent).select(col("__kid").as(idCol),
+      col("__c").cast("int").as("cluster"), round(col("__d"), 6).as("dist")),
+      cent)
   }
 
   /** Nearest-centroid assignment: one narrow pass over the corpus with the

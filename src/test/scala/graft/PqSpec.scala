@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Pq, Vectors}
+
+/** Product quantization: code shape, lossless-corpus exactness, and
+  * measured ADC recall on the real embedding fixture (the q155 gate
+  * hash-pins the portable pipeline; these pin semantics and the
+  * fast/production mode).
+  */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pqCodes: m codes per id, every code within [0, ksub)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (portable <- Seq(false, true)) {
+      val codes = Pq.pqCodes(emb, "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 2, portable = portable)
+      assert(codes.count() == 500)
+      val bad = codes.select(explode(col("codes")).as("c"))
+        .filter(col("c") < 0 || col("c") >= 4).count()
+      assert(bad == 0, s"portable=$portable codes out of range")
+      assert(codes.select(size(col("codes"))).distinct().as[Int].collect()
+        .toSeq == Seq(4))
+    }
+  }
+
+  test("pqTopK is EXACT on a lossless corpus (vectors are centroids)") {
+    // every subvector is one of <= ksub distinct patterns AND the seed
+    // set (the ksub smallest xxhash64-ranked rows — fast mode) covers
+    // every pattern in both subspaces, so Lloyd converges to the exact
+    // points and ADC distance == true squared L2 => PQ ranking must
+    // equal the exact L2 ranking. Patterns are assigned by hash RANK,
+    // not by id, precisely so ranks 0..3 hit all four.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val pats = Array(
+      Array(0f, 0f), Array(10f, 0f), Array(0f, 10f), Array(10f, 10f))
+    val ids = (0L until 40L)
+    val rank = ids.sortBy(i => (XXH64.hashLong(i, 42L), i))
+      .zipWithIndex.toMap
+    val rows = ids.map { i =>
+      val r = rank(i)
+      (i, pats(r % 4) ++ pats((r + 1) % 4))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Pq.pqTopK(df, df.filter(col("vec_id") < 2), "vec_id",
+        "embedding", k = 5, m = 2, ksub = 4, iters = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, hits) =>
+        q -> hits.sortBy(_._4).map(h => (h._2, h._3)).toSeq
+      }
+    val exact = rows.filter(_._1 < 2).map { case (qid, qv) =>
+      val scored = rows.filter(_._1 != qid).map { case (cid, cv) =>
+        val d = qv.zip(cv).map { case (a, b) =>
+          (a - b).toDouble * (a - b) }.sum
+        (cid, d)
+      }.sortBy { case (cid, d) => (d, cid) }.take(5)
+      qid -> scored.map { case (cid, d) => (cid, d) }.toSeq
+    }.toMap
+    got.foreach { case (q, hits) =>
+      assert(hits.map(_._1) == exact(q).map(_._1),
+        s"query $q: pq ${hits.map(_._1)} vs exact ${exact(q).map(_._1)}")
+      // adc equals the true squared distance (floor-µ quantized)
+      hits.zip(exact(q)).foreach { case ((_, adc), (_, d)) =>
+        assert(math.abs(adc - d) < 1e-5, s"query $q adc=$adc true=$d")
+      }
+    }
+  }
+
+  test("pqTopK fast mode: measured ADC recall vs exact top-k on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Vectors.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Pq.pqTopK(emb, q, "vec_id", "embedding", k = 10,
+        m = 16, ksub = 16, iters = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map { k =>
+      (pq.getOrElse(k, Set.empty) & exact(k)).size.toDouble / exact(k).size
+    }.sum / exact.size
+    // deterministic fixture + deterministic algorithm: this is a fixed
+    // number; the bound guards regressions without pinning it exactly
+    assert(recall >= 0.3, s"ADC recall@10 degraded: $recall")
+    info(s"measured ADC recall@10 at m=16/ksub=16: $recall")
+  }
+
+  test("pq refuses a dim not divisible into m subspaces") {
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.pqCodes(df, "vec_id", "embedding", m = 2, ksub = 2)
+    }
+  }
+}

@@ -283,6 +283,36 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("positional index compact: fewer files, pruning restored, results unchanged") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"t${i % 7} a t${i % 13} b c")).toDF("doc_id", "text")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-posc-").toString, spark)
+    graft.functions.Retrieval.buildPositionalIndex(
+      lib, docs.filter(col("doc_id") <= 20), "p", "doc_id", "text", targetRows = 40L)
+    graft.functions.Retrieval.appendToPositionalIndex(
+      lib, docs.filter(col("doc_id") > 20 && col("doc_id") <= 40),
+      "p", "doc_id", "text", targetRows = 40L)
+    graft.functions.Retrieval.appendToPositionalIndex(
+      lib, docs.filter(col("doc_id") > 40), "p", "doc_id", "text", targetRows = 40L)
+    val before = graft.functions.Retrieval.phraseSearch(lib, "p", Seq("a"))
+      .as[(Long, Long)].collect().toMap
+    val filesBefore = lib.read("p__positions").inputFiles.length
+    lib.compact("p__positions", targetRows = 120L)
+    val filesAfter = lib.read("p__positions").inputFiles.length
+    assert(filesBefore >= 6 && filesAfter < filesBefore,
+      s"compact $filesBefore -> $filesAfter")
+    // globally term-sorted again: a one-term read prunes to fewer files
+    val one = lib.read("p__positions",
+      exprFilter = Some(graft.query.Expr.col("term") ===
+        graft.query.Expr.lit("t1"))).inputFiles.length
+    assert(one < filesAfter || filesAfter == 1, s"pruned $one of $filesAfter")
+    val after = graft.functions.Retrieval.phraseSearch(lib, "p", Seq("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(after == before)
+  }
+
   test("bestSnippet: rolling window, ties to smallest start, short docs") {
     import spark.implicits._
     val docs = Seq(
