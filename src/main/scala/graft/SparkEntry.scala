@@ -1062,6 +1062,28 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q156_pq_index_append" -> { (s, dir) =>
+      // Persisted PQ index, incremental: train the codebooks on the
+      // first 300 vectors only, fold the rest in as TWO encode-against-
+      // codebook appends (add-without-retrain), search from the codes
+      // symbol. The oracle replays the same split — Lloyd restricted to
+      // the training ids, codes for everyone, ADC over all — so a
+      // drifted codebook, a re-trained append, or a lost/duplicated
+      // code row flips the hash.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Pq.buildPqIndex(lib, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "pq", m = 2, ksub = 4, iters = 2,
+        portable = true, targetRows = 200L)
+      graft.functions.Pq.appendToPqIndex(lib,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "pq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.appendToPqIndex(lib, emb.filter(col("vec_id") >= 400),
+        "pq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.pqSearchIndexed(lib, "pq",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
     "q155_pq_adc_search" -> { (s, dir) =>
       // Product quantization + asymmetric-distance search, portable
       // mode: 2 subspaces × 4 centroids trained by the q114 portable
@@ -2726,7 +2748,8 @@ object SparkEntry {
     * dims [lo, hi] with `_s` suffixes, plus the code argmin and the
     * query µ-dist table (queries = vec_id < 3, floor-quantized).
     */
-  private def pqSubCtes(s: Int, lo: Int, hi: Int, ksub: Int): String =
+  private def pqSubCtes(s: Int, lo: Int, hi: Int, ksub: Int,
+      trainPred: String = "TRUE"): String =
     s"""pts_$s AS (
           SELECT vec_id, i,
             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
@@ -2736,23 +2759,24 @@ object SparkEntry {
           SELECT vec_id,
             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
               - 1 AS c
-          FROM (SELECT DISTINCT vec_id FROM embeddings)
+          FROM (SELECT DISTINCT vec_id FROM embeddings WHERE $trainPred)
           QUALIFY c < $ksub),
+        tpts_$s AS (SELECT * FROM pts_$s WHERE $trainPred),
         c0_$s AS (
           SELECT se.c, p.i, p.q AS sd, CAST(1 AS BIGINT) AS n
-          FROM seeds_$s se JOIN pts_$s p USING (vec_id)),
+          FROM seeds_$s se JOIN tpts_$s p USING (vec_id)),
         d1_$s AS (
           SELECT p.vec_id, c.c,
             CAST(sum(CAST(p.q * c.n - c.sd AS HUGEINT) * (p.q * c.n - c.sd))
               AS DOUBLE) / (CAST(c.n * c.n AS DOUBLE) * 1e12) AS dist
-          FROM pts_$s p JOIN c0_$s c ON p.i = c.i
+          FROM tpts_$s p JOIN c0_$s c ON p.i = c.i
           GROUP BY 1, 2, c.n),
         m1_$s AS (
           SELECT vec_id, c FROM d1_$s
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
         upd_$s AS (
           SELECT m.c, p.i, sum(p.q) AS sd, count(*) AS n
-          FROM m1_$s m JOIN pts_$s p USING (vec_id) GROUP BY 1, 2),
+          FROM m1_$s m JOIN tpts_$s p USING (vec_id) GROUP BY 1, 2),
         c1_$s AS (
           SELECT c0_$s.c, c0_$s.i, coalesce(u.sd, c0_$s.sd) AS sd,
             coalesce(u.n, c0_$s.n) AS n
@@ -2783,6 +2807,27 @@ object SparkEntry {
     "q155_pq_adc_search" ->
       s"""WITH ${pqSubCtes(0, 1, 32, 4)},
           ${pqSubCtes(1, 33, 64, 4)},
+          adc AS (
+            SELECT q0.query_id, a0.vec_id AS corpus_id, q0.qd + q1.qd AS score
+            FROM code_0 a0
+            JOIN qd_0 q0 ON q0.c = a0.c
+            JOIN code_1 a1 ON a1.vec_id = a0.vec_id
+            JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.c = a1.c
+            WHERE a0.vec_id <> q0.query_id),
+          pranked AS (
+            SELECT query_id, corpus_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score, corpus_id) AS rnk
+            FROM adc)
+          SELECT query_id, corpus_id, score / 1000000.0 AS adc,
+            CAST(rnk AS INT) AS rank
+          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // Same replay with Lloyd restricted to the training split
+    // (vec_id < 300) while codes and ADC cover the whole corpus — the
+    // build+append+search equivalence of the persisted PQ index.
+    "q156_pq_index_append" ->
+      s"""WITH ${pqSubCtes(0, 1, 32, 4, "vec_id < 300")},
+          ${pqSubCtes(1, 33, 64, 4, "vec_id < 300")},
           adc AS (
             SELECT q0.query_id, a0.vec_id AS corpus_id, q0.qd + q1.qd AS score
             FROM code_0 a0

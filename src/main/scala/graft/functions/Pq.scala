@@ -47,8 +47,8 @@ object Pq {
       portable: Boolean = false): DataFrame = {
     val subs = subAssignments(df, idCol, vecCol, m, ksub, iters, portable)
     subs.zipWithIndex
-      .map { case (a, s) =>
-        a._1.select(col(idCol), col("cluster").as(s"__pq$s"))
+      .map { case ((assign, _, _), s) =>
+        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
       }
       .reduce(_.join(_, Seq(idCol)))
       .select(col(idCol),
@@ -80,10 +80,10 @@ object Pq {
     val sublen = dim / m
     // per-sub scored fragments: corpus codes (id-keyed narrow) joined
     // against the BROADCAST per-query µ-dist table on the code value
-    val frags = subs.zipWithIndex.map { case ((assign, cent), s) =>
+    val frags = subs.zipWithIndex.map { case ((assign, cent, _), s) =>
       val qslice = queries.select(col(idCol).as("query_id"),
         slice(col(vecCol), s * sublen + 1, sublen).as("__qv"))
-      val table = distTable(qslice, cent, portable) // (query_id, __c, __qd)
+      val table = distTable(qslice, cent) // (query_id, __c, __qd)
       assign
         .select(col(idCol).as("corpus_id"), col("cluster").cast("long").as("__c"))
         .join(broadcast(table), Seq("__c"))
@@ -102,10 +102,216 @@ object Pq {
       ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
   }
 
+  /** ---- Persisted PQ index: the compressed embedding store ----
+    *
+    * The PQ sibling of Vectors.buildIvfIndex / Dedup.buildMinhashIndex:
+    * train the subspace codebooks ONCE, persist codebook + codes
+    * through the Library layer, and fold new embedding batches in by
+    * encoding against the FIXED codebook (add-without-retrain — the
+    * same immutable-routing contract as the IVF increment). Three
+    * symbols:
+    *  - `<name>__meta`: one row (m, ksub, dim, portable) — encode
+    *    parameters are part of the index identity (minhash precedent);
+    *  - `<name>__codebook`: (sub, c, centroid array<double>,
+    *    s array<long>, n long) — fast mode assigns/scores from the
+    *    lossless double centroids, portable mode from the exact
+    *    integer (Σµ, n) pairs, so EITHER mode's append reproduces its
+    *    build-time assignment bit-for-bit;
+    *  - `<name>__codes`: (idCol, codes array<int>) — m small ints per
+    *    vector, 4·dim/m× smaller than the floats; written id-sorted,
+    *    increments append unordered (validateIndex = false, the index
+    *    fold exemption).
+    * A search scans ONLY the codes symbol (PQ's design point: the code
+    * table is ~1-2% of vector bytes) plus the tiny codebook.
+    */
+  def buildPqIndex(
+      lib: graft.core.Library,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      m: Int,
+      ksub: Int,
+      iters: Int = 2,
+      portable: Boolean = false,
+      targetRows: Long = 100000L): Unit = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    lib.write(s"${name}__meta",
+      Seq((m, ksub, dim, portable)).toDF("m", "ksub", "dim", "portable"))
+    val subs = subAssignments(corpus, idCol, vecCol, m, ksub, iters, portable)
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val bookRows = subs.zipWithIndex.flatMap { case ((_, cent, raw), s) =>
+      cent.collect().map { r =>
+        val c = r.getLong(0)
+        val sums = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        // fast mode persists the RAW training centroids (doubles
+        // roundtrip parquet losslessly), so append-time assignment is
+        // bit-identical to build-time; portable derives the display
+        // centroid from the exact integers it assigns with anyway
+        val centroid = raw match {
+          case Some(arrs) => arrs(c.toInt).toSeq
+          case None => sums.map(v => v.toDouble / n / 1e6)
+        }
+        org.apache.spark.sql.Row(s.toLong, c, centroid, sums, n)
+      }
+    }
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    lib.write(s"${name}__codebook",
+      spark.createDataFrame(bookRows.asJava, bookSchema), Some("sub"))
+    val codes = subs.zipWithIndex
+      .map { case ((assign, _, _), s) =>
+        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
+      }
+      .reduce(_.join(_, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    lib.write(s"${name}__codes", codes, Some(idCol), targetRows = targetRows)
+  }
+
+  /** Encode a NEW embedding batch against the persisted codebook and
+    * append its codes — add-without-retrain (the codebook is immutable
+    * after build; rebuild when drift accumulates). Assignment uses the
+    * index's own stored mode: portable replays the exact decimal argmin
+    * the build ran, fast the codegen'd NearestCentroid over the
+    * lossless double centroids — so an appended vector gets the SAME
+    * code the one-shot build would have given it, which is what the
+    * q156 equivalence gate hashes. Same unseen-ids contract as every
+    * other index fold.
+    */
+  def appendToPqIndex(
+      lib: graft.core.Library,
+      batch: DataFrame,
+      name: String,
+      idCol: String,
+      vecCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val (m, ksub, dim, portable) = pqMeta(lib, name)
+    require(ksub >= 1 && dim % m == 0, s"corrupt pq meta m=$m dim=$dim")
+    val sublen = dim / m
+    val book = lib.read(s"${name}__codebook")
+    val codes = (0 until m).map { s =>
+      val sliced = batch.select(col(idCol),
+        slice(col(vecCol), s * sublen + 1, sublen).as("__sv"))
+      val cent = book.filter(col("sub") === s)
+      assignToCodebook(sliced, idCol, cent, portable)
+        .select(col(idCol), col("__c").cast("int").as(s"__pq$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    lib.append(s"${name}__codes", codes, targetRows, validateIndex = false)
+  }
+
+  /** ADC search against a persisted PQ index: the tiny codebook builds
+    * the per-query distance tables (index mode decides the arithmetic),
+    * and the scan touches ONLY the codes symbol — never a float vector.
+    * After N appends the result is identical to a one-shot build over
+    * the union with the same codebook (the q156 gate).
+    */
+  def pqSearchIndexed(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val (m, _, dim, _) = pqMeta(lib, name)
+    val sublen = dim / m
+    val book = lib.read(s"${name}__codebook").localCheckpoint(true)
+    val tables = (0 until m).map { s =>
+      val qslice = queries.select(col(idCol).as("query_id"),
+        slice(col(vecCol), s * sublen + 1, sublen).as("__qv"))
+      distTable(qslice,
+        book.filter(col("sub") === s).select(col("c").as("__c"),
+          col("s").as("__s"), col("n").as("__n")))
+        .select(lit(s).as("__sub"), col("query_id"), col("__c"), col("__qd"))
+    }.reduce(_.unionByName(_))
+    val codes = lib.read(s"${name}__codes")
+      .select(col(idCol).as("corpus_id"), posexplode(col("codes")))
+      .select(col("corpus_id"), col("pos").cast("int").as("__sub"),
+        col("col").cast("long").as("__c"))
+    val scored = codes.join(broadcast(tables), Seq("__sub", "__c"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(col("__qd")).as("__adc"))
+    val ranked = Vectors.rankTopK(
+      scored.select(col("query_id"), col("corpus_id"),
+        (-col("__adc")).cast("double").as("sim")), k)
+    ranked.select(col("query_id"), col("corpus_id"),
+      ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
+  }
+
+  private def pqMeta(
+      lib: graft.core.Library, name: String): (Int, Int, Int, Boolean) = {
+    val r = lib.read(s"${name}__meta").head()
+    (r.getAs[Int]("m"), r.getAs[Int]("ksub"), r.getAs[Int]("dim"),
+      r.getAs[Boolean]("portable"))
+  }
+
+  /** Nearest stored centroid for a sliced batch — the append-time
+    * assignment. Portable replays the build's exact decimal formula
+    * (argmin by (dist, c)); fast runs the codegen'd kernel over the
+    * lossless double centroids.
+    */
+  private def assignToCodebook(
+      sliced: DataFrame,
+      idCol: String,
+      cent: DataFrame,
+      portable: Boolean): DataFrame = {
+    if (portable) {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = sliced.select(col(idCol),
+        transform(col("__sv"), v => round(v.cast("double") * 1e6).cast("long"))
+          .as("__q"))
+      val num = aggregate(
+        zip_with(col("__q"), col("__s"), (p, sd) => {
+          val d = p * col("__n") - sd
+          d.cast(dec) * d.cast(dec)
+        }),
+        lit(java.math.BigDecimal.ZERO).cast(dec), _ + _)
+      val dist = num.cast("double") /
+        ((col("__n") * col("__n")).cast("double") * 1e12)
+      q.crossJoin(broadcast(
+          cent.select(col("c").as("__cc"), col("s").as("__s"),
+            col("n").as("__n"))))
+        .select(col(idCol), col("__cc"), dist.as("__d"))
+        .groupBy(idCol)
+        .agg(min(struct(col("__d"), col("__cc"))).as("__m"))
+        .select(col(idCol), col("__m").getField("__cc").as("__c"))
+    } else {
+      val arrs = cent.select(col("c"), col("centroid")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      sliced.select(col(idCol),
+          graft.plans.NearestCentroid(
+            transform(col("__sv"), v => v.cast("double")),
+            new graft.plans.CentroidModel(arrs)).as("__m"))
+        .select(col(idCol), col("__m").getField("cluster").as("__c"))
+    }
+  }
+
   /** The m (assignment, centroid-model) pairs over sliced subvectors.
     * Portable: (assign df, cent df (__c, __s Σ-µ array, __n)); fast:
     * cent re-expressed as the same schema from the driver arrays so one
     * distance-table builder serves both modes.
+    */
+  /** Per-sub results: (assignment, exact-cent DF (__c, __s, __n), raw
+    * double centroids — fast mode only, for lossless persistence).
     */
   private def subAssignments(
       df: DataFrame,
@@ -114,7 +320,8 @@ object Pq {
       m: Int,
       ksub: Int,
       iters: Int,
-      portable: Boolean): Seq[(DataFrame, DataFrame)] = {
+      portable: Boolean)
+      : Seq[(DataFrame, DataFrame, Option[Array[Array[Double]]])] = {
     require(m >= 1 && ksub >= 1, s"bad pq params m=$m ksub=$ksub")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -125,13 +332,16 @@ object Pq {
         slice(col(vecCol), s * sublen + 1, sublen).as("__sv"))
       val xs = transform(col("__sv"), v => v.cast("double"))
       if (portable) {
-        Vectors.kmeansPortableFull(sliced, idCol, xs, ksub, iters)
+        val (assign, cent) =
+          Vectors.kmeansPortableFull(sliced, idCol, xs, ksub, iters)
+        (assign, cent, None)
       } else {
         val (assign, cents) =
           Vectors.kmeansFastFull(sliced, idCol, xs, ksub, iters)
         // re-express driver arrays in the portable cent schema with
-        // n = 1 (sums ARE the centroid in µ-units): one distance-table
-        // builder serves both modes
+        // n = 1 (µ-rounded sums): one distance-table builder serves
+        // both modes; the RAW doubles ride alongside so the persisted
+        // index can reproduce build-time assignment losslessly
         val spark = df.sparkSession
         import scala.jdk.CollectionConverters._
         val rows = cents.zipWithIndex.map { case (cv, c) =>
@@ -145,7 +355,7 @@ object Pq {
               org.apache.spark.sql.types.LongType)),
           org.apache.spark.sql.types.StructField("__n",
             org.apache.spark.sql.types.LongType)))
-        (assign, spark.createDataFrame(rows.asJava, schema))
+        (assign, spark.createDataFrame(rows.asJava, schema), Some(cents))
       }
     }
   }
@@ -157,7 +367,7 @@ object Pq {
     * binary). ksub × queries rows — broadcast-sized by construction.
     */
   private def distTable(
-      qslice: DataFrame, cent: DataFrame, portable: Boolean): DataFrame = {
+      qslice: DataFrame, cent: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val q = qslice.select(col("query_id"),
       transform(col("__qv"), v => round(v.cast("double") * 1e6).cast("long"))

@@ -87,6 +87,41 @@ class PqSpec extends SparkSuite {
     info(s"measured ADC recall@10 at m=16/ksub=16: $recall")
   }
 
+  test("persisted PQ index: append encodes against the stored codebook") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (portable <- Seq(false, true)) {
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-pqi-").toString, spark)
+      graft.functions.Pq.buildPqIndex(lib, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "pq", m = 4, ksub = 8, iters = 2,
+        portable = portable, targetRows = 100L)
+      // append the tail plus an exact duplicate of vector 1 under a new id
+      val dup = emb.filter(col("vec_id") === 1)
+        .select(lit(100000L).as("vec_id"), col("embedding"))
+      graft.functions.Pq.appendToPqIndex(lib,
+        emb.filter(col("vec_id") >= 300).select("vec_id", "embedding")
+          .unionByName(dup),
+        "pq", "vec_id", "embedding", targetRows = 100L)
+      val codes = lib.read("pq__codes")
+      assert(codes.count() == 501, s"portable=$portable")
+      // identical vectors encode to identical codes whichever path
+      // (build vs append) produced them...
+      val c1 = codes.filter(col("vec_id") === 1)
+        .select("codes").as[Seq[Int]].head()
+      val cd = codes.filter(col("vec_id") === 100000L)
+        .select("codes").as[Seq[Int]].head()
+      assert(c1 == cd, s"portable=$portable: dup codes $cd != original $c1")
+      // ...so the duplicate ties the minimum ADC for query 1
+      val hits = graft.functions.Pq.pqSearchIndexed(lib, "pq",
+          emb.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Double, Int)].collect()
+      val best = hits.map(_._3).min
+      val dupHit = hits.find(_._2 == 100000L)
+      assert(dupHit.exists(_._3 == best),
+        s"portable=$portable: dup $dupHit not at min adc $best")
+    }
+  }
+
   test("pq refuses a dim not divisible into m subspaces") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
