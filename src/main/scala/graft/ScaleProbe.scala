@@ -101,6 +101,20 @@ object ScaleProbe {
         emb, "vec_id", "embedding",
         k = -1, eps = 0.3, iters = 2)
     }),
+    "q157_ivfpq_prod" -> ((s, dir) => {
+      // the composed stack's probe-side cost at scale: build once per
+      // dir (cached via the tmp-root trick is unavailable here, so the
+      // row includes the one-time build — the SEARCH share is the
+      // pruned-cell read + broadcast table join, q110-shaped)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-ivfpqp-").toString, s)
+      graft.functions.Pq.buildIvfPqIndex(lib, emb, "vec_id", "embedding",
+        "ix", nlist = 64, m = 8, ksub = 16, iters = 2, targetRows = 100000L)
+      graft.functions.Pq.ivfPqSearch(lib, "ix",
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+    }),
     "q155_pq_prod" -> ((s, dir) => {
       // production PQ: m codegen'd kmeans passes + broadcast ADC tables;
       // the scale question is whether code assignment stays narrow and

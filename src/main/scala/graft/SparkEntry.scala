@@ -1062,6 +1062,23 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q157_ivfpq_search" -> { (s, dir) =>
+      // IVF+PQ (IVFADC): cell-routed probes over cell-sorted PQ codes,
+      // ADC rescoring from the persisted codebook. nProbe = nlist makes
+      // routing a no-op, so the whole composed index must reproduce the
+      // plain full-corpus ADC ranking — q155's oracle verbatim — while
+      // the plan (spec-pinned) reads the codes symbol via the manifest
+      // cell pruning.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Pq.buildIvfPqIndex(lib, emb, "vec_id", "embedding",
+        "ivfpq", nlist = 8, m = 2, ksub = 4, iters = 2, portable = true,
+        targetRows = 200L)
+      graft.functions.Pq.ivfPqSearch(lib, "ivfpq",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+        nProbe = 8)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
     "q156_pq_index_append" -> { (s, dir) =>
       // Persisted PQ index, incremental: train the codebooks on the
       // first 300 vectors only, fold the rest in as TWO encode-against-
@@ -2801,11 +2818,11 @@ object SparkEntry {
           WHERE p.vec_id < 3
           GROUP BY 1, 2, c.n)"""
 
-  def oracleSql: Map[String, String] = Map(
-    // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
-    // codes, query distance tables, the order-free µ-long ADC sum.
-    "q155_pq_adc_search" ->
-      s"""WITH ${pqSubCtes(0, 1, 32, 4)},
+  /** Shared by q155 (pqTopK over the corpus) and q157 (IVF+PQ index at
+    * nProbe = nlist): the full portable PQ/ADC replay.
+    */
+  private def pqAdcOracle: String =
+    s"""WITH ${pqSubCtes(0, 1, 32, 4)},
           ${pqSubCtes(1, 33, 64, 4)},
           adc AS (
             SELECT q0.query_id, a0.vec_id AS corpus_id, q0.qd + q1.qd AS score
@@ -2821,7 +2838,16 @@ object SparkEntry {
             FROM adc)
           SELECT query_id, corpus_id, score / 1000000.0 AS adc,
             CAST(rnk AS INT) AS rank
-          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  def oracleSql: Map[String, String] = Map(
+    // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
+    // codes, query distance tables, the order-free µ-long ADC sum.
+    "q155_pq_adc_search" -> pqAdcOracle,
+    // nProbe = nlist makes the IVF routing a no-op (every cell probed):
+    // the composed IVF+PQ index must reproduce the plain full-corpus
+    // ADC ranking bit-for-bit — q155's oracle verbatim.
+    "q157_ivfpq_search" -> pqAdcOracle,
     // Same replay with Lloyd restricted to the training split
     // (vec_id < 300) while codes and ADC cover the whole corpus — the
     // build+append+search equivalence of the persisted PQ index.

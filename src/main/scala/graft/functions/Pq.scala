@@ -140,39 +140,11 @@ object Pq {
     lib.write(s"${name}__meta",
       Seq((m, ksub, dim, portable)).toDF("m", "ksub", "dim", "portable"))
     val subs = subAssignments(corpus, idCol, vecCol, m, ksub, iters, portable)
-    val spark = corpus.sparkSession
-    import scala.jdk.CollectionConverters._
-    val bookRows = subs.zipWithIndex.flatMap { case ((_, cent, raw), s) =>
-      cent.collect().map { r =>
-        val c = r.getLong(0)
-        val sums = r.getSeq[Long](1)
-        val n = r.getLong(2)
-        // fast mode persists the RAW training centroids (doubles
-        // roundtrip parquet losslessly), so append-time assignment is
-        // bit-identical to build-time; portable derives the display
-        // centroid from the exact integers it assigns with anyway
-        val centroid = raw match {
-          case Some(arrs) => arrs(c.toInt).toSeq
-          case None => sums.map(v => v.toDouble / n / 1e6)
-        }
-        org.apache.spark.sql.Row(s.toLong, c, centroid, sums, n)
-      }
-    }
-    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sub",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("c",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)),
-      org.apache.spark.sql.types.StructField("s",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType)),
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.LongType)))
-    lib.write(s"${name}__codebook",
-      spark.createDataFrame(bookRows.asJava, bookSchema), Some("sub"))
+    // fast mode persists the RAW training centroids (doubles roundtrip
+    // parquet losslessly), so append-time assignment is bit-identical
+    // to build-time; portable derives the display centroid from the
+    // exact integers it assigns with anyway
+    writeCodebook(lib, name, subs, corpus.sparkSession)
     val codes = subs.zipWithIndex
       .map { case ((assign, _, _), s) =>
         assign.select(col(idCol), col("cluster").as(s"__pq$s"))
@@ -254,6 +226,163 @@ object Pq {
         (-col("__adc")).cast("double").as("sim")), k)
     ranked.select(col("query_id"), col("corpus_id"),
       ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
+  }
+
+  /** ---- IVF+PQ: the production 100 TB ANN stack (IVFADC; Jégou et
+    * al. 2011 §V) ----
+    *
+    * IVF coarse routing composed with PQ compression: the index stores
+    * (cell, corpus_id, codes) written SORTED on cell, so a probe reads
+    * nProbe/nlist of a table that is itself ~1-2% of vector bytes —
+    * multiplicatively less I/O than either layer alone (at nlist 1024 /
+    * nProbe 8 / m 16 over 1024-dim floats: ~1/128 of ~1/256 of the
+    * store). Candidates rescore by the SAME µ-long ADC arithmetic as
+    * [[pqTopK]], so at nProbe = nlist the composition equals the plain
+    * full-corpus ADC ranking by construction — which is how the q157
+    * gate hash-pins it to q155's oracle with zero recall argument.
+    * Routing uses [[Vectors.ivfCentroids]] (cosine cells); any cell
+    * partition yields the identical result at full probe, and recall at
+    * partial probe is the standard IVF dial.
+    */
+  def buildIvfPqIndex(
+      lib: graft.core.Library,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 2,
+      portable: Boolean = false,
+      targetRows: Long = 100000L): Unit = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    lib.write(s"${name}__meta",
+      Seq((m, ksub, dim, portable)).toDF("m", "ksub", "dim", "portable"))
+    val centroids = Vectors.ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+      .select(col("cell").cast("long").as("cell"), col("centroid"))
+      .localCheckpoint(true)
+    lib.write(s"${name}__centroids", centroids, Some("cell"))
+    // PQ codebooks + codes (the buildPqIndex internals, shared)
+    val subs = subAssignments(corpus, idCol, vecCol, m, ksub, iters, portable)
+    writeCodebook(lib, name, subs, corpus.sparkSession)
+    val codes = subs.zipWithIndex
+      .map { case ((assign, _, _), s) =>
+        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
+      }
+      .reduce(_.join(_, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    val cells = Vectors.assignCells(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      centroids.select(col("cell").cast("int").as("cell"), col("centroid")))
+      .select(col("cell").cast("long").as("cell"), col("cid").as(idCol))
+    lib.write(s"${name}__cellcodes",
+      cells.join(codes, Seq(idCol))
+        .select(col("cell"), col(idCol), col("codes")),
+      Some("cell"), targetRows = targetRows)
+  }
+
+  /** Probe an IVF+PQ index: route queries to their nProbe best cells
+    * against the broadcast centroid symbol, read ONLY those cells'
+    * codes (manifest-pruned, the q110 machinery over a table already
+    * ~1-2% of vector bytes), ADC-rescore with the codebook tables, rank
+    * with the partial top-k aggregate.
+    */
+  def ivfPqSearch(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad params k=$k nProbe=$nProbe")
+    val (m, _, dim, _) = pqMeta(lib, name)
+    val sublen = dim / m
+    val centroids = lib.read(s"${name}__centroids")
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        Vectors.cosine(col("qvec"), col("centroid")).as("__sim"))
+      .groupBy("query_id")
+      .agg(first(col("qvec")).as("qvec"),
+        graft.plans.TopKByScore.topK(col("__sim"), col("cell"), nProbe)
+          .as("cells"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("cells"), e => e.getField("id"))).as("cell"))
+      .localCheckpoint(true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val book = lib.read(s"${name}__codebook").localCheckpoint(true)
+    val tables = (0 until m).map { s =>
+      val qslice = probes.select(col("query_id"),
+          slice(col("qvec"), s * sublen + 1, sublen).as("__qv"))
+        .dropDuplicates("query_id")
+      distTable(qslice,
+        book.filter(col("sub") === s).select(col("c").as("__c"),
+          col("s").as("__s"), col("n").as("__n")))
+        .select(lit(s).as("__sub"), col("query_id"), col("__c"), col("__qd"))
+    }.reduce(_.unionByName(_))
+    val idx = lib.read(s"${name}__cellcodes",
+      exprFilter = Some(graft.query.Expr.col("cell").isin(
+        probedCells.toIndexedSeq: _*)))
+    // each query scores only rows of ITS probed cells
+    val cand = idx.join(broadcast(
+        probes.select(col("query_id").as("__qid"), col("cell"))),
+        Seq("cell"))
+      .select(col("__qid"), col(idCol).as("corpus_id"),
+        posexplode(col("codes")))
+      .select(col("__qid").as("query_id"), col("corpus_id"),
+        col("pos").cast("int").as("__sub"), col("col").cast("long").as("__c"))
+    val scored = cand.join(broadcast(tables), Seq("__sub", "__c", "query_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(col("__qd")).as("__adc"))
+    val ranked = Vectors.rankTopK(
+      scored.select(col("query_id"), col("corpus_id"),
+        (-col("__adc")).cast("double").as("sim")), k)
+    ranked.select(col("query_id"), col("corpus_id"),
+      ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
+  }
+
+  /** Shared codebook writer (build paths of [[buildPqIndex]] and
+    * [[buildIvfPqIndex]]).
+    */
+  private def writeCodebook(
+      lib: graft.core.Library,
+      name: String,
+      subs: Seq[(DataFrame, DataFrame, Option[Array[Array[Double]]])],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val bookRows = subs.zipWithIndex.flatMap { case ((_, cent, raw), s) =>
+      cent.collect().map { r =>
+        val c = r.getLong(0)
+        val sums = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        val centroid = raw match {
+          case Some(arrs) => arrs(c.toInt).toSeq
+          case None => sums.map(v => v.toDouble / n / 1e6)
+        }
+        org.apache.spark.sql.Row(s.toLong, c, centroid, sums, n)
+      }
+    }
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    lib.write(s"${name}__codebook",
+      spark.createDataFrame(bookRows.asJava, bookSchema), Some("sub"))
   }
 
   private def pqMeta(

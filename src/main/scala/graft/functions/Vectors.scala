@@ -505,7 +505,7 @@ object Vectors {
   /** Nearest-centroid assignment: one narrow pass over the corpus with the
     * (small) centroid table broadcast; `max_by` picks the arg-max cell.
     */
-  private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame =
+  private[functions] def assignCells(c: DataFrame, centroids: DataFrame): DataFrame =
     c.crossJoin(broadcast(centroids))
       .select(col("cid"), col("cvec"), col("cell"),
         cosine(col("cvec"), col("centroid")).as("__sim"))

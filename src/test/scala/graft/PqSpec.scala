@@ -122,6 +122,34 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("IVF+PQ: full probe equals plain ADC; partial probe prunes cell files") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString, spark)
+    graft.functions.Pq.buildIvfPqIndex(lib, emb, "vec_id", "embedding",
+      "ix", nlist = 8, m = 4, ksub = 8, iters = 2, targetRows = 60L)
+    val q = emb.filter(col("vec_id") < 3)
+    // nProbe = nlist: routing is a no-op — must equal plain pqTopK
+    // (fast mode both; same codebook seeds because training input and
+    // parameters are identical)
+    val full = graft.functions.Pq.ivfPqSearch(lib, "ix", q, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val plain = graft.functions.Pq.pqTopK(emb, q, "vec_id", "embedding",
+        k = 5, m = 4, ksub = 8, iters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == plain, s"\nivfpq: $full\nplain: $plain")
+    // nProbe = 1 reads fewer cell files than the symbol holds
+    val allFiles = lib.read("ix__cellcodes").inputFiles.length
+    val hits1 = graft.functions.Pq.ivfPqSearch(lib, "ix", q, "vec_id",
+      "embedding", k = 5, nProbe = 1)
+    assert(hits1.count() > 0)
+    val probed = lib.read("ix__cellcodes",
+      exprFilter = Some(graft.query.Expr.col("cell") ===
+        graft.query.Expr.lit(0L))).inputFiles.length
+    assert(allFiles >= 4 && probed < allFiles, s"pruned $probed of $allFiles")
+  }
+
   test("pq refuses a dim not divisible into m subspaces") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
