@@ -1062,6 +1062,27 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q158_stream_retrieval_index" -> { (s, dir) =>
+      // Live-ingest retrieval indexing: the corpus streams through a
+      // real foreachBatch sink in THREE micro-batch files (first batch
+      // builds the BM25 + positional indexes, the rest fold in as
+      // increments), then the q117 query scores from the accumulated
+      // index — must equal the one-shot full-corpus ranking bit-for-bit
+      // (the index state is batch-split-invariant by construction).
+      val docs = t(s, dir, "documents")
+      val src = tmpRoot()
+      docs.repartition(3).write.mode("overwrite").parquet(src)
+      val lib = new Library(tmpRoot(), s)
+      val q = graft.streaming.StreamIngest.retrievalIndexSink(
+        lib, s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "lex", "doc_id", "text", tmpRoot() + "/ckpt", targetRows = 2000L)
+        .start()
+      q.awaitTermination(120000L)
+      graft.functions.Retrieval.bm25Indexed(
+        lib, "lex", Seq("dup", "vector", "merge"), k = 20)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q157_ivfpq_search" -> { (s, dir) =>
       // IVF+PQ (IVFADC): cell-routed probes over cell-sorted PQ codes,
       // ADC rescoring from the persisted codebook. nProbe = nlist makes
@@ -4244,6 +4265,8 @@ object SparkEntry {
     // the INCREMENTAL build must reproduce the identical full-corpus
     // ranking — same oracle verbatim
     "q137_bm25_incremental" -> bm25FullCorpusOracle,
+    // The streaming fold must land exactly where the batch folds land.
+    "q158_stream_retrieval_index" -> bm25FullCorpusOracle,
     // Full iterative replay of portable k-means: md5-ranked seeds, two
     // argmin passes with HUGEINT multiplied-out squared distances
     // (Spark: Decimal(38)), exact micro-unit centroid sums between them.

@@ -171,6 +171,59 @@ object StreamIngest {
         ()
       }
 
+  /** Fold every micro-batch into the persisted RETRIEVAL indexes — the
+    * live-ingest side of the q117/q137/q150 stack: the first non-empty
+    * batch builds the BM25 index (stats + term-sorted postings) and the
+    * positional index, every later batch folds in as an increment
+    * ([[graft.functions.Retrieval.appendToBm25Index]] /
+    * [[graft.functions.Retrieval.appendToPositionalIndex]]), so
+    * `bm25Indexed` and `phraseSearch` answer over everything ingested
+    * so far at any time. The final index state is BATCH-SPLIT-INVARIANT
+    * (stats merge by exact sums, postings/positions are per-doc rows),
+    * which is what lets the q158 gate hash it against the one-shot
+    * full-corpus oracle regardless of how the stream was sliced.
+    *
+    * Replay contract: at-least-once delivery double-posts a re-delivered
+    * doc (the BM25 fold's unseen-ids contract) — pair with an id replay
+    * guard upstream (the [[dedupAdmitSink]] pattern) or use exactly-once
+    * sources; per-batch cost is proportional to the batch, never the
+    * accumulated index.
+    */
+  def retrievalIndexSink(
+      lib: Library,
+      stream: DataFrame,
+      name: String,
+      idCol: String,
+      textCol: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      targetRows: Long = Library.DefaultTargetRows,
+      positional: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          if (!lib.hasSymbol(s"${name}__stats"))
+            graft.functions.Retrieval.buildBm25Index(
+              lib, b, idCol, textCol, name, targetRows)
+          else
+            graft.functions.Retrieval.appendToBm25Index(
+              lib, b, name, idCol, textCol, targetRows)
+          if (positional) {
+            if (!lib.hasSymbol(s"${name}__positions"))
+              graft.functions.Retrieval.buildPositionalIndex(
+                lib, b, name, idCol, textCol, targetRows)
+            else
+              graft.functions.Retrieval.appendToPositionalIndex(
+                lib, b, name, idCol, textCol, targetRows)
+          }
+        }
+        ()
+      }
+
   /** Fold every micro-batch into a persisted corpus-health ledger
     * ([[graft.functions.CorpusStats.buildLedger]]) — the always-on
     * health dashboard over live ingest: per-domain counts/extrema and

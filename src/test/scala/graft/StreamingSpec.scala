@@ -361,4 +361,38 @@ class StreamingSpec extends SparkSuite {
       .collect().toSet
     assert(indexed == Set(1L, 2L, 3L, 11L, 21L), s"indexed=$indexed")
   }
+
+  test("retrievalIndexSink: multi-batch fold equals the one-shot indexes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b a b a"), (3L, "b a"),
+      (4L, "x y z a"), (5L, "a b")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val lib = new Library(tmp("graft-ris-"), spark)
+    val ckpt = tmp("graft-ris-ckpt-")
+    val sink = StreamIngest.retrievalIndexSink(lib,
+      mem.toDF.toDF("doc_id", "text"), "lex", "doc_id", "text", ckpt,
+      targetRows = 3L)
+    mem.addData((1L, "a a a b"), (2L, "a b a b a"))
+    sink.start().awaitTermination()
+    mem.addData((3L, "b a"), (4L, "x y z a"))
+    sink.start().awaitTermination()
+    mem.addData((5L, "a b"))
+    sink.start().awaitTermination()
+    val one = new Library(tmp("graft-ris1-"), spark)
+    graft.functions.Retrieval.buildBm25Index(
+      one, docs, "doc_id", "text", "lex", targetRows = 3L)
+    graft.functions.Retrieval.buildPositionalIndex(
+      one, docs, "lex", "doc_id", "text", targetRows = 3L)
+    val gotBm = graft.functions.Retrieval.bm25Indexed(lib, "lex", Seq("a", "b"))
+      .collect().toSeq
+    val wantBm = graft.functions.Retrieval.bm25Indexed(one, "lex", Seq("a", "b"))
+      .collect().toSeq
+    assert(gotBm == wantBm, s"\nstream: $gotBm\noneshot: $wantBm")
+    val gotPh = graft.functions.Retrieval.phraseSearch(lib, "lex", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val wantPh = graft.functions.Retrieval.phraseSearch(one, "lex", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotPh == wantPh && gotPh.nonEmpty, s"$gotPh vs $wantPh")
+  }
 }
