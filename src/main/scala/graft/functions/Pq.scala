@@ -46,13 +46,7 @@ object Pq {
       iters: Int = 2,
       portable: Boolean = false): DataFrame = {
     val subs = subAssignments(df, idCol, vecCol, m, ksub, iters, portable)
-    subs.zipWithIndex
-      .map { case ((assign, _, _), s) =>
-        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
-      }
-      .reduce(_.join(_, Seq(idCol)))
-      .select(col(idCol),
-        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    codesFrame(df, idCol, vecCol, subs, m)
   }
 
   /** Asymmetric-distance top-k: for each query, the `k` corpus vectors
@@ -78,29 +72,112 @@ object Pq {
     val subs = subAssignments(corpus, idCol, vecCol, m, ksub, iters, portable)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val sublen = dim / m
-    // per-sub scored fragments: corpus codes (id-keyed narrow) joined
-    // against the BROADCAST per-query µ-dist table on the code value
-    val frags = subs.zipWithIndex.map { case ((assign, cent, _), s) =>
-      val qslice = queries.select(col(idCol).as("query_id"),
-        slice(col(vecCol), s * sublen + 1, sublen).as("__qv"))
-      val table = distTable(qslice, cent) // (query_id, __c, __qd)
-      assign
-        .select(col(idCol).as("corpus_id"), col("cluster").cast("long").as("__c"))
-        .join(broadcast(table), Seq("__c"))
-        .select(col("query_id"), col("corpus_id"), col("__qd"))
-    }
-    val scored = frags.reduce(_.unionByName(_))
+    val qt = flatTables(
+      queryTables(queries, idCol, vecCol, m, sublen,
+        s => subs(s)._2), m, ksub)
+    val codes = codesFrame(corpus, idCol, vecCol, subs, m)
+      .withColumnRenamed(idCol, "corpus_id")
+    adcRank(codes, qt, ksub, k)
+  }
+
+  /** ADC scoring + ranking tail shared by every PQ search path: corpus
+    * codes crossJoin the BROADCAST per-query flat tables, the codegen'd
+    * [[graft.plans.AdcScore]] kernel sums m lookups per row (no
+    * explode, no code join, no re-aggregate), and the partial top-k
+    * ranks the NEGATED exact long — smallest distance first, ties to
+    * the smaller corpus_id; never a corpus-wide window.
+    */
+  private def adcRank(
+      codes: DataFrame, qt: DataFrame, ksub: Int, k: Int): DataFrame = {
+    val scored = codes.crossJoin(broadcast(qt))
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(sum(col("__qd")).as("__adc"))
-    // partial top-k on the NEGATED exact long: smallest distance first,
-    // ties to the smaller corpus_id — never a corpus-wide window
-    val ranked = Vectors.rankTopK(
-      scored.select(col("query_id"), col("corpus_id"),
-        (-col("__adc")).cast("double").as("sim")), k)
+      .select(col("query_id"), col("corpus_id"),
+        (-graft.plans.AdcScore(col("codes"), col("__table"), ksub))
+          .cast("double").as("sim"))
+    val ranked = Vectors.rankTopK(scored, k)
     ranked.select(col("query_id"), col("corpus_id"),
       ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
   }
+
+  /** The per-sub (sub, query_id, __c, __qd) distance-table rows. */
+  private def queryTables(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      sublen: Int,
+      centOf: Int => DataFrame): DataFrame =
+    (0 until m).map { s =>
+      val qslice = queries.select(col(idCol).as("query_id"),
+        slice(col(vecCol), s * sublen + 1, sublen).as("__qv"))
+      distTable(qslice, centOf(s))
+        .select(lit(s).as("__sub"), col("query_id"), col("__c"), col("__qd"))
+    }.reduce(_.unionByName(_))
+
+  /** Per-query FLAT ADC tables (query_id, __table array<long> of
+    * m × ksub) — collected driver-side (queries are broadcast-sized by
+    * contract; the entry bound fails loudly, not by OOM) and rebuilt as
+    * a local relation so [[graft.plans.AdcScore]] reads each row's
+    * table with flat array indexing.
+    */
+  private val MaxTableEntries = 1 << 22
+  private def flatTables(
+      tables: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val spark = tables.sparkSession
+    val qidType = tables.schema("query_id").dataType
+    val rows = tables.limit(MaxTableEntries + 1).collect()
+    require(rows.length <= MaxTableEntries,
+      s"query ADC tables exceed $MaxTableEntries entries — split the " +
+        "query batch")
+    import scala.jdk.CollectionConverters._
+    val out = rows.groupBy(_.get(1)).map { case (qid, rs) =>
+      val arr = new Array[Long](m * ksub)
+      java.util.Arrays.fill(arr, Long.MaxValue / (2L * m)) // missing = far
+      rs.foreach { r =>
+        arr(r.getInt(0) * ksub + r.getLong(2).toInt) = r.getLong(3)
+      }
+      org.apache.spark.sql.Row(qid, arr.toSeq)
+    }.toSeq
+    spark.createDataFrame(out.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qidType),
+        org.apache.spark.sql.types.StructField("__table",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+  }
+
+  /** The (idCol, codes array<int>) frame from per-sub assignments. Fast
+    * mode encodes all m subspaces in ONE codegen'd narrow map over the
+    * raw centroid arrays (zero joins — and bit-identical to the
+    * per-sub assignment frames, which ran the same NearestCentroid over
+    * the same final centroids); portable assembles the m exact decimal
+    * assignment frames with id-keyed joins (the oracle path).
+    */
+  private def codesFrame(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subs: Seq[(DataFrame, DataFrame, Option[Array[Array[Double]]])],
+      m: Int): DataFrame =
+    if (subs.forall(_._3.isDefined)) {
+      val sublen = subs.head._3.get.head.length
+      df.select(col(idCol),
+        array(subs.zipWithIndex.map { case ((_, _, raw), s) =>
+          graft.plans.NearestCentroid(
+            transform(slice(col(vecCol), s * sublen + 1, sublen),
+              v => v.cast("double")),
+            new graft.plans.CentroidModel(raw.get)).getField("cluster")
+            .cast("int")
+        }: _*).as("codes"))
+    } else {
+      subs.zipWithIndex
+        .map { case ((assign, _, _), s) =>
+          assign.select(col(idCol), col("cluster").cast("int").as(s"__pq$s"))
+        }
+        .reduce(_.join(_, Seq(idCol)))
+        .select(col(idCol),
+          array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    }
 
   /** ---- Persisted PQ index: the compressed embedding store ----
     *
@@ -145,14 +222,8 @@ object Pq {
     // to build-time; portable derives the display centroid from the
     // exact integers it assigns with anyway
     writeCodebook(lib, name, subs, corpus.sparkSession)
-    val codes = subs.zipWithIndex
-      .map { case ((assign, _, _), s) =>
-        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
-      }
-      .reduce(_.join(_, Seq(idCol)))
-      .select(col(idCol),
-        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
-    lib.write(s"${name}__codes", codes, Some(idCol), targetRows = targetRows)
+    lib.write(s"${name}__codes", codesFrame(corpus, idCol, vecCol, subs, m),
+      Some(idCol), targetRows = targetRows)
   }
 
   /** Encode a NEW embedding batch against the persisted codebook and
@@ -202,30 +273,16 @@ object Pq {
       vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"bad k $k")
-    val (m, _, dim, _) = pqMeta(lib, name)
+    val (m, ksub, dim, _) = pqMeta(lib, name)
     val sublen = dim / m
     val book = lib.read(s"${name}__codebook").localCheckpoint(true)
-    val tables = (0 until m).map { s =>
-      val qslice = queries.select(col(idCol).as("query_id"),
-        slice(col(vecCol), s * sublen + 1, sublen).as("__qv"))
-      distTable(qslice,
+    val qt = flatTables(
+      queryTables(queries, idCol, vecCol, m, sublen, s =>
         book.filter(col("sub") === s).select(col("c").as("__c"),
-          col("s").as("__s"), col("n").as("__n")))
-        .select(lit(s).as("__sub"), col("query_id"), col("__c"), col("__qd"))
-    }.reduce(_.unionByName(_))
+          col("s").as("__s"), col("n").as("__n"))), m, ksub)
     val codes = lib.read(s"${name}__codes")
-      .select(col(idCol).as("corpus_id"), posexplode(col("codes")))
-      .select(col("corpus_id"), col("pos").cast("int").as("__sub"),
-        col("col").cast("long").as("__c"))
-    val scored = codes.join(broadcast(tables), Seq("__sub", "__c"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(sum(col("__qd")).as("__adc"))
-    val ranked = Vectors.rankTopK(
-      scored.select(col("query_id"), col("corpus_id"),
-        (-col("__adc")).cast("double").as("sim")), k)
-    ranked.select(col("query_id"), col("corpus_id"),
-      ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
+      .select(col(idCol).as("corpus_id"), col("codes"))
+    adcRank(codes, qt, ksub, k)
   }
 
   /** ---- IVF+PQ: the production 100 TB ANN stack (IVFADC; Jégou et
@@ -267,13 +324,7 @@ object Pq {
     // PQ codebooks + codes (the buildPqIndex internals, shared)
     val subs = subAssignments(corpus, idCol, vecCol, m, ksub, iters, portable)
     writeCodebook(lib, name, subs, corpus.sparkSession)
-    val codes = subs.zipWithIndex
-      .map { case ((assign, _, _), s) =>
-        assign.select(col(idCol), col("cluster").as(s"__pq$s"))
-      }
-      .reduce(_.join(_, Seq(idCol)))
-      .select(col(idCol),
-        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    val codes = codesFrame(corpus, idCol, vecCol, subs, m)
     val cells = Vectors.assignCells(
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
       centroids.select(col("cell").cast("int").as("cell"), col("centroid")))
@@ -299,7 +350,7 @@ object Pq {
       k: Int,
       nProbe: Int): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"bad params k=$k nProbe=$nProbe")
-    val (m, _, dim, _) = pqMeta(lib, name)
+    val (m, ksub, dim, _) = pqMeta(lib, name)
     val sublen = dim / m
     val centroids = lib.read(s"${name}__centroids")
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -316,33 +367,29 @@ object Pq {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val book = lib.read(s"${name}__codebook").localCheckpoint(true)
-    val tables = (0 until m).map { s =>
-      val qslice = probes.select(col("query_id"),
-          slice(col("qvec"), s * sublen + 1, sublen).as("__qv"))
-        .dropDuplicates("query_id")
-      distTable(qslice,
-        book.filter(col("sub") === s).select(col("c").as("__c"),
-          col("s").as("__s"), col("n").as("__n")))
-        .select(lit(s).as("__sub"), col("query_id"), col("__c"), col("__qd"))
-    }.reduce(_.unionByName(_))
+    val qt = flatTables(
+      queryTables(probes.dropDuplicates("query_id"), "query_id", "qvec",
+        m, sublen, s =>
+          book.filter(col("sub") === s).select(col("c").as("__c"),
+            col("s").as("__s"), col("n").as("__n"))), m, ksub)
     val idx = lib.read(s"${name}__cellcodes",
       exprFilter = Some(graft.query.Expr.col("cell").isin(
         probedCells.toIndexedSeq: _*)))
-    // each query scores only rows of ITS probed cells
-    val cand = idx.join(broadcast(
-        probes.select(col("query_id").as("__qid"), col("cell"))),
-        Seq("cell"))
-      .select(col("__qid"), col(idCol).as("corpus_id"),
-        posexplode(col("codes")))
-      .select(col("__qid").as("query_id"), col("corpus_id"),
-        col("pos").cast("int").as("__sub"), col("col").cast("long").as("__c"))
-    val scored = cand.join(broadcast(tables), Seq("__sub", "__c", "query_id"))
+    // each query scores only rows of ITS probed cells: the (query, cell)
+    // routing pairs join the flat tables first (both broadcast-sized),
+    // then the pruned code read joins on cell and the codegen'd ADC
+    // kernel scores each candidate row — no explode, no re-aggregate
+    val routing = probes.select(col("query_id"), col("cell"))
+      .join(qt, Seq("query_id"))
+    val codes = idx.join(broadcast(routing), Seq("cell"))
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        col("codes"), col("__table"))
+    val scored = codes
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(sum(col("__qd")).as("__adc"))
-    val ranked = Vectors.rankTopK(
-      scored.select(col("query_id"), col("corpus_id"),
-        (-col("__adc")).cast("double").as("sim")), k)
+      .select(col("query_id"), col("corpus_id"),
+        (-graft.plans.AdcScore(col("codes"), col("__table"), ksub))
+          .cast("double").as("sim"))
+    val ranked = Vectors.rankTopK(scored, k)
     ranked.select(col("query_id"), col("corpus_id"),
       ((-col("sim")).cast("long").cast("double") / 1e6).as("adc"), col("rank"))
   }
