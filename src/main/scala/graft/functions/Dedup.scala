@@ -1055,6 +1055,21 @@ object Dedup {
     */
   private val PrefixMaxAvgDf = 8.0
 
+  /** The SECOND prefix-dispatch condition (round 14, measured on the
+    * Zipf-vocabulary sf dirs): rare shingles alone don't justify the
+    * prefix path — on a boilerplate-FREE natural corpus (sf10-zipf,
+    * avg df 1.04) incidence measured 12.3 s where prefix paid 27.6 s /
+    * 3.4 GB for its two corpus-postings exchanges (collect_list + the
+    * prefix self-join), because the candidate-pair mass Σ df·(df−1)/2
+    * was already tiny. Prefix engages only when that mass exceeds this
+    * factor × total postings — i.e. when the incidence bucket join
+    * would materially out-cost the prefix machinery (PrefixProbe's
+    * boilerplate fixture: Σdf² ≈ 5 × postings ⇒ prefix, where it wins
+    * 32×). Both conditions cost the ONE aggregate over the freq table
+    * the path builds anyway.
+    */
+  private val IncidencePairsFactor = 2.0
+
   private[graft] def prefixJaccardPairs(
       posts: DataFrame,
       idType: org.apache.spark.sql.types.DataType,
@@ -1073,9 +1088,17 @@ object Dedup {
       }
     val freq = base.groupBy("s").agg(count(lit(1)).as("__df"))
     if (!force) {
-      val d = freq.agg(count(lit(1)).as("__n"), sum(col("__df")).as("__tot")).head
+      val d = freq.agg(count(lit(1)).as("__n"), sum(col("__df")).as("__tot"),
+        sum(col("__df") * (col("__df") - 1)).as("__pairs2")).head
       val (nShingles, totPosts) = (d.getLong(0), d.getLong(1))
-      if (nShingles == 0L || totPosts.toDouble / nShingles > PrefixMaxAvgDf)
+      val estPairs = d.getLong(2) / 2.0
+      // delegate to incidence when (a) nothing is rare — prefix buckets
+      // stay population-sized and verification amplifies (the 75 GB
+      // dense-corpus spill), or (b) the candidate-pair mass is small
+      // enough that the incidence bucket join is simply cheaper than
+      // prefix's two postings exchanges (the zipf measurement)
+      if (nShingles == 0L || totPosts.toDouble / nShingles > PrefixMaxAvgDf ||
+          estPairs <= IncidencePairsFactor * totPosts)
         return bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
     }
     val prefixes = base.join(freq, "s")

@@ -474,6 +474,43 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(got2 == Seq(6L), got2)
   }
 
+  test("prefix dispatch needs BOTH rare shingles AND candidate-pair mass") {
+    // boilerplate-heavy natural corpus: every doc carries 12 shared
+    // trailing words, so ~10 fully-boilerplate shingles have df = 200
+    // => Σ df(df−1)/2 ≈ 199k ≫ 2 × ~6k postings, avg df ~1.5 → PREFIX
+    // (the PrefixProbe regime where incidence serialized 32× worse)
+    val heavy = (1L to 200L).map { i =>
+      (i, ((1 to 20).map(j => s"u${i}x$j") ++
+        (1 to 12).map(j => s"bp$j")).mkString(" "))
+    }.toDF("id", "text")
+    val pHeavy = Dedup.ngramJaccardPairsImpl(heavy, "id", "text", 3, 0.8,
+        maxDocFreq = 0, forceDense = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(pHeavy.contains("__ss"),
+      "boilerplate corpus must take the prefix path")
+    // boilerplate-FREE natural corpus: every shingle doc-unique →
+    // candidate mass ~0; incidence is strictly cheaper (the sf10-zipf
+    // measurement: 12.3 s vs prefix's 27.6 s / 3.4 GB) → INCIDENCE
+    val light = (1L to 200L).map { i =>
+      (i, (1 to 32).map(j => s"u${i}x$j").mkString(" "))
+    }.toDF("id", "text")
+    val pLight = Dedup.ngramJaccardPairsImpl(light, "id", "text", 3, 0.8,
+        maxDocFreq = 0, forceDense = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(!pLight.contains("__ss"),
+      "rare-only corpus must take the incidence path")
+    // and the dense-vocab regime (avg df ≫ 8) still delegates: every
+    // doc IS the same text, df = population — prefix would bucket the
+    // whole corpus on every shingle
+    val dense = (1L to 200L).map(i =>
+      (i, (1 to 32).map(j => s"w$j").mkString(" "))).toDF("id", "text")
+    val pDense = Dedup.ngramJaccardPairsImpl(dense, "id", "text", 3, 0.8,
+        maxDocFreq = 0, forceDense = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(!pDense.contains("__ss"),
+      "dense-vocab corpus must take the incidence path")
+  }
+
   test("dropNearDuplicatesByQuality(pairs): injected-pair keeper composition") {
     // The LSH-fed spelling: the caller's pair generator owns candidate
     // discovery; the keeper resolves each connected component to its
