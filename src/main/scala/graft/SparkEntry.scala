@@ -1062,6 +1062,29 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q159_ivfpq_append" -> { (s, dir) =>
+      // Incremental IVF+PQ: both routing layers trained on the first
+      // 300 vectors only; the rest folds in as two appends (assign to
+      // STORED cells + encode against the STORED codebook). At
+      // nProbe = nlist cell routing is a no-op, so the post-append
+      // search must equal the plain trained-on-300 ADC ranking over
+      // the whole corpus — q156's oracle verbatim. A retrained append,
+      // a mis-routed cell, or a lost appended row flips the hash.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Pq.buildIvfPqIndex(lib, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "ivfpq", nlist = 8, m = 2, ksub = 4,
+        iters = 2, portable = true, targetRows = 200L)
+      graft.functions.Pq.appendToIvfPqIndex(lib,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "ivfpq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.appendToIvfPqIndex(lib, emb.filter(col("vec_id") >= 400),
+        "ivfpq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.ivfPqSearch(lib, "ivfpq",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+        nProbe = 8)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
     "q158_stream_retrieval_index" -> { (s, dir) =>
       // Live-ingest retrieval indexing: the corpus streams through a
       // real foreachBatch sink in THREE micro-batch files (first batch
@@ -2861,19 +2884,12 @@ object SparkEntry {
             CAST(rnk AS INT) AS rank
           FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
-  def oracleSql: Map[String, String] = Map(
-    // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
-    // codes, query distance tables, the order-free µ-long ADC sum.
-    "q155_pq_adc_search" -> pqAdcOracle,
-    // nProbe = nlist makes the IVF routing a no-op (every cell probed):
-    // the composed IVF+PQ index must reproduce the plain full-corpus
-    // ADC ranking bit-for-bit — q155's oracle verbatim.
-    "q157_ivfpq_search" -> pqAdcOracle,
-    // Same replay with Lloyd restricted to the training split
-    // (vec_id < 300) while codes and ADC cover the whole corpus — the
-    // build+append+search equivalence of the persisted PQ index.
-    "q156_pq_index_append" ->
-      s"""WITH ${pqSubCtes(0, 1, 32, 4, "vec_id < 300")},
+  /** Shared by q156 (flat PQ split build+append) and q159 (IVF+PQ
+    * split at nProbe = nlist): Lloyd restricted to the training ids,
+    * codes and ADC over the whole corpus.
+    */
+  private def pqSplitAdcOracle: String =
+    s"""WITH ${pqSubCtes(0, 1, 32, 4, "vec_id < 300")},
           ${pqSubCtes(1, 33, 64, 4, "vec_id < 300")},
           adc AS (
             SELECT q0.query_id, a0.vec_id AS corpus_id, q0.qd + q1.qd AS score
@@ -2889,7 +2905,23 @@ object SparkEntry {
             FROM adc)
           SELECT query_id, corpus_id, score / 1000000.0 AS adc,
             CAST(rnk AS INT) AS rank
-          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+          FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  def oracleSql: Map[String, String] = Map(
+    // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
+    // codes, query distance tables, the order-free µ-long ADC sum.
+    "q155_pq_adc_search" -> pqAdcOracle,
+    // nProbe = nlist makes the IVF routing a no-op (every cell probed):
+    // the composed IVF+PQ index must reproduce the plain full-corpus
+    // ADC ranking bit-for-bit — q155's oracle verbatim.
+    "q157_ivfpq_search" -> pqAdcOracle,
+    // Same replay with Lloyd restricted to the training split
+    // (vec_id < 300) while codes and ADC cover the whole corpus — the
+    // build+append+search equivalence of the persisted PQ index.
+    "q156_pq_index_append" -> pqSplitAdcOracle,
+    // IVF+PQ increments at nProbe = nlist: cell routing is a no-op, so
+    // the fold must land exactly where the flat PQ fold lands.
+    "q159_ivfpq_append" -> pqSplitAdcOracle,
     // q28's portable-MinHash replay fused with q146's keeper argmax:
     // the full LSH-fed quality-dedup composition recomputed in DuckDB.
     "q151_lsh_quality_dedup" ->

@@ -335,6 +335,47 @@ object Pq {
       Some("cell"), targetRows = targetRows)
   }
 
+  /** Fold a NEW embedding batch into a persisted IVF+PQ index — both
+    * routing layers are immutable after build (the IVF add-without-
+    * retrain contract AND the PQ fixed-codebook contract composed):
+    * vectors assign to the nearest STORED cell centroid and encode
+    * against the STORED codebook, and the (cell, id, codes) rows append
+    * as a new version — each appended file still cell-contiguous (the
+    * commit path sorts the increment), so probe-time manifest pruning
+    * keeps biting inside every increment. A probe after N appends
+    * equals a probe after one build with the same centroids + codebook
+    * over the union — the q159 gate hashes that equivalence at
+    * nProbe = nlist against q156's oracle.
+    */
+  def appendToIvfPqIndex(
+      lib: graft.core.Library,
+      batch: DataFrame,
+      name: String,
+      idCol: String,
+      vecCol: String,
+      targetRows: Long = 100000L): Unit = {
+    val (m, _, dim, portable) = pqMeta(lib, name)
+    val sublen = dim / m
+    val centroids = lib.read(s"${name}__centroids")
+    val cells = Vectors.assignCells(
+      batch.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      centroids.select(col("cell").cast("int").as("cell"), col("centroid")))
+      .select(col("cell").cast("long").as("cell"), col("cid").as(idCol))
+    val book = lib.read(s"${name}__codebook")
+    val codes = (0 until m).map { s =>
+      val sliced = batch.select(col(idCol),
+        slice(col(vecCol), s * sublen + 1, sublen).as("__sv"))
+      assignToCodebook(sliced, idCol, book.filter(col("sub") === s), portable)
+        .select(col(idCol), col("__c").cast("int").as(s"__pq$s"))
+    }.reduce(_.join(_, Seq(idCol)))
+      .select(col(idCol),
+        array((0 until m).map(s => col(s"__pq$s")): _*).as("codes"))
+    lib.append(s"${name}__cellcodes",
+      cells.join(codes, Seq(idCol))
+        .select(col("cell"), col(idCol), col("codes")),
+      targetRows, validateIndex = false)
+  }
+
   /** Probe an IVF+PQ index: route queries to their nProbe best cells
     * against the broadcast centroid symbol, read ONLY those cells'
     * codes (manifest-pruned, the q110 machinery over a table already

@@ -150,6 +150,35 @@ class PqSpec extends SparkSuite {
     assert(allFiles >= 4 && probed < allFiles, s"pruned $probed of $allFiles")
   }
 
+  test("IVF+PQ append: fold encodes against stored cells AND codebook") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-ivfpqa-").toString, spark)
+    graft.functions.Pq.buildIvfPqIndex(lib, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", "ix", nlist = 4, m = 4, ksub = 8, iters = 2,
+      targetRows = 60L)
+    val dup = emb.filter(col("vec_id") === 1)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    graft.functions.Pq.appendToIvfPqIndex(lib,
+      emb.filter(col("vec_id") >= 300).select("vec_id", "embedding")
+        .unionByName(dup),
+      "ix", "vec_id", "embedding", targetRows = 60L)
+    assert(lib.read("ix__cellcodes").count() == 501)
+    // the duplicate landed in the SAME cell with the SAME codes as the
+    // original (immutable routing + immutable codebook)
+    val rows = lib.read("ix__cellcodes")
+      .filter(col("vec_id") === 1 || col("vec_id") === 100000L)
+      .select("cell", "codes").collect()
+    assert(rows.length == 2 && rows(0) == rows(1), rows.toSeq)
+    // full probe: the duplicate ties the minimum ADC for query 1
+    val hits = graft.functions.Pq.ivfPqSearch(lib, "ix",
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5,
+        nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    val best = hits.map(_._3).min
+    assert(hits.find(_._2 == 100000L).exists(_._3 == best), hits.toSeq)
+  }
+
   test("pq refuses a dim not divisible into m subspaces") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
