@@ -47,7 +47,15 @@ object ScaleProbe {
     "q145_zipf_fit",
     "q146_quality_dedup",
     "q146_quality_cap256",
-    "q147_link_hits")
+    "q147_link_hits",
+    // round-14 additions: SemDeDup at its production operating point
+    // (auto-k + eps 0.9), the LSH-fed keeper's production spelling
+    // (xxhash64 minhash), and the PQ / IVF+PQ production searches —
+    // the composed-index rows include their one-time builds
+    "q125_semdedup_eps09",
+    "q151_keeper_prod",
+    "q155_pq_prod",
+    "q157_ivfpq_prod")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
