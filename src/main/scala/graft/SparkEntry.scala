@@ -1062,6 +1062,26 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q160_autolsh_quality_dedup" -> { (s, dir) =>
+      // The quality keeper's auto-dispatched LSH route pinned ON: past
+      // the dense-corpus gate, dropNearDuplicatesByQuality swaps its
+      // pair tier from exact all-pairs Jaccard to MinHash-LSH
+      // candidates verified by EXACT Jaccard rescoring
+      // (Dedup.lshJaccardPairs). forceLsh pins that route on the sf
+      // corpus (the gate itself is corpus-size-driven; PlanSpec pins
+      // the auto firing) and portable mode makes the chain
+      // oracle-replayable. The oracle recomputes EVERYTHING —
+      // fingerprint keeper tier → md5 signatures → band buckets → cap
+      // → candidate pairs → exact rescore at t=0.5 → recursive
+      // components → keeper argmax → survivors — so drift anywhere,
+      // including the rescore rounding, flips the hash.
+      val docs = t(s, dir, "documents")
+        .withColumn("__score", length(col("text")).cast("double"))
+      Dedup.dropNearDuplicatesByQualityImpl(docs, "doc_id", "text",
+        "__score", 3, 0.5, 0L, portable = true, forceLsh = Some(true))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q159_ivfpq_append" -> { (s, dir) =>
       // Incremental IVF+PQ: both routing layers trained on the first
       // 300 vectors only; the rest folds in as two appends (assign to
@@ -2922,6 +2942,73 @@ object SparkEntry {
     // IVF+PQ increments at nProbe = nlist: cell routing is a no-op, so
     // the fold must land exactly where the flat PQ fold lands.
     "q159_ivfpq_append" -> pqSplitAdcOracle,
+    // The auto-dispatch LSH route of the quality keeper: q146's
+    // fingerprint tier + q151's portable-MinHash band replay + the NEW
+    // exact-rescore step (candidates verified at t=0.5) + the keeper
+    // argmax — the full lshJaccardPairs composition in DuckDB.
+    "q160_autolsh_quality_dedup" ->
+      s"""WITH RECURSIVE kept AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY md5($normSql)
+                ORDER BY length(text) DESC, doc_id) AS rn
+              FROM documents) WHERE rn = 1),
+          docs AS (
+            SELECT d.doc_id, string_split($normSql, ' ') AS w
+            FROM documents d JOIN kept USING (doc_id)),
+          sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM docs)),
+          hs AS (
+            SELECT doc_id, i,
+              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
+            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
+          banded AS (
+            SELECT doc_id,
+              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
+              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
+            FROM msig, range(0, 4) t(b)),
+          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
+          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          keepers AS (
+            SELECT id FROM (
+              SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY length(d.text) DESC, c.id) AS rn
+              FROM comp c JOIN documents d ON d.doc_id = c.id)
+            WHERE rn = 1),
+          losers AS (
+            SELECT id FROM comp
+            WHERE id NOT IN (SELECT id FROM keepers))
+          SELECT k.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+          FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+          LEFT JOIN losers l ON k.doc_id = l.id
+          WHERE l.id IS NULL ORDER BY 1""",
     // q28's portable-MinHash replay fused with q146's keeper argmax:
     // the full LSH-fed quality-dedup composition recomputed in DuckDB.
     "q151_lsh_quality_dedup" ->

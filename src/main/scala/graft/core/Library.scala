@@ -1443,11 +1443,19 @@ final class Library(
       listing.filter(_.isDirectory).foreach { dir =>
         val dirName = dir.getPath.getName
         if (!inFlight.contains(dirName)) {
-          dfs.listStatus(dir.getPath).filter(_.isFile).foreach { st =>
+          // ONE listing decides both what to drop and whether the dir
+          // ends up empty: re-listing after the drops would FNF on an
+          // object store, where a directory IS its keys and vanishes
+          // with the last one (HttpLibraryLifecycleSpec caught exactly
+          // that — the local-FS run never could).
+          val entries = dfs.listStatus(dir.getPath)
+          var kept = entries.exists(_.isDirectory)
+          entries.filter(_.isFile).foreach { st =>
             if (!keepFiles.contains(s"$dirName/${st.getPath.getName}"))
               dfs.delete(st.getPath, false)
+            else kept = true
           }
-          if (dfs.listStatus(dir.getPath).isEmpty) dfs.delete(dir.getPath, false)
+          if (!kept) dfs.delete(dir.getPath, false)
         }
       }
     }

@@ -315,6 +315,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs at corpus scale: MinHash-LSH candidates verified by
+    * EXACT n-gram Jaccard rescoring — the candidates→verify pipeline as a
+    * drop-in pair generator. Output: (id_a, id_b) with id_a < id_b, a
+    * subset of [[ngramJaccardPairs]]' answer (every emitted pair truly
+    * clears `threshold`; recall is the LSH band recall, ~1 for the
+    * high-similarity pairs dedup exists to catch, and identical texts
+    * share every band by construction). This is what
+    * [[dropNearDuplicates]] / [[dropNearDuplicatesByQuality]] auto-route
+    * to past the dense-corpus gate, where exact all-pairs is
+    * incidence-quadratic (reference posture: `grouper.hpp:16-60` buckets
+    * everything, never materializing all-pairs).
+    *
+    * Scale shape: candidate generation is the banded bucket join
+    * (bounded keys, `maxBucket` cap); rescoring restricts the corpus to
+    * docs that appear in some candidate pair (a sparse subset), collects
+    * each such doc's distinct shingle HASHES once (one keyed shuffle of
+    * 8-byte longs — text never shuffles), and joins the ~|shingles|-long
+    * arrays onto the pair stream by id. Per-pair cost is
+    * O(|a| + |b|) set intersection; total cost is candidate-pair mass,
+    * never corpus². Jaccard rounds to 6 before the threshold compare
+    * (the [[matchesAgainstIndex]] convention) and inherits the 64-bit
+    * shingle-hash almost-surely-exact caveat of [[ngramJaccardPairs]].
+    */
+  def lshJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleLen, numHashes,
+      bands, maxBucket, portable)
+    val ids = cand.select(col("id_a").as("__cid"))
+      .unionByName(cand.select(col("id_b").as("__cid"))).distinct()
+    val docs = df.join(ids, df(idCol) === ids("__cid"), "left_semi")
+    val sets = shinglePostings(
+      spreadForKernel(docs, idCol, textCol), idCol, textCol, shingleLen)
+      .groupBy("id")
+      .agg(collect_set(xxhash64(col("s"))).as("__set"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      .filter(round(jaccard(col("__sa"), col("__sb")), 6) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** The (id, band, bandhash) LSH band rows of a corpus — the shared
     * front half of [[minhashCandidates]] and the persisted-index pair
     * ([[buildMinhashIndex]] / [[minhashCandidatesAgainstIndex]]), so the
@@ -716,13 +765,9 @@ object Dedup {
     // it was a fixed ~40 ms on every small-corpus call. A pathological
     // all-empty-text corpus that slips under it merely runs dense with
     // more blocks than the tile gate intends: correct, not dense-optimal.
-    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val fallback = forceDense match {
       case Some(dense) => !dense
-      case None =>
-        statsBytes > DenseMaxStatsBytes ||
-          (statsBytes > DenseMaxDocs * 8L &&
-            df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs)
+      case None => pastDenseGate(df)
     }
     if (fallback) {
       val prefix = forcePrefix.getOrElse(threshold >= PrefixPathMinThreshold)
@@ -775,6 +820,28 @@ object Dedup {
     * without running the count job (see ngramJaccardPairsImpl).
     */
   private val DenseMaxStatsBytes = 1L << 30
+
+  /** The shared corpus-size gate of [[ngramJaccardPairsImpl]] AND the
+    * keeper auto-dispatch ([[dropNearDuplicates]] /
+    * [[dropNearDuplicatesByQuality]]): true when the corpus is past the
+    * dense-tile envelope (~260k docs / 1 GiB). Zero-job first — an
+    * optimizer size estimate above [[DenseMaxStatsBytes]] answers without
+    * any job (a 100 TB input never pays a dispatch count); an estimate
+    * under DenseMaxDocs × 8 bytes cannot hold more rows than the doc cap
+    * (8 B/row is below any real row with an id plus non-empty text), so
+    * tiny corpora skip the count too. Only the middle band runs one
+    * column-pruned count aggregate (partial counts from parquet page
+    * metadata). Over-counting is the safe direction everywhere: a
+    * past-gate answer routes to the scale path (incidence fallback /
+    * LSH), which is correct on any corpus, merely not dense-optimal on a
+    * small one.
+    */
+  private[graft] def pastDenseGate(df: DataFrame): Boolean = {
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    statsBytes > DenseMaxStatsBytes ||
+      (statsBytes > DenseMaxDocs * 8L &&
+        df.select(count(lit(1))).head.getLong(0) > DenseMaxDocs)
+  }
 
   /** The blocked dense-tile strategy (see ngramJaccardPairs doc). */
   private def blockedJaccardPairs(
@@ -1263,9 +1330,22 @@ object Dedup {
         coalesce(col("__nov"), lit(1.0)).as("novelty"))
   }
 
-  /** The full near-dup removal pipeline: exact dedup → n-gram Jaccard
-    * pairs → connected components → keep the canonical (min-id) doc per
-    * cluster. Returns the surviving rows of df.
+  /** The full near-dup removal pipeline: exact dedup → near-dup pairs →
+    * connected components → keep the canonical (min-id) doc per cluster.
+    * Returns the surviving rows of df.
+    *
+    * Pair tier AUTO-DISPATCH (the [[pastKeeperLshGate]] bar, ~64k docs
+    * / 256 MiB): below it, exact inverted-index Jaccard pairs; past it,
+    * [[lshJaccardPairs]] — MinHash-LSH candidates exact-rescored —
+    * because the exact tier's incidence cost is Σ|bucket|², quadratic
+    * on a dense-vocabulary corpus at low thresholds (measured 85.9 s /
+    * 9.2 GB shuffle at 250k docs, t=0.2), while the LSH tier is
+    * corpus-linear plus bounded bucket joins. Every LSH-emitted pair truly clears `threshold` (exact
+    * rescore); recall is the band recall — the standard large-corpus
+    * dedup contract. `maxDocFreq` caps boilerplate shingles on the exact
+    * tier; the LSH tier's `maxBucket` cap plays that role past the gate.
+    * Identical texts are always caught: the exact-fingerprint tier runs
+    * first on BOTH routes.
     */
   def dropNearDuplicates(
       df: DataFrame,
@@ -1273,9 +1353,28 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 0): DataFrame = {
+      maxDocFreq: Long = 0): DataFrame =
+    dropNearDuplicatesImpl(df, idCol, textCol, shingleLen, threshold,
+      maxDocFreq, portable = false, forceLsh = None)
+
+  /** Test/gate hook: forceLsh pins the pair tier (Some(true) = LSH,
+    * Some(false) = exact) so specs and replay oracles can exercise both
+    * routes on the same corpus; portable swaps xxhash64 for the
+    * md5-derived h60 inside the LSH chain so an external engine replays
+    * the buckets exactly.
+    */
+  private[graft] def dropNearDuplicatesImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      portable: Boolean,
+      forceLsh: Option[Boolean]): DataFrame = {
     val exact = dropExactDuplicates(df, idCol, textCol)
-    val pairs = ngramJaccardPairs(exact, idCol, textCol, shingleLen, threshold, maxDocFreq)
+    val pairs = nearDupPairs(df, exact, idCol, textCol, shingleLen,
+      threshold, maxDocFreq, portable, forceLsh)
     // no broadcast hint: the loser set is data-dependent (could be most of
     // a crawl) — AQE picks broadcast when it measures small
     val losers = duplicateClusters(pairs)
@@ -1283,6 +1382,50 @@ object Dedup {
       .select(col("id"))
     exact.join(losers, exact(idCol) === losers("id"), "left_anti")
   }
+
+  /** Shared pair-tier dispatch of both keepers. Gates on the RAW corpus
+    * (`raw`), not the fingerprint-deduped survivors: the raw scan's stats
+    * answer without a job, counting the survivors would force the
+    * fingerprint aggregate early, and raw ≥ deduped so over-counting
+    * routes to the scale path — correct on any corpus.
+    */
+  private[graft] def nearDupPairs(
+      raw: DataFrame,
+      deduped: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      portable: Boolean,
+      forceLsh: Option[Boolean]): DataFrame =
+    if (forceLsh.getOrElse(pastKeeperLshGate(raw)))
+      lshJaccardPairs(deduped, idCol, textCol, shingleLen, threshold,
+        portable = portable)
+    else
+      ngramJaccardPairs(deduped, idCol, textCol, shingleLen, threshold,
+        maxDocFreq)
+
+  /** The keeper auto-dispatch bar: past it, the pair tier is LSH. Same
+    * zero-job-first shape as [[pastDenseGate]] but a LOWER bar: both
+    * exact pair strategies are quadratic-ish at the keepers' typical low
+    * thresholds (dense tiles scan O(n²/2) cells; the incidence aggregate
+    * scales with Σ|bucket|²), and the measured exact-vs-LSH crossover is
+    * ~50k docs (sf1: exact keeper 5.8 s vs LSH keeper 5.2 s; by 250k
+    * docs exact is 85.9 s / 9.2 GB vs LSH ~11 s — SURVEY §16/§17 rows).
+    * The bar sits at the next power of two above the crossover. The
+    * stats shortcut (256 MiB ≈ tens-of-GB of text at parquet's ~50×
+    * text compression) keeps a big corpus from ever paying the count.
+    */
+  private[graft] def pastKeeperLshGate(df: DataFrame): Boolean = {
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    statsBytes > KeeperLshMaxStatsBytes ||
+      (statsBytes > KeeperLshMaxDocs * 8L &&
+        df.select(count(lit(1))).head.getLong(0) > KeeperLshMaxDocs)
+  }
+
+  private val KeeperLshMaxDocs = 65536L
+  private val KeeperLshMaxStatsBytes = 1L << 28
 
   /** Quality-aware near-duplicate removal: the cluster discovery of
     * [[dropNearDuplicates]], but every duplicate group keeps its BEST
@@ -1308,13 +1451,32 @@ object Dedup {
       scoreCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 0): DataFrame = {
+      maxDocFreq: Long = 0): DataFrame =
+    dropNearDuplicatesByQualityImpl(df, idCol, textCol, scoreCol,
+      shingleLen, threshold, maxDocFreq, portable = false, forceLsh = None)
+
+  /** Test/gate hook — see [[dropNearDuplicatesImpl]]. The pair tier
+    * auto-dispatches at the [[pastKeeperLshGate]] bar exactly like
+    * [[dropNearDuplicates]]; the exact-fingerprint keeper tier runs
+    * first on both routes (so a >maxBucket identical-text group, whose
+    * LSH buckets the cap would drop, still collapses to its best copy).
+    */
+  private[graft] def dropNearDuplicatesByQualityImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleLen: Int,
+      threshold: Double,
+      maxDocFreq: Long,
+      portable: Boolean,
+      forceLsh: Option[Boolean]): DataFrame = {
     val fp = df.select(col(idCol).as("__bid"), col(scoreCol).as("__q"),
       Text.fingerprint(col(textCol)).as("__fp"))
     val exactKeep = bestByScore(fp, "__fp").withColumnRenamed("__bid", idCol)
     val exact = df.join(exactKeep, Seq(idCol), "left_semi")
-    val pairs = ngramJaccardPairs(exact, idCol, textCol, shingleLen,
-      threshold, maxDocFreq)
+    val pairs = nearDupPairs(df, exact, idCol, textCol, shingleLen,
+      threshold, maxDocFreq, portable, forceLsh)
     dropByQualityFromPairs(exact, pairs, idCol, scoreCol)
   }
 

@@ -551,4 +551,57 @@ class DedupGroundTruthSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(2L, 3L), got)
   }
+
+  test("lshJaccardPairs: every emitted pair is exact-verified; identical docs always pair") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"), // jac 7/9 with 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // = 3
+      (5L, "totally unrelated words occupying this fifth document slot")
+    ).toDF("id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.lshJaccardPairs(docs, "id", "text", 3, 0.5)
+      .as[(Long, Long)].collect().toSet
+    // precision is exact by construction: the rescore admits only pairs
+    // the exact tier would emit
+    assert(lsh.subsetOf(exact), s"$lsh not ⊆ $exact")
+    // identical texts share every band — the LSH tier can never miss them
+    assert(lsh.contains((3L, 4L)), lsh)
+    // a candidate that fails the threshold is CUT by the rescore: at
+    // t=0.9 the (1,2) pair (exact jaccard 7/9 ≈ 0.78) must not survive,
+    // whatever buckets it landed in
+    val strict = Dedup.lshJaccardPairs(docs, "id", "text", 3, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(!strict.contains((1L, 2L)), strict)
+    assert(strict.contains((3L, 4L)), strict)
+  }
+
+  test("keeper auto-dispatch: forced-LSH equals forced-exact on a total-recall corpus") {
+    // identical + near-identical groups (LSH recall 1 on this fixture),
+    // so both routes must produce the same survivor set — the dispatch
+    // changes the physical pair tier, not the keeper semantics
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 0.2),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 0.9),
+      (3L, "one two three four five six seven eight nine ten", 0.4),
+      (4L, "one two three four five six seven eight nine ten", 0.8),
+      (5L, "totally unrelated words occupying this fifth document slot", 0.1)
+    ).toDF("id", "text", "score")
+    val viaLsh = Dedup.dropNearDuplicatesByQualityImpl(docs, "id", "text",
+        "score", 3, 0.5, 0L, portable = false, forceLsh = Some(true))
+      .select("id").as[Long].collect().toSet
+    val viaExact = Dedup.dropNearDuplicatesByQualityImpl(docs, "id", "text",
+        "score", 3, 0.5, 0L, portable = false, forceLsh = Some(false))
+      .select("id").as[Long].collect().toSet
+    assert(viaLsh == viaExact, s"$viaLsh vs $viaExact")
+    assert(viaLsh == Set(2L, 4L, 5L), viaLsh)
+    // the canonical (min-id) keeper dispatches identically
+    val plain = docs.drop("score")
+    val canLsh = Dedup.dropNearDuplicatesImpl(plain, "id", "text", 3, 0.5,
+        0L, portable = false, forceLsh = Some(true))
+      .select("id").as[Long].collect().toSet
+    assert(canLsh == Set(1L, 3L, 5L), canLsh)
+  }
 }

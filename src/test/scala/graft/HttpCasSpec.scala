@@ -30,8 +30,14 @@ import graft.core.CommitCas
   * conditional PUT at close, lost race = FileAlreadyExistsException.
   */
 object HttpObjectStore {
+  /** A stored object: bytes plus server-side last-modified (object
+    * stores stamp mtime at PUT — the Library's in-flight grace check
+    * reads it off listStatus).
+    */
+  final case class Obj(bytes: Array[Byte], mtime: Long)
+
   final class Server {
-    private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+    private val objects = new ConcurrentHashMap[String, Obj]()
     private val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     http.setExecutor(Executors.newFixedThreadPool(8)) // PUTs must really race
     http.createContext("/", (x: HttpExchange) => handle(x))
@@ -46,22 +52,29 @@ object HttpObjectStore {
         val key = x.getRequestURI.getPath
         (x.getRequestMethod, key) match {
           case ("GET", "/__list") =>
+            // key<TAB>length<TAB>mtime per line — the ListObjectsV2 shape
+            // (key + Size + LastModified), enough for FileStatus synthesis
             val prefix = Option(x.getRequestURI.getQuery)
               .flatMap(_.split("&").find(_.startsWith("prefix=")))
               .map(_.stripPrefix("prefix=")).getOrElse("")
-            reply(x, 200, keys.filter(_.startsWith(prefix)).sorted.mkString("\n")
-              .getBytes("UTF-8"))
+            import scala.jdk.CollectionConverters._
+            val body = objects.entrySet().asScala.toSeq
+              .filter(_.getKey.startsWith(prefix)).sortBy(_.getKey)
+              .map(e => s"${e.getKey}\t${e.getValue.bytes.length}\t${e.getValue.mtime}")
+              .mkString("\n")
+            reply(x, 200, body.getBytes("UTF-8"))
           case ("GET", _) =>
             objects.get(key) match {
               case null => x.sendResponseHeaders(404, -1); x.close()
-              case b => reply(x, 200, b)
+              case b => reply(x, 200, b.bytes)
             }
           case ("PUT", _) =>
             val body = x.getRequestBody.readAllBytes()
+            val obj = Obj(body, System.currentTimeMillis())
             val conditional = Option(x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
             val won =
-              if (conditional) objects.putIfAbsent(key, body) == null // THE atomic decision
-              else { objects.put(key, body); true }
+              if (conditional) objects.putIfAbsent(key, obj) == null // THE atomic decision
+              else { objects.put(key, obj); true }
             x.sendResponseHeaders(if (won) 201 else 412, -1); x.close()
           case ("DELETE", _) =>
             objects.remove(key); x.sendResponseHeaders(204, -1); x.close()
@@ -77,16 +90,25 @@ object HttpObjectStore {
   }
 }
 
-/** Hadoop FileSystem speaking the HTTP object-store protocol — the client
-  * side of S3A's conditional-create shape: create(overwrite = false)
-  * buffers locally and issues ONE conditional PUT at close(); a 412
-  * surfaces as FileAlreadyExistsException exactly there. No rename, like
-  * a real object store.
+/** Hadoop FileSystem speaking the HTTP object-store protocol — the
+  * client side of the S3A contract, faithfully UN-posixy:
+  *
+  *  - create(overwrite = false) buffers locally and issues ONE
+  *    conditional PUT at close(); a 412 surfaces as
+  *    FileAlreadyExistsException exactly there (the CommitCas leg).
+  *  - rename is COPY + DELETE per object — functional, NEVER atomic,
+  *    exactly what S3A's rename is. A caller that needed rename
+  *    atomicity would pass tests on file:// and corrupt data on S3;
+  *    running the whole Library lifecycle here proves no such caller
+  *    exists outside CommitCas (HttpLibraryLifecycleSpec).
+  *  - directories do not exist: they are synthesized from key prefixes
+  *    at list/status time (the S3A shape); mkdirs is a no-op.
   */
 class HttpCasFileSystem extends FileSystem {
   private var endpoint: String = _
   private var fsUri: URI = _
   private val client = HttpClient.newHttpClient()
+  private val BlockSize = 32L * 1024 * 1024
 
   override def initialize(uri: URI, conf: Configuration): Unit = {
     super.initialize(uri, conf)
@@ -98,6 +120,8 @@ class HttpCasFileSystem extends FileSystem {
   override def getScheme: String = "s3"
   override def getUri: URI = fsUri
   private def keyOf(f: Path): String = f.toUri.getPath
+  private def qual(key: String): Path =
+    new Path(fsUri.getScheme + "://" + fsUri.getAuthority + key)
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val r = client.send(
@@ -128,43 +152,124 @@ class HttpCasFileSystem extends FileSystem {
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("object store append")
 
-  override def rename(src: Path, dst: Path): Boolean =
-    throw new UnsupportedOperationException(
-      "object store has no rename — commits go through conditional PUT")
-
-  override def delete(f: Path, recursive: Boolean): Boolean = {
-    client.send(
-      HttpRequest.newBuilder(URI.create(endpoint + keyOf(f))).DELETE().build(),
-      HttpResponse.BodyHandlers.discarding())
-    true
+  /** S3A rename: per-object copy then delete. Functional but NOT
+    * atomic — a concurrent reader can observe src and dst both present
+    * (or, across a multi-object "directory", a partial move). dst
+    * landing inside an existing directory keeps the source name
+    * (Hadoop semantics); otherwise dst is the exact target.
+    */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val sk = keyOf(src)
+    val es = list(sk)
+    def move(from: String, to: String): Unit = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(endpoint + from)).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      if (r.statusCode() != 200) throw new java.io.IOException(s"rename GET $from")
+      val put = client.send(
+        HttpRequest.newBuilder(URI.create(endpoint + to))
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(r.body())).build(),
+        HttpResponse.BodyHandlers.discarding())
+      if (put.statusCode() != 201) throw new java.io.IOException(s"rename PUT $to")
+      client.send(
+        HttpRequest.newBuilder(URI.create(endpoint + from)).DELETE().build(),
+        HttpResponse.BodyHandlers.discarding())
+      ()
+    }
+    val dk0 = keyOf(dst)
+    val dstIsDir = list(dk0.stripSuffix("/") + "/").nonEmpty
+    val dk = if (dstIsDir) dk0.stripSuffix("/") + "/" + src.getName else dk0
+    if (es.exists(_.key == sk)) { move(sk, dk); true }
+    else {
+      val pre = sk.stripSuffix("/") + "/"
+      val under = es.filter(_.key.startsWith(pre))
+      if (under.isEmpty) false
+      else {
+        under.foreach(e => move(e.key, dk.stripSuffix("/") + "/" + e.key.stripPrefix(pre)))
+        true
+      }
+    }
   }
 
-  private def list(prefix: String): Seq[String] = {
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    def del(k: String): Unit = {
+      client.send(
+        HttpRequest.newBuilder(URI.create(endpoint + k)).DELETE().build(),
+        HttpResponse.BodyHandlers.discarding())
+      ()
+    }
+    val es = list(key)
+    val pre = key.stripSuffix("/") + "/"
+    val children = es.filter(_.key.startsWith(pre))
+    if (es.exists(_.key == key)) { del(key); true }
+    else if (children.nonEmpty) {
+      if (!recursive)
+        throw new java.io.IOException(s"non-recursive delete of non-empty dir $f")
+      children.foreach(e => del(e.key))
+      true
+    } else false
+  }
+
+  private final case class Entry(key: String, len: Long, mtime: Long)
+
+  private def list(prefix: String): Seq[Entry] = {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(s"$endpoint/__list?prefix=$prefix")).GET().build(),
       HttpResponse.BodyHandlers.ofString())
-    r.body().split("\n").toSeq.filter(_.nonEmpty)
+    r.body().split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array(k, l, m) => Entry(k, l.toLong, m.toLong)
+        case Array(k) => Entry(k, 0L, 0L)
+        case other => throw new java.io.IOException(s"bad list line: ${other.mkString("\t")}")
+      }
+    }
   }
 
+  /** Direct children of a prefix, S3 delimiter-style: exact keys at the
+    * next level are files (real length + mtime); deeper keys synthesize
+    * directory entries.
+    */
   override def listStatus(f: Path): Array[FileStatus] = {
-    val dir = keyOf(f).stripSuffix("/") + "/"
-    list(dir).map(k => new FileStatus(0, false, 1, 0, 0,
-      new Path(fsUri.getScheme + "://" + fsUri.getAuthority + k))).toArray
+    val key = keyOf(f)
+    val self = list(key).find(_.key == key)
+    if (self.isDefined)
+      return Array(new FileStatus(self.get.len, false, 1, BlockSize,
+        self.get.mtime, qual(key)))
+    val dir = key.stripSuffix("/") + "/"
+    val under = list(dir)
+    if (under.isEmpty && dir != "/")
+      throw new java.io.FileNotFoundException(f.toString)
+    under.groupBy(e => e.key.stripPrefix(dir).takeWhile(_ != '/')).toArray
+      .sortBy(_._1).map { case (name, es) =>
+        val childKey = dir + name
+        es.find(_.key == childKey) match {
+          case Some(e) =>
+            new FileStatus(e.len, false, 1, BlockSize, e.mtime, qual(childKey))
+          case None =>
+            new FileStatus(0, true, 1, 0, es.map(_.mtime).max, qual(childKey))
+        }
+      }
   }
 
   override def setWorkingDirectory(d: Path): Unit = ()
   override def getWorkingDirectory: Path = new Path("/")
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true // keys, not dirs
+  override def getDefaultBlockSize(f: Path): Long = BlockSize
 
   override def getFileStatus(f: Path): FileStatus = {
-    val r = client.send(
-      HttpRequest.newBuilder(URI.create(endpoint + keyOf(f))).GET().build(),
-      HttpResponse.BodyHandlers.ofByteArray())
-    if (r.statusCode() == 200)
-      new FileStatus(r.body().length.toLong, false, 1, 0, 0, f)
-    else if (list(keyOf(f).stripSuffix("/") + "/").nonEmpty)
-      new FileStatus(0, true, 1, 0, 0, f)
-    else throw new java.io.FileNotFoundException(f.toString)
+    val key = keyOf(f)
+    if (key == "/" || key.isEmpty)
+      return new FileStatus(0, true, 1, 0, 0, qual("/"))
+    val es = list(key)
+    es.find(_.key == key) match {
+      case Some(e) => new FileStatus(e.len, false, 1, BlockSize, e.mtime, qual(key))
+      case None =>
+        val pre = key.stripSuffix("/") + "/"
+        if (es.exists(_.key.startsWith(pre)))
+          new FileStatus(0, true, 1, 0, 0, qual(key))
+        else throw new java.io.FileNotFoundException(f.toString)
+    }
   }
 
   /** In-memory Seekable wrapper for FSDataInputStream. */

@@ -475,4 +475,34 @@ class PlanSpec extends SparkSuite {
       assert(keyed.isEmpty, s"entropy must not key-shuffle the corpus:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("near-dup keeper auto-dispatch: past-gate corpora route to LSH, small stay exact (q160)") {
+    // range(70000) puts the stats estimate past KeeperLshMaxDocs × 8
+    // bytes and the count past the ~64k keeper bar, so the gate fires on
+    // size alone — no fake data volume needed. The pair tier (what the
+    // gate swaps) is pinned directly: past the gate it must be the
+    // banded-LSH chain (bandhash exchanges), never the incidence
+    // aggregate or the dense tiles; below it, the exact tier with no
+    // band in sight.
+    val mk = (n: Long) => spark.range(n).select(col("id"),
+      concat_ws(" ", lit("alpha"), col("id").cast("string"),
+        lit("beta gamma delta epsilon")).as("text"))
+    val big = mk(70000L)
+    assert(graft.functions.Dedup.pastKeeperLshGate(big),
+      "70k-doc corpus must be past the keeper LSH bar")
+    val lshPlan = graft.functions.Dedup.nearDupPairs(big, big, "id", "text",
+      3, 0.8, 0L, portable = false, forceLsh = None)
+      .queryExecution.optimizedPlan.toString
+    assert(lshPlan.contains("bandhash"),
+      s"past-gate pair tier must be banded LSH:\n${lshPlan.take(2000)}")
+    assert(!lshPlan.contains("BucketPairs") && !lshPlan.contains("__ss"),
+      "LSH route must contain no incidence aggregate / prefix machinery")
+    val small = mk(50L)
+    assert(!graft.functions.Dedup.pastKeeperLshGate(small))
+    val exactPlan = graft.functions.Dedup.nearDupPairs(small, small, "id",
+      "text", 3, 0.8, 0L, portable = false, forceLsh = None)
+      .queryExecution.optimizedPlan.toString
+    assert(!exactPlan.contains("bandhash"),
+      "small corpus must keep the exact pair tier")
+  }
 }
