@@ -1062,6 +1062,94 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q161_minhash_compact" -> { (s, dir) =>
+      // q123's build+append lifecycle with a COMPACT between fold and
+      // probe (VERDICT r15 #4: every persisted index family folds
+      // increments and fragments its band key ranges; compact must be
+      // a pure physical reorganization). Same oracle verbatim — a
+      // compact that loses/duplicates a band row or breaks the
+      // bandkey manifest order flips candidates and the hash.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val lib = new Library(tmpRoot(), s)
+      lib.write("docs", corpus, Some("doc_id"), targetRows = 2000L)
+      Dedup.buildMinhashIndex(lib, corpus.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", "mh", portable = true, targetRows = 2000L)
+      Dedup.appendToMinhashIndex(lib, corpus.filter(col("doc_id") % 3 === 2),
+        "mh", "doc_id", "text", targetRows = 2000L)
+      lib.compact("mh__bands", targetRows = 20000L)
+      val m = Dedup.matchesAgainstIndex(lib, batch, "mh", "docs",
+        "doc_id", "text", threshold = 0.5)
+      val agg = m.groupBy(col("id_new").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("best_jac"),
+          min(col("id_indexed")).as("first_match"))
+      batch.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jac"), col("first_match"), col("n_matches").isNull.as("kept"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
+    "q162_bm25_compact" -> { (s, dir) =>
+      // q137's incremental lexical index with a compact of the
+      // term-sorted postings between fold and probe — scoring must
+      // still equal the one-shot full-corpus ranking bit-for-bit.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "lex",
+        targetRows = 2000L)
+      graft.functions.Retrieval.appendToBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 1), "lex", "doc_id", "text",
+        targetRows = 2000L)
+      graft.functions.Retrieval.appendToBm25Index(
+        lib, docs.filter(col("doc_id") % 3 === 2), "lex", "doc_id", "text",
+        targetRows = 2000L)
+      lib.compact("lex__postings", targetRows = 20000L)
+      graft.functions.Retrieval.bm25Indexed(
+        lib, "lex", Seq("dup", "vector", "merge"), k = 20)
+        .transform(sortGuarded(_, "rank"))
+    },
+    "q163_pq_compact" -> { (s, dir) =>
+      // q156's split build+append PQ index with the codes symbol
+      // compacted before the search — ADC ranking unchanged.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Pq.buildPqIndex(lib, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "pq", m = 2, ksub = 4, iters = 2,
+        portable = true, targetRows = 200L)
+      graft.functions.Pq.appendToPqIndex(lib,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "pq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.appendToPqIndex(lib, emb.filter(col("vec_id") >= 400),
+        "pq", "vec_id", "embedding", targetRows = 200L)
+      lib.compact("pq__codes", targetRows = 2000L)
+      graft.functions.Pq.pqSearchIndexed(lib, "pq",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
+    "q164_ivfpq_compact" -> { (s, dir) =>
+      // q159's IVF+PQ fold with the cell-sorted cellcodes symbol
+      // compacted before the probe: compact must preserve cell manifest
+      // ranges (pruning) AND every (cell, id, codes) row — at
+      // nProbe = nlist the search still equals flat ADC.
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Pq.buildIvfPqIndex(lib, emb.filter(col("vec_id") < 300),
+        "vec_id", "embedding", "ivfpq", nlist = 8, m = 2, ksub = 4,
+        iters = 2, portable = true, targetRows = 200L)
+      graft.functions.Pq.appendToIvfPqIndex(lib,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "ivfpq", "vec_id", "embedding", targetRows = 200L)
+      graft.functions.Pq.appendToIvfPqIndex(lib, emb.filter(col("vec_id") >= 400),
+        "ivfpq", "vec_id", "embedding", targetRows = 200L)
+      lib.compact("ivfpq__cellcodes", targetRows = 2000L)
+      graft.functions.Pq.ivfPqSearch(lib, "ivfpq",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+        nProbe = 8)
+        .transform(sortSmallAgg(_, "query_id", "rank"))
+    },
     "q160_autolsh_quality_dedup" -> { (s, dir) =>
       // The quality keeper's auto-dispatched LSH route pinned ON: past
       // the dense-corpus gate, dropNearDuplicatesByQuality swaps its
@@ -2927,6 +3015,61 @@ object SparkEntry {
             CAST(rnk AS INT) AS rank
           FROM pranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** Shared by q123 (minhash index build+append+probe) and q161 (the
+    * same lifecycle with a compact between fold and probe): the full
+    * portable-LSH replay — signatures, band keys, combined-population
+    * cap, candidate pairs, exact verification — recomputed in DuckDB.
+    */
+  private def minhashIndexDedupOracle: String =
+    s"""WITH $shingleCtes,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          hs AS (
+            SELECT doc_id, i,
+              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
+            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
+          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
+          banded AS (
+            SELECT doc_id, b AS band,
+              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
+              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
+            FROM msig, range(0, 4) t(b)),
+          ib AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+          nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+          ok AS (
+            SELECT i.band, i.key
+            FROM (SELECT band, key, count(*) AS ni FROM ib GROUP BY 1, 2) i
+            JOIN (SELECT band, key, count(*) AS nn FROM nb GROUP BY 1, 2) n
+              ON i.band = n.band AND i.key = n.key
+            WHERE ni + nn <= 1000),
+          cand AS (
+            SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_indexed
+            FROM nb n
+            JOIN ok c ON n.band = c.band AND n.key = c.key
+            JOIN ib i ON i.band = c.band AND i.key = c.key
+            WHERE n.doc_id <> i.doc_id),
+          inter AS (
+            SELECT c.id_new, c.id_indexed, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_indexed
+            JOIN sh b ON b.doc_id = c.id_new AND b.s = a.s
+            GROUP BY 1, 2),
+          m AS (
+            SELECT id_new, id_indexed,
+              round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) AS jac
+            FROM inter
+            JOIN sizes sn ON id_new = sn.doc_id
+            JOIN sizes si ON id_indexed = si.doc_id
+            WHERE round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) >= 0.5),
+          agg AS (
+            SELECT id_new AS doc_id, count(*) AS n_matches,
+              max(jac) AS best_jac, min(id_indexed) AS first_match
+            FROM m GROUP BY 1)
+          SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+            a.best_jac, a.first_match, a.n_matches IS NULL AS kept
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+          LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
     // codes, query distance tables, the order-free µ-long ADC sum.
@@ -2942,6 +3085,12 @@ object SparkEntry {
     // IVF+PQ increments at nProbe = nlist: cell routing is a no-op, so
     // the fold must land exactly where the flat PQ fold lands.
     "q159_ivfpq_append" -> pqSplitAdcOracle,
+    // Compacting the codes / cellcodes / postings symbol between fold
+    // and probe is a pure physical reorganization — same oracles
+    // verbatim (the q154 equivalence pattern, one per index family).
+    "q163_pq_compact" -> pqSplitAdcOracle,
+    "q164_ivfpq_compact" -> pqSplitAdcOracle,
+    "q162_bm25_compact" -> bm25FullCorpusOracle,
     // The auto-dispatch LSH route of the quality keeper: q146's
     // fingerprint tier + q151's portable-MinHash band replay + the NEW
     // exact-rescore step (candidates verified at t=0.5) + the keeper
@@ -4146,55 +4295,10 @@ object SparkEntry {
     // candidate pairs, then exact-Jaccard verification — the write +
     // unsorted-append index construction is semantically invisible here,
     // which is exactly the property the gate pins.
-    "q123_minhash_index_dedup" ->
-      s"""WITH $shingleCtes,
-          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-          hs AS (
-            SELECT doc_id, i,
-              min(${hex60Sql("CAST(i AS VARCHAR) || ':' || s")}) AS h
-            FROM sh, range(0, 12) t(i) GROUP BY 1, 2),
-          msig AS (SELECT doc_id, list(h ORDER BY i) AS hh FROM hs GROUP BY 1),
-          banded AS (
-            SELECT doc_id, b AS band,
-              CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
-              CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
-            FROM msig, range(0, 4) t(b)),
-          ib AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
-          nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
-          ok AS (
-            SELECT i.band, i.key
-            FROM (SELECT band, key, count(*) AS ni FROM ib GROUP BY 1, 2) i
-            JOIN (SELECT band, key, count(*) AS nn FROM nb GROUP BY 1, 2) n
-              ON i.band = n.band AND i.key = n.key
-            WHERE ni + nn <= 1000),
-          cand AS (
-            SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_indexed
-            FROM nb n
-            JOIN ok c ON n.band = c.band AND n.key = c.key
-            JOIN ib i ON i.band = c.band AND i.key = c.key
-            WHERE n.doc_id <> i.doc_id),
-          inter AS (
-            SELECT c.id_new, c.id_indexed, count(*) AS i
-            FROM cand c
-            JOIN sh a ON a.doc_id = c.id_indexed
-            JOIN sh b ON b.doc_id = c.id_new AND b.s = a.s
-            GROUP BY 1, 2),
-          m AS (
-            SELECT id_new, id_indexed,
-              round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) AS jac
-            FROM inter
-            JOIN sizes sn ON id_new = sn.doc_id
-            JOIN sizes si ON id_indexed = si.doc_id
-            WHERE round(CAST(i AS DOUBLE) / (sn.sz + si.sz - i), 6) >= 0.5),
-          agg AS (
-            SELECT id_new AS doc_id, count(*) AS n_matches,
-              max(jac) AS best_jac, min(id_indexed) AS first_match
-            FROM m GROUP BY 1)
-          SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
-            a.best_jac, a.first_match, a.n_matches IS NULL AS kept
-          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
-          LEFT JOIN agg a USING (doc_id)
-          ORDER BY d.doc_id""",
+    "q123_minhash_index_dedup" -> minhashIndexDedupOracle,
+    // Compact is a pure physical reorganization of the band symbol:
+    // same oracle verbatim (the q154 equivalence pattern).
+    "q161_minhash_compact" -> minhashIndexDedupOracle,
     // Full LSH replay (portable md5 hash): 12 minhash signatures → 4
     // 3-slot band keys → ≤1000 bucket cap → candidate pairs, recomputed
     // from scratch in DuckDB. No recall argument — the oracle IS the LSH.
