@@ -1062,6 +1062,32 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q165_unigram_train" -> { (s, dir) =>
+      // SentencePiece-style Unigram-LM tokenizer training (the other
+      // tokenizer real pipelines train besides BPE): seed substring
+      // counts → micro-nat probabilities → two hard-EM Viterbi passes
+      // over the word-frequency table → (cnt desc, piece) prune to 400.
+      // The oracle unrolls EVERYTHING — both E-steps as 16-level DP +
+      // backtrack CTE chains with the exact integer tie rules.
+      graft.functions.UnigramLm.train(t(s, dir, "documents"), "text",
+        vocabSize = 400, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 1024, iters = 2)
+        .transform(sortGuarded(_, "piece"))
+    },
+    "q166_unigram_encode" -> { (s, dir) =>
+      // The encode half: Viterbi-tokenize every document under the
+      // q165 model via the closure kernel (pure map, zero shuffles on
+      // the corpus side). Gated on per-document piece counts; the
+      // oracle replays train + a third Viterbi pass + the whole-word
+      // fallback for >16-char words.
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.UnigramLm.train(docs, "text",
+        vocabSize = 400, maxPieceLen = 4, maxWordLen = 16,
+        seedSize = 1024, iters = 2)
+      graft.functions.UnigramLm.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_pieces"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q161_minhash_compact" -> { (s, dir) =>
       // q123's build+append lifecycle with a COMPACT between fold and
       // probe (VERDICT r15 #4: every persisted index family folds
@@ -3070,7 +3096,136 @@ object SparkEntry {
           LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id"""
 
+  /** Unigram-LM oracle machinery (q165/q166): one hard-EM Viterbi pass
+    * unrolled as CTEs — dp levels j=1..maxWordLen (argmax per position,
+    * ties to the smallest predecessor = longest final piece, exactly
+    * the UnigramModel kernel rule), then backtracking levels that walk
+    * the best path emitting pieces, then the freq-weighted piece
+    * counts. `vocab` must expose (piece, logp); produces `cnt$tag`.
+    */
+  private def unigramViterbiCtes(
+      tag: String, vocab: String, maxWordLen: Int = 16, pieceLen: Int = 4): String = {
+    val dp0 =
+      s"dp${tag}_0 AS MATERIALIZED (SELECT w AS word, 0 AS j, CAST(0 AS BIGINT) AS score, 0 AS i FROM uwords)"
+    val dps = (1 to maxWordLen).map { j =>
+      val preds = (math.max(0, j - pieceLen) until j)
+        .map(i => s"SELECT word, j, score FROM dp${tag}_$i").mkString(" UNION ALL ")
+      s"""dp${tag}_$j AS MATERIALIZED (
+            SELECT word, j, score, i FROM (
+              SELECT d.word, $j AS j, d.score + v.logp AS score, d.j AS i,
+                row_number() OVER (PARTITION BY d.word
+                  ORDER BY d.score + v.logp DESC, d.j ASC) AS rn
+              FROM ($preds) d
+              JOIN $vocab v ON len(d.word) >= $j
+                AND v.piece = substr(d.word, d.j + 1, $j - d.j))
+            WHERE rn = 1)"""
+    }
+    val best = s"dpbest$tag AS MATERIALIZED (${(1 to maxWordLen)
+      .map(j => s"SELECT word, j, i FROM dp${tag}_$j").mkString(" UNION ALL ")})"
+    val bt0 =
+      s"""bt${tag}_0 AS MATERIALIZED (SELECT w AS word, freq, len(w) AS j,
+            CAST(NULL AS VARCHAR) AS piece FROM uwords)"""
+    val bts = (1 to maxWordLen).map { st =>
+      s"""bt${tag}_$st AS MATERIALIZED (
+            SELECT b.word, b.freq, d.i AS j,
+              substr(b.word, d.i + 1, b.j - d.i) AS piece
+            FROM bt${tag}_${st - 1} b
+            JOIN dpbest$tag d ON d.word = b.word AND d.j = b.j
+            WHERE b.j > 0)"""
+    }
+    val pieces = s"pieces$tag AS MATERIALIZED (${(1 to maxWordLen)
+      .map(st => s"SELECT word, freq, piece FROM bt${tag}_$st").mkString(" UNION ALL ")})"
+    val cnt =
+      s"cnt$tag AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM pieces$tag GROUP BY 1)"
+    (Seq(dp0) ++ dps ++ Seq(best, bt0) ++ bts ++ Seq(pieces, cnt)).mkString(",\n")
+  }
+
+  /** (piece, cnt) → (piece, cnt, logp): micro-nat floor(ln(cnt/total)),
+    * the exact expression UnigramLm.withLogp runs in Spark.
+    */
+  private def unigramLogpCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece, cnt,
+          CAST(floor(ln(CAST(cnt AS DOUBLE) /
+            (SELECT CAST(sum(cnt) AS DOUBLE) FROM $src)) * 1000000) AS BIGINT) AS logp
+        FROM $src)"""
+
+  /** The shared train chain of q165/q166: words → seed substrings →
+    * seed model v0 → two hard-EM passes → pruned final model `ufinal`
+    * (piece, cnt, logp). Parameters pinned to the gates' train call
+    * (vocab 400, L=4, W=16, seed 1024, 2 iterations).
+    */
+  private def unigramTrainCtes: String =
+    s"""uwords AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' AND len(w) <= 16 GROUP BY 1),
+        upos AS (SELECT w, freq, CAST(unnest(range(1, len(w) + 1)) AS INT) AS i
+                 FROM uwords),
+        usub AS (SELECT w, freq, i,
+                   CAST(unnest(range(1, least(4, len(w) - i + 1) + 1)) AS INT) AS l
+                 FROM upos),
+        subcnt AS MATERIALIZED (SELECT substr(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+                   FROM usub GROUP BY 1),
+        useed AS MATERIALIZED (
+          SELECT piece, cnt FROM subcnt WHERE len(piece) = 1
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+            FROM subcnt WHERE len(piece) >= 2 AND cnt >= 2) WHERE rn <= 1024),
+        ${unigramLogpCte("v0", "useed")},
+        ${unigramViterbiCtes("p1", "v0")},
+        v1c AS MATERIALIZED (
+          SELECT c.piece, greatest(coalesce(t.cnt, 0), 1) AS cnt
+          FROM (SELECT piece FROM v0 WHERE len(piece) = 1) c
+          LEFT JOIN cntp1 t USING (piece)
+          UNION ALL
+          SELECT piece, cnt FROM cntp1 WHERE len(piece) >= 2),
+        ${unigramLogpCte("v1", "v1c")},
+        ${unigramViterbiCtes("p2", "v1")},
+        v2c AS MATERIALIZED (
+          SELECT c.piece, greatest(coalesce(t.cnt, 0), 1) AS cnt
+          FROM (SELECT piece FROM v1 WHERE len(piece) = 1) c
+          LEFT JOIN cntp2 t USING (piece)
+          UNION ALL
+          SELECT piece, cnt FROM cntp2 WHERE len(piece) >= 2),
+        unch AS (SELECT count(*) AS n FROM v2c WHERE len(piece) = 1),
+        ufm AS (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+            FROM v2c WHERE len(piece) >= 2), unch
+          WHERE rn <= 400 - unch.n),
+        ufc AS MATERIALIZED (
+          SELECT piece, cnt FROM v2c WHERE len(piece) = 1
+          UNION ALL SELECT piece, cnt FROM ufm),
+        ${unigramLogpCte("ufinal", "ufc")}"""
+
   def oracleSql: Map[String, String] = Map(
+    // Unigram-LM train: the whole hard-EM chain — seed substring
+    // counts, micro-nat seed probs, TWO unrolled Viterbi E-steps
+    // (16 DP levels + 16 backtrack levels each), char floor-1 rule,
+    // final (cnt desc, piece) prune, renormalize — recomputed
+    // CTE-for-CTE in DuckDB. Any drift in tie-breaks, quantization,
+    // or survivor selection flips the hash.
+    "q165_unigram_train" ->
+      s"""WITH $unigramTrainCtes
+          SELECT piece, cnt, logp AS logp_mu FROM ufinal ORDER BY piece""",
+    // Unigram-LM encode: a THIRD Viterbi pass under the final model
+    // gives each word's piece count; documents sum their words'
+    // counts, >16-char words fall back to one whole-word piece (the
+    // kernel's totality rule).
+    "q166_unigram_encode" ->
+      s"""WITH $unigramTrainCtes,
+          ${unigramViterbiCtes("p3", "ufinal")},
+          wcnt AS (SELECT word, count(*) AS np FROM piecesp3 GROUP BY 1),
+          alltok AS (
+            SELECT doc_id, w FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '')
+          SELECT a.doc_id,
+            CAST(sum(CASE WHEN len(a.w) > 16 THEN 1 ELSE c.np END) AS BIGINT)
+              AS n_pieces
+          FROM alltok a LEFT JOIN wcnt c ON c.word = a.w
+          GROUP BY 1 ORDER BY 1""",
     // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
     // codes, query distance tables, the order-free µ-long ADC sum.
     "q155_pq_adc_search" -> pqAdcOracle,

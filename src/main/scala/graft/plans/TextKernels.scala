@@ -1644,3 +1644,148 @@ object BestSnippet {
     CatalystBridge.column(
       BestSnippet(CatalystBridge.expression(text), new StopSet(terms), window))
 }
+
+/** Unigram-LM tokenizer model (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece unigram algorithm): pieces with integer micro-nat
+  * log-probabilities, applied per word by exact Viterbi. Ships in the
+  * closure like [[BpeRanks]] (vocab-sized, ≤64k pieces), so encoding is
+  * a pure map over the corpus — no dictionary join, no shuffle.
+  *
+  * Determinism contract (what the DuckDB replay oracle mirrors):
+  *  - scores are exact long sums of micro-nat logps — no float drift;
+  *  - DP ties (equal score into position j) resolve to the SMALLEST
+  *    predecessor i, i.e. the longest final piece;
+  *  - a word longer than `maxWordLen`, or one with no complete
+  *    segmentation (a character outside the model), is emitted WHOLE as
+  *    a single fallback piece — total, and replayable as a length/
+  *    reachability CASE.
+  */
+final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
+    extends Serializable {
+  require(pieces.nonEmpty && pieces.length <= 65536,
+    s"unigram model must have 1..65536 pieces, got ${pieces.length}")
+  require(maxWordLen >= 1, s"bad maxWordLen $maxWordLen")
+
+  @transient private lazy val logp: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.putIfAbsent(pieces(i)._1, pieces(i)._2); i += 1 }
+    m
+  }
+
+  @transient private lazy val maxPieceLen: Int = {
+    var mx = 1
+    var i = 0
+    while (i < pieces.length) {
+      if (pieces(i)._1.length > mx) mx = pieces(i)._1.length; i += 1
+    }
+    mx
+  }
+
+  private val NegInf = java.lang.Long.MIN_VALUE / 2
+
+  /** Viterbi-best segmentation; null when the word has no complete
+    * segmentation under the model (caller emits the fallback).
+    */
+  private def viterbi(word: String): java.util.ArrayList[String] = {
+    val n = word.length
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var j = 1
+    dp(0) = 0L
+    while (j <= n) {
+      dp(j) = NegInf
+      back(j) = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (dp(i) > NegInf) {
+          val lp = logp.get(word.substring(i, j))
+          if (lp != null) {
+            val score = dp(i) + lp.longValue()
+            // strict >: with i ascending, the SMALLEST i wins ties
+            if (score > dp(j)) { dp(j) = score; back(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (dp(n) <= NegInf) null
+    else {
+      val rev = new java.util.ArrayList[String](8)
+      var p = n
+      while (p > 0) { rev.add(word.substring(back(p), p)); p = back(p) }
+      val out = new java.util.ArrayList[String](rev.size)
+      var k = rev.size - 1
+      while (k >= 0) { out.add(rev.get(k)); k -= 1 }
+      out
+    }
+  }
+
+  /** Segment one word with the fallback rule applied. */
+  def segmentWord(word: String): java.util.ArrayList[String] = {
+    if (word.length > maxWordLen) {
+      val out = new java.util.ArrayList[String](1); out.add(word); out
+    } else {
+      val v = viterbi(word)
+      if (v != null) v
+      else { val out = new java.util.ArrayList[String](1); out.add(word); out }
+    }
+  }
+
+  /** Tokenize one document: split on single spaces (the Text.tokens /
+    * string_split convention), Viterbi per word, word boundaries hard.
+    */
+  def encode(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any](words.length * 4)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        val seg = segmentWord(word)
+        var t = 0
+        while (t < seg.size) { out.add(UTF8String.fromString(seg.get(t))); t += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `unigram_encode(text)`: whole-document Viterbi tokenization under a
+  * trained [[UnigramModel]] in ONE codegen pass — the unigram twin of
+  * [[BpeEncodeText]], same closure-model scale shape.
+  */
+final case class UnigramEncodeText(child: Expression, model: UnigramModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "unigram_encode"
+}
+
+object UnigramEncodeText {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: UnigramModel): Column =
+    CatalystBridge.column(UnigramEncodeText(CatalystBridge.expression(text), model))
+}
