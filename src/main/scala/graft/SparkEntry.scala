@@ -1062,6 +1062,21 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
         .orderBy("event_id")
     },
+    "q167_nb_langid" -> { (s, dir) =>
+      // fastText-style trained language ID (supersedes the q34 marker
+      // heuristic for real multilingual corpora): per-language char-
+      // 3gram Laplace log-likelihoods + doc-count log-priors trained on
+      // the labeled 2/3 slice, every document scored by the closure
+      // kernel (zero shuffles corpus-side). All micro-nat integers; the
+      // oracle replays counts → kept vocab → Laplace model → priors →
+      // per-doc sums with the OOV floor → (score desc, lang) argmax.
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("lang"), col("text"))
+      Unigram.nbLangId(docs, "doc_id", "text", train, "lang",
+        n = 3, minShare = 0.0005)
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q165_unigram_train" -> { (s, dir) =>
       // SentencePiece-style Unigram-LM tokenizer training (the other
       // tokenizer real pipelines train besides BPE): seed substring
@@ -3200,6 +3215,65 @@ object SparkEntry {
         ${unigramLogpCte("ufinal", "ufc")}"""
 
   def oracleSql: Map[String, String] = Map(
+    // NB language classifier: full replay — per-language char-3gram
+    // counts over the labeled slice, >= minShare-of-any-language kept
+    // vocab, Laplace micro-nat model + OOV floors + doc-count priors,
+    // per-doc exact-integer sums, argmax (score desc, lang asc).
+    "q167_nb_langid" ->
+      """WITH train AS MATERIALIZED (
+           SELECT lang, text FROM documents WHERE doc_id % 3 <> 0),
+         tg AS MATERIALIZED (
+           SELECT lang, substr(text, CAST(i AS INT), 3) AS g
+           FROM (SELECT lang, text, unnest(range(1, len(text) - 1)) AS i
+                 FROM train)),
+         cnts AS MATERIALIZED (
+           SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2),
+         tots AS MATERIALIZED (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnts GROUP BY 1),
+         dcnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS d FROM train GROUP BY 1),
+         dtot AS (SELECT CAST(sum(d) AS DOUBLE) AS td FROM dcnt),
+         kept AS MATERIALIZED (
+           SELECT DISTINCT g FROM cnts JOIN tots USING (lang)
+           WHERE CAST(c AS DOUBLE) >= 0.0005 * CAST(t AS DOUBLE)),
+         vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
+         model AS MATERIALIZED (
+           SELECT k.g, l.lang,
+             CAST(round(ln((coalesce(c.c, 0) + 1) /
+               (CAST(l.t AS DOUBLE) + vv.v + 1)) * 1e6) AS BIGINT) AS llp
+           FROM kept k CROSS JOIN tots l
+           LEFT JOIN cnts c ON c.g = k.g AND c.lang = l.lang, vv),
+         fl AS (
+           SELECT l.lang,
+             CAST(round(ln(1 / (CAST(l.t AS DOUBLE) + vv.v + 1)) * 1e6)
+               AS BIGINT) AS f
+           FROM tots l, vv),
+         pri AS (
+           SELECT d.lang,
+             CAST(round(ln(CAST(d.d AS DOUBLE) / dtot.td) * 1e6) AS BIGINT) AS p
+           FROM dcnt d, dtot),
+         docg AS MATERIALIZED (
+           SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+                 FROM documents)),
+         dlen AS (SELECT doc_id, greatest(len(text) - 2, 0) AS ng FROM documents),
+         mt AS MATERIALIZED (
+           SELECT d.doc_id, m.lang, CAST(sum(m.llp) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS mn
+           FROM docg d JOIN model m ON m.g = d.g GROUP BY 1, 2),
+         sc AS (
+           SELECT dl.doc_id, l.lang,
+             p.p + coalesce(mt.s, 0) + (dl.ng - coalesce(mt.mn, 0)) * fl.f
+               AS score
+           FROM dlen dl CROSS JOIN tots l
+           JOIN pri p ON p.lang = l.lang
+           JOIN fl ON fl.lang = l.lang
+           LEFT JOIN mt ON mt.doc_id = dl.doc_id AND mt.lang = l.lang)
+         SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS score_mu
+         FROM (SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rn
+               FROM sc)
+         WHERE rn = 1 ORDER BY doc_id""",
     // Unigram-LM train: the whole hard-EM chain — seed substring
     // counts, micro-nat seed probs, TWO unrolled Viterbi E-steps
     // (16 DP levels + 16 backtrack levels each), char floor-1 rule,

@@ -519,4 +519,101 @@ object Unigram {
           col("__te.n_tokens").cast("double"), 6).as("ttr"),
         (col("__te.hf").cast("double") / lit(1e6)).as("entropy"))
   }
+
+  /** fastText-style char-n-gram Naive-Bayes LANGUAGE classifier — the
+    * trained successor to the 15-marker [[Text.langId]] heuristic for
+    * real multilingual corpora. Train per-language char-n-gram Laplace
+    * log-likelihoods + doc-count log-priors on a LABELED reference
+    * (`labeled`, column `langCol`), score every document of `df` with
+    * the [[graft.plans.LangNbPredict]] closure kernel.
+    *
+    *   score(d, l) = prior(l) + Σ over gram positions g of
+    *                 llp(l, g)            (kept gram)
+    *                 floor(l)             (OOV gram)
+    *   llp(l, g)  = ln((c_l(g) + 1) / (tot_l + V + 1)),
+    *   prior(l)   = ln(docs_l / docs_total),
+    *
+    * every term quantized to micro-nat longs (Math.round — the
+    * [[nbQualityScore]] micro() discipline), per-doc sums exact integer
+    * and order-free, argmax ties to the smallest language code. Grams
+    * are RAW-text sliding char n-grams (spaces included — they carry
+    * the word-boundary signal fastText gets from its boundary markers).
+    *
+    * Kept vocabulary: grams holding ≥ `minShare` of ANY language's gram
+    * mass — ≤ |langs|·ceil(1/minShare) rows BY CONSTRUCTION, so the
+    * model always broadcasts (64k closure bound enforced). Counts
+    * aggregate distributedly first; only the kept slice collects.
+    *
+    * Scale shape: training is one keyed counter aggregate over the
+    * labeled reference (vocab-bounded shuffle); scoring is a pure map —
+    * a 100 TB corpus classifies inside the scan partitions that read
+    * it, zero shuffles, no (doc × language) row inflation anywhere.
+    *
+    * Output: (idCol, lang_pred, score_mu) — best language and its exact
+    * micro-nat score.
+    */
+  def nbLangId(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labeled: DataFrame,
+      langCol: String,
+      n: Int = 3,
+      minShare: Double = 0.0005): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare $minShare not in (0,1] — 0 would unbound the model collect")
+    def micro(x: Double): Long = {
+      val y = x * 1e6
+      if (y >= 0) Math.round(y) else -Math.round(-y)
+    }
+    val counts = labeled
+      .select(col(langCol).cast("string").as("lang"),
+        explode(graft.plans.CharGrams(col(textCol), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tots: Map[String, Long] = counts.groupBy("lang")
+        .agg(sum("c").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(tots.nonEmpty, "labeled reference produced no grams")
+      val docCounts: Map[String, Long] = labeled
+        .groupBy(col(langCol).cast("string").as("lang"))
+        .agg(count(lit(1)).as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val langs = tots.keys.toArray.sorted
+      val totDocs = docCounts.values.sum.toDouble
+      // kept grams: >= minShare of ANY language's mass (distributed
+      // filter; only the bounded survivor slice ever collects)
+      val totsDf = counts.sparkSession.createDataFrame(
+        tots.toSeq.sortBy(_._1)).toDF("lang", "t")
+      val keptRows = counts.join(broadcast(totsDf), Seq("lang"))
+        .filter(col("c").cast("double") >= lit(minShare) * col("t").cast("double"))
+        .select("g").distinct().limit(65537).collect()
+      require(keptRows.length <= 65536,
+        s"kept gram vocabulary exceeds the 64k closure bound (${keptRows.length})")
+      val keptSet = keptRows.map(_.getString(0))
+      val keptDf = broadcast(counts.sparkSession.createDataFrame(
+        keptSet.toSeq.map(Tuple1(_))).toDF("g"))
+      val keptCounts = counts.join(keptDf, Seq("g"), "left_semi").collect()
+        .map(r => (r.getString(1), r.getString(0), r.getLong(2)))
+      val v = keptSet.length.toDouble
+      val idx = langs.zipWithIndex.toMap
+      def lp(c: Long, tot: Long): Long =
+        micro(math.log((c + 1).toDouble / (tot.toDouble + v + 1.0)))
+      val floors = langs.map(l => lp(0L, tots(l)))
+      val priors = langs.map(l =>
+        micro(math.log(docCounts.getOrElse(l, 0L).toDouble / totDocs)))
+      val byGram = new scala.collection.mutable.HashMap[String, Array[Long]]()
+      keptSet.foreach { g => byGram(g) = langs.map(l => lp(0L, tots(l))) }
+      keptCounts.foreach { case (lang, g, c) =>
+        byGram(g)(idx(lang)) = lp(c, tots(lang))
+      }
+      val model = new graft.plans.LangNbModel(
+        langs, floors = floors, priors = priors,
+        gramLlp = byGram.toArray.sortBy(_._1), n = n)
+      df.select(col(idCol), graft.plans.LangNbPredict(col(textCol), model).as("__p"))
+        .select(col(idCol), col("__p.lang_pred").as("lang_pred"),
+          col("__p.score_mu").as("score_mu"))
+    } finally { counts.unpersist(false); () }
+  }
 }

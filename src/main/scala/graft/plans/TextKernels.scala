@@ -43,6 +43,23 @@ object TextKernels {
     if (out.isEmpty) Array("") else out.toArray(new Array[String](out.size))
   }
 
+  /** Every sliding char n-gram of the RAW text (see [[CharGrams]]).
+    * CODEPOINT-based (java codePoints, not UTF-16 units), so gram
+    * boundaries agree with SQL substr/length semantics on both engines
+    * even past the BMP.
+    */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - n + 1)
+    var i = 0
+    while (i + n <= cps.length) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word-n-gram shingles of `text`, first-occurrence order. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val toks = normTokens(text)
@@ -1788,4 +1805,135 @@ object UnigramEncodeText {
 
   def apply(text: Column, model: UnigramModel): Column =
     CatalystBridge.column(UnigramEncodeText(CatalystBridge.expression(text), model))
+}
+
+/** `char_grams(text, n)`: every sliding character n-gram of the raw
+  * text (positions 1..len-n+1, spaces included — they carry the word-
+  * boundary signal), one codegen pass. Texts shorter than n yield an
+  * empty array. Shared by NB language-classifier training (per-language
+  * gram counts) and its oracle-replayable scoring.
+  */
+final case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 8, s"char gram length $n out of [1, 8]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.charGrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_grams"
+}
+
+object CharGrams {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, n: Int): Column =
+    CatalystBridge.column(CharGrams(CatalystBridge.expression(text), n))
+}
+
+/** fastText-style Naive-Bayes language model over char n-grams: per
+  * language a micro-nat log-prior, per (gram, language) a micro-nat
+  * Laplace log-likelihood, and per language an OOV floor. Languages are
+  * kept SORTED ascending — argmax ties resolve to the smallest language
+  * code, the exact rule the DuckDB replay mirrors with
+  * (score desc, lang asc). Vocab-bounded (≤64k grams), ships in the
+  * closure like every other model-in-closure scorer.
+  */
+final class LangNbModel(
+    val langs: Array[String],
+    priors: Array[Long],
+    floors: Array[Long],
+    gramLlp: Array[(String, Array[Long])],
+    val n: Int) extends Serializable {
+  require(langs.nonEmpty && langs.length == priors.length &&
+    langs.length == floors.length, "ragged language model")
+  require(gramLlp.length <= 65536, s"gram model exceeds 64k: ${gramLlp.length}")
+  require(langs.sameElements(langs.sorted), "langs must be sorted ascending")
+
+  @transient private lazy val byGram: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]](gramLlp.length * 2)
+    var i = 0
+    while (i < gramLlp.length) {
+      require(gramLlp(i)._2.length == langs.length, "ragged gram row")
+      m.putIfAbsent(gramLlp(i)._1, gramLlp(i)._2)
+      i += 1
+    }
+    m
+  }
+
+  /** (bestLang, bestScore) over priors + Σ per-position gram llps.
+    * Codepoint-based gram walk — same boundaries as [[CharGrams]].
+    */
+  def predict(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val cps = text.toString.codePoints().toArray
+    val k = langs.length
+    val scores = new Array[Long](k)
+    System.arraycopy(priors, 0, scores, 0, k)
+    var i = 0
+    val last = cps.length - n
+    while (i <= last) {
+      val arr = byGram.get(new String(cps, i, n))
+      var l = 0
+      if (arr != null) while (l < k) { scores(l) += arr(l); l += 1 }
+      else while (l < k) { scores(l) += floors(l); l += 1 }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < k) { if (scores(l) > scores(best)) best = l; l += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(langs(best)), scores(best))
+  }
+}
+
+/** `nb_langid(text)`: one-pass NB language prediction under a trained
+  * [[LangNbModel]] — struct<lang_pred, score_mu>. Zero shuffles: the
+  * corpus scores inside the scan partitions that read it.
+  */
+final case class LangNbPredict(child: Expression, model: LangNbModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("score_mu", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nb_langid expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.predict(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("langNbModel", model,
+      classOf[LangNbModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.predict($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangNbPredict =
+    copy(child = newChild)
+
+  override def prettyName: String = "nb_langid"
+}
+
+object LangNbPredict {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: LangNbModel): Column =
+    CatalystBridge.column(LangNbPredict(CatalystBridge.expression(text), model))
 }
