@@ -52,7 +52,13 @@ object ClusterSmoke {
     "q31_ann_bruteforce", "q39_join_broadcast_agg", "q41_asof_join",
     "q42_window_running", "q68_decontaminate", "q92_clean_corpus",
     "q93_dsir_weights", "q99_bpe_merges", "q104_shuffle_order",
-    "q107_asof_join_chunked", "q108_pack_offsets")
+    "q107_asof_join_chunked", "q108_pack_offsets",
+    // round-16 closure models: UnigramModel / LangNbModel ship in task
+    // closures with @transient lazy lookup maps — local[32] shares one
+    // JVM and would hide a serialization/rebuild defect; the forked
+    // executors here prove the models cross a real JVM boundary. q160
+    // rides along for the LSH-route keeper (kernel + band chain).
+    "q160_autolsh_quality_dedup", "q165_unigram_train", "q167_nb_langid")
 
   /** Order-free content fingerprint: (rows, sum of per-row 64-bit
     * hashes over the name-sorted JSON row image). Addition commutes, so
