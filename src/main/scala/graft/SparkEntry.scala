@@ -3294,12 +3294,16 @@ object SparkEntry {
           alltok AS (
             SELECT doc_id, w FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-            WHERE w <> '')
-          SELECT a.doc_id,
-            CAST(sum(CASE WHEN len(a.w) > 16 THEN 1 ELSE c.np END) AS BIGINT)
-              AS n_pieces
-          FROM alltok a LEFT JOIN wcnt c ON c.word = a.w
-          GROUP BY 1 ORDER BY 1""",
+            WHERE w <> ''),
+          docsum AS (
+            SELECT a.doc_id,
+              CAST(sum(CASE WHEN len(a.w) > 16 THEN 1 ELSE c.np END) AS BIGINT)
+                AS n_pieces
+            FROM alltok a LEFT JOIN wcnt c ON c.word = a.w
+            GROUP BY 1)
+          SELECT d.doc_id, coalesce(s.n_pieces, CAST(0 AS BIGINT)) AS n_pieces
+          FROM documents d LEFT JOIN docsum s USING (doc_id)
+          ORDER BY 1""",
     // Full PQ replay: both subspace Lloyd loops (the q114 chain twice),
     // codes, query distance tables, the order-free µ-long ADC sum.
     "q155_pq_adc_search" -> pqAdcOracle,

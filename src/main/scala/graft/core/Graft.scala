@@ -14,7 +14,15 @@ import org.apache.spark.sql.SparkSession
   */
 final case class LibraryOptions(
     dynamicSchema: Boolean = false,
-    rowsPerSegment: Long = Library.DefaultTargetRows)
+    rowsPerSegment: Long = Library.DefaultTargetRows,
+    /** Read grace for data-file GC (prune / delete(versions)): an
+      * unreferenced data file is condemned with a marker and only
+      * hard-deleted once the marker is older than this — so a reader in
+      * another process that resolved a manifest just before the prune
+      * can finish its in-flight scan (ArcticDB's tombstone-then-remove
+      * discipline, version_map.hpp). 0 = immediate hard delete.
+      */
+    gcGraceMs: Long = Library.DefaultGcGraceMs)
 
 object LibraryOptions {
   import org.json4s._

@@ -1440,6 +1440,7 @@ final class Library(
         .map(_.getPath.getName.stripPrefix(InFlightPrefix)).toSet
       val keepFiles: Set[String] =
         listVersions(symbol).flatMap(v => manifest(symbol, v).files.map(_.path)).toSet
+      val graceMs = options.gcGraceMs
       listing.filter(_.isDirectory).foreach { dir =>
         val dirName = dir.getPath.getName
         if (!inFlight.contains(dirName)) {
@@ -1449,11 +1450,48 @@ final class Library(
           // with the last one (HttpLibraryLifecycleSpec caught exactly
           // that — the local-FS run never could).
           val entries = dfs.listStatus(dir.getPath)
+          // Two-phase delete under a read grace (reference: ArcticDB
+          // tombstones versions before removing keys —
+          // version_map.hpp tombstone entries / version_core.cpp delete
+          // paths): an unreferenced data file is first CONDEMNED with a
+          // sibling marker; only once the marker outlives `gcGraceMs`
+          // does the file actually delete. A reader in another process
+          // that resolved a manifest just before this prune keeps its
+          // in-flight scan alive for the whole grace window — no FNF
+          // mid-job on an object store (local-FS open handles mask the
+          // race; object stores don't). gcGraceMs=0 restores immediate
+          // hard-delete (tests; single-writer-single-reader setups).
+          val markers: Map[String, org.apache.hadoop.fs.FileStatus] =
+            entries.iterator
+              .filter(e => e.isFile && e.getPath.getName.startsWith(CondemnedPrefix))
+              .map(e => e.getPath.getName.stripPrefix(CondemnedPrefix) -> e).toMap
+          val dataFiles = entries
+            .filter(e => e.isFile && !e.getPath.getName.startsWith(CondemnedPrefix))
+          val dataNames = dataFiles.map(_.getPath.getName).toSet
+          // markers whose data file is already gone are stale: drop them
+          markers.foreach { case (name, m) =>
+            if (!dataNames.contains(name)) dfs.delete(m.getPath, false)
+          }
           var kept = entries.exists(_.isDirectory)
-          entries.filter(_.isFile).foreach { st =>
-            if (!keepFiles.contains(s"$dirName/${st.getPath.getName}"))
+          dataFiles.foreach { st =>
+            val name = st.getPath.getName
+            if (keepFiles.contains(s"$dirName/$name")) {
+              kept = true
+              // re-referenced after a condemn would be a bug elsewhere,
+              // but healing the marker is free and keeps GC idempotent
+              markers.get(name).foreach(m => dfs.delete(m.getPath, false))
+            } else if (graceMs <= 0) {
               dfs.delete(st.getPath, false)
-            else kept = true
+            } else markers.get(name) match {
+              case Some(m) if now - m.getModificationTime > graceMs =>
+                dfs.delete(st.getPath, false)
+                dfs.delete(m.getPath, false)
+              case Some(_) => kept = true // condemned; grace still running
+              case None =>
+                dfs.create(new Path(dir.getPath, s"$CondemnedPrefix$name"), true)
+                  .close()
+                kept = true
+            }
           }
           if (!kept) dfs.delete(dir.getPath, false)
         }
@@ -1462,6 +1500,7 @@ final class Library(
   }
 
   private val InFlightPrefix = "_INFLIGHT_"
+  private val CondemnedPrefix = "_CONDEMNED_"
 
   /** prune_previous_versions (reference: library.py:1018): hard-delete all
     * version manifests except the latest (and any pinned by a snapshot),
@@ -2362,6 +2401,12 @@ object Library {
     * crashed finalize's orphans become collectable after this window.
     */
   private[core] val InFlightGraceMs: Long = 60L * 60 * 1000
+
+  /** Default GC read grace (LibraryOptions.gcGraceMs): long enough for
+    * any in-flight scan that resolved its manifest pre-prune to drain,
+    * short enough that pruned space frees within the quarter hour.
+    */
+  val DefaultGcGraceMs: Long = 15L * 60 * 1000
 
   /** Default file geometry. The reference slices at 100k rows × 127 cols
     * (pipeline/slicing.hpp:25) because its unit of IO is a segment; Spark's

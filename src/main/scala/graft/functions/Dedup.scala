@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Distinct word-n-gram shingle postings: one row per (id, shingle) plus
     * the doc's distinct-shingle count `sz`. Columns: id, s, sz.
     *
@@ -1353,9 +1356,10 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 0): DataFrame =
+      maxDocFreq: Long = 0,
+      lsh: Option[Boolean] = None): DataFrame =
     dropNearDuplicatesImpl(df, idCol, textCol, shingleLen, threshold,
-      maxDocFreq, portable = false, forceLsh = None)
+      maxDocFreq, portable = false, forceLsh = lsh)
 
   /** Test/gate hook: forceLsh pins the pair tier (Some(true) = LSH,
     * Some(false) = exact) so specs and replay oracles can exercise both
@@ -1399,10 +1403,15 @@ object Dedup {
       maxDocFreq: Long,
       portable: Boolean,
       forceLsh: Option[Boolean]): DataFrame =
-    if (forceLsh.getOrElse(pastKeeperLshGate(raw)))
+    if (forceLsh.getOrElse(pastKeeperLshGate(raw))) {
+      if (maxDocFreq > 0)
+        log.warn(s"near-dup pair tier routed to LSH: maxDocFreq=$maxDocFreq " +
+          "does not apply on this route (the LSH maxBucket cap bounds " +
+          "boilerplate shingles instead); pass lsh=Some(false) to pin the " +
+          "exact tier if maxDocFreq semantics are required")
       lshJaccardPairs(deduped, idCol, textCol, shingleLen, threshold,
         portable = portable)
-    else
+    } else
       ngramJaccardPairs(deduped, idCol, textCol, shingleLen, threshold,
         maxDocFreq)
 
@@ -1451,9 +1460,10 @@ object Dedup {
       scoreCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Long = 0): DataFrame =
+      maxDocFreq: Long = 0,
+      lsh: Option[Boolean] = None): DataFrame =
     dropNearDuplicatesByQualityImpl(df, idCol, textCol, scoreCol,
-      shingleLen, threshold, maxDocFreq, portable = false, forceLsh = None)
+      shingleLen, threshold, maxDocFreq, portable = false, forceLsh = lsh)
 
   /** Test/gate hook — see [[dropNearDuplicatesImpl]]. The pair tier
     * auto-dispatches at the [[pastKeeperLshGate]] bar exactly like

@@ -1694,18 +1694,39 @@ final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
     var mx = 1
     var i = 0
     while (i < pieces.length) {
-      if (pieces(i)._1.length > mx) mx = pieces(i)._1.length; i += 1
+      val p = pieces(i)._1
+      val c = p.codePointCount(0, p.length)
+      if (c > mx) mx = c; i += 1
     }
     mx
   }
 
   private val NegInf = java.lang.Long.MIN_VALUE / 2
 
-  /** Viterbi-best segmentation; null when the word has no complete
-    * segmentation under the model (caller emits the fallback).
+  /** UTF-16 offsets of each codepoint boundary (length = #codepoints + 1).
+    * All DP indexing is over CODEPOINTS so the kernel agrees with the SQL
+    * `length`/`substring` seed side and the DuckDB replay oracle even past
+    * the BMP (emoji, supplementary CJK) — same discipline as CharGrams.
     */
-  private def viterbi(word: String): java.util.ArrayList[String] = {
-    val n = word.length
+  private def cpOffsets(word: String): Array[Int] = {
+    val len = word.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { cnt += 1; i += Character.charCount(word.codePointAt(i)) }
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) { offs(k) = i; i += Character.charCount(word.codePointAt(i)); k += 1 }
+    offs(cnt) = len
+    offs
+  }
+
+  /** Viterbi-best segmentation over codepoint positions; null when the
+    * word has no complete segmentation under the model (caller emits the
+    * fallback). `offs` maps codepoint index -> UTF-16 offset.
+    */
+  private def viterbi(word: String, offs: Array[Int]): java.util.ArrayList[String] = {
+    val n = offs.length - 1
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     var j = 1
@@ -1716,7 +1737,7 @@ final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
         if (dp(i) > NegInf) {
-          val lp = logp.get(word.substring(i, j))
+          val lp = logp.get(word.substring(offs(i), offs(j)))
           if (lp != null) {
             val score = dp(i) + lp.longValue()
             // strict >: with i ascending, the SMALLEST i wins ties
@@ -1731,7 +1752,7 @@ final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
     else {
       val rev = new java.util.ArrayList[String](8)
       var p = n
-      while (p > 0) { rev.add(word.substring(back(p), p)); p = back(p) }
+      while (p > 0) { rev.add(word.substring(offs(back(p)), offs(p))); p = back(p) }
       val out = new java.util.ArrayList[String](rev.size)
       var k = rev.size - 1
       while (k >= 0) { out.add(rev.get(k)); k -= 1 }
@@ -1739,12 +1760,15 @@ final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
     }
   }
 
-  /** Segment one word with the fallback rule applied. */
+  /** Segment one word with the fallback rule applied. Word length is
+    * measured in codepoints, matching the SQL-side `length(w)` filter.
+    */
   def segmentWord(word: String): java.util.ArrayList[String] = {
-    if (word.length > maxWordLen) {
+    val offs = cpOffsets(word)
+    if (offs.length - 1 > maxWordLen) {
       val out = new java.util.ArrayList[String](1); out.add(word); out
     } else {
-      val v = viterbi(word)
+      val v = viterbi(word, offs)
       if (v != null) v
       else { val out = new java.util.ArrayList[String](1); out.add(word); out }
     }

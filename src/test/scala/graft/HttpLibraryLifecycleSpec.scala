@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{Library, Ts}
+import graft.core.{Library, LibraryOptions, Ts}
 import graft.core.Library.AsOf
 
 /** VERDICT r15 #3: the WHOLE Library lifecycle — write → append →
@@ -34,7 +34,10 @@ class HttpLibraryLifecycleSpec extends SparkSuite {
     try {
       spark.sparkContext.hadoopConfiguration
         .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
-      body(server, new Library(s"s3://127.0.0.1:${server.port}/bucket/lib", spark))
+      // gcGraceMs=0: the lifecycle asserts orphans are gone right after
+      // prune+GC; the condemn-grace path is covered in LibrarySpec.
+      body(server, new Library(s"s3://127.0.0.1:${server.port}/bucket/lib",
+        spark, LibraryOptions(gcGraceMs = 0)))
     } finally server.stop()
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.core.{Library, Ts}
+import graft.core.{Library, LibraryOptions, Ts}
 import graft.core.Library.AsOf
 
 /** Versioned-store behavior: roundtrips, as-of reads, range splice, and —
@@ -17,8 +17,11 @@ import graft.core.Library.AsOf
 class LibrarySpec extends SparkSuite {
   import spark.implicits._
 
+  // gcGraceMs=0: these specs assert IMMEDIATE collection after prune /
+  // delete; the two-phase condemn-then-delete grace has its own spec below.
   private def newLib(): Library =
-    new Library(java.nio.file.Files.createTempDirectory("graft-libspec-").toString, spark)
+    new Library(java.nio.file.Files.createTempDirectory("graft-libspec-").toString,
+      spark, LibraryOptions(gcGraceMs = 0))
 
   private def events = spark.read.parquet(s"$sf/events.parquet")
 
@@ -878,6 +881,45 @@ class LibrarySpec extends SparkSuite {
       validateIndex = false)
     assert(!lib.resolveVersion("s").sorted)
     assert(lib.read("s").count() == 4)
+  }
+
+  test("GC read grace: condemn first, hard-delete only after the window") {
+    val lib = new Library(
+      java.nio.file.Files.createTempDirectory("graft-gcgrace-").toString,
+      spark, LibraryOptions(gcGraceMs = 60L * 1000))
+    lib.write("s", mk(0, 10), Some("ts2")) // v0
+    val v0paths = lib.resolveVersion("s").files.map(_.path)
+    lib.write("s", mk(0, 20), Some("ts2")) // v1 full overwrite: v0 files doomed
+    val v1paths = lib.resolveVersion("s").files.map(_.path).toSet
+    val doomed = v0paths.filterNot(v1paths)
+    assert(doomed.nonEmpty)
+    val dataRoot = new java.io.File(lib.root, "s/data")
+    def f(rel: String) = new java.io.File(dataRoot, rel)
+    def marker(rel: String) =
+      new java.io.File(f(rel).getParentFile, "_CONDEMNED_" + f(rel).getName)
+
+    // phase 1: prune condemns but must NOT delete — a concurrent reader
+    // that resolved v0 pre-prune is still scanning these files
+    lib.prunePreviousVersions("s")
+    doomed.foreach { p =>
+      assert(f(p).exists, s"$p hard-deleted inside the read-grace window")
+      assert(marker(p).exists, s"no condemned marker for $p")
+    }
+    // a repeat GC inside the window is idempotent: still condemned
+    lib.prunePreviousVersions("s")
+    doomed.foreach(p => assert(f(p).exists && marker(p).exists))
+
+    // phase 2: age the markers past the window → next GC hard-deletes
+    val old = System.currentTimeMillis() - 2L * 60 * 1000
+    doomed.foreach(p => marker(p).setLastModified(old))
+    lib.prunePreviousVersions("s")
+    doomed.foreach { p =>
+      assert(!f(p).exists, s"$p survived past its grace window")
+      assert(!marker(p).exists, s"marker for $p survived its file")
+    }
+    // referenced files untouched throughout; content intact
+    v1paths.foreach(p => assert(f(p).exists))
+    assert(lib.read("s").count() == 20)
   }
 
   test("GC spares delta dirs protected by a fresh in-flight marker") {

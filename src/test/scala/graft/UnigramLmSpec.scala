@@ -93,6 +93,45 @@ class UnigramLmSpec extends SparkSuite {
     assert(glued.filter(col("g") =!= col("t")).isEmpty)
   }
 
+  test("non-BMP: kernel DP runs over codepoints, matching SQL substr/length") {
+    // supplementary-plane codepoints: 2 UTF-16 units each, 1 codepoint each
+    val A = new String(Character.toChars(0x1D400)) // MATHEMATICAL BOLD CAPITAL A
+    val B = new String(Character.toChars(0x1F600)) // GRINNING FACE
+    val m = new UnigramModel(Array(
+      A -> -1000000L, B -> -1200000L, (A + B) -> -1500000L), maxWordLen = 4)
+    // the 2-codepoint piece beats the char path (-1.5M vs -2.2M)
+    val seg = m.segmentWord(A + B + A)
+    assert((0 until seg.size).map(seg.get) == Seq(A + B, A))
+    // 4 codepoints = 8 UTF-16 units: inside the codepoint maxWordLen, segments
+    val seg2 = m.segmentWord(A + B + A + B)
+    assert((0 until seg2.size).map(seg2.get) == Seq(A + B, A + B))
+    // 5 codepoints exceeds maxWordLen=4 -> whole-word fallback
+    val seg3 = m.segmentWord(A + B + A + B + A)
+    assert((0 until seg3.size).map(seg3.get) == Seq(A + B + A + B + A))
+  }
+
+  test("train + encode on a non-BMP (emoji) corpus glues back exactly") {
+    val hi = new String(Character.toChars(0x1F600))
+    val cat = new String(Character.toChars(0x1F431))
+    val docs = Seq(
+      (1L, s"$hi$cat $hi$hi word $cat"),
+      (2L, s"word $hi$cat $hi$cat")
+    ).toDF("id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 30,
+      maxPieceLen = 3, maxWordLen = 12, seedSize = 16, iters = 2)
+      .localCheckpoint(true)
+    val pieces = model.select("piece").as[String].collect().toSet
+    assert(pieces.contains(hi) && pieces.contains(cat), s"chars missing from $pieces")
+    // a learnable 2-codepoint (4 UTF-16 unit) piece survives training
+    assert(pieces.exists(p => p.codePointCount(0, p.length) >= 2 && p.length >= 4),
+      s"no supplementary multi-codepoint piece in $pieces")
+    val enc = UnigramLm.encode(docs, "id", "text", model)
+    val glued = enc.join(docs, "id")
+      .select(concat_ws("", col("pieces")).as("g"),
+        regexp_replace(col("text"), " ", "").as("t"))
+    assert(glued.filter(col("g") =!= col("t")).isEmpty)
+  }
+
   test("train is deterministic: two runs produce identical models") {
     val docs = Seq(
       (1L, "repeat repeat repeat words words here"),
