@@ -2508,6 +2508,26 @@ object SparkEntry {
           maxPiiHits = 1))
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q168_clean_trained_lang" -> { (s, dir) =>
+      // q92's composite cleanup with the language rule upgraded from
+      // the 15-marker heuristic to the TRAINED q167 NB classifier
+      // (VERDICT r16 #2): the model trains once on the labeled 2/3
+      // slice of the raw corpus, rides the closure, and the whole rule
+      // set stays one narrow scan-side pass — zero corpus shuffles.
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("lang"), col("text"))
+      val m = Unigram.trainNbLang(train, "lang", "text",
+        n = 3, minShare = 0.0005)
+      graft.functions.Clean.cleanCorpus(
+        piiInjected(docs), "doc_id", "text",
+        graft.functions.Clean.Rules(
+          minTokens = 20, maxTokens = 95, minQuality = 0.55,
+          maxRepetition = 0.01, repetitionN = 3, lang = Some("en"),
+          maxPiiHits = 1),
+        Unigram.nbLangIdColumn(m))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q93_dsir_weights" -> { (s, dir) =>
       // DSIR importance weights toward the src0 "target domain": the
       // 256-bucket hashed-unigram log-ratio table broadcasts; only
@@ -3214,29 +3234,31 @@ object SparkEntry {
           UNION ALL SELECT piece, cnt FROM ufm),
         ${unigramLogpCte("ufinal", "ufc")}"""
 
-  def oracleSql: Map[String, String] = Map(
-    // NB language classifier: full replay — per-language char-3gram
-    // counts over the labeled slice, >= minShare-of-any-language kept
-    // vocab, Laplace micro-nat model + OOV floors + doc-count priors,
-    // per-doc exact-integer sums, argmax (score desc, lang asc).
-    "q167_nb_langid" ->
-      """WITH train AS MATERIALIZED (
+  /** NB language-ID replay chain (q167/q168): per-language char-3gram
+    * counts over the labeled 2/3 slice of RAW documents, the >= minShare
+    * kept vocab, Laplace micro-nat model + OOV floors + doc-count
+    * priors, then per-doc exact-integer scores over
+    * `scoreSrc(doc_id, text)`. Ends with sc(doc_id, lang, score);
+    * callers take the (score desc, lang asc) argmax.
+    */
+  private def nbLangCtes(scoreSrc: String): String =
+    s"""nbtrain AS MATERIALIZED (
            SELECT lang, text FROM documents WHERE doc_id % 3 <> 0),
          tg AS MATERIALIZED (
            SELECT lang, substr(text, CAST(i AS INT), 3) AS g
            FROM (SELECT lang, text, unnest(range(1, len(text) - 1)) AS i
-                 FROM train)),
+                 FROM nbtrain)),
          cnts AS MATERIALIZED (
            SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1, 2),
          tots AS MATERIALIZED (
            SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnts GROUP BY 1),
-         dcnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS d FROM train GROUP BY 1),
+         dcnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS d FROM nbtrain GROUP BY 1),
          dtot AS (SELECT CAST(sum(d) AS DOUBLE) AS td FROM dcnt),
          kept AS MATERIALIZED (
            SELECT DISTINCT g FROM cnts JOIN tots USING (lang)
            WHERE CAST(c AS DOUBLE) >= 0.0005 * CAST(t AS DOUBLE)),
          vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM kept),
-         model AS MATERIALIZED (
+         nbmodel AS MATERIALIZED (
            SELECT k.g, l.lang,
              CAST(round(ln((coalesce(c.c, 0) + 1) /
                (CAST(l.t AS DOUBLE) + vv.v + 1)) * 1e6) AS BIGINT) AS llp
@@ -3254,12 +3276,12 @@ object SparkEntry {
          docg AS MATERIALIZED (
            SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
            FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
-                 FROM documents)),
-         dlen AS (SELECT doc_id, greatest(len(text) - 2, 0) AS ng FROM documents),
+                 FROM $scoreSrc)),
+         dlen AS (SELECT doc_id, greatest(len(text) - 2, 0) AS ng FROM $scoreSrc),
          mt AS MATERIALIZED (
            SELECT d.doc_id, m.lang, CAST(sum(m.llp) AS BIGINT) AS s,
              CAST(count(*) AS BIGINT) AS mn
-           FROM docg d JOIN model m ON m.g = d.g GROUP BY 1, 2),
+           FROM docg d JOIN nbmodel m ON m.g = d.g GROUP BY 1, 2),
          sc AS (
            SELECT dl.doc_id, l.lang,
              p.p + coalesce(mt.s, 0) + (dl.ng - coalesce(mt.mn, 0)) * fl.f
@@ -3267,13 +3289,72 @@ object SparkEntry {
            FROM dlen dl CROSS JOIN tots l
            JOIN pri p ON p.lang = l.lang
            JOIN fl ON fl.lang = l.lang
-           LEFT JOIN mt ON mt.doc_id = dl.doc_id AND mt.lang = l.lang)
+           LEFT JOIN mt ON mt.doc_id = dl.doc_id AND mt.lang = l.lang)"""
+
+  /** cleanCorpus rule replay over `inj` (q92/q168) with a caller-supplied
+    * `langp(doc_id, lang_pred)` CTE — the only rule the two gates differ
+    * on (marker heuristic vs trained NB classifier).
+    */
+  private def cleanRulesSql(langpCte: String): String =
+    s"""st AS (SELECT doc_id, text, $nTokSql AS n_tokens,
+            $stopRatioSql AS stop_ratio, $meanLenSql AS mean_len
+          FROM inj),
+        q AS (SELECT doc_id, n_tokens,
+            ${qualityExprSql("n_tokens", "stop_ratio", "mean_len")} AS quality
+          FROM st),
+        norm AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM inj),
+        tot AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total_n FROM norm),
+        dist AS (SELECT doc_id, count(DISTINCT s) AS distinct_n FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM norm)
+          GROUP BY 1),
+        rep AS (SELECT t.doc_id,
+            round(CASE WHEN total_n <= 0 THEN 0.0
+                  ELSE 1.0 - CAST(coalesce(distinct_n, 0) AS DOUBLE) / total_n END, 6)
+              AS rep_ratio
+          FROM tot t LEFT JOIN dist d ON t.doc_id = d.doc_id),
+        $langpCte,
+        pii AS (SELECT doc_id,
+            len(regexp_extract_all(text, '${Pii.EmailRe}')) +
+            len(regexp_extract_all(
+              regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+              '${Pii.PhoneRe}')) +
+            len(regexp_extract_all(
+              regexp_replace(regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+                '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
+              '${Pii.Ipv4Re}')) AS hits
+          FROM inj)
+        SELECT q.doc_id, CAST(n_tokens AS INT) AS n_tokens, quality, rep_ratio, lang_pred
+        FROM q JOIN rep USING (doc_id) JOIN langp USING (doc_id) JOIN pii USING (doc_id)
+        WHERE n_tokens BETWEEN 20 AND 95 AND quality >= 0.55
+          AND rep_ratio <= 0.01 AND lang_pred = 'en' AND hits <= 1
+        ORDER BY doc_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    // NB language classifier: full replay — per-language char-3gram
+    // counts over the labeled slice, >= minShare-of-any-language kept
+    // vocab, Laplace micro-nat model + OOV floors + doc-count priors,
+    // per-doc exact-integer sums, argmax (score desc, lang asc).
+    "q167_nb_langid" ->
+      s"""WITH ${nbLangCtes("documents")}
          SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS score_mu
          FROM (SELECT doc_id, lang, score,
                  row_number() OVER (PARTITION BY doc_id
                    ORDER BY score DESC, lang ASC) AS rn
                FROM sc)
          WHERE rn = 1 ORDER BY doc_id""",
+    // cleanCorpus with the TRAINED NB language rule: the q92 rule chain
+    // with langp swapped for the q167 model's argmax over the
+    // PII-injected text — the composite cleanup and the trained
+    // classifier replayed end-to-end in one statement.
+    "q168_clean_trained_lang" ->
+      s"""WITH $piiInjSql,
+         ${nbLangCtes("inj")},
+         ${cleanRulesSql(
+        """langp AS (SELECT doc_id, lang AS lang_pred
+          FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, lang ASC) AS rn FROM sc)
+          WHERE rn = 1)""")}""",
     // Unigram-LM train: the whole hard-EM chain — seed substring
     // counts, micro-nat seed probs, TWO unrolled Viterbi E-steps
     // (16 DP levels + 16 backtrack levels each), char floor-1 rule,
@@ -5664,40 +5745,9 @@ object SparkEntry {
         s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
       }.mkString(" ")
       s"""WITH $piiInjSql,
-          st AS (SELECT doc_id, text, $nTokSql AS n_tokens,
-              $stopRatioSql AS stop_ratio, $meanLenSql AS mean_len
-            FROM inj),
-          q AS (SELECT doc_id, n_tokens,
-              ${qualityExprSql("n_tokens", "stop_ratio", "mean_len")} AS quality
-            FROM st),
-          norm AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM inj),
-          tot AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total_n FROM norm),
-          dist AS (SELECT doc_id, count(DISTINCT s) AS distinct_n FROM (
-              SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM norm)
-            GROUP BY 1),
-          rep AS (SELECT t.doc_id,
-              round(CASE WHEN total_n <= 0 THEN 0.0
-                    ELSE 1.0 - CAST(coalesce(distinct_n, 0) AS DOUBLE) / total_n END, 6)
-                AS rep_ratio
-            FROM tot t LEFT JOIN dist d ON t.doc_id = d.doc_id),
-          lang AS (SELECT doc_id, $scores FROM (SELECT doc_id, text FROM inj)),
-          langp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lang),
-          pii AS (SELECT doc_id,
-              len(regexp_extract_all(text, '${Pii.EmailRe}')) +
-              len(regexp_extract_all(
-                regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
-                '${Pii.PhoneRe}')) +
-              len(regexp_extract_all(
-                regexp_replace(regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
-                  '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
-                '${Pii.Ipv4Re}')) AS hits
-            FROM inj)
-          SELECT q.doc_id, CAST(n_tokens AS INT) AS n_tokens, quality, rep_ratio, lang_pred
-          FROM q JOIN rep USING (doc_id) JOIN langp USING (doc_id) JOIN pii USING (doc_id)
-          WHERE n_tokens BETWEEN 20 AND 95 AND quality >= 0.55
-            AND rep_ratio <= 0.01 AND lang_pred = 'en' AND hits <= 1
-          ORDER BY doc_id"""
+          ${cleanRulesSql(
+        s"""lang AS (SELECT doc_id, $scores FROM (SELECT doc_id, text FROM inj)),
+          langp AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM lang)""")}"""
     },
     // DSIR replay: md5-derived 60-bit token hash → 256 buckets, add-one
     // smoothed target/raw bucket ratios quantized to micro-nat BIGINTs,

@@ -42,7 +42,21 @@ object Clean {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      rules: Rules): DataFrame = {
+      rules: Rules): DataFrame =
+    cleanCorpus(df, idCol, textCol, rules, Text.langId(_))
+
+  /** As above with a pluggable language classifier (text → lang code) —
+    * pass [[Unigram.nbLangIdColumn]] of a trained model to cut on the
+    * TRAINED char-n-gram NB language id instead of the 15-marker
+    * heuristic. Any pure scalar column keeps the one-scan zero-shuffle
+    * plan (both shipped classifiers ride the closure).
+    */
+  def cleanCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: Rules,
+      langId: Column => Column): DataFrame = {
     val st = col("__st")
     val text = col(textCol)
     // Two-step select (q35 precedent): the struct alias is non-cheap and
@@ -59,7 +73,7 @@ object Clean {
         // reference in the CSE-free filter context (OptimizerFence doc)
         graft.plans.OptimizerFence(Text.qualityScoreOf(st)).as("quality"),
         repRatio(text, rules.repetitionN).as("rep_ratio"),
-        Text.langId(text).as("lang_pred"))
+        langId(text).as("lang_pred"))
     val langOk: Column =
       rules.lang.map(l => col("lang_pred") === lit(l)).getOrElse(lit(true))
     val kept = staged.filter(

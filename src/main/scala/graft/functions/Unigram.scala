@@ -560,6 +560,32 @@ object Unigram {
       langCol: String,
       n: Int = 3,
       minShare: Double = 0.0005): DataFrame = {
+    val model = trainNbLang(labeled, langCol, textCol, n, minShare)
+    df.select(col(idCol), graft.plans.LangNbPredict(col(textCol), model).as("__p"))
+      .select(col(idCol), col("__p.lang_pred").as("lang_pred"),
+        col("__p.score_mu").as("score_mu"))
+  }
+
+  /** The trained classifier as a `Column => Column` (text → lang_pred) —
+    * the shape [[Clean.cleanCorpus]]'s `langId` hook takes, so the
+    * composite cleanup can cut on the TRAINED language id instead of the
+    * marker heuristic while keeping its one-scan zero-shuffle plan (the
+    * model rides the closure).
+    */
+  def nbLangIdColumn(model: graft.plans.LangNbModel): Column => Column =
+    text => graft.plans.LangNbPredict(text, model).getField("lang_pred")
+
+  /** Train the [[nbLangId]] model alone — for callers that want to reuse
+    * one trained classifier across stages (e.g. as
+    * [[Clean.cleanCorpus]]'s language rule via [[nbLangIdColumn]])
+    * without retraining per call.
+    */
+  def trainNbLang(
+      labeled: DataFrame,
+      langCol: String,
+      textCol: String = "text",
+      n: Int = 3,
+      minShare: Double = 0.0005): graft.plans.LangNbModel = {
     require(minShare > 0 && minShare <= 1,
       s"minShare $minShare not in (0,1] — 0 would unbound the model collect")
     def micro(x: Double): Long = {
@@ -580,6 +606,13 @@ object Unigram {
         .groupBy(col(langCol).cast("string").as("lang"))
         .agg(count(lit(1)).as("d")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // A labeled language whose every text is shorter than n yields no
+      // grams: it could never be predicted, yet its docs would inflate
+      // totDocs and silently depress every other prior. Fail loudly.
+      val gramless = docCounts.keySet -- tots.keySet
+      require(gramless.isEmpty,
+        s"labeled language(s) with no $n-grams (all texts shorter than $n): " +
+          s"${gramless.toSeq.sorted.mkString(", ")} — drop them or lower n")
       val langs = tots.keys.toArray.sorted
       val totDocs = docCounts.values.sum.toDouble
       // kept grams: >= minShare of ANY language's mass (distributed
@@ -608,12 +641,9 @@ object Unigram {
       keptCounts.foreach { case (lang, g, c) =>
         byGram(g)(idx(lang)) = lp(c, tots(lang))
       }
-      val model = new graft.plans.LangNbModel(
+      new graft.plans.LangNbModel(
         langs, floors = floors, priors = priors,
         gramLlp = byGram.toArray.sortBy(_._1), n = n)
-      df.select(col(idCol), graft.plans.LangNbPredict(col(textCol), model).as("__p"))
-        .select(col(idCol), col("__p.lang_pred").as("lang_pred"),
-          col("__p.score_mu").as("score_mu"))
     } finally { counts.unpersist(false); () }
   }
 }

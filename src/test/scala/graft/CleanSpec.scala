@@ -41,6 +41,27 @@ class CleanSpec extends SparkSuite {
     assert(r.getAs[Double]("quality") > 0.5)
   }
 
+  test("pluggable langId: a trained NB classifier drives the language rule") {
+    import graft.functions.Unigram
+    // labels disagree with the marker heuristic on purpose: the trained
+    // model must win (xx-labeled docs carry 'el la que' marker text)
+    val labeled = Seq(
+      ("xx", "el la que el la que uno dos tres cuatro cinco seis siete"),
+      ("xx", "el la que uno dos tres el la que cuatro cinco seis siete"),
+      ("yy", "the cat sat on a mat and it is nice to see sun here"),
+      ("yy", "the dog ran to a tree and it is good to see rain here")
+    ).toDF("lang", "text")
+    val m = Unigram.trainNbLang(labeled, "lang", "text", n = 3, minShare = 0.0005)
+    // minTokens=5 additionally cuts doc 1 ("tiny doc"), whose all-OOV
+    // text makes its NB prediction pure prior/floor noise
+    val out = Clean.cleanCorpus(corpus, "doc_id", "text",
+      Clean.Rules(minTokens = 5, lang = Some("xx")), Unigram.nbLangIdColumn(m))
+    // doc 2 is the marker-Spanish doc: heuristic says 'es', the trained
+    // model says 'xx' — only it survives the lang=xx rule
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(out.select("lang_pred").as[String].collect().toSet == Set("xx"))
+  }
+
   test("dropBadBlocks: short and stopword-free blocks drop; stripped docs empty") {
     val docs = Seq(
       // block1 has stopwords, block2 (tail, 3 tokens) has none → drop b2
