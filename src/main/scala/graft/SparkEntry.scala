@@ -1974,6 +1974,18 @@ object SparkEntry {
         k = 8, iters = 2, portable = true)
         .transform(sortGuarded(_, "vec_id"))
     },
+    "q169_cluster_balanced_sample" -> { (s, dir) =>
+      // Cluster-balanced diversity subsample: q114's portable kmeans
+      // topics, each cluster keeping its 10 most-central members
+      // (dist asc, id asc) via the partial top-k aggregate — the
+      // DataComp-style curation step that stops one over-represented
+      // mode from dominating a training mix. The oracle replays the
+      // whole Lloyd chain (kmeansCtes) + a per-cluster rank.
+      graft.functions.Vectors.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, perCluster = 10, iters = 2, portable = true)
+        .transform(sortGuarded(_, "cluster", "rank"))
+    },
     "q113_chunk_documents" -> { (s, dir) =>
       // RAG sliding-window chunking: 32-token windows, stride 24
       // (8-token overlap). Median doc is 56 tokens, max 99, so the gate
@@ -4816,6 +4828,22 @@ object SparkEntry {
          FROM d2
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
          ORDER BY vec_id""",
+    // Cluster-balanced subsample: the q114 assignment chain + each
+    // cluster's 10 most-central members by (ROUNDED dist asc, id asc) —
+    // the rounded value is what the Spark-side top-k aggregate ranks.
+    "q169_cluster_balanced_sample" ->
+      s"""WITH $kmeansCtes,
+         asg AS (
+           SELECT vec_id, c AS cluster, round(dist, 6) AS dist FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1),
+         ranked AS (
+           SELECT cluster, vec_id, dist,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY dist, vec_id) AS rank
+           FROM asg)
+         SELECT CAST(cluster AS INT) AS cluster, vec_id, dist,
+           CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 10 ORDER BY cluster, rank""",
     // Full SemDeDup replay: the q114 portable-kmeans CTEs give the
     // assignment, within-cluster pairs score by exact cosine, the q63
     // recursive CTE connects groups, and the keeper is the row_number-1

@@ -502,6 +502,40 @@ object Vectors {
       cent)
   }
 
+  /** Cluster-balanced subsample: [[kmeansAssign]] topic assignments +
+    * keep the `perCluster` MOST CENTRAL members of each cluster
+    * (dist asc, ties id asc) — the diversity-preserving corpus
+    * reduction (DataComp/SemDeDup-family curation): every discovered
+    * topic keeps an equal-size prototype set instead of letting one
+    * over-crawled mode dominate the training mix.
+    *
+    * Plan shape: the per-cluster keeper is a PARTIAL top-k aggregate
+    * ([[graft.plans.TopKByScore]] on score = −dist), NOT a window — a
+    * billion-member cluster contributes ≤ perCluster pairs per map
+    * task, so the exchange is O(k × perCluster × tasks) regardless of
+    * cluster skew (the capPerDomain discipline). Output:
+    * (cluster, idCol, dist, rank), rank 1..perCluster per cluster.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      perCluster: Int,
+      iters: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    require(perCluster >= 1, s"bad perCluster $perCluster")
+    val idType = corpus.schema(idCol).dataType
+    graft.plans.TopKByScore.requireIntegralId(idType, "clusterBalancedSample")
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters, portable)
+    asg.groupBy("cluster")
+      .agg(graft.plans.TopKByScore.topK(
+        -col("dist"), col(idCol).cast("long"), perCluster).as("__top"))
+      .select(col("cluster"), posexplode(col("__top")))
+      .select(col("cluster"), col("col.id").cast(idType).as(idCol),
+        (-col("col.score")).as("dist"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Nearest-centroid assignment: one narrow pass over the corpus with the
     * (small) centroid table broadcast; `max_by` picks the arg-max cell.
     */

@@ -119,6 +119,43 @@ class HttpLibraryLifecycleSpec extends SparkSuite {
     }
   }
 
+  test("GC read grace: a pre-prune reader survives a concurrent prune") {
+    val server = new HttpObjectStore.Server
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
+      val root = s"s3://127.0.0.1:${server.port}/bucket/grace"
+      // two handles over the same store = two processes
+      val writer = new Library(root, spark, LibraryOptions(gcGraceMs = 60000))
+      val reader = new Library(root, spark, LibraryOptions(gcGraceMs = 60000))
+      val a = events.limit(400)
+      writer.write("s", a, Some("ts"), targetRows = 100) // v0: several files
+      // reader resolves v0's manifest NOW (read() lists files eagerly) —
+      // the in-flight-scan state the grace window exists to protect
+      val preResolved = reader.read("s", AsOf.Version(0))
+      writer.write("s", events.limit(100), Some("ts"), targetRows = 100) // v1
+      writer.prunePreviousVersions("s") // v0 manifest gone, files condemned
+      // the pre-resolved scan still completes: condemned, not deleted
+      assert(preResolved.count() == 400)
+      // a FRESH process (no manifest cache) resolving v0 must fail:
+      // the version is pruned (only its already-resolved readers ride
+      // the grace window)
+      val fresh = new Library(root, spark, LibraryOptions(gcGraceMs = 60000))
+      intercept[Exception](fresh.read("s", AsOf.Version(0)).count())
+      // latest unaffected
+      assert(writer.read("s").count() == 100)
+
+      // contrast: with gcGraceMs=0 the same race loses the files
+      val w0 = new Library(s"s3://127.0.0.1:${server.port}/bucket/nograce",
+        spark, LibraryOptions(gcGraceMs = 0))
+      w0.write("s", a, Some("ts"), targetRows = 100)
+      val pre0 = w0.read("s", AsOf.Version(0))
+      w0.write("s", events.limit(100), Some("ts"), targetRows = 100)
+      w0.prunePreviousVersions("s")
+      intercept[Exception](pre0.count())
+    } finally server.stop()
+  }
+
   test("batch ops + metadata + blobs + as-of reads on the object store") {
     withLib { (_, lib) =>
       val a = events.limit(100)

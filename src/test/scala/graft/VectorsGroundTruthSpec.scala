@@ -320,6 +320,30 @@ class VectorsGroundTruthSpec extends SparkSuite {
     }
   }
 
+  test("clusterBalancedSample keeps the k most-central members per cluster") {
+    val (corpus, blobOf) = blobCorpus(id => (md5hex(id.toString), id))
+    val df = corpus.toDF("vec_id", "embedding").repartition(5)
+    val asg = Vectors.kmeansAssign(df, "vec_id", "embedding", k = 3,
+      iters = 3, portable = true).as[(Long, Int, Double)].collect()
+    val got = Vectors.clusterBalancedSample(df, "vec_id", "embedding",
+      k = 3, perCluster = 5, iters = 3, portable = true)
+      .as[(Int, Long, Double, Int)].collect()
+    // 3 clusters × 5 keepers, ranks 1..5 each, dist non-decreasing
+    assert(got.length == 15)
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5), s"cluster $c ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(identity).toSeq,
+        s"cluster $c dist not ascending")
+      // the keepers ARE the 5 smallest (dist, id) of that cluster's members
+      val expect = asg.filter(_._2 == c).sortBy(r => (r._3, r._1)).take(5)
+        .map(_._1).toSet
+      assert(sorted.map(_._2).toSet == expect, s"cluster $c keepers")
+      // sanity: keepers never cross blobs
+      assert(sorted.map(r => blobOf(r._2)).toSet.size == 1)
+    }
+  }
+
   test("kmeansAssign portable mode: exact driver-side replay of the full loop") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 120).map(i =>
