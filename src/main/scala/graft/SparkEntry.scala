@@ -1986,6 +1986,39 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q170_jsonl_ingest" -> { (s, dir) =>
+      // Schema-on-read JSONL ingestion with corrupt-record quarantine —
+      // the crawl-dump entry path: documents round-trip through JSONL
+      // text files, three planted corrupt lines land in the PERMISSIVE
+      // quarantine column (never failing the job, never silently
+      // dropped), and the corrupt count rides out as a summary row.
+      // One distributed plan: no driver-side counts.
+      import org.apache.spark.sql.types._
+      val out = tmpRoot() + "/jsonl"
+      t(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("source"))).as("value"))
+        .write.mode("overwrite").text(out)
+      s.createDataset(Seq(
+        """{"doc_id": oops""", "not json at all", """{"doc_id":}"""))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value")
+        .coalesce(1).write.mode("append").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("_corrupt_record", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+      val valid = parsed.filter(col("_corrupt_record").isNull)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val quarantined = parsed
+        .filter(col("_corrupt_record").isNotNull && col("doc_id").isNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("doc_id"), lit("__corrupt__").as("lang"),
+          col("n").cast("string").as("source"))
+      valid.unionByName(quarantined).transform(sortGuarded(_, "doc_id"))
+    },
     "q113_chunk_documents" -> { (s, dir) =>
       // RAG sliding-window chunking: 32-token windows, stride 24
       // (8-token overlap). Median doc is 56 tokens, max 99, so the gate
@@ -4828,6 +4861,13 @@ object SparkEntry {
          FROM d2
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) = 1
          ORDER BY vec_id""",
+    // JSONL round-trip is lossless on (doc_id, lang, source) and the
+    // three planted corrupt lines quarantine — so the oracle is the
+    // source table plus the corrupt-count summary row.
+    "q170_jsonl_ingest" ->
+      """SELECT doc_id, lang, source FROM documents
+         UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
+         ORDER BY doc_id""",
     // Cluster-balanced subsample: the q114 assignment chain + each
     // cluster's 10 most-central members by (ROUNDED dist asc, id asc) —
     // the rounded value is what the Spark-side top-k aggregate ranks.

@@ -1327,6 +1327,76 @@ final class Library(
       asOf: AsOf = AsOf.Latest): Seq[BatchResult[SymbolInfo]] =
     symbols.map(s => batchTry(s)(getInfo(s, asOf)))
 
+  // ------------------------------------------- admin / introspection tool
+
+  /** library_tool `find_keys`/key-census analog (reference:
+    * python/arcticdb/toolbox/library_tool.py — find_keys, count_keys,
+    * read_to_* per key type): every storage key of `symbol` as one row
+    * (layer, path, bytes, modified_ms), layer ∈ version | data | stats |
+    * staged. Because manifests are readable JSON and data keys are
+    * parquet, this listing plus ordinary readers IS the whole debugging
+    * surface the reference's tool exposes over its binary key formats.
+    * Driver-side recursive listing — bounded by the symbol's key count
+    * (≈ file count, the same order as one manifest resolve).
+    */
+  def keyTree(symbol: String): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    val base = symDir(symbol)
+    val f = fs(base)
+    val baseUri = base.toUri.getPath.stripSuffix("/")
+    def rel(p: Path): String = p.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+    def walk(dir: Path, layer: String): Unit =
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walk(st.getPath, layer)
+        else rows += ((layer, rel(st.getPath), st.getLen, st.getModificationTime))
+      }
+    walk(versionsDir(symbol), "version")
+    walk(new Path(base, "data"), "data")
+    walk(new Path(base, "_stats"), "stats")
+    walk(stagedDir(symbol), "staged")
+    spark.createDataFrame(rows.sortBy(r => (r._1, r._2)).toSeq)
+      .toDF("layer", "path", "bytes", "modified_ms")
+  }
+
+  /** library_tool `read_index` analog: the resolved manifest of one
+    * version as a DataFrame — one row per data file with its row count,
+    * cumulative offset and index bounds (delta chains resolved; exactly
+    * what the scan planner sees). Columns: path, rows, row_offset,
+    * min_idx, max_idx, min_str, max_str.
+    */
+  def manifestDump(symbol: String, asOf: AsOf = AsOf.Latest): DataFrame = {
+    val m = resolveVersion(symbol, asOf)
+    spark.createDataFrame(m.files.map(e =>
+      (e.path, e.rows, e.rowOffset, e.minIdx, e.maxIdx, e.minStr, e.maxStr)))
+      .toDF("path", "rows", "row_offset", "min_idx", "max_idx", "min_str", "max_str")
+  }
+
+  /** Per-symbol storage census over the whole library: live versions,
+    * latest-version file/row counts, total data bytes on disk (all
+    * versions, shared files counted once), and whether the latest
+    * version is fragmented at the library's segment target. The
+    * operational dashboard query behind "which symbols need compaction /
+    * pruning" — admin_tools' storage summary, re-expressed over the
+    * readable layout.
+    */
+  def storageSummary(): DataFrame = {
+    val rows = listSymbols().sorted.map { sym =>
+      val versions = listVersions(sym)
+      val m = resolveVersion(sym)
+      val dataRoot = new Path(symDir(sym), "data")
+      val f = fs(dataRoot)
+      def du(p: Path): Long =
+        if (!f.exists(p)) 0L
+        else f.listStatus(p).map(st =>
+          if (st.isDirectory) du(st.getPath) else st.getLen).sum
+      (sym, versions.size, m.version, m.files.size, m.rowCount,
+        du(dataRoot), isSymbolFragmented(sym))
+    }
+    spark.createDataFrame(rows)
+      .toDF("symbol", "n_versions", "latest_version", "n_files", "rows",
+        "data_bytes", "fragmented")
+  }
+
   // ------------------------------------------------------- delete & snap
 
   /** Soft-delete: a tombstone version (reference keeps version history the

@@ -883,6 +883,41 @@ class LibrarySpec extends SparkSuite {
     assert(lib.read("s").count() == 4)
   }
 
+  test("toolbox: keyTree / manifestDump / storageSummary census the layout") {
+    val lib = newLib()
+    lib.write("s", mk(0, 300), Some("ts2"), targetRows = 100) // v0: 3 files
+    lib.append("s", mk(300, 400), targetRows = 100) // v1: +1 file
+    lib.stage("s", mk(400, 450)) // out-of-band staged keys
+
+    val kt = lib.keyTree("s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLayer = kt.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLayer.getOrElse("version", 0) >= 2, s"version keys: $byLayer") // 2 manifests
+    assert(byLayer.getOrElse("staged", 0) >= 1, s"staged keys: $byLayer")
+    val dataKeys = kt.filter(_._1 == "data").map(_._2)
+    assert(dataKeys.count(_.endsWith(".parquet")) == 4, dataKeys.mkString(","))
+    assert(kt.forall(r => r._3 >= 0 && r._4 > 0)) // sizes and mtimes populated
+    // paths are symbol-relative: readable keys, no absolute leakage
+    assert(kt.forall(!_._2.startsWith("/")))
+
+    val md = lib.manifestDump("s").collect()
+    assert(md.length == 4)
+    assert(md.map(_.getLong(1)).sum == 400) // rows
+    val offs = md.sortBy(_.getLong(2)).map(r => (r.getLong(2), r.getLong(1)))
+    assert(offs.map(_._1).toSeq ==
+      offs.scanLeft(0L)(_ + _._2).dropRight(1).toSeq, "row_offset not cumulative")
+    assert(md.map(_.getString(0)).toSet ==
+      lib.resolveVersion("s").files.map(_.path).toSet)
+
+    val ss = lib.storageSummary().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    val row = ss.find(_._1 == "s").get
+    assert(row._2 == 2 && row._3 == 1 && row._4 == 4 && row._5 == 400)
+    assert(row._6 > 0, "data_bytes")
+    assert(row._7, "4×100-row files at a 1M-row target must read as fragmented")
+  }
+
   test("GC read grace: condemn first, hard-delete only after the window") {
     val lib = new Library(
       java.nio.file.Files.createTempDirectory("graft-gcgrace-").toString,
