@@ -476,6 +476,40 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("trained-langid cleanup stays one scan-side pass (q168)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q168_clean_trained_lang")(spark, sf)
+        .queryExecution.executedPlan
+      // the NB model rides the closure: swapping the language rule for
+      // the trained classifier must not add a corpus exchange — same
+      // one-scan shape as q92 (only the deterministic-order tail)
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1, s"trained-langid rule must not shuffle:\n$p")
+      // the predict kernel must not be pushed into a CSE-free filter
+      p.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      }.foreach(c =>
+        assert(!c.contains("lang_nb_predict") && !c.contains("text_stats"),
+          s"kernel leaked into a filter predicate: $c"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("cluster-balanced sample ranks via partial top-k, no per-cluster window (q169)") {
+    val p = plan("q169_cluster_balanced_sample")
+    assert(p.contains("top_k_by_score"), p)
+    // the only windows allowed are the bounded k-row seed rankings
+    // inside portable kmeans — never one over corpus assignments
+    val windows = SparkEntry.queries("q169_cluster_balanced_sample")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.isEmpty,
+      s"per-cluster keeper must be the partial aggregate, got windows:\n$p")
+  }
+
   test("near-dup keeper auto-dispatch: past-gate corpora route to LSH, small stay exact (q160)") {
     // range(70000) puts the stats estimate past KeeperLshMaxDocs × 8
     // bytes and the count past the ~64k keeper bar, so the gate fires on
