@@ -165,4 +165,71 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     }
     next
   }
+
+  /** Scheduled maintenance over the WHOLE root — the operable story
+    * behind the per-symbol primitives. The reference leaves
+    * `defragment_symbol_data` (library.py:3342) and version pruning
+    * user-invoked per symbol; at 100 TB with folding indexes, unmanaged
+    * fragmentation decays file pruning, so this walks every library and
+    * symbol and applies both policies in one pass:
+    *
+    *  - **retention**: hard-delete versions more than `keepVersions`
+    *    back from latest, except snapshot-pinned ones (they refuse
+    *    deletion by contract), then GC unreferenced data files — which
+    *    also collects loser-writer and condemned-past-grace debris. A
+    *    tombstoned symbol keeps its tombstone as "latest", so retention
+    *    is what eventually reclaims a soft-deleted symbol's storage.
+    *  - **compaction**: any symbol whose latest version is fragmented at
+    *    the library's segment target gets `compact`ed. Persisted index
+    *    families (BM25/positional postings, MinHash bands, PQ and IVF-PQ
+    *    codes) are ordinary key-ranged symbols, so the same probe +
+    *    compact restores their manifest pruning — no per-family code.
+    *
+    * Compaction runs BEFORE retention: compact commits a fresh version,
+    * and retention in the same pass then prunes everything it
+    * superseded — one `maintain` converges (a second immediate pass is
+    * a no-op) instead of leaving the pre-compact version for next time.
+    *
+    * `dryRun = true` reports every action without touching anything.
+    * Returns the action ledger — one row per (library, symbol, action)
+    * with a human-readable detail and whether it was applied — the audit
+    * artifact an operator schedules and archives.
+    */
+  def maintain(
+      keepVersions: Int = 1,
+      dryRun: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, Boolean)]
+    listLibraries().foreach { ln =>
+      val lib = getLibrary(ln)
+      // one pass: every (symbol, version) incl. tombstones, pins resolved
+      val bySym = lib.listVersionsInfo().groupBy(_.symbol)
+      bySym.toSeq.sortBy(_._1).foreach { case (sym, infos) =>
+        var vs = infos.sortBy(_.version)
+        if (lib.isSymbolFragmented(sym)) {
+          val before = lib.resolveVersion(sym).files.size
+          actions += ((ln, sym, "compact",
+            if (dryRun) s"$before fragmented files"
+            else {
+              val compacted = lib.compact(sym)
+              vs = vs :+ Library.VersionInfo(sym, compacted,
+                System.currentTimeMillis(), deleted = false, Seq.empty)
+              s"files $before -> ${lib.resolveVersion(sym).files.size}"
+            }, !dryRun))
+        }
+        val (pinned, deletable) =
+          vs.dropRight(keepVersions).partition(_.snapshots.nonEmpty)
+        if (deletable.nonEmpty) {
+          actions += ((ln, sym, "delete_versions",
+            s"versions ${deletable.map(_.version).mkString(",")}" +
+              (if (pinned.nonEmpty)
+                 s" (kept ${pinned.map(_.version).mkString(",")}: snapshot-pinned)"
+               else ""), !dryRun))
+          if (!dryRun) lib.delete(sym, deletable.map(_.version))
+        }
+      }
+    }
+    spark.createDataFrame(actions.toSeq)
+      .toDF("library", "symbol", "action", "detail", "applied")
+  }
 }

@@ -116,4 +116,65 @@ class GraftFrontDoorSpec extends SparkSuite {
     out3.write("""{"dynamicSchema": tr""".getBytes("UTF-8")); out3.close()
     intercept[IllegalStateException](g.libraryOptions("t"))
   }
+
+  test("maintain: retention + compaction across libraries, snapshot pins and blobs respected") {
+    val g = new Graft(freshRoot(), spark)
+    val a = g.createLibrary("a", LibraryOptions(rowsPerSegment = 200))
+    val b = g.createLibrary("b", LibraryOptions(rowsPerSegment = 200))
+
+    // a/frag: appended in dribbles -> fragmented at the 200-row target
+    val base = (0 until 600).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    a.write("frag", base, Some("k"))
+    (0 until 4).foreach { j =>
+      a.append("frag",
+        (0 until 40).map(i => ((600 + j * 40 + i).toLong, 1.0)).toDF("k", "v"))
+    }
+    assert(a.isSymbolFragmented("frag"))
+    val fragContent = a.read("frag").localCheckpoint(true)
+
+    // a/hist: 4 versions, v1 snapshot-pinned — unindexed, so only the
+    // retention policy applies (no fragmentation probe without an index)
+    a.write("hist", (0 until 100).map(i => (i.toLong, 0.0)).toDF("k", "v"))
+    (1 to 3).foreach(j => a.append("hist",
+      (0 until 50).map(i => ((100 * j + i).toLong, j.toDouble)).toDF("k", "v")))
+    a.snapshot("pin", symbols = Seq("hist"), versions = Map("hist" -> 1))
+    a.write("ok", (0 until 100).map(i => (i.toLong, 0.0)).toDF("k", "v"), Some("k"))
+    a.writeBlob("model", Array[Byte](1, 2, 3))
+
+    // b/frag2: a second library fragments independently
+    b.write("frag2", base, Some("k"))
+    (0 until 3).foreach(j => b.append("frag2",
+      (0 until 30).map(i => ((600 + j * 30 + i).toLong, 1.0)).toDF("k", "v")))
+    assert(b.isSymbolFragmented("frag2"))
+
+    // dry run: full ledger, applied=false, nothing touched
+    val dry = g.maintain(keepVersions = 2, dryRun = true).collect()
+    assert(dry.forall(!_.getAs[Boolean]("applied")))
+    assert(dry.exists(r => r.getString(0) == "a" && r.getString(1) == "frag" &&
+      r.getString(2) == "compact"))
+    assert(dry.exists(r => r.getString(0) == "b" && r.getString(1) == "frag2"))
+    assert(a.listVersions("hist") == Seq(0, 1, 2, 3)) // untouched
+    assert(a.isSymbolFragmented("frag"))
+
+    // real run
+    val ledger = g.maintain(keepVersions = 2)
+    val acts = ledger.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ledger.collect().forall(_.getAs[Boolean]("applied")))
+    // retention: hist keeps latest 2 + the pinned v1; frag loses v0..v2
+    assert(acts.contains(("a", "hist", "delete_versions")))
+    assert(a.listVersions("hist") == Seq(1, 2, 3))
+    assert(a.read("hist", graft.core.Library.AsOf.Snapshot("pin")).count() == 150)
+    // compaction: both fragmented symbols healed, content identical
+    assert(acts.contains(("a", "frag", "compact")) && acts.contains(("b", "frag2", "compact")))
+    assert(!a.isSymbolFragmented("frag") && !b.isSymbolFragmented("frag2"))
+    assert(a.read("frag").exceptAll(fragContent).isEmpty &&
+      fragContent.exceptAll(a.read("frag")).isEmpty)
+    // healthy symbols emit no action; blob survives and reads back
+    assert(!acts.exists(t => t._2 == "ok"))
+    assert(a.readBlob("model").toSeq == Seq[Byte](1, 2, 3))
+
+    // second pass is a no-op: the ledger drains
+    assert(g.maintain(keepVersions = 2).count() == 0)
+  }
 }
