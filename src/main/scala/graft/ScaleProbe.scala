@@ -55,7 +55,10 @@ object ScaleProbe {
     "q125_semdedup_eps09",
     "q151_keeper_prod",
     "q155_pq_prod",
-    "q157_ivfpq_prod")
+    "q157_ivfpq_prod",
+    // round-17: the auto-LSH keeper with a planted >maxBucket
+    // mega-cluster — the saturated-bucket star-link path at scale
+    "q160_keeper_mega")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
@@ -131,6 +134,26 @@ object ScaleProbe {
       graft.functions.Pq.pqTopK(emb, emb.filter(
           org.apache.spark.sql.functions.col("vec_id") < 10),
         "vec_id", "embedding", k = 10, m = 8, ksub = 16, iters = 2)
+    }),
+    "q160_keeper_mega" -> ((s, dir) => {
+      // VERDICT r16 #5: the auto-dispatch keeper at scale WITH a planted
+      // >maxBucket mega-cluster — 5000 near-identical variants of one
+      // page (pairwise Jaccard ≈ 0.97, every band bucket saturates the
+      // 1000 cap). The star-link path must hold the peak task linear in
+      // the bucket (|bucket| edges + rescores, never |bucket|²), and the
+      // whole group must still collapse to one keeper. At sf5/sf10 the
+      // corpus is past the ~64k keeper bar, so this runs the production
+      // auto-LSH route end to end.
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = (0 until 60).map(w => s"megatok$w").mkString(" ")
+      val mega = s.range(5000).select(
+        (col("id") + 900000000L).as("doc_id"),
+        concat(lit(base + " variant"), col("id").cast("string")).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(mega)
+        .withColumn("__score", length(col("text")).cast("double"))
+      graft.functions.Dedup.dropNearDuplicatesByQuality(
+        all, "doc_id", "text", "__score", shingleLen = 3, threshold = 0.5)
     }),
     "q151_keeper_prod" -> ((s, dir) => {
       // q151's production spelling: xxhash64 minhash (the gate runs

@@ -3478,11 +3478,18 @@ object SparkEntry {
               CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
               CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
             FROM msig, range(0, 4) t(b)),
-          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
-          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key)),
+          bkt AS (SELECT key, count(*) AS n, min(doc_id) AS rep
+                  FROM banded GROUP BY key),
+          bb AS (SELECT banded.doc_id, banded.key
+                 FROM banded JOIN bkt USING (key) WHERE bkt.n <= 1000),
           cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id),
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT k.rep, banded.doc_id
+              FROM banded JOIN bkt k USING (key)
+              WHERE k.n > 1000 AND banded.doc_id <> k.rep)),
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
           inter AS (
             SELECT c.id_a, c.id_b, count(*) AS i
@@ -3531,11 +3538,18 @@ object SparkEntry {
               CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
               CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
             FROM msig, range(0, 4) t(b)),
-          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
-          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key)),
+          bkt AS (SELECT key, count(*) AS n, min(doc_id) AS rep
+                  FROM banded GROUP BY key),
+          bb AS (SELECT banded.doc_id, banded.key
+                 FROM banded JOIN bkt USING (key) WHERE bkt.n <= 1000),
           pairs AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id),
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT k.rep, banded.doc_id
+              FROM banded JOIN bkt k USING (key)
+              WHERE k.n > 1000 AND banded.doc_id <> k.rep)),
           edges AS (
             SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
@@ -4673,10 +4687,17 @@ object SparkEntry {
               CAST(b AS VARCHAR) || ':' || CAST(hh[b*3+1] AS VARCHAR) || ':' ||
               CAST(hh[b*3+2] AS VARCHAR) || ':' || CAST(hh[b*3+3] AS VARCHAR) AS key
             FROM msig, range(0, 4) t(b)),
-          ok AS (SELECT key FROM banded GROUP BY key HAVING count(*) <= 1000),
-          bb AS (SELECT banded.doc_id, banded.key FROM banded JOIN ok USING (key))
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id
+          bkt AS (SELECT key, count(*) AS n, min(doc_id) AS rep
+                  FROM banded GROUP BY key),
+          bb AS (SELECT banded.doc_id, banded.key
+                 FROM banded JOIN bkt USING (key) WHERE bkt.n <= 1000)
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bb a JOIN bb b ON a.key = b.key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT k.rep, banded.doc_id
+            FROM banded JOIN bkt k USING (key)
+            WHERE k.n > 1000 AND banded.doc_id <> k.rep)
           ORDER BY id_a, id_b""",
     // 60-bit md5-simhash replay: per-bit ±1 majorities → signature →
     // 4×15-bit bands (+cap) → hamming ≤ 3 pairs, all recomputed.
@@ -4694,12 +4715,21 @@ object SparkEntry {
           chunks AS (
             SELECT doc_id, sig, bd, (sig >> (bd * 15)) & 32767 AS cv
             FROM ssig, range(0, 4) t(bd)),
-          ok AS (SELECT bd, cv FROM chunks GROUP BY bd, cv HAVING count(*) <= 1000),
-          bb AS (SELECT chunks.* FROM chunks JOIN ok USING (bd, cv)),
+          bkt AS (SELECT bd, cv, count(*) AS n, min(doc_id) AS rid,
+              arg_min(sig, doc_id) AS rsig
+            FROM chunks GROUP BY bd, cv),
+          bb AS (SELECT chunks.* FROM chunks JOIN bkt USING (bd, cv)
+                 WHERE bkt.n <= 1000),
           pairs AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-              bit_count(xor(a.sig, b.sig)) AS hamming
-            FROM bb a JOIN bb b ON a.bd = b.bd AND a.cv = b.cv AND a.doc_id < b.doc_id)
+            SELECT DISTINCT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.sig, b.sig)) AS hamming
+              FROM bb a JOIN bb b
+                ON a.bd = b.bd AND a.cv = b.cv AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT k.rid, chunks.doc_id, bit_count(xor(k.rsig, chunks.sig))
+              FROM chunks JOIN bkt k USING (bd, cv)
+              WHERE k.n > 1000 AND chunks.doc_id <> k.rid))
           SELECT id_a, id_b, hamming FROM pairs
           WHERE hamming <= 3 ORDER BY id_a, id_b""",
     // Hyperplane-LSH replay: the 16 seeded Gaussian planes are inlined as

@@ -301,21 +301,32 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val banded = bandedRows(df, idCol, textCol, shingleLen, numHashes, bands, portable)
     // Cap via groupBy-count → anti-join on over-cap buckets (not a count
-    // window — see decontaminate): only (band, bandhash, count) partials
-    // shuffle for the cap decision, and a mega-bucket is never buffered on
-    // one task just to be discarded.
-    val bucketBad = banded.groupBy("band", "bandhash")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select("band", "bandhash")
-    val bucketed = banded.join(bucketBad, Seq("band", "bandhash"), "left_anti")
-    bucketed.as("a")
+    // window — see decontaminate): only (band, bandhash, count, min)
+    // partials shuffle for the cap decision, and a mega-bucket is never
+    // buffered on one task just to be discarded.
+    val counted = banded.groupBy("band", "bandhash")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+    val over = counted.filter(col("__n") > maxBucket)
+    val bucketed = banded.join(
+      over.select("band", "bandhash"), Seq("band", "bandhash"), "left_anti")
+    val pairwise = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Over-cap buckets STAR-LINK to their min-id member instead of
+    // dropping: |bucket| edges, never |bucket|² — so a crawl's 500k-copy
+    // near-identical boilerplate cluster (the exact mega-group the cap
+    // used to silently un-dedup) still reaches downstream as ONE
+    // connected component, while the peak join task stays linear in the
+    // bucket. Consumers that rescore (lshJaccardPairs) decide per-edge
+    // survival exactly as for pairwise candidates; `__rep` is the min id,
+    // so star edges satisfy the id_a < id_b contract by construction.
+    val star = banded.join(over, Seq("band", "bandhash"))
+      .filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    pairwise.unionByName(star).distinct()
   }
 
   /** Near-dup pairs at corpus scale: MinHash-LSH candidates verified by
@@ -1759,19 +1770,32 @@ object Dedup {
         shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*)))
       .toDF("id", "sig", "chunk", "chunkval")
     // groupBy-count → anti-join cap (see decontaminate for why not a
-    // window, and why anti beats the semi form)
-    val bucketBad = chunks.groupBy("chunk", "chunkval")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select("chunk", "chunkval")
-    val bucketed = chunks.join(bucketBad, Seq("chunk", "chunkval"), "left_anti")
-    bucketed.as("a")
+    // window, and why anti beats the semi form); min(struct) carries the
+    // over-cap bucket's representative id AND signature in the same
+    // aggregate pass (id is unique, so the struct min orders by id)
+    val counted = chunks.groupBy("chunk", "chunkval")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("id"), col("sig"))).as("__rep"))
+    val over = counted.filter(col("__n") > maxBucket)
+      .select(col("chunk"), col("chunkval"),
+        col("__rep.id").as("__rid"), col("__rep.sig").as("__rsig"))
+    val bucketed = chunks.join(
+      over.select("chunk", "chunkval"), Seq("chunk", "chunkval"), "left_anti")
+    val pairwise = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunkval") === col("b.chunkval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
+    // over-cap buckets star-link to the min-id member — |bucket| edges
+    // bound the mega-cluster blowup while the group still pairs (see
+    // minhashCandidates); the hamming filter applies per star edge
+    val star = chunks.join(over, Seq("chunk", "chunkval"))
+      .filter(col("id") =!= col("__rid"))
+      .select(col("__rid").as("id_a"), col("id").as("id_b"),
+        hammingDistance(col("__rsig"), col("sig")).as("hamming"))
+    pairwise.unionByName(star)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -282,11 +282,13 @@ class DedupGroundTruthSpec extends SparkSuite {
     assert(got == expected)
   }
 
-  test("simhashPairs maxBucket bounds pair generation under mass duplication") {
-    // 40 exact clones (identical signature → all four 16-bit chunks land in
-    // the same buckets) would emit C(40,2)=780 pairs; with maxBucket=10
-    // the saturated buckets are skipped entirely while a small distinct
-    // near-dup pair (bucket size 2) still comes through
+  test("simhashPairs maxBucket star-links saturated buckets (bounded, still connected)") {
+    // 40 exact clones (identical signature → all four 16-bit chunks land
+    // in the same buckets) would emit C(40,2)=780 pairwise edges; with
+    // maxBucket=10 the saturated buckets STAR-LINK instead: every clone
+    // pairs with the min-id representative only (39 edges — linear in
+    // the cluster, so downstream components still merge the whole group)
+    // while a small distinct near-dup pair (bucket size 2) is pairwise
     val clones = (0 until 40).map(i =>
       (i.toLong, "spark catalyst optimizes declarative dataframe plans into efficient code"))
     val near = Seq( // identical pair of a DIFFERENT text: its own bucket of 2
@@ -296,13 +298,45 @@ class DedupGroundTruthSpec extends SparkSuite {
     val capped = Dedup.simhashPairs(df, "doc_id", "text", maxBucket = 10)
       .as[(Long, Long, Int)].collect()
     val clonePairs = capped.filter { case (a, b, _) => a < 100 && b < 100 }
-    assert(clonePairs.isEmpty, s"saturated clone buckets leaked ${clonePairs.length} pairs")
+    assert(clonePairs.length == 39 && clonePairs.forall(_._1 == 0L),
+      s"saturated buckets must star-link to the min id: got ${clonePairs.length} edges")
+    assert(clonePairs.forall(_._3 == 0), "clone star edges are hamming 0")
     assert(capped.exists { case (a, b, _) => a == 100L && b == 101L },
       "small-bucket near-dup pair must survive the cap")
-    // uncapped control: the clones DO pair without the guard
+    // uncapped control: the clones pair all-ways without the guard
     val uncapped = Dedup.simhashPairs(df, "doc_id", "text")
       .as[(Long, Long, Int)].collect()
     assert(uncapped.count { case (a, b, _) => a < 100 && b < 100 } == 780)
+  }
+
+  test("near-identical mega-cluster past maxBucket: star-linked LSH keeper equals exact") {
+    // The planted >maxBucket group (VERDICT r16 #5): 60 near-identical
+    // variants of one page (pairwise Jaccard ≈ 0.93, far past the 0.5
+    // threshold) plus organic distinct docs. With maxBucket=16 every
+    // band bucket of the group saturates — the old DROP semantics
+    // emitted zero candidates and silently un-deduped the cluster; the
+    // star-link keeps it one component. Keeper decisions must match the
+    // exact all-pairs tier exactly: same survivor (best score), same
+    // losers.
+    val base = (0 until 30).map(w => s"token$w").mkString(" ")
+    val mega = (0 until 60).map(i =>
+      (i.toLong, s"$base extra$i", 100.0 + (i % 7))) // near-dup, score-varied
+    val organic = (100 until 140).map(i =>
+      (i.toLong, (0 until 20).map(w => s"w${i}_$w").mkString(" "), 50.0))
+    val df = (mega ++ organic).toDF("doc_id", "text", "score")
+    val lshPairs = Dedup.lshJaccardPairs(df, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5, maxBucket = 16)
+    val exactPairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    val viaLsh = Dedup.dropNearDuplicatesByQuality(df, lshPairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().sorted
+    val viaExact = Dedup.dropNearDuplicatesByQuality(df, exactPairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaLsh.sameElements(viaExact),
+      s"LSH keeper diverged from exact on the mega-cluster fixture:\n" +
+        s"lsh=${viaLsh.mkString(",")}\nexact=${viaExact.mkString(",")}")
+    // the mega group really collapsed to its single best-score doc
+    assert(viaLsh.count(_ < 100) == 1,
+      s"mega-cluster survivors: ${viaLsh.filter(_ < 100).mkString(",")}")
   }
 
   test("decontaminate drops exactly the docs overlapping the contamination set") {
