@@ -1986,6 +1986,19 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q171_hybrid_rrf" -> { (s, dir) =>
+      // Hybrid retrieval: RRF fusion of the q115 BM25 leg and a
+      // q31-style cosine leg (query-by-example vec_id=3). Each leg's
+      // rank is an exact integer contest; RRF contributions quantize to
+      // 1e-9 longs before the fused sum, so the fused ordering replays
+      // bit-for-bit in DuckDB.
+      graft.functions.Retrieval.hybridTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryTerms = Seq("dup", "vector", "merge"), queryId = 3L,
+        k = 15, legK = 50)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q170_jsonl_ingest" -> { (s, dir) =>
       // Schema-on-read JSONL ingestion with corrupt-record quarantine —
       // the crawl-dump entry path: documents round-trip through JSONL
@@ -4898,6 +4911,61 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
          ORDER BY doc_id""",
+    // RRF fusion replay: the q115 BM25 chain (top-50 leg) + the q31
+    // cosine chain pinned to query vec_id=3 (top-50 leg), fused as
+    // exact 1e-9-unit longs, ties on the smaller id.
+    "q171_hybrid_rrf" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
+         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1),
+         lex AS (
+           SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS lex_rank
+           FROM scored QUALIFY lex_rank <= 50),
+         flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id = 3 AND c.vec_id <> 3
+           GROUP BY 1),
+         sims AS (
+           SELECT corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms nq ON nq.vec_id = 3
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         vec AS (
+           SELECT corpus_id AS id,
+             CAST(row_number() OVER (ORDER BY sim DESC, corpus_id) AS INT) AS vec_rank
+           FROM sims QUALIFY vec_rank <= 50),
+         fused AS (
+           SELECT coalesce(l.id, v.id) AS doc_id,
+             coalesce(CAST(round(1e9 / (60 + l.lex_rank)) AS BIGINT), 0) +
+             coalesce(CAST(round(1e9 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf,
+             l.lex_rank, v.vec_rank
+           FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+         SELECT doc_id, round(rrf / 1e9, 9) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+           lex_rank, vec_rank
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
     // Cluster-balanced subsample: the q114 assignment chain + each
     // cluster's 10 most-central members by (ROUNDED dist asc, id asc) —
     // the rounded value is what the Spark-side top-k aggregate ranks.

@@ -362,4 +362,65 @@ object Retrieval {
       .select(col(idCol), col("__s.snip_start").as("snip_start"),
         col("__s.n_hits").as("n_hits"), col("__s.snippet").as("snippet"))
   }
+
+  /** Hybrid lexical + vector retrieval via Reciprocal-Rank Fusion
+    * (Cormack, Clarke & Büttcher 2009) — the standard RAG-stack fusion
+    * of a BM25 leg and an embedding leg when their score scales are
+    * incomparable: each leg contributes 1/(rrfK + rank) for the
+    * documents in its top `legK`, summed per document.
+    *
+    * The query is (queryTerms, query-by-example `queryId`): the lexical
+    * leg is [[bm25]] over `docs`, the vector leg is
+    * [[Vectors.bruteForceTopK]] cosine against `emb`'s row `queryId`
+    * (which excludes itself, the query-by-example convention). Ids fuse
+    * across the two tables by value.
+    *
+    * Determinism: each leg's rank is already an exact integer contest;
+    * the RRF contribution quantizes to 1e-9-unit longs
+    * (round(1e9/(rrfK+rank))) before the per-doc sum, so the fused
+    * ordering compares exact longs — ties break on the smaller id. The
+    * displayed `rrf_score` is the nano-sum scaled back.
+    *
+    * Scale shape: both legs end in ≤ legK rows (bm25's query-vocabulary
+    * prefilter + integer top-k; the partial top-k aggregate on the
+    * cosine side), so the fusion full-outer join, final ordering and
+    * rank window all run on ≤ 2·legK rows — corpus cost is exactly the
+    * two legs', nothing is added at fusion.
+    *
+    * Output: (idCol, rrf_score, rank, lex_rank, vec_rank) — leg ranks
+    * are NULL for documents the other leg alone surfaced.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryId: Long,
+      k: Int = 10,
+      legK: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
+    val lex = bm25(docs, idCol, textCol, queryTerms, k = legK)
+      .select(col(idCol).cast("long").as("__id"),
+        col("rank").as("lex_rank"))
+    val vec = Vectors.bruteForceTopK(
+        emb, emb.filter(col(embIdCol) === queryId), embIdCol, vecCol, legK)
+      .select(col("corpus_id").cast("long").as("__id"),
+        col("rank").as("vec_rank"))
+    val contrib = (r: Column) =>
+      coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
+    val fused = lex.join(vec, Seq("__id"), "full_outer")
+      .select(col("__id"),
+        (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("__rrf"),
+        col("lex_rank"), col("vec_rank"))
+    fused.orderBy(col("__rrf").desc, col("__id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rrf").desc, col("__id"))))
+      .select(col("__id").as(idCol), round(col("__rrf") / 1e9, 9).as("rrf_score"),
+        col("rank"), col("lex_rank"), col("vec_rank"))
+  }
 }

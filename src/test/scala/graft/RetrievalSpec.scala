@@ -348,4 +348,38 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.bestSnippet(docs, "id", "text", Seq.empty)
     }
   }
+
+  test("hybridTopK: fused score is exactly the reported leg ranks' RRF") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text",
+      emb, "vec_id", "embedding",
+      Seq("dup", "vector", "merge"), queryId = 3L, k = 15, legK = 50)
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      def rank(c: String): Option[Int] = {
+        val i = r.fieldIndex(c)
+        if (r.isNullAt(i)) None else Some(r.getInt(i))
+      }
+      val (lex, vec) = (rank("lex_rank"), rank("vec_rank"))
+      assert(lex.isDefined || vec.isDefined, "doc surfaced by neither leg")
+      // self-consistency: rrf_score is the nano-unit fusion of the
+      // reported leg ranks — no hidden scoring path
+      val nano = lex.map(x => math.round(1e9 / (60 + x))).getOrElse(0L) +
+        vec.map(x => math.round(1e9 / (60 + x))).getOrElse(0L)
+      assert(math.abs(r.getAs[Double]("rrf_score") - nano / 1e9) < 1e-12,
+        s"score mismatch at $r")
+    }
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 15),
+      "fused ranks must be dense 1..k")
+    val scores = out.map(_.getAs[Double]("rrf_score")).toSeq
+    assert(scores == scores.sorted.reverse, "fused order must follow score")
+    // a doc in both legs' top ranks must beat a doc one leg alone
+    // surfaced at deep rank: 2/(60+legK) < 1/(60+1) + 1/(60+legK)
+    val both = out.filter(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank")))
+    if (both.nonEmpty)
+      assert(both.head.getAs[Double]("rrf_score") >= scores.last)
+  }
 }
