@@ -156,6 +156,46 @@ class HttpLibraryLifecycleSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("maintain + admin toolbox on the object store (synthesized directories)") {
+    val server = new HttpObjectStore.Server
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
+      val g = new graft.core.Graft(
+        s"s3://127.0.0.1:${server.port}/bucket/root", spark)
+      val lib = g.createLibrary("a",
+        graft.core.LibraryOptions(rowsPerSegment = 200, gcGraceMs = 0))
+      // fragment a symbol with dribble appends; give it version history
+      lib.write("s", events.limit(600), Some("ts"), targetRows = 200)
+      val more = events.orderBy(org.apache.spark.sql.functions.desc("ts")).limit(100)
+      (0 until 3).foreach(_ => lib.append("s", more, validateIndex = false))
+      assert(lib.isSymbolFragmented("s"))
+
+      // toolbox walks synthesized prefix-directories, not real dirs
+      assert(lib.keyTree("s").filter(col("layer") === "data").count() > 0)
+      assert(lib.manifestDump("s").count() ==
+        lib.resolveVersion("s").files.size)
+      val sum = g.getLibrary("a").storageSummary().collect()
+      assert(sum.length == 1 && sum.head.getAs[Boolean]("fragmented"))
+
+      // maintain compacts + prunes through copy-delete renames and
+      // conditional-PUT commits; second pass drains
+      val ledger = g.maintain(keepVersions = 1).collect()
+      assert(ledger.exists(_.getString(2) == "compact") &&
+        ledger.exists(_.getString(2) == "delete_versions"))
+      assert(!lib.isSymbolFragmented("s"))
+      assert(lib.read("s").count() == 900)
+      assert(g.maintain(keepVersions = 1).count() == 0)
+      // nothing unreferenced or temporary survives on the store
+      val referenced = lib.resolveVersion("s").files.map(_.path).toSet
+      val dataKeys = server.keys.filter(k =>
+        k.contains("/data/") && !k.endsWith("_SUCCESS") &&
+          !k.contains("_inflight") && !k.contains("_CONDEMNED"))
+      val orphans = dataKeys.filterNot(k => referenced.exists(k.endsWith))
+      assert(orphans.isEmpty, s"unreferenced data keys survived maintain: $orphans")
+    } finally server.stop()
+  }
+
   test("batch ops + metadata + blobs + as-of reads on the object store") {
     withLib { (_, lib) =>
       val a = events.limit(100)
