@@ -1986,6 +1986,17 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q172_jsonl_export" -> { (s, dir) =>
+      // Sharded JSONL export with a portable (md5-h60) shard router and
+      // a re-read manifest: the per-shard id and text checksums are
+      // computed from the JSON that LANDED, so any escaping/encoding
+      // infidelity in the round trip diverges the hash vs the oracle's
+      // recomputation over the source table.
+      graft.functions.Export.jsonlShards(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", tmpRoot() + "/jsonl_export", shards = 7)
+        .transform(sortGuarded(_, "shard"))
+    },
     "q171_hybrid_rrf" -> { (s, dir) =>
       // Hybrid retrieval: RRF fusion of the q115 BM25 leg and a
       // q31-style cosine leg (query-by-example vec_id=3). Each leg's
@@ -4911,6 +4922,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
          ORDER BY doc_id""",
+    // Export-shard replay: the portable h60 router and both checksums
+    // recompute over the SOURCE table — equality with the engine's
+    // re-read manifest proves the JSONL round trip was lossless.
+    "q172_jsonl_export" ->
+      s"""SELECT CAST(${hex60Sql("CAST(doc_id AS VARCHAR)")} % 7 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(${hex60Sql("text")} % 1000000007) AS BIGINT) AS text_sum
+         FROM documents GROUP BY 1 ORDER BY 1""",
     // RRF fusion replay: the q115 BM25 chain (top-50 leg) + the q31
     // cosine chain pinned to query vec_id=3 (top-50 leg), fused as
     // exact 1e-9-unit longs, ties on the smaller id.
