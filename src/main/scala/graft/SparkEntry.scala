@@ -1986,6 +1986,24 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q173_version_diff" -> { (s, dir) =>
+      // Manifest-aware version diff: v0 = full write, v1 = update splice
+      // on a day range (+1000). diff(v0 -> latest) reads ONLY each
+      // side's non-shared files (immutable shared files cancel exactly)
+      // and returns removed originals ('-') and added patches ('+');
+      // out-of-range rows in the rewritten splice files cancel under
+      // bag semantics.
+      val lib = new Library(tmpRoot(), s)
+      val ev = t(s, dir, "events")
+      val (lo, hi) = (1704153600000000000L, 1704240000000000000L)
+      lib.write("ev", ev, Some("ts"), targetRows = 3000)
+      val patch = ev.filter(col("ts").between(tsL(lo), tsL(hi)))
+        .withColumn("value", round(col("value") + 1000, 6))
+      lib.update("ev", patch, targetRows = 3000)
+      lib.diff("ev", Library.AsOf.Version(0))
+        .select(col("op"), col("event_id"), tsUs, col("value"))
+        .orderBy("op", "event_id")
+    },
     "q172_jsonl_export" -> { (s, dir) =>
       // Sharded JSONL export with a portable (md5-h60) shard router and
       // a re-read manifest: the per-shard id and text checksums are
@@ -4922,6 +4940,18 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
          ORDER BY doc_id""",
+    // Version-diff replay: the removed originals and added patches are
+    // exactly the update range's before/after images.
+    "q173_version_diff" ->
+      """SELECT '+' AS op, event_id, epoch_us(ts) AS ts,
+           round(value + 1000, 6) AS value
+         FROM events
+         WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
+         UNION ALL
+         SELECT '-', event_id, epoch_us(ts), value
+         FROM events
+         WHERE epoch_ns(ts) BETWEEN 1704153600000000000 AND 1704240000000000000
+         ORDER BY op, event_id""",
     // Export-shard replay: the portable h60 router and both checksums
     // recompute over the SOURCE table — equality with the engine's
     // re-read manifest proves the JSONL round trip was lossless.

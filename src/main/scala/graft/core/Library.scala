@@ -1020,6 +1020,35 @@ final class Library(
       Some((from.getOrElse(Long.MinValue), to.getOrElse(Long.MaxValue))),
       columns)
 
+  /** Manifest-aware version diff: the rows removed (`op` = '-') and
+    * added (`op` = '+') between two versions of `symbol`, bag semantics
+    * (duplicate rows count). Data files SHARED by both manifests cancel
+    * exactly — files are immutable and append/update/compact reuse them
+    * verbatim — so only each side's non-shared files are read and
+    * anti-bagged: cost scales with the CHANGED data, not the symbol (an
+    * append's diff reads just the appended files; an update splice
+    * reads the rewritten run on both sides; 100 TB with a 1 GB patch
+    * diffs ~2 GB). Schemas may have evolved between the versions: both
+    * sides align to the `to` schema with the same typed backfill reads
+    * use (reference context: versions as immutable keys sharing data
+    * segments, `docs/mkdocs/docs/technical/on_disk_storage.md`; the
+    * reference itself exposes no diff — this is the ops tool those
+    * immutable manifests make cheap).
+    */
+  def diff(symbol: String, from: AsOf, to: AsOf = AsOf.Latest): DataFrame = {
+    val ma = resolveVersion(symbol, from)
+    val mb = resolveVersion(symbol, to)
+    val shared = ma.files.map(_.path).toSet & mb.files.map(_.path).toSet
+    val target = schemaOf(mb.schemaDdl)
+    def side(m: VersionManifest): DataFrame = align(
+      readFiles(symbol, m, m.files.filterNot(f => shared(f.path)),
+        range = None, columns = None, withRowId = false), target)
+    val a = side(ma)
+    val b = side(mb)
+    b.exceptAll(a).withColumn("op", lit("+"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("-")))
+  }
+
   def read(
       symbol: String,
       asOf: AsOf = AsOf.Latest,

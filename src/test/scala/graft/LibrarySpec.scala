@@ -1209,4 +1209,47 @@ class LibrarySpec extends SparkSuite {
     // (None, None) degenerates to the full read
     assert(lib.readOpen("ev", None, None).count() == n)
   }
+
+  test("diff reads only non-shared files; append/update/no-op diffs are exact") {
+    val lib = newLib()
+    val ev = events.limit(600)
+    lib.write("ev", ev, Some("ts"), targetRows = 100) // v0: several files
+    val extra = events.orderBy(org.apache.spark.sql.functions.desc("ts")).limit(50)
+      .withColumn("value", col("value") + 0.5)
+    lib.append("ev", extra, validateIndex = false, targetRows = 100) // v1
+
+    // manifest-aware scan: an append's diff must read ONLY the appended
+    // files — none of v0's files appear in the scan
+    val d01 = lib.diff("ev", Library.AsOf.Version(0), Library.AsOf.Version(1))
+    val v0Files = lib.resolveVersion("ev", Library.AsOf.Version(0))
+      .files.map(_.path.split('/').last).toSet
+    val scanned = d01.inputFiles.map(_.split('/').last).toSet
+    assert(scanned.intersect(v0Files).isEmpty,
+      s"diff scanned shared v0 files: ${scanned.intersect(v0Files)}")
+    // content: '+' the appended bag, no '-'
+    assert(d01.filter(col("op") === "-").isEmpty)
+    val added = d01.filter(col("op") === "+").drop("op")
+    assert(added.count() == 50 &&
+      added.exceptAll(extra).isEmpty && extra.exceptAll(added).isEmpty)
+
+    // self-diff is empty; reversed diff flips ops
+    assert(lib.diff("ev", Library.AsOf.Version(1), Library.AsOf.Version(1)).isEmpty)
+    val d10 = lib.diff("ev", Library.AsOf.Version(1), Library.AsOf.Version(0))
+    assert(d10.filter(col("op") === "+").isEmpty &&
+      d10.filter(col("op") === "-").count() == 50)
+
+    // update splice: '-' the originals in range, '+' the patch; rows the
+    // rewrite preserved cancel under bag semantics
+    val mid = lib.resolveVersion("ev").files(2)
+    val (lo, hi) = (mid.minIdx.get, mid.maxIdx.get)
+    val patch = ev.filter(col("ts").between(usL(lo), usL(hi)))
+      .withColumn("value", col("value") + 9999)
+    lib.update("ev", patch, targetRows = 100) // v2
+    val d12 = lib.diff("ev", Library.AsOf.Version(1))
+    val minus = d12.filter(col("op") === "-").drop("op")
+    val plus = d12.filter(col("op") === "+").drop("op")
+    val orig = ev.filter(col("ts").between(usL(lo), usL(hi)))
+    assert(minus.exceptAll(orig).isEmpty && orig.exceptAll(minus).isEmpty)
+    assert(plus.exceptAll(patch).isEmpty && patch.exceptAll(plus).isEmpty)
+  }
 }
