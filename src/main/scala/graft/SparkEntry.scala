@@ -1986,6 +1986,32 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q174_wordpiece_train" -> { (s, dir) =>
+      // WordPiece training: BPE's merge loop with the likelihood score
+      // freq(pair)/(freq(l)*freq(r)) — one IEEE double division of
+      // exact longs, ties (l, r). The output carries the exact integer
+      // numerator/denominators, never the ratio.
+      graft.functions.WordPiece.train(t(s, dir, "documents"), "text", 3)
+        .orderBy("rank")
+    },
+    "q175_wordpiece_encode" -> { (s, dir) =>
+      // Greedy longest-match encode under the q174-trained vocab
+      // (chars + merge products): per-doc piece count and a portable
+      // h60-mod-1e9+7 piece checksum. The oracle replays the 3-merge
+      // training, the vocab, and the greedy DP as a 16-step chain over
+      // codepoint positions — whole-word fallback for >16-cp words.
+      val docs = t(s, dir, "documents")
+      val merges = graft.functions.WordPiece.train(docs, "text", 3)
+      val vocab = graft.functions.WordPiece.vocab(docs, "text", merges)
+      graft.functions.WordPiece.encode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_pieces"),
+          aggregate(
+            transform(col("pieces"), p =>
+              pmod(conv(substring(md5(p.cast("binary")), 1, 15), 16, 10)
+                .cast("long"), lit(1000000007L))),
+            lit(0L), (a, x) => a + x).as("piece_sum"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q173_version_diff" -> { (s, dir) =>
       // Manifest-aware version diff: v0 = full write, v1 = update splice
       // on a day range (+1000). diff(v0 -> latest) reads ONLY each
@@ -2852,6 +2878,77 @@ object SparkEntry {
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY 1),
        seg1 AS (SELECT w, freq, string_split(w, '') AS s FROM words)"""
+
+  /** One WordPiece training iteration: BPE's pair statistics + the
+    * likelihood merge score c/(fl·fr) — one IEEE double division of
+    * exact longs, ties (l, r). pos/kept/next replay ApplyMerge's
+    * leftmost-first non-overlapping application exactly as bpeIterSql.
+    */
+  private def wpIterSql(i: Int): String = {
+    val s = s"seg$i"
+    val nxt = s"seg${i + 1}"
+    s"""pairs$i AS (
+          SELECT l, r, sum(freq) AS c FROM (
+            SELECT freq, s[q] AS l, s[q+1] AS r
+            FROM (SELECT w, freq, s, unnest(range(1, len(s))) AS q FROM $s))
+          GROUP BY 1, 2),
+        units$i AS (
+          SELECT u, sum(freq) AS f FROM (
+            SELECT freq, unnest(s) AS u FROM $s) GROUP BY 1),
+        best$i AS (
+          SELECT p.l, p.r, p.c, ul.f AS fl, ur.f AS fr
+          FROM pairs$i p
+          JOIN units$i ul ON ul.u = p.l
+          JOIN units$i ur ON ur.u = p.r
+          ORDER BY CAST(p.c AS DOUBLE) / (CAST(ul.f AS DOUBLE) * ur.f) DESC,
+            p.l, p.r
+          LIMIT 1),
+        pos$i AS (
+          SELECT b.w, b.q AS p
+          FROM (SELECT w, s, unnest(range(1, len(s))) AS q FROM $s) b, best$i
+          WHERE b.s[b.q] = best$i.l AND b.s[b.q+1] = best$i.r),
+        kept$i AS (
+          SELECT w, p FROM (
+            SELECT w, p, min(p) OVER (PARTITION BY w, p - rn) AS rs FROM (
+              SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+              FROM pos$i))
+          WHERE (p - rs) % 2 = 0),
+        $nxt AS (
+          SELECT w, freq, list(tok ORDER BY q) AS s FROM (
+            SELECT b.w, b.freq, b.q,
+              CASE WHEN k1.p IS NOT NULL THEN b.s[b.q] || b.s[b.q+1]
+                   ELSE b.s[b.q] END AS tok
+            FROM (SELECT w, freq, s, unnest(range(1, len(s) + 1)) AS q
+                  FROM $s) b
+            LEFT JOIN kept$i k1 ON k1.w = b.w AND k1.p = b.q
+            LEFT JOIN kept$i k2 ON k2.w = b.w AND k2.p = b.q - 1
+            WHERE k2.p IS NULL)
+          GROUP BY 1, 2)"""
+  }
+
+  /** One greedy longest-match step over codepoint positions (the q175
+    * WordPiece encode replay): each word row is either done (pos past
+    * the end, pass through) or advances by its longest matching vocab
+    * piece; a position no piece matches collapses to the whole-word
+    * fallback (pieces := [w], pos past the end) — the kernel's rule.
+    */
+  private def wpStepSql(i: Int): String =
+    s"""g$i AS MATERIALIZED (
+          SELECT w,
+            CASE WHEN pos > length(w) THEN pos
+                 WHEN p IS NULL THEN length(w) + 1
+                 ELSE pos + length(p) END AS pos,
+            CASE WHEN pos > length(w) THEN pieces
+                 WHEN p IS NULL THEN [w]
+                 ELSE list_append(pieces, p) END AS pieces
+          FROM (
+            SELECT g.w, g.pos, g.pieces, v.piece AS p,
+              row_number() OVER (PARTITION BY g.w
+                ORDER BY length(v.piece) DESC NULLS LAST) AS rn
+            FROM g${i - 1} g LEFT JOIN vocabv v
+              ON g.pos <= length(g.w)
+                AND substr(g.w, g.pos, length(v.piece)) = v.piece)
+          WHERE rn = 1)"""
 
   private def bpeIterSql(i: Int): String = {
     val s = s"seg$i"
@@ -4940,6 +5037,66 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
          ORDER BY doc_id""",
+    // WordPiece train replay: 3 likelihood-scored merge iterations —
+    // exact integer numerator/denominators in the output, the double
+    // ratio only inside the per-iteration ORDER BY.
+    "q174_wordpiece_train" -> {
+      s"""WITH $bpeWordsCte,
+          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)}
+          SELECT * FROM (
+            SELECT 1 AS rank, l AS "left", r AS "right",
+              CAST(c AS BIGINT) AS freq, CAST(fl AS BIGINT) AS freq_left,
+              CAST(fr AS BIGINT) AS freq_right
+            FROM best1
+            UNION ALL
+            SELECT 2, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
+              CAST(fr AS BIGINT) FROM best2
+            UNION ALL
+            SELECT 3, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
+              CAST(fr AS BIGINT) FROM best3)
+          ORDER BY rank"""
+    },
+    // WordPiece encode replay: the 3-merge training + the chars∪products
+    // vocab + the greedy longest-match walk unrolled as a 16-step chain
+    // over codepoint positions (the q165/q166 fixed-depth discipline);
+    // >16-cp words fall back to themselves, empty docs count 0.
+    "q175_wordpiece_encode" -> {
+      s"""WITH $bpeWordsCte,
+          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)},
+          vocabv AS MATERIALIZED (
+            SELECT DISTINCT piece FROM (
+              SELECT unnest(string_split(w, '')) AS piece FROM words
+              UNION ALL SELECT l || r FROM best1
+              UNION ALL SELECT l || r FROM best2
+              UNION ALL SELECT l || r FROM best3)
+            WHERE piece <> ''),
+          docw AS MATERIALIZED (
+            SELECT doc_id, tok AS w FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+            WHERE tok <> ''),
+          g0 AS MATERIALIZED (
+            SELECT DISTINCT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces
+            FROM docw WHERE length(w) <= 16),
+          ${(1 to 16).map(wpStepSql).mkString(",\n          ")},
+          wseg AS (
+            SELECT w, pieces FROM g16
+            UNION ALL
+            SELECT DISTINCT w, [w] AS pieces FROM docw WHERE length(w) > 16),
+          wstat AS (
+            SELECT w, count(*) AS np,
+              sum(${hex60Sql("p")} % 1000000007) AS ps
+            FROM (SELECT w, unnest(pieces) AS p FROM wseg) GROUP BY 1),
+          docsum AS (
+            SELECT d.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+              CAST(sum(ws.ps) AS BIGINT) AS piece_sum
+            FROM docw d JOIN wstat ws USING (w) GROUP BY 1)
+          SELECT d.doc_id,
+            coalesce(s.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+            coalesce(s.piece_sum, CAST(0 AS BIGINT)) AS piece_sum
+          FROM documents d LEFT JOIN docsum s USING (doc_id)
+          ORDER BY 1"""
+    },
     // Version-diff replay: the removed originals and added patches are
     // exactly the update range's before/after images.
     "q173_version_diff" ->

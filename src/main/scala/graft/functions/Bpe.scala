@@ -86,8 +86,11 @@ object Bpe {
     } finally words.unpersist(false)
   }
 
-  /** Weighted adjacent-pair counts of the current segmentations. */
-  private def pairCounts(seg: DataFrame): DataFrame = seg
+  /** Weighted adjacent-pair counts of the current segmentations.
+    * private[graft]: WordPiece.train shares it (same pair statistics,
+    * different merge score).
+    */
+  private[graft] def pairCounts(seg: DataFrame): DataFrame = seg
     .select(col("freq"),
       slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))).as("__a"),
       slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))).as("__b"))

@@ -1831,6 +1831,139 @@ object UnigramEncodeText {
     CatalystBridge.column(UnigramEncodeText(CatalystBridge.expression(text), model))
 }
 
+/** Greedy longest-match-first ("WordPiece"-style, Schuster & Nakajima
+  * 2012 / the BERT tokenizer's encode rule) segmentation model over a
+  * piece vocabulary: at each position take the LONGEST vocab piece
+  * matching the remaining word, advance, repeat. Same closure-model
+  * contract as [[UnigramModel]] (≤ 64k pieces, broadcast once per
+  * executor), same codepoint indexing discipline (all positions/lengths
+  * are codepoints, so the kernel agrees with SQL `length`/`substr` and
+  * the DuckDB replay even past the BMP), same fallback rule (a word
+  * longer than `maxWordLen` codepoints, or one that hits a position no
+  * piece matches, emits ITSELF as one piece — a real deployment maps
+  * fallback pieces to [UNK] downstream; keeping the word keeps the
+  * kernel oracle-replayable without a reserved token).
+  */
+final class WordPieceModel(pieces: Array[String], val maxWordLen: Int)
+    extends Serializable {
+  require(pieces.nonEmpty && pieces.length <= 65536,
+    s"wordpiece vocab must have 1..65536 pieces, got ${pieces.length}")
+  require(maxWordLen >= 1, s"bad maxWordLen $maxWordLen")
+
+  @transient private lazy val vocab: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { s.add(pieces(i)); i += 1 }
+    s
+  }
+
+  @transient private lazy val maxPieceLen: Int = {
+    var mx = 1
+    var i = 0
+    while (i < pieces.length) {
+      val p = pieces(i)
+      val c = p.codePointCount(0, p.length)
+      if (c > mx) mx = c; i += 1
+    }
+    mx
+  }
+
+  private def cpOffsets(word: String): Array[Int] = {
+    val len = word.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { cnt += 1; i += Character.charCount(word.codePointAt(i)) }
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) { offs(k) = i; i += Character.charCount(word.codePointAt(i)); k += 1 }
+    offs(cnt) = len
+    offs
+  }
+
+  def segmentWord(word: String): java.util.ArrayList[String] = {
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
+    if (n > maxWordLen) {
+      val out = new java.util.ArrayList[String](1); out.add(word); out
+    } else {
+      val out = new java.util.ArrayList[String](4)
+      var pos = 0
+      while (pos < n) {
+        var l = math.min(maxPieceLen, n - pos)
+        var hit: String = null
+        while (l >= 1 && hit == null) {
+          val sub = word.substring(offs(pos), offs(pos + l))
+          if (vocab.contains(sub)) hit = sub else l -= 1
+        }
+        if (hit == null) {
+          // unknown at this position: whole-word fallback
+          val fb = new java.util.ArrayList[String](1); fb.add(word); return fb
+        }
+        out.add(hit); pos += l
+      }
+      out
+    }
+  }
+
+  /** Tokenize one document: split on single spaces (the Text.tokens /
+    * string_split convention), greedy per word, word boundaries hard.
+    */
+  def encode(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[Any](words.length * 2)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      if (word.nonEmpty) {
+        val seg = segmentWord(word)
+        var t = 0
+        while (t < seg.size) { out.add(UTF8String.fromString(seg.get(t))); t += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `wordpiece_encode(text)`: whole-document greedy longest-match
+  * tokenization under a [[WordPieceModel]] in ONE codegen pass — the
+  * third tokenizer family next to [[BpeEncodeText]] and
+  * [[UnigramEncodeText]], same closure-model scale shape.
+  */
+final case class WordPieceEncodeText(child: Expression, model: WordPieceModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("wordPieceModel", model,
+      classOf[WordPieceModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $modelRef.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "wordpiece_encode"
+}
+
+object WordPieceEncodeText {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(text: Column, model: WordPieceModel): Column =
+    CatalystBridge.column(WordPieceEncodeText(CatalystBridge.expression(text), model))
+}
+
 /** `char_grams(text, n)`: every sliding character n-gram of the raw
   * text (positions 1..len-n+1, spaces included — they carry the word-
   * boundary signal), one codegen pass. Texts shorter than n yield an
