@@ -454,4 +454,33 @@ class PropertySpec extends SparkSuite {
       assert(g == e, s"text '${texts(i)}'")
     }
   }
+
+  test("property: WordPiece greedy segmentation always reconstructs the word") {
+    // For ANY vocab and word, concatenating segmentWord(w) yields w —
+    // greedy advance covers every codepoint or falls back to the whole
+    // word; either way the pieces partition it. Alphabets include
+    // supplementary-plane codepoints to exercise surrogate handling.
+    import graft.plans.WordPieceModel
+    val alphabet = Seq("a", "b", "c", "😀", "𝐀", "ß")
+    val genPiece = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    val genVocab = Gen.nonEmptyListOf(genPiece).map(_.distinct)
+    val genWord = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    val params = Gen.Parameters.default
+    (0 until 200).foreach { i =>
+      val seed = Seed(90017L + i)
+      val vocab = genVocab(params, seed).get
+      val word = genWord(params, seed.next).get
+      val m = new WordPieceModel(vocab.toArray, maxWordLen = 16)
+      if (word.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val seg = m.segmentWord(word).asScala
+        assert(seg.mkString == word, s"vocab=$vocab word=$word seg=$seg")
+        // multi-piece segmentations contain only vocab members (a
+        // single piece may be the whole-word fallback instead)
+        if (seg.size > 1) assert(seg.forall(vocab.contains), s"$seg not in $vocab")
+      }
+    }
+  }
 }
