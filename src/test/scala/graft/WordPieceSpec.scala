@@ -53,6 +53,27 @@ class WordPieceSpec extends SparkSuite {
     assert(out(6L) == ((Seq("ab", "abc"), 2L)))
   }
 
+  test("encode is map-side: no keyed shuffle, no join in the plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val docs = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val vocab = Seq("l", "o", "w", "e", "r", "lo").toDF("piece")
+    val plan = WordPiece.encode(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan
+    // the vocab rides the closure: a dictionary-join hash exchange
+    // would break the model-in-closure contract (same pin as Bpe/
+    // UnigramLm encode)
+    val keyed = plan.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+    }
+    assert(keyed.isEmpty, plan)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, plan)
+  }
+
   test("vocab = corpus characters plus merge products") {
     val df = Seq((1L, "ab ab cd")).toDF("id", "text")
     val merges = WordPiece.train(df, "text", 1)
