@@ -74,6 +74,36 @@ class WordPieceSpec extends SparkSuite {
     assert(joins.isEmpty, plan)
   }
 
+  test("vocab as a versioned symbol: retrain bumps, as-of pins the old tokenizer") {
+    // The tokenizer-artifact story: a vocab is an ordinary DataFrame, so
+    // the Library's versioning IS the model registry — retraining
+    // commits a new version, and an as-of read reproduces last month's
+    // tokenization bit-for-bit (the reproducibility a training pipeline
+    // needs when a vocab refresh must not silently change old shards).
+    val lib = new graft.core.Library(
+      java.nio.file.Files.createTempDirectory("graft-wp-").toString, spark)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    lib.write("wp_vocab",
+      WordPiece.vocab(corpus, "text", WordPiece.train(corpus, "text", 1)))
+    val encV0 = WordPiece.encode(corpus, "doc_id", "text",
+      lib.read("wp_vocab")).select("doc_id", "n_pieces")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // retrain deeper -> v1; strictly more merge products, fewer pieces
+    lib.write("wp_vocab",
+      WordPiece.vocab(corpus, "text", WordPiece.train(corpus, "text", 3)))
+    val encV1 = WordPiece.encode(corpus, "doc_id", "text",
+      lib.read("wp_vocab")).select("doc_id", "n_pieces")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(encV1.values.sum < encV0.values.sum,
+      "a deeper vocab must compress the corpus further")
+    // the pinned version reproduces the ORIGINAL tokenization exactly
+    val encOld = WordPiece.encode(corpus, "doc_id", "text",
+      lib.read("wp_vocab", graft.core.Library.AsOf.Version(0)))
+      .select("doc_id", "n_pieces")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(encOld == encV0)
+  }
+
   test("vocab = corpus characters plus merge products") {
     val df = Seq((1L, "ab ab cd")).toDF("id", "text")
     val merges = WordPiece.train(df, "text", 1)
