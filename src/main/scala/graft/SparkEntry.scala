@@ -2074,14 +2074,23 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("source", StringType),
         StructField("_corrupt_record", StringType)))
-      val parsed = s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(out)
-      val valid = parsed.filter(col("_corrupt_record").isNull)
-        .select(col("doc_id"), col("lang"), col("source"))
+      // text scan + from_json, not a raw .json() read: the file-source
+      // corrupt-record column may not be the ONLY scanned column
+      // (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction bites any
+      // branch that prunes down to the marker — the quarantine count
+      // did); a COMPUTED struct field has no such restriction, and the
+      // marker-only filter correctly quarantines partially-parsed lines
+      // (doc_id extracted, another field malformed) instead of dropping
+      // them from both branches.
+      val parsed = s.read.text(out).select(
+        from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      val valid = parsed.filter(col("j._corrupt_record").isNull)
+        .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+          col("j.source").as("source"))
       val quarantined = parsed
-        .filter(col("_corrupt_record").isNotNull && col("doc_id").isNull)
+        .filter(col("j._corrupt_record").isNotNull)
         .agg(count(lit(1)).as("n"))
         .select(lit(-1L).as("doc_id"), lit("__corrupt__").as("lang"),
           col("n").cast("string").as("source"))

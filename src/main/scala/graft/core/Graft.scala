@@ -206,16 +206,24 @@ final class Graft(val rootUri: String, spark: SparkSession) {
       val bySym = lib.listVersionsInfo().groupBy(_.symbol)
       bySym.toSeq.sortBy(_._1).foreach { case (sym, infos) =>
         var vs = infos.sortBy(_.version)
-        if (lib.isSymbolFragmented(sym)) {
+        // a tombstoned symbol has no latest data to probe — retention
+        // (which is what eventually reclaims its storage) still applies
+        if (!vs.last.deleted && lib.isSymbolFragmented(sym)) {
           val before = lib.resolveVersion(sym).files.size
           actions += ((ln, sym, "compact",
             if (dryRun) s"$before fragmented files"
             else {
-              val compacted = lib.compact(sym)
-              vs = vs :+ Library.VersionInfo(sym, compacted,
-                System.currentTimeMillis(), deleted = false, Seq.empty)
+              lib.compact(sym)
               s"files $before -> ${lib.resolveVersion(sym).files.size}"
             }, !dryRun))
+          // the compact commits a fresh version the retention step must
+          // see — in dryRun too, so the reported deletable set matches
+          // what a real run would delete (the pre-compact latest
+          // included); the synthetic tail entry itself is always kept
+          // (keepVersions >= 1), so only REAL version ids are reported
+          vs = vs :+ Library.VersionInfo(sym,
+            if (dryRun) vs.last.version + 1 else lib.latestVersion(sym).get,
+            System.currentTimeMillis(), deleted = false, Seq.empty)
         }
         val (pinned, deletable) =
           vs.dropRight(keepVersions).partition(_.snapshots.nonEmpty)
@@ -226,6 +234,15 @@ final class Graft(val rootUri: String, spark: SparkSession) {
                  s" (kept ${pinned.map(_.version).mkString(",")}: snapshot-pinned)"
                else ""), !dryRun))
           if (!dryRun) lib.delete(sym, deletable.map(_.version))
+        }
+        // steady-state sweep: prune/delete only CONDEMN under the read
+        // grace; this is the pass that hard-deletes markers that have
+        // outlived gcGraceMs on otherwise-idle symbols (without it
+        // condemned files persist forever once retention has drained)
+        if (!dryRun) {
+          val swept = lib.gc(sym)
+          if (swept > 0)
+            actions += ((ln, sym, "gc", s"$swept condemned/unreferenced files", true))
         }
       }
     }

@@ -1409,9 +1409,13 @@ final class Library(
     * readable layout.
     */
   def storageSummary(): DataFrame = {
-    val rows = listSymbols().sorted.map { sym =>
+    // listSymbolDirs, not listSymbols: a tombstoned symbol still OWNS
+    // storage (its history + any not-yet-pruned data) and the census
+    // must show it; its latest manifest is the tombstone (0 files), and
+    // the fragmentation probe doesn't apply.
+    val rows = listSymbolDirs().map { sym =>
       val versions = listVersions(sym)
-      val m = resolveVersion(sym)
+      val m = manifest(sym, versions.last)
       val dataRoot = new Path(symDir(sym), "data")
       val f = fs(dataRoot)
       def du(p: Path): Long =
@@ -1419,7 +1423,7 @@ final class Library(
         else f.listStatus(p).map(st =>
           if (st.isDirectory) du(st.getPath) else st.getLen).sum
       (sym, versions.size, m.version, m.files.size, m.rowCount,
-        du(dataRoot), isSymbolFragmented(sym))
+        du(dataRoot), !m.deleted && isSymbolFragmented(sym))
     }
     spark.createDataFrame(rows)
       .toDF("symbol", "n_versions", "latest_version", "n_files", "rows",
@@ -1504,14 +1508,28 @@ final class Library(
       .flatMap(sm => sm.versions.get(symbol).map(v => v -> sm.name))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
 
+  /** Collect condemned-past-grace and unreferenced data files NOW — the
+    * steady-state sweep. prune/delete(versions) CONDEMN unreferenced
+    * files under the `gcGraceMs` read grace, but nothing re-triggers
+    * collection on an idle symbol afterwards — without a periodic sweep
+    * the condemned files would persist indefinitely. Scheduled
+    * maintenance ([[Graft.maintain]]) calls this per symbol to
+    * hard-delete markers that have outlived the window. Returns the
+    * number of data files hard-deleted; idempotent, and safe alongside
+    * readers still inside the grace (their files carry fresh markers).
+    */
+  def gc(symbol: String): Int = gcUnreferencedFiles(symbol)
+
   /** Reference-counting GC: remove data files referenced by NO surviving
     * version manifest of `symbol` — never a blind directory wipe (data
-    * files are shared across versions). Shared by prunePreviousVersions
-    * and delete(versions); also collects loser-writer dirs.
+    * files are shared across versions). Shared by prunePreviousVersions,
+    * delete(versions) and the public [[gc]] sweep; also collects
+    * loser-writer dirs. Returns the hard-deleted data-file count.
     */
-  private def gcUnreferencedFiles(symbol: String): Unit = {
+  private def gcUnreferencedFiles(symbol: String): Int = {
     val dataRoot = new Path(symDir(symbol), "data")
     val dfs = fs(dataRoot)
+    var deleted = 0
     if (dfs.exists(dataRoot)) {
       // ONE listing snapshot for both markers and delta dirs, taken
       // BEFORE the manifest read below. finalizeStaged plants its marker
@@ -1581,10 +1599,12 @@ final class Library(
               markers.get(name).foreach(m => dfs.delete(m.getPath, false))
             } else if (graceMs <= 0) {
               dfs.delete(st.getPath, false)
+              deleted += 1
             } else markers.get(name) match {
               case Some(m) if now - m.getModificationTime > graceMs =>
                 dfs.delete(st.getPath, false)
                 dfs.delete(m.getPath, false)
+                deleted += 1
               case Some(_) => kept = true // condemned; grace still running
               case None =>
                 dfs.create(new Path(dir.getPath, s"$CondemnedPrefix$name"), true)
@@ -1596,6 +1616,7 @@ final class Library(
         }
       }
     }
+    deleted
   }
 
   private val InFlightPrefix = "_INFLIGHT_"

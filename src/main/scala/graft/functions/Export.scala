@@ -42,6 +42,13 @@ object Export {
       dir: String,
       shards: Int): DataFrame = {
     require(shards >= 1 && shards <= 65536, s"bad shard count $shards")
+    // 'shard' is the routing column and 'value' the serialized line —
+    // a same-named input column would be silently REPLACED by the
+    // router hash before to_json serializes it (exported data corrupted
+    // in a way the re-read manifest cannot see, since it re-parses the
+    // same corrupted JSON); refuse loudly instead
+    require(!df.columns.contains("shard") && !df.columns.contains("value"),
+      "jsonlShards: input must not contain columns named 'shard' or 'value'")
     val spark = df.sparkSession
     val cols = df.columns.toSeq
     df.withColumn("shard",

@@ -403,6 +403,13 @@ object Retrieval {
       legK: Int = 50,
       rrfK: Int = 60): DataFrame = {
     require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
+    // ids fuse across the two tables by LONG value; a silent string->
+    // long cast would null unparsable ids and quietly unfuse the legs
+    // (same guard discipline as TopKByScore.requireIntegralId)
+    graft.plans.TopKByScore.requireIntegralId(
+      docs.schema(idCol).dataType, "hybridTopK doc id")
+    graft.plans.TopKByScore.requireIntegralId(
+      emb.schema(embIdCol).dataType, "hybridTopK embedding id")
     val lex = bm25(docs, idCol, textCol, queryTerms, k = legK)
       .select(col(idCol).cast("long").as("__id"),
         col("rank").as("lex_rank"))

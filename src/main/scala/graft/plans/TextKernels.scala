@@ -1677,6 +1677,29 @@ object BestSnippet {
   *    a single fallback piece — total, and replayable as a length/
   *    reachability CASE.
   */
+/** Shared codepoint-boundary helper for the closure tokenizer models:
+  * UTF-16 offsets of each codepoint boundary (length = #codepoints + 1),
+  * so all DP/greedy indexing is over CODEPOINTS and the kernels agree
+  * with SQL `length`/`substring`/`substr` semantics — and with the
+  * DuckDB replay oracles — even past the BMP (emoji, supplementary CJK).
+  * One definition: the surrogate discipline must not fork between the
+  * Unigram and WordPiece models.
+  */
+private[plans] object Codepoints {
+  def offsets(word: String): Array[Int] = {
+    val len = word.length
+    var cnt = 0
+    var i = 0
+    while (i < len) { cnt += 1; i += Character.charCount(word.codePointAt(i)) }
+    val offs = new Array[Int](cnt + 1)
+    var k = 0
+    i = 0
+    while (i < len) { offs(k) = i; i += Character.charCount(word.codePointAt(i)); k += 1 }
+    offs(cnt) = len
+    offs
+  }
+}
+
 final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
     extends Serializable {
   require(pieces.nonEmpty && pieces.length <= 65536,
@@ -1703,23 +1726,9 @@ final class UnigramModel(pieces: Array[(String, Long)], val maxWordLen: Int)
 
   private val NegInf = java.lang.Long.MIN_VALUE / 2
 
-  /** UTF-16 offsets of each codepoint boundary (length = #codepoints + 1).
-    * All DP indexing is over CODEPOINTS so the kernel agrees with the SQL
-    * `length`/`substring` seed side and the DuckDB replay oracle even past
-    * the BMP (emoji, supplementary CJK) — same discipline as CharGrams.
-    */
-  private def cpOffsets(word: String): Array[Int] = {
-    val len = word.length
-    var cnt = 0
-    var i = 0
-    while (i < len) { cnt += 1; i += Character.charCount(word.codePointAt(i)) }
-    val offs = new Array[Int](cnt + 1)
-    var k = 0
-    i = 0
-    while (i < len) { offs(k) = i; i += Character.charCount(word.codePointAt(i)); k += 1 }
-    offs(cnt) = len
-    offs
-  }
+  // codepoint indexing via the shared [[Codepoints]] helper — same
+  // discipline as CharGrams and WordPieceModel
+  private def cpOffsets(word: String): Array[Int] = Codepoints.offsets(word)
 
   /** Viterbi-best segmentation over codepoint positions; null when the
     * word has no complete segmentation under the model (caller emits the
@@ -1868,21 +1877,8 @@ final class WordPieceModel(pieces: Array[String], val maxWordLen: Int)
     mx
   }
 
-  private def cpOffsets(word: String): Array[Int] = {
-    val len = word.length
-    var cnt = 0
-    var i = 0
-    while (i < len) { cnt += 1; i += Character.charCount(word.codePointAt(i)) }
-    val offs = new Array[Int](cnt + 1)
-    var k = 0
-    i = 0
-    while (i < len) { offs(k) = i; i += Character.charCount(word.codePointAt(i)); k += 1 }
-    offs(cnt) = len
-    offs
-  }
-
   def segmentWord(word: String): java.util.ArrayList[String] = {
-    val offs = cpOffsets(word)
+    val offs = Codepoints.offsets(word)
     val n = offs.length - 1
     if (n > maxWordLen) {
       val out = new java.util.ArrayList[String](1); out.add(word); out

@@ -63,4 +63,18 @@ class ExportSpec extends SparkSuite {
         (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))).toMap
     assert(again == manifest)
   }
+
+  test("jsonlShards refuses inputs with reserved 'shard'/'value' columns") {
+    // a same-named input column would be silently replaced by the
+    // router hash before serialization — corruption the re-read
+    // manifest cannot see (it re-parses the same corrupted JSON)
+    val withShard = Seq((1L, "t", 9)).toDF("doc_id", "text", "shard")
+    intercept[IllegalArgumentException] {
+      Export.jsonlShards(withShard, "doc_id", "text", "/tmp/never", 2)
+    }
+    val withValue = Seq((1L, "t", "x")).toDF("doc_id", "text", "value")
+    intercept[IllegalArgumentException] {
+      Export.jsonlShards(withValue, "doc_id", "text", "/tmp/never", 2)
+    }
+  }
 }

@@ -177,4 +177,45 @@ class GraftFrontDoorSpec extends SparkSuite {
     // second pass is a no-op: the ledger drains
     assert(g.maintain(keepVersions = 2).count() == 0)
   }
+
+  test("maintain survives tombstoned symbols and sweeps condemned-past-grace files") {
+    val g = new Graft(freshRoot(), spark)
+    // 150ms grace: long enough that pass-1 only CONDEMNS, short enough
+    // that a later sweep hard-deletes
+    val lib = g.createLibrary("a",
+      LibraryOptions(rowsPerSegment = 200, gcGraceMs = 150))
+    val df = (0 until 400).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    lib.write("dead", df, Some("k"))
+    lib.append("dead", (400 until 500).map(i => (i.toLong, 0.0)).toDF("k", "v"))
+    lib.delete("dead") // tombstone on top (v2)
+    lib.write("live", df, Some("k"))
+
+    // the tombstoned symbol must not crash the pass or the census
+    val census = lib.storageSummary().collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(census.keySet == Set("dead", "live") && census("dead") == 0L)
+    val pass1 = g.maintain(keepVersions = 1).collect()
+    // retention pruned the tombstone's history (data versions 0,1)...
+    assert(pass1.exists(r => r.getString(1) == "dead" &&
+      r.getString(2) == "delete_versions"))
+    assert(lib.listVersions("dead").size == 1)
+    // ...but the grace means files are condemned, not deleted
+    val dataDir = new java.io.File(s"${g.rootUri}/a/dead/data")
+    def dataFiles() =
+      if (!dataDir.exists()) Array.empty[String]
+      else new java.io.File(s"${g.rootUri}/a/dead/data").listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.getName).filter(n => !n.startsWith("_CONDEMNED") && !n.endsWith(".crc"))
+    assert(dataFiles().nonEmpty, "grace must condemn, not hard-delete")
+
+    // past the grace, the NEXT maintain's gc sweep hard-deletes — the
+    // steady-state path that has no version deletes left to piggyback on
+    Thread.sleep(300)
+    val pass2 = g.maintain(keepVersions = 1).collect()
+    assert(pass2.exists(r => r.getString(1) == "dead" && r.getString(2) == "gc"),
+      s"expected a gc action, got ${pass2.mkString(";")}")
+    assert(dataFiles().isEmpty, s"condemned files survived the sweep: ${dataFiles().toSeq}")
+    // live symbol untouched throughout
+    assert(g.getLibrary("a").read("live").count() == 400)
+  }
 }

@@ -381,5 +381,14 @@ class RetrievalSpec extends SparkSuite {
       !r.isNullAt(r.fieldIndex("vec_rank")))
     if (both.nonEmpty)
       assert(both.head.getAs[Double]("rrf_score") >= scores.last)
+
+    // non-integral ids fail loudly — a silent string->long cast would
+    // null the join keys and quietly unfuse the legs
+    import spark.implicits._
+    val strDocs = Seq(("a", "dup text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.hybridTopK(strDocs, "doc_id", "text",
+        emb, "vec_id", "embedding", Seq("dup"), queryId = 3L)
+    }
   }
 }
