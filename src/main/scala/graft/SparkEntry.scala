@@ -1986,6 +1986,23 @@ object SparkEntry {
         k = 8, perCluster = 10, iters = 2, portable = true)
         .transform(sortGuarded(_, "cluster", "rank"))
     },
+    "q176_incremental_export" -> { (s, dir) =>
+      // The incremental pipeline tail: a crawl batch appends to a
+      // versioned symbol, diff(v0 -> latest) yields exactly the NEW
+      // rows by reading ONLY the appended files (shared files cancel —
+      // q173), and the sharded JSONL export ships them with the
+      // portable router + re-read manifest (q172). Export cost scales
+      // with the new batch, not the symbol.
+      val lib = new Library(tmpRoot(), s)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      lib.write("docs", docs.filter(col("doc_id") % 3 =!= 0))
+      lib.append("docs", docs.filter(col("doc_id") % 3 === 0))
+      val fresh = lib.diff("docs", Library.AsOf.Version(0))
+        .filter(col("op") === "+").drop("op")
+      graft.functions.Export.jsonlShards(
+        fresh, "doc_id", "text", tmpRoot() + "/inc_export", shards = 5)
+        .transform(sortGuarded(_, "shard"))
+    },
     "q174_wordpiece_train" -> { (s, dir) =>
       // WordPiece training: BPE's merge loop with the likelihood score
       // freq(pair)/(freq(l)*freq(r)) — one IEEE double division of
@@ -5046,6 +5063,14 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          UNION ALL SELECT CAST(-1 AS BIGINT), '__corrupt__', '3'
          ORDER BY doc_id""",
+    // Incremental-export replay: the appended slice is doc_id % 3 = 0;
+    // the router and checksums recompute over exactly that slice.
+    "q176_incremental_export" ->
+      s"""SELECT CAST(${hex60Sql("CAST(doc_id AS VARCHAR)")} % 5 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(${hex60Sql("text")} % 1000000007) AS BIGINT) AS text_sum
+         FROM documents WHERE doc_id % 3 = 0 GROUP BY 1 ORDER BY 1""",
     // WordPiece train replay: 3 likelihood-scored merge iterations —
     // exact integer numerator/denominators in the output, the double
     // ratio only inside the per-iteration ORDER BY.
