@@ -55,32 +55,9 @@ class MultiJvmCasRaceSpec extends SparkSuite {
         spark.range(10).select(col("id").as("v"), lit("seed").as("src")))
       val seedV = lib.latestVersion("race").get
 
-      // forked-JVM command line: same classpath as this (sbt-forked) test
-      // JVM, same JDK-17 module opens, small heap — a real cold process
-      val java = s"${System.getProperty("java.home")}/bin/java"
-      val cp = System.getProperty("java.class.path")
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val procs = (0 until 2).map { id =>
-        val log = Files.createTempFile(s"race-child-$id-", ".log").toFile
-        val pb = new ProcessBuilder(
-          (Seq(java) ++ addOpens ++ Seq(
-            "-Xms512m", "-Xmx3g",
-            "-Dspark.ui.enabled=false",
-            "-Dspark.sql.session.timeZone=UTC",
-            "-cp", cp, "graft.MultiJvmRaceChild",
-            server.port.toString, id.toString, Quota.toString,
-            Rows.toString)): _*)
-        pb.redirectErrorStream(true)
-        pb.redirectOutput(log)
-        (pb.start(), log)
+        forkChild("graft.MultiJvmRaceChild",
+          Seq(server.port.toString, id.toString, Quota.toString, Rows.toString))
       }
 
       // barrier: wait for both children to boot + resolve the shared
@@ -150,6 +127,83 @@ class MultiJvmCasRaceSpec extends SparkSuite {
         k.contains("_temporary") || k.endsWith(".crc"))
       assert(temps.isEmpty, s"temp keys survived: $temps")
     } finally server.stop()
+  }
+
+  test("cross-process GC grace: a forked reader's pre-prune scan survives the prune") {
+    val server = new HttpObjectStore.Server
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
+      // (exitCode, log tail) of one reader-vs-prune interleaving: the
+      // forked reader resolves v0, the PARENT then commits v1 + prunes
+      // v0, and only then does the reader's scan run — zero shared JVM
+      // state (the in-JVM two-handle variant shares FileSystem cache,
+      // manifest cache and open handles, all of which can mask this)
+      def run(bucket: String, graceMs: Long): (Int, String) = {
+        val lib = new Library(s"s3://127.0.0.1:${server.port}/$bucket/lib",
+          spark, LibraryOptions(gcGraceMs = graceMs))
+        lib.write("s",
+          spark.range(400).select(col("id").as("k"), (col("id") * 2).as("v")),
+          Some("k"), targetRows = 100) // v0: several files
+        val (p, log) = forkChild("graft.MultiJvmGraceReader",
+          Seq(server.port.toString, bucket))
+        val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
+        while (!server.keys.contains(s"/__grace/$bucket/resolved") &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        assert(server.keys.contains(s"/__grace/$bucket/resolved"),
+          s"reader failed to resolve; log: ${tail(log)}")
+        lib.write("s",
+          spark.range(100).select(col("id").as("k"), lit(0L).as("v")),
+          Some("k"), targetRows = 100) // v1
+        lib.prunePreviousVersions("s") // v0 manifest gone, files condemned/deleted
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:${server.port}/__grace/$bucket/pruned"))
+            .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
+          HttpResponse.BodyHandlers.discarding())
+        if (!p.waitFor(240, TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          fail(s"reader timed out; log: ${tail(log)}")
+        }
+        (p.exitValue(), tail(log))
+      }
+      // graced: condemn-not-delete keeps the in-flight scan alive
+      val (okExit, okLog) = run("graced", graceMs = 60000)
+      assert(okExit == 0 && okLog.contains("GRACE-READER-DONE n=400"),
+        s"graced reader must complete its 400-row scan:\n$okLog")
+      // contrast: immediate hard-delete loses the same race
+      val (badExit, badLog) = run("nograce", graceMs = 0)
+      assert(badExit != 0,
+        s"gcGraceMs=0 reader should have failed mid-scan:\n$badLog")
+    } finally server.stop()
+  }
+
+  /** Fork a real child JVM on this (sbt-forked) test JVM's classpath
+    * with the same JDK-17 module opens and a small heap — a genuinely
+    * cold process sharing nothing with the parent.
+    */
+  private def forkChild(main: String, args: Seq[String]): (Process, java.io.File) = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val log = Files.createTempFile(s"${main.split('.').last}-", ".log").toFile
+    val pb = new ProcessBuilder(
+      (Seq(java) ++ addOpens ++ Seq(
+        "-Xms512m", "-Xmx3g",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, main) ++ args): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
   }
 
   private def tail(f: java.io.File): String = {
