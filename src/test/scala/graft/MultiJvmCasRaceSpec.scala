@@ -1,7 +1,5 @@
 package graft
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 import java.util.concurrent.TimeUnit
 
@@ -62,18 +60,15 @@ class MultiJvmCasRaceSpec extends SparkSuite {
 
       // barrier: wait for both children to boot + resolve the shared
       // base, then open the gate with one unconditional PUT
-      val http = HttpClient.newHttpClient()
       val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
       while ((0 until 2).exists(id =>
                !server.keys.contains(s"/__race/ready-$id")) &&
              System.nanoTime() < deadline) Thread.sleep(50)
-      assert((0 until 2).forall(id => server.keys.contains(s"/__race/ready-$id")),
-        s"children failed to boot; logs: ${procs.map(p => tail(p._2)).mkString("\n---\n")}")
-      http.send(
-        HttpRequest.newBuilder(URI.create(
-          s"http://127.0.0.1:${server.port}/__race/go"))
-          .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
-        HttpResponse.BodyHandlers.discarding())
+      if ((0 until 2).exists(id => !server.keys.contains(s"/__race/ready-$id"))) {
+        procs.foreach(_._1.destroyForcibly())
+        fail(s"children failed to boot; logs: ${procs.map(p => tail(p._2)).mkString("\n---\n")}")
+      }
+      MultiJvmPlumbing.putKey(server.port, "/__race/go")
 
       val reports = procs.map { case (p, log) =>
         if (!p.waitFor(240, TimeUnit.SECONDS)) {
@@ -150,17 +145,15 @@ class MultiJvmCasRaceSpec extends SparkSuite {
         val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(120)
         while (!server.keys.contains(s"/__grace/$bucket/resolved") &&
                System.nanoTime() < deadline) Thread.sleep(50)
-        assert(server.keys.contains(s"/__grace/$bucket/resolved"),
-          s"reader failed to resolve; log: ${tail(log)}")
+        if (!server.keys.contains(s"/__grace/$bucket/resolved")) {
+          p.destroyForcibly()
+          fail(s"reader failed to resolve; log: ${tail(log)}")
+        }
         lib.write("s",
           spark.range(100).select(col("id").as("k"), lit(0L).as("v")),
           Some("k"), targetRows = 100) // v1
         lib.prunePreviousVersions("s") // v0 manifest gone, files condemned/deleted
-        HttpClient.newHttpClient().send(
-          HttpRequest.newBuilder(URI.create(
-            s"http://127.0.0.1:${server.port}/__grace/$bucket/pruned"))
-            .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
-          HttpResponse.BodyHandlers.discarding())
+        MultiJvmPlumbing.putKey(server.port, s"/__grace/$bucket/pruned")
         if (!p.waitFor(240, TimeUnit.SECONDS)) {
           p.destroyForcibly()
           fail(s"reader timed out; log: ${tail(log)}")
@@ -171,10 +164,13 @@ class MultiJvmCasRaceSpec extends SparkSuite {
       val (okExit, okLog) = run("graced", graceMs = 60000)
       assert(okExit == 0 && okLog.contains("GRACE-READER-DONE n=400"),
         s"graced reader must complete its 400-row scan:\n$okLog")
-      // contrast: immediate hard-delete loses the same race
+      // contrast: immediate hard-delete loses the same race — and it
+      // must be THE missing-file failure, not any incidental crash
       val (badExit, badLog) = run("nograce", graceMs = 0)
-      assert(badExit != 0,
-        s"gcGraceMs=0 reader should have failed mid-scan:\n$badLog")
+      assert(badExit != 0 && !badLog.contains("GRACE-READER-DONE") &&
+        (badLog.contains("FileNotFoundException") ||
+          badLog.contains("FAILED_READ_FILE")),
+        s"gcGraceMs=0 reader should have failed mid-scan on missing files:\n$badLog")
     } finally server.stop()
   }
 

@@ -1,9 +1,5 @@
 package graft
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-
-import graft.core.{GraftSession, Library, LibraryOptions}
 import graft.core.Library.AsOf
 
 /** Child process of the cross-process GC-grace race (see
@@ -24,28 +20,14 @@ object MultiJvmGraceReader {
     val port = args(0).toInt
     val bucket = args(1)
 
-    val spark = GraftSession.builder("local[2]", 2).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
-    val lib = new Library(s"s3://127.0.0.1:$port/$bucket/lib", spark,
-      LibraryOptions())
-
-    val http = HttpClient.newHttpClient()
-    def put(key: String): Unit = http.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
-        .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
-      HttpResponse.BodyHandlers.discarding())
-    def exists(key: String): Boolean = http.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
-        .GET().build(),
-      HttpResponse.BodyHandlers.discarding()).statusCode() == 200
+    val (spark, lib) = MultiJvmPlumbing.openLibrary(port, bucket)
 
     // resolve v0's manifest NOW (read() lists files eagerly), then let
     // the parent prune before the scan runs
     val preResolved = lib.read("s", AsOf.Version(0))
-    put(s"/__grace/$bucket/resolved")
-    while (!exists(s"/__grace/$bucket/pruned")) Thread.sleep(20)
+    MultiJvmPlumbing.putKey(port, s"/__grace/$bucket/resolved")
+    while (!MultiJvmPlumbing.keyExists(port, s"/__grace/$bucket/pruned"))
+      Thread.sleep(20)
 
     val n = preResolved.count() // scans files the prune condemned
     println(s"GRACE-READER-DONE n=$n")

@@ -7,6 +7,39 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Library, LibraryOptions}
 
+/** Shared plumbing of the multi-JVM race tests: the store-keyed signal
+  * protocol (barrier/ready keys as raw HTTP objects) and the child-side
+  * Spark + Library bootstrap. ONE definition — the signaling protocol
+  * and FS wiring must not fork between the race child, the grace
+  * reader, and the parent spec.
+  */
+private[graft] object MultiJvmPlumbing {
+  private lazy val http = HttpClient.newHttpClient()
+
+  def putKey(port: Int, key: String): Unit = http.send(
+    HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
+      .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
+    HttpResponse.BodyHandlers.discarding())
+
+  def keyExists(port: Int, key: String): Boolean = http.send(
+    HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
+      .GET().build(),
+    HttpResponse.BodyHandlers.discarding()).statusCode() == 200
+
+  /** Child-side bootstrap: own SparkSession, HTTP-store FS wiring, and
+    * a Library handle on the given bucket.
+    */
+  def openLibrary(port: Int, bucket: String,
+      options: LibraryOptions = LibraryOptions())
+      : (org.apache.spark.sql.SparkSession, Library) = {
+    val spark = GraftSession.builder("local[2]", 2).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
+    (spark, new Library(s"s3://127.0.0.1:$port/$bucket/lib", spark, options))
+  }
+}
+
 /** Child process of [[MultiJvmCasRaceSpec]]: a REAL separate JVM — own
   * SparkSession, own Library handle, no shared heap, caches, or locks
   * with the parent or its sibling — appending batches to one symbol
@@ -35,28 +68,14 @@ object MultiJvmRaceChild {
     val quota = args(2).toInt
     val rows = args(3).toInt
 
-    val spark = GraftSession.builder("local[2]", 2).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.s3.impl", classOf[HttpCasFileSystem].getName)
-    val lib = new Library(s"s3://127.0.0.1:$port/bucket/lib", spark,
+    val (spark, lib) = MultiJvmPlumbing.openLibrary(port, "bucket",
       LibraryOptions(gcGraceMs = 0))
-
-    val http = HttpClient.newHttpClient()
-    def put(key: String): Unit = http.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
-        .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
-      HttpResponse.BodyHandlers.discarding())
-    def exists(key: String): Boolean = http.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$key"))
-        .GET().build(),
-      HttpResponse.BodyHandlers.discarding()).statusCode() == 200
 
     // Resolve the shared base BEFORE the barrier: both children see the
     // parent's seed version, so round one MUST collide on base+1.
     val base = lib.resolveVersion("race")
-    put(s"/__race/ready-$id")
-    while (!exists("/__race/go")) Thread.sleep(20)
+    MultiJvmPlumbing.putKey(port, s"/__race/ready-$id")
+    while (!MultiJvmPlumbing.keyExists(port, "/__race/go")) Thread.sleep(20)
 
     var committed = 0
     var conflicts = 0
