@@ -293,10 +293,20 @@ object Bench {
     val sf5Path = java.nio.file.Paths.get("BENCH_SF5.json")
     val emptySf5 =
       """"sf5_dir":"","sf5_queries":{},"sf5_oracle":{},"sf5_ratio":{},"sf5_total":0.000,"sf5_oracle_total":0.000"""
+    // Query-set fingerprint: a stale BENCH_SF5.json from an OLDER
+    // headline set (or format) must not be silently republished as
+    // current sf5 numbers — the splice only accepts an artifact whose
+    // fingerprint matches this build's query list, else it falls back
+    // to the empty fields (ADVICE r17).
+    val sf5Fp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(headline.sorted.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
     val sf5Fields: String =
       if (sf5) {
         val fields =
-          s""""sf5_dir":"$sf5Dir","sf5_queries":${walls(results5, identity)},
+          s""""sf5_dir":"$sf5Dir","sf5_fingerprint":"$sf5Fp","sf5_queries":${walls(results5, identity)},
              |"sf5_oracle":${jmap(oracle5.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
              |"sf5_ratio":${ratios(results5, oracle5)},
              |"sf5_total":${f"${total(results5)}%.3f"},"sf5_oracle_total":${f"${oTotal(oracle5)}%.3f"}""".stripMargin
@@ -306,7 +316,9 @@ object Bench {
       } else {
         try {
           val s = java.nio.file.Files.readString(sf5Path).trim
-          if (s.startsWith("{") && s.endsWith("}")) s.substring(1, s.length - 1).trim
+          val fpOk = s.contains(s""""sf5_fingerprint":"$sf5Fp"""")
+          if (fpOk && s.startsWith("{") && s.endsWith("}"))
+            s.substring(1, s.length - 1).trim
           else emptySf5
         } catch { case _: Throwable => emptySf5 }
       }

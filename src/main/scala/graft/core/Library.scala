@@ -1415,15 +1415,24 @@ final class Library(
     // the fragmentation probe doesn't apply.
     val rows = listSymbolDirs().map { sym =>
       val versions = listVersions(sym)
-      val m = manifest(sym, versions.last)
       val dataRoot = new Path(symDir(sym), "data")
       val f = fs(dataRoot)
       def du(p: Path): Long =
         if (!f.exists(p)) 0L
         else f.listStatus(p).map(st =>
           if (st.isDirectory) du(st.getPath) else st.getLen).sum
-      (sym, versions.size, m.version, m.files.size, m.rowCount,
-        du(dataRoot), !m.deleted && isSymbolFragmented(sym))
+      // A dir with no versions still OWNS storage (a staged-but-never-
+      // finalized symbol, or debris from a crashed first write) — the
+      // census reports it as a zero-version row (latest_version -1)
+      // instead of throwing on empty.last, the same tolerance keyTree
+      // and Graft.maintain give version-less dirs.
+      if (versions.isEmpty)
+        (sym, 0, -1, 0, 0L, du(dataRoot) + du(stagedDir(sym)), false)
+      else {
+        val m = manifest(sym, versions.last)
+        (sym, versions.size, m.version, m.files.size, m.rowCount,
+          du(dataRoot), !m.deleted && isSymbolFragmented(sym))
+      }
     }
     spark.createDataFrame(rows)
       .toDF("symbol", "n_versions", "latest_version", "n_files", "rows",

@@ -59,9 +59,20 @@ object Export {
     val parsed = spark.read.text(dir)
       .select(col("shard").cast("int").as("shard"),
         from_json(col("value"), df.schema).as("j"))
+    // id_sum: exact sum for integral ids; for any other id type a plain
+    // sum would be silently NULL (an unverifiable manifest with no
+    // error), so non-integral ids checksum the same way text does —
+    // pmod(h60(id), 1e9+7) — keeping the manifest meaningful for
+    // string/uuid ids too.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idSum = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => sum(col(s"j.$idCol"))
+      case _ => sum(pmod(Dedup.h60(col(s"j.$idCol").cast("string")),
+        lit(1000000007L)))
+    }
     parsed.groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
-      sum(col(s"j.$idCol")).as("id_sum"),
+      idSum.as("id_sum"),
       sum(pmod(Dedup.h60(col(s"j.$textCol")), lit(1000000007L))).as("text_sum"))
   }
 }

@@ -64,6 +64,22 @@ class ExportSpec extends SparkSuite {
     assert(again == manifest)
   }
 
+  test("jsonlShards: string ids get a verifiable h60 checksum id_sum") {
+    // a plain sum() over a string id would be silently NULL — the
+    // manifest must stay verifiable for non-numeric ids (ADVICE r17):
+    // id_sum becomes sum(h60(id) % 1e9+7), the text_sum discipline
+    val rows = Seq(("doc-a", "alpha"), ("doc-b", "beta"), ("uuid-7f", "gamma"))
+    val df = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-sid-").toString
+    val manifest = Export.jsonlShards(df, "doc_id", "text", dir, shards = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy { case (id, _) => (h60(id) % 2).toInt }
+      .map { case (shard, rs) =>
+        shard -> (rs.size.toLong, rs.map(r => h60(r._1) % 1000000007L).sum)
+      }
+    assert(manifest == expected, s"manifest $manifest != expected $expected")
+  }
+
   test("jsonlShards refuses inputs with reserved 'shard'/'value' columns") {
     // a same-named input column would be silently replaced by the
     // router hash before serialization — corruption the re-read

@@ -909,6 +909,9 @@ class LibrarySpec extends SparkSuite {
     assert(md.map(_.getString(0)).toSet ==
       lib.resolveVersion("s").files.map(_.path).toSet)
 
+    // a staged-but-never-finalized symbol has a dir with ZERO versions —
+    // the census must report it (it owns storage), not throw (ADVICE r17)
+    lib.stage("staged_only", mk(0, 50))
     val ss = lib.storageSummary().collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
         r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
@@ -916,6 +919,10 @@ class LibrarySpec extends SparkSuite {
     assert(row._2 == 2 && row._3 == 1 && row._4 == 4 && row._5 == 400)
     assert(row._6 > 0, "data_bytes")
     assert(row._7, "4×100-row files at a 1M-row target must read as fragmented")
+    val so = ss.find(_._1 == "staged_only").get
+    assert(so._2 == 0 && so._3 == -1 && so._4 == 0 && so._5 == 0L)
+    assert(so._6 > 0, "staged bytes must be counted — the dir owns storage")
+    assert(!so._7)
   }
 
   test("GC read grace: condemn first, hard-delete only after the window") {
