@@ -66,14 +66,67 @@ final case class VersionManifest(
     baseVersion: Option[Int] = None,
     addedFiles: Vector[FileEntry] = Vector.empty,
     removedPaths: Vector[String] = Vector.empty,
-    chainDepth: Int = 0)
+    chainDepth: Int = 0,
+    /** On-disk format major this manifest REQUIRES its reader to
+      * understand (Delta Lake's minReaderVersion discipline; the
+      * reference keeps a whole cross-version compat fixture tree —
+      * python/tests/compat/, pinned back to requirements-1.6.2.txt —
+      * because stored data outlives engine builds). Absent in
+      * historical JSON ⇒ decodes as 1 (full manifests). 2 = delta
+      * STORAGE encoding (`baseVersion`/`addedFiles`/`removedPaths`): a
+      * decoder without the delta fields would json4s-default them away
+      * and silently read an EMPTY symbol — the failure class
+      * [[VersionManifest.fromJson]]'s loud unknown-major refusal kills.
+      * Writers stamp the MINIMUM required major ([[VersionManifest.toJson]]),
+      * so checkpoints and plain manifests stay readable by older majors.
+      */
+    formatVersion: Int = 1)
 
 object VersionManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  /** Highest on-disk format major this build understands. */
+  val CurrentFormat = 2
+
+  /** Minimum format major a reader needs for `m`: 2 for delta-encoded
+    * storage, 1 for anything fully expressed by the `files` list
+    * (including checkpoints — self-contained by construction).
+    */
+  def requiredFormat(m: VersionManifest): Int =
+    if (m.baseVersion.isDefined || m.addedFiles.nonEmpty ||
+      m.removedPaths.nonEmpty) 2
+    else 1
+
+  /** The loud refusal shared by the production decoder and compat
+    * specs: a manifest stamped with a GREATER major than the decoder
+    * understands must fail here, never be field-defaulted into a
+    * silently-wrong (typically empty) read.
+    */
+  def checkFormat(found: Int, current: Int, what: String): Unit =
+    require(found <= current,
+      s"$what has formatVersion $found but this build reads <= $current — " +
+        "refusing to decode (newer fields would be silently dropped, e.g. " +
+        "a delta manifest would read as an empty file list); upgrade the " +
+        "engine to a build that understands this format")
+
   // compact, not pretty: at 10^5 file entries pretty-printing roughly
-  // doubles every manifest and checkpoint on disk and over the wire
-  def toJson(m: VersionManifest): String = Serialization.write(m)
-  def fromJson(s: String): VersionManifest = Serialization.read[VersionManifest](s)
+  // doubles every manifest and checkpoint on disk and over the wire.
+  // The stamp is computed here, not trusted from the caller: every
+  // writer path stamps the minimum required major by construction.
+  def toJson(m: VersionManifest): String =
+    Serialization.write(m.copy(formatVersion = requiredFormat(m)))
+
+  def fromJson(s: String): VersionManifest = {
+    // check the stamp BEFORE full decoding: a future major may not even
+    // field-map onto this build's case class, and the refusal must name
+    // the real cause, not a json4s mapping error
+    val fv = org.json4s.jackson.JsonMethods.parse(s) \ "formatVersion" match {
+      case JInt(n) => n.toInt
+      case _ => 1
+    }
+    checkFormat(fv, CurrentFormat, "version manifest")
+    Serialization.read[VersionManifest](s)
+  }
 }
 
 /** Named cross-symbol consistent view (reference: library.py:2626
@@ -84,10 +137,28 @@ final case class SnapshotManifest(
     name: String,
     createdAtMs: Long,
     versions: Map[String, Int],
-    metadata: Map[String, String] = Map.empty)
+    metadata: Map[String, String] = Map.empty,
+    /** Same compat discipline as [[VersionManifest.formatVersion]];
+      * snapshots have one shape so far, so 1 is both the stamp and the
+      * ceiling this build reads.
+      */
+    formatVersion: Int = 1)
 
 object SnapshotManifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
-  def toJson(m: SnapshotManifest): String = Serialization.writePretty(m)
-  def fromJson(s: String): SnapshotManifest = Serialization.read[SnapshotManifest](s)
+
+  /** Highest snapshot format major this build understands. */
+  val CurrentFormat = 1
+
+  def toJson(m: SnapshotManifest): String =
+    Serialization.writePretty(m.copy(formatVersion = CurrentFormat))
+
+  def fromJson(s: String): SnapshotManifest = {
+    val fv = org.json4s.jackson.JsonMethods.parse(s) \ "formatVersion" match {
+      case JInt(n) => n.toInt
+      case _ => 1
+    }
+    VersionManifest.checkFormat(fv, CurrentFormat, "snapshot manifest")
+    Serialization.read[SnapshotManifest](s)
+  }
 }
