@@ -648,7 +648,14 @@ final class Library(
       df: DataFrame,
       targetRows: Long = options.rowsPerSegment,
       validateIndex: Boolean = true,
-      dynamicSchema: Boolean = options.dynamicSchema): Int = {
+      dynamicSchema: Boolean = options.dynamicSchema,
+      /** Entries MERGED over the carried-forward symbol metadata and
+        * committed atomically with this append's manifest CAS — what
+        * lets a streaming fold stamp its replay guard (the last-folded
+        * batchId) in the SAME commit as the data it guards, leaving no
+        * crash window between fold and stamp (StreamIngest sinks).
+        */
+      extraMetadata: Map[String, String] = Map.empty): Int = {
     val v = latestVersion(symbol).getOrElse(
       throw new NoSuchElementException(s"symbol $symbol does not exist"))
     val m = manifest(symbol, v)
@@ -677,7 +684,8 @@ final class Library(
                 s"append index starts before prior data ($symbol): ${newMin.getLong(0)} < $priorMax")
           }
       }
-    commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files, m.metadata,
+    commitNew(symbol, data, m.indexCol, targetRows, priorFiles = m.files,
+      m.metadata ++ extraMetadata,
       priorDirSchemas = m.dirSchemas, derived = true, baseVersion = Some(m.version))
   }
 
@@ -1243,6 +1251,17 @@ final class Library(
     */
   def readMetadata(symbol: String, asOf: AsOf = AsOf.Latest): Map[String, String] =
     resolveVersion(symbol, asOf).metadata
+
+  /** The replay guard read side: the last streaming batchId folded into
+    * `symbol` ([[Library.ReplayGuardKey]] in its latest metadata), None
+    * when the symbol is absent or never stamped. Reads the latest
+    * version DIRECTLY (tombstones included): the guard must answer from
+    * whatever commit landed last, not from resolveVersion's live-only
+    * view.
+    */
+  def lastFoldedBatch(symbol: String): Option[Long] =
+    latestVersion(symbol).flatMap(v =>
+      manifest(symbol, v).metadata.get(Library.ReplayGuardKey).map(_.toLong))
 
   def readMetadataBatch(
       symbols: Seq[String],
@@ -2181,7 +2200,7 @@ final class Library(
     * doesn't poison its siblings. Callers who want fail-fast semantics
     * map `.get` over the results.
     */
-  private def inParallel[A, B](items: Seq[A], parallelism: Int)(
+  private[core] def inParallel[A, B](items: Seq[A], parallelism: Int)(
       label: A => String)(f: A => B): Seq[BatchResult[B]] = {
     if (items.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -2413,6 +2432,14 @@ final class Library(
 object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
+
+  /** Symbol-metadata key carrying the last streaming batchId folded into
+    * an index/ledger symbol — the built-in replay guard of the
+    * StreamIngest fold sinks. Stamped atomically with each fold's commit
+    * (write `metadata` / append `extraMetadata`), so a crash-replayed
+    * micro-batch skips exactly the symbols whose fold already landed.
+    */
+  val ReplayGuardKey = "graft.lastFoldedBatch"
 
   /** Manifest DDL → schema. Metadata-only versions (writeMetadata on a
     * missing symbol) store an EMPTY ddl — zero columns — which

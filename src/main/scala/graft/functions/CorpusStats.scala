@@ -186,13 +186,26 @@ object CorpusStats {
       domainCol: String,
       name: String,
       p: Int = 12,
-      portable: Boolean = false): Unit = {
+      portable: Boolean = false,
+      /** Streaming replay guard (the micro-batch's batchId,
+        * [[graft.streaming.StreamIngest.ledgerSink]]): each symbol's
+        * commit is stamped and an already-stamped symbol skips — a
+        * crash between the three writes heals on replay instead of
+        * double-counting the sums half.
+        */
+      replayGuard: Option[Long] = None): Unit = {
     import df.sparkSession.implicits._
-    lib.write(s"${name}__meta", Seq((p, portable)).toDF("p", "portable"))
-    lib.write(s"${name}__stats", ledgerStats(df, textCol, domainCol),
-      Some("domain"))
-    lib.write(s"${name}__hll",
-      ledgerRegisters(df, textCol, domainCol, p, portable), Some("domain"))
+    val stamp = Retrieval.replayStamp(replayGuard)
+    if (!Retrieval.alreadyFolded(lib, s"${name}__meta", replayGuard))
+      lib.write(s"${name}__meta", Seq((p, portable)).toDF("p", "portable"),
+        metadata = stamp)
+    if (!Retrieval.alreadyFolded(lib, s"${name}__stats", replayGuard))
+      lib.write(s"${name}__stats", ledgerStats(df, textCol, domainCol),
+        Some("domain"), metadata = stamp)
+    if (!Retrieval.alreadyFolded(lib, s"${name}__hll", replayGuard))
+      lib.write(s"${name}__hll",
+        ledgerRegisters(df, textCol, domainCol, p, portable), Some("domain"),
+        metadata = stamp)
   }
 
   def mergeIntoLedger(
@@ -200,25 +213,47 @@ object CorpusStats {
       df: DataFrame,
       textCol: String,
       domainCol: String,
-      name: String): Unit = {
+      name: String,
+      /** Same per-symbol replay-guard contract as [[buildLedger]]. A
+        * symbol a crashed build never created is write-created here, so
+        * a replayed first batch converges whichever write the crash
+        * interrupted.
+        */
+      replayGuard: Option[Long] = None): Unit = {
+    val statsSym = s"${name}__stats"
+    val hllSym = s"${name}__hll"
+    val stamp = Retrieval.replayStamp(replayGuard)
+    val statFolded = Retrieval.alreadyFolded(lib, statsSym, replayGuard)
+    val hllFolded = Retrieval.alreadyFolded(lib, hllSym, replayGuard)
+    if (statFolded && hllFolded) return
     val meta = lib.read(s"${name}__meta").head()
     val (p, portable) = (meta.getAs[Int]("p"), meta.getAs[Boolean]("portable"))
-    val stats = lib.read(s"${name}__stats")
-      .unionByName(ledgerStats(df, textCol, domainCol))
-      .groupBy("domain")
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-        sum("n_chars").as("n_chars"), min("min_tokens").as("min_tokens"),
-        max("max_tokens").as("max_tokens"))
-    val regs = Sketch.hllMergeBy(
-      lib.read(s"${name}__hll").select(col("domain").as("group"),
-        col("bucket"), col("rho")),
-      ledgerRegisters(df, textCol, domainCol, p, portable)
-        .withColumnRenamed("domain", "group"))
-      .withColumnRenamed("group", "domain")
-    // localCheckpoint: both merged plans READ the symbol version they
-    // are about to supersede
-    lib.write(s"${name}__stats", stats.localCheckpoint(true), Some("domain"))
-    lib.write(s"${name}__hll", regs.localCheckpoint(true), Some("domain"))
+    if (!statFolded) {
+      val inc = ledgerStats(df, textCol, domainCol)
+      val stats =
+        if (!lib.hasSymbol(statsSym)) inc
+        else lib.read(statsSym).unionByName(inc)
+          .groupBy("domain")
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("n_chars").as("n_chars"), min("min_tokens").as("min_tokens"),
+            max("max_tokens").as("max_tokens"))
+      // localCheckpoint: the merged plan READS the symbol version it is
+      // about to supersede
+      lib.write(statsSym, stats.localCheckpoint(true), Some("domain"),
+        metadata = stamp)
+    }
+    if (!hllFolded) {
+      val inc = ledgerRegisters(df, textCol, domainCol, p, portable)
+      val regs =
+        if (!lib.hasSymbol(hllSym)) inc
+        else Sketch.hllMergeBy(
+          lib.read(hllSym).select(col("domain").as("group"),
+            col("bucket"), col("rho")),
+          inc.withColumnRenamed("domain", "group"))
+          .withColumnRenamed("group", "domain")
+      lib.write(hllSym, regs.localCheckpoint(true), Some("domain"),
+        metadata = stamp)
+    }
   }
 
   /** The ledger report: per-domain counts, derived mean token length,

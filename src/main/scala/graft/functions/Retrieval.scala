@@ -158,13 +158,31 @@ object Retrieval {
       name: String,
       idCol: String,
       textCol: String,
-      targetRows: Long = 100000L): Unit = {
+      targetRows: Long = 100000L,
+      /** Streaming replay guard: when set (the micro-batch's batchId,
+        * [[graft.streaming.StreamIngest.retrievalIndexSink]]), each
+        * symbol's commit carries the batchId in its metadata and a
+        * symbol whose stamp is already >= it SKIPS its half of the fold
+        * — so a crash-replayed batch cannot double-append postings
+        * (tf AND df inflation) or double-merge stats, whichever half the
+        * crash interrupted. Missing symbols are write-created under a
+        * guard (the build-vs-append branch itself replays).
+        */
+      replayGuard: Option[Long] = None): Unit = {
+    val postingsSym = s"${name}__postings"
+    val statsSym = s"${name}__stats"
+    val stamp = replayStamp(replayGuard)
+    val postFolded = alreadyFolded(lib, postingsSym, replayGuard)
+    val statFolded = alreadyFolded(lib, statsSym, replayGuard)
+    if (postFolded && statFolded) return
     val d = docs.select(col(idCol).as("__rid"),
       split(col(textCol), " ", -1).as("__w"))
       .select(col("__rid"), col("__w"), size(col("__w")).cast("long").as("__dl"))
     val inc = d.agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("n_tokens"))
-    val merged = lib.read(s"${name}__stats").unionByName(inc)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val merged =
+      if (!lib.hasSymbol(statsSym)) inc
+      else lib.read(statsSym).unionByName(inc)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     val postings = d
       .select(col("__rid"), col("__dl"), explode(col("__w")).as("term"))
       .groupBy(col("term"), col("__rid"), col("__dl"))
@@ -172,21 +190,42 @@ object Retrieval {
       .select(col("term"), col("__rid").as("doc_id"), col("__dl").as("dl"),
         col("tf"))
     // Commit ORDER is the crash-safety contract: postings append FIRST,
-    // stats overwrite LAST. A crash between the two leaves stats
-    // UNDER-counting (the appended increment's postings are live but
-    // not yet in n_docs/n_tokens) — recoverable by re-deriving stats
-    // from the postings themselves (n_docs = count distinct doc_id,
-    // n_tokens = Σ dl over one row per doc) or by re-running this fold's
-    // stats write. The reverse order would permanently OVER-count: stats
-    // claiming documents whose postings never landed skew idf and length
-    // normalization with nothing left to rebuild from.
+    // stats overwrite LAST. Under a replayGuard a crash between the two
+    // heals on replay (postings skip via their stamp, stats re-merge
+    // from the pre-crash version — each stamp commits ATOMICALLY with
+    // its own symbol's manifest CAS, so there is no fold-then-stamp
+    // window). Without a guard the crash leaves stats UNDER-counting
+    // (recoverable by re-deriving from the postings: n_docs = distinct
+    // doc_id, n_tokens = Σ dl over one row per doc); the reverse order
+    // would permanently OVER-count — stats claiming documents whose
+    // postings never landed skew idf and length normalization with
+    // nothing left to rebuild from.
     // localCheckpoint: the merged stats plan READS the version it is
-    // about to supersede.
-    val mergedStats = merged.localCheckpoint(true)
-    lib.append(s"${name}__postings", postings, targetRows,
-      validateIndex = false)
-    lib.write(s"${name}__stats", mergedStats)
+    // about to supersede (and must materialize BEFORE the postings
+    // append below changes what a replayed read would see).
+    val mergedStats = if (statFolded) null else merged.localCheckpoint(true)
+    if (!postFolded) {
+      if (lib.hasSymbol(postingsSym))
+        lib.append(postingsSym, postings, targetRows,
+          validateIndex = false, extraMetadata = stamp)
+      else
+        lib.write(postingsSym, postings, Some("term"), targetRows,
+          metadata = stamp)
+    }
+    if (!statFolded) lib.write(statsSym, mergedStats, metadata = stamp)
   }
+
+  /** replayGuard plumbing shared by the index/ledger folds: the stamp
+    * committed with a guarded fold, and the skip test against a
+    * symbol's last stamped batch.
+    */
+  private[functions] def replayStamp(g: Option[Long]): Map[String, String] =
+    g.map(b => Map(graft.core.Library.ReplayGuardKey -> b.toString))
+      .getOrElse(Map.empty)
+
+  private[functions] def alreadyFolded(
+      lib: graft.core.Library, symbol: String, g: Option[Long]): Boolean =
+    g.exists(b => lib.lastFoldedBatch(symbol).exists(_ >= b))
 
   /** Query a [[buildBm25Index]] index: read ONLY the query terms'
     * postings (string-index file pruning via the manifest key ranges),
@@ -293,13 +332,22 @@ object Retrieval {
       name: String,
       idCol: String,
       textCol: String,
-      targetRows: Long = 100000L): Unit = {
+      targetRows: Long = 100000L,
+      /** Same replay-guard contract as [[appendToBm25Index]]; positions
+        * are one symbol, so the guarded fold is one stamped commit. */
+      replayGuard: Option[Long] = None): Unit = {
+    val posSym = s"${name}__positions"
+    if (alreadyFolded(lib, posSym, replayGuard)) return
     val posts = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "term")))
       .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
-    lib.append(s"${name}__positions", posts, targetRows,
-      validateIndex = false)
+    if (lib.hasSymbol(posSym))
+      lib.append(posSym, posts, targetRows,
+        validateIndex = false, extraMetadata = replayStamp(replayGuard))
+    else
+      lib.write(posSym, posts, Some("term"), targetRows,
+        metadata = replayStamp(replayGuard))
   }
 
   /** Exact phrase search against a [[buildPositionalIndex]] index:
@@ -417,6 +465,17 @@ object Retrieval {
         emb, emb.filter(col(embIdCol) === queryId), embIdCol, vecCol, legK)
       .select(col("corpus_id").cast("long").as("__id"),
         col("rank").as("vec_rank"))
+    rrfFuse(lex, vec, idCol, k, rrfK)
+  }
+
+  /** The shared RRF tail of [[hybridTopK]] and [[hybridTopKIndexed]]:
+    * both legs arrive as (__id long, <leg>_rank) with ≤ legK rows, so
+    * everything here — full-outer fuse, nano-quantized sum, final
+    * ordering — runs on ≤ 2·legK rows.
+    */
+  private def rrfFuse(
+      lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+      rrfK: Int): DataFrame = {
     val contrib = (r: Column) =>
       coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
     val fused = lex.join(vec, Seq("__id"), "full_outer")
@@ -429,5 +488,57 @@ object Retrieval {
           .orderBy(col("__rrf").desc, col("__id"))))
       .select(col("__id").as(idCol), round(col("__rrf") / 1e9, 9).as("rrf_score"),
         col("rank"), col("lex_rank"), col("vec_rank"))
+  }
+
+  /** [[hybridTopK]] over the PERSISTED stores — the composition a
+    * 100 TB RAG deployment actually runs (the rescan variant re-reads
+    * the whole corpus AND the whole embedding table per query): the
+    * lexical leg is [[bm25Indexed]]'s term-pruned postings read, the
+    * vector leg is [[Vectors.ivfSearchIndexed]]'s manifest-pruned cell
+    * read against a [[Vectors.buildIvfIndex]] index — per query the
+    * engine touches the query terms' postings plus ~nProbe/nlist of
+    * the index bytes, never a corpus scan. The fusion tail is shared
+    * ([[rrfFuse]]) and adds nothing to corpus cost.
+    *
+    * `queries` carries the ONE query-by-example embedding row (the
+    * [[Vectors.mmrTopKIndexed]] convention — query vectors are inputs,
+    * not an index lookup; reading one row out of a cell-keyed index
+    * symbol would cost an unpruned scan). The probe excludes the
+    * query's own id, hybridTopK's query-by-example convention.
+    *
+    * At nProbe = nlist both legs are exact by construction (q117's
+    * bm25Indexed ≡ bm25 and q110's ivf ≡ brute-force arguments), so
+    * the result equals [[hybridTopK]] on the indexed corpus — the q177
+    * gate replays q171's oracle verbatim over the persisted path.
+    */
+  def hybridTopKIndexed(
+      lib: graft.core.Library,
+      lexName: String,
+      vecName: String,
+      queryTerms: Seq[String],
+      queries: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      nProbe: Int,
+      k: Int = 10,
+      legK: Int = 50,
+      rrfK: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
+    graft.plans.TopKByScore.requireIntegralId(
+      queries.schema(embIdCol).dataType, "hybridTopKIndexed query id")
+    // single-query contract: the fused output carries no query_id, so a
+    // multi-row queries frame would silently interleave two queries'
+    // legs — refuse loudly (bounded: 2-row collect)
+    require(queries.limit(2).collect().length == 1,
+      "hybridTopKIndexed fuses ONE query: pass exactly one embedding row")
+    val lex = bm25Indexed(lib, lexName, queryTerms, k = legK, idCol = idCol)
+      .select(col(idCol).cast("long").as("__id"),
+        col("rank").as("lex_rank"))
+    val vec = Vectors.ivfSearchIndexed(
+        lib, vecName, queries, embIdCol, vecCol, legK, nProbe)
+      .select(col("corpus_id").cast("long").as("__id"),
+        col("rank").as("vec_rank"))
+    rrfFuse(lex, vec, idCol, k, rrfK)
   }
 }

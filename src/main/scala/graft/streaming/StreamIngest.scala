@@ -183,11 +183,17 @@ object StreamIngest {
     * which is what lets the q158 gate hash it against the one-shot
     * full-corpus oracle regardless of how the stream was sliced.
     *
-    * Replay contract: at-least-once delivery double-posts a re-delivered
-    * doc (the BM25 fold's unseen-ids contract) — pair with an id replay
-    * guard upstream (the [[dedupAdmitSink]] pattern) or use exactly-once
-    * sources; per-batch cost is proportional to the batch, never the
-    * accumulated index.
+    * Replay contract: EXACTLY-ONCE per symbol — every fold commit is
+    * stamped with its batchId ([[graft.core.Library.ReplayGuardKey]]),
+    * atomically with that symbol's manifest CAS, and a replayed batch
+    * skips exactly the symbols whose fold already landed. A crash
+    * between the postings append and the stats write (or between the
+    * BM25 and positional halves) therefore HEALS on replay instead of
+    * double-appending postings (tf and df inflation) — the same
+    * built-in guard [[dedupAdmitSink]] has always had, closing the
+    * asymmetry VERDICT r17 flagged. (Re-delivery of the same DOCUMENT
+    * in a *different* batch is still the unseen-ids contract — that is
+    * admission control's job, not the index fold's.)
     */
   def retrievalIndexSink(
       lib: Library,
@@ -203,23 +209,20 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
-          if (!lib.hasSymbol(s"${name}__stats"))
-            graft.functions.Retrieval.buildBm25Index(
-              lib, b, idCol, textCol, name, targetRows)
-          else
-            graft.functions.Retrieval.appendToBm25Index(
-              lib, b, name, idCol, textCol, targetRows)
-          if (positional) {
-            if (!lib.hasSymbol(s"${name}__positions"))
-              graft.functions.Retrieval.buildPositionalIndex(
-                lib, b, name, idCol, textCol, targetRows)
-            else
-              graft.functions.Retrieval.appendToPositionalIndex(
-                lib, b, name, idCol, textCol, targetRows)
-          }
+          // the guarded folds write-create missing symbols, so the
+          // first batch builds and every batch (first included) is
+          // replay-idempotent per symbol — no build-vs-append branch
+          // for a crash to land between
+          graft.functions.Retrieval.appendToBm25Index(
+            lib, b, name, idCol, textCol, targetRows,
+            replayGuard = Some(batchId))
+          if (positional)
+            graft.functions.Retrieval.appendToPositionalIndex(
+              lib, b, name, idCol, textCol, targetRows,
+              replayGuard = Some(batchId))
         }
         ()
       }
@@ -230,10 +233,11 @@ object StreamIngest {
     * HLL vocabulary registers advance one bounded symbol write per
     * batch, and `readLedger`/`ledgerDrift` answer "what changed today"
     * at any time without scanning history. Creates the ledger from the
-    * first non-empty batch. The HLL half is idempotent under replay;
-    * the sums half is not — pair with an id replay guard upstream when
-    * delivery is at-least-once (see [[dedupAdmitSink]]), or accept
-    * at-least-once counting as the reference's staging contract does.
+    * first non-empty batch. Replay contract: EXACTLY-ONCE per symbol —
+    * every fold commit is batchId-stamped atomically with its symbol's
+    * manifest CAS ([[retrievalIndexSink]]'s guard), so a crash-replayed
+    * micro-batch cannot double-count the sums half (the HLL half was
+    * always idempotent by register max).
     */
   def ledgerSink(
       lib: Library,
@@ -249,15 +253,17 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
           if (!lib.hasSymbol(s"${name}__meta"))
             graft.functions.CorpusStats.buildLedger(
-              lib, b, textCol, domainCol, name, p, portable)
+              lib, b, textCol, domainCol, name, p, portable,
+              replayGuard = Some(batchId))
           else
             graft.functions.CorpusStats.mergeIntoLedger(
-              lib, b, textCol, domainCol, name)
+              lib, b, textCol, domainCol, name,
+              replayGuard = Some(batchId))
         }
         ()
       }

@@ -362,6 +362,90 @@ class StreamingSpec extends SparkSuite {
     assert(indexed == Set(1L, 2L, 3L, 11L, 21L), s"indexed=$indexed")
   }
 
+  test("retrievalIndexSink folds are replay-idempotent, including a crash between the two commits") {
+    // The foreachBatch body IS appendToBm25Index/appendToPositionalIndex
+    // with the batchId as replayGuard — drive those directly to place
+    // the "crash" exactly where micro-batch replay would re-enter.
+    import graft.functions.Retrieval
+    val b1 = Seq((1L, "a a a b"), (2L, "a b a b a")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "b a"), (4L, "x y z a")).toDF("doc_id", "text")
+    val all = Seq((1L, "a a a b"), (2L, "a b a b a"), (3L, "b a"),
+      (4L, "x y z a")).toDF("doc_id", "text")
+    val lib = new Library(tmp("graft-replay-"), spark)
+
+    // batch 0 folds, then REPLAYS verbatim: both symbols must skip —
+    // not just end value-equal, but commit NO new version
+    Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(0L))
+    val vPost0 = lib.latestVersion("lex__postings").get
+    val vStat0 = lib.latestVersion("lex__stats").get
+    Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(0L))
+    assert(lib.latestVersion("lex__postings").get == vPost0 &&
+      lib.latestVersion("lex__stats").get == vStat0,
+      "a replayed batch must not commit anything")
+
+    // batch 1 folds fully, then the stats half is rolled back to the
+    // pre-batch version — EXACTLY the crash-between-the-two-commits
+    // state (postings appended + stamped 1, stats still stamped 0)
+    Retrieval.appendToBm25Index(lib, b2, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(1L))
+    val vPost1 = lib.latestVersion("lex__postings").get
+    lib.delete("lex__stats", Seq(lib.latestVersion("lex__stats").get))
+    assert(lib.lastFoldedBatch("lex__stats").contains(0L) &&
+      lib.lastFoldedBatch("lex__postings").contains(1L), "crash state")
+
+    // replay of batch 1 HEALS: postings skip (no tf/df double-post),
+    // stats re-merge from the pre-crash version
+    Retrieval.appendToBm25Index(lib, b2, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(1L))
+    assert(lib.latestVersion("lex__postings").get == vPost1,
+      "replay double-appended postings")
+    val one = new Library(tmp("graft-replay1-"), spark)
+    Retrieval.buildBm25Index(one, all, "doc_id", "text", "lex", targetRows = 3L)
+    val got = Retrieval.bm25Indexed(lib, "lex", Seq("a", "b")).collect().toSeq
+    val want = Retrieval.bm25Indexed(one, "lex", Seq("a", "b")).collect().toSeq
+    assert(got == want, s"\nhealed: $got\noneshot: $want")
+
+    // positional: replay of a delivered batch commits nothing
+    Retrieval.appendToPositionalIndex(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(0L))
+    val vPos = lib.latestVersion("lex__positions").get
+    Retrieval.appendToPositionalIndex(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = Some(0L))
+    assert(lib.latestVersion("lex__positions").get == vPos)
+  }
+
+  test("ledgerSink heals a first-batch crash that left only __meta behind") {
+    import graft.functions.CorpusStats
+    val rows = Seq((1L, "alpha beta", "a"), (2L, "gamma", "b"))
+    val df = rows.toDF("doc_id", "text", "dom")
+    val lib = new Library(tmp("graft-ledgercrash-"), spark)
+    // build folds batch 0 fully, then __stats/__hll roll back to
+    // nothing — the crash-after-meta state the sink's hasSymbol branch
+    // replays into mergeIntoLedger
+    CorpusStats.buildLedger(lib, df, "text", "dom", "led", p = 8,
+      portable = true, replayGuard = Some(0L))
+    lib.delete("led__stats", Seq(lib.latestVersion("led__stats").get))
+    lib.delete("led__hll", Seq(lib.latestVersion("led__hll").get))
+    assert(!lib.hasSymbol("led__stats") && !lib.hasSymbol("led__hll"))
+    CorpusStats.mergeIntoLedger(lib, df, "text", "dom", "led",
+      replayGuard = Some(0L))
+    // and a verbatim replay after the heal commits nothing further
+    val vs = lib.latestVersion("led__stats").get
+    CorpusStats.mergeIntoLedger(lib, df, "text", "dom", "led",
+      replayGuard = Some(0L))
+    assert(lib.latestVersion("led__stats").get == vs)
+    val one = new Library(tmp("graft-ledgercrash1-"), spark)
+    CorpusStats.buildLedger(one, df, "text", "dom", "led", p = 8,
+      portable = true)
+    val got = CorpusStats.readLedger(lib, "led")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val want = CorpusStats.readLedger(one, "led")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got == want)
+  }
+
   test("retrievalIndexSink: multi-batch fold equals the one-shot indexes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Seq(
