@@ -194,56 +194,83 @@ final class Graft(val rootUri: String, spark: SparkSession) {
     * Returns the action ledger — one row per (library, symbol, action)
     * with a human-readable detail and whether it was applied — the audit
     * artifact an operator schedules and archives.
+    *
+    * Symbols maintain CONCURRENTLY from the batch pool (`parallelism`
+    * driver threads submitting independent Spark jobs — the
+    * readBatch/writeBatch machinery): at a 10k-symbol root a serial
+    * walk is hours of back-to-back compact/retention jobs, and the
+    * per-symbol commits are independent manifest CASes. The per-item
+    * error model rides along: one bad symbol (corrupt data file,
+    * storage fault) yields an `error` ledger row and every sibling is
+    * still maintained — the BatchResult contract, never a half-swept
+    * root. Ledger row order stays deterministic (symbol-sorted).
     */
   def maintain(
       keepVersions: Int = 1,
-      dryRun: Boolean = false): org.apache.spark.sql.DataFrame = {
+      dryRun: Boolean = false,
+      parallelism: Int = 8): org.apache.spark.sql.DataFrame = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
-    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, Boolean)]
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    def maintainSymbol(
+        lib: Library, ln: String, sym: String,
+        infos: Seq[Library.VersionInfo]): Seq[(String, String, String, String, Boolean)] = {
+      val actions =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, Boolean)]
+      var vs = infos.sortBy(_.version)
+      // a tombstoned symbol has no latest data to probe — retention
+      // (which is what eventually reclaims its storage) still applies
+      if (!vs.last.deleted && lib.isSymbolFragmented(sym)) {
+        val before = lib.resolveVersion(sym).files.size
+        actions += ((ln, sym, "compact",
+          if (dryRun) s"$before fragmented files"
+          else {
+            lib.compact(sym)
+            s"files $before -> ${lib.resolveVersion(sym).files.size}"
+          }, !dryRun))
+        // the compact commits a fresh version the retention step must
+        // see — in dryRun too, so the reported deletable set matches
+        // what a real run would delete (the pre-compact latest
+        // included); the synthetic tail entry itself is always kept
+        // (keepVersions >= 1), so only REAL version ids are reported
+        vs = vs :+ Library.VersionInfo(sym,
+          if (dryRun) vs.last.version + 1 else lib.latestVersion(sym).get,
+          System.currentTimeMillis(), deleted = false, Seq.empty)
+      }
+      val (pinned, deletable) =
+        vs.dropRight(keepVersions).partition(_.snapshots.nonEmpty)
+      if (deletable.nonEmpty) {
+        actions += ((ln, sym, "delete_versions",
+          s"versions ${deletable.map(_.version).mkString(",")}" +
+            (if (pinned.nonEmpty)
+               s" (kept ${pinned.map(_.version).mkString(",")}: snapshot-pinned)"
+             else ""), !dryRun))
+        if (!dryRun) lib.delete(sym, deletable.map(_.version))
+      }
+      // steady-state sweep: prune/delete only CONDEMN under the read
+      // grace; this is the pass that hard-deletes markers that have
+      // outlived gcGraceMs on otherwise-idle symbols (without it
+      // condemned files persist forever once retention has drained)
+      if (!dryRun) {
+        val swept = lib.gc(sym)
+        if (swept > 0)
+          actions += ((ln, sym, "gc", s"$swept condemned/unreferenced files", true))
+      }
+      actions.toSeq
+    }
+    val actions =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, Boolean)]
     listLibraries().foreach { ln =>
       val lib = getLibrary(ln)
       // one pass: every (symbol, version) incl. tombstones, pins resolved
       val bySym = lib.listVersionsInfo().groupBy(_.symbol)
-      bySym.toSeq.sortBy(_._1).foreach { case (sym, infos) =>
-        var vs = infos.sortBy(_.version)
-        // a tombstoned symbol has no latest data to probe — retention
-        // (which is what eventually reclaims its storage) still applies
-        if (!vs.last.deleted && lib.isSymbolFragmented(sym)) {
-          val before = lib.resolveVersion(sym).files.size
-          actions += ((ln, sym, "compact",
-            if (dryRun) s"$before fragmented files"
-            else {
-              lib.compact(sym)
-              s"files $before -> ${lib.resolveVersion(sym).files.size}"
-            }, !dryRun))
-          // the compact commits a fresh version the retention step must
-          // see — in dryRun too, so the reported deletable set matches
-          // what a real run would delete (the pre-compact latest
-          // included); the synthetic tail entry itself is always kept
-          // (keepVersions >= 1), so only REAL version ids are reported
-          vs = vs :+ Library.VersionInfo(sym,
-            if (dryRun) vs.last.version + 1 else lib.latestVersion(sym).get,
-            System.currentTimeMillis(), deleted = false, Seq.empty)
-        }
-        val (pinned, deletable) =
-          vs.dropRight(keepVersions).partition(_.snapshots.nonEmpty)
-        if (deletable.nonEmpty) {
-          actions += ((ln, sym, "delete_versions",
-            s"versions ${deletable.map(_.version).mkString(",")}" +
-              (if (pinned.nonEmpty)
-                 s" (kept ${pinned.map(_.version).mkString(",")}: snapshot-pinned)"
-               else ""), !dryRun))
-          if (!dryRun) lib.delete(sym, deletable.map(_.version))
-        }
-        // steady-state sweep: prune/delete only CONDEMN under the read
-        // grace; this is the pass that hard-deletes markers that have
-        // outlived gcGraceMs on otherwise-idle symbols (without it
-        // condemned files persist forever once retention has drained)
-        if (!dryRun) {
-          val swept = lib.gc(sym)
-          if (swept > 0)
-            actions += ((ln, sym, "gc", s"$swept condemned/unreferenced files", true))
-        }
+      lib.inParallel(bySym.toSeq.sortBy(_._1), parallelism)(_._1) {
+        case (sym, infos) => maintainSymbol(lib, ln, sym, infos)
+      }.foreach {
+        case Library.BatchOk(_, rows) => actions ++= rows
+        case Library.DataError(sym, e) =>
+          actions += ((ln, sym, "error",
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}",
+            false))
       }
     }
     spark.createDataFrame(actions.toSeq)

@@ -178,6 +178,45 @@ class GraftFrontDoorSpec extends SparkSuite {
     assert(g.maintain(keepVersions = 2).count() == 0)
   }
 
+  test("maintain: a failing symbol becomes an error row, every sibling still maintained") {
+    val g = new Graft(freshRoot(), spark)
+    val a = g.createLibrary("a", LibraryOptions(rowsPerSegment = 500))
+    val b = g.createLibrary("b", LibraryOptions(rowsPerSegment = 500))
+    def frag(lib: graft.core.Library, sym: String): Unit = {
+      lib.write(sym, (0 until 600).map(i => (i.toLong, 1.0)).toDF("k", "v"), Some("k"))
+      (0 until 3).foreach(j => lib.append(sym,
+        (0 until 40).map(i => ((600 + j * 40 + i).toLong, 1.0)).toDF("k", "v")))
+      assert(lib.isSymbolFragmented(sym))
+    }
+    frag(a, "good")
+    frag(a, "bad")
+    frag(b, "alsogood")
+    // plant the failure: one of bad's data files vanishes from storage,
+    // so its compact read blows up task-side — the per-symbol pool must
+    // capture it as a ledger row, not abort the sweep. The LAST file:
+    // it sits in the undersized tail run compact must rewrite (the
+    // full-sized head file is reused without a read).
+    val victim = a.resolveVersion("bad").files.last.path
+    val f = new java.io.File(s"${g.rootUri}/a/bad/data/$victim")
+    assert(f.isFile && f.delete(), s"victim $f")
+
+    val ledger = g.maintain(keepVersions = 1, parallelism = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    val err = ledger.filter(t => t._3 == "error")
+    assert(err.map(t => (t._1, t._2)).toSeq == Seq(("a", "bad")),
+      s"ledger: ${ledger.mkString(";")}")
+    assert(!err.head._5 && err.head._4.nonEmpty)
+    // both siblings compacted + retained despite the bad symbol
+    assert(ledger.exists(t => t._1 == "a" && t._2 == "good" && t._3 == "compact" && t._5))
+    assert(ledger.exists(t => t._1 == "b" && t._2 == "alsogood" && t._3 == "compact" && t._5))
+    assert(!a.isSymbolFragmented("good") && !b.isSymbolFragmented("alsogood"))
+    assert(a.read("good").count() == 720 && b.read("alsogood").count() == 720)
+    // deterministic ledger order: symbol-sorted within the library walk
+    val symsInA = ledger.filter(_._1 == "a").map(_._2).toSeq
+    assert(symsInA == symsInA.sorted, s"unsorted ledger: $symsInA")
+  }
+
   test("maintain survives tombstoned symbols and sweeps condemned-past-grace files") {
     val g = new Graft(freshRoot(), spark)
     // 150ms grace: long enough that pass-1 only CONDEMNS, short enough
