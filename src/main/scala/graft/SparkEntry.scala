@@ -2071,6 +2071,28 @@ object SparkEntry {
         k = 15, legK = 50)
         .transform(sortGuarded(_, "rank"))
     },
+    "q177_hybrid_rrf_indexed" -> { (s, dir) =>
+      // q171's RRF fusion over the PERSISTED stores: BM25 term-pruned
+      // postings read + IVF manifest-pruned cell read, fused with the
+      // shared rrf tail. nProbe = nlist makes the vector leg exact and
+      // q117 pins bm25Indexed ≡ bm25, so the whole build → pruned
+      // reads → fuse composition must reproduce q171 bit-for-bit —
+      // q171's oracle verbatim gates it.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs, "doc_id", "text", "hyblex", targetRows = 5000L)
+      Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "hybvec",
+        nlist = 8, iters = 2, targetRows = 200L)
+      graft.functions.Retrieval.hybridTopKIndexed(
+        lib, "hyblex", "hybvec",
+        queryTerms = Seq("dup", "vector", "merge"),
+        queries = emb.filter(col("vec_id") === 3L),
+        embIdCol = "vec_id", vecCol = "embedding",
+        nProbe = 8, k = 15, legK = 50)
+        .transform(sortGuarded(_, "rank"))
+    },
     "q170_jsonl_ingest" -> { (s, dir) =>
       // Schema-on-read JSONL ingestion with corrupt-record quarantine —
       // the crawl-dump entry path: documents round-trip through JSONL
@@ -2860,6 +2882,63 @@ object SparkEntry {
     * shared by q117 (one-shot index) and q137 (incremental index): both
     * persisted paths must reproduce this corpus-rescan ranking exactly.
     */
+  /** q171/q177 shared replay: the q115 BM25 chain (top-50 leg) + the
+    * q31 cosine chain pinned to query vec_id=3 (top-50 leg), fused as
+    * exact 1e-9-unit longs, ties on the smaller id.
+    */
+  private val hybridRrfOracle: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN ('dup', 'vector', 'merge')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
+         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1),
+         lex AS (
+           SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS lex_rank
+           FROM scored QUALIFY lex_rank <= 50),
+         flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id = 3 AND c.vec_id <> 3
+           GROUP BY 1),
+         sims AS (
+           SELECT corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots
+           JOIN norms nq ON nq.vec_id = 3
+           JOIN norms nc ON corpus_id = nc.vec_id),
+         vec AS (
+           SELECT corpus_id AS id,
+             CAST(row_number() OVER (ORDER BY sim DESC, corpus_id) AS INT) AS vec_rank
+           FROM sims QUALIFY vec_rank <= 50),
+         fused AS (
+           SELECT coalesce(l.id, v.id) AS doc_id,
+             coalesce(CAST(round(1e9 / (60 + l.lex_rank)) AS BIGINT), 0) +
+             coalesce(CAST(round(1e9 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf,
+             l.lex_rank, v.vec_rank
+           FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+         SELECT doc_id, round(rrf / 1e9, 9) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+           lex_rank, vec_rank
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15"""
+
   private val bm25FullCorpusOracle: String =
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
@@ -5155,58 +5234,10 @@ object SparkEntry {
     // RRF fusion replay: the q115 BM25 chain (top-50 leg) + the q31
     // cosine chain pinned to query vec_id=3 (top-50 leg), fused as
     // exact 1e-9-unit longs, ties on the smaller id.
-    "q171_hybrid_rrf" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
-         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
-         tf AS (SELECT doc_id, dl, t, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
-                WHERE t IN ('dup', 'vector', 'merge')
-                GROUP BY 1, 2, 3),
-         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         contrib AS (
-           SELECT tf.doc_id,
-             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
-               (tf.tf * (1.2 + 1)) /
-               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
-                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
-           FROM tf JOIN dft USING (t) CROSS JOIN stats s),
-         scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY 1),
-         lex AS (
-           SELECT doc_id AS id,
-             CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS lex_rank
-           FROM scored QUALIFY lex_rank <= 50),
-         flat AS (
-           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
-                 FROM embeddings)),
-         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-         dots AS (
-           SELECT c.vec_id AS corpus_id, sum(q.x * c.x) AS dot
-           FROM flat q JOIN flat c ON q.i = c.i
-           WHERE q.vec_id = 3 AND c.vec_id <> 3
-           GROUP BY 1),
-         sims AS (
-           SELECT corpus_id,
-             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
-                        ELSE dot / (nq.nrm * nc.nrm) END, 6) AS sim
-           FROM dots
-           JOIN norms nq ON nq.vec_id = 3
-           JOIN norms nc ON corpus_id = nc.vec_id),
-         vec AS (
-           SELECT corpus_id AS id,
-             CAST(row_number() OVER (ORDER BY sim DESC, corpus_id) AS INT) AS vec_rank
-           FROM sims QUALIFY vec_rank <= 50),
-         fused AS (
-           SELECT coalesce(l.id, v.id) AS doc_id,
-             coalesce(CAST(round(1e9 / (60 + l.lex_rank)) AS BIGINT), 0) +
-             coalesce(CAST(round(1e9 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf,
-             l.lex_rank, v.vec_rank
-           FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
-         SELECT doc_id, round(rrf / 1e9, 9) AS rrf_score,
-           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
-           lex_rank, vec_rank
-         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
+    "q171_hybrid_rrf" -> hybridRrfOracle,
+    // Persisted-path twin (q177): the SAME fused contest — the indexed
+    // legs are exact at nProbe = nlist, so the oracle is verbatim.
+    "q177_hybrid_rrf_indexed" -> hybridRrfOracle,
     // Cluster-balanced subsample: the q114 assignment chain + each
     // cluster's 10 most-central members by (ROUNDED dist asc, id asc) —
     // the rounded value is what the Spark-side top-k aggregate ranks.
