@@ -58,7 +58,16 @@ object ScaleProbe {
     "q157_ivfpq_prod",
     // round-17: the auto-LSH keeper with a planted >maxBucket
     // mega-cluster — the saturated-bucket star-link path at scale
-    "q160_keeper_mega")
+    "q160_keeper_mega",
+    // round-18 freshness rows (VERDICT r17 #7): the trained-langid
+    // composite cleanup, the WordPiece train→encode lifecycle (closure
+    // kernel — peak task must stay flat like UnigramLm), the persisted
+    // hybrid-RRF stack (build both indexes + probe), and the batched
+    // tokenizer trainers at a k the sequential loop cannot reach
+    "q168_clean_trained_lang",
+    "q175_wordpiece_batched_encode",
+    "q177_hybrid_prod",
+    "q99_bpe_batched512")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
@@ -187,6 +196,50 @@ object ScaleProbe {
       println(s"[sizes] $dir n=$n k=$k nonEmpty=${stats.getLong(0)} " +
         f"mean=${stats.getDouble(1)}%.0f top10=${top.mkString(",")}")
       sizes
+    }),
+    "q175_wordpiece_batched_encode" -> ((s, dir) => {
+      // the full trained-tokenizer lifecycle at scale: batched
+      // likelihood training (vocab-table passes, corpus-independent
+      // iteration cost) + greedy encode of the WHOLE corpus as a pure
+      // closure-model map — the scale question is the encode scan
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.functions.WordPiece.trainBatched(
+        docs, "text", k = 120, maxBatch = 64)
+      val vocab = graft.functions.WordPiece.vocab(docs, "text", merges)
+      graft.functions.WordPiece.encode(docs, "doc_id", "text", vocab)
+        .agg(sum(col("n_pieces")).as("total_pieces"),
+          count(lit(1)).as("n_docs"))
+    }),
+    "q177_hybrid_prod" -> ((s, dir) => {
+      // the persisted hybrid-RRF stack (q177) at scale: one-time BM25 +
+      // IVF builds on the dir, then the fused probe — the probe share
+      // is two pruned reads + a <=2·legK-row fuse (q157_ivfpq_prod's
+      // build-included convention)
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-hybp-").toString, s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs, "doc_id", "text", "hl", targetRows = 100000L)
+      graft.functions.Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding",
+        "hv", nlist = 64, iters = 2, targetRows = 100000L)
+      graft.functions.Retrieval.hybridTopKIndexed(
+        lib, "hl", "hv", Seq("dup", "vector", "merge"),
+        emb.filter(col("vec_id") === 3L), "vec_id", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+    }),
+    "q99_bpe_batched512" -> ((s, dir) => {
+      // merges/minute evidence for the lifted envelope: 512 merges in
+      // 256-sized batches — the sequential loop's per-merge wall at
+      // this corpus (one pairCounts + one argmax collect per merge)
+      // bounds what k=512 would cost there; the printed wall here is
+      // the batched cost of the same sequence (BpeBatchedSpec pins the
+      // sequences equal)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.Bpe.trainMergesBatched(
+        docs, "text", k = 512, maxBatch = 256)
     }),
     "q125_semdedup_eps09" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

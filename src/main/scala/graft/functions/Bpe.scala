@@ -51,24 +51,23 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      // Each iteration's segmentation is PERSISTED and the predecessor
-      // released once its successor has materialized: without this the
-      // i-th pairCounts would re-apply all i−1 previous merges from the
-      // raw vocab (O(k²) kernel work) and Catalyst would analyze an
-      // ever-deeper k-level Project chain. With it, every plan is one
-      // ApplyMerge over an InMemoryRelation — k scans total, constant
-      // plan depth, vocab-bounded cache footprint (≤2 copies live).
+      // Each iteration's segmentation is MATERIALIZED with a truncated
+      // lineage (eager localCheckpoint): without it the i-th pairCounts
+      // would re-apply all i−1 previous merges from the raw vocab
+      // (O(k²) kernel work) and — persist alone does NOT cut lineage —
+      // Catalyst would still carry an ever-deeper k-level Project chain
+      // whose plan strings grow O(k²) (at k≈100+ the AQE plan-change
+      // explain alone OOMs the driver; BpeBatchedSpec caught this).
+      // With it every plan is one ApplyMerge over a leaf RDD scan — k
+      // scans total, constant plan depth, vocab-bounded blocks whose
+      // predecessors the ContextCleaner reaps as refs drop.
       var seg = words.select(col("freq"), col("s"))
-      var prev: Option[DataFrame] = None
       var i = 0
       var exhausted = false
       while (i < k && !exhausted) {
         val best = pairCounts(seg)
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
-        // `seg` is materialized now — its predecessor can go
-        prev.foreach(_.unpersist(false))
-        prev = if (i == 0) None else Some(seg)
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) =
@@ -76,12 +75,132 @@ object Bpe {
           merges += ((i + 1, l, r, c))
           seg = seg.select(col("freq"),
             graft.plans.ApplyMerge(col("s"), l, r).as("s"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
         }
         i += 1
       }
-      prev.foreach(_.unpersist(false))
-      if (!exhausted && k > 0) seg.unpersist(false)
+      spark.createDataFrame(merges.toSeq).toDF("rank", "left", "right", "freq")
+    } finally words.unpersist(false)
+  }
+
+  /** Batched BPE training: the SAME merge sequence as [[trainMerges]]
+    * — provably, see below — selected B-at-a-time, so k merges cost
+    * ~2·k/B vocab-table scans instead of k. This is what lifts the
+    * k ≤ 4096 envelope of the single-merge loop (a real 32k–50k-merge
+    * vocab is 32k driver-synchronized Spark jobs there): the cap here
+    * is 65,536 (the model-in-closure gate [[encode]] enforces anyway).
+    *
+    * Per pass, candidates are taken in the EXACT global greedy order
+    * (count desc, left, right) and the batch is the longest prefix that
+    * is provably order-equivalent to running [[trainMerges]] for
+    * |batch| steps:
+    *  1. STOP at the first pair sharing a unit with an earlier selected
+    *     pair or with an endpoint equal to a selected PRODUCT — from
+    *     that pair on, counts can change under the batch's merges.
+    *     Everything before the stop is a prefix of the sorted order, so
+    *     every non-selected pair has count <= cNext (the stop row's).
+    *  2. DROP selected tail entries whose count does not STRICTLY
+    *     exceed the risk ceiling: applying a merge (a,b)->ab can only
+    *     (i) shrink pairs sharing a or b, (ii) create/grow pairs with
+    *     an ab endpoint — each new ab unit adds at most one adjacency
+    *     per side, so a pair's growth per product endpoint is bounded
+    *     by the max current count g among UNIT-SHARING pairs (its
+    *     formation ancestors (x,a)/(b,y) all share a unit), and a
+    *     grow-able pair starts at most at g0 (max current count among
+    *     product-endpoint pairs). No pair can therefore ever exceed
+    *     max(g, g0 + 2g) while the batch's merges replay sequentially,
+    *     and any kept merge counting strictly above that (and above
+    *     cNext) is selected by sequential greedy exactly in prefix
+    *     order (ties are impossible across the strict bound; ties
+    *     INSIDE the prefix follow the same (l, r) order both ways).
+    *  3. If the drop empties the batch, fall back to the single top
+    *     pair — always sequential-correct by definition.
+    * The batch then applies in ONE [[graft.plans.ApplyMergeBatch]]
+    * kernel pass (disjoint units ⇒ a combined scan equals any
+    * sequential per-pair fold). Output schema and values are
+    * [[trainMerges]]'s — `freq` is the count at selection time, which
+    * is the CURRENT table count (kept pairs are untouched by earlier
+    * batch members: no shared units, no product endpoints).
+    * BpeBatchedSpec pins sequence equality on real corpus text.
+    */
+  def trainMergesBatched(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      maxBatch: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 65536, s"merge count $k out of (0, 65536]")
+    require(maxBatch >= 1 && maxBatch <= 4096, s"bad maxBatch $maxBatch")
+    val spark = df.sparkSession
+    val words = Kernels.spread(df, Seq(textCol))
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var seg = words.select(col("freq"), col("s"))
+      var exhausted = false
+      while (merges.size < k && !exhausted) {
+        val budget = math.min(maxBatch, k - merges.size)
+        val pc = pairCounts(seg).persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val window = pc
+            .orderBy(col("c").desc, col("l").asc, col("r").asc)
+            .limit(budget + 1).collect()
+          if (window.isEmpty) exhausted = true
+          else {
+            val blocked = scala.collection.mutable.HashSet.empty[String]
+            val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+            var cNext = Option.empty[Long]
+            val it = window.iterator
+            while (it.hasNext && cNext.isEmpty) {
+              val row = it.next()
+              val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+              if (sel.size == budget || blocked(l) || blocked(r)) cNext = Some(c)
+              else {
+                sel += ((l, r, c))
+                blocked += l; blocked += r; blocked += (l + r)
+              }
+            }
+            val kept =
+              if (sel.size <= 1) sel.toSeq
+              else {
+                val units = sel.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+                val prods = sel.map(p => p._1 + p._2).toSeq
+                // the selected pairs themselves are NOT risks: applying
+                // one zeroes its own count and no batch member can
+                // re-form it (its units are never another's product —
+                // the blocked set), so exclude them or g degenerates to
+                // the batch's own top count and every batch collapses
+                // to the single-merge fallback. Space-joined keys are
+                // collision-free (tokens never contain a space).
+                val selKeys = sel.map(p => p._1 + " " + p._2).toSeq
+                val other =
+                  !concat(col("l"), lit(" "), col("r")).isin(selKeys: _*)
+                val risk = pc.agg(
+                  max(when(other &&
+                    (col("l").isin(units: _*) || col("r").isin(units: _*)),
+                    col("c"))).as("g"),
+                  max(when(col("l").isin(prods: _*) || col("r").isin(prods: _*),
+                    col("c"))).as("g0")).collect()(0)
+                val g = if (risk.isNullAt(0)) 0L else risk.getLong(0)
+                val g0 = if (risk.isNullAt(1)) 0L else risk.getLong(1)
+                val ceiling = math.max(cNext.getOrElse(Long.MinValue),
+                  math.max(g, g0 + 2 * g))
+                val cut = sel.takeWhile(_._3 > ceiling).toSeq
+                if (cut.isEmpty) sel.take(1).toSeq else cut
+              }
+            kept.foreach { case (l, r, c) => merges += ((merges.size + 1, l, r, c)) }
+            val batch = new graft.plans.MergeBatch(
+              kept.map(p => (p._1, p._2)).toArray)
+            // eager localCheckpoint: truncated lineage (the trainMerges
+            // O(k²)-plan-string lesson) + materialized before next pass
+            seg = seg.select(col("freq"),
+              graft.plans.ApplyMergeBatch(col("s"), batch).as("s"))
+              .localCheckpoint(true)
+          }
+        } finally pc.unpersist(false)
+      }
       spark.createDataFrame(merges.toSeq).toDF("rank", "left", "right", "freq")
     } finally words.unpersist(false)
   }

@@ -52,8 +52,10 @@ object WordPiece {
     try {
       val merges =
         scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long, Long)]
+      // eager localCheckpoint per iteration: materialized AND
+      // lineage-truncated (persist alone leaves an ever-deeper plan
+      // chain whose strings grow O(k²) — the Bpe.trainMerges lesson)
       var seg = words
-      var prev: Option[DataFrame] = None
       var i = 0
       var exhausted = false
       while (i < k && !exhausted) {
@@ -67,8 +69,6 @@ object WordPiece {
               (col("fl").cast("double") * col("fr"))).desc,
             col("l").asc, col("r").asc)
           .limit(1).select("l", "r", "c", "fl", "fr").collect()
-        prev.foreach(_.unpersist(false))
-        prev = if (i == 0) None else Some(seg)
         if (best.isEmpty) exhausted = true
         else {
           val b = best(0)
@@ -76,15 +76,212 @@ object WordPiece {
             b.getLong(2), b.getLong(3), b.getLong(4)))
           seg = seg.select(col("freq"),
             graft.plans.ApplyMerge(col("s"), b.getString(0), b.getString(1)).as("s"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
         }
         i += 1
       }
-      prev.foreach(_.unpersist(false))
-      if (!exhausted && k > 0) seg.unpersist(false)
       spark.createDataFrame(merges.toSeq)
         .toDF("rank", "left", "right", "freq", "freq_left", "freq_right")
     } finally words.unpersist(false)
+  }
+
+  /** Batched WordPiece training — the [[graft.functions.Bpe
+    * .trainMergesBatched]] lift applied to the LIKELIHOOD score: the
+    * same merge sequence as [[train]], selected B-at-a-time, ~3
+    * vocab-table scans per batch instead of one per merge; the cap
+    * rises to 65,536 (the closure-model gate).
+    *
+    * The order-equivalence argument is [[Bpe.trainMergesBatched]]'s
+    * (prefix of the exact global order, interaction stop on shared
+    * units AND selected products, strict-exceed cut, single-merge
+    * fallback) with one addition the likelihood score forces: merging
+    * (a,b) SHRINKS f(a)/f(b), so a surviving pair's score can RISE
+    * (denominator drops) — a count ceiling is not enough. The cut
+    * therefore compares each kept score against an upper bound on any
+    * affected pair's score at ANY step of the batch's sequential
+    * replay, computed from exact extremal counts: numerator at most
+    * c + (per product endpoint) the merge's own count (each new
+    * product unit adds ≤ 1 adjacency per side), denominator at least
+    * the product of each side's MINIMUM unit count over the replay —
+    * f(u) − consumed(u) for units (clamped ≥ 1: a countable pair
+    * implies a live unit), and for a formation (x, a_i)→(x, prod_i)
+    * the product's count after step i, f(prod_i) − consumed + c_i.
+    * IEEE double division/multiplication are monotone in their
+    * operands, so the double-computed bound dominates every
+    * double-computed future score and a strictly-greater kept score
+    * can never be preempted (ties cut, conservatively). Scores,
+    * counts and the recorded (freq, freq_left, freq_right) of kept
+    * merges are themselves batch-invariant: kept units are pairwise
+    * disjoint and never an earlier product (the blocked set).
+    * WordPieceBatchedSpec pins sequence equality on real corpus text.
+    */
+  def trainBatched(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      maxBatch: Int = 128): DataFrame = {
+    require(k >= 1 && k <= 65536, s"merge count $k out of (0, 65536]")
+    require(maxBatch >= 1 && maxBatch <= 4096, s"bad maxBatch $maxBatch")
+    val spark = df.sparkSession
+    val words = Kernels.spread(df, Seq(textCol))
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long, Long)]
+      var seg = words
+      var exhausted = false
+      while (merges.size < k && !exhausted) {
+        val budget = math.min(maxBatch, k - merges.size)
+        val units = seg.select(col("freq"), explode(col("s")).as("u"))
+          .groupBy("u").agg(sum("freq").as("f"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val scored = Bpe.pairCounts(seg)
+          .join(units.select(col("u").as("l"), col("f").as("fl")), "l")
+          .join(units.select(col("u").as("r"), col("f").as("fr")), "r")
+          .select(col("l"), col("r"), col("c"), col("fl"), col("fr"),
+            (col("c").cast("double") /
+              (col("fl").cast("double") * col("fr"))).as("score"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val window = scored
+            .orderBy(col("score").desc, col("l").asc, col("r").asc)
+            .limit(budget + 1)
+            .select("l", "r", "c", "fl", "fr", "score").collect()
+          if (window.isEmpty) exhausted = true
+          else {
+            val blocked = scala.collection.mutable.HashSet.empty[String]
+            val sel = scala.collection.mutable
+              .ArrayBuffer.empty[(String, String, Long, Long, Long, Double)]
+            var nextScore = Option.empty[Double]
+            val it = window.iterator
+            while (it.hasNext && nextScore.isEmpty) {
+              val row = it.next()
+              val (l, r) = (row.getString(0), row.getString(1))
+              if (sel.size == budget || blocked(l) || blocked(r))
+                nextScore = Some(row.getDouble(5))
+              else {
+                sel += ((l, r, row.getLong(2), row.getLong(3), row.getLong(4),
+                  row.getDouble(5)))
+                blocked += l; blocked += r; blocked += (l + r)
+              }
+            }
+            val kept =
+              if (sel.size <= 1) sel.toSeq
+              else keptUnderRiskBound(sel.toSeq, nextScore, scored, units)
+            kept.foreach { case (l, r, c, fl, fr, _) =>
+              merges += ((merges.size + 1, l, r, c, fl, fr))
+            }
+            val batch = new graft.plans.MergeBatch(
+              kept.map(p => (p._1, p._2)).toArray)
+            // eager localCheckpoint: truncated lineage, materialized
+            seg = seg.select(col("freq"),
+              graft.plans.ApplyMergeBatch(col("s"), batch).as("s"))
+              .localCheckpoint(true)
+          }
+        } finally {
+          scored.unpersist(false)
+          units.unpersist(false)
+        }
+      }
+      spark.createDataFrame(merges.toSeq)
+        .toDF("rank", "left", "right", "freq", "freq_left", "freq_right")
+    } finally words.unpersist(false)
+  }
+
+  /** The strict-exceed cut of [[trainBatched]]: drop the selected tail
+    * whose score does not strictly beat the risk ceiling — the maximum
+    * upper-bound score any pair TOUCHING the batch (shared unit or
+    * product endpoint, surviving or newly formed) can reach while the
+    * batch replays sequentially — or the first unselected pair's
+    * score. Falls back to the top single merge when the cut empties.
+    */
+  private def keptUnderRiskBound(
+      sel: Seq[(String, String, Long, Long, Long, Double)],
+      nextScore: Option[Double],
+      scored: DataFrame,
+      units: DataFrame): Seq[(String, String, Long, Long, Long, Double)] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // exact extremal unit counts under the batch:
+    //   cons(u)  = Σ c_i over selected pairs consuming u (2c for l==r)
+    //   dmin(u)  = max(1, f(u) − cons(u))  — min live count of unit u
+    //   dnew(i)  = max(1, f(prod_i) − cons(prod_i) + c_i) — min count of
+    //              merge i's product at any step AFTER i applies
+    val cons = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    sel.foreach { case (l, r, c, _, _, _) =>
+      cons(l) += c
+      cons(r) += c // l == r consumes two units per occurrence: adds twice
+    }
+    val f = scala.collection.mutable.HashMap.empty[String, Long]
+    sel.foreach { case (l, r, _, fl, fr, _) => f(l) = fl; f(r) = fr }
+    val prods = sel.map(p => p._1 + p._2)
+    val prodF = units.filter(col("u").isin(prods: _*))
+      .select("u", "f").as[(String, Long)].collect().toMap
+    prodF.foreach { case (u, fv) => f.getOrElseUpdate(u, fv) }
+    val dminOf = (u: String) =>
+      math.max(1L, f.getOrElse(u, 0L) - cons(u))
+    val dnew = sel.map { case (l, r, c, _, _, _) =>
+      val p = l + r
+      (l, r, p, math.max(1L, prodF.getOrElse(p, 0L) - cons(p) + c), c)
+    }
+    // per-unit lookup rows: (u, cons?, grow — the producing merge's c
+    // when u IS a product, dnewL — dnew of the merge whose LEFT unit is
+    // u, dnewR — dnew of the merge whose RIGHT unit is u)
+    val affected: Seq[String] =
+      (sel.flatMap(p => Seq(p._1, p._2)) ++ prods).distinct
+    val lookRows = affected.map { u =>
+      val grow = dnew.collectFirst { case (_, _, p, _, c) if p == u => c }
+        .getOrElse(0L)
+      val dnewL = dnew.collectFirst { case (l, _, _, d, _) if l == u => d }
+      val dnewR = dnew.collectFirst { case (_, r, _, d, _) if r == u => d }
+      (u, dminOf(u), grow, dnewL.getOrElse(0L), dnewR.getOrElse(0L))
+    }
+    val look = broadcast(
+      lookRows.toDF("u", "dmin", "grow", "dnew_l", "dnew_r"))
+    // the selected pairs themselves are NOT risks: applying one zeroes
+    // its own count and nothing in the batch can re-form it (its units
+    // are never another member's product — the blocked set); leaving
+    // them in would hand the ceiling their own boosted bound and
+    // collapse every batch to the single-merge fallback
+    val selKeys = sel.map(p => p._1 + " " + p._2)
+    val t = scored
+      .filter(!concat(col("l"), lit(" "), col("r")).isin(selKeys: _*))
+      .join(look.select(col("u").as("l"), col("dmin").as("dl0"),
+        col("grow").as("gl"), col("dnew_r").as("dnr_l")), Seq("l"), "left")
+      .join(look.select(col("u").as("r"), col("dmin").as("dr0"),
+        col("grow").as("gr"), col("dnew_l").as("dnl_r")), Seq("r"), "left")
+      .filter(col("dl0").isNotNull || col("dr0").isNotNull)
+      .select(
+        col("c").cast("double").as("c"),
+        coalesce(col("dl0"), col("fl")).cast("double").as("dl"),
+        coalesce(col("dr0"), col("fr")).cast("double").as("dr"),
+        coalesce(col("gl"), lit(0L)).cast("double").as("gl"),
+        coalesce(col("gr"), lit(0L)).cast("double").as("gr"),
+        col("dnr_l"), col("dnl_r"))
+    // B1: the pair survives (and, per product endpoint, grows by at
+    //     most that merge's count); B2/B3/B4: the pair is the formation
+    //     ancestor of a NEW pair ((x,a_i)→(x,prod_i) etc.), whose count
+    //     it bounds and whose product-side denominator is dnew
+    val bounds = t.select(greatest(
+      (col("c") + col("gl") + col("gr")) / (col("dl") * col("dr")),
+      when(col("dnl_r").isNotNull && col("dnl_r") > 0,
+        col("c") / (col("dl") * col("dnl_r").cast("double")))
+        .otherwise(lit(Double.MinValue)),
+      when(col("dnr_l").isNotNull && col("dnr_l") > 0,
+        col("c") / (col("dnr_l").cast("double") * col("dr")))
+        .otherwise(lit(Double.MinValue)),
+      when(col("dnr_l").isNotNull && col("dnr_l") > 0 &&
+        col("dnl_r").isNotNull && col("dnl_r") > 0,
+        col("c") / (col("dnr_l").cast("double") * col("dnl_r")))
+        .otherwise(lit(Double.MinValue))).as("b"))
+      .agg(max(col("b"))).collect()(0)
+    val risk = if (bounds.isNullAt(0)) Double.MinValue else bounds.getDouble(0)
+    val ceiling = math.max(nextScore.getOrElse(Double.MinValue), risk)
+    val cut = sel.takeWhile(_._6 > ceiling)
+    if (cut.isEmpty) sel.take(1) else cut
   }
 
   /** The encode vocabulary for a trained merge list: every character

@@ -465,6 +465,31 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** One greedy left-to-right pass applying EVERY pair of a unit-disjoint
+    * [[MergeBatch]] — per pair exactly [[applyMerge]]'s semantics (see
+    * MergeBatch scaladoc for why disjointness makes the combined scan
+    * equivalent to any sequential per-pair fold).
+    */
+  def applyMergeBatch(seg: ArrayData, batch: MergeBatch): ArrayData = {
+    val n = seg.numElements()
+    if (n < 2) return seg
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = seg.getUTF8String(i)
+      val merged =
+        if (i + 1 < n) batch.product(cur, seg.getUTF8String(i + 1)) else null
+      if (merged != null) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `normalize_text(text)`: single-pass codegen twin of
@@ -1026,6 +1051,79 @@ object ApplyMerge {
 
   def apply(seg: Column, l: String, r: String): Column =
     CatalystBridge.column(ApplyMerge(CatalystBridge.expression(seg), l, r))
+}
+
+/** A batch of UNIT-DISJOINT merges packaged for one-pass application
+  * (the ShingleSet/BpeRanks closure pattern): pairwise, no two batch
+  * pairs share a left/right unit, so their occurrences can never
+  * overlap in a token array and ONE greedy left-to-right scan applies
+  * all of them exactly as applying each pair's own greedy scan in any
+  * sequence would ([[graft.functions.Bpe.trainMergesBatched]] proves
+  * and exploits the equivalence). Disjointness is REQUIRED, checked at
+  * construction: with shared units a combined scan and a sequential
+  * fold genuinely diverge ("a b b" under {(a,b),(b,b)}).
+  */
+final class MergeBatch(val pairs: Array[(String, String)]) extends Serializable {
+  require(pairs.nonEmpty, "empty merge batch")
+  locally {
+    val units = new java.util.HashSet[String](pairs.length * 4)
+    pairs.foreach { case (l, r) =>
+      require(units.add(l) && (l == r || units.add(r)),
+        s"merge batch pairs must not share units: ($l, $r) collides")
+    }
+  }
+
+  /** "l r" → merged product (tokens never contain NUL). */
+  @transient private lazy val prod: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String](pairs.length * 2)
+    pairs.foreach { case (l, r) =>
+      m.put(l + " " + r, UTF8String.fromString(l + r))
+    }
+    m
+  }
+
+  def product(l: UTF8String, r: UTF8String): UTF8String =
+    prod.get(l.toString + " " + r.toString)
+}
+
+/** `apply_merge_batch(seg)`: every merge of a [[MergeBatch]] applied in
+  * ONE greedy left-to-right pass — the kernel that turns k-merge
+  * training from k vocab-table scans into k/B ([[graft.functions.Bpe
+  * .trainMergesBatched]]). Semantics per pair identical to folding
+  * [[ApplyMerge]] over the batch in any order (disjoint units).
+  */
+final case class ApplyMergeBatch(child: Expression, batch: MergeBatch)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"apply_merge_batch expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.applyMergeBatch(input.asInstanceOf[ArrayData], batch)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("mergeBatch", batch, classOf[MergeBatch].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.applyMergeBatch($c, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyMergeBatch =
+    copy(child = newChild)
+
+  override def prettyName: String = "apply_merge_batch"
+}
+
+object ApplyMergeBatch {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  def apply(seg: Column, batch: MergeBatch): Column =
+    CatalystBridge.column(ApplyMergeBatch(CatalystBridge.expression(seg), batch))
 }
 
 /** An ordered BPE merge list packaged for executor-side encoding: a
