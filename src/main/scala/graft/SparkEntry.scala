@@ -2093,6 +2093,58 @@ object SparkEntry {
         nProbe = 8, k = 15, legK = 50)
         .transform(sortGuarded(_, "rank"))
     },
+    "q178_bpe_train_batched" -> { (s, dir) =>
+      // The BATCHED trainer through the full selection machinery
+      // (window, interaction stop, risk aggregate, strict cut,
+      // fallback) must reproduce the sequential q99 sequence — oracle
+      // verbatim. BpeBatchedSpec pins parity at ks where batches
+      // actually widen; this gate pins the driver-checked path.
+      graft.functions.Bpe.trainMergesBatched(
+        t(s, dir, "documents"), "text", 3, maxBatch = 8)
+        .orderBy("rank")
+    },
+    "q179_wordpiece_train_batched" -> { (s, dir) =>
+      // WordPiece's batched trainer (likelihood score + extremal-count
+      // risk ceiling) vs the sequential q174 sequence — oracle verbatim.
+      graft.functions.WordPiece.trainBatched(
+        t(s, dir, "documents"), "text", 3, maxBatch = 8)
+        .orderBy("rank")
+    },
+    "q180_bpe_persisted_encode" -> { (s, dir) =>
+      // The tokenizer-artifact lifecycle: train -> saveMerges (a
+      // versioned rank-indexed symbol) -> loadMerges from the COMMITTED
+      // version -> encode. Output must be bit-identical to q122's
+      // direct train->encode (oracle verbatim) — the guarantee that a
+      // tokenization is reproducible from the stored artifact alone.
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Bpe.saveMerges(lib, "bpe_model",
+        graft.functions.Bpe.trainMerges(docs, "text", 3))
+      val ranks = graft.functions.Bpe.loadMerges(lib, "bpe_model")
+      graft.functions.Bpe.encode(docs, "doc_id", "text", ranks)
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .transform(sortGuarded(_, "doc_id", "pos"))
+    },
+    "q181_wordpiece_persisted_encode" -> { (s, dir) =>
+      // WordPiece's artifact lifecycle: vocab -> saveVocab (versioned
+      // piece-indexed symbol) -> loadVocab -> greedy encode, equal to
+      // q175's direct path (oracle verbatim).
+      val docs = t(s, dir, "documents")
+      val lib = new Library(tmpRoot(), s)
+      val merges = graft.functions.WordPiece.train(docs, "text", 3)
+      graft.functions.WordPiece.saveVocab(lib, "wp_vocab",
+        graft.functions.WordPiece.vocab(docs, "text", merges))
+      graft.functions.WordPiece.encode(docs, "doc_id", "text",
+        graft.functions.WordPiece.loadVocab(lib, "wp_vocab"))
+        .select(col("doc_id"), col("n_pieces"),
+          aggregate(
+            transform(col("pieces"), p =>
+              pmod(conv(substring(md5(p.cast("binary")), 1, 15), 16, 10)
+                .cast("long"), lit(1000000007L))),
+            lit(0L), (a, x) => a + x).as("piece_sum"))
+        .transform(sortGuarded(_, "doc_id"))
+    },
     "q170_jsonl_ingest" -> { (s, dir) =>
       // Schema-on-read JSONL ingestion with corrupt-record quarantine —
       // the crawl-dump entry path: documents round-trip through JSONL
@@ -2882,6 +2934,104 @@ object SparkEntry {
     * shared by q117 (one-shot index) and q137 (incremental index): both
     * persisted paths must reproduce this corpus-rescan ranking exactly.
     */
+  /** q99/q178 shared replay: full 3-iteration BPE training — per
+    * iteration, weighted pair counts → (count desc, l, r) argmax →
+    * greedy run-parity application.
+    */
+  private lazy val bpeTrain3Oracle: String =
+    s"""WITH $bpeWordsCte,
+          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)}
+          SELECT * FROM (
+            SELECT 1 AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS freq
+            FROM best1
+            UNION ALL
+            SELECT 2, l, r, CAST(c AS BIGINT) FROM best2
+            UNION ALL
+            SELECT 3, l, r, CAST(c AS BIGINT) FROM best3)
+          ORDER BY rank"""
+
+  /** q122/q180 shared replay: corpus encode under the q99-replayed
+    * 3-merge list — seg4 maps each word to its final tokens; every
+    * document's word stream joins it and unnests with per-word
+    * ordinality, one row per emitted subword, position numbered
+    * within the doc.
+    */
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH $bpeWordsCte,
+          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)},
+          docw AS (
+            SELECT doc_id, wq, toks[wq] AS w FROM (
+              SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wq
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))),
+          segt AS (
+            SELECT w, tq, s[tq] AS token FROM (
+              SELECT w, s, unnest(range(1, len(s) + 1)) AS tq FROM seg4))
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wq, tq) - 1
+                      AS BIGINT) AS pos,
+                 token
+          FROM docw JOIN segt USING (w)
+          ORDER BY doc_id, pos"""
+
+  /** q174/q179 shared replay: 3 likelihood-scored WordPiece merges. */
+  private lazy val wordpieceTrain3Oracle: String =
+    s"""WITH $bpeWordsCte,
+          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)}
+          SELECT * FROM (
+            SELECT 1 AS rank, l AS "left", r AS "right",
+              CAST(c AS BIGINT) AS freq, CAST(fl AS BIGINT) AS freq_left,
+              CAST(fr AS BIGINT) AS freq_right
+            FROM best1
+            UNION ALL
+            SELECT 2, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
+              CAST(fr AS BIGINT) FROM best2
+            UNION ALL
+            SELECT 3, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
+              CAST(fr AS BIGINT) FROM best3)
+          ORDER BY rank"""
+
+  /** q175/q181 shared replay: the 3-merge training + chars∪products
+    * vocab + greedy longest-match walk unrolled over 16 codepoint
+    * steps; >16-cp words fall back to themselves, empty docs count 0.
+    */
+  private lazy val wordpieceEncodeOracle: String =
+    s"""WITH $bpeWordsCte,
+          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)},
+          vocabv AS MATERIALIZED (
+            SELECT DISTINCT piece FROM (
+              SELECT unnest(string_split(w, '')) AS piece FROM words
+              UNION ALL SELECT l || r FROM best1
+              UNION ALL SELECT l || r FROM best2
+              UNION ALL SELECT l || r FROM best3)
+            WHERE piece <> ''),
+          docw AS MATERIALIZED (
+            SELECT doc_id, tok AS w FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+            WHERE tok <> ''),
+          g0 AS MATERIALIZED (
+            SELECT DISTINCT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces
+            FROM docw WHERE length(w) <= 16),
+          ${(1 to 16).map(wpStepSql).mkString(",\n          ")},
+          wseg AS (
+            SELECT w, pieces FROM g16
+            UNION ALL
+            SELECT DISTINCT w, [w] AS pieces FROM docw WHERE length(w) > 16),
+          wstat AS (
+            SELECT w, count(*) AS np,
+              sum(${hex60Sql("p")} % 1000000007) AS ps
+            FROM (SELECT w, unnest(pieces) AS p FROM wseg) GROUP BY 1),
+          docsum AS (
+            SELECT d.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+              CAST(sum(ws.ps) AS BIGINT) AS piece_sum
+            FROM docw d JOIN wstat ws USING (w) GROUP BY 1)
+          SELECT d.doc_id,
+            coalesce(s.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+            coalesce(s.piece_sum, CAST(0 AS BIGINT)) AS piece_sum
+          FROM documents d LEFT JOIN docsum s USING (doc_id)
+          ORDER BY 1"""
+
   /** q171/q177 shared replay: the q115 BM25 chain (top-50 leg) + the
     * q31 cosine chain pinned to query vec_id=3 (top-50 leg), fused as
     * exact 1e-9-unit longs, ties on the smaller id.
@@ -5153,63 +5303,18 @@ object SparkEntry {
     // WordPiece train replay: 3 likelihood-scored merge iterations —
     // exact integer numerator/denominators in the output, the double
     // ratio only inside the per-iteration ORDER BY.
-    "q174_wordpiece_train" -> {
-      s"""WITH $bpeWordsCte,
-          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)}
-          SELECT * FROM (
-            SELECT 1 AS rank, l AS "left", r AS "right",
-              CAST(c AS BIGINT) AS freq, CAST(fl AS BIGINT) AS freq_left,
-              CAST(fr AS BIGINT) AS freq_right
-            FROM best1
-            UNION ALL
-            SELECT 2, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
-              CAST(fr AS BIGINT) FROM best2
-            UNION ALL
-            SELECT 3, l, r, CAST(c AS BIGINT), CAST(fl AS BIGINT),
-              CAST(fr AS BIGINT) FROM best3)
-          ORDER BY rank"""
-    },
+    "q174_wordpiece_train" -> wordpieceTrain3Oracle,
+    // q179: the BATCHED trainer must produce the identical sequence —
+    // oracle verbatim (BpeBatchedSpec pins parity at engaging k).
+    "q179_wordpiece_train_batched" -> wordpieceTrain3Oracle,
     // WordPiece encode replay: the 3-merge training + the chars∪products
     // vocab + the greedy longest-match walk unrolled as a 16-step chain
     // over codepoint positions (the q165/q166 fixed-depth discipline);
     // >16-cp words fall back to themselves, empty docs count 0.
-    "q175_wordpiece_encode" -> {
-      s"""WITH $bpeWordsCte,
-          ${wpIterSql(1)}, ${wpIterSql(2)}, ${wpIterSql(3)},
-          vocabv AS MATERIALIZED (
-            SELECT DISTINCT piece FROM (
-              SELECT unnest(string_split(w, '')) AS piece FROM words
-              UNION ALL SELECT l || r FROM best1
-              UNION ALL SELECT l || r FROM best2
-              UNION ALL SELECT l || r FROM best3)
-            WHERE piece <> ''),
-          docw AS MATERIALIZED (
-            SELECT doc_id, tok AS w FROM (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents)
-            WHERE tok <> ''),
-          g0 AS MATERIALIZED (
-            SELECT DISTINCT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces
-            FROM docw WHERE length(w) <= 16),
-          ${(1 to 16).map(wpStepSql).mkString(",\n          ")},
-          wseg AS (
-            SELECT w, pieces FROM g16
-            UNION ALL
-            SELECT DISTINCT w, [w] AS pieces FROM docw WHERE length(w) > 16),
-          wstat AS (
-            SELECT w, count(*) AS np,
-              sum(${hex60Sql("p")} % 1000000007) AS ps
-            FROM (SELECT w, unnest(pieces) AS p FROM wseg) GROUP BY 1),
-          docsum AS (
-            SELECT d.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
-              CAST(sum(ws.ps) AS BIGINT) AS piece_sum
-            FROM docw d JOIN wstat ws USING (w) GROUP BY 1)
-          SELECT d.doc_id,
-            coalesce(s.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
-            coalesce(s.piece_sum, CAST(0 AS BIGINT)) AS piece_sum
-          FROM documents d LEFT JOIN docsum s USING (doc_id)
-          ORDER BY 1"""
-    },
+    "q175_wordpiece_encode" -> wordpieceEncodeOracle,
+    // q181: encode from the PERSISTED (save -> versioned read -> load)
+    // vocab must be bit-identical — oracle verbatim.
+    "q181_wordpiece_persisted_encode" -> wordpieceEncodeOracle,
     // Version-diff replay: the removed originals and added patches are
     // exactly the update range's before/after images.
     "q173_version_diff" ->
@@ -5707,18 +5812,10 @@ object SparkEntry {
     // match positions filtered by run parity (overlapping matches only
     // arise in L==R runs; keeping even run offsets IS the left-to-right
     // greedy scan).
-    "q99_bpe_merges" -> {
-      s"""WITH $bpeWordsCte,
-          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)}
-          SELECT * FROM (
-            SELECT 1 AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS freq
-            FROM best1
-            UNION ALL
-            SELECT 2, l, r, CAST(c AS BIGINT) FROM best2
-            UNION ALL
-            SELECT 3, l, r, CAST(c AS BIGINT) FROM best3)
-          ORDER BY rank"""
-    },
+    "q99_bpe_merges" -> bpeTrain3Oracle,
+    // q178: the BATCHED trainer must produce the identical sequence —
+    // oracle verbatim (BpeBatchedSpec pins parity at engaging k).
+    "q178_bpe_train_batched" -> bpeTrain3Oracle,
     // q122: corpus encode under the q99-replayed 3-merge list — seg4 is
     // the word → tokens mapping after all three merges; every document's
     // word stream joins it and unnests with per-word ordinality, one row
@@ -5744,24 +5841,10 @@ object SparkEntry {
           SELECT source, n_docs, n_words, n_subwords,
             round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility
           FROM agg ORDER BY source""" },
-    "q122_bpe_encode" -> {
-      s"""WITH $bpeWordsCte,
-          ${bpeIterSql(1)}, ${bpeIterSql(2)}, ${bpeIterSql(3)},
-          docw AS (
-            SELECT doc_id, wq, toks[wq] AS w FROM (
-              SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS wq
-              FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents))),
-          segt AS (
-            SELECT w, tq, s[tq] AS token FROM (
-              SELECT w, s, unnest(range(1, len(s) + 1)) AS tq FROM seg4))
-          SELECT doc_id,
-                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wq, tq) - 1
-                      AS BIGINT) AS pos,
-                 token
-          FROM docw JOIN segt USING (w)
-          ORDER BY doc_id, pos"""
-    },
+    "q122_bpe_encode" -> bpeEncodeOracle,
+    // q180: encode from the PERSISTED (saveMerges -> versioned read ->
+    // loadMerges) model must be bit-identical — oracle verbatim.
+    "q180_bpe_persisted_encode" -> bpeEncodeOracle,
     // Stupid-backoff replay: same micro-nat quantization (round = half
     // away from zero on both engines), integer per-doc sums, one final
     // division. Cutoffs are relative shares of the unigram/bigram mass.

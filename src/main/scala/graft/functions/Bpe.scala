@@ -84,11 +84,17 @@ object Bpe {
   }
 
   /** Batched BPE training: the SAME merge sequence as [[trainMerges]]
-    * — provably, see below — selected B-at-a-time, so k merges cost
-    * ~2·k/B vocab-table scans instead of k. This is what lifts the
-    * k ≤ 4096 envelope of the single-merge loop (a real 32k–50k-merge
-    * vocab is 32k driver-synchronized Spark jobs there): the cap here
-    * is 65,536 (the model-in-closure gate [[encode]] enforces anyway).
+    * — provably, see below — selected up to B-at-a-time. Where the
+    * pair-count head is unit-disjoint (multi-script or word-seeded
+    * corpora, later-stage training after tokens diversify) a pass
+    * takes a whole batch, ~2 vocab scans per B merges; where it is not
+    * (early char-stage natural text: top pairs share letters, and an
+    * order-equivalent rule MUST serialize them — their counts change
+    * under each other), passes degrade to single merges at sequential
+    * cost (a driver pre-cut skips the risk aggregate there,
+    * BpeBatchedSpec pins the ≤1.6× worst-regime bound). Lifts the
+    * k ≤ 4096 envelope of the single-merge loop to 65,536 (the
+    * model-in-closure gate [[encode]] enforces anyway).
     *
     * Per pass, candidates are taken in the EXACT global greedy order
     * (count desc, left, right) and the batch is the longest prefix that
@@ -162,8 +168,17 @@ object Bpe {
                 blocked += l; blocked += r; blocked += (l + r)
               }
             }
+            // driver-side pre-cut: the final ceiling is >= cNext, so if
+            // the cNext cut alone collapses the prefix to <= 1, skip
+            // the distributed risk aggregate entirely — this is the
+            // dominant regime in early char-stage natural text (top
+            // pairs share letters) and makes a degenerate pass cost
+            // exactly a sequential iteration
+            val preCut = sel.takeWhile(_._3 > cNext.getOrElse(Long.MinValue))
             val kept =
               if (sel.size <= 1) sel.toSeq
+              else if (preCut.size <= 1)
+                (if (preCut.isEmpty) sel.take(1) else preCut).toSeq
               else {
                 val units = sel.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
                 val prods = sel.map(p => p._1 + p._2).toSeq
@@ -367,5 +382,39 @@ object Bpe {
       .select(col(byCol), col("n_docs"), col("n_words"), col("n_subwords"),
         round(col("n_subwords").cast("double") /
           col("n_words").cast("double"), 6).as("fertility"))
+  }
+
+  /** Persist a trained merge list as a versioned Library symbol — the
+    * tokenizer ARTIFACT lifecycle a real pipeline needs: train once,
+    * commit, and every later encode (including a year later, under
+    * as-of) resolves the EXACT model that produced the corpus's
+    * token counts. Rank-indexed so the read is ordered by manifest,
+    * and versioned like any symbol: a retrained vocab is a new
+    * version, snapshots pin the one a training run used.
+    */
+  def saveMerges(
+      lib: graft.core.Library,
+      symbol: String,
+      merges: DataFrame): Int = {
+    val cols = merges.columns.toSet
+    require(Set("rank", "left", "right").subsetOf(cols),
+      s"merge frame must carry (rank, left, right), got ${cols.mkString(",")}")
+    lib.write(symbol, merges.withColumn("rank", col("rank").cast("long"))
+      .orderBy("rank"), Some("rank"))
+  }
+
+  /** Load a persisted merge list back into the encode model's shape —
+    * rank-ordered (left, right) pairs, bounded by the 64k
+    * model-in-closure gate [[encode]] enforces.
+    */
+  def loadMerges(
+      lib: graft.core.Library,
+      symbol: String,
+      asOf: graft.core.Library.AsOf = graft.core.Library.AsOf.Latest): Seq[(String, String)] = {
+    val rows = lib.read(symbol, asOf).select("rank", "left", "right")
+      .orderBy("rank").limit(65537).collect()
+    require(rows.length <= 65536,
+      s"persisted merge list $symbol exceeds the 64k closure bound")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
   }
 }

@@ -168,8 +168,14 @@ object WordPiece {
                 blocked += l; blocked += r; blocked += (l + r)
               }
             }
+            // driver-side pre-cut: the final ceiling is >= nextScore,
+            // so a prefix the nextScore cut alone collapses to <= 1
+            // skips the distributed risk aggregate (the Bpe pre-cut)
+            val preCut = sel.takeWhile(_._6 > nextScore.getOrElse(Double.MinValue))
             val kept =
               if (sel.size <= 1) sel.toSeq
+              else if (preCut.size <= 1)
+                (if (preCut.isEmpty) sel.take(1) else preCut).toSeq
               else keptUnderRiskBound(sel.toSeq, nextScore, scored, units)
             kept.foreach { case (l, r, c, fl, fr, _) =>
               merges += ((merges.size + 1, l, r, c, fl, fr))
@@ -308,6 +314,29 @@ object WordPiece {
     require(rows.length <= 65536, "wordpiece vocab exceeds the 64k closure bound")
     new WordPieceModel(rows.map(_.getString(0)), maxWordLen)
   }
+
+  /** Persist a trained encode vocabulary as a versioned Library symbol
+    * — [[graft.functions.Bpe.saveMerges]]'s WordPiece twin: the
+    * artifact a pipeline commits once and resolves exactly (as-of,
+    * snapshot-pinned) for every later encode. Piece-indexed (string
+    * key ranges) so bounded reads stay manifest-pruned.
+    */
+  def saveVocab(
+      lib: graft.core.Library,
+      symbol: String,
+      vocabDf: DataFrame): Int = {
+    require(vocabDf.columns.contains("piece"),
+      s"vocab frame must carry 'piece', got ${vocabDf.columns.mkString(",")}")
+    lib.write(symbol, vocabDf.select("piece").orderBy("piece"), Some("piece"))
+  }
+
+  /** Load a persisted vocabulary for [[encode]] (which applies the 64k
+    * closure gate on collect). */
+  def loadVocab(
+      lib: graft.core.Library,
+      symbol: String,
+      asOf: graft.core.Library.AsOf = graft.core.Library.AsOf.Latest): DataFrame =
+    lib.read(symbol, asOf).select("piece")
 
   /** Tokenize every document under a trained vocab frame — pure map
     * (model in closure): (idCol, pieces, n_pieces). */
