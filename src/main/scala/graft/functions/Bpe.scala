@@ -101,8 +101,11 @@ object Bpe {
     * is provably order-equivalent to running [[trainMerges]] for
     * |batch| steps:
     *  1. STOP at the first pair sharing a unit with an earlier selected
-    *     pair or with an endpoint equal to a selected PRODUCT — from
-    *     that pair on, counts can change under the batch's merges.
+    *     pair, with an endpoint equal to a selected PRODUCT, or whose
+    *     OWN product collides with a selected unit or product (a batch
+    *     member whose unit is another member's product could be
+    *     re-formed by it, which would void the risk exclusion below) —
+    *     from that pair on, counts can change under the batch's merges.
     *     Everything before the stop is a prefix of the sorted order, so
     *     every non-selected pair has count <= cNext (the stop row's).
     *  2. DROP selected tail entries whose count does not STRICTLY
@@ -162,7 +165,8 @@ object Bpe {
             while (it.hasNext && cNext.isEmpty) {
               val row = it.next()
               val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-              if (sel.size == budget || blocked(l) || blocked(r)) cNext = Some(c)
+              if (sel.size == budget || blocked(l) || blocked(r) ||
+                blocked(l + r)) cNext = Some(c)
               else {
                 sel += ((l, r, c))
                 blocked += l; blocked += r; blocked += (l + r)
@@ -184,8 +188,9 @@ object Bpe {
                 val prods = sel.map(p => p._1 + p._2).toSeq
                 // the selected pairs themselves are NOT risks: applying
                 // one zeroes its own count and no batch member can
-                // re-form it (its units are never another's product —
-                // the blocked set), so exclude them or g degenerates to
+                // re-form it (selection stops on any unit/product
+                // collision, so a member's unit is never another's
+                // product), so exclude them or g degenerates to
                 // the batch's own top count and every batch collapses
                 // to the single-merge fallback. Space-joined keys are
                 // collision-free (tokens never contain a space).

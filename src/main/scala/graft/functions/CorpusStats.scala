@@ -187,13 +187,13 @@ object CorpusStats {
       name: String,
       p: Int = 12,
       portable: Boolean = false,
-      /** Streaming replay guard (the micro-batch's batchId,
+      /** Streaming replay guard ([[graft.core.Library.ReplayGuard]],
         * [[graft.streaming.StreamIngest.ledgerSink]]): each symbol's
-        * commit is stamped and an already-stamped symbol skips — a
-        * crash between the three writes heals on replay instead of
-        * double-counting the sums half.
+        * commit is stamped and a symbol already stamped IN THIS SCOPE
+        * skips — a crash between the three writes heals on replay
+        * instead of double-counting the sums half.
         */
-      replayGuard: Option[Long] = None): Unit = {
+      replayGuard: Option[graft.core.Library.ReplayGuard] = None): Unit = {
     import df.sparkSession.implicits._
     val stamp = Retrieval.replayStamp(replayGuard)
     if (!Retrieval.alreadyFolded(lib, s"${name}__meta", replayGuard))
@@ -219,7 +219,7 @@ object CorpusStats {
         * a replayed first batch converges whichever write the crash
         * interrupted.
         */
-      replayGuard: Option[Long] = None): Unit = {
+      replayGuard: Option[graft.core.Library.ReplayGuard] = None): Unit = {
     val statsSym = s"${name}__stats"
     val hllSym = s"${name}__hll"
     val stamp = Retrieval.replayStamp(replayGuard)

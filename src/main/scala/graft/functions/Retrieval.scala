@@ -159,16 +159,18 @@ object Retrieval {
       idCol: String,
       textCol: String,
       targetRows: Long = 100000L,
-      /** Streaming replay guard: when set (the micro-batch's batchId,
+      /** Streaming replay guard: when set (a checkpoint-scoped
+        * micro-batch id, [[graft.core.Library.ReplayGuard]], built by
         * [[graft.streaming.StreamIngest.retrievalIndexSink]]), each
-        * symbol's commit carries the batchId in its metadata and a
-        * symbol whose stamp is already >= it SKIPS its half of the fold
+        * symbol's commit carries the stamp in its metadata and a
+        * symbol already stamped in the SAME SCOPE at >= this batchId
+        * SKIPS its half of the fold
         * — so a crash-replayed batch cannot double-append postings
         * (tf AND df inflation) or double-merge stats, whichever half the
         * crash interrupted. Missing symbols are write-created under a
         * guard (the build-vs-append branch itself replays).
         */
-      replayGuard: Option[Long] = None): Unit = {
+      replayGuard: Option[graft.core.Library.ReplayGuard] = None): Unit = {
     val postingsSym = s"${name}__postings"
     val statsSym = s"${name}__stats"
     val stamp = replayStamp(replayGuard)
@@ -219,13 +221,16 @@ object Retrieval {
     * committed with a guarded fold, and the skip test against a
     * symbol's last stamped batch.
     */
-  private[functions] def replayStamp(g: Option[Long]): Map[String, String] =
-    g.map(b => Map(graft.core.Library.ReplayGuardKey -> b.toString))
+  private[functions] def replayStamp(
+      g: Option[graft.core.Library.ReplayGuard]): Map[String, String] =
+    g.map(x => Map(graft.core.Library.ReplayGuardKey -> x.stampValue))
       .getOrElse(Map.empty)
 
   private[functions] def alreadyFolded(
-      lib: graft.core.Library, symbol: String, g: Option[Long]): Boolean =
-    g.exists(b => lib.lastFoldedBatch(symbol).exists(_ >= b))
+      lib: graft.core.Library, symbol: String,
+      g: Option[graft.core.Library.ReplayGuard]): Boolean =
+    g.exists(x => lib.lastFoldStamp(symbol)
+      .exists(graft.core.Library.ReplayGuard.alreadyFolded(_, x)))
 
   /** Query a [[buildBm25Index]] index: read ONLY the query terms'
     * postings (string-index file pruning via the manifest key ranges),
@@ -335,7 +340,7 @@ object Retrieval {
       targetRows: Long = 100000L,
       /** Same replay-guard contract as [[appendToBm25Index]]; positions
         * are one symbol, so the guarded fold is one stamped commit. */
-      replayGuard: Option[Long] = None): Unit = {
+      replayGuard: Option[graft.core.Library.ReplayGuard] = None): Unit = {
     val posSym = s"${name}__positions"
     if (alreadyFolded(lib, posSym, replayGuard)) return
     val posts = docs

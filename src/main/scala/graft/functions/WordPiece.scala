@@ -93,8 +93,9 @@ object WordPiece {
     *
     * The order-equivalence argument is [[Bpe.trainMergesBatched]]'s
     * (prefix of the exact global order, interaction stop on shared
-    * units AND selected products, strict-exceed cut, single-merge
-    * fallback) with one addition the likelihood score forces: merging
+    * units AND unit/product collisions in either direction,
+    * strict-exceed cut, single-merge fallback) with one addition the
+    * likelihood score forces: merging
     * (a,b) SHRINKS f(a)/f(b), so a surviving pair's score can RISE
     * (denominator drops) — a count ceiling is not enough. The cut
     * therefore compares each kept score against an upper bound on any
@@ -160,7 +161,8 @@ object WordPiece {
             while (it.hasNext && nextScore.isEmpty) {
               val row = it.next()
               val (l, r) = (row.getString(0), row.getString(1))
-              if (sel.size == budget || blocked(l) || blocked(r))
+              if (sel.size == budget || blocked(l) || blocked(r) ||
+                blocked(l + r))
                 nextScore = Some(row.getDouble(5))
               else {
                 sel += ((l, r, row.getLong(2), row.getLong(3), row.getLong(4),
@@ -248,8 +250,9 @@ object WordPiece {
     val look = broadcast(
       lookRows.toDF("u", "dmin", "grow", "dnew_l", "dnew_r"))
     // the selected pairs themselves are NOT risks: applying one zeroes
-    // its own count and nothing in the batch can re-form it (its units
-    // are never another member's product — the blocked set); leaving
+    // its own count and nothing in the batch can re-form it (selection
+    // stops on any unit/product collision, so a member's unit is never
+    // another member's product); leaving
     // them in would hand the ceiling their own boosted bound and
     // collapse every batch to the single-merge fallback
     val selKeys = sel.map(p => p._1 + " " + p._2)

@@ -1073,17 +1073,31 @@ final class MergeBatch(val pairs: Array[(String, String)]) extends Serializable 
     }
   }
 
-  /** "l r" → merged product (tokens never contain NUL). */
-  @transient private lazy val prod: java.util.HashMap[String, UTF8String] = {
-    val m = new java.util.HashMap[String, UTF8String](pairs.length * 2)
+  /** l -> (r -> merged product), keyed on UTF8String DIRECTLY so the
+    * per-adjacent-pair lookup in [[TextKernels.applyMergeBatch]]
+    * allocates nothing on the (overwhelmingly common) miss path -- a
+    * String conversion per token pair per row is pure GC pressure in
+    * exactly the kernel the batching exists to speed up.
+    */
+  @transient private lazy val prod:
+      java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, UTF8String]] = {
+    val m = new java.util.HashMap[
+      UTF8String, java.util.HashMap[UTF8String, UTF8String]](pairs.length * 2)
     pairs.foreach { case (l, r) =>
-      m.put(l + " " + r, UTF8String.fromString(l + r))
+      var inner = m.get(UTF8String.fromString(l))
+      if (inner == null) {
+        inner = new java.util.HashMap[UTF8String, UTF8String](2)
+        m.put(UTF8String.fromString(l), inner)
+      }
+      inner.put(UTF8String.fromString(r), UTF8String.fromString(l + r))
     }
     m
   }
 
-  def product(l: UTF8String, r: UTF8String): UTF8String =
-    prod.get(l.toString + " " + r.toString)
+  def product(l: UTF8String, r: UTF8String): UTF8String = {
+    val inner = prod.get(l)
+    if (inner == null) null else inner.get(r)
+  }
 }
 
 /** `apply_merge_batch(seg)`: every merge of a [[MergeBatch]] applied in

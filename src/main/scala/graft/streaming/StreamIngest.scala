@@ -184,9 +184,12 @@ object StreamIngest {
     * full-corpus oracle regardless of how the stream was sliced.
     *
     * Replay contract: EXACTLY-ONCE per symbol — every fold commit is
-    * stamped with its batchId ([[graft.core.Library.ReplayGuardKey]]),
-    * atomically with that symbol's manifest CAS, and a replayed batch
-    * skips exactly the symbols whose fold already landed. A crash
+    * stamped with its checkpoint-scoped batchId
+    * ([[graft.core.Library.ReplayGuard]]), atomically with that
+    * symbol's manifest CAS, and a replayed batch skips exactly the
+    * symbols whose fold already landed; a stream restarted on a NEW
+    * checkpoint is a new scope, so its restarted batch numbering is
+    * never mistaken for replay. A crash
     * between the postings append and the stats write (or between the
     * BM25 and positional halves) therefore HEALS on replay instead of
     * double-appending postings (tf and df inflation) — the same
@@ -212,17 +215,20 @@ object StreamIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
+          // checkpoint-scoped guard: batchIds are monotonic only within
+          // one checkpoint, so the stamp carries the checkpoint identity
+          // — a FRESH checkpoint against an existing index is a new
+          // stream whose batch 0 must fold, not a replay to skip
+          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId))
           // the guarded folds write-create missing symbols, so the
           // first batch builds and every batch (first included) is
           // replay-idempotent per symbol — no build-vs-append branch
           // for a crash to land between
           graft.functions.Retrieval.appendToBm25Index(
-            lib, b, name, idCol, textCol, targetRows,
-            replayGuard = Some(batchId))
+            lib, b, name, idCol, textCol, targetRows, replayGuard = g)
           if (positional)
             graft.functions.Retrieval.appendToPositionalIndex(
-              lib, b, name, idCol, textCol, targetRows,
-              replayGuard = Some(batchId))
+              lib, b, name, idCol, textCol, targetRows, replayGuard = g)
         }
         ()
       }
@@ -234,10 +240,11 @@ object StreamIngest {
     * batch, and `readLedger`/`ledgerDrift` answer "what changed today"
     * at any time without scanning history. Creates the ledger from the
     * first non-empty batch. Replay contract: EXACTLY-ONCE per symbol —
-    * every fold commit is batchId-stamped atomically with its symbol's
-    * manifest CAS ([[retrievalIndexSink]]'s guard), so a crash-replayed
-    * micro-batch cannot double-count the sums half (the HLL half was
-    * always idempotent by register max).
+    * every fold commit carries a checkpoint-scoped batchId stamp
+    * atomically with its symbol's manifest CAS
+    * ([[retrievalIndexSink]]'s guard), so a crash-replayed micro-batch
+    * cannot double-count the sums half (the HLL half was always
+    * idempotent by register max).
     */
   def ledgerSink(
       lib: Library,
@@ -256,14 +263,13 @@ object StreamIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
+          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId))
           if (!lib.hasSymbol(s"${name}__meta"))
             graft.functions.CorpusStats.buildLedger(
-              lib, b, textCol, domainCol, name, p, portable,
-              replayGuard = Some(batchId))
+              lib, b, textCol, domainCol, name, p, portable, replayGuard = g)
           else
             graft.functions.CorpusStats.mergeIntoLedger(
-              lib, b, textCol, domainCol, name,
-              replayGuard = Some(batchId))
+              lib, b, textCol, domainCol, name, replayGuard = g)
         }
         ()
       }

@@ -119,6 +119,36 @@ class BpeBatchedSpec extends SparkSuite {
       WordPiece.trainBatched(docs, "text", 65537))
   }
 
+  test("batched == sequential on seeded random collision-dense corpora (both families)") {
+    // Regression net for the product-collision stop (a candidate whose
+    // PRODUCT equals an earlier selection's unit or product must end
+    // the batch: the risk exclusion assumes no batch member can be
+    // re-formed by another, and its converse direction used to be
+    // unguarded). A 4-letter alphabet with short words maximizes
+    // unit/product collisions per window — far denser than natural
+    // text — so parity here exercises the stop conditions hard.
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcd"
+    val words = (0 until 60).map { _ =>
+      val len = 1 + rnd.nextInt(6)
+      (0 until len).map(_ => alphabet(rnd.nextInt(4))).mkString
+    }
+    val rows = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(1 + rnd.nextInt(12))(w)
+    }
+    val df = rnd.shuffle(rows).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val k = 30
+    val bseq = Bpe.trainMerges(df, "text", k).collect().toSeq
+    val bbat = Bpe.trainMergesBatched(df, "text", k, maxBatch = 8)
+      .collect().toSeq
+    assert(bbat == bseq, s"BPE diverged:\nseq=$bseq\nbat=$bbat")
+    val wseq = WordPiece.train(df, "text", k).collect().toSeq
+    val wbat = WordPiece.trainBatched(df, "text", k, maxBatch = 8)
+      .collect().toSeq
+    assert(wbat == wseq, s"WordPiece diverged:\nseq=$wseq\nbat=$wbat")
+  }
+
   test("MergeBatch refuses unit-sharing pairs; combined scan handles products-as-units") {
     intercept[IllegalArgumentException](
       new graft.plans.MergeBatch(Array(("a", "b"), ("b", "c"))))

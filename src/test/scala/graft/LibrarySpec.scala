@@ -912,17 +912,24 @@ class LibrarySpec extends SparkSuite {
     // a staged-but-never-finalized symbol has a dir with ZERO versions —
     // the census must report it (it owns storage), not throw (ADVICE r17)
     lib.stage("staged_only", mk(0, 50))
+    // ...and a VERSIONED symbol with staged debris reports both, in
+    // uniform columns (data_bytes = committed data for every row,
+    // staged_bytes its own column) — a cleanup census must not hide
+    // debris behind a column whose meaning shifts per row
+    lib.stage("s", mk(400, 10))
     val ss = lib.storageSummary().collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
     val row = ss.find(_._1 == "s").get
     assert(row._2 == 2 && row._3 == 1 && row._4 == 4 && row._5 == 400)
     assert(row._6 > 0, "data_bytes")
-    assert(row._7, "4×100-row files at a 1M-row target must read as fragmented")
+    assert(row._7 > 0, "staged debris on a versioned symbol must show")
+    assert(row._8, "4×100-row files at a 1M-row target must read as fragmented")
     val so = ss.find(_._1 == "staged_only").get
     assert(so._2 == 0 && so._3 == -1 && so._4 == 0 && so._5 == 0L)
-    assert(so._6 > 0, "staged bytes must be counted — the dir owns storage")
-    assert(!so._7)
+    assert(so._6 == 0L, "zero-version rows have no committed data")
+    assert(so._7 > 0, "staged bytes must be counted — the dir owns storage")
+    assert(!so._8)
   }
 
   test("GC read grace: condemn first, hard-delete only after the window") {

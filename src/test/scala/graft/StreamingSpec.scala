@@ -364,9 +364,11 @@ class StreamingSpec extends SparkSuite {
 
   test("retrievalIndexSink folds are replay-idempotent, including a crash between the two commits") {
     // The foreachBatch body IS appendToBm25Index/appendToPositionalIndex
-    // with the batchId as replayGuard — drive those directly to place
-    // the "crash" exactly where micro-batch replay would re-enter.
+    // with the checkpoint-scoped batchId as replayGuard — drive those
+    // directly to place the "crash" exactly where micro-batch replay
+    // would re-enter.
     import graft.functions.Retrieval
+    def g(b: Long) = Some(Library.ReplayGuard("ck", b))
     val b1 = Seq((1L, "a a a b"), (2L, "a b a b a")).toDF("doc_id", "text")
     val b2 = Seq((3L, "b a"), (4L, "x y z a")).toDF("doc_id", "text")
     val all = Seq((1L, "a a a b"), (2L, "a b a b a"), (3L, "b a"),
@@ -376,11 +378,11 @@ class StreamingSpec extends SparkSuite {
     // batch 0 folds, then REPLAYS verbatim: both symbols must skip —
     // not just end value-equal, but commit NO new version
     Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(0L))
+      targetRows = 3L, replayGuard = g(0))
     val vPost0 = lib.latestVersion("lex__postings").get
     val vStat0 = lib.latestVersion("lex__stats").get
     Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(0L))
+      targetRows = 3L, replayGuard = g(0))
     assert(lib.latestVersion("lex__postings").get == vPost0 &&
       lib.latestVersion("lex__stats").get == vStat0,
       "a replayed batch must not commit anything")
@@ -389,16 +391,16 @@ class StreamingSpec extends SparkSuite {
     // pre-batch version — EXACTLY the crash-between-the-two-commits
     // state (postings appended + stamped 1, stats still stamped 0)
     Retrieval.appendToBm25Index(lib, b2, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(1L))
+      targetRows = 3L, replayGuard = g(1))
     val vPost1 = lib.latestVersion("lex__postings").get
     lib.delete("lex__stats", Seq(lib.latestVersion("lex__stats").get))
-    assert(lib.lastFoldedBatch("lex__stats").contains(0L) &&
-      lib.lastFoldedBatch("lex__postings").contains(1L), "crash state")
+    assert(lib.lastFoldStamp("lex__stats").contains("ck:0") &&
+      lib.lastFoldStamp("lex__postings").contains("ck:1"), "crash state")
 
     // replay of batch 1 HEALS: postings skip (no tf/df double-post),
     // stats re-merge from the pre-crash version
     Retrieval.appendToBm25Index(lib, b2, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(1L))
+      targetRows = 3L, replayGuard = g(1))
     assert(lib.latestVersion("lex__postings").get == vPost1,
       "replay double-appended postings")
     val one = new Library(tmp("graft-replay1-"), spark)
@@ -409,15 +411,62 @@ class StreamingSpec extends SparkSuite {
 
     // positional: replay of a delivered batch commits nothing
     Retrieval.appendToPositionalIndex(lib, b1, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(0L))
+      targetRows = 3L, replayGuard = g(0))
     val vPos = lib.latestVersion("lex__positions").get
     Retrieval.appendToPositionalIndex(lib, b1, "lex", "doc_id", "text",
-      targetRows = 3L, replayGuard = Some(0L))
+      targetRows = 3L, replayGuard = g(0))
     assert(lib.latestVersion("lex__positions").get == vPos)
+  }
+
+  test("replay guard is checkpoint-scoped: a new stream identity folds from batch 0") {
+    // Spark batchIds are monotonic only WITHIN one checkpoint. A fresh
+    // checkpoint pointed at an existing index restarts ids at 0 — a
+    // bare-batchId guard would read the old stamp (57) and silently
+    // SKIP the new stream's first 58 batches. The scope in the stamp is
+    // what makes that a fold, not a drop.
+    import graft.functions.Retrieval
+    val b1 = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "c d")).toDF("doc_id", "text")
+    val b3 = Seq((4L, "d e")).toDF("doc_id", "text")
+    val lib = new Library(tmp("graft-scope-"), spark)
+    def gA(b: Long) = Some(Library.ReplayGuard.forCheckpoint("/ck/A", b))
+    def gB(b: Long) = Some(Library.ReplayGuard.forCheckpoint("/ck/B", b))
+    Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = gA(0))
+    Retrieval.appendToBm25Index(lib, b2, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = gA(1))
+    val vPost = lib.latestVersion("lex__postings").get
+
+    // a NEW checkpoint's batch 0 (0 <= stamped 1!) must fold
+    Retrieval.appendToBm25Index(lib, b3, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = gB(0))
+    assert(lib.latestVersion("lex__postings").get > vPost,
+      "new-scope batch 0 was mistaken for a replay — silent data loss")
+    // ...and within the new scope, replay still skips
+    val vB = lib.latestVersion("lex__postings").get
+    Retrieval.appendToBm25Index(lib, b3, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = gB(0))
+    assert(lib.latestVersion("lex__postings").get == vB)
+
+    // a legacy bare-long stamp (pre-scope build) never skips
+    assert(!Library.ReplayGuard.alreadyFolded("57",
+      Library.ReplayGuard("anything", 0L)))
+
+    // tombstone-then-reingest under a fresh checkpoint: the tombstone
+    // still carries scope A's stamp (lastFoldStamp reads tombstones
+    // deliberately), but scope C mismatches and batch 0 write-creates
+    lib.delete("lex__postings")
+    lib.delete("lex__stats")
+    def gC(b: Long) = Some(Library.ReplayGuard.forCheckpoint("/ck/C", b))
+    Retrieval.appendToBm25Index(lib, b1, "lex", "doc_id", "text",
+      targetRows = 3L, replayGuard = gC(0))
+    assert(lib.read("lex__postings").count() > 0,
+      "a tombstoned symbol's stale stamp starved the new stream")
   }
 
   test("ledgerSink heals a first-batch crash that left only __meta behind") {
     import graft.functions.CorpusStats
+    def g(b: Long) = Some(Library.ReplayGuard("ck", b))
     val rows = Seq((1L, "alpha beta", "a"), (2L, "gamma", "b"))
     val df = rows.toDF("doc_id", "text", "dom")
     val lib = new Library(tmp("graft-ledgercrash-"), spark)
@@ -425,16 +474,16 @@ class StreamingSpec extends SparkSuite {
     // nothing — the crash-after-meta state the sink's hasSymbol branch
     // replays into mergeIntoLedger
     CorpusStats.buildLedger(lib, df, "text", "dom", "led", p = 8,
-      portable = true, replayGuard = Some(0L))
+      portable = true, replayGuard = g(0))
     lib.delete("led__stats", Seq(lib.latestVersion("led__stats").get))
     lib.delete("led__hll", Seq(lib.latestVersion("led__hll").get))
     assert(!lib.hasSymbol("led__stats") && !lib.hasSymbol("led__hll"))
     CorpusStats.mergeIntoLedger(lib, df, "text", "dom", "led",
-      replayGuard = Some(0L))
+      replayGuard = g(0))
     // and a verbatim replay after the heal commits nothing further
     val vs = lib.latestVersion("led__stats").get
     CorpusStats.mergeIntoLedger(lib, df, "text", "dom", "led",
-      replayGuard = Some(0L))
+      replayGuard = g(0))
     assert(lib.latestVersion("led__stats").get == vs)
     val one = new Library(tmp("graft-ledgercrash1-"), spark)
     CorpusStats.buildLedger(one, df, "text", "dom", "led", p = 8,
