@@ -2145,6 +2145,50 @@ object SparkEntry {
             lit(0L), (a, x) => a + x).as("piece_sum"))
         .transform(sortGuarded(_, "doc_id"))
     },
+    "q182_query_stats" -> { (s, dir) =>
+      // The query_stats observability surface (reference:
+      // toolbox/query_stats.py) hard-gated: write lineitem sorted on
+      // l_orderkey in 1000-row files, read under withQueryStats with an
+      // expression filter, and emit the pruning census. The layout is
+      // oracle-replayable because the gate's data lands in ONE
+      // post-shuffle partition (loud require below), so files are
+      // contiguous 1000-row slices of the sorted order: file i's min
+      // key is the sorted value at position i*1000 and DuckDB recomputes
+      // exactly which files Kleene pruning keeps (min <= K) — the gate
+      // pins that the census tells the TRUTH about what a filtered scan
+      // touches, not a vanity counter.
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val lib = new Library(tmpRoot(), s)
+      // index-less write of a PRE-SORTED single partition: writeData
+      // passes the input partitioning through verbatim, so
+      // maxRecordsPerFile slices exactly ceil(n/1000) contiguous files
+      // of the l_orderkey sort (an indexed write range-partitions first
+      // — boundaries the oracle could not replay). Pruning then runs on
+      // the createColumnStats sidecar, the q49 machinery.
+      lib.write("qs",
+        li.repartition(1).sortWithinPartitions(col("l_orderkey")),
+        targetRows = 1000L)
+      lib.createColumnStats("qs", Seq("l_orderkey"))
+      val n = lib.resolveVersion("qs").rowCount
+      val expect = ((n + 999) / 1000).toInt
+      require(lib.resolveVersion("qs").files.size == expect,
+        s"gate layout drifted: expected $expect contiguous 1000-row files " +
+          s"(single pre-sorted partition), got " +
+          s"${lib.resolveVersion("qs").files.size} — the oracle can no " +
+          "longer replay file boundaries")
+      val k = li.agg(max(col("l_orderkey"))).head.getLong(0) / 3
+      val (_, stats) = lib.withQueryStats {
+        lib.read("qs",
+          exprFilter = Some(graft.query.Expr.col("l_orderkey") <=
+            graft.query.Expr.lit(k)))
+      }
+      lib.queryStatsFrame(stats)
+        .select(col("symbol"), col("files_total").cast("long"),
+          (col("pruned_by_range") + col("pruned_by_stats") +
+            col("pruned_by_expr")).cast("long").as("pruned_files"),
+          col("files_read").cast("long"), col("rows_read"),
+          col("rows_total"))
+    },
     "q170_jsonl_ingest" -> { (s, dir) =>
       // Schema-on-read JSONL ingestion with corrupt-record quarantine —
       // the crawl-dump entry path: documents round-trip through JSONL
@@ -5315,6 +5359,28 @@ object SparkEntry {
     // q181: encode from the PERSISTED (save -> versioned read -> load)
     // vocab must be bit-identical — oracle verbatim.
     "q181_wordpiece_persisted_encode" -> wordpieceEncodeOracle,
+    // q182: the pruning census replayed from first principles — the
+    // gate's single-partition layout makes file i a contiguous
+    // 1000-row slice of the l_orderkey sort, so file mins are the
+    // sorted values at positions i*1000 and Kleene range pruning
+    // (keep iff min <= K, K = max//3) is pure arithmetic over them.
+    "q182_query_stats" ->
+      """WITH s AS (
+           SELECT l_orderkey,
+                  row_number() OVER (ORDER BY l_orderkey) - 1 AS rn
+           FROM lineitem),
+         k AS (SELECT max(l_orderkey) // 3 AS kv FROM lineitem),
+         f AS (
+           SELECT rn // 1000 AS fid, min(l_orderkey) AS fmin,
+                  count(*) AS frows
+           FROM s GROUP BY 1)
+         SELECT 'qs' AS symbol,
+           (SELECT count(*) FROM f) AS files_total,
+           (SELECT count(*) FROM f, k WHERE fmin > kv) AS pruned_files,
+           (SELECT count(*) FROM f, k WHERE fmin <= kv) AS files_read,
+           CAST((SELECT coalesce(sum(frows), 0) FROM f, k
+                 WHERE fmin <= kv) AS BIGINT) AS rows_read,
+           (SELECT count(*) FROM s) AS rows_total""",
     // Version-diff replay: the removed originals and added patches are
     // exactly the update range's before/after images.
     "q173_version_diff" ->

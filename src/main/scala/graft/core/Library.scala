@@ -1107,6 +1107,14 @@ final class Library(
             schema)
         }
     }
+    // query-stats hook ([[withQueryStats]]): pruning is decided right
+    // here at plan time, so the census is complete when read() returns
+    val qs = qsLocal.get
+    if (qs != null)
+      qs += Library.ReadStats(symbol, m.version, m.files.size,
+        m.files.size - byIndex.size, byIndex.size - byStats.size,
+        byStats.size - selected.size, selected.size,
+        selected.map(_.rows).sum, m.rowCount)
     readFiles(symbol, m, selected, range, columns, withRowId)
   }
 
@@ -1420,6 +1428,50 @@ final class Library(
       (e.path, e.rows, e.rowOffset, e.minIdx, e.maxIdx, e.minStr, e.maxStr)))
       .toDF("path", "rows", "row_offset", "min_idx", "max_idx", "min_str", "max_str")
   }
+
+  // ------------------------------------------------------ query stats
+
+  private val qsLocal =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Library.ReadStats]]
+
+  /** Scoped query-statistics collection (reference:
+    * `python/arcticdb/toolbox/query_stats.py:20` — the `query_stats()`
+    * context manager that answers "what storage work did my reads
+    * do"). Every [[read]] issued by `f` ON THIS THREAD records one
+    * [[Library.ReadStats]] row: manifest file count, how many files
+    * each pruning tier skipped (index range, ColRange stats filters,
+    * expression-AST Kleene pruning), and the files/rows the scan will
+    * actually touch. This is THE observability primitive at 100 TB —
+    * "did my filter prune, or am I about to scan the world" answered
+    * before the scan runs, since pruning is decided at plan time.
+    *
+    * Thread-scoped like the reference's enable/disable pair (nesting
+    * refused); reads dispatched to the batch pool ([[readBatch]]'s
+    * `inParallel` workers) run on other threads and are deliberately
+    * not captured. Returns (result, stats rows); render with
+    * [[queryStatsFrame]].
+    */
+  def withQueryStats[T](f: => T): (T, Seq[Library.ReadStats]) = {
+    require(qsLocal.get == null,
+      "query stats already enabled on this thread (nesting is not supported)")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Library.ReadStats]
+    qsLocal.set(buf)
+    try {
+      val r = f
+      (r, buf.toSeq)
+    } finally qsLocal.remove()
+  }
+
+  /** [[withQueryStats]] rows as a DataFrame (one row per read, in read
+    * order): symbol, version, files_total, pruned_by_range,
+    * pruned_by_stats, pruned_by_expr, files_read, rows_read,
+    * rows_total.
+    */
+  def queryStatsFrame(stats: Seq[Library.ReadStats]): DataFrame =
+    spark.createDataFrame(stats)
+      .toDF("symbol", "version", "files_total", "pruned_by_range",
+        "pruned_by_stats", "pruned_by_expr", "files_read", "rows_read",
+        "rows_total")
 
   /** Per-symbol storage census over the whole library: live versions,
     * latest-version file/row counts, total data bytes on disk (all
@@ -2440,6 +2492,25 @@ final class Library(
 object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
+
+  /** One read's pruning census under [[Library.withQueryStats]]:
+    * `filesTotal` files in the resolved manifest, of which the three
+    * pruning tiers skipped `prunedByRange` (date/key range vs manifest
+    * index bounds), `prunedByStats` (caller ColRanges vs the stats
+    * sidecar) and `prunedByExpr` (expression-AST Kleene pruning);
+    * `filesRead`/`rowsRead` is what the scan touches, `rowsTotal` the
+    * version's full row count.
+    */
+  final case class ReadStats(
+      symbol: String,
+      version: Int,
+      filesTotal: Int,
+      prunedByRange: Int,
+      prunedByStats: Int,
+      prunedByExpr: Int,
+      filesRead: Int,
+      rowsRead: Long,
+      rowsTotal: Long)
 
   /** Symbol-metadata key carrying the last streaming fold stamp
     * (`<scope>:<batchId>`, [[ReplayGuard]]) of an index/ledger symbol —

@@ -932,6 +932,52 @@ class LibrarySpec extends SparkSuite {
     assert(!so._8)
   }
 
+  test("withQueryStats censuses every pruning tier truthfully") {
+    val lib = newLib()
+    // 400 rows in 4 index-contiguous 100-row files: ts2 in [0,100),
+    // [100,200), [200,300), [300,400)
+    lib.write("s", mk(0, 400), Some("ts2"), targetRows = 100)
+    assert(lib.resolveVersion("s").files.size == 4, "layout premise")
+
+    // range pruning: dateRange [150, 250] overlaps files 1 and 2 only
+    val (df1, st1) = lib.withQueryStats {
+      lib.read("s", dateRange = Some((150L, 250L)))
+    }
+    assert(st1.size == 1)
+    val r1 = st1.head
+    assert(r1.filesTotal == 4 && r1.prunedByRange == 2 &&
+      r1.prunedByStats == 0 && r1.prunedByExpr == 0 && r1.filesRead == 2 &&
+      r1.rowsRead == 200 && r1.rowsTotal == 400, s"range census: $r1")
+    assert(df1.count() == 101) // the exact row filter still ran
+
+    // expression pruning: ts2 < 100 keeps only file 0; an unfiltered
+    // read in the same scope records a second, prune-free row
+    val (_, st2) = lib.withQueryStats {
+      lib.read("s", exprFilter =
+        Some(graft.query.Expr.col("ts2") < graft.query.Expr.lit(100L)))
+      lib.read("s")
+    }
+    assert(st2.size == 2)
+    assert(st2.head.prunedByExpr == 3 && st2.head.filesRead == 1 &&
+      st2.head.rowsRead == 100, s"expr census: ${st2.head}")
+    assert(st2(1).filesRead == 4 && st2(1).prunedByRange == 0 &&
+      st2(1).prunedByExpr == 0)
+
+    // the frame renders in read order with the documented columns
+    val f = lib.queryStatsFrame(st2)
+    assert(f.columns.toSeq == Seq("symbol", "version", "files_total",
+      "pruned_by_range", "pruned_by_stats", "pruned_by_expr", "files_read",
+      "rows_read", "rows_total"))
+    assert(f.count() == 2)
+
+    // nesting refused, reference-style; the scope still unwinds
+    intercept[IllegalArgumentException] {
+      lib.withQueryStats(lib.withQueryStats(lib.read("s")))
+    }
+    val (_, st3) = lib.withQueryStats(lib.read("s"))
+    assert(st3.size == 1, "scope must unwind after the nesting refusal")
+  }
+
   test("GC read grace: condemn first, hard-delete only after the window") {
     val lib = new Library(
       java.nio.file.Files.createTempDirectory("graft-gcgrace-").toString,
