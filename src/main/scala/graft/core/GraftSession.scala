@@ -25,6 +25,12 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // No _SUCCESS markers: the library's commit is the manifest CAS,
+      // not the marker — on an object store every data write's marker
+      // is a wasted PUT plus clutter the storage census and GC walkers
+      // would have to special-case.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // parallelismFirst stays at its true default: round-10 measured

@@ -1416,6 +1416,63 @@ final class Library(
       .toDF("layer", "path", "bytes", "modified_ms")
   }
 
+  /** admin_tools `get_sizes` analog (reference:
+    * `python/arcticdb/version_store/admin_tools.py:120` — compressed
+    * bytes + object counts grouped by key type): one row per storage
+    * layer across the WHOLE library — version manifests, data files,
+    * stats sidecars, staged segments, snapshot manifests. Columns:
+    * layer, n_objects, bytes. Every layer always appears (zero rows
+    * included), matching the reference's always-all-key-types contract.
+    */
+  def sizes(): DataFrame = {
+    val all = Seq("version", "data", "stats", "staged", "snapshot")
+    val agg = sizesBySymbol().groupBy("layer")
+      .agg(sum(col("n_objects")).as("n_objects"), sum(col("bytes")).as("bytes"))
+    val zeros = spark.createDataFrame(all.map(l => (l, 0L, 0L)))
+      .toDF("layer", "n_objects", "bytes")
+    agg.unionByName(zeros.join(agg.select("layer"), Seq("layer"), "left_anti"))
+      .orderBy("layer")
+  }
+
+  /** admin_tools `get_sizes_by_symbol` analog
+    * (`admin_tools.py:129`): per-symbol per-layer object counts and
+    * bytes. Snapshot manifests are library-scoped, not symbol-scoped —
+    * they appear under symbol "" (the reference likewise reports
+    * snapshot keys outside the per-stream breakdown). Columns: symbol,
+    * layer, n_objects, bytes.
+    */
+  def sizesBySymbol(): DataFrame = {
+    val layers = Seq("version", "data", "stats", "staged")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    for (sym <- listSymbolDirs()) {
+      val per = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      layers.foreach(l => per(l) = (0L, 0L))
+      val base = symDir(sym)
+      val f = fs(base)
+      def walk(dir: Path, layer: String): Unit =
+        if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+          if (st.isDirectory) walk(st.getPath, layer)
+          else {
+            val (n, b) = per(layer)
+            per(layer) = (n + 1, b + st.getLen)
+          }
+        }
+      walk(versionsDir(sym), "version")
+      walk(new Path(base, "data"), "data")
+      walk(new Path(base, "_stats"), "stats")
+      walk(stagedDir(sym), "staged")
+      layers.foreach(l => rows += ((sym, l, per(l)._1, per(l)._2)))
+    }
+    val fsn = fs(snapshotsDir)
+    val snaps =
+      if (!fsn.exists(snapshotsDir)) (0L, 0L)
+      else fsn.listStatus(snapshotsDir).filterNot(_.isDirectory)
+        .foldLeft((0L, 0L)) { case ((n, b), st) => (n + 1, b + st.getLen) }
+    rows += (("", "snapshot", snaps._1, snaps._2))
+    spark.createDataFrame(rows.sortBy(r => (r._1, r._2)).toSeq)
+      .toDF("symbol", "layer", "n_objects", "bytes")
+  }
+
   /** library_tool `read_index` analog: the resolved manifest of one
     * version as a DataFrame — one row per data file with its row count,
     * cumulative offset and index bounds (delta chains resolved; exactly

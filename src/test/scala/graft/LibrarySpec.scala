@@ -932,6 +932,36 @@ class LibrarySpec extends SparkSuite {
     assert(!so._8)
   }
 
+  test("sizes/sizesBySymbol census layers like admin_tools.get_sizes") {
+    val lib = newLib()
+    lib.write("a", mk(0, 100), Some("ts2"), targetRows = 50) // 2 data files
+    lib.append("a", mk(100, 150)) // +1 version, +1 data file
+    lib.createColumnStats("a", Seq("v")) // stats sidecar
+    lib.stage("b", mk(0, 30)) // staged-only symbol
+    lib.snapshot("snap1")
+    val by = lib.sizesBySymbol().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(by(("a", "version"))._1 == 2, "two version manifests")
+    // file count is layout-dependent (range partitioning); the census
+    // must agree with what the union of manifests actually references
+    val refd = lib.listVersions("a")
+      .flatMap(v => lib.manifest("a", v).files.map(_.path)).toSet
+    assert(by(("a", "data"))._1 == refd.size && by(("a", "data"))._2 > 0)
+    assert(by(("a", "stats"))._1 == 1)
+    assert(by(("a", "staged"))._1 == 0)
+    assert(by(("b", "staged"))._1 >= 1 && by(("b", "staged"))._2 > 0)
+    assert(by(("", "snapshot"))._1 == 1)
+    // the rollup always carries every layer, zeros included
+    val tot = lib.sizes().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tot.keySet ==
+      Set("version", "data", "stats", "staged", "snapshot"))
+    assert(tot("data")._1 == refd.size && tot("snapshot")._1 == 1)
+    assert(tot("data")._2 ==
+      by(("a", "data"))._2 + by(("b", "data"))._2, "bytes roll up exactly")
+  }
+
   test("withQueryStats censuses every pruning tier truthfully") {
     val lib = newLib()
     // 400 rows in 4 index-contiguous 100-row files: ts2 in [0,100),
