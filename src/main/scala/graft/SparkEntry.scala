@@ -521,6 +521,24 @@ object SparkEntry {
           unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
         .orderBy("l_orderkey", "l_linenumber")
     },
+    "q183_restore_version" -> { (s, dir) =>
+      // restore_version (reference _store.py:2739): write lineitem
+      // (v0), clobber it with a 10-row overwrite (v1), restore v0 as a
+      // NEW latest (v2). The restore is ZERO-COPY — one manifest
+      // commit referencing v0's data files verbatim (loud require) —
+      // and the oracle is the original table: the rollback must be
+      // exact, not approximately re-written.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val lib = new Library(tmpRoot(), s)
+      lib.write("r", li, Some("l_orderkey"), targetRows = 20000)
+      val v0 = lib.resolveVersion("r").files.map(_.path)
+      lib.write("r", li.limit(10), Some("l_orderkey"))
+      val v = lib.restoreVersion("r", Library.AsOf.Version(0))
+      require(v == 2 && lib.resolveVersion("r").files.map(_.path) == v0,
+        "restore must be a zero-copy reference to v0's files")
+      lib.read("r").orderBy("l_orderkey", "l_linenumber")
+    },
     "q22_append_snapshot_asof" -> { (s, dir) =>
       val lib = new Library(tmpRoot(), s)
       val ev = t(s, dir, "events")
@@ -4831,6 +4849,13 @@ object SparkEntry {
          ORDER BY event_id""",
     "q21_write_read_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, epoch_us(l_shipdate) AS ship_us
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // q183: after clobber -> restore, the latest version IS the
+    // original table — the rollback is exact by construction (the
+    // restored manifest references v0's files; the gate's require pins
+    // the zero-copy property, the hash pins the content).
+    "q183_restore_version" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q22_append_snapshot_asof" ->
       """SELECT event_id, epoch_us(ts) AS ts, value FROM events

@@ -1315,6 +1315,39 @@ final class Library(
       parallelism: Int = BatchParallelism): Seq[BatchResult[Int]] =
     inParallel(items, parallelism)(_._1) { case (s, md) => writeMetadata(s, md) }
 
+  /** restore_version (reference: `_store.py:2739` — "makes the latest
+    * version of the symbol equal to the as_of specified version",
+    * semantically `write(sym, read(sym, as_of))`): a NEW latest version
+    * whose manifest references the as-of version's data files, schema
+    * and metadata VERBATIM. Because versions are immutable and data
+    * files shared, this is ZERO-COPY — undoing a bad write on a 100 TB
+    * symbol is one manifest commit, no data IO — and GC keeps the
+    * restored files alive because a live manifest references them.
+    * Also the undelete: restoring a pre-tombstone version of a deleted
+    * symbol resurrects it (the reference's restore-over-tombstone
+    * behavior). Rebase-on-race like [[writeMetadata]]: a lost CAS
+    * re-reads the winner's version counter and recommits the same
+    * restored content.
+    */
+  def restoreVersion(symbol: String, asOf: AsOf): Int = {
+    val src = resolveVersion(symbol, asOf) // delta chains resolved
+    require(!src.deleted, s"$symbol@${src.version} is a tombstone")
+    while (true) {
+      val base = latestVersion(symbol).getOrElse(
+        throw new NoSuchElementException(s"symbol $symbol does not exist"))
+      val nm = src.copy(
+        version = nextVersion(symbol, base),
+        createdAtMs = System.currentTimeMillis(),
+        deleted = false,
+        baseVersion = None,
+        addedFiles = Vector.empty,
+        removedPaths = Vector.empty,
+        chainDepth = 0)
+      if (commitManifest(symbol, nm)) return nm.version
+    }
+    -1 // unreachable
+  }
+
   /** The write_pickle analog (reference: library.py:1148): version an
     * OPAQUE payload that is not a dataframe. The bytes land as a 1-row
     * binary column — same versioning, snapshots, as-of and metadata as any

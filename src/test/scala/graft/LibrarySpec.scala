@@ -932,6 +932,45 @@ class LibrarySpec extends SparkSuite {
     assert(!so._8)
   }
 
+  test("restoreVersion: zero-copy rollback, undelete, GC-safe") {
+    val lib = newLib()
+    lib.write("s", mk(0, 100), Some("ts2"), targetRows = 50) // v0
+    lib.append("s", mk(100, 160)) // v1: 160 rows
+    lib.write("s", mk(0, 10), Some("ts2"),
+      metadata = Map("k" -> "bad")) // v2: the bad overwrite
+    def dataFiles(): Long =
+      lib.keyTree("s").filter(col("layer") === "data").count()
+    val filesBefore = dataFiles()
+
+    val v = lib.restoreVersion("s", Library.AsOf.Version(1))
+    assert(v == 3, "restore commits a NEW latest version")
+    assert(lib.read("s").count() == 160, "latest now equals v1")
+    assert(dataFiles() == filesBefore, "zero-copy: restore wrote NO data")
+    assert(lib.resolveVersion("s").files.map(_.path) ==
+      lib.resolveVersion("s", Library.AsOf.Version(1)).files.map(_.path),
+      "restored manifest references v1's files verbatim")
+    assert(!lib.readMetadata("s").contains("k"),
+      "metadata restored from v1, not carried from the bad v2")
+
+    // GC safety: prune history — the restored version's (shared, old)
+    // files must survive because a live manifest references them
+    lib.prunePreviousVersions("s")
+    lib.gc("s")
+    assert(lib.read("s").count() == 160, "GC deleted files v3 references")
+
+    // undelete: tombstone, then restore the pre-delete content
+    lib.delete("s")
+    intercept[Exception](lib.read("s"))
+    val v2 = lib.restoreVersion("s", Library.AsOf.Version(3))
+    assert(v2 > 3 && lib.read("s").count() == 160, "restore resurrects")
+
+    // restoring a tombstone version itself refuses
+    lib.write("t", mk(0, 5), Some("ts2"))
+    lib.delete("t")
+    intercept[IllegalArgumentException](
+      lib.restoreVersion("t", Library.AsOf.Version(1)))
+  }
+
   test("sizes/sizesBySymbol census layers like admin_tools.get_sizes") {
     val lib = newLib()
     lib.write("a", mk(0, 100), Some("ts2"), targetRows = 50) // 2 data files
