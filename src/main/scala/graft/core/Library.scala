@@ -1109,7 +1109,7 @@ final class Library(
     }
     // query-stats hook ([[withQueryStats]]): pruning is decided right
     // here at plan time, so the census is complete when read() returns
-    val qs = qsLocal.get
+    val qs = Library.qsLocal.get
     if (qs != null)
       qs += Library.ReadStats(symbol, m.version, m.files.size,
         m.files.size - byIndex.size, byIndex.size - byStats.size,
@@ -1431,22 +1431,40 @@ final class Library(
     * (≈ file count, the same order as one manifest resolve).
     */
   def keyTree(symbol: String): DataFrame = {
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     val base = symDir(symbol)
-    val f = fs(base)
     val baseUri = base.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String = p.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
-    def walk(dir: Path, layer: String): Unit =
-      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
-        if (st.isDirectory) walk(st.getPath, layer)
-        else rows += ((layer, rel(st.getPath), st.getLen, st.getModificationTime))
-      }
-    walk(versionsDir(symbol), "version")
-    walk(new Path(base, "data"), "data")
-    walk(new Path(base, "_stats"), "stats")
-    walk(stagedDir(symbol), "staged")
-    spark.createDataFrame(rows.sortBy(r => (r._1, r._2)).toSeq)
+    val rows = Library.SymbolLayers.flatMap { layer =>
+      walkLayer(symbol, layer).map(st =>
+        (layer, rel(st.getPath), st.getLen, st.getModificationTime))
+    }
+    spark.createDataFrame(rows.sortBy(r => (r._1, r._2)))
       .toDF("layer", "path", "bytes", "modified_ms")
+  }
+
+  /** The one symbol-layer → directory mapping every census tool shares
+    * (keyTree, sizes, sizesBySymbol) — a new storage layer added here
+    * shows up in all of them at once instead of silently
+    * under-reporting in whichever walk was forgotten.
+    */
+  private def layerDir(symbol: String, layer: String): Path = layer match {
+    case "version" => versionsDir(symbol)
+    case "data" => new Path(symDir(symbol), "data")
+    case "stats" => new Path(symDir(symbol), "_stats")
+    case "staged" => stagedDir(symbol)
+    case other => throw new IllegalArgumentException(s"unknown layer $other")
+  }
+
+  private def walkLayer(
+      symbol: String, layer: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val f = fs(symDir(symbol))
+    def walk(dir: Path): Unit =
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) walk(st.getPath) else out += st
+      }
+    walk(layerDir(symbol, layer))
+    out.toSeq
   }
 
   /** admin_tools `get_sizes` analog (reference:
@@ -1458,7 +1476,7 @@ final class Library(
     * included), matching the reference's always-all-key-types contract.
     */
   def sizes(): DataFrame = {
-    val all = Seq("version", "data", "stats", "staged", "snapshot")
+    val all = Library.SymbolLayers :+ "snapshot"
     val agg = sizesBySymbol().groupBy("layer")
       .agg(sum(col("n_objects")).as("n_objects"), sum(col("bytes")).as("bytes"))
     val zeros = spark.createDataFrame(all.map(l => (l, 0L, 0L)))
@@ -1475,26 +1493,15 @@ final class Library(
     * layer, n_objects, bytes.
     */
   def sizesBySymbol(): DataFrame = {
-    val layers = Seq("version", "data", "stats", "staged")
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-    for (sym <- listSymbolDirs()) {
-      val per = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-      layers.foreach(l => per(l) = (0L, 0L))
-      val base = symDir(sym)
-      val f = fs(base)
-      def walk(dir: Path, layer: String): Unit =
-        if (f.exists(dir)) f.listStatus(dir).foreach { st =>
-          if (st.isDirectory) walk(st.getPath, layer)
-          else {
-            val (n, b) = per(layer)
-            per(layer) = (n + 1, b + st.getLen)
-          }
-        }
-      walk(versionsDir(sym), "version")
-      walk(new Path(base, "data"), "data")
-      walk(new Path(base, "_stats"), "stats")
-      walk(stagedDir(sym), "staged")
-      layers.foreach(l => rows += ((sym, l, per(l)._1, per(l)._2)))
+    for (sym <- listSymbolDirs(); layer <- Library.SymbolLayers) {
+      // the version layer counts MANIFESTS (the vNNNNN.json census unit
+      // listVersions agrees with) — bookkeeping markers like the
+      // _highwater watermark would otherwise inflate it by one per
+      // symbol that ever had versions deleted
+      val files = walkLayer(sym, layer).filter(st => layer != "version" ||
+        Library.VersionFile.pattern.matcher(st.getPath.getName).matches())
+      rows += ((sym, layer, files.size.toLong, files.map(_.getLen).sum))
     }
     val fsn = fs(snapshotsDir)
     val snaps =
@@ -1521,13 +1528,12 @@ final class Library(
 
   // ------------------------------------------------------ query stats
 
-  private val qsLocal =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Library.ReadStats]]
-
   /** Scoped query-statistics collection (reference:
     * `python/arcticdb/toolbox/query_stats.py:20` — the `query_stats()`
     * context manager that answers "what storage work did my reads
-    * do"). Every [[read]] issued by `f` ON THIS THREAD records one
+    * do"). Every [[read]] issued by `f` ON THIS THREAD — through this
+    * or ANY other Library handle (the collector is process-global per
+    * thread, like the reference's) — records one
     * [[Library.ReadStats]] row: manifest file count, how many files
     * each pruning tier skipped (index range, ColRange stats filters,
     * expression-AST Kleene pruning), and the files/rows the scan will
@@ -1542,14 +1548,14 @@ final class Library(
     * [[queryStatsFrame]].
     */
   def withQueryStats[T](f: => T): (T, Seq[Library.ReadStats]) = {
-    require(qsLocal.get == null,
+    require(Library.qsLocal.get == null,
       "query stats already enabled on this thread (nesting is not supported)")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Library.ReadStats]
-    qsLocal.set(buf)
+    Library.qsLocal.set(buf)
     try {
       val r = f
       (r, buf.toSeq)
-    } finally qsLocal.remove()
+    } finally Library.qsLocal.remove()
   }
 
   /** [[withQueryStats]] rows as a DataFrame (one row per read, in read
@@ -2582,6 +2588,21 @@ final class Library(
 object Library {
   /** Reconstructed global row index column name. */
   val RowIdCol = "_row_id"
+
+  /** Per-symbol storage layers the census tools walk (snapshots are
+    * library-scoped and handled separately). */
+  private[core] val SymbolLayers = Seq("version", "data", "stats", "staged")
+
+  /** PROCESS-GLOBAL per-thread query-stats collector (the reference's
+    * query_stats enable/disable is process-global too,
+    * toolbox/query_stats.py): reads through ANY Library handle on the
+    * thread record into the active scope — `Graft.getLibrary` returns a
+    * fresh instance per call, and an instance-scoped collector would
+    * silently return an EMPTY census there, the worst failure mode for
+    * an observability tool.
+    */
+  private[core] val qsLocal =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Library.ReadStats]]
 
   /** One read's pruning census under [[Library.withQueryStats]]:
     * `filesTotal` files in the resolved manifest, of which the three

@@ -999,6 +999,15 @@ class LibrarySpec extends SparkSuite {
     assert(tot("data")._1 == refd.size && tot("snapshot")._1 == 1)
     assert(tot("data")._2 ==
       by(("a", "data"))._2 + by(("b", "data"))._2, "bytes roll up exactly")
+
+    // delete(versions) leaves a _highwater watermark in _versions/ —
+    // the version layer counts MANIFESTS (the unit listVersions agrees
+    // with), never bookkeeping markers
+    lib.delete("a", Seq(0))
+    val after = lib.sizesBySymbol().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(after(("a", "version")) == lib.listVersions("a").size.toLong,
+      "census version count must equal listVersions, markers excluded")
   }
 
   test("withQueryStats censuses every pruning tier truthfully") {
@@ -1045,6 +1054,14 @@ class LibrarySpec extends SparkSuite {
     }
     val (_, st3) = lib.withQueryStats(lib.read("s"))
     assert(st3.size == 1, "scope must unwind after the nesting refusal")
+
+    // the collector is process-global per thread: reads through ANOTHER
+    // Library handle (Graft.getLibrary returns a fresh instance per
+    // call) land in the active scope instead of silently vanishing
+    val other = new Library(lib.root, spark)
+    val (_, st4) = lib.withQueryStats(other.read("s"))
+    assert(st4.size == 1 && st4.head.filesRead == 4,
+      "a read through a second handle must be censused, not dropped")
   }
 
   test("GC read grace: condemn first, hard-delete only after the window") {
