@@ -2665,13 +2665,20 @@ object Library {
     }
 
     /** True when `stamp` (a stored [[Library.ReplayGuardKey]] value)
-      * proves this guard's batch already folded: same scope, stored
-      * batchId >= this one. Scope-less legacy stamps never skip.
+      * proves this guard's batch already folded: same scope AND the
+      * stored batchId EQUALS this one — under one checkpoint Spark
+      * only ever re-delivers the last uncommitted batch, so equality
+      * is exactly the crash-replay case. A LOWER stored id is normal
+      * progression (fold); a HIGHER one can only mean the checkpoint
+      * was reset under the same path (ids restarted) — fold rather
+      * than silently starve the reprocessing stream (re-delivered
+      * duplicates are then admission control's contract, as always).
+      * Scope-less legacy stamps never skip.
       */
     def alreadyFolded(stamp: String, g: ReplayGuard): Boolean = {
       val i = stamp.lastIndexOf(':')
       i > 0 && stamp.substring(0, i) == g.scope &&
-        (try stamp.substring(i + 1).toLong >= g.batchId
+        (try stamp.substring(i + 1).toLong == g.batchId
         catch { case _: NumberFormatException => false })
     }
   }

@@ -452,6 +452,17 @@ class StreamingSpec extends SparkSuite {
     assert(!Library.ReplayGuard.alreadyFolded("57",
       Library.ReplayGuard("anything", 0L)))
 
+    // the skip is EXACT-match only: a lower stored id is normal
+    // progression, a higher one means the checkpoint was reset under
+    // the same path (batchIds restarted) — both must FOLD; only the
+    // crash-replay case (stored == current) skips
+    assert(!Library.ReplayGuard.alreadyFolded("x:4",
+      Library.ReplayGuard("x", 5L)), "progression must fold")
+    assert(!Library.ReplayGuard.alreadyFolded("x:9",
+      Library.ReplayGuard("x", 0L)), "a reset checkpoint must not starve")
+    assert(Library.ReplayGuard.alreadyFolded("x:5",
+      Library.ReplayGuard("x", 5L)), "crash replay skips")
+
     // tombstone-then-reingest under a fresh checkpoint: the tombstone
     // still carries scope A's stamp (lastFoldStamp reads tombstones
     // deliberately), but scope C mismatches and batch 0 write-creates
