@@ -22,7 +22,16 @@ final case class LibraryOptions(
       * can finish its in-flight scan (ArcticDB's tombstone-then-remove
       * discipline, version_map.hpp). 0 = immediate hard delete.
       */
-    gcGraceMs: Long = Library.DefaultGcGraceMs)
+    gcGraceMs: Long = Library.DefaultGcGraceMs,
+    /** Highest manifest formatVersion this library's WRITERS may emit —
+      * the mixed-fleet rollout dial complementing the read-side loud
+      * refusal: pin it to 1 while old engine builds still read the
+      * library (writes then stay full manifests, never the delta
+      * encoding that stamps 2 and would make a pre-delta reader refuse),
+      * lift it once the fleet is upgraded. The write-amplification win
+      * of delta manifests is traded away only while the pin is on.
+      */
+    maxManifestFormat: Int = graft.core.VersionManifest.CurrentFormat)
 
 object LibraryOptions {
   import org.json4s._

@@ -117,6 +117,11 @@ final class Library(
     * delta encoding is an optimization, never a correctness dependency.
     */
   private def deltaEncode(symbol: String, m: VersionManifest): VersionManifest = {
+    // mixed-fleet pin (LibraryOptions.maxManifestFormat): while old
+    // engine builds still read this library, every write stays a full
+    // format-1 manifest — delta storage stamps formatVersion 2, which
+    // a pre-delta reader (correctly, loudly) refuses
+    if (options.maxManifestFormat < 2) return m
     if (m.files.size < 64) return m
     val prev =
       try listVersions(symbol).filter(_ < m.version).lastOption.map(v => (v, manifest(symbol, v)))

@@ -104,6 +104,56 @@ class ManifestCompatSpec extends SparkSuite {
       metadata: Map[String, String] = Map.empty,
       dirSchemas: Map[String, String] = Map.empty)
 
+  test("maxManifestFormat=1 pins writers to full manifests a pre-delta reader decodes") {
+    // The write-side half of the compat story: a mixed fleet pins the
+    // library to format 1 while old builds still read it — the SAME
+    // churn that delta-encodes under the default (>=64 files, 1-file
+    // append) must stay full manifests under the pin, and every stored
+    // manifest must decode under the pre-delta decoder above.
+    import spark.implicits._
+    implicit val formats: Formats = Serialization.formats(NoTypeHints)
+    def churn(lib: Library): Unit = {
+      val df = spark.range(130).select($"id".as("k"), ($"id" * 2).as("v"))
+      lib.write("s", df, Some("k"), targetRows = 2)
+      lib.append("s",
+        spark.range(130, 132).select($"id".as("k"), ($"id" * 2).as("v")),
+        targetRows = 2)
+    }
+    def rawManifests(root: String): Seq[String] = {
+      val vdir = Paths.get(root, "s", "_versions")
+      import scala.jdk.CollectionConverters._
+      Files.list(vdir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("v\\d{5}\\.json"))
+        .sortBy(_.getFileName.toString)
+        .map(p => Files.readString(p))
+    }
+
+    // control: the default options DO delta-encode this churn
+    val freeRoot = Files.createTempDirectory("graft-fleetfree-").toString
+    churn(new Library(freeRoot, spark))
+    assert(rawManifests(freeRoot).last.contains("\"formatVersion\":2"),
+      "premise: this churn delta-encodes without the pin")
+
+    // pinned: every stored manifest is a FULL format-1 list
+    val pinRoot = Files.createTempDirectory("graft-fleetpin-").toString
+    val pinned = new Library(pinRoot, spark,
+      LibraryOptions(maxManifestFormat = 1))
+    churn(pinned)
+    assert(pinned.resolveVersion("s").files.size >= 65, "premise: many files")
+    val raws = rawManifests(pinRoot)
+    assert(raws.size == 2)
+    raws.foreach { j =>
+      val fv = JsonMethods.parse(j) \ "formatVersion" match {
+        case JInt(n) => n.toInt
+        case _ => 1
+      }
+      assert(fv == 1, "the pin must keep every write at format 1")
+      val old = Serialization.read[PreDeltaManifest](j)
+      assert(old.files.nonEmpty, "a pre-delta reader sees the full list")
+    }
+    assert(pinned.read("s").count() == 132)
+  }
+
   test("the silent-empty failure class is dead: a pre-delta decoder fed a delta manifest fails loudly") {
     implicit val formats: Formats = Serialization.formats(NoTypeHints)
     val deltaJson = fixture("version_v2_delta.json")
