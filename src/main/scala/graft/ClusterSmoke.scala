@@ -58,7 +58,14 @@ object ClusterSmoke {
     // JVM and would hide a serialization/rebuild defect; the forked
     // executors here prove the models cross a real JVM boundary. q160
     // rides along for the LSH-route keeper (kernel + band chain).
-    "q160_autolsh_quality_dedup", "q165_unigram_train", "q167_nb_langid")
+    "q160_autolsh_quality_dedup", "q165_unigram_train", "q167_nb_langid",
+    // round-18 closure kernels: MergeBatch's two-level UTF8String map
+    // (@transient lazy, rebuilt per executor) under the batched
+    // trainer, the WordPieceModel greedy-encode closure, and the
+    // persisted hybrid-RRF stack (index build + pruned reads + fusion
+    // across real executor JVMs)
+    "q178_bpe_train_batched", "q175_wordpiece_encode",
+    "q177_hybrid_rrf_indexed")
 
   /** Order-free content fingerprint: (rows, sum of per-row 64-bit
     * hashes over the name-sorted JSON row image). Addition commutes, so
