@@ -1498,15 +1498,28 @@ final class Library(
     * layer, n_objects, bytes.
     */
   def sizesBySymbol(): DataFrame = {
+    // symbols walk from the batch pool (the maintain/readBatch
+    // machinery): at a 10k-symbol object-store root the per-symbol
+    // listStatus round-trips dominate, and a serial driver loop would
+    // turn the census into an hours-long admin job. A failed symbol
+    // listing propagates — a census that silently omits a symbol is
+    // wrong in the way that matters most for the tool.
+    val perSym = inParallel(listSymbolDirs(), BatchParallelism)(identity) { sym =>
+      Library.SymbolLayers.map { layer =>
+        // the version layer counts MANIFESTS (the vNNNNN.json census
+        // unit listVersions agrees with) — bookkeeping markers like the
+        // _highwater watermark would otherwise inflate it by one per
+        // symbol that ever had versions deleted
+        val files = walkLayer(sym, layer).filter(st => layer != "version" ||
+          Library.VersionFile.pattern.matcher(st.getPath.getName).matches())
+        (sym, layer, files.size.toLong, files.map(_.getLen).sum)
+      }
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-    for (sym <- listSymbolDirs(); layer <- Library.SymbolLayers) {
-      // the version layer counts MANIFESTS (the vNNNNN.json census unit
-      // listVersions agrees with) — bookkeeping markers like the
-      // _highwater watermark would otherwise inflate it by one per
-      // symbol that ever had versions deleted
-      val files = walkLayer(sym, layer).filter(st => layer != "version" ||
-        Library.VersionFile.pattern.matcher(st.getPath.getName).matches())
-      rows += ((sym, layer, files.size.toLong, files.map(_.getLen).sum))
+    perSym.foreach {
+      case Library.BatchOk(_, rs) => rows ++= rs
+      case Library.DataError(sym, cause) =>
+        throw new java.io.IOException(s"sizesBySymbol: census of $sym failed", cause)
     }
     val fsn = fs(snapshotsDir)
     val snaps =
@@ -2656,15 +2669,34 @@ object Library {
 
   object ReplayGuard {
     /** Guard for a micro-batch of the stream checkpointed at
-      * `checkpoint` — the scope is a digest of the checkpoint string,
-      * the identity Spark itself scopes batchIds to. Restarts of the
-      * same checkpoint keep the scope (crash replay skips, as intended);
-      * a NEW checkpoint location is a new stream identity and its
-      * batch 0 folds instead of being mistaken for a replay.
+      * `checkpoint` — the scope is a digest of the CANONICALIZED
+      * checkpoint location, the identity Spark itself scopes batchIds
+      * to. Canonicalization matters: an operator restarting the same
+      * job with a respelled path ("/tmp/cp/" vs "/tmp/cp", or
+      * "file:///tmp/cp") resumes the SAME Spark checkpoint, and a
+      * raw-string digest would treat the crash-replayed batch as a new
+      * scope and double-fold it. The path is normalized structurally
+      * (Hadoop Path: trailing slashes, doubled separators) and
+      * FS-qualified when a Hadoop configuration is supplied (scheme +
+      * authority made explicit, "file:/tmp/cp" == "/tmp/cp"). Restarts
+      * of the same checkpoint keep the scope (crash replay skips, as
+      * intended); a genuinely NEW checkpoint location is a new stream
+      * identity and its batch 0 folds instead of being mistaken for a
+      * replay.
       */
-    def forCheckpoint(checkpoint: String, batchId: Long): ReplayGuard = {
+    def forCheckpoint(
+        checkpoint: String,
+        batchId: Long,
+        hconf: Option[org.apache.hadoop.conf.Configuration] = None): ReplayGuard = {
+      val p = new Path(checkpoint)
+      val canon = hconf match {
+        case Some(c) =>
+          try p.getFileSystem(c).makeQualified(p).toString
+          catch { case scala.util.control.NonFatal(_) => p.toString }
+        case None => p.toString
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(checkpoint.getBytes("UTF-8"))
+      val hex = md.digest(canon.getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString
       ReplayGuard(hex, batchId)
     }

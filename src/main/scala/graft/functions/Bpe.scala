@@ -61,6 +61,11 @@ object Bpe {
       // With it every plan is one ApplyMerge over a leaf RDD scan — k
       // scans total, constant plan depth, vocab-bounded blocks whose
       // predecessors the ContextCleaner reaps as refs drop.
+      // MEMORY_AND_DISK_2 (2× replicated): localCheckpoint blocks are
+      // NOT recomputable from lineage, so on a real cluster a lost
+      // executor would otherwise abort the whole k-iteration run —
+      // replication makes single-executor loss survivable at the cost
+      // of one extra copy of the (vocab-bounded, small) segmentation.
       var seg = words.select(col("freq"), col("s"))
       var i = 0
       var exhausted = false
@@ -75,7 +80,8 @@ object Bpe {
           merges += ((i + 1, l, r, c))
           seg = seg.select(col("freq"),
             graft.plans.ApplyMerge(col("s"), l, r).as("s"))
-            .localCheckpoint(true)
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
         }
         i += 1
       }
@@ -217,7 +223,8 @@ object Bpe {
             // O(k²)-plan-string lesson) + materialized before next pass
             seg = seg.select(col("freq"),
               graft.plans.ApplyMergeBatch(col("s"), batch).as("s"))
-              .localCheckpoint(true)
+              .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
           }
         } finally pc.unpersist(false)
       }

@@ -163,8 +163,9 @@ object Retrieval {
         * micro-batch id, [[graft.core.Library.ReplayGuard]], built by
         * [[graft.streaming.StreamIngest.retrievalIndexSink]]), each
         * symbol's commit carries the stamp in its metadata and a
-        * symbol already stamped in the SAME SCOPE at >= this batchId
-        * SKIPS its half of the fold
+        * symbol already stamped in the SAME SCOPE with EXACTLY this
+        * batchId (the crash-replay case — Spark only re-delivers the
+        * last uncommitted batch) SKIPS its half of the fold
         * — so a crash-replayed batch cannot double-append postings
         * (tf AND df inflation) or double-merge stats, whichever half the
         * crash interrupted. Missing symbols are write-created under a

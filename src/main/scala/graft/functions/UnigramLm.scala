@@ -131,14 +131,16 @@ object UnigramLm {
           chars0.select("piece").join(counts, Seq("piece"), "left")
             .select(col("piece"), greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
             .unionByName(counts.filter(length(col("piece")) >= 2))
-        model = withLogp(next.localCheckpoint(true))
+        model = withLogp(next.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2))
         it += 1
       }
       // final prune + renormalize
       val pruned = model.select("piece", "cnt")
       val kept = pruned.filter(length(col("piece")) === 1)
         .unionByName(topMulti(pruned, vocabSize - nChars.toInt))
-      withLogp(kept.localCheckpoint(true))
+      withLogp(kept.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2))
     } finally {
       words.unpersist(false)
       if (subs != null) subs.unpersist(false)

@@ -76,7 +76,8 @@ object WordPiece {
             b.getLong(2), b.getLong(3), b.getLong(4)))
           seg = seg.select(col("freq"),
             graft.plans.ApplyMerge(col("s"), b.getString(0), b.getString(1)).as("s"))
-            .localCheckpoint(true)
+            .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
         }
         i += 1
       }
@@ -187,7 +188,8 @@ object WordPiece {
             // eager localCheckpoint: truncated lineage, materialized
             seg = seg.select(col("freq"),
               graft.plans.ApplyMergeBatch(col("s"), batch).as("s"))
-              .localCheckpoint(true)
+              .localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
           }
         } finally {
           scored.unpersist(false)

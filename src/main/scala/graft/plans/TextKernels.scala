@@ -1053,15 +1053,22 @@ object ApplyMerge {
     CatalystBridge.column(ApplyMerge(CatalystBridge.expression(seg), l, r))
 }
 
-/** A batch of UNIT-DISJOINT merges packaged for one-pass application
+/** A batch of NON-INTERACTING merges packaged for one-pass application
   * (the ShingleSet/BpeRanks closure pattern): pairwise, no two batch
-  * pairs share a left/right unit, so their occurrences can never
-  * overlap in a token array and ONE greedy left-to-right scan applies
-  * all of them exactly as applying each pair's own greedy scan in any
-  * sequence would ([[graft.functions.Bpe.trainMergesBatched]] proves
-  * and exploits the equivalence). Disjointness is REQUIRED, checked at
+  * pairs share a left/right unit AND no pair's product equals another
+  * pair's unit, so their occurrences can never overlap in a token
+  * array and none can create another's match — ONE greedy
+  * left-to-right scan applies all of them exactly as applying each
+  * pair's own greedy scan in any sequence would
+  * ([[graft.functions.Bpe.trainMergesBatched]] proves and exploits the
+  * equivalence). Both conditions are REQUIRED, checked at
   * construction: with shared units a combined scan and a sequential
-  * fold genuinely diverge ("a b b" under {(a,b),(b,b)}).
+  * fold genuinely diverge ("a b b" under {(a,b),(b,b)}), and with a
+  * product-as-unit collision the fold ORDER matters ("a b c" under
+  * {(ab,c),(a,b)}: (a,b)-first yields [abc], (ab,c)-first [ab, c]) —
+  * there is no order-free semantics to promise. (Two pairs PRODUCING
+  * the same string, e.g. (a,bc)/(ab,c) → abc, remain legal: their
+  * matches cannot overlap and neither creates the other's units.)
   */
 final class MergeBatch(val pairs: Array[(String, String)]) extends Serializable {
   require(pairs.nonEmpty, "empty merge batch")
@@ -1070,6 +1077,11 @@ final class MergeBatch(val pairs: Array[(String, String)]) extends Serializable 
     pairs.foreach { case (l, r) =>
       require(units.add(l) && (l == r || units.add(r)),
         s"merge batch pairs must not share units: ($l, $r) collides")
+    }
+    pairs.foreach { case (l, r) =>
+      require(!units.contains(l + r),
+        s"merge batch pair ($l, $r): its product ${l + r} is another " +
+          "pair's unit — application order would change the result")
     }
   }
 

@@ -219,7 +219,8 @@ object StreamIngest {
           // one checkpoint, so the stamp carries the checkpoint identity
           // — a FRESH checkpoint against an existing index is a new
           // stream whose batch 0 must fold, not a replay to skip
-          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId))
+          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId,
+            Some(batch.sparkSession.sparkContext.hadoopConfiguration)))
           // the guarded folds write-create missing symbols, so the
           // first batch builds and every batch (first included) is
           // replay-idempotent per symbol — no build-vs-append branch
@@ -263,7 +264,8 @@ object StreamIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
-          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId))
+          val g = Some(Library.ReplayGuard.forCheckpoint(checkpoint, batchId,
+            Some(batch.sparkSession.sparkContext.hadoopConfiguration)))
           if (!lib.hasSymbol(s"${name}__meta"))
             graft.functions.CorpusStats.buildLedger(
               lib, b, textCol, domainCol, name, p, portable, replayGuard = g)

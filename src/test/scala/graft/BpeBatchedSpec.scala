@@ -149,17 +149,24 @@ class BpeBatchedSpec extends SparkSuite {
     assert(wbat == wseq, s"WordPiece diverged:\nseq=$wseq\nbat=$wbat")
   }
 
-  test("MergeBatch refuses unit-sharing pairs; combined scan handles products-as-units") {
+  test("MergeBatch refuses interacting pairs; same-product pairs stay legal") {
+    // shared unit: "a b b" would diverge between combined and sequential
     intercept[IllegalArgumentException](
       new graft.plans.MergeBatch(Array(("a", "b"), ("b", "c"))))
-    // (ab,c) selected before (a,b): unit-disjoint, but (a,b)'s product
-    // IS (ab,c)'s unit — the combined scan must equal applying them in
-    // BATCH order ((ab,c) first): "a b c" -> [ab, c], never [abc]
-    val batch = new graft.plans.MergeBatch(Array(("ab", "c"), ("a", "b")))
-    val out = Seq(Seq("a", "b", "c"), Seq("ab", "c"), Seq("a", "b", "c", "ab", "c"))
+    // product-as-unit: under {(ab,c),(a,b)} the fold ORDER changes
+    // "a b c" ([abc] vs [ab, c]) — no order-free semantics exists, so
+    // construction refuses (the trainers' selection stop guarantees
+    // they never build one)
+    intercept[IllegalArgumentException](
+      new graft.plans.MergeBatch(Array(("ab", "c"), ("a", "b"))))
+    // two pairs with the SAME product don't interact: matches can't
+    // overlap and neither creates the other's units — legal, and the
+    // combined scan equals the fold in either order
+    val batch = new graft.plans.MergeBatch(Array(("a", "bc"), ("ab", "c")))
+    val out = Seq(Seq("a", "bc", "x"), Seq("ab", "c"), Seq("a", "bc", "ab", "c"))
       .toDF("s")
       .select(graft.plans.ApplyMergeBatch(col("s"), batch).as("m"))
       .as[Seq[String]].collect().toSeq
-    assert(out == Seq(Seq("ab", "c"), Seq("abc"), Seq("ab", "c", "abc")))
+    assert(out == Seq(Seq("abc", "x"), Seq("abc"), Seq("abc", "abc")))
   }
 }
