@@ -65,7 +65,34 @@ object ClusterSmoke {
     // persisted hybrid-RRF stack (index build + pruned reads + fusion
     // across real executor JVMs)
     "q178_bpe_train_batched", "q175_wordpiece_encode",
-    "q177_hybrid_rrf_indexed")
+    "q177_hybrid_rrf_indexed",
+    // round-19 admin plane (VERDICT r18 #7): zero-copy restore over
+    // forked executors (q183) and the maintenance sweep — compaction
+    // rewrites are REAL Spark jobs on the executor JVMs, and every
+    // retention/GC commit drives manifest CAS from the batch pool
+    "q183_restore_version", "admin_maintain")
+
+  /** Smoke-only kernels that aren't SparkEntry gates (the ScaleProbe
+    * Extra convention): admin_maintain fabricates a fragmented
+    * multi-version root from sfDir rows and returns the maintenance
+    * ledger — deterministic detail strings, so the fingerprint must
+    * match across masters.
+    */
+  private val extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "admin_maintain" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-smokeadm-").toString
+      val g = new graft.core.Graft(root, s)
+      val ev = s.read.parquet(s"$dir/events.parquet").limit(3000)
+        .select(col("event_id"), col("value"))
+      val lib = g.createLibrary("a")
+      (0 until 6).foreach { i =>
+        val sym = s"s$i"
+        lib.write(sym, ev, Some("event_id"), targetRows = 300) // 10 small files
+        lib.append(sym, ev.limit(600), targetRows = 300) // +1 version to retire
+      }
+      g.maintain(keepVersions = 1)
+    })
 
   /** Order-free content fingerprint: (rows, sum of per-row 64-bit
     * hashes over the name-sorted JSON row image). Addition commutes, so
@@ -85,7 +112,8 @@ object ClusterSmoke {
   private def runAll(spark: SparkSession, sfDir: String)
       : Map[String, Either[String, (Long, Long)]] =
     smoke.map { name =>
-      name -> (try Right(fingerprint(SparkEntry.queries(name)(spark, sfDir)))
+      val fn = extra.getOrElse(name, SparkEntry.queries(name))
+      name -> (try Right(fingerprint(fn(spark, sfDir)))
       catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") })
     }.toMap
 

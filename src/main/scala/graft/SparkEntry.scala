@@ -99,6 +99,21 @@ object SparkEntry {
       df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
     else df.orderBy(cols.map(col): _*)
 
+  /** [[sortWide]] with a FUSED single long sort key — the caller
+    * guarantees the key is unique and monotone in the intended
+    * multi-column order (e.g. l_orderkey*8 + l_linenumber with
+    * l_linenumber < 8). A single long key keeps the WHOLE comparison
+    * inside the sorter's radix prefix; a two-column sort radixes the
+    * first column only and calls the record comparator for every
+    * first-key tie (FixedPathProbe, sf0.1 lineitem projection:
+    * 593 → 376 ms). Past the size gate the same key drives the range
+    * orderBy — identical total order, still sampled/parallel at scale.
+    */
+  private[graft] def sortWideFused(df: DataFrame, key: Column): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= WideSortBytes)
+      df.coalesce(1).sortWithinPartitions(key)
+    else df.orderBy(key)
+
   /** sortWide for WINDOW pipelines: same size gate, but the small branch
     * is repartition(1), not coalesce(1) — coalesce would collapse the
     * window stage itself to one task (the upstream exchange vanishes),
@@ -325,7 +340,10 @@ object SparkEntry {
         .project("lnsq", e("l_linenumber") * e("l_linenumber"))(t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("profit"), 6).as("profit"), col("lnsq").cast("long").as("lnsq"))
-        .transform(sortWide(_, "l_orderkey", "l_linenumber"))
+        // l_linenumber ∈ [1,7]: the fused key is unique and replays the
+        // (l_orderkey, l_linenumber) order with a pure-radix sort
+        .transform(sortWideFused(_,
+          col("l_orderkey") * lit(8L) + col("l_linenumber")))
     },
     "q07_pow_abs_neg" -> { (s, dir) =>
       QueryBuilder()
@@ -333,7 +351,8 @@ object SparkEntry {
         .project("qsq", e("l_quantity").pow(l(2.0)))(t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("absneg"), round(col("qsq"), 6).as("qsq"))
-        .transform(sortWide(_, "l_orderkey", "l_linenumber"))
+        .transform(sortWideFused(_,
+          col("l_orderkey") * lit(8L) + col("l_linenumber")))
     },
     // ---------------- groupby + aggregation (SURVEY §2.1) -------------
     "q08_groupby_agg" -> { (s, dir) =>
@@ -2110,6 +2129,33 @@ object SparkEntry {
         embIdCol = "vec_id", vecCol = "embedding",
         nProbe = 8, k = 15, legK = 50)
         .transform(sortGuarded(_, "rank"))
+    },
+    "q184_hybrid_batch" -> { (s, dir) =>
+      // BATCHED hybrid serving over the q177 stores: three queries
+      // (overlapping vocabularies, q177's exact query among them) fused
+      // in ONE plan, each carrying its query_id end to end — the RAG
+      // eval shape that the single-query API would pay M sequential
+      // jobs for. nProbe = nlist keeps both legs exact per query, so
+      // the oracle replays q177's SQL generalized per query_id; the
+      // batch must equal the per-query loop bit for bit
+      // (HybridBatchSpec pins loop-equality; this gate pins the oracle).
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lib = new Library(tmpRoot(), s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs, "doc_id", "text", "hyblex", targetRows = 5000L)
+      Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding", "hybvec",
+        nlist = 8, iters = 2, targetRows = 200L)
+      val queries = emb.filter(col("vec_id").isin(1L, 3L, 5L))
+        .withColumn("terms",
+          when(col("vec_id") === 1L, array(lit("dup"), lit("merge")))
+            .when(col("vec_id") === 3L,
+              array(lit("dup"), lit("vector"), lit("merge")))
+            .otherwise(array(lit("query"), lit("filter"))))
+      graft.functions.Retrieval.hybridTopKIndexedBatch(
+        lib, "hyblex", "hybvec", queries, "vec_id", "terms", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+        .transform(sortGuarded(_, "query_id", "rank"))
     },
     "q178_bpe_train_batched" -> { (s, dir) =>
       // The BATCHED trainer through the full selection machinery
@@ -5434,6 +5480,76 @@ object SparkEntry {
     // Persisted-path twin (q177): the SAME fused contest — the indexed
     // legs are exact at nProbe = nlist, so the oracle is verbatim.
     "q177_hybrid_rrf_indexed" -> hybridRrfOracle,
+    // Batched serving (q184): the q177 contest generalized PER
+    // query_id — three queries, each leg partitioned by query, fused
+    // on (query_id, id). Per-term df is query-independent, so the
+    // shared tf/dft CTEs replay every query's loop integers exactly.
+    "q184_hybrid_batch" ->
+      """WITH qterms(query_id, t) AS (
+           VALUES (1, 'dup'), (1, 'merge'),
+                  (3, 'dup'), (3, 'vector'), (3, 'merge'),
+                  (5, 'query'), (5, 'filter')),
+         docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+         stats AS (SELECT count(*) AS n, sum(dl) AS tok FROM d2),
+         tf AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM d2)
+                WHERE t IN (SELECT t FROM qterms)
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id,
+             CAST(round(ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                 (CAST(s.tok AS DOUBLE) / s.n))) * 1e9) AS BIGINT) AS cq
+           FROM tf JOIN qterms qt USING (t) JOIN dft USING (t)
+           CROSS JOIN stats s),
+         scored AS (
+           SELECT query_id, doc_id, sum(cq) AS sq FROM contrib GROUP BY 1, 2),
+         lex AS (
+           SELECT query_id, doc_id AS id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sq DESC, doc_id) AS INT) AS lex_rank
+           FROM scored QUALIFY lex_rank <= 50),
+         flat AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+                 FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             sum(q.x * c.x) AS dot
+           FROM flat q JOIN flat c ON q.i = c.i
+           WHERE q.vec_id IN (1, 3, 5) AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         sims AS (
+           SELECT d.query_id, d.corpus_id,
+             round(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                        ELSE d.dot / (nq.nrm * nc.nrm) END, 6) AS sim
+           FROM dots d
+           JOIN norms nq ON d.query_id = nq.vec_id
+           JOIN norms nc ON d.corpus_id = nc.vec_id),
+         vec AS (
+           SELECT query_id, corpus_id AS id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, corpus_id) AS INT) AS vec_rank
+           FROM sims QUALIFY vec_rank <= 50),
+         fused AS (
+           SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.id, v.id) AS doc_id,
+             coalesce(CAST(round(1e9 / (60 + l.lex_rank)) AS BIGINT), 0) +
+             coalesce(CAST(round(1e9 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrf,
+             l.lex_rank, v.vec_rank
+           FROM lex l FULL OUTER JOIN vec v
+             ON l.query_id = v.query_id AND l.id = v.id)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(rrf / 1e9, 9) AS rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+           lex_rank, vec_rank
+         FROM fused QUALIFY rank <= 15
+         ORDER BY query_id, rank""",
     // Cluster-balanced subsample: the q114 assignment chain + each
     // cluster's 10 most-central members by (ROUNDED dist asc, id asc) —
     // the rounded value is what the Spark-side top-k aggregate ranks.

@@ -1333,6 +1333,18 @@ final class Library(
     * behavior). Rebase-on-race like [[writeMetadata]]: a lost CAS
     * re-reads the winner's version counter and recommits the same
     * restored content.
+    *
+    * Streaming caveat (matches the reference's restore semantics, which
+    * copy metadata verbatim): on a streaming-fed symbol the restored
+    * metadata carries the as-of version's replay-guard stamp
+    * ([[Library.ReplayGuardKey]]), so restoring REWINDS the stream's
+    * dedup ledger — batches folded between the restored version and the
+    * rollback point will NOT re-fold when the stream resumes (their ids
+    * are below the re-instated stamp only on checkpoint-backup restores;
+    * under normal resume Spark re-delivers just the last uncommitted
+    * batch, whose id now mismatches the stale stamp and folds — possibly
+    * a second time). Operators restoring a sink symbol should restart
+    * the stream from a checkpoint consistent with the restored version.
     */
   def restoreVersion(symbol: String, asOf: AsOf): Int = {
     val src = resolveVersion(symbol, asOf) // delta chains resolved
@@ -1560,9 +1572,12 @@ final class Library(
     * before the scan runs, since pruning is decided at plan time.
     *
     * Thread-scoped like the reference's enable/disable pair (nesting
-    * refused); reads dispatched to the batch pool ([[readBatch]]'s
-    * `inParallel` workers) run on other threads and are deliberately
-    * not captured. Returns (result, stats rows); render with
+    * refused). Reads dispatched to the batch pool ([[readBatch]] /
+    * [[readBatchAndJoin]]'s `inParallel` workers) ARE captured: the
+    * collector is handed to each worker explicitly and the per-task
+    * rows merge back in request order after the batch barrier, so an
+    * N-symbol batch read yields exactly the N rows the per-read loop
+    * would. Returns (result, stats rows); render with
     * [[queryStatsFrame]].
     */
   def withQueryStats[T](f: => T): (T, Seq[Library.ReadStats]) = {
@@ -1600,14 +1615,20 @@ final class Library(
     // storage (its history + any not-yet-pruned data) and the census
     // must show it; its latest manifest is the tombstone (0 files), and
     // the fragmentation probe doesn't apply.
-    val rows = listSymbolDirs().map { sym =>
+    //
+    // Symbols walk from the batch pool, same as sizesBySymbol and
+    // Graft.maintain: at a 10k-symbol object-store root the per-symbol
+    // listStatus round-trips dominate and a serial driver loop turns the
+    // fragmentation census into an hours-long admin job. Byte sums go
+    // through walkLayer — the one shared walker behind keyTree/sizes —
+    // so the two censuses cannot drift on what counts as a data byte.
+    // Error posture matches sizesBySymbol: a failed symbol propagates
+    // loudly; a census that silently omits a symbol is wrong in the way
+    // that matters most for the tool.
+    def layerBytes(sym: String, layer: String): Long =
+      walkLayer(sym, layer).map(_.getLen).sum
+    val perSym = inParallel(listSymbolDirs(), BatchParallelism)(identity) { sym =>
       val versions = listVersions(sym)
-      val dataRoot = new Path(symDir(sym), "data")
-      val f = fs(dataRoot)
-      def du(p: Path): Long =
-        if (!f.exists(p)) 0L
-        else f.listStatus(p).map(st =>
-          if (st.isDirectory) du(st.getPath) else st.getLen).sum
       // A dir with no versions still OWNS storage (a staged-but-never-
       // finalized symbol, or debris from a crashed first write) — the
       // census reports it as a zero-version row (latest_version -1)
@@ -1619,13 +1640,18 @@ final class Library(
       // cleanup job sums must not hide it behind a column whose meaning
       // shifts per row.
       if (versions.isEmpty)
-        (sym, 0, -1, 0, 0L, du(dataRoot), du(stagedDir(sym)), false)
+        (sym, 0, -1, 0, 0L, layerBytes(sym, "data"), layerBytes(sym, "staged"), false)
       else {
         val m = manifest(sym, versions.last)
         (sym, versions.size, m.version, m.files.size, m.rowCount,
-          du(dataRoot), du(stagedDir(sym)),
+          layerBytes(sym, "data"), layerBytes(sym, "staged"),
           !m.deleted && isSymbolFragmented(sym))
       }
+    }
+    val rows = perSym.map {
+      case Library.BatchOk(_, r) => r
+      case Library.DataError(sym, cause) =>
+        throw new java.io.IOException(s"storageSummary: census of $sym failed", cause)
     }
     spark.createDataFrame(rows)
       .toDF("symbol", "n_versions", "latest_version", "n_files", "rows",
@@ -2377,14 +2403,35 @@ final class Library(
   private[core] def inParallel[A, B](items: Seq[A], parallelism: Int)(
       label: A => String)(f: A => B): Seq[BatchResult[B]] = {
     if (items.isEmpty) return Seq.empty
+    // Query-stats propagation ([[withQueryStats]]): the collector is
+    // thread-local, so pool workers would silently fall outside an
+    // active scope — readBatch/readBatchAndJoin would return an EMPTY
+    // census, the worst failure mode for an observability tool. Capture
+    // the caller's scope here and give each TASK its own buffer (never
+    // the caller's — siblings run concurrently), merged back in input
+    // order after the barrier so the census is deterministic. Explicit
+    // capture, not an InheritableThreadLocal: pool threads outlive the
+    // scope and would leak the buffer into later calls.
+    val callerQs = Library.qsLocal.get
+    val taskQs =
+      if (callerQs == null) null
+      else items.map(_ => scala.collection.mutable.ArrayBuffer.empty[Library.ReadStats])
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, items.size)))
     try {
-      val futures = items.map(a =>
-        pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      val futures = items.zipWithIndex.map { case (a, i) =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B =
+            if (callerQs == null) f(a)
+            else {
+              Library.qsLocal.set(taskQs(i))
+              try f(a) finally Library.qsLocal.remove()
+            }
+        })
+      }
       // fut.get() in input order awaits ALL tasks — failures are captured
       // per item, never thrown while siblings still run
-      items.zip(futures).map { case (a, fut) =>
+      val results = items.zip(futures).map { case (a, fut) =>
         scala.util.Try(fut.get()) match {
           case scala.util.Success(b) => BatchOk(label(a), b)
           case scala.util.Failure(e: java.util.concurrent.ExecutionException)
@@ -2399,6 +2446,13 @@ final class Library(
           case scala.util.Failure(e) => throw e
         }
       }
+      // Merge AFTER the barrier (every fut.get() above returned, so each
+      // task buffer is final and happens-before-visible). A DataError
+      // item's rows stay in: the pruning census records at plan time, so
+      // a read that failed later DID that storage work — identical to a
+      // throwing read on the caller's own thread.
+      if (callerQs != null) taskQs.foreach(callerQs ++= _)
+      results
     } finally pool.shutdown()
   }
 
@@ -2689,10 +2743,27 @@ object Library {
         batchId: Long,
         hconf: Option[org.apache.hadoop.conf.Configuration] = None): ReplayGuard = {
       val p = new Path(checkpoint)
+      // Fallback when FileSystem init throws (transient FS error,
+      // misconfigured scheme): qualify STRUCTURALLY from fs.defaultFS —
+      // the same scheme/authority defaulting makeQualified applies —
+      // WITHOUT instantiating the FileSystem. A raw-string fallback
+      // would flip the scope between a run where qualification
+      // succeeded and a crash-replay restart where it failed, and the
+      // replayed batch would double-fold.
+      def structural(c: org.apache.hadoop.conf.Configuration): String = {
+        val u = p.toUri
+        if (u.getScheme != null) p.toString
+        else {
+          val d = java.net.URI.create(c.get("fs.defaultFS", "file:///"))
+          val auth = Option(d.getAuthority).filter(_.nonEmpty)
+            .map("//" + _).getOrElse("")
+          s"${Option(d.getScheme).getOrElse("file")}:$auth${u.getPath}"
+        }
+      }
       val canon = hconf match {
         case Some(c) =>
           try p.getFileSystem(c).makeQualified(p).toString
-          catch { case scala.util.control.NonFatal(_) => p.toString }
+          catch { case scala.util.control.NonFatal(_) => structural(c) }
         case None => p.toString
       }
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -2706,11 +2777,15 @@ object Library {
       * stored batchId EQUALS this one — under one checkpoint Spark
       * only ever re-delivers the last uncommitted batch, so equality
       * is exactly the crash-replay case. A LOWER stored id is normal
-      * progression (fold); a HIGHER one can only mean the checkpoint
-      * was reset under the same path (ids restarted) — fold rather
-      * than silently starve the reprocessing stream (re-delivered
-      * duplicates are then admission control's contract, as always).
-      * Scope-less legacy stamps never skip.
+      * progression (fold); a HIGHER one means the checkpoint regressed
+      * under the same path — reset (ids restarted from 0) or RESTORED
+      * FROM BACKUP (ids resume below the stored stamp) — and both fold
+      * rather than silently starve the reprocessing stream. The
+      * corollary operators must know: rolling a checkpoint back to a
+      * backup makes the guard at-least-once for every batch between the
+      * backup and the rollback point — those re-delivered batches
+      * DOUBLE-fold, and dedup is then admission control's contract, as
+      * always. Scope-less legacy stamps never skip.
       */
     def alreadyFolded(stamp: String, g: ReplayGuard): Boolean = {
       val i = stamp.lastIndexOf(':')

@@ -535,9 +535,11 @@ object Retrieval {
       queries.schema(embIdCol).dataType, "hybridTopKIndexed query id")
     // single-query contract: the fused output carries no query_id, so a
     // multi-row queries frame would silently interleave two queries'
-    // legs — refuse loudly (bounded: 2-row collect)
+    // legs — refuse loudly (bounded: 2-row collect); batches go through
+    // [[hybridTopKIndexedBatch]], which carries query_id end to end
     require(queries.limit(2).collect().length == 1,
-      "hybridTopKIndexed fuses ONE query: pass exactly one embedding row")
+      "hybridTopKIndexed fuses ONE query: pass exactly one embedding row " +
+        "(use hybridTopKIndexedBatch for multi-query batches)")
     val lex = bm25Indexed(lib, lexName, queryTerms, k = legK, idCol = idCol)
       .select(col(idCol).cast("long").as("__id"),
         col("rank").as("lex_rank"))
@@ -546,5 +548,136 @@ object Retrieval {
       .select(col("corpus_id").cast("long").as("__id"),
         col("rank").as("vec_rank"))
     rrfFuse(lex, vec, idCol, k, rrfK)
+  }
+
+  /** BATCHED [[bm25Indexed]]: score M queries against a persisted BM25
+    * index in ONE plan. `queries` carries (`query_id` long, `termsCol`
+    * array<string>); the union of the batch's terms drives ONE
+    * term-pruned postings read (the driver-side term collect is bounded
+    * by the query side of a search — terms × queries — never the
+    * corpus). Per-term df is query-independent (df(t) = t's posting
+    * count however many queries ask for t), so scoring each query
+    * against the shared pruned read replays the per-query loop's
+    * integers exactly; ranking is the partial top-k aggregate per
+    * query_id ((score desc, id asc) — [[scoreAndRank]]'s exact tie
+    * order) instead of M global sorts. Output: (query_id, idCol, score,
+    * rank).
+    */
+  private[graft] def bm25IndexedBatch(
+      lib: graft.core.Library,
+      name: String,
+      queries: DataFrame,
+      termsCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(col(termsCol))).as("__t"))
+    val allTerms = qt.select("__t").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(allTerms.nonEmpty, "bm25IndexedBatch: batch has no query terms")
+    // exprFilter PRUNES files via manifest string-key ranges; the exact
+    // row filter still runs (same contract as bm25Indexed)
+    val posts = lib.read(s"${name}__postings",
+      exprFilter = Some(graft.query.Expr.col("term").isin(allTerms: _*)))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = posts.select(col("term").as("__t"), col("doc_id").as("__rid"),
+      col("dl").as("__dl"), col("tf").as("__tf"))
+    // postings are unique per (term, doc): plain count == distinct docs
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stats = lib.read(s"${name}__stats")
+      .select(col("n_docs").as("__n"), col("n_tokens").as("__tok"))
+    val contrib = tf
+      .join(broadcast(dfT), "__t")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), "__t") // fan each posting out to its queries
+      .select(col("query_id"), col("__rid"),
+        round(
+          log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+            (col("__tf") * lit(k1 + 1)) /
+            (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") /
+              (col("__tok").cast("double") / col("__n")))) * 1e9)
+          .cast("long").as("__cq"))
+    val scored = contrib.groupBy("query_id", "__rid")
+      .agg(sum(col("__cq")).as("__sq"))
+    // per-query partial top-k: map tasks emit ≤ k rows per query before
+    // the exchange; __sq longs stay exact as doubles (≪ 2^53)
+    scored.groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(
+        col("__sq").cast("double"), col("__rid"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .toDF("query_id", "pos", "hit")
+      .select(col("query_id"), col("hit.id").as(idCol),
+        round(col("hit.score") / 1e9, 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** [[rrfFuse]] per query_id: full-outer on (query_id, id), quantized
+    * contributions, rank per query. The window runs on ≤ 2·legK rows
+    * PER QUERY (leg outputs, never corpus rows), so partitionBy
+    * query_id is bounded by construction.
+    */
+  private def rrfFuseBatch(
+      lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+      rrfK: Int): DataFrame = {
+    val contrib = (r: Column) =>
+      coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
+    val fused = lex.join(vec, Seq("query_id", "__id"), "full_outer")
+      .select(col("query_id"), col("__id"),
+        (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("__rrf"),
+        col("lex_rank"), col("vec_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__rrf").desc, col("__id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__id").as(idCol),
+        round(col("__rrf") / 1e9, 9).as("rrf_score"),
+        col("rank"), col("lex_rank"), col("vec_rank"))
+  }
+
+  /** [[hybridTopKIndexed]] for a BATCH of queries in ONE plan — the RAG
+    * eval/serving shape: an M-query batch is one job, not M sequential
+    * Spark jobs (the single-query API refuses multi-row input precisely
+    * because its fused output carries no query_id). `queries` carries
+    * one row per query: integral `queryIdCol` (the query-by-example
+    * embedding id, excluded from its own vector leg), `termsCol`
+    * (array<string> lexical terms) and `vecCol`. Both legs carry
+    * query_id end to end — the lexical leg is [[bm25IndexedBatch]]'s
+    * shared term-pruned read, the vector leg is
+    * [[Vectors.ivfSearchIndexed]]'s existing multi-query probe — and
+    * the RRF tail fuses per (query_id, id). Output equals the
+    * per-query [[hybridTopKIndexed]] loop with a query_id column, bit
+    * for bit (HybridBatchSpec + the q184 gate pin the equivalence).
+    */
+  def hybridTopKIndexedBatch(
+      lib: graft.core.Library,
+      lexName: String,
+      vecName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      vecCol: String,
+      nProbe: Int,
+      k: Int = 10,
+      legK: Int = 50,
+      rrfK: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
+    graft.plans.TopKByScore.requireIntegralId(
+      queries.schema(queryIdCol).dataType, "hybridTopKIndexedBatch query id")
+    val lex = bm25IndexedBatch(lib, lexName,
+        queries.select(col(queryIdCol).cast("long").as("query_id"),
+          col(termsCol)),
+        termsCol, k = legK, idCol = idCol)
+      .select(col("query_id"), col(idCol).cast("long").as("__id"),
+        col("rank").as("lex_rank"))
+    val vec = Vectors.ivfSearchIndexed(
+        lib, vecName, queries, queryIdCol, vecCol, legK, nProbe)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("corpus_id").cast("long").as("__id"),
+        col("rank").as("vec_rank"))
+    rrfFuseBatch(lex, vec, idCol, k, rrfK)
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Retrieval, Vectors}
+
+/** Batched serving path (hybridTopKIndexedBatch / bm25IndexedBatch): an
+  * M-query batch fused in ONE plan must equal the per-query
+  * single-call loop BIT FOR BIT — the contract that lets a RAG eval
+  * batch of 10k queries run as one job instead of 10k sequential Spark
+  * jobs. Queries deliberately include a term-overlap pair (shared
+  * pruned read must not cross-contaminate), a lex-empty query (terms
+  * matching nothing — vector-leg-only fusion) and q177's exact query
+  * (parity with the gated single path).
+  */
+class HybridBatchSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def freshLib() = new graft.core.Library(
+    java.nio.file.Files.createTempDirectory("graft-hyb-").toString, spark)
+
+  private lazy val lib = {
+    val l = freshLib()
+    Retrieval.buildBm25Index(l, docs, "doc_id", "text", "lex",
+      targetRows = 1200L)
+    Vectors.buildIvfIndex(l, emb, "vec_id", "embedding", "vec",
+      nlist = 8, iters = 2, targetRows = 200L)
+    l
+  }
+
+  private val querySets: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("dup", "merge"),
+    3L -> Seq("dup", "vector", "merge"), // q177's exact query
+    5L -> Seq("zzzznomatch"), // lexical leg empty -> vector-only fusion
+    7L -> Seq("query", "filter"))
+
+  private def queriesDf = {
+    val terms = querySets.map { case (id, ts) =>
+      when(col("vec_id") === id, array(ts.map(lit): _*))
+    }.reduce((a, b) => coalesce(a, b))
+    emb.filter(col("vec_id").isin(querySets.map(_._1): _*))
+      .withColumn("terms", terms)
+  }
+
+  test("bm25IndexedBatch == per-query bm25Indexed loop (scores, ranks, ties)") {
+    val batch = Retrieval.bm25IndexedBatch(
+      lib, "lex",
+      queriesDf.select(col("vec_id").cast("long").as("query_id"), col("terms")),
+      "terms", k = 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val loop = querySets.flatMap { case (id, ts) =>
+      Retrieval.bm25Indexed(lib, "lex", ts, k = 15)
+        .collect().map(r => (id, r.getLong(0), r.getDouble(1), r.getInt(2)))
+    }.sortBy(t => (t._1, t._4))
+    assert(batch.toSeq == loop, "batched BM25 must replay the loop exactly")
+    assert(batch.nonEmpty && batch.count(_._1 == 5L) == 0,
+      "no-match query contributes no lexical rows")
+  }
+
+  test("hybridTopKIndexedBatch == per-query hybridTopKIndexed loop") {
+    type Row6 = (Long, Long, Double, Int, Option[Int], Option[Int])
+    def six(r: org.apache.spark.sql.Row, qid: Long): Row6 =
+      (qid, r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("rrf_score")),
+        r.getInt(r.fieldIndex("rank")),
+        if (r.isNullAt(r.fieldIndex("lex_rank"))) None
+        else Some(r.getInt(r.fieldIndex("lex_rank"))),
+        if (r.isNullAt(r.fieldIndex("vec_rank"))) None
+        else Some(r.getInt(r.fieldIndex("vec_rank"))))
+    val batch = Retrieval.hybridTopKIndexedBatch(
+      lib, "lex", "vec", queriesDf, "vec_id", "terms", "embedding",
+      nProbe = 8, k = 15, legK = 50)
+      .collect()
+      .map(r => six(r, r.getLong(r.fieldIndex("query_id"))))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val loop = querySets.flatMap { case (id, ts) =>
+      Retrieval.hybridTopKIndexed(
+        lib, "lex", "vec", queryTerms = ts,
+        queries = emb.filter(col("vec_id") === id),
+        embIdCol = "vec_id", vecCol = "embedding",
+        nProbe = 8, k = 15, legK = 50)
+        .collect().map(six(_, id))
+    }.sortBy(t => (t._1, t._4))
+    assert(batch == loop, "batched hybrid must replay the per-query loop exactly")
+    // every query produced a full fused top-15 (vector leg alone
+    // suffices for the lex-empty query)
+    querySets.foreach { case (id, _) =>
+      assert(batch.count(_._1 == id) == 15, s"query $id")
+    }
+    // the lex-empty query's rows are vector-only: no lex_rank anywhere
+    assert(batch.filter(_._1 == 5L).forall(_._5.isEmpty))
+  }
+
+  test("single-query API still refuses multi-row input, points at batch") {
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridTopKIndexed(
+        lib, "lex", "vec", queryTerms = Seq("dup"),
+        queries = emb.filter(col("vec_id").isin(1L, 3L)),
+        embIdCol = "vec_id", vecCol = "embedding", nProbe = 8, k = 5, legK = 10)
+    }
+    assert(e.getMessage.contains("hybridTopKIndexedBatch"))
+  }
+
+  test("batch plan: postings scans are term-pruned and M-independent") {
+    // the shared pruned read: the batched plan scans the postings
+    // symbol a FIXED number of times (tf leg + df leg — the same two
+    // the single-query plan has), never once per query, and every scan
+    // carries the union-vocabulary IN pushdown (no corpus scan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def postingScans(qdf: org.apache.spark.sql.DataFrame) =
+        Retrieval.hybridTopKIndexedBatch(
+          lib, "lex", "vec", qdf, "vec_id", "terms", "embedding",
+          nProbe = 8, k = 15, legK = 50)
+          .queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+                if s.relation.location.rootPaths
+                  .exists(_.toString.contains("lex__postings")) => s
+          }
+      val m4 = postingScans(queriesDf)
+      val m1 = postingScans(queriesDf.filter(col("vec_id") === 3L))
+      assert(m4.length == m1.length,
+        s"scan count must not grow with batch size: ${m1.length} -> ${m4.length}")
+      assert(m4.nonEmpty && m4.forall(_.metadata("PushedFilters").contains("In(term")),
+        "every postings scan must carry the term IN pushdown")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -932,6 +932,29 @@ class LibrarySpec extends SparkSuite {
     assert(!so._8)
   }
 
+  test("storageSummary: pooled walk fails LOUDLY per symbol, never omits") {
+    // the census runs from the batch pool (the sizesBySymbol shape,
+    // VERDICT-r18 #1); a planted unreadable symbol must surface as an
+    // error NAMING the symbol — a census that silently omits a symbol
+    // is wrong in the way that matters most for the tool
+    val lib = newLib()
+    (0 until 6).foreach(i => lib.write(s"ok$i", mk(0, 50), Some("ts2")))
+    lib.write("bad", mk(0, 50), Some("ts2"))
+    // corrupt bad's only manifest on disk; a FRESH handle (cold
+    // manifest cache) must hit the parse failure
+    val vdir = new org.apache.hadoop.fs.Path(lib.root, "bad/_versions")
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(vdir, "v00000.json"), true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    val cold = new Library(lib.root, spark)
+    val e = intercept[java.io.IOException](cold.storageSummary().collect())
+    assert(e.getMessage.contains("bad"), e.getMessage)
+    // healthy symbols still census on a root without the corruption
+    val lib2 = newLib()
+    (0 until 6).foreach(i => lib2.write(s"ok$i", mk(0, 50), Some("ts2")))
+    assert(lib2.storageSummary().collect().length == 6)
+  }
+
   test("restoreVersion: zero-copy rollback, undelete, GC-safe") {
     val lib = newLib()
     lib.write("s", mk(0, 100), Some("ts2"), targetRows = 50) // v0
@@ -1062,6 +1085,47 @@ class LibrarySpec extends SparkSuite {
     val (_, st4) = lib.withQueryStats(other.read("s"))
     assert(st4.size == 1 && st4.head.filesRead == 4,
       "a read through a second handle must be censused, not dropped")
+  }
+
+  test("withQueryStats captures batch-pool reads: N symbols -> N rows == per-read sum") {
+    val lib = newLib()
+    val syms = (0 until 5).map(i => s"b$i")
+    syms.foreach(s => lib.write(s, mk(0, 200), Some("ts2"), targetRows = 100))
+    // pooled batch read (the ReadRequest variant dispatches through
+    // inParallel) under an active scope: the collector is handed to the
+    // pool workers explicitly, so the N-symbol batch must census exactly
+    // the N rows the per-read loop would — an empty census here was the
+    // documented r18 asymmetry (VERDICT #4)
+    val (res, st) = lib.withQueryStats {
+      lib.readBatch(syms.map(s => Library.ReadRequest(s)))
+    }
+    assert(res.forall(_.isInstanceOf[Library.BatchOk[_]]))
+    assert(st.size == syms.size, s"expected ${syms.size} census rows, got ${st.size}")
+    // rows arrive in REQUEST order (merged per task after the barrier)
+    assert(st.map(_.symbol) == syms, st.map(_.symbol).mkString(","))
+    val loop = syms.map { s =>
+      val (_, one) = lib.withQueryStats(lib.read(s))
+      one.head
+    }
+    assert(st == loop, "batch census must equal the per-read sum")
+    // a pruned batch read censuses its pruning like a direct read
+    val (_, st2) = lib.withQueryStats {
+      lib.readBatch(syms.take(2).map(s =>
+        Library.ReadRequest(s, dateRange = Some((0L, 99L)))))
+    }
+    assert(st2.size == 2 && st2.forall(r =>
+      r.filesTotal == 2 && r.prunedByRange == 1 && r.filesRead == 1), st2)
+    // readBatchAndJoin (pooled under the hood) is censused too
+    val (_, st3) = lib.withQueryStats(lib.readBatchAndJoin(syms))
+    assert(st3.size == syms.size, s"readBatchAndJoin census: ${st3.size}")
+    // scope must unwind cleanly after a batch with a failed item, and
+    // the failed item doesn't poison its siblings' census
+    val mixed = lib.withQueryStats {
+      lib.readBatch(Seq("b0", "nope", "b1").map(s => Library.ReadRequest(s)))
+    }
+    assert(mixed._1.count(_.isInstanceOf[Library.DataError]) == 1)
+    assert(mixed._2.map(_.symbol) == Seq("b0", "b1"),
+      "missing symbol fails before plan time: no census row, siblings intact")
   }
 
   test("GC read grace: condemn first, hard-delete only after the window") {
