@@ -67,7 +67,10 @@ object ScaleProbe {
     "q168_clean_trained_lang",
     "q175_wordpiece_batched_encode",
     "q177_hybrid_prod",
-    "q99_bpe_batched512")
+    "q99_bpe_batched512",
+    // round-19: the batched hybrid serving path — 1000 queries fused in
+    // ONE plan over the persisted stores (VERDICT r18 #3's scale row)
+    "q184_hybrid_batch1k")
   // q30_jaccard_t05/t08_prefix stay in Extra for manual runs: on the
   // sf dirs the PrefixMaxAvgDf gate (correctly) delegates them to the
   // incidence path — the dense-vocab generator corpus has no rare
@@ -228,6 +231,31 @@ object ScaleProbe {
       graft.functions.Retrieval.hybridTopKIndexed(
         lib, "hl", "hv", Seq("dup", "vector", "merge"),
         emb.filter(col("vec_id") === 3L), "vec_id", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+    }),
+    "q184_hybrid_batch1k" -> ((s, dir) => {
+      // VERDICT r18 #3's scale row: 1000 queries through the BATCHED
+      // hybrid serving path as ONE plan over the persisted stores —
+      // the per-query loop would pay 1000 sequential job waves for the
+      // same answer (HybridBatchSpec pins bit-equality). Build cost is
+      // included, the q157/q177 convention.
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-hybb-").toString, s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs, "doc_id", "text", "hl", targetRows = 100000L)
+      graft.functions.Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding",
+        "hv", nlist = 64, iters = 2, targetRows = 100000L)
+      val queries = emb.filter(col("vec_id") < 1000L)
+        .withColumn("terms",
+          when(col("vec_id") % 3 === 0, array(lit("dup"), lit("merge")))
+            .when(col("vec_id") % 3 === 1,
+              array(lit("vector"), lit("query"), lit("merge")))
+            .otherwise(array(lit("filter"), lit("join"))))
+      graft.functions.Retrieval.hybridTopKIndexedBatch(
+        lib, "hl", "hv", queries, "vec_id", "terms", "embedding",
         nProbe = 8, k = 15, legK = 50)
     }),
     "q99_bpe_batched512" -> ((s, dir) => {

@@ -47,40 +47,46 @@ object Importance {
     require(buckets > 0 && buckets <= (1 << 16),
       s"bucket count must be in (0, 65536], got $buckets — the ratio table " +
         "is collected to the driver and must stay bounded")
-    val bucket = pmod(Dedup.h60(col("tok")), lit(buckets.toLong))
-    def toks(df: DataFrame) =
-      df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-        .select(col(idCol), bucket.as("bk"))
-    val rawToks = toks(raw)
-    val tgtToks = toks(target)
-
-    // The WHOLE model is one job: both sides' bucket counts aggregate in
-    // a single tagged union (≤ 2·buckets result rows — bounded by
-    // construction, a legitimate collect), totals and the smoothed
-    // log-ratios then compute driver-side in plain arithmetic. One
-    // model job + one scoring job total; a per-piece formulation
+    // The WHOLE model is one job: both sides' texts flow through the
+    // dsir_bucket_counts partial aggregate in a single tagged union
+    // (each map task ships ONE buckets-long counter array per side —
+    // a 2-row, 2·buckets-long collect, bounded by construction),
+    // totals and the smoothed log-ratios then compute driver-side in
+    // plain arithmetic. The former explode(split) → groupBy(side, bk)
+    // shape materialized a corpus-sized token-row stream through the
+    // hash aggregate for the same counts (FixedPathProbe: ~365 ms of
+    // q93's sf0.1 wall was this model job); the kernel splits each doc
+    // in place with the identical tokenization (DsirModel.score's
+    // convention — null text skipped, empty text one empty token).
+    // One model job + one scoring job total; a per-piece formulation
     // (count() totals, separate aggregates, a join-then-collect) paid
     // five driver round-trips of pure scheduling floor for the same
     // numbers.
-    val cnts = rawToks.select(col("bk"), lit(0).as("side"))
-      .unionAll(tgtToks.select(col("bk"), lit(1).as("side")))
-      .groupBy("side", "bk").agg(count(lit(1)).as("c"))
+    val sides = raw.select(lit(0).as("side"), col(textCol).as("__t"))
+      .unionAll(target.select(lit(1).as("side"), col(textCol).as("__t")))
+      .filter(col("__t").isNotNull)
+      .groupBy("side")
+      .agg(graft.plans.DsirBucketCounts(col("__t"), buckets).as("c"))
       .collect()
-      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
-    val rCnt = cnts.collect { case ((0, bk), c) => bk -> c }
-    val tCnt = cnts.collect { case ((1, bk), c) => bk -> c }
-    val rTot = rCnt.values.sum
-    val tTot = tCnt.values.sum
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val rArr = sides.getOrElse(0, new Array[Long](buckets))
+    val tArr = sides.getOrElse(1, new Array[Long](buckets))
+    val rTot = rArr.sum
+    val tTot = tArr.sum
     // log(p_t/p_r) with add-one smoothing, as exact micro-nat longs —
     // the SAME double-arithmetic shape the DuckDB oracle replays,
     // packed as a bucket-indexed array (buckets with no raw token keep
     // ratio 0; they are unreachable when scoring the raw corpus itself).
     val lrfArr = new Array[Long](buckets)
-    rCnt.foreach { case (bk, cr) =>
-      val lr = math.log(
-        ((tCnt.getOrElse(bk, 0L) + 1.0) * (rTot + buckets)) /
-          ((cr + 1.0) * (tTot + buckets))) * 1e6
-      lrfArr(bk.toInt) = if (lr >= 0) Math.round(lr) else -Math.round(-lr)
+    var bk = 0
+    while (bk < buckets) {
+      if (rArr(bk) > 0) {
+        val lr = math.log(
+          ((tArr(bk) + 1.0) * (rTot + buckets)) /
+            ((rArr(bk) + 1.0) * (tTot + buckets))) * 1e6
+        lrfArr(bk) = if (lr >= 0) Math.round(lr) else -Math.round(-lr)
+      }
+      bk += 1
     }
 
     // Scoring is ONE shuffle-free narrow map (graft.plans.DsirScore):
