@@ -37,36 +37,47 @@ object AdminScaleProbe {
     // ---- fabricate: n symbols × 2 versions (+ staged debris on every
     // 50th) through the batch pool — itself an admin-plane data point
     val rows = spark.range(10).selectExpr("id as ts2", "cast(id as double) as v")
+    val rows2 = spark.range(10, 20).selectExpr("id as ts2", "cast(id as double) as v")
     time(s"fabricate ${n}x2 versions (pool)") {
-      val grouped = (0 until n).map(i => (f"sym$i%05d", rows)).grouped(500)
-      grouped.foreach { g =>
-        lib.writeBatch(g, Some("ts2")).foreach(_.get)
-        lib.appendBatch(g).foreach(_.get)
+      (0 until n).map(i => f"sym$i%05d").grouped(500).foreach { g =>
+        lib.writeBatch(g.map((_, rows)), Some("ts2")).foreach(_.get)
+        lib.appendBatch(g.map((_, rows2))).foreach(_.get)
       }
       (0 until n by 50).foreach(i => lib.stage(f"sym$i%05d", rows))
     }
 
-    // ---- the four censuses, pooled (the library code path)
-    val bySym = time("sizesBySymbol (pool)")(lib.sizesBySymbol().collect())
+    // ---- the four censuses, pooled (the library code path); FRESH
+    // handles per census so manifest caches are cold, like a real
+    // admin session opening the library
+    val bySym = time("sizesBySymbol (pool, cold)")(
+      g.getLibrary("adm").sizesBySymbol().collect())
     require(bySym.map(_.getString(0)).distinct.length == n + 1, // +1 snapshot row
       s"census rows: ${bySym.length}")
-    time("sizes (pool)")(lib.sizes().collect())
-    val ss = time("storageSummary (pool)")(lib.storageSummary().collect())
+    time("sizes (pool, cold)")(g.getLibrary("adm").sizes().collect())
+    val ss = time("storageSummary (pool, cold)")(
+      g.getLibrary("adm").storageSummary().collect())
     require(ss.length == n, s"storageSummary rows: ${ss.length}")
     time("keyTree one symbol")(lib.keyTree("sym00000").collect())
 
-    // ---- serial twin of storageSummary's per-symbol work, with
+    // ---- serial twin of storageSummary's per-symbol work — the exact
+    // shape the pre-r19 implementation had (driver loop: listVersions +
+    // manifest parse + recursive du), cold manifest cache, with
     // per-symbol latencies (the p99 a 10k-symbol root multiplies)
+    val cold = g.getLibrary("adm")
     val perSym = new Array[Double](n)
-    time("storageSummary (serial twin)") {
+    time("storageSummary (serial twin, cold)") {
+      def du(f: java.io.File): Long =
+        if (!f.exists()) 0L
+        else if (f.isFile) f.length()
+        else f.listFiles().map(du).sum
       (0 until n).foreach { i =>
         val sym = f"sym$i%05d"
         val t0 = System.nanoTime()
-        val versions = lib.listVersions(sym)
-        val m = lib.manifest(sym, versions.last)
-        val dataBytes = lib.keyTree(sym).collect()
-          .filter(_.getString(0) == "data").map(_.getLong(2)).sum
-        require(m.version >= 0 && dataBytes >= 0)
+        val versions = cold.listVersions(sym)
+        val m = cold.manifest(sym, versions.last)
+        val bytes = du(new java.io.File(s"$root/adm/$sym/data")) +
+          du(new java.io.File(s"$root/adm/$sym/_staged"))
+        require(m.version >= 0 && bytes >= 0)
         perSym(i) = (System.nanoTime() - t0) / 1e6
       }
     }

@@ -89,7 +89,11 @@ object ClusterSmoke {
       (0 until 6).foreach { i =>
         val sym = s"s$i"
         lib.write(sym, ev, Some("event_id"), targetRows = 300) // 10 small files
-        lib.append(sym, ev.limit(600), targetRows = 300) // +1 version to retire
+        // +1 version to retire — keys shifted past the prior max so the
+        // sorted-append contract holds
+        lib.append(sym,
+          ev.limit(600).withColumn("event_id", col("event_id") + 1000000L),
+          targetRows = 300)
       }
       g.maintain(keepVersions = 1)
     })

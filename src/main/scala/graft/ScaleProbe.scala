@@ -291,6 +291,13 @@ object ScaleProbe {
       else Seq("/tmp/graft-sf1", "/tmp/graft-sf5", "/tmp/graft-sf10")
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SCALE_SHUFFLE overrides shuffle width for the run — the
+    // peak-task-vs-width divisibility check: a stage whose peak task is
+    // per-task share (not a single hot key) must halve when width
+    // doubles, which is the 1000-executor argument local[32] can't
+    // otherwise show (wall stays CPU-bound at 32 cores).
+    sys.env.get("SCALE_SHUFFLE").foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
 
     val shufBytes = new AtomicLong(0)
     val peakRecs = new AtomicLong(0)

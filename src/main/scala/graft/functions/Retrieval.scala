@@ -589,7 +589,24 @@ object Retrieval {
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val stats = lib.read(s"${name}__stats")
       .select(col("n_docs").as("__n"), col("n_tokens").as("__tok"))
+    // The qt fan-out multiplies each posting by the queries containing
+    // its term — Σ_t |postings(t)|·|queries∋t| rows, the true compute
+    // of an exact M-query batch (the per-query loop pays the same total
+    // spread over M jobs). At scan parallelism (a pruned read is a few
+    // file splits) that expansion serializes into those few tasks
+    // (ScaleProbe sf1, 1000 queries: 27.6 s peak task); one cheap
+    // shuffle of the PRUNED postings (bounded by the batch's term
+    // postings, never the corpus) spreads the expansion and the
+    // map-side partial aggregation across the cluster. Hashing on
+    // __rid also lands every (query, doc) pair of a doc in one task,
+    // so partial sums are final-sized before the exchange. The width is
+    // EXPLICIT: an N-less repartition is AQE-rebalanced by the pruned
+    // read's BYTES (~MBs), which under-provisions a stage whose compute
+    // is the ×queries expansion, not the input size (ScaleProbe sf1:
+    // 54 s peak task coalesced vs 4 s pinned).
     val contrib = tf
+      .repartition(tf.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("__rid"))
       .join(broadcast(dfT), "__t")
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), "__t") // fan each posting out to its queries

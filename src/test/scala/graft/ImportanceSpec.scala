@@ -39,6 +39,35 @@ class ImportanceSpec extends SparkSuite {
     }
   }
 
+  test("counting kernel == explode(split) counts on tokenization edges") {
+    import org.apache.spark.sql.functions._
+    // nulls DROP, empty text is ONE empty token, doubled spaces yield
+    // empty tokens — the explode(split(text, " ")) convention the
+    // model build had before the dsir_bucket_counts kernel replaced it
+    val edgy = Seq(
+      (0L, "aa  bb"), // doubled space -> empty token
+      (1L, ""), // one empty token
+      (2L, null.asInstanceOf[String]), // dropped
+      (3L, " leading and trailing "), // empty tokens both ends
+      (4L, "aa aa aa")
+    ).toDF("doc_id", "text")
+    val buckets = 16
+    val viaKernel = edgy.filter(col("text").isNotNull)
+      .agg(graft.plans.DsirBucketCounts(col("text"), buckets).as("c"))
+      .head.getSeq[Long](0)
+    val viaExplode = edgy
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(pmod(conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("bk"))
+      .groupBy("bk").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val exploded = (0 until buckets).map(i => viaExplode.getOrElse(i, 0L))
+    assert(viaKernel == exploded,
+      s"kernel $viaKernel != explode $exploded")
+    assert(viaKernel.sum == 12L, // 3 + 1 + 0 + 5 + 3 tokens
+      s"token count ${viaKernel.sum}")
+  }
+
   test("weights match the exact fixed-point replay; target-like docs rank higher") {
     val got = Importance.dsirWeights(raw, target, "doc_id", "text", 256)
       .orderBy("doc_id")
