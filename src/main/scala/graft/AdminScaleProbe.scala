@@ -85,10 +85,14 @@ object AdminScaleProbe {
     println(f"[adminscale] serial per-symbol p50=${sorted(n / 2)}%6.2fms " +
       f"p99=${sorted(n * 99 / 100)}%6.2fms max=${sorted.last}%6.2fms")
 
-    // ---- maintenance + restore at symbol-count scale
+    // ---- maintenance + restore at symbol-count scale. Restore runs
+    // BEFORE maintain (keepVersions=1 hard-deletes v0 — restoring it
+    // afterwards would only "work" off a warm manifest cache) and on a
+    // COLD handle, the probe's convention.
+    time("restoreVersion one symbol (cold)")(
+      g.getLibrary("adm").restoreVersion("sym00001", Library.AsOf.Version(0)))
     time("Graft.maintain dryRun (pool)")(g.maintain(keepVersions = 1, dryRun = true).collect())
     time("Graft.maintain apply (pool)")(g.maintain(keepVersions = 1).collect())
-    time("restoreVersion one symbol")(lib.restoreVersion("sym00001", Library.AsOf.Version(0)))
     spark.stop()
   }
 }

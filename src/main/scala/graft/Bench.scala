@@ -205,12 +205,12 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // per-query MIN across the same passes (the r17/r18 estimator), kept
-    // in BENCH_FULL so the median↔min methodology change stays
-    // machine-comparable round over round
-    var lastMin: Seq[(String, Double)] = Seq.empty
+    // interleavedPass returns (median walls, MIN walls, oracle medians):
+    // the per-query MIN across the same passes (the r17/r18 estimator)
+    // keeps the median↔min methodology change machine-comparable round
+    // over round in BENCH_FULL.
     def interleavedPass(dir: String, exclude: Set[String] = Set.empty)
-        : (Seq[(String, Double)], Map[String, Double]) = {
+        : (Seq[(String, Double)], Seq[(String, Double)], Map[String, Double]) = {
       // TWO warmup passes: FixedPathProbe measured the first ~5 runs of
       // any query still descending ~10-20% as codegen classes JIT-warm
       // (a variant ordered first reads ~2x a variant ordered last on
@@ -230,7 +230,7 @@ object Bench {
       val eng = headline.map { n =>
         n -> median(eP.map(_.getOrElse(n, -1.0)).filter(_ >= 0).toSeq)
       }
-      lastMin = headline.map { n =>
+      val engMin = headline.map { n =>
         val ts = eP.map(_.getOrElse(n, -1.0)).filter(_ >= 0)
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }
@@ -238,11 +238,10 @@ object Bench {
         val ts = oP.flatMap(_.get(n)).filter(_ >= 0).toSeq
         if (ts.isEmpty) None else Some(n -> median(ts))
       }.toMap
-      (eng, orc)
+      (eng, engMin, orc)
     }
 
-    val (results, oracle) = interleavedPass(sfDir)
-    val resultsMin = lastMin
+    val (results, resultsMin, oracle) = interleavedPass(sfDir)
     // Fixed per-query harness cost (plan + schedule + noop write of a
     // 1-row frame): the floor under every sub-second timing above. On a
     // real cluster this amortizes — a 100 TB scan pays it once, not per
@@ -281,9 +280,10 @@ object Bench {
       new java.io.File("target/graft-sf1").getAbsolutePath)
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       ensureSf1(sfDir, sf1Dir)
-    val (results1, oracle1) =
+    val (results1, _, oracle1) =
       if (sf1) interleavedPass(sf1Dir)
-      else (Seq.empty[(String, Double)], Map.empty[String, Double])
+      else (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
+        Map.empty[String, Double])
 
     // sf5 pass (50× sfDir) — the third ratio point of the scale story
     // (VERDICT r15 #7). Opt-in (SPARK_GRAFT_SF5=1): ~50× data makes the
@@ -297,9 +297,10 @@ object Bench {
       new java.io.File("target/graft-sf5").getAbsolutePath)
     val sf5 = sys.env.getOrElse("SPARK_GRAFT_SF5", "0") == "1" &&
       ensureSf1(sfDir, sf5Dir, replicas = 50)
-    val (results5, oracle5) =
+    val (results5, _, oracle5) =
       if (sf5) interleavedPass(sf5Dir, exclude = Set("q30_ngram_jaccard"))
-      else (Seq.empty[(String, Double)], Map.empty[String, Double])
+      else (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
+        Map.empty[String, Double])
 
     def walls(rs: Seq[(String, Double)], key: String => String) =
       jmap(rs.map { case (k, v) => key(k) -> f"$v%.3f" })

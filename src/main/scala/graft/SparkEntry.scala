@@ -114,6 +114,18 @@ object SparkEntry {
       df.coalesce(1).sortWithinPartitions(key)
     else df.orderBy(key)
 
+  /** hi·(loBound+1) + lo — [[sortWideFused]]'s key, with the uniqueness
+    * precondition (lo ∈ [0, loBound]) enforced PER ROW: a lo outside
+    * the band would silently collide/reorder the fused key, so it
+    * raises instead (one codegen'd branch, no measurable cost).
+    */
+  private def fusedKey(hi: Column, lo: Column, loBound: Int): Column =
+    hi * lit((loBound + 1).toLong) +
+      when(lo.between(0, loBound), lo)
+        .otherwise(raise_error(concat(
+          lit(s"fused sort key: low component outside [0,$loBound]: "),
+          lo.cast("string"))).cast("int"))
+
   /** sortWide for WINDOW pipelines: same size gate, but the small branch
     * is repartition(1), not coalesce(1) — coalesce would collapse the
     * window stage itself to one task (the upstream exchange vanishes),
@@ -341,9 +353,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("profit"), 6).as("profit"), col("lnsq").cast("long").as("lnsq"))
         // l_linenumber ∈ [1,7]: the fused key is unique and replays the
-        // (l_orderkey, l_linenumber) order with a pure-radix sort
+        // (l_orderkey, l_linenumber) order with a pure-radix sort (the
+        // band guard raises on any out-of-band line number)
         .transform(sortWideFused(_,
-          col("l_orderkey") * lit(8L) + col("l_linenumber")))
+          fusedKey(col("l_orderkey"), col("l_linenumber"), 7)))
     },
     "q07_pow_abs_neg" -> { (s, dir) =>
       QueryBuilder()
@@ -352,7 +365,7 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("absneg"), round(col("qsq"), 6).as("qsq"))
         .transform(sortWideFused(_,
-          col("l_orderkey") * lit(8L) + col("l_linenumber")))
+          fusedKey(col("l_orderkey"), col("l_linenumber"), 7)))
     },
     // ---------------- groupby + aggregation (SURVEY §2.1) -------------
     "q08_groupby_agg" -> { (s, dir) =>

@@ -2745,21 +2745,27 @@ object Library {
       val p = new Path(checkpoint)
       // Fallback when FileSystem init throws (transient FS error,
       // misconfigured scheme): qualify STRUCTURALLY from fs.defaultFS —
-      // the same scheme/authority defaulting makeQualified applies —
-      // WITHOUT instantiating the FileSystem. A raw-string fallback
-      // would flip the scope between a run where qualification
-      // succeeded and a crash-replay restart where it failed, and the
-      // replayed batch would double-fold.
-      def structural(c: org.apache.hadoop.conf.Configuration): String = {
-        val u = p.toUri
-        if (u.getScheme != null) p.toString
-        else {
+      // the same scheme/authority defaulting Path.makeQualified applies
+      // (missing scheme takes the default scheme+authority; a present
+      // scheme with a missing authority takes the default authority
+      // when the schemes MATCH, else stays authority-less) — WITHOUT
+      // instantiating the FileSystem. A raw-string fallback would flip
+      // the scope between a run where qualification succeeded and a
+      // crash-replay restart where it failed, and the replayed batch
+      // would double-fold. The fallback itself must never throw (a
+      // malformed fs.defaultFS is the same misconfiguration that lands
+      // us here): any failure degrades to the raw string.
+      def structural(c: org.apache.hadoop.conf.Configuration): String =
+        try {
+          val u = p.toUri
           val d = java.net.URI.create(c.get("fs.defaultFS", "file:///"))
-          val auth = Option(d.getAuthority).filter(_.nonEmpty)
-            .map("//" + _).getOrElse("")
-          s"${Option(d.getScheme).getOrElse("file")}:$auth${u.getPath}"
-        }
-      }
+          val scheme = Option(u.getScheme)
+            .orElse(Option(d.getScheme)).getOrElse("file")
+          val auth = Option(u.getAuthority).filter(_.nonEmpty)
+            .orElse(Option(d.getAuthority).filter(_.nonEmpty)
+              .filter(_ => u.getScheme == null || u.getScheme == d.getScheme))
+          s"$scheme:${auth.map("//" + _).getOrElse("")}${u.getPath}"
+        } catch { case scala.util.control.NonFatal(_) => p.toString }
       val canon = hconf match {
         case Some(c) =>
           try p.getFileSystem(c).makeQualified(p).toString

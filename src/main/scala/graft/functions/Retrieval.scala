@@ -573,8 +573,12 @@ object Retrieval {
       b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"bad k $k")
+    // null terms drop here — exactly the per-query loop's behavior (a
+    // null in an isin list never matches), and a null String would NPE
+    // the driver-side sort below
     val qt = queries.select(col("query_id"),
       explode(array_distinct(col(termsCol))).as("__t"))
+      .filter(col("__t").isNotNull)
     val allTerms = qt.select("__t").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     require(allTerms.nonEmpty, "bm25IndexedBatch: batch has no query terms")
@@ -684,6 +688,15 @@ object Retrieval {
     require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
     graft.plans.TopKByScore.requireIntegralId(
       queries.schema(queryIdCol).dataType, "hybridTopKIndexedBatch query id")
+    // duplicate query_id rows would silently merge two queries' term
+    // sets in the lexical leg and pick one row's vector arbitrarily in
+    // the other — the same silent-interleave class the single-query API
+    // refuses loudly. One bounded job over the (small) query side.
+    val dup = queries.groupBy(col(queryIdCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"hybridTopKIndexedBatch: duplicate $queryIdCol ${dup.headOption.map(_.get(0)).orNull} " +
+        "in queries — one row per query")
     val lex = bm25IndexedBatch(lib, lexName,
         queries.select(col(queryIdCol).cast("long").as("query_id"),
           col(termsCol)),

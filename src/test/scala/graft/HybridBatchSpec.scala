@@ -106,6 +106,33 @@ class HybridBatchSpec extends SparkSuite {
     assert(e.getMessage.contains("hybridTopKIndexedBatch"))
   }
 
+  test("batch API refuses duplicate query_id rows loudly") {
+    // two rows sharing query_id would silently merge their term sets in
+    // the lexical leg and pick one vector arbitrarily in the other
+    val dup = queriesDf.unionByName(queriesDf.filter(col("vec_id") === 3L))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridTopKIndexedBatch(
+        lib, "lex", "vec", dup, "vec_id", "terms", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("null terms inside a query's array drop like the loop's isin(null)") {
+    val withNull = queriesDf.withColumn("terms",
+      when(col("vec_id") === 1L,
+        array(lit("dup"), lit(null.asInstanceOf[String]), lit("merge")))
+        .otherwise(col("terms")))
+    val a = Retrieval.hybridTopKIndexedBatch(
+      lib, "lex", "vec", withNull, "vec_id", "terms", "embedding",
+      nProbe = 8, k = 15, legK = 50).collect()
+    val b = Retrieval.hybridTopKIndexedBatch(
+      lib, "lex", "vec", queriesDf, "vec_id", "terms", "embedding",
+      nProbe = 8, k = 15, legK = 50).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+      "a null term must be a no-op, not an NPE or a score change")
+  }
+
   test("batch plan: postings scans are term-pruned and M-independent") {
     // the shared pruned read: the batched plan scans the postings
     // symbol a FIXED number of times (tf leg + df leg — the same two
