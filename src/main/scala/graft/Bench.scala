@@ -280,7 +280,7 @@ object Bench {
       new java.io.File("target/graft-sf1").getAbsolutePath)
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       ensureSf1(sfDir, sf1Dir)
-    val (results1, _, oracle1) =
+    val (results1, results1Min, oracle1) =
       if (sf1) interleavedPass(sf1Dir)
       else (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
         Map.empty[String, Double])
@@ -297,7 +297,7 @@ object Bench {
       new java.io.File("target/graft-sf5").getAbsolutePath)
     val sf5 = sys.env.getOrElse("SPARK_GRAFT_SF5", "0") == "1" &&
       ensureSf1(sfDir, sf5Dir, replicas = 50)
-    val (results5, _, oracle5) =
+    val (results5, results5Min, oracle5) =
       if (sf5) interleavedPass(sf5Dir, exclude = Set("q30_ngram_jaccard"))
       else (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
         Map.empty[String, Double])
@@ -349,6 +349,7 @@ object Bench {
       if (sf5) {
         val fields =
           s""""sf5_dir":"$sf5Dir","sf5_fingerprint":"$sf5Fp","sf5_queries":${walls(results5, identity)},
+             |"sf5_total_min":${f"${total(results5Min)}%.3f"},"sf5_queries_min":${walls(results5Min, identity)},
              |"sf5_oracle":${jmap(oracle5.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
              |"sf5_ratio":${ratios(results5, oracle5)},
              |"sf5_total":${f"${total(results5)}%.3f"},"sf5_oracle_total":${f"${oTotal(oracle5)}%.3f"}""".stripMargin
@@ -388,6 +389,7 @@ object Bench {
          |"oracle":${jmap(oracle.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
          |"ratio":${ratios(results, oracle)},"oracle_total":${f"${oTotal(oracle)}%.3f"},
          |"sf1_dir":"$sf1Dir","sf1_queries":${walls(results1, identity)},
+         |"sf1_total_min":${f"${total(results1Min)}%.3f"},"sf1_queries_min":${walls(results1Min, identity)},
          |"sf1_oracle":${jmap(oracle1.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},
          |"sf1_ratio":${ratios(results1, oracle1)},
          |"sf1_total":${f"${total(results1)}%.3f"},"sf1_oracle_total":${f"${oTotal(oracle1)}%.3f"},

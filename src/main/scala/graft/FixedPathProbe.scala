@@ -68,8 +68,13 @@ object FixedPathProbe {
 
     // q06 tail decomposition: where do the ~660 ms of the widest
     // map-output query live — single-task scan+project, the sort, or
-    // the deterministic-order tail choice?
-    {
+    // the deterministic-order tail choice? Config resets FIRST: the
+    // variants loop above ends on whatever its last variant set, and a
+    // strategy comparison at the wrong shuffle width answers a
+    // different question.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+    locally {
       import org.apache.spark.sql.functions._
       val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_linenumber"),

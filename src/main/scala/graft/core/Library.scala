@@ -2754,17 +2754,28 @@ object Library {
       // crash-replay restart where it failed, and the replayed batch
       // would double-fold. The fallback itself must never throw (a
       // malformed fs.defaultFS is the same misconfiguration that lands
-      // us here): any failure degrades to the raw string.
+      // us here): any failure degrades to the raw string. RELATIVE
+      // paths also degrade to the raw string — makeQualified resolves
+      // them against the FS working directory, which does not exist
+      // without the FS; gluing scheme+authority onto a relative path
+      // would produce a malformed URI ("hdfs://nn:8020ckpt") rather
+      // than a stable scope. (Residual limitation: a relative
+      // checkpoint's scope can still differ between a qualified run
+      // and a failed-qualification run — pass absolute checkpoint
+      // locations, as Spark itself resolves them before use.)
       def structural(c: org.apache.hadoop.conf.Configuration): String =
         try {
           val u = p.toUri
-          val d = java.net.URI.create(c.get("fs.defaultFS", "file:///"))
-          val scheme = Option(u.getScheme)
-            .orElse(Option(d.getScheme)).getOrElse("file")
-          val auth = Option(u.getAuthority).filter(_.nonEmpty)
-            .orElse(Option(d.getAuthority).filter(_.nonEmpty)
-              .filter(_ => u.getScheme == null || u.getScheme == d.getScheme))
-          s"$scheme:${auth.map("//" + _).getOrElse("")}${u.getPath}"
+          if (!p.isAbsolute && u.getScheme == null) p.toString
+          else {
+            val d = java.net.URI.create(c.get("fs.defaultFS", "file:///"))
+            val scheme = Option(u.getScheme)
+              .orElse(Option(d.getScheme)).getOrElse("file")
+            val auth = Option(u.getAuthority).filter(_.nonEmpty)
+              .orElse(Option(d.getAuthority).filter(_.nonEmpty)
+                .filter(_ => u.getScheme == null || u.getScheme == d.getScheme))
+            s"$scheme:${auth.map("//" + _).getOrElse("")}${u.getPath}"
+          }
         } catch { case scala.util.control.NonFatal(_) => p.toString }
       val canon = hconf match {
         case Some(c) =>

@@ -71,6 +71,21 @@ object Retrieval {
     * exact longs; the only doubles are the per-term contribution, which
     * quantizes to 1e-9 longs before the per-doc sum).
     */
+  /** The ONE quantized BM25 per-(doc, term) contribution — over the
+    * __tf/__df/__dl/__n/__tok column convention — shared by the
+    * single-query tail ([[scoreAndRank]]) and the batch leg
+    * ([[bm25IndexedBatch]]) so their bit-equality contract cannot
+    * drift: a k1/b/quantization tweak applied to one path is applied
+    * to both by construction.
+    */
+  private def bm25ContribQ(k1: Double, b: Double): Column =
+    round(
+      log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+        (col("__tf") * lit(k1 + 1)) /
+        (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") /
+          (col("__tok").cast("double") / col("__n")))) * 1e9)
+      .cast("long")
+
   private def scoreAndRank(
       tf: DataFrame,
       dfT: DataFrame,
@@ -82,13 +97,7 @@ object Retrieval {
     val contrib = tf
       .join(broadcast(dfT), "__t")
       .crossJoin(broadcast(stats))
-      .select(col("__rid"),
-        round(
-          log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
-            (col("__tf") * lit(k1 + 1)) /
-            (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") /
-              (col("__tok").cast("double") / col("__n")))) * 1e9)
-          .cast("long").as("__cq"))
+      .select(col("__rid"), bm25ContribQ(k1, b).as("__cq"))
     val scored = contrib.groupBy("__rid").agg(sum(col("__cq")).as("__sq"))
     // integer-keyed top-k: ranking compares exact longs
     scored.orderBy(col("__sq").desc, col("__rid")).limit(k)
@@ -479,11 +488,18 @@ object Retrieval {
     * everything here — full-outer fuse, nano-quantized sum, final
     * ordering — runs on ≤ 2·legK rows.
     */
+  /** Quantized RRF contribution of one leg rank (1e-9-unit longs; a
+    * null rank — the doc missed that leg — contributes 0). Shared by
+    * the single-query and batch fusions so the tie arithmetic cannot
+    * drift between them.
+    */
+  private def rrfContribQ(r: Column, rrfK: Int): Column =
+    coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
+
   private def rrfFuse(
       lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
       rrfK: Int): DataFrame = {
-    val contrib = (r: Column) =>
-      coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
+    val contrib = (r: Column) => rrfContribQ(r, rrfK)
     val fused = lex.join(vec, Seq("__id"), "full_outer")
       .select(col("__id"),
         (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("__rrf"),
@@ -563,6 +579,24 @@ object Retrieval {
     * order) instead of M global sorts. Output: (query_id, idCol, score,
     * rank).
     */
+  /** Driver-side (query_id, term) pairs of a queries frame — ONE job
+    * over the (small-by-contract) query side serves the duplicate-id
+    * check, the union vocabulary AND the broadcast fan-out frame. Null
+    * terms drop — exactly the per-query loop's behavior (a null in an
+    * isin list never matches), and a null String would NPE the
+    * vocabulary sort; terms dedup per query (the loop's
+    * queryTerms.distinct). A null query_id refuses loudly.
+    */
+  private def collectQueryTerms(
+      queries: DataFrame, queryIdCol: String, termsCol: String)
+      : Seq[(Long, Seq[String])] =
+    queries.select(col(queryIdCol).cast("long"), col(termsCol)).collect()
+      .toSeq.map { r =>
+        require(!r.isNullAt(0), s"null $queryIdCol in queries")
+        r.getLong(0) -> (if (r.isNullAt(1)) Seq.empty[String]
+        else r.getSeq[String](1).filter(_ != null).distinct)
+      }
+
   private[graft] def bm25IndexedBatch(
       lib: graft.core.Library,
       name: String,
@@ -571,16 +605,21 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame =
+    bm25IndexedBatchPairs(lib, name,
+      collectQueryTerms(queries, "query_id", termsCol), k, k1, b, idCol)
+
+  private def bm25IndexedBatchPairs(
+      lib: graft.core.Library,
+      name: String,
+      queryTerms: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"bad k $k")
-    // null terms drop here — exactly the per-query loop's behavior (a
-    // null in an isin list never matches), and a null String would NPE
-    // the driver-side sort below
-    val qt = queries.select(col("query_id"),
-      explode(array_distinct(col(termsCol))).as("__t"))
-      .filter(col("__t").isNotNull)
-    val allTerms = qt.select("__t").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val pairs = queryTerms.flatMap { case (id, ts) => ts.map(id -> _) }
+    val allTerms = pairs.map(_._2).distinct.sorted
     require(allTerms.nonEmpty, "bm25IndexedBatch: batch has no query terms")
     // exprFilter PRUNES files via manifest string-key ranges; the exact
     // row filter still runs (same contract as bm25Indexed)
@@ -589,6 +628,8 @@ object Retrieval {
       .filter(col("term").isin(allTerms: _*))
     val tf = posts.select(col("term").as("__t"), col("doc_id").as("__rid"),
       col("dl").as("__dl"), col("tf").as("__tf"))
+    val qt = posts.sparkSession.createDataFrame(pairs)
+      .toDF("query_id", "__t")
     // postings are unique per (term, doc): plain count == distinct docs
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val stats = lib.read(s"${name}__stats")
@@ -614,13 +655,7 @@ object Retrieval {
       .join(broadcast(dfT), "__t")
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), "__t") // fan each posting out to its queries
-      .select(col("query_id"), col("__rid"),
-        round(
-          log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
-            (col("__tf") * lit(k1 + 1)) /
-            (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") /
-              (col("__tok").cast("double") / col("__n")))) * 1e9)
-          .cast("long").as("__cq"))
+      .select(col("query_id"), col("__rid"), bm25ContribQ(k1, b).as("__cq"))
     val scored = contrib.groupBy("query_id", "__rid")
       .agg(sum(col("__cq")).as("__sq"))
     // per-query partial top-k: map tasks emit ≤ k rows per query before
@@ -643,11 +678,10 @@ object Retrieval {
   private def rrfFuseBatch(
       lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
       rrfK: Int): DataFrame = {
-    val contrib = (r: Column) =>
-      coalesce(round(lit(1e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
     val fused = lex.join(vec, Seq("query_id", "__id"), "full_outer")
       .select(col("query_id"), col("__id"),
-        (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("__rrf"),
+        (rrfContribQ(col("lex_rank"), rrfK) +
+          rrfContribQ(col("vec_rank"), rrfK)).as("__rrf"),
         col("lex_rank"), col("vec_rank"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__rrf").desc, col("__id"))
@@ -688,19 +722,21 @@ object Retrieval {
     require(k >= 1 && legK >= k && rrfK >= 1, "bad k/legK/rrfK")
     graft.plans.TopKByScore.requireIntegralId(
       queries.schema(queryIdCol).dataType, "hybridTopKIndexedBatch query id")
-    // duplicate query_id rows would silently merge two queries' term
-    // sets in the lexical leg and pick one row's vector arbitrarily in
-    // the other — the same silent-interleave class the single-query API
-    // refuses loudly. One bounded job over the (small) query side.
-    val dup = queries.groupBy(col(queryIdCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"hybridTopKIndexedBatch: duplicate $queryIdCol ${dup.headOption.map(_.get(0)).orNull} " +
+    // ONE driver job over the (small-by-contract) query side serves the
+    // duplicate-id check AND the lexical leg's vocabulary + fan-out
+    // pairs — the serving hot path pays no extra scheduling round
+    // trips. Duplicate query_id rows would silently merge two queries'
+    // term sets in the lexical leg and pick one row's vector
+    // arbitrarily in the other — the same silent-interleave class the
+    // single-query API refuses loudly.
+    val queryTerms = collectQueryTerms(queries, queryIdCol, termsCol)
+    val dups = queryTerms.map(_._1).groupBy(identity)
+      .collect { case (id, g) if g.length > 1 => id }
+    require(dups.isEmpty,
+      s"hybridTopKIndexedBatch: duplicate $queryIdCol ${dups.mkString(", ")} " +
         "in queries — one row per query")
-    val lex = bm25IndexedBatch(lib, lexName,
-        queries.select(col(queryIdCol).cast("long").as("query_id"),
-          col(termsCol)),
-        termsCol, k = legK, idCol = idCol)
+    val lex = bm25IndexedBatchPairs(lib, lexName, queryTerms, k = legK,
+        idCol = idCol)
       .select(col("query_id"), col(idCol).cast("long").as("__id"),
         col("rank").as("lex_rank"))
     val vec = Vectors.ivfSearchIndexed(
