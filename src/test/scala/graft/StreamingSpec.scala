@@ -418,6 +418,53 @@ class StreamingSpec extends SparkSuite {
     assert(lib.latestVersion("lex__positions").get == vPos)
   }
 
+  test("replay-guard scope survives FS-qualification failure (structural fallback)") {
+    import org.apache.hadoop.conf.Configuration
+    // a conf whose FileSystem init THROWS (bogus impl class, cache off)
+    // — the transient-failure path forCheckpoint's fallback covers
+    def broken(defaultFs: String): Configuration = {
+      val c = new Configuration()
+      c.set("fs.defaultFS", defaultFs)
+      c.set("fs.file.impl", "no.such.FileSystemImpl")
+      c.set("fs.hdfs.impl", "no.such.FileSystemImpl")
+      c.setBoolean("fs.file.impl.disable.cache", true)
+      c.setBoolean("fs.hdfs.impl.disable.cache", true)
+      c
+    }
+    def okConf(defaultFs: String): Configuration = {
+      val c = new Configuration()
+      c.set("fs.defaultFS", defaultFs)
+      c
+    }
+    def scope(p: String, conf: Option[Configuration]): String =
+      Library.ReplayGuard.forCheckpoint(p, 0L, conf).scope
+    // scheme-less absolute path: fallback must produce the SAME scope
+    // the qualified run stamped, else the crash-replayed batch
+    // double-folds
+    assert(scope("/tmp/ck", Some(okConf("file:///"))) ==
+      scope("/tmp/ck", Some(broken("file:///"))),
+      "qualified and fallback scopes must agree for scheme-less paths")
+    // scheme-ful authority-less path: the fallback fills the authority
+    // from a SAME-scheme defaultFS, exactly like makeQualified
+    assert(scope("hdfs:/ckpts/x", Some(broken("hdfs://nn:8020"))) ==
+      scope("hdfs://nn:8020/ckpts/x", None),
+      "missing authority must fill from a same-scheme defaultFS")
+    // ...but never borrows an authority across schemes
+    assert(scope("foo:/x", Some(broken("hdfs://nn:8020"))) ==
+      scope("foo:/x", None),
+      "a different-scheme defaultFS must not donate its authority")
+    // malformed defaultFS (the misconfiguration that likely CAUSED the
+    // FS failure) degrades to the raw string instead of throwing
+    assert(scope("/tmp/ck", Some(broken("::not a uri::"))) ==
+      scope("/tmp/ck", None),
+      "a malformed defaultFS must degrade, not throw")
+    // relative paths degrade to the raw string (working-dir resolution
+    // needs the FS); the stamp stays well-formed either way
+    assert(scope("ckpt/s1", Some(broken("hdfs://nn:8020"))) ==
+      scope("ckpt/s1", None),
+      "relative paths must not be glued onto scheme://authority")
+  }
+
   test("replay guard is checkpoint-scoped: a new stream identity folds from batch 0") {
     // Spark batchIds are monotonic only WITHIN one checkpoint. A fresh
     // checkpoint pointed at an existing index restarts ids at 0 — a
