@@ -121,7 +121,11 @@ object Bench {
           |out = {}
           |for name, sql in sqls.items():
           |    try:
-          |        con.execute(sql).fetchall()  # warm
+          |        # TWO warm runs: parity with the engine's two warmup
+          |        # passes (ADVICE r19 — a one-warm oracle vs a two-warm
+          |        # engine tilts the published ratio toward the engine)
+          |        con.execute(sql).fetchall()  # warm 1
+          |        con.execute(sql).fetchall()  # warm 2
           |        # best-of-N warm runs within THIS subprocess (the
           |        # interleaved caller passes N=1 and medians across
           |        # subprocesses); queries over ~5s get a single timed
@@ -383,7 +387,7 @@ object Bench {
     // driver's tail-truncated log capture.
     val full =
       s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"},
-         |"estimator":"median-of-$passes interleaved engine/oracle, 2 warmups",
+         |"estimator":"median-of-$passes interleaved engine/oracle, 2 warmups both sides",
          |"total_min":${f"${total(resultsMin)}%.3f"},"queries_min":${walls(resultsMin, identity)},
          |"sf":"$sfDir","queries":${walls(results, identity)},
          |"oracle":${jmap(oracle.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},

@@ -114,14 +114,24 @@ object SparkEntry {
       df.coalesce(1).sortWithinPartitions(key)
     else df.orderBy(key)
 
-  /** hi·(loBound+1) + lo — [[sortWideFused]]'s key, with the uniqueness
-    * precondition (lo ∈ [0, loBound]) enforced PER ROW: a lo outside
-    * the band would silently collide/reorder the fused key, so it
-    * raises instead (one codegen'd branch, no measurable cost).
+  /** hi·(loBound+2) + slot(lo) — [[sortWideFused]]'s key, with the
+    * uniqueness precondition (lo ∈ [0, loBound] or NULL) enforced PER
+    * ROW: a lo outside the band would silently collide/reorder the
+    * fused key, so it raises instead (one codegen'd branch, no
+    * measurable cost). NULL handling matches the multi-column sort this
+    * key replaces (ADVICE r19): a NULL lo takes slot 0 — nulls-first
+    * WITHIN its hi group, exactly Spark's default null ordering — and a
+    * NULL hi raises with a message naming the limitation (a fused long
+    * cannot express null-first on the leading key; keep the
+    * multi-column sort for nullable leading keys).
     */
   private def fusedKey(hi: Column, lo: Column, loBound: Int): Column =
-    hi * lit((loBound + 1).toLong) +
-      when(lo.between(0, loBound), lo)
+    when(hi.isNull, raise_error(lit(
+      "fused sort key: null HIGH component — fusedKey cannot express " +
+        "null-first on the leading key; use a multi-column sort"))
+      .cast("long")).otherwise(hi) * lit((loBound + 2).toLong) +
+      when(lo.isNull, lit(0))
+        .when(lo.between(0, loBound), lo + lit(1))
         .otherwise(raise_error(concat(
           lit(s"fused sort key: low component outside [0,$loBound]: "),
           lo.cast("string"))).cast("int"))
@@ -2446,6 +2456,41 @@ object SparkEntry {
             transform(col("features"),
               x => round(x.cast("double") * 1e6).cast("long"))).as("features"))
         .orderBy("id")
+    },
+    "q185_image_decode" -> { (s, dir) =>
+      // REAL image codec round-trip (VERDICT r19 #1): deterministic
+      // per-doc pixels -> javax.imageio PNG ENCODE (real codec) -> the
+      // real DECODE path (Multimodal.decodeImageRgb) -> exact integer
+      // features. PNG is lossless, so the decoded raster equals the
+      // generating formula and the oracle recomputes the features from
+      // doc_id arithmetic alone — a codec layer that misreads any pixel,
+      // row stride, or channel order fails the hash. Payloads build and
+      // decode per-partition; only six longs per row ever shuffle.
+      import s.implicits._
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(8) + col("doc_id") % 7).cast("int").as("h"))
+      val withPng = dims.as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+              val g = ((id * 19 + x * 17 + y * 37) % 256).toInt
+              val b = ((id * 31 + x * 23 + y * 41) % 256).toInt
+              px(y * w + x) = (r << 16) | (g << 8) | b
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.encodePng(w, h, px))
+        }).toDF("doc_id", "img")
+      Multimodal.imageFeaturesExact(withPng, "doc_id", "img")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("n_bright"))
+        .orderBy("doc_id")
     },
     "q51_sql_surface" -> { (s, dir) =>
       // Same operators through the SQL dialect (GraftFunctions registry)
@@ -5338,6 +5383,30 @@ object SparkEntry {
            FROM f)
          SELECT doc_id AS id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS features
          FROM feat GROUP BY doc_id ORDER BY id""",
+    // q185: the feature math over the generating pixel formula — PNG is
+    // lossless, so the engine's encode->decode round-trip must reproduce
+    // these exact integer sums. Constant series bounds (15/13 = max w/h
+    // minus 1) with x<w, y<h filters: this DuckDB build rejects
+    // correlated generate_series arguments.
+    "q185_image_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+         px AS (
+           SELECT d.doc_id, d.w, d.h,
+             (d.doc_id * 7 + xs.x * 13 + ys.y * 31) % 256 AS r,
+             (d.doc_id * 19 + xs.x * 17 + ys.y * 37) % 256 AS g,
+             (d.doc_id * 31 + xs.x * 23 + ys.y * 41) % 256 AS b
+           FROM dims d,
+                generate_series(0, 15) AS xs(x),
+                generate_series(0, 13) AS ys(y)
+           WHERE xs.x < d.w AND ys.y < d.h)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN r + g + b >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bright
+         FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""",
     // nProbe = nlist makes IVF exhaustive: exact top-k is the correct
     // oracle by construction (see the q52 query comment).
     // Both retrieval oracles mirror the Spark expression STRUCTURE

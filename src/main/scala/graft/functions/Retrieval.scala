@@ -579,23 +579,60 @@ object Retrieval {
     * order) instead of M global sorts. Output: (query_id, idCol, score,
     * rank).
     */
+  /** Hard batch caps for the serving path's driver collect (the
+    * maxBucket/maxProbeKeys discipline): a batch is the QUERY side of a
+    * search — bounded by contract, never corpus-sized — and these make
+    * the contract loud instead of silent. 65 536 queries × the per-query
+    * pair bound keeps the collected list, the broadcast fan-out frame
+    * and the vocabulary pushdown all ≤ tens of MB; a 1M-query eval run
+    * splits into cap-sized waves at the caller (results are
+    * per-query-independent, so waves concatenate exactly).
+    */
+  val MaxBatchQueries: Int = 65536
+
+  /** Cap on total collected (query_id, term) pairs per batch — bounds
+    * the broadcast fan-out frame itself when queries carry many terms.
+    */
+  val MaxBatchTerms: Int = 1 << 20
+
+  /** Vocabulary sizes past this stop inlining an `isin` literal into the
+    * postings row filter (a plan-sized literal) and switch to a
+    * broadcast left-semi join; manifest file pruning degrades to the
+    * [min, max] term range (a superset — the exact filter still runs).
+    */
+  private[graft] val VocabIsinMax: Int = 1024
+
   /** Driver-side (query_id, term) pairs of a queries frame — ONE job
     * over the (small-by-contract) query side serves the duplicate-id
     * check, the union vocabulary AND the broadcast fan-out frame. Null
     * terms drop — exactly the per-query loop's behavior (a null in an
     * isin list never matches), and a null String would NPE the
     * vocabulary sort; terms dedup per query (the loop's
-    * queryTerms.distinct). A null query_id refuses loudly.
+    * queryTerms.distinct). A null query_id refuses loudly, as does a
+    * batch past [[MaxBatchQueries]]/[[MaxBatchTerms]] — the collect is
+    * bounded BEFORE it happens (limit cap+1), never trusted to be small.
     */
   private def collectQueryTerms(
       queries: DataFrame, queryIdCol: String, termsCol: String)
-      : Seq[(Long, Seq[String])] =
-    queries.select(col(queryIdCol).cast("long"), col(termsCol)).collect()
-      .toSeq.map { r =>
-        require(!r.isNullAt(0), s"null $queryIdCol in queries")
-        r.getLong(0) -> (if (r.isNullAt(1)) Seq.empty[String]
-        else r.getSeq[String](1).filter(_ != null).distinct)
-      }
+      : Seq[(Long, Seq[String])] = {
+    val rows = queries.select(col(queryIdCol).cast("long"), col(termsCol))
+      .limit(MaxBatchQueries + 1).collect()
+    require(rows.length <= MaxBatchQueries,
+      s"batch exceeds MaxBatchQueries=$MaxBatchQueries: the driver-side " +
+        "query collect is capped — split the batch into cap-sized waves " +
+        "(per-query results are independent, waves concatenate exactly)")
+    val parsed = rows.toSeq.map { r =>
+      require(!r.isNullAt(0), s"null $queryIdCol in queries")
+      r.getLong(0) -> (if (r.isNullAt(1)) Seq.empty[String]
+      else r.getSeq[String](1).filter(_ != null).distinct)
+    }
+    val nPairs = parsed.iterator.map(_._2.size.toLong).sum
+    require(nPairs <= MaxBatchTerms,
+      s"batch carries $nPairs (query, term) pairs, over MaxBatchTerms=" +
+        s"$MaxBatchTerms — the pair list drives a broadcast fan-out " +
+        "frame; split the batch into smaller waves")
+    parsed
+  }
 
   private[graft] def bm25IndexedBatch(
       lib: graft.core.Library,
@@ -618,14 +655,36 @@ object Retrieval {
       b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"bad k $k")
+    // every query must carry >= 1 term — the per-query loop's bm25Indexed
+    // throws on an empty query; a silent vector-only fallback here would
+    // break the documented bit-for-bit loop equality (ADVICE r19)
+    val empty = queryTerms.collect { case (id, ts) if ts.isEmpty => id }
+    require(empty.isEmpty,
+      s"bm25IndexedBatch: query id(s) ${empty.mkString(", ")} carry no " +
+        "terms — every query needs a non-empty term array (the per-query " +
+        "path refuses an empty query the same way)")
     val pairs = queryTerms.flatMap { case (id, ts) => ts.map(id -> _) }
     val allTerms = pairs.map(_._2).distinct.sorted
     require(allTerms.nonEmpty, "bm25IndexedBatch: batch has no query terms")
     // exprFilter PRUNES files via manifest string-key ranges; the exact
-    // row filter still runs (same contract as bm25Indexed)
-    val posts = lib.read(s"${name}__postings",
-      exprFilter = Some(graft.query.Expr.col("term").isin(allTerms: _*)))
-      .filter(col("term").isin(allTerms: _*))
+    // row filter still runs (same contract as bm25Indexed). Past
+    // VocabIsinMax the isin literal would be plan-sized: pruning degrades
+    // to the [min, max] term RANGE (a superset of the vocabulary — sorted
+    // head/last), and the exact row filter becomes a broadcast left-semi
+    // join against the vocabulary instead of a literal (same surviving
+    // rows by construction: both keep exactly term ∈ allTerms).
+    val inlineVocab = allTerms.size <= VocabIsinMax
+    val pruneExpr =
+      if (inlineVocab) graft.query.Expr.col("term").isin(allTerms: _*)
+      else graft.query.Expr.col("term") >= graft.query.Expr.lit(allTerms.head) &&
+        graft.query.Expr.col("term") <= graft.query.Expr.lit(allTerms.last)
+    val read = lib.read(s"${name}__postings", exprFilter = Some(pruneExpr))
+    val posts =
+      if (inlineVocab) read.filter(col("term").isin(allTerms: _*))
+      else read.join(
+        broadcast(read.sparkSession.createDataset(allTerms)(
+          org.apache.spark.sql.Encoders.STRING).toDF("term")),
+        Seq("term"), "left_semi")
     val tf = posts.select(col("term").as("__t"), col("doc_id").as("__rid"),
       col("dl").as("__dl"), col("tf").as("__tf"))
     val qt = posts.sparkSession.createDataFrame(pairs)
@@ -649,17 +708,34 @@ object Retrieval {
     // read's BYTES (~MBs), which under-provisions a stage whose compute
     // is the ×queries expansion, not the input size (ScaleProbe sf1:
     // 54 s peak task coalesced vs 4 s pinned).
+    // explicit width: "spark.sql.shuffle.partitions" can be non-numeric
+    // on some platforms ("auto" under vendor AQE) — fall back to
+    // defaultParallelism rather than NumberFormatException (ADVICE r19)
+    val width = scala.util.Try(
+      tf.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(tf.sparkSession.sparkContext.defaultParallelism)
     val contrib = tf
-      .repartition(tf.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("__rid"))
+      .repartition(width, col("__rid"))
       .join(broadcast(dfT), "__t")
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), "__t") // fan each posting out to its queries
       .select(col("query_id"), col("__rid"), bm25ContribQ(k1, b).as("__cq"))
-    val scored = contrib.groupBy("query_id", "__rid")
-      .agg(sum(col("__cq")).as("__sq"))
     // per-query partial top-k: map tasks emit ≤ k rows per query before
-    // the exchange; __sq longs stay exact as doubles (≪ 2^53)
+    // the exchange. The aggregate compares DOUBLE scores while the
+    // single-query path compares exact longs; they agree only while
+    // |__sq| < 2^53 (a doc would need ~150k matching terms to overflow —
+    // impossible under MaxBatchTerms — but the bound is ENFORCED, not
+    // assumed: a pathological sum raises instead of silently reordering).
+    val sqGuarded = {
+      val sq = sum(col("__cq"))
+      when(abs(sq) < lit(1L << 53), sq)
+        .otherwise(raise_error(concat(
+          lit("bm25IndexedBatch: |score sum| >= 2^53 — the double-keyed "),
+          lit("top-k would no longer equal the per-query long ordering")))
+          .cast("long"))
+    }
+    val scored = contrib.groupBy("query_id", "__rid")
+      .agg(sqGuarded.as("__sq"))
     scored.groupBy("query_id")
       .agg(graft.plans.TopKByScore.topK(
         col("__sq").cast("double"), col("__rid"), k).as("hits"))
@@ -705,6 +781,12 @@ object Retrieval {
     * the RRF tail fuses per (query_id, id). Output equals the
     * per-query [[hybridTopKIndexed]] loop with a query_id column, bit
     * for bit (HybridBatchSpec + the q184 gate pin the equivalence).
+    * A query row with an EMPTY terms array refuses loudly — the
+    * per-query loop throws on an empty query, so a silent vector-only
+    * fusion here would break the loop equality (ADVICE r19). Batch
+    * size is hard-capped ([[MaxBatchQueries]]/[[MaxBatchTerms]]): the
+    * driver-side query collect and the broadcast fan-out frame are
+    * bounded by contract, with a loud refusal naming the cap.
     */
   def hybridTopKIndexedBatch(
       lib: graft.core.Library,

@@ -133,6 +133,75 @@ class HybridBatchSpec extends SparkSuite {
       "a null term must be a no-op, not an NPE or a score change")
   }
 
+  test("batch API refuses an EMPTY terms array per query (loop parity)") {
+    // the per-query loop throws on an empty query (bm25Indexed requires
+    // nonEmpty terms); a silent vector-only fusion would break the
+    // documented bit-for-bit loop equality (ADVICE r19)
+    val withEmpty = queriesDf.withColumn("terms",
+      when(col("vec_id") === 1L, array().cast("array<string>"))
+        .otherwise(col("terms")))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridTopKIndexedBatch(
+        lib, "lex", "vec", withEmpty, "vec_id", "terms", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+    }
+    assert(e.getMessage.contains("carry no terms") && e.getMessage.contains("1"),
+      e.getMessage)
+  }
+
+  test("driver collect is capped: over-MaxBatchQueries refuses, names the cap") {
+    // the collect itself is bounded (limit cap+1) BEFORE any refusal —
+    // a 1M-query frame never lands on the driver (VERDICT r19 #2)
+    val big = spark.range(Retrieval.MaxBatchQueries + 1L)
+      .select(col("id").as("query_id"), array(lit("dup")).as("terms"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexedBatch(lib, "lex", big, "terms", k = 5)
+    }
+    assert(e.getMessage.contains("MaxBatchQueries"), e.getMessage)
+  }
+
+  test("total (query, term) pairs capped: over-MaxBatchTerms refuses") {
+    // 64 queries x 16400 distinct terms = 1,049,600 pairs > 2^20 — the
+    // broadcast fan-out frame bound
+    val big = spark.range(64)
+      .select(col("id").as("query_id"),
+        expr("transform(sequence(0, 16399), i -> concat('t', id, '_', i))")
+          .as("terms"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexedBatch(lib, "lex", big, "terms", k = 5)
+    }
+    assert(e.getMessage.contains("MaxBatchTerms"), e.getMessage)
+  }
+
+  test("past-VocabIsinMax batch (semi-join vocabulary path) == loop") {
+    // pad each query's term set with no-match terms so the union
+    // vocabulary exceeds VocabIsinMax: the row filter switches from an
+    // isin literal to a broadcast left-semi join and manifest pruning
+    // degrades to the [min, max] range — surviving rows, scores and
+    // ranks must be IDENTICAL to the per-query loop on the same terms
+    val pad = (1 to Retrieval.VocabIsinMax + 8).map(i => s"zz_nomatch_$i")
+    val padded = querySets.map { case (id, ts) => id -> (ts ++ pad) }
+    val terms = padded.map { case (id, ts) =>
+      when(col("vec_id") === id, array(ts.map(lit): _*))
+    }.reduce((a, b) => coalesce(a, b))
+    val qdf = emb.filter(col("vec_id").isin(padded.map(_._1): _*))
+      .select(col("vec_id").cast("long").as("query_id"),
+        terms.as("terms"))
+    val batch = Retrieval.bm25IndexedBatch(lib, "lex", qdf, "terms", k = 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val loop = querySets.flatMap { case (id, ts) =>
+      // no-match padding cannot change BM25 scores (no postings rows) —
+      // the loop runs the UNPADDED terms; equality proves the padded
+      // semi-join path neither drops nor invents contributions
+      Retrieval.bm25Indexed(lib, "lex", ts, k = 15)
+        .collect().map(r => (id, r.getLong(0), r.getDouble(1), r.getInt(2)))
+    }.sortBy(t => (t._1, t._4))
+    assert(batch.toSeq == loop,
+      "semi-join vocabulary path must replay the loop exactly")
+  }
+
   test("batch plan: postings scans are term-pruned and M-independent") {
     // the shared pruned read: the batched plan scans the postings
     // symbol a FIXED number of times (tf leg + df leg — the same two

@@ -4,12 +4,14 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Multimodal
 
-/** Ground-truth specs for the multimodal plumbing (q37/q38/q53 surface).
-  * The codec itself is the documented stub; what these pin is everything
-  * around it — id↔feature pairing through the per-partition batch path,
-  * null payloads, frame/chunk boundary arithmetic (substring is 1-indexed
-  * in SQL — a classic off-by-one source), and the md5-of-slice oracle
-  * recomputed with java.security directly.
+/** Ground-truth specs for the multimodal surface (q37/q38/q53/q185).
+  * IMAGE decode is real (`javax.imageio`, pinned against hand-built
+  * pixel rasters below); the audio/video sample decode remains the
+  * documented stub. The plumbing pins cover id↔feature pairing through
+  * the per-partition batch path, null payloads, frame/chunk boundary
+  * arithmetic (substring is 1-indexed in SQL — a classic off-by-one
+  * source), and the md5-of-slice oracle recomputed with java.security
+  * directly.
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
@@ -19,6 +21,67 @@ class MultimodalSpec extends SparkSuite {
     2L -> Array[Byte](-128, 0, 127),
     3L -> Array.emptyByteArray,
     4L -> Array.tabulate(1000)(i => (i * 31 + 7).toByte))
+
+  test("decodeImageRgb: real JDK codec round-trip returns exact pixels") {
+    // hand-built raster: every channel distinct per pixel so a channel
+    // swap, row-stride error, or top/bottom flip changes some value
+    val w = 3; val h = 2
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((10 + x * 40 + y * 100) << 16) | ((20 + x * 41 + y * 90) << 8) |
+        (30 + x * 42 + y * 80)
+    }
+    val png = Multimodal.encodePng(w, h, px)
+    val Some((dw, dh, dpx)) = Multimodal.decodeImageRgb(png)
+    assert((dw, dh) == ((w, h)))
+    assert(dpx.toSeq == px.toSeq) // PNG is lossless: bit-exact round-trip
+    // JPEG decodes for real too (dims exact; samples lossy by design)
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jout))
+    val Some((jw, jh, jpx)) = Multimodal.decodeImageRgb(jout.toByteArray)
+    assert((jw, jh, jpx.length) == ((17, 9, 17 * 9)))
+    // non-image bytes, truncated PNG, webp (no JDK codec), null → None
+    assert(Multimodal.decodeImageRgb("just text bytes here".getBytes).isEmpty)
+    assert(Multimodal.decodeImageRgb(png.take(20)).isEmpty)
+    assert(Multimodal.decodeImageRgb(
+      graft.plans.ImageHeaders.buildWebp(4, 4)).isEmpty)
+    assert(Multimodal.decodeImageRgb(null).isEmpty)
+  }
+
+  test("imageFeaturesExact: decoded-pixel sums match a driver recompute; " +
+      "non-images emit width=-1") {
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h)(i => ((i * 37) % 256 << 16) |
+      ((i * 53) % 256 << 8) | ((i * 71) % 256))
+    val png = Multimodal.encodePng(w, h, px)
+    var sr = 0L; var sg = 0L; var sb = 0L; var nb = 0L
+    px.foreach { p =>
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b; if (r + g + b >= 384) nb += 1
+    }
+    val df = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageFeaturesExact(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((w, h, sr, sg, sb, nb)))
+    assert(got(2L) == ((-1, -1, 0L, 0L, 0L, 0L)))
+  }
+
+  test("extractFeatures routes decodable images to the REAL decode path") {
+    val w = 4; val h = 3
+    val px = Array.tabulate(w * h)(i => (i * 613) % 0x1000000)
+    val png = Multimodal.encodePng(w, h, px)
+    val got = Multimodal.extractFeatures(
+      Seq((9L, png)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(9L) == Multimodal.imageFeatureVector(w, h, px).toSeq)
+    // real features, visibly not the stub's [0,1) byte-hash band
+    assert(got(9L).head == w.toFloat && got(9L)(1) == h.toFloat)
+  }
 
   test("extractFeatures pairs ids with the stub features; nulls decode empty") {
     val df = payloads.toDF("doc_id", "payload")
