@@ -691,8 +691,9 @@ object Dedup {
     * Two physical strategies, same exact answer (dispatched on corpus
     * size, which costs one small count job at call time):
     *
-    *  - ≤ ~260k docs: BLOCKED DENSE TILES. Docs get hash-assigned blocks
-    *    (~4k docs each) with contiguous per-block local indices; each
+    *  - ≤ ~520k docs: BLOCKED DENSE TILES. Sorted ids chop into
+    *    contiguous range blocks (~4k docs each) with per-block local
+    *    indices; each
     *    shingle bucket's postings are split per block pair and shuffled to
     *    one tile task, which accumulates intersection counts in a dense
     *    aN×bN int array and emits only threshold-passing pairs. This
@@ -701,8 +702,10 @@ object Dedup {
     *    and that aggregate (hundreds of millions of distinct keys) was
     *    measured at 37s of the 42s total at 50k docs; dense increments
     *    cost ~1ns each and nothing per-pair ever shuffles. The tile scan
-    *    at flush is O(n²/2) cells total, which is why the path is gated:
-    *    beyond ~260k docs the all-cell scan dominates.
+    *    at flush is bounded by OCCUPIED tiles (range blocks keep
+    *    id-local buckets in few tiles; worst case O(n²/2) cells), which
+    *    is why the path is gated: far beyond ~520k docs the all-cell
+    *    scan dominates.
     *  - beyond: the postings hash-aggregate shape (BucketPairs generate →
     *    groupBy pair), which scales with actual incidences, not n² — the
     *    right shape for genuinely sparse billion-doc corpora, where
@@ -757,7 +760,7 @@ object Dedup {
     // Two-phase dispatch. Phase 1 decides fallback without ever running
     // a compute kernel: first a ZERO-JOB stats gate — any corpus whose
     // optimizer size estimate exceeds 1 GiB is far past the dense cap
-    // (or is a ≤260k-doc corpus of unusually huge documents, for which
+    // (or is a ≤520k-doc corpus of unusually huge documents, for which
     // the incidence-bound path is correct, merely not dense-optimal) —
     // so a 100 TB input never pays a dispatch job at all; below the
     // gate, one COLUMN-PRUNED count aggregate (partial counts from
@@ -805,7 +808,7 @@ object Dedup {
       // the collect size even with duplicates.
       val docs = collected.distinctBy(_._1)
       // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
-      // tiles for parallelism. Gate at 64 blocks (~260k docs): past that
+      // tiles for parallelism. Gate at 128 blocks (~520k docs): past that
       // the dense tiles' O(n²) flush scan outgrows the incidence-bound
       // aggregate path.
       val n = docs.length.toLong
@@ -819,10 +822,17 @@ object Dedup {
   /** Docs per dense block (tile side length target). */
   private val DenseBlockRows = 4096L
 
-  /** Dense-path gate: numBlocks above this (≈260k docs) falls back to the
-    * incidence-bound aggregate shape.
+  /** Dense-path gate: numBlocks above this (≈520k docs) falls back to
+    * the incidence-bound aggregate shape. 128 (was 64 through r19):
+    * range-block assignment confines bucket fan-out to the blocks that
+    * actually hold a bucket's docs, so tiles without rows never
+    * materialize and the all-cell flush scan is bounded by OCCUPIED
+    * tiles, not numBlocks²/2 — the worst case (every bucket spanning
+    * all blocks) is ~1.4e11 cell checks at 128 blocks, ~4 s across 32
+    * cores, still under the fallback's aggregate cost on a corpus
+    * dense enough to occupy every tile.
     */
-  private val DenseMaxBlocks = 64
+  private val DenseMaxBlocks = 128
 
   /** Doc-count form of the dense gate (= DenseMaxBlocks × DenseBlockRows),
     * used by the dispatch probe's count.
@@ -838,7 +848,7 @@ object Dedup {
   /** The shared corpus-size gate of [[ngramJaccardPairsImpl]] AND the
     * keeper auto-dispatch ([[dropNearDuplicates]] /
     * [[dropNearDuplicatesByQuality]]): true when the corpus is past the
-    * dense-tile envelope (~260k docs / 1 GiB). Zero-job first — an
+    * dense-tile envelope (~520k docs / 1 GiB). Zero-job first — an
     * optimizer size estimate above [[DenseMaxStatsBytes]] answers without
     * any job (a 100 TB input never pays a dispatch count); an estimate
     * under DenseMaxDocs × 8 bytes cannot hold more rows than the doc cap
@@ -868,26 +878,30 @@ object Dedup {
       numBlocks: Int): DataFrame = {
     val spark = posts.sparkSession
     import spark.implicits._
-    // Block = hash(id) mod numBlocks (uniform, deterministic); local =
-    // 0-based rank within the block. This path only admits ≤260k docs
-    // (the caller's DenseMaxBlocks gate), so the whole index is built
-    // DRIVER-SIDE from the caller's probe array — a ≲10 MB structure —
-    // instead of a window shuffle + localCheckpoint + per-block count
-    // job (3 jobs and an exchange that dominated the small-corpus wall;
-    // block assignment does not affect emitted pairs, only tile
-    // balance). The fallback aggregate path never collects.
+    // Block = CONTIGUOUS id-range slice (sorted ids chopped into
+    // numBlocks equal runs); local = rank within the slice. This path
+    // only admits ≤ DenseMaxDocs (the caller's gate), so the whole
+    // index is built DRIVER-SIDE from the caller's probe array — a
+    // ≲10 MB structure — instead of a window shuffle + localCheckpoint
+    // + per-block count job (3 jobs and an exchange that dominated the
+    // small-corpus wall; block assignment does not affect emitted
+    // pairs, only tile balance). RANGE, not hash(id): documents that
+    // co-occur in shingle buckets are very often id-NEIGHBORS (same
+    // crawl segment / source shard / scale-up replica — sf5's replicas
+    // are shingle-disjoint, so every bucket lives inside one 5k-id
+    // run), and a bucket confined to few blocks splits into few tile
+    // rows instead of numBlocks²/2. Measured at sf5/250k docs: hash
+    // scattered every ~141-doc bucket over all 62 blocks, duplicating
+    // each posting into ~62 tile rows — a 12 GB exchange and a 46 s
+    // wall; range assignment confines it to the replica's 1-2 blocks
+    // (1-3 tile rows). Uniformly-random co-occurrence is the same cost
+    // under either assignment — range is never worse. The fallback
+    // aggregate path never collects.
+    val sliceRows: Int = ((docs.length.toLong + numBlocks - 1) / numBlocks).toInt
     val docidxRows: Array[(Long, Long, Int, Int)] =
-      docs
-        .groupBy { case (id, _) =>
-          (scala.util.hashing.byteswap64(id) % numBlocks + numBlocks).toInt % numBlocks
-        }
-        .iterator
-        .flatMap { case (block, ds) =>
-          ds.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), local) =>
-            (id, sz, block, local)
-          }
-        }
-        .toArray
+      docs.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), i) =>
+        (id, sz, i / sliceRows, i % sliceRows)
+      }.toArray
     val counts: Array[Int] = {
       val c = new Array[Int](numBlocks)
       docidxRows.foreach { case (_, _, b, _) => c(b) += 1 }
@@ -901,12 +915,12 @@ object Dedup {
     val docidx = spark.createDataset(
       spark.sparkContext.parallelize(docidxRows.toSeq, 1))
       .toDF("id", "sz", "block", "local")
-    // ≤260k docs ⇒ docidx is a few MB — always broadcastable here.
+    // ≤520k docs ⇒ docidx is ≲15 MB — always broadcastable here.
     val entries0 = posts
       .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")
       .select(col("s"), struct(col("block"), col("local"), col("sz")).as("e"))
     // Same pre-collect frequency cap as the aggregate path (there the
-    // buffer bound is the point; here buckets are already ≤260k entries,
+    // buffer bound is the point; here buckets are already ≤520k entries,
     // so this is consistency plus a smaller shuffle when a cap is set).
     val entries =
       if (maxDocFreq <= 0) entries0

@@ -155,6 +155,46 @@ class DedupGroundTruthSpec extends SparkSuite {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
   }
 
+  test("blocked path: near-dup pairs with DISTANT ids cross range blocks") {
+    // Range-block assignment (r20) chops sorted ids into contiguous
+    // slices: id-neighbor dups land in diagonal tiles, so this corpus
+    // plants duplicates between FAR-apart id bands (0..19 vs 10M..10M+19
+    // vs 20M..20M+19) — under 8-block range slicing the bands sit in
+    // different blocks and every planted pair must cross a tile
+    // boundary. Pins cross-tile emission and the id_a < id_b
+    // normalization across blocks; ground truth recomputed driver-side.
+    val bands = Seq(0L, 10000000L, 20000000L)
+    val docs = for { b <- bands; i <- 0L until 20L } yield {
+      val id = b + i
+      // same text per i across bands -> exact cross-band duplicates;
+      // i % 3 == 0 adds band salt so some pairs fall below threshold
+      val text =
+        if (i % 3 == 0) s"uno dos tres cuatro cinco seis siete band$b item$i"
+        else s"uno dos tres cuatro cinco seis siete ocho item$i"
+      (id, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    def run(dense: Boolean) = Dedup.ngramJaccardPairsImpl(
+      df, "doc_id", "text", 3, 0.5, maxDocFreq = 0,
+      forceDense = Some(dense))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val got = run(dense = true)
+    val sets = docs.map { case (id, t) => id -> shingleSet(t, 3) }.toMap
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      i = ids(ai); j = ids(bi)
+      ja = jaccard(sets(i), sets(j))
+      jr = BigDecimal(ja).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (i, j) -> jr).toMap
+    assert(expected.exists { case ((a, b), _) => (b - a) >= 10000000L },
+      "corpus must plant at least one cross-band pair")
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-6) }
+    assert(run(dense = false) == got, "dense and aggregate paths must agree")
+  }
+
   test("repetitionRatio: 0 for unique text, high for template spam") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // 7 positions, 3 distinct → 1 - 3/7
