@@ -59,6 +59,14 @@ object GraftSession {
       // small files (gen_sf1.py now emits 16-file directories for
       // documents/embeddings — measured faster than 32 at sf1; the
       // default openCost padding gives each file its own partition).
+      // maxPartitionBytes stays at the 128 MiB default: Spark already
+      // right-sizes local splits via max(openCostInBytes,
+      // totalBytes/defaultParallelism) — the sf5 90 MB events file scans
+      // as 23 four-MB splits untouched — and capping it at 16 MiB only
+      // fragmented the 656 MB lineitem sort input 32→41 tasks (q06 +6%,
+      // measured r20 A/B, SPARK_GRAFT_SPLIT override).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT", (128L << 20).toString))
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 

@@ -99,10 +99,9 @@ final case class QueryBuilder(
             case _ => c.isNotNull
           }
         }.reduce(_ && _))
-      val cols = aggs.map { case (out, in, op) =>
-        NullSemantics.agg(op, col(in), schema(in).dataType, out)
-      }
-      base.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+      val (aggCols, posts) = NullSemantics.aggPlan(aggs, schema, None)
+      base.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        .select(keys.map(col) ++ posts: _*)
     }
 
   /** ResampleClause (clause_resample.cpp:112-430): time-bucket a ns long
@@ -143,12 +142,11 @@ final case class QueryBuilder(
       val (frame, anchor) = Resample.anchored(df, tsCol, tsType, origin, offsetNs)
       val start = Resample.bucketStart(tsNs, ruleNs, closed, anchor)
       val lbl = Resample.bucketLabel(start, ruleNs, label)
-      val cols = aggs.map { case (out, in, op) =>
-        NullSemantics.sortedAgg(op, col(in), schema(in).dataType, tsNs, out)
-      }
+      val (aggCols, posts) = NullSemantics.aggPlan(aggs, schema, Some(tsNs))
       val bucketed = frame.withColumn("__bucket", lbl)
         .groupBy(col("__bucket"))
-        .agg(cols.head, cols.tail: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("__bucket") +: posts: _*)
       if (Ts.isTs(tsType))
         bucketed.withColumn("__bucket",
           timestamp_micros(expr("__bucket div 1000")).cast(tsType))
