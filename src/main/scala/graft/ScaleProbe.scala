@@ -258,6 +258,32 @@ object ScaleProbe {
         lib, "hl", "hv", queries, "vec_id", "terms", "embedding",
         nProbe = 8, k = 15, legK = 50)
     }),
+    "q184_hybrid_batch10k" -> ((s, dir) => {
+      // VERDICT r19 #7/#2: the 1k row at 10×, inside the hard batch cap
+      // (MaxBatchQueries=65536; ~23k (query,term) pairs ≪ MaxBatchTerms)
+      // and past VocabIsinMax when padding is added by scale — 10k
+      // queries in ONE plan over the persisted stores. vec_id < 2
+      // generator strides (replicas 0+1) = exactly 10k query rows at
+      // sf50 replica layout.
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lib = new graft.core.Library(
+        java.nio.file.Files.createTempDirectory("graft-hybb10k-").toString, s)
+      graft.functions.Retrieval.buildBm25Index(
+        lib, docs, "doc_id", "text", "hl", targetRows = 100000L)
+      graft.functions.Vectors.buildIvfIndex(lib, emb, "vec_id", "embedding",
+        "hv", nlist = 64, iters = 2, targetRows = 100000L)
+      val queries = emb.filter(col("vec_id") < 20000L)
+        .withColumn("terms",
+          when(col("vec_id") % 3 === 0, array(lit("dup"), lit("merge")))
+            .when(col("vec_id") % 3 === 1,
+              array(lit("vector"), lit("query"), lit("merge")))
+            .otherwise(array(lit("filter"), lit("join"))))
+      graft.functions.Retrieval.hybridTopKIndexedBatch(
+        lib, "hl", "hv", queries, "vec_id", "terms", "embedding",
+        nProbe = 8, k = 15, legK = 50)
+    }),
     "q99_bpe_batched512" -> ((s, dir) => {
       // merges/minute evidence for the lifted envelope: 512 merges in
       // 256-sized batches — the sequential loop's per-merge wall at

@@ -116,7 +116,17 @@ final class Library(
     * checkpoint. Any failure reading the predecessor ⇒ full manifest —
     * delta encoding is an optimization, never a correctness dependency.
     */
-  private def deltaEncode(symbol: String, m: VersionManifest): VersionManifest = {
+  private def deltaEncode(symbol: String, m0: VersionManifest): VersionManifest = {
+    // Normalize chainDepth at the ONE commit choke point (r20 review):
+    // several commit sites (compact, update-splice, writeMetadata,
+    // tombstone) derive the new manifest by copy() of a RESOLVED
+    // manifest, which retains the SOURCE's stored chainDepth — stale
+    // metadata on what is now a full manifest. Left unfixed, the depth
+    // counter never resets at materialization boundaries, so later
+    // appends hit MaxManifestChain early and pay full O(files) manifest
+    // rewrites they shouldn't. A full manifest is depth 0 by
+    // definition; only the delta branch below assigns a real depth.
+    val m = if (m0.chainDepth == 0) m0 else m0.copy(chainDepth = 0)
     // mixed-fleet pin (LibraryOptions.maxManifestFormat): while old
     // engine builds still read this library, every write stays a full
     // format-1 manifest — delta storage stamps formatVersion 2, which
@@ -1516,7 +1526,7 @@ final class Library(
     // turn the census into an hours-long admin job. A failed symbol
     // listing propagates — a census that silently omits a symbol is
     // wrong in the way that matters most for the tool.
-    val perSym = inParallel(listSymbolDirs(), BatchParallelism)(identity) { sym =>
+    val perSym = inParallel(listSymbolDirs(), AdminWalkParallelism)(identity) { sym =>
       Library.SymbolLayers.map { layer =>
         // the version layer counts MANIFESTS (the vNNNNN.json census
         // unit listVersions agrees with) — bookkeeping markers like the
@@ -1627,7 +1637,7 @@ final class Library(
     // that matters most for the tool.
     def layerBytes(sym: String, layer: String): Long =
       walkLayer(sym, layer).map(_.getLen).sum
-    val perSym = inParallel(listSymbolDirs(), BatchParallelism)(identity) { sym =>
+    val perSym = inParallel(listSymbolDirs(), AdminWalkParallelism)(identity) { sym =>
       val versions = listVersions(sym)
       // A dir with no versions still OWNS storage (a staged-but-never-
       // finalized symbol, or debris from a crashed first write) — the
@@ -2460,6 +2470,16 @@ final class Library(
     * flooding the scheduler; override per call for wide cluster batches.
     */
   val BatchParallelism = 8
+
+  /** Pool width for ADMIN metadata walks (sizesBySymbol /
+    * storageSummary): these are pure listing round-trips, not data
+    * jobs, and an object-store census is latency-bound — AdminRttProbe
+    * (10 ms/op simulated RTT, 200-symbol root) measured the 8-wide
+    * walk at ~4x effective parallelism; 32-wide cuts a 10k-symbol
+    * census from minutes toward tens of seconds without contending
+    * with data-plane work (the walks hold no Spark resources).
+    */
+  val AdminWalkParallelism = 32
 
   def readBatch(symbols: Seq[String], asOf: AsOf = AsOf.Latest): Seq[BatchResult[DataFrame]] =
     symbols.map(s => batchTry(s)(read(s, asOf)))

@@ -480,12 +480,21 @@ object Dedup {
       name: String,
       idCol: String,
       textCol: String,
-      targetRows: Long = 100000L): Unit = {
+      targetRows: Long = 100000L,
+      /** Streaming folds stamp the band append with their
+        * checkpoint-scoped batchId, atomically with the manifest CAS —
+        * a replayed batch whose fold already landed skips instead of
+        * double-appending signature rows (the retrievalIndexSink
+        * contract, extended to the dedup index by the r20 review).
+        */
+      replayGuard: Option[graft.core.Library.ReplayGuard] = None): Unit = {
+    val bandsSym = s"${name}__bands"
+    if (Retrieval.alreadyFolded(lib, bandsSym, replayGuard)) return
     val (sl, nh, nb, portable) = minhashMeta(lib, name)
     val rows = bandedRows(docs, idCol, textCol, sl, nh, nb, portable)
       .select(col("bandhash").as("bandkey"), col("band"), col("id"))
-    lib.append(s"${name}__bands", rows, targetRows = targetRows,
-      validateIndex = false)
+    lib.append(bandsSym, rows, targetRows = targetRows,
+      validateIndex = false, extraMetadata = Retrieval.replayStamp(replayGuard))
   }
 
   private[graft] def minhashMeta(

@@ -143,29 +143,71 @@ object StreamIngest {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
-          val ids = b.select(col(idCol)).distinct()
-            .limit(maxGuardIds + 1).collect()
-          // replay guard: bounded batches prune the corpus read by id
-          // range; oversized ones fall back to a column-pruned anti-join
-          val existing =
-            if (ids.length > maxGuardIds) lib.read(corpusSymbol).select(col(idCol))
-            else lib.read(corpusSymbol,
-              exprFilter = Some(graft.query.Expr.col(idCol).isin(
-                ids.map(_.get(0)).toIndexedSeq: _*))).select(col(idCol))
-          val fresh = b.join(existing, Seq(idCol), "left_anti")
-          val (sl, _, _, _) = graft.functions.Dedup.minhashMeta(lib, indexName)
-          val selfDeduped = graft.functions.Dedup.dropNearDuplicates(
-            fresh, idCol, textCol, shingleLen = sl, threshold = threshold)
-          val admitted = graft.functions.Dedup.dedupAgainstIndex(
-            lib, selfDeduped, indexName, corpusSymbol, idCol, textCol,
-            threshold, maxBucket, maxProbeKeys).localCheckpoint(true)
-          if (admitted.limit(1).count() > 0) {
-            lib.append(corpusSymbol, admitted, targetRows, validateIndex = false)
-            graft.functions.Dedup.appendToMinhashIndex(
-              lib, admitted, indexName, idCol, textCol, targetRows)
+          // Checkpoint-scoped replay guard on BOTH sink symbols (r20
+          // review): the unseen-ids contract alone makes corpus appends
+          // replay-safe, but a crash BETWEEN the corpus append and the
+          // index fold would strand the batch's documents in the corpus
+          // with no signatures — the replayed batch anti-joins them away
+          // as "already seen" and the index misses them FOREVER, so
+          // every future near-duplicate of those docs admits (silent
+          // recall loss). The guard makes the gap detectable; the heal
+          // branch below re-derives the stranded set and folds it.
+          val g = Library.ReplayGuard.forCheckpoint(checkpoint, batchId,
+            Some(batch.sparkSession.sparkContext.hadoopConfiguration))
+          def folded(sym: String): Boolean = lib.lastFoldStamp(sym)
+            .exists(Library.ReplayGuard.alreadyFolded(_, g))
+          val stamp = Map(Library.ReplayGuardKey -> g.stampValue)
+          if (!folded(s"${indexName}__bands")) {
+            if (folded(corpusSymbol)) {
+              // HEAL: this batch's corpus append landed, its index fold
+              // did not. The stranded set is exactly (batch ∩ corpus)
+              // minus ids the index knows — every completed batch keeps
+              // index ids ⊇ corpus ids, so only the crashed append's
+              // docs satisfy it. Batch rows carry the text the index
+              // fold needs; corpus/index id columns are column-pruned
+              // scans of metadata-scale tables.
+              val inCorpus = b.join(
+                lib.read(corpusSymbol).select(col(idCol)),
+                Seq(idCol), "left_semi")
+              val stranded = inCorpus.join(
+                lib.read(s"${indexName}__bands").select(col("id").as(idCol))
+                  .distinct(),
+                Seq(idCol), "left_anti").localCheckpoint(true)
+              if (stranded.limit(1).count() > 0)
+                graft.functions.Dedup.appendToMinhashIndex(
+                  lib, stranded, indexName, idCol, textCol, targetRows,
+                  replayGuard = Some(g))
+            } else {
+              val ids = b.select(col(idCol)).distinct()
+                .limit(maxGuardIds + 1).collect()
+              // unseen-ids: bounded batches prune the corpus read by id
+              // list; oversized ones fall back to a column-pruned anti-join
+              val existing =
+                if (ids.length > maxGuardIds) lib.read(corpusSymbol).select(col(idCol))
+                else lib.read(corpusSymbol,
+                  exprFilter = Some(graft.query.Expr.col(idCol).isin(
+                    ids.map(_.get(0)).toIndexedSeq: _*))).select(col(idCol))
+              val fresh = b.join(existing, Seq(idCol), "left_anti")
+              val (sl, _, _, _) = graft.functions.Dedup.minhashMeta(lib, indexName)
+              val selfDeduped = graft.functions.Dedup.dropNearDuplicates(
+                fresh, idCol, textCol, shingleLen = sl, threshold = threshold)
+              val admitted = graft.functions.Dedup.dedupAgainstIndex(
+                lib, selfDeduped, indexName, corpusSymbol, idCol, textCol,
+                threshold, maxBucket, maxProbeKeys).localCheckpoint(true)
+              if (admitted.limit(1).count() > 0) {
+                // corpus first, stamped: a crash after this lands in the
+                // heal branch above on replay; index fold second, stamped
+                // by appendToMinhashIndex itself
+                lib.append(corpusSymbol, admitted, targetRows,
+                  validateIndex = false, extraMetadata = stamp)
+                graft.functions.Dedup.appendToMinhashIndex(
+                  lib, admitted, indexName, idCol, textCol, targetRows,
+                  replayGuard = Some(g))
+              }
+            }
           }
         }
         ()

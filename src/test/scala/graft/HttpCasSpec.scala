@@ -39,7 +39,10 @@ object HttpObjectStore {
   final class Server {
     private val objects = new ConcurrentHashMap[String, Obj]()
     private val http = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    http.setExecutor(Executors.newFixedThreadPool(8)) // PUTs must really race
+    // enough server concurrency that PUTs really race AND a delayMs
+    // census (AdminRttProbe) measures the client's parallelism, not an
+    // artificial 8-way server bottleneck a real object store lacks
+    http.setExecutor(Executors.newFixedThreadPool(64))
     http.createContext("/", (x: HttpExchange) => handle(x))
     http.start()
 
@@ -47,8 +50,18 @@ object HttpObjectStore {
     def stop(): Unit = http.stop(0)
     def keys: Seq[String] = { import scala.jdk.CollectionConverters._; objects.keySet.asScala.toSeq }
 
+    /** Simulated per-request RTT (AdminRttProbe): every op sleeps this
+      * long before being served, the object-store latency a census
+      * walk multiplies. 0 = off (every spec's default).
+      */
+    @volatile var delayMs: Long = 0
+    private val served = new java.util.concurrent.atomic.AtomicLong(0)
+    def requests: Long = served.get
+
     private def handle(x: HttpExchange): Unit =
       try {
+        served.incrementAndGet()
+        if (delayMs > 0) Thread.sleep(delayMs)
         val key = x.getRequestURI.getPath
         (x.getRequestMethod, key) match {
           case ("GET", "/__list") =>

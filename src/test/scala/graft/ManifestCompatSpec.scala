@@ -206,4 +206,45 @@ class ManifestCompatSpec extends SparkSuite {
     assert(VersionManifest.toJson(delta.copy(formatVersion = 1))
       .contains("\"formatVersion\":2"))
   }
+
+  test("full manifests re-commit with chainDepth 0 at materialization " +
+      "boundaries (compact / splice / writeMetadata)") {
+    // r20 review seam: commit sites that copy() a RESOLVED manifest used
+    // to retain the source's stored chainDepth on what is now a FULL
+    // manifest — the depth counter never reset, so later appends hit
+    // MaxManifestChain early and paid O(files) manifest rewrites.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-chaindepth-").toString
+    val lib = new Library(root, spark)
+    val df = spark.range(130).select($"id".as("k"), ($"id" * 2).as("v"))
+    lib.write("s", df, Some("k"), targetRows = 2) // 65 files: delta-eligible
+    (0 until 3).foreach { i =>
+      lib.append("s",
+        spark.range(200 + i * 2, 202 + i * 2).select($"id".as("k"), ($"id" * 2).as("v")),
+        targetRows = 2)
+    }
+    def stored(v: Int): VersionManifest = VersionManifest.fromJson(
+      Files.readString(Paths.get(root, "s", "_versions", f"v$v%05d.json")))
+    assert(stored(3).chainDepth == 3 && stored(3).baseVersion.isDefined,
+      "premise: the appends delta-chained")
+    // compact commits a FULL manifest: stored chainDepth must be 0, not
+    // the resolved source's 3
+    val cv = lib.compact("s", targetRows = 1000)
+    val cm = stored(cv)
+    assert(cm.baseVersion.isEmpty, "compact writes a full manifest")
+    assert(cm.chainDepth == 0, s"stale chainDepth ${cm.chainDepth} on a full manifest")
+    // and the splice (update) + metadata-only commit sites
+    lib.update("s",
+      spark.range(10, 12).select($"id".as("k"), ($"id" * 100).as("v")),
+      targetRows = 2)
+    val uv = lib.resolveVersion("s").version
+    val um = stored(uv)
+    assert(um.baseVersion.isEmpty || um.chainDepth > 0,
+      "update may delta-encode; if full, depth must be 0")
+    if (um.baseVersion.isEmpty) assert(um.chainDepth == 0)
+    lib.writeMetadata("s", Map("note" -> "x"))
+    val wm = stored(lib.resolveVersion("s").version)
+    if (wm.baseVersion.isEmpty) assert(wm.chainDepth == 0)
+  }
 }

@@ -362,6 +362,60 @@ class StreamingSpec extends SparkSuite {
     assert(indexed == Set(1L, 2L, 3L, 11L, 21L), s"indexed=$indexed")
   }
 
+  test("dedupAdmitSink heals a crash between the corpus append and the index fold") {
+    // r20 review seam: pre-fix, a batch whose corpus append landed but
+    // whose index fold crashed left its documents signature-less FOREVER
+    // (the replay anti-joined them away as already-seen) — every later
+    // near-duplicate of them admitted. The guard+heal must fold the
+    // stranded signatures on replay, and nothing else (the crashed run
+    // already made this batch's admission decisions).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF.toDF("doc_id", "text")
+    val lib = new Library(tmp("graft-heal-lib-"), spark)
+    val ckpt = tmp("graft-heal-ckpt-")
+    def distinct(i: Long) =
+      s"document number $i speaks entirely about topic_$i in its own terms " +
+        s"word_${i}_a word_${i}_b word_${i}_c word_${i}_d word_${i}_e"
+    val seed = Seq((1L, distinct(1)), (2L, distinct(2))).toDF("doc_id", "text")
+    lib.write("corpus", seed, Some("doc_id"))
+    graft.functions.Dedup.buildMinhashIndex(lib, seed, "doc_id", "text", "mh2")
+
+    // SIMULATED CRASH STATE of batch 0 over rows (40, 41, 42≈40): the
+    // run admitted {40, 41} (42 dropped as a within-batch near-dup),
+    // appended them to the corpus WITH the batch-0 stamp, then died
+    // before appendToMinhashIndex.
+    val g0 = Library.ReplayGuard.forCheckpoint(ckpt, 0,
+      Some(spark.sparkContext.hadoopConfiguration))
+    lib.append("corpus",
+      Seq((40L, distinct(40)), (41L, distinct(41))).toDF("doc_id", "text"),
+      validateIndex = false,
+      extraMetadata = Map(Library.ReplayGuardKey -> g0.stampValue))
+    assert(lib.read("mh2__bands").filter(col("id") >= 40L).isEmpty,
+      "premise: the index fold never happened")
+
+    // REPLAY batch 0 (fresh checkpoint => batchId 0, same rows)
+    mem.addData((40L, distinct(40)), (41L, distinct(41)),
+      (42L, distinct(40) + " tail"))
+    val q = StreamIngest.dedupAdmitSink(lib, df, "mh2", "corpus",
+      "doc_id", "text", threshold = 0.5, ckpt).start()
+    q.awaitTermination()
+    val corpusIds = lib.read("corpus").select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == Set(1L, 2L, 40L, 41L),
+      s"heal must not re-admit or double-append: $corpusIds")
+    val indexed = lib.read("mh2__bands").select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 40L, 41L), s"stranded signatures folded: $indexed")
+
+    // batch 1: a near-dup of the previously-STRANDED doc 40 must now
+    // drop — the recall the pre-fix pipeline silently lost
+    mem.addData((50L, distinct(40) + " coda"), (51L, distinct(51)))
+    val q2 = StreamIngest.dedupAdmitSink(lib, df, "mh2", "corpus",
+      "doc_id", "text", threshold = 0.5, ckpt).start()
+    q2.awaitTermination()
+    val after = lib.read("corpus").select("doc_id").as[Long].collect().toSet
+    assert(after == Set(1L, 2L, 40L, 41L, 51L), s"after=$after")
+  }
+
   test("retrievalIndexSink folds are replay-idempotent, including a crash between the two commits") {
     // The foreachBatch body IS appendToBm25Index/appendToPositionalIndex
     // with the checkpoint-scoped batchId as replayGuard — drive those
