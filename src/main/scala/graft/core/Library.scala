@@ -2003,8 +2003,19 @@ final class Library(
     require(f.exists(dir), s"no staged data for $symbol")
     val dirs = f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.toString)
     val staged =
-      if (!dynamicSchema) spark.read.parquet(dirs: _*)
-      else {
+      if (!dynamicSchema) {
+        // Same refusal finalizeStaged applies (r20 review): without it a
+        // bare multi-dir parquet read adopts ONE delta's schema and
+        // silently nulls/drops the columns other deltas disagree on —
+        // where the reference raises SchemaException on unaligned staged
+        // segments. Footer-only reads, one per staged dir.
+        val schemas = dirs.map(d => spark.read.parquet(d).schema)
+        def shape(s: StructType) = s.fields.toSeq.map(fl => (fl.name, fl.dataType))
+        require(schemas.forall(s => shape(s) == shape(schemas.head)),
+          s"staged deltas of $symbol have differing schemas — pass " +
+            "dynamicSchema=true to unify them under type promotion")
+        spark.read.parquet(dirs: _*)
+      } else {
         val frames = dirs.map(d => spark.read.parquet(d))
         val target = frames.map(_.schema).reduce(mergeSchemas)
         frames.map(align(_, target)).reduce(_ unionByName _)

@@ -502,6 +502,24 @@ class LibrarySpec extends SparkSuite {
     assert(evolved.length == 5 && evolved(4).getBoolean(3))
   }
 
+  test("sortAndFinalizeStaged REFUSES mismatched staged schemas without dynamicSchema") {
+    // r20 review: the non-dynamic branch read all staged dirs with one
+    // bare parquet read, which adopts a single delta's schema and
+    // silently nulls/drops disagreeing columns — the reference raises
+    // SchemaException there. Must refuse loudly, like finalizeStaged.
+    val lib = newLib()
+    lib.stage("s", Seq((10L, 1)).toDF("ts2", "x"))
+    lib.stage("s", Seq((30L, 3.5, "n3")).toDF("ts2", "x", "tag"))
+    val e = intercept[IllegalArgumentException] {
+      lib.sortAndFinalizeStaged("s", Some("ts2"))
+    }
+    assert(e.getMessage.contains("differing schemas") &&
+      e.getMessage.contains("dynamicSchema"), e.getMessage)
+    // staging intact after the refusal: the dynamic path still finalizes
+    lib.sortAndFinalizeStaged("s", Some("ts2"), dynamicSchema = true)
+    assert(lib.read("s").count() == 2)
+  }
+
   test("snapshot pins explicit non-latest versions and carries metadata") {
     val lib = newLib()
     val df = spark.range(100).select(col("id").as("ts2"), col("id").as("v"))
