@@ -42,12 +42,16 @@ object HttpObjectStore {
     // enough server concurrency that PUTs really race AND a delayMs
     // census (AdminRttProbe) measures the client's parallelism, not an
     // artificial 8-way server bottleneck a real object store lacks
-    http.setExecutor(Executors.newFixedThreadPool(64))
+    private val pool = Executors.newFixedThreadPool(64)
+    http.setExecutor(pool)
     http.createContext("/", (x: HttpExchange) => handle(x))
     http.start()
 
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    // HttpServer.stop does NOT shut down an externally-supplied
+    // executor; its non-daemon threads would keep a runMain JVM alive
+    // forever after main returns (found the hard way by AdminRttProbe)
+    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
     def keys: Seq[String] = { import scala.jdk.CollectionConverters._; objects.keySet.asScala.toSeq }
 
     /** Simulated per-request RTT (AdminRttProbe): every op sleeps this
