@@ -280,6 +280,13 @@ object ScaleProbe {
             .when(col("vec_id") % 3 === 1,
               array(lit("vector"), lit("query"), lit("merge")))
             .otherwise(array(lit("filter"), lit("join"))))
+      // the "10k queries" claim holds only on the sf50 replica layout
+      // (5000-vector base, 10000 stride) — on any other dir the cutoff
+      // quietly measures a different batch size, so assert it (ADVICE r20)
+      val nQ = queries.count()
+      require(nQ == 10000L,
+        s"q184_hybrid_batch10k expects exactly 10000 query rows on the " +
+          s"sf50 replica layout, got $nQ — wrong data dir for this probe")
       graft.functions.Retrieval.hybridTopKIndexedBatch(
         lib, "hl", "hv", queries, "vec_id", "terms", "embedding",
         nProbe = 8, k = 15, legK = 50)

@@ -1288,6 +1288,24 @@ final class Library(
     latestVersion(symbol).flatMap(v =>
       manifest(symbol, v).metadata.get(Library.ReplayGuardKey))
 
+  /** ReplayGuard stamps of the latest `lookback` versions, newest first
+    * (tombstones included, same direct view as [[lastFoldStamp]]).
+    * Streaming heal/skip decisions must see a stamp even when a
+    * maintenance commit (compact, writeMetadata, a second writer) landed
+    * AFTER the stamped append: the latest manifest no longer carries it,
+    * and a latest-only probe would route the replayed batch down the
+    * wrong branch — anti-joining the stranded docs away as already-seen
+    * and losing their signatures forever (ADVICE r20). Versions missing
+    * from the directory (deleted) are skipped, not errors.
+    */
+  def foldStamps(symbol: String, lookback: Int = 8): Seq[String] = {
+    val vs = listVersions(symbol).takeRight(lookback).reverse
+    vs.flatMap { v =>
+      try manifest(symbol, v).metadata.get(Library.ReplayGuardKey)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   def readMetadataBatch(
       symbols: Seq[String],
       asOf: AsOf = AsOf.Latest): Seq[BatchResult[Map[String, String]]] =

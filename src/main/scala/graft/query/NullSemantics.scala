@@ -109,12 +109,17 @@ object NullSemantics {
     * aggregation dedups semantically-equal aggregate functions, so the
     * hidden sum/count collapse into explicitly-requested ones).
     * Measured on the sf5 resample shape: 0.386 s → 0.268 s. The derived
-    * value is bit-identical to avg(): Average and Sum accumulate/merge
-    * the same widened sums in the same order, count==0 yields null via
-    * null-propagation (all-null group → sum null), and the final
-    * division is the same double op Average.eval performs. Decimal and
-    * datetime means keep the direct path (decimal scale rules and the
-    * exact-ns floor differ from a naive division).
+    * value is bit-identical to avg(): the sum accumulates in the SAME
+    * domain as Average's buffer — double for integral/boolean inputs
+    * (Average casts every update to its DoubleType sum slot; a Long
+    * accumulation would silently diverge past 2^53 and throw under ANSI
+    * past Long.MaxValue where avg() succeeds — ADVICE r20), double
+    * already for float/double (Sum widens fractional to double exactly
+    * like Average) — count==0 yields null via null-propagation
+    * (all-null group → sum null), and the final division is the same
+    * double op Average.eval performs. Decimal and datetime means keep
+    * the direct path (decimal scale rules and the exact-ns floor differ
+    * from a naive division).
     */
   def aggPlan(
       aggs: Seq[(String, String, String)],
@@ -133,9 +138,14 @@ object NullSemantics {
       else {
         val c = nanToNull(col(in), t)
         val summed = t match {
-          case ByteType | ShortType | IntegerType | LongType | FloatType |
-              DoubleType => Some(sum(c))
-          case BooleanType => Some(sum(c.cast(IntegerType)))
+          // integral/boolean: accumulate in DOUBLE, replicating Average's
+          // update/merge exactly (its sum slot is DoubleType for these
+          // inputs) — an exact Long sum diverges from avg() past 2^53
+          // and throws under ANSI past Long.MaxValue (ADVICE r20)
+          case ByteType | ShortType | IntegerType | LongType |
+              BooleanType => Some(sum(c.cast(DoubleType)))
+          // fractional: Sum already widens float→double, same as Average
+          case FloatType | DoubleType => Some(sum(c))
           case _ => None // decimal/datetime: keep the direct avg path
         }
         summed match {

@@ -157,7 +157,13 @@ object StreamIngest {
           // branch below re-derives the stranded set and folds it.
           val g = Library.ReplayGuard.forCheckpoint(checkpoint, batchId,
             Some(batch.sparkSession.sparkContext.hadoopConfiguration))
-          def folded(sym: String): Boolean = lib.lastFoldStamp(sym)
+          // probe the stamp across RECENT versions, not just the latest:
+          // a maintenance commit (compact, writeMetadata, second writer)
+          // landing between the crash and the restart erases the stamp
+          // from the latest manifest, and a latest-only probe would take
+          // the normal branch, anti-join the stranded docs away as
+          // already-seen, and lose their signatures forever (ADVICE r20)
+          def folded(sym: String): Boolean = lib.foldStamps(sym)
             .exists(Library.ReplayGuard.alreadyFolded(_, g))
           val stamp = Map(Library.ReplayGuardKey -> g.stampValue)
           if (!folded(s"${indexName}__bands")) {

@@ -202,6 +202,47 @@ class HybridBatchSpec extends SparkSuite {
       "semi-join vocabulary path must replay the loop exactly")
   }
 
+  test("past-VocabIsinMax pruning: k sub-ranges exclude inter-cluster files") {
+    // a vocabulary clustered at the two lexicographic EXTREMES: under the
+    // old single [head, last] range every postings file is kept (one
+    // outlier term defeats pruning entirely — VERDICT r20 #2); under
+    // PruneSubRanges contiguous slices the inter-cluster gap falls
+    // BETWEEN slices and the middle-term files prune. Scores must still
+    // replay the per-query loop exactly (the row filter is unchanged).
+    val l = freshLib()
+    // 26 docs, one letter-term each ("atext".."ztext"): postings sort by
+    // term, so targetRows=2 yields ~13 term-contiguous files
+    val corpus = spark.range(26).select(
+      col("id").as("doc_id"),
+      concat(expr("char(97 + id)"), lit("text")).as("text"))
+    Retrieval.buildBm25Index(l, corpus, "doc_id", "text", "sub",
+      targetRows = 2L)
+    // 527 pads per extreme + the two REAL extreme terms = 1056 = 16*66:
+    // cluster A ends exactly at slice boundary 8*66, so the b..y gap is
+    // excluded from every slice range (a_* < atext < btext ... < z_*)
+    val pads = (1 to 527)
+    val terms = pads.map(i => f"a_pad_$i%04d") ++ Seq("atext") ++
+      pads.map(i => f"z_pad_$i%04d") ++ Seq("ztext")
+    assert(terms.size > Retrieval.VocabIsinMax)
+    val qdf = spark.range(1).select(
+      lit(9L).as("query_id"),
+      array(terms.map(lit): _*).as("terms"))
+    val (batch, stats) = l.withQueryStats {
+      Retrieval.bm25IndexedBatch(l, "sub", qdf, "terms", k = 5).collect()
+    }
+    val post = stats.filter(_.symbol == "sub__postings")
+    assert(post.nonEmpty)
+    assert(post.exists(_.prunedByExpr > 0),
+      s"middle-term postings files must prune under sub-range exprFilter: $post")
+    // parity: the padded batch == the per-query loop on the real terms
+    val got = batch.map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3).toSeq
+    val loop = Retrieval.bm25Indexed(l, "sub", Seq("atext", "ztext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3).toSeq
+    assert(got == loop, "sub-range pruning must not change scores/ranks")
+  }
+
   test("batch plan: postings scans are term-pruned and M-independent") {
     // the shared pruned read: the batched plan scans the postings
     // symbol a FIXED number of times (tf leg + df leg — the same two

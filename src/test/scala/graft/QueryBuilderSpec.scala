@@ -182,6 +182,26 @@ class QueryBuilderSpec extends SparkSuite {
     assert(!r.getBoolean(3) && r.getBoolean(4))
   }
 
+  test("derived mean of integral columns is bit-identical to avg(), huge sums included") {
+    // ADVICE r20: the derived (sum, count) mean accumulated integral
+    // inputs in an exact Long — group sums past 2^53 silently diverged
+    // from avg() (whose buffer is a double) and sums past Long.MaxValue
+    // threw under ANSI where avg() succeeds. The double-accumulating
+    // rewrite must equal avg() exactly on both shapes.
+    val huge = 4000000000000000000L // 4e18: two of these overflow a Long sum
+    val df = Seq(("a", huge), ("a", huge), ("a", 7L),
+      ("b", (1L << 54) + 1L), ("b", 1L)).toDF("k", "v")
+    val got = QueryBuilder()
+      .groupByAgg(Seq("k"), Seq(("m", "v", "mean")))(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("k").agg(avg(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert( // bit-identical, not approximately equal
+      got.view.mapValues(java.lang.Double.doubleToRawLongBits).toMap ==
+        want.view.mapValues(java.lang.Double.doubleToRawLongBits).toMap,
+      s"got=$got want=$want")
+  }
+
   test("datetime mean floors exactly: decimal-division HALF_UP overshoot corrected") {
     // Engineer a group whose true ns-mean fraction is (c-1)/c with
     // c ≈ 2e6: Spark's decimal division rounds HALF_UP at scale 6, so

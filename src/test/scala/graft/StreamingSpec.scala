@@ -416,6 +416,51 @@ class StreamingSpec extends SparkSuite {
     assert(after == Set(1L, 2L, 40L, 41L, 51L), s"after=$after")
   }
 
+  test("dedupAdmitSink heal survives a maintenance commit between crash and restart") {
+    // ADVICE r20: the heal probe read only the LATEST corpus manifest's
+    // stamp — any commit between the crash and the restart (compact,
+    // writeMetadata, a second writer) erased it, the replay took the
+    // normal branch, anti-joined the stranded docs away as already-seen,
+    // and the signatures were lost forever. foldStamps' version lookback
+    // must see through the maintenance commit.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF.toDF("doc_id", "text")
+    val lib = new Library(tmp("graft-healm-lib-"), spark)
+    val ckpt = tmp("graft-healm-ckpt-")
+    def distinct(i: Long) =
+      s"document number $i speaks entirely about topic_$i in its own terms " +
+        s"word_${i}_a word_${i}_b word_${i}_c word_${i}_d word_${i}_e"
+    val seed = Seq((1L, distinct(1)), (2L, distinct(2))).toDF("doc_id", "text")
+    lib.write("corpus", seed, Some("doc_id"))
+    graft.functions.Dedup.buildMinhashIndex(lib, seed, "doc_id", "text", "mh3")
+    val g0 = Library.ReplayGuard.forCheckpoint(ckpt, 0,
+      Some(spark.sparkContext.hadoopConfiguration))
+    lib.append("corpus",
+      Seq((40L, distinct(40)), (41L, distinct(41))).toDF("doc_id", "text"),
+      validateIndex = false,
+      extraMetadata = Map(Library.ReplayGuardKey -> g0.stampValue))
+    // the maintenance window: a metadata-only commit lands AFTER the
+    // stamped append, so the latest manifest no longer carries the stamp
+    lib.writeMetadata("corpus", Map("maintenance" -> "census"))
+    assert(lib.lastFoldStamp("corpus").isEmpty,
+      "premise: the latest manifest's stamp is erased")
+    assert(lib.foldStamps("corpus").exists(
+      Library.ReplayGuard.alreadyFolded(_, g0)),
+      "the lookback probe still sees the stamped append")
+
+    mem.addData((40L, distinct(40)), (41L, distinct(41)))
+    val q = StreamIngest.dedupAdmitSink(lib, df, "mh3", "corpus",
+      "doc_id", "text", threshold = 0.5, ckpt).start()
+    q.awaitTermination()
+    val corpusIds = lib.read("corpus").select("doc_id").as[Long].collect().toSet
+    assert(corpusIds == Set(1L, 2L, 40L, 41L),
+      s"heal must not re-admit or double-append: $corpusIds")
+    val indexed = lib.read("mh3__bands").select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 40L, 41L),
+      s"stranded signatures folded despite the maintenance commit: $indexed")
+  }
+
   test("retrievalIndexSink folds are replay-idempotent, including a crash between the two commits") {
     // The foreachBatch body IS appendToBm25Index/appendToPositionalIndex
     // with the checkpoint-scoped batchId as replayGuard — drive those
