@@ -226,10 +226,16 @@ object Bench {
       val oP = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
       for (_ <- 1 to passes) {
         eP += headline.map(n => n -> run(n, dir)).toMap
-        // one subprocess per pass (warm + 1 timed run inside): the
-        // oracle's timed window sits INSIDE the same load regime as the
-        // engine pass it rides with
-        oP += oracleTimes(dir, 1, exclude)
+        // one subprocess per pass (warm + best-of-2 timed runs inside):
+        // the oracle's timed window sits INSIDE the same load regime as
+        // the engine pass it rides with. Best-of-2 (was 1 timed run,
+        // VERDICT r20 #7): the ratio swung 1.01↔1.68× across same-HEAD
+        // runs almost entirely on DuckDB's q92 (0.74↔2.35 s) — a single
+        // timed run lets one contended window own a query's oracle
+        // median; the second in-subprocess run discards it for ~3 s of
+        // extra bench wall per pass. The cross-pass estimator is
+        // unchanged (median across subprocesses, same as the engine).
+        oP += oracleTimes(dir, 2, exclude)
       }
       val eng = headline.map { n =>
         n -> median(eP.map(_.getOrElse(n, -1.0)).filter(_ >= 0).toSeq)
@@ -387,7 +393,7 @@ object Bench {
     // driver's tail-truncated log capture.
     val full =
       s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"},
-         |"estimator":"median-of-$passes interleaved engine/oracle, 2 warmups both sides",
+         |"estimator":"median-of-$passes interleaved engine/oracle, 2 warmups both sides, oracle best-of-2 per pass (r21: one contended DuckDB window swung q92 0.74-2.35s run-to-run)",
          |"total_min":${f"${total(resultsMin)}%.3f"},"queries_min":${walls(resultsMin, identity)},
          |"sf":"$sfDir","queries":${walls(results, identity)},
          |"oracle":${jmap(oracle.toSeq.sortBy(_._1).map { case (k, v) => k -> f"$v%.3f" })},

@@ -32,7 +32,12 @@ object Probe {
     })
 
     names.foreach { name =>
+      // time the construction separately: library-backed queries run
+      // their write/update/merge jobs HERE (the bench times them too —
+      // its run() invokes the query function inside the timed region)
+      val tC = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
+      println(f"[probe] $name construct: ${(System.nanoTime() - tC) / 1e9}%.2f s")
       if (!flags("noplan")) df.explain("formatted")
       (1 to runs).foreach { i =>
         stages = Nil

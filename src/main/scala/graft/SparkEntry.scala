@@ -2598,8 +2598,13 @@ object SparkEntry {
         .transform(sortWindowed(_, "event_id"))
     },
     "q43_distinct" -> { (s, dir) =>
+      // distinct IS a grouped output with an exchange upstream, so the
+      // coalesce(1) tail applies (one less exchange + AQE round-trip
+      // than repartition(1) — the sortSmallAgg contract; measured r21
+      // at sf1: 0.39s → 0.31s median warm, one stage fewer; flat at
+      // sf0.1 where scheduling noise dominates)
       t(s, dir, "events").select("user_id", "event_type").distinct()
-        .transform(sortSmall(_, "user_id", "event_type"))
+        .transform(sortSmallAgg(_, "user_id", "event_type"))
     },
     "q44_topk_per_group" -> { (s, dir) =>
       // Bounded partial top-k (TopKByScore) instead of
@@ -2616,7 +2621,9 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("top")))
         .select(col("event_type"), col("col.id").as("event_id"),
           col("col.score").as("value"), (col("pos") + 1).cast("int").as("rn"))
-        .transform(sortSmall(_, "event_type", "rn"))
+        // grouped output behind the agg exchange: coalesce(1) tail (one
+        // less exchange than repartition(1), same sortSmallAgg contract)
+        .transform(sortSmallAgg(_, "event_type", "rn"))
     },
     "q106_drop_bad_blocks" -> { (s, dir) =>
       // Block-level quality cleanup: 10-token blocks must have ≥3 tokens

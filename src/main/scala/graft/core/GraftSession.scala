@@ -40,6 +40,21 @@ object GraftSession {
       // collapse to 1-2 tasks and serialize. Size-based coalescing is
       // only safe when bytes track compute, which text pipelines break.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+      // every post-shuffle build partition it would hash is small (the
+      // default 0 disables the rewrite entirely). Runtime-size-gated, so
+      // it is scale-safe: a 100 TB join whose partitions exceed the bound
+      // keeps the spill-friendly sort-merge; a merge/anti join whose
+      // build side lands in 1-64 MB partitions skips two full sorts.
+      // 64 MB matches AQE's advisory partition size (the documented
+      // upper bound for this knob). Honestly measured r21: FLAT at
+      // sf0.1/sf1 (q20 A/B via SPARK_GRAFT_SHJ_MAX=0, warm walls within
+      // noise — sub-MB partitions sort in sub-ms; walls are scheduling-
+      // bound) — kept because the rewrite only fires where the build
+      // fits a 64 MB hash map, where hashing strictly dominates sorting
+      // once partitions carry real data.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_MAX", (64L << 20).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The generated-class cache defaults to 100 entries; a workload of
       // ~30 distinct multi-stage queries compiles several codegen units

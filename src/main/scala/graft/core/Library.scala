@@ -509,6 +509,14 @@ final class Library(
     // index-sorted, so the sequential file splits stay index-disjoint
     // (equal keys may tie exactly at a split boundary — pruning treats
     // bounds inclusively, so that stays correct).
+    //
+    // A size-gated single-task fast path (coalesce(1) + in-place sort,
+    // skipping the sampling job) was tried in r21 and REVERTED: on the
+    // q23 splice shape it read 2.0 → 2.9 s, because coalesce(1)
+    // collapses the upstream scan to one task and serializes the
+    // multi-file write — the sampling job it saves is cheaper than the
+    // scan/write parallelism it loses, at every size where the write
+    // has >1 output file.
     val prepared = indexCol match {
       case Some(idx) => df.repartitionByRange(col(idx)).sortWithinPartitions(idx)
       case None => df

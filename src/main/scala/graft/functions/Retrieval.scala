@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *    broadcast-sized.
   *  - topKeywords: full postings shuffle ONCE on (doc, term); document
   *    frequencies are a vocabulary-bounded aggregate joined back onto
-  *    the per-doc term rows; the per-doc top-k window partitions on
-  *    doc_id (group size ≤ doc length — bounded by the data, never the
-  *    corpus).
+  *    the per-doc term rows; the per-doc top-k is the bounded
+  *    [[graft.plans.TopKTerms]] aggregate (partial mode emits ≤ k terms
+  *    per doc per map task before the rank exchange — r21; the previous
+  *    row_number window shuffled every weighted posting).
   *
   * Determinism contract (both): per-term contributions quantize to
   * 1e-9 units (longs) BEFORE the per-doc sum / ranking, so aggregation
@@ -299,16 +300,25 @@ object Retrieval {
     // aggregation over the corpus-sized posting set (expand + re-shuffle)
     // where one exchange of count partials is identical.
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__rid").orderBy(col("__wq").desc, col("__t"))
+    // Per-doc rank via the bounded TopKTerms aggregate, not
+    // row_number().over(partitionBy(__rid)): the window shuffles and
+    // per-partition-sorts EVERY weighted posting (O(corpus incidence)
+    // exchange — r21 probe: the rank exchange was one of three
+    // posting-sized shuffles in this plan), while the aggregate's
+    // partial mode emits at most k terms per doc per map task before
+    // the exchange. Ordering is identical by construction: the long
+    // __wq quantization IS the rank key both ways, and TopKTerms breaks
+    // ties on binary term order exactly like `orderBy(__wq desc, __t)`.
     tf.join(dfT, "__t").crossJoin(broadcast(n))
-      .select(col("__rid"), col("__t"),
+      .select(col("__rid"),
         round(col("__tf") * log((col("__n") + 1.0) / (col("__df") + 1.0)) * 1e9)
-          .cast("long").as("__wq"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__rid").as(idCol), col("__t").as("term"),
-        round(col("__wq") / 1e9, 6).as("weight"), col("rank"))
+          .cast("long").as("__wq"), col("__t"))
+      .groupBy("__rid")
+      .agg(graft.plans.TopKTerms.topK(col("__wq"), col("__t"), k).as("__top"))
+      .select(col("__rid"), posexplode(col("__top")))
+      .select(col("__rid").as(idCol), col("col.term").as("term"),
+        round(col("col.score") / 1e9, 6).as("weight"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Persist a POSITIONAL postings index — (term, doc_id, pos) written

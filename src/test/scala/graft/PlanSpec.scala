@@ -87,8 +87,10 @@ class PlanSpec extends SparkSuite {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.size
       // 2× tf groupBy (join side + df(t) side), df(t) on __t, the 1-row
-      // corpus count, the per-doc window, the deterministic tail — a
-      // count_distinct regression adds a 7th
+      // corpus count, the per-doc TopKTerms rank aggregate (r21 — was a
+      // window; same exchange count, but the rank exchange now carries
+      // ≤ k terms per doc per task instead of every weighted posting),
+      // the deterministic tail — a count_distinct regression adds a 7th
       assert(n == 6, s"expected 6 shuffle exchanges, got $n")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }

@@ -173,7 +173,7 @@ class RetrievalSpec extends SparkSuite {
     assert(lib.read("lex__postings").count() > 0)
   }
 
-  test("topKeywords: bad k refuses; window partitions per doc only") {
+  test("topKeywords: bad k refuses; rank is a bounded partial aggregate, not a window") {
     intercept[IllegalArgumentException] {
       Retrieval.topKeywords(corpus, "doc_id", "text", k = 0)
     }
@@ -181,14 +181,22 @@ class RetrievalSpec extends SparkSuite {
     try {
       val p = Retrieval.topKeywords(corpus, "doc_id", "text", k = 3)
         .queryExecution.executedPlan
-      val wins = p.collect {
+      // r21: the per-doc rank must be the TopKTerms TypedImperativeAggregate
+      // (partial mode emits ≤ k terms per doc per map task BEFORE the rank
+      // exchange), never a row_number window that shuffles every posting
+      assert(p.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "topKeywords must not plan a window")
+      val aggs = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.aggregateExpressions.exists(
+              _.aggregateFunction.isInstanceOf[graft.plans.TopKTerms]) => a
       }
-      assert(wins.nonEmpty)
-      // the ranking window is keyed by doc id — group size bounded by
-      // doc length, never a corpus-wide (empty-partition-spec) window
-      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
-        "topKeywords window must partition by doc"))
+      // partial + final pair: the bounded map-side emit is the point
+      assert(aggs.size == 2, s"expected partial+final TopKTerms, got ${aggs.size}")
+      assert(aggs.exists(_.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+        "TopKTerms must run in partial mode before the exchange")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
