@@ -173,6 +173,42 @@ class RetrievalSpec extends SparkSuite {
     assert(lib.read("lex__postings").count() > 0)
   }
 
+  test("topKeywords ranks == independent driver reference (ties, multi-partition)") {
+    // r21 regression net for the window→TopKTerms rewrite: a 200-doc
+    // synthetic corpus with heavy planted score ties (shared tf=1 terms
+    // from a 13-term pool), ranked independently on the driver with the
+    // same quantized-long formula and (wq desc, term asc) order. The
+    // corpus spans several partitions, so partial buffers really merge.
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(200).repartition(7).select(
+      col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, cast(id % 40 as int))," +
+        " i -> concat('t', pmod(i * 7 + id, 13))), ' ')").as("text"))
+    val got = Retrieval.topKeywords(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = corpus.length
+    val tf = corpus.flatMap { case (id, txt) =>
+      txt.split(" ", -1).map(t => (id, t))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dfT = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = tf.keys.groupBy(_._1).toSeq.flatMap { case (id, keys) =>
+      keys.toSeq
+        .map { case (_, t) =>
+          // Spark round() is BigDecimal HALF_UP, not rint's half-even
+          val wq = java.math.BigDecimal.valueOf(
+            tf((id, t)) * math.log((n + 1.0) / (dfT(t) + 1.0)) * 1e9)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          (t, wq)
+        }
+        .sortBy { case (t, wq) => (-wq, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, _), i) => (id, t, i + 1) }
+    }.sortBy(t => (t._1, t._3))
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
   test("topKeywords: bad k refuses; rank is a bounded partial aggregate, not a window") {
     intercept[IllegalArgumentException] {
       Retrieval.topKeywords(corpus, "doc_id", "text", k = 0)
