@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *  - topKeywords: full postings shuffle ONCE on (doc, term); document
   *    frequencies are a vocabulary-bounded aggregate joined back onto
   *    the per-doc term rows; the per-doc top-k is the bounded
-  *    [[graft.plans.TopKTerms]] aggregate (partial mode emits ≤ k terms
-  *    per doc per map task before the rank exchange — r21; the previous
-  *    row_number window shuffled every weighted posting).
+  *    [[graft.plans.TopKTerms]] aggregate (a k-entry heap per doc —
+  *    r21; the previous row_number window full-sorted every weighted
+  *    posting per task on both sides of its k-bounded exchange).
   *
   * Determinism contract (both): per-term contributions quantize to
   * 1e-9 units (longs) BEFORE the per-doc sum / ranking, so aggregation
@@ -301,14 +301,17 @@ object Retrieval {
     // where one exchange of count partials is identical.
     val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     // Per-doc rank via the bounded TopKTerms aggregate, not
-    // row_number().over(partitionBy(__rid)): the window shuffles and
-    // per-partition-sorts EVERY weighted posting (O(corpus incidence)
-    // exchange — r21 probe: the rank exchange was one of three
-    // posting-sized shuffles in this plan), while the aggregate's
-    // partial mode emits at most k terms per doc per map task before
-    // the exchange. Ordering is identical by construction: the long
-    // __wq quantization IS the rank key both ways, and TopKTerms breaks
-    // ties on binary term order exactly like `orderBy(__wq desc, __t)`.
+    // row_number().over(partitionBy(__rid)): Spark 4's WindowGroupLimit
+    // already k-bounds the rank EXCHANGE for a rank<=k filter, but its
+    // partial/final limits each sit on a FULL SORT of the task's
+    // postings by (rid, wq desc, term) — two O(n log n) sorts of the
+    // corpus incidence plus the window machinery. The aggregate's
+    // heap keeps k entries per doc with no sort on either side of the
+    // exchange (r21, matched-order warm probes: sf0.1 1.1 -> 0.7 s,
+    // sf1 ~4 -> ~1.7 s; flat at sf5 where scan+joins dominate).
+    // Ordering is identical by construction: the long __wq quantization
+    // IS the rank key both ways, and TopKTerms breaks ties on binary
+    // term order exactly like `orderBy(__wq desc, __t)`.
     tf.join(dfT, "__t").crossJoin(broadcast(n))
       .select(col("__rid"),
         round(col("__tf") * log((col("__n") + 1.0) / (col("__df") + 1.0)) * 1e9)

@@ -19,13 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Same point as TopKByScore: the AGGREGATION SHAPE. The window
   * formulation (`row_number over partitionBy(doc) orderBy(score desc,
-  * term)`) shuffles and per-partition-sorts EVERY (doc, term, score)
-  * posting — O(corpus vocabulary incidence); as a
-  * TypedImperativeAggregate each map task emits at most k terms per doc
-  * before the exchange. The long score keeps rank decisions
-  * exact-integer (no double rounding at any magnitude); term comparison
-  * is UTF8String's binary order — Spark's own string ordering, so ties
-  * break exactly as the window's `orderBy(term asc)` did.
+  * term)` + rank<=k) does get its exchange k-bounded by Spark 4's
+  * WindowGroupLimit pushdown, but the partial AND final limits each
+  * sit on a FULL per-task sort of every (doc, term, score) posting —
+  * two O(n log n) passes over the corpus vocabulary incidence. As a
+  * TypedImperativeAggregate this keeps a k-entry heap per doc instead:
+  * no sort below the exchange, none above it. The long score keeps
+  * rank decisions exact-integer (no double rounding at any magnitude);
+  * term comparison is UTF8String's binary order — Spark's own string
+  * ordering, so ties break exactly as the window's `orderBy(term asc)`
+  * did.
   *
   * Output: array<struct<term string, score long>> best-first; explode
   * with posexplode for (rank-1, pair) rows.

@@ -88,9 +88,10 @@ class PlanSpec extends SparkSuite {
       }.size
       // 2× tf groupBy (join side + df(t) side), df(t) on __t, the 1-row
       // corpus count, the per-doc TopKTerms rank aggregate (r21 — was a
-      // window; same exchange count, but the rank exchange now carries
-      // ≤ k terms per doc per task instead of every weighted posting),
-      // the deterministic tail — a count_distinct regression adds a 7th
+      // row_number window whose WindowGroupLimit k-bounded the exchange
+      // but full-sorted every posting on both sides of it; same exchange
+      // count, zero rank sorts now), the deterministic tail — a
+      // count_distinct regression adds a 7th
       assert(n == 6, s"expected 6 shuffle exchanges, got $n")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
