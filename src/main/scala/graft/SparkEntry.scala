@@ -2600,9 +2600,9 @@ object SparkEntry {
     "q43_distinct" -> { (s, dir) =>
       // distinct IS a grouped output with an exchange upstream, so the
       // coalesce(1) tail applies (one less exchange + AQE round-trip
-      // than repartition(1) — the sortSmallAgg contract; measured r21
-      // at sf1: 0.39s → 0.31s median warm, one stage fewer; flat at
-      // sf0.1 where scheduling noise dominates)
+      // than repartition(1) — the sortSmallAgg contract; r21 10-run
+      // A/B at sf1: 0.295s → 0.27s steady-state median, one stage
+      // fewer; flat at sf0.1 where scheduling noise dominates)
       t(s, dir, "events").select("user_id", "event_type").distinct()
         .transform(sortSmallAgg(_, "user_id", "event_type"))
     },
