@@ -52,6 +52,15 @@ object Bench {
     // compute at sf (the rest of q94–q97 are floor-bound at bench scale)
     "q92_clean_corpus",
     "q93_dsir_weights",
+    // round-22 additions (additions-only harness change, VERDICT r21 #8):
+    // the three most expensive probed non-headline paths — the TopKTerms
+    // rewrite target (q116, r21's headline optimization, previously
+    // invisible to the driver bench), native sessionization (q54) and the
+    // skew-safe chunked as-of (q107). All side-effect-free with oracle
+    // SQL; making them bench-timed puts them under regression guard.
+    "q54_session_window",
+    "q107_asof_join_chunked",
+    "q116_topk_keywords",
     // round-13 candidates measured and EXCLUDED (same reasoning as
     // q94–q97): q124/q126 are model-build-bound at bench scale — their
     // LM/classifier construction runs ~6 driver-synchronized jobs whose
@@ -175,6 +184,32 @@ object Bench {
 
   private def jmap(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** The ONE driver-contract stdout line. The driver captures only the
+    * last ~2000 chars of bench output, and sbt's `[success] Total time…`
+    * trailer (~100 chars) follows this line — BENCH_r19/r20/r21 all show
+    * `parsed: null` because the old line additionally carried the
+    * per-query ratio map plus whole sf1/sf5 blocks (several KB) and its
+    * HEAD was always truncated away (VERDICT r21 #1). Everything beyond
+    * the fields below now lives only in BENCH_FULL.json (committed,
+    * full-fidelity); this line keeps the contract fields verbatim —
+    * `queries` keys stay FULL names (the driver compares them round over
+    * round; renaming is forbidden) — plus the scalar totals the gate
+    * needs. BenchLineSpec pins the worst-case length < 1500 chars.
+    */
+  private[graft] def compactLine(
+      results: Seq[(String, Double)],
+      oracleTotal: Option[Double],
+      floor: Double, floorQ: Double, sfDir: String,
+      sf1Total: Option[Double], sf1OracleTotal: Option[Double]): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val q = jmap(results.map { case (k, v) => k -> f"$v%.3f" })
+    val ot = oracleTotal.map(v => s""","oracle_total":${f"$v%.3f"}""").getOrElse("")
+    val s1 = sf1Total.map(v => s""","sf1_total":${f"$v%.3f"}""").getOrElse("")
+    val s1o = sf1OracleTotal
+      .map(v => s""","sf1_oracle_total":${f"$v%.3f"}""").getOrElse("")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$q$ot,"floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"}$s1$s1o,"sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -321,21 +356,11 @@ object Bench {
     def total(rs: Seq[(String, Double)]) = rs.map(_._2).filter(_ >= 0).sum
     def oTotal(o: Map[String, Double]) = o.values.filter(_ >= 0).sum
 
-    val extra =
-      if (oracle.isEmpty) ""
-      else s""","ratio":${ratios(results, oracle)},"oracle_total":${f"${oTotal(oracle)}%.3f"}"""
-    val sf1Json = if (!sf1) ""
-    else {
-      val r = if (oracle1.isEmpty) ""
-      else s""","ratio":${ratios(results1, oracle1)},"oracle_total":${f"${oTotal(oracle1)}%.3f"}"""
-      s""","sf1":{"total":${f"${total(results1)}%.3f"},"queries":${walls(results1, short)}$r}"""
-    }
-    val sf5Json = if (!sf5) ""
-    else {
-      val r = if (oracle5.isEmpty) ""
-      else s""","ratio":${ratios(results5, oracle5)},"oracle_total":${f"${oTotal(oracle5)}%.3f"}"""
-      s""","sf5":{"total":${f"${total(results5)}%.3f"},"queries":${walls(results5, short)}$r}"""
-    }
+    // per-query ratio maps and full sf1/sf5 blocks go ONLY to
+    // BENCH_FULL.json now — stdout carries the compact contract line
+    // (see compactLine; VERDICT r21 #1: the old several-KB line was
+    // head-truncated by the driver's 2000-char tail capture on three
+    // consecutive rounds, leaving PERF with no per-query data at all)
 
     // The sf5 leg is opt-in (minutes-long), so a default driver refresh
     // must NOT zero the committed three-point scale story (VERDICT r16
@@ -408,8 +433,12 @@ object Bench {
       full + "\n")
     catch { case _: Throwable => () }
 
-    println(
-      s"""{"metric":"total","value":${f"${total(results)}%.3f"},"unit":"sec","queries":${walls(results, identity)}$extra,"floor":${f"$floor%.3f"},"floor_q":${f"$floorQ%.3f"},"sf":"$sfDir"$sf1Json$sf5Json}""")
+    println(compactLine(
+      results,
+      if (oracle.isEmpty) None else Some(oTotal(oracle)),
+      floor, floorQ, sfDir,
+      if (sf1) Some(total(results1)) else None,
+      if (sf1 && oracle1.nonEmpty) Some(oTotal(oracle1)) else None))
     spark.stop()
   }
 }
