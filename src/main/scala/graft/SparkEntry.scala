@@ -156,9 +156,27 @@ object SparkEntry {
     * when an exchange sits between the scan and this tail; coalesce(1)
     * over a map-only or window pipeline would collapse that whole stage
     * to one task (measured 2× slower) — those keep sortSmall.
+    *
+    * STATS-GATED for scale (VERDICT r21 #3): coalesce(1) also collapses
+    * the FINAL aggregate to one task — fine while the grouped output is
+    * provably small, but a corpus-scaled group key (q43's distinct
+    * user_id, per-doc groups, per-host graph scores) would funnel every
+    * partial through a single hash-merge at 100 TB. Past the same 4 GiB
+    * optimizer-estimate threshold sortGuarded uses, the tail becomes a
+    * true range-partitioned orderBy: the final aggregate stays parallel
+    * and the sort samples/ranges. The estimate is the column-pruned
+    * input size scaled by row width (Spark cannot see group counts
+    * without CBO), so bounded-key outputs over a huge corpus ALSO take
+    * the parallel branch — costing one sampling pass over a tiny
+    * aggregate, negligible against the corpus-sized scan below it. At
+    * every bench scale (≤ sf5) the estimates sit far under the gate, so
+    * the plan keeps the measured coalesce(1) shape (PlanSpec pins both
+    * branches).
     */
-  private def sortSmallAgg(df: DataFrame, cols: String*): DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+  private[graft] def sortSmallAgg(df: DataFrame, cols: String*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= SmallScanBytes)
+      df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    else df.orderBy(cols.map(col): _*)
 
   /** The synthetic corpus carries no natural PII, so PII-sensitive
     * queries (q78 redaction, q92 corpus cleanup) plant a deterministic
@@ -897,7 +915,12 @@ object SparkEntry {
       Dedup.decontaminate(docs, docs.filter(col("doc_id") < 50),
         "doc_id", "text", 3, 0.2)
         .select(col("doc_id"))
-        .orderBy("doc_id")
+        // sortGuarded, not orderBy: the survivor set is unaggregated and
+        // corpus-scaled (guarded branch past 4 GiB), and below the gate
+        // the single-partition sort skips orderBy's range sampling job —
+        // which re-executes the whole decontamination pipeline for
+        // bounds in the AQE-off small session
+        .transform(sortGuarded(_, "doc_id"))
     },
     "q72_decontaminate_capped" -> { (s, dir) =>
       // The SCALE configuration of decontamination: maxDocFreq drops
@@ -2583,10 +2606,18 @@ object SparkEntry {
         .transform(sortGuarded(_, "event_id"))
     },
     "q54_session_window" -> { (s, dir) =>
+      // Tail was a plain orderBy: its range sampling re-executes the
+      // whole session aggregation once more for bounds (the AQE-off
+      // small session materializes no reusable stages). sortWindowed is
+      // the right tail: the post-exchange stage does the real work
+      // (Sort + MergingSessions + final agg), so the small branch is
+      // repartition(1) — the session stage stays parallel and only the
+      // tiny (user_id, session_start)-unique result funnels — and past
+      // the stats gate the parallel orderBy returns.
       graft.operators.Sessionize.sessions(t(s, dir, "events"), "ts", Seq("user_id"),
         "30 minutes", Seq(("n", "value", "count"), ("v_sum", "value", "sum")))
         .withColumn("v_sum", round(col("v_sum"), 6))
-        .orderBy("user_id", "session_start")
+        .transform(sortWindowed(_, "user_id", "session_start"))
     },
     "q42_window_running" -> { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts")

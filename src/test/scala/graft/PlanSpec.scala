@@ -86,13 +86,22 @@ class PlanSpec extends SparkSuite {
       val n = p.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.size
-      // 2× tf groupBy (join side + df(t) side), df(t) on __t, the 1-row
-      // corpus count, the per-doc TopKTerms rank aggregate (r21 — was a
-      // row_number window whose WindowGroupLimit k-bounded the exchange
-      // but full-sorted every posting on both sides of it; same exchange
-      // count, zero rank sorts now), the deterministic tail — a
-      // count_distinct regression adds a 7th
+      // kernel spread, ONE tf groupBy (r22: the df(t) branch reuses the
+      // join branch's tf exchange via the fenced count — the corpus
+      // tokenize+explode+partial-tf pass runs once, not once per
+      // branch), df(t) on __t, the 1-row corpus count, the per-doc
+      // TopKTerms rank aggregate (r21 — was a row_number window whose
+      // WindowGroupLimit k-bounded the exchange but full-sorted every
+      // posting on both sides of it; zero rank sorts now), the
+      // deterministic tail — a count_distinct regression or a reuse
+      // regression adds a 7th
       assert(n == 6, s"expected 6 shuffle exchanges, got $n")
+      val reused = p.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.exists(_.child.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"tf exchange must be shared between the join and df(t) branches: $p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -108,11 +117,46 @@ class PlanSpec extends SparkSuite {
       val df = SparkEntry.queries("q68_decontaminate")(spark, sf)
       val plan = df.queryExecution.executedPlan
       assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
+      // r22: below the stats gate the matched-id anti join broadcasts too
+      // — the corpus side of the FINAL join must not pay an exchange +
+      // sort for an id set bounded by a provably-small corpus
+      val antiBhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antiBhj.nonEmpty, plan.toString.take(2000))
+      assert(!plan.toString.contains("SortMergeJoin"), plan.toString.take(2000))
       plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.foreach(e =>
         assert(!e.child.output.map(_.name).contains("text"),
           s"text column must not shuffle: ${e.child.output}"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("decontamination anti join stays sort-merge past the corpus stats gate") {
+    // The matched-id set is corpus-scaled: past the 1 GiB corpus estimate
+    // an unconditional broadcast is the driver-OOM trap, so the tail must
+    // keep the spill-safe SMJ (plan-only — nothing executes).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.{col, concat_ws, lit}
+      val corpus = spark.range(1L << 28)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", lit("alpha"), col("id").cast("string"), lit("omega"))
+            .as("text"))
+      assert(corpus.queryExecution.optimizedPlan.stats.sizeInBytes > (1L << 30))
+      val contam = spark.range(50).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha"), col("id").cast("string"), lit("omega"))
+          .as("text"))
+      val p = graft.functions.Dedup.decontaminate(
+        corpus, contam, "doc_id", "text", 3, 0.2)
+        .queryExecution.executedPlan
+      val antiSmj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(antiSmj.nonEmpty, p.toString.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -242,6 +286,36 @@ class PlanSpec extends SparkSuite {
       assert(shuffles("q09_groupby_single").size === 1)
       assert(shuffles("q39_join_broadcast_agg").size === 1)
       assert(plan("q09_groupby_single").contains("Coalesce 1"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sortSmallAgg past the stats gate keeps the final aggregate parallel") {
+    // VERDICT r21 #3: coalesce(1) serializes the final hash-merge of
+    // partials — fine at bench scale, a 100 TB funnel for corpus-scaled
+    // group keys (q43 distinct). Past the 4 GiB optimizer estimate the
+    // tail must become a range-partitioned orderBy (parallel final agg +
+    // sampled sort); below it the measured Coalesce shape stands.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.{col, count}
+      // range(2^30) estimates 8 GiB > SmallScanBytes — plan-only, nothing
+      // executes; the grouped estimate inherits the child's scaled size
+      val big = spark.range(1L << 30)
+        .select((col("id") % 1000000).as("k"))
+        .groupBy("k").agg(count("*").as("n"))
+      assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+        SparkEntry.SmallScanBytes)
+      val bigPlan = SparkEntry.sortSmallAgg(big, "k").queryExecution
+        .executedPlan.toString
+      assert(!bigPlan.contains("Coalesce 1"), bigPlan.take(2000))
+      assert(bigPlan.contains("rangepartitioning"), bigPlan.take(2000))
+      val small = spark.range(1000)
+        .select((col("id") % 10).as("k"))
+        .groupBy("k").agg(count("*").as("n"))
+      val smallPlan = SparkEntry.sortSmallAgg(small, "k").queryExecution
+        .executedPlan.toString
+      assert(smallPlan.contains("Coalesce 1"), smallPlan.take(2000))
+      assert(!smallPlan.contains("rangepartitioning"), smallPlan.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
