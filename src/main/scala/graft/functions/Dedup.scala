@@ -161,8 +161,32 @@ object Dedup {
       .select(xxhash64(col("s")).as("s"), col("id").as("kid"), col("sz").as("ksz"))
     val bad = matchesFrom(cp, kp, threshold)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(bad, Seq(idCol), "left_anti")
+    antiJoinMatched(corpus, bad, idCol)
   }
+
+  /** Matched-id removal tail shared by the decontamination operators:
+    * below the stats gate the id set BROADCASTS (corpus side never
+    * shuffles — without it the final anti join plans sort-merge, paying
+    * an exchange + sort of every corpus id, because the id set's
+    * post-aggregate size estimate is garbage without CBO and the
+    * small-input session runs AQE-off so no runtime promotion happens
+    * either; guide §3.1). The gate is the CORPUS estimate, which is the
+    * sound bound here: matched ids ⊆ corpus ids, so a ≤1 GiB-estimate
+    * corpus caps the set at a few million longs — tens of MB hashed,
+    * always broadcastable. Past the gate (a real corpus) the set is
+    * corpus-scaled with no size bound at all — an unconditional
+    * broadcast is the classic driver-OOM trap (Spark's 8 GB relation
+    * cap would kill the job loudly) — so the spill-safe sort-merge
+    * stands and AQE's runtime promotion/SHJ rewrite takes over where
+    * sizes allow.
+    */
+  private val AntiBroadcastMaxStatsBytes = 1L << 30
+  private def antiJoinMatched(
+      corpus: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        AntiBroadcastMaxStatsBytes)
+      corpus.join(broadcast(ids), Seq(idCol), "left_anti")
+    else corpus.join(ids, Seq(idCol), "left_anti")
 
   /** The (corpus id, contam id, jaccard) match stream decontaminate
     * filters on — shared with [[decontaminationReport]].
@@ -226,7 +250,7 @@ object Dedup {
       .select(xxhash64(col("s")).as("s")).distinct()
     val bad = cp.join(broadcast(kp), Seq("s"), "left_semi")
       .select(col("id").as(idCol)).distinct()
-    corpus.join(bad, Seq(idCol), "left_anti")
+    antiJoinMatched(corpus, bad, idCol)
   }
 
   /** Corpus boilerplate mining: the k most DOCUMENT-frequent word-n-grams

@@ -290,16 +290,52 @@ object Retrieval {
       textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"bad k $k")
-    val docs = df.select(col(idCol).as("__rid"),
-      split(col(textCol), " ", -1).as("__w"))
-    val n = docs.agg(count(lit(1)).as("__n"))
+    // Spread a split-starved scan before the tokenize kernel (same
+    // round-robin guard as the shingle pipelines): a compressed
+    // single-file corpus otherwise tokenizes on ONE task — measured
+    // ~150 ms of the sf0.1 wall per pass — while the exchange only
+    // fires under ~8 scan splits (bounded input by construction, a
+    // no-op at corpus scale where the file layout supplies splits).
+    val src = graft.functions.Kernels.spread(
+      df.select(col(idCol).as("__rid"), col(textCol).as("__txt")),
+      Seq("__rid", "__txt"))
+    val docs = src.select(col("__rid"),
+      split(col("__txt"), " ", -1).as("__w"))
+    // corpus count over the RAW input, not the spread frame: behind the
+    // spread it would inherit the round-robin exchange over a
+    // zero-column scan (a whole extra stage to count rows); on df the
+    // scan prunes to struct<> and counts from parquet row metadata
+    val n = df.agg(count(lit(1)).as("__n"))
     val tf = docs.select(col("__rid"), explode(col("__w")).as("__t"))
       .groupBy("__rid", "__t").agg(count(lit(1)).as("__tf"))
     // tf is already unique per (__rid, __t): plain count == distinct
     // docs, and count_distinct would plan Spark's TWO-exchange distinct
     // aggregation over the corpus-sized posting set (expand + re-shuffle)
     // where one exchange of count partials is identical.
-    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    //
+    // count over a FENCED __tf projection, not count(lit(1)) —
+    // deliberately referencing __tf (never null: it is itself a count)
+    // keeps this branch's tf subtree COLUMN-IDENTICAL to the join
+    // branch's, so ReuseExchange dedupes the tf exchange and the corpus
+    // tokenize+explode+partial-tf pass runs ONCE instead of twice. A
+    // bare column reference is not enough: column pruning drops __tf
+    // from this branch's aggregate (count(1)), and
+    // RemoveRedundantAggregates strips a plain count(__tf)'s inner
+    // count to a keys-only distinct — either way the canonicalized
+    // subtrees diverge and the whole corpus-side pipeline duplicates
+    // (measured as two serial tokenize stages per pass). The
+    // OptimizerFence (non-deterministic no-op) in a Project between the
+    // aggregates blocks both rewrites (it may not sit inside the count
+    // itself — AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION);
+    // the count is exactly the row count since __tf is never null.
+    // PlanSpec pins the ReusedExchange shape.
+    // OptimizerFence.nullable, not the plain fence: a non-nullable
+    // count argument is itself rewritten to count(1) by NullPropagation,
+    // which would re-open the pruning hole the fence closes.
+    val dfT = tf
+      .select(col("__t"),
+        graft.plans.OptimizerFence.nullable(col("__tf")).as("__tfp"))
+      .groupBy("__t").agg(count(col("__tfp")).as("__df"))
     // Per-doc rank via the bounded TopKTerms aggregate, not
     // row_number().over(partitionBy(__rid)): Spark 4's WindowGroupLimit
     // already k-bounds the rank EXCHANGE for a rank<=k filter, but its

@@ -188,17 +188,35 @@ object AsOfJoin {
           max_by(col(s"__r_$c"), when(col(s"__r_$c").isNotNull, col(tsCol)))
             .as(s"__s_$c")): _*)
 
-    // densify to key × [0, chunks) so chunks without right rows still
-    // receive the carry, then prefix-scan per key over the summary only
-    val grid = summary.select(by.map(col): _*).distinct()
-      .withColumn("__chunk", explode(sequence(lit(0L), lit(chunks - 1L))))
-    val wc = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__chunk").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = grid.join(summary, by :+ "__chunk", "left")
-      .select((by.map(col) :+ col("__chunk")) ++
-        fillCols.map(c =>
-          last(col(s"__s_$c"), ignoreNulls = true).over(wc).as(s"__c_$c")): _*)
+    // Carry propagation WITHOUT the key×[0,chunks) densify (r22): the
+    // old shape distinct-ed the summary's keys, exploded a full chunk
+    // grid, LEFT-joined the summary back and prefix-scanned — a
+    // distinct exchange plus a grid join, all summary-sized but each a
+    // serial stage in the carry's build chain. Instead, one window per
+    // key (order by chunk) computes each summary row's running
+    // last-non-null per column (the per-column ignoreNulls fill the
+    // densified prefix scan produced) AND the next summary chunk; each
+    // row then explodes exactly the chunk range it carries into,
+    // (__chunk+1 .. next summary chunk, or chunks-1 when last]. Chunks
+    // before a key's first summary row get no carry row — the left
+    // join below yields null, exactly the densified grid's null carry.
+    // Same output, one less summary exchange, no grid join; still
+    // O(keys × chunks) window work, so the 100 TB contract is
+    // unchanged.
+    val ws = Window.partitionBy(by.map(col): _*).orderBy(col("__chunk").asc)
+    val wRun = ws.rowsBetween(Window.unboundedPreceding, 0)
+    val ran = fillCols.foldLeft(summary) { (d, c) =>
+      d.withColumn(s"__l_$c", last(col(s"__s_$c"), ignoreNulls = true).over(wRun))
+    }.withColumn("__nextc", lead(col("__chunk"), 1).over(ws))
+    val hi = coalesce(col("__nextc"), lit(chunks - 1L))
+    val carry = ran
+      // guard the final row at __chunk = chunks-1: sequence(a, b) with
+      // a > b would generate a DESCENDING range, not an empty one
+      .withColumn("__carrying",
+        when(hi >= col("__chunk") + 1, sequence(col("__chunk") + 1, hi))
+          .otherwise(array().cast("array<long>")))
+      .select((by.map(col) :+ explode(col("__carrying")).as("__chunk")) ++
+        fillCols.map(c => col(s"__l_$c").as(s"__c_$c")): _*)
 
     val joined = filled.join(carry, by :+ "__chunk", "left")
     finish(joined, leftCols, tsCol, tsType, rightValueCols, toleranceNs,

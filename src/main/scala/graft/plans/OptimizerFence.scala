@@ -30,12 +30,18 @@ import org.apache.spark.sql.types.DataType
   * only place this is used (Clean.cleanCorpus rule filters, PII density
   * totals).
   */
-final case class OptimizerFence(child: Expression) extends UnaryExpression {
+final case class OptimizerFence(child: Expression,
+    forceNullable: Boolean = false) extends UnaryExpression {
 
   override lazy val deterministic: Boolean = false
 
   override def dataType: DataType = child.dataType
-  override def nullable: Boolean = child.nullable
+  // forceNullable over-declares nullability (never violated — the value
+  // passes through unchanged): count(fence(x)) over a non-null x would
+  // otherwise be rewritten to count(1) by NullPropagation, pruning the
+  // very column reference the fence exists to pin (Retrieval.topKeywords
+  // shares the tf exchange through exactly that reference).
+  override def nullable: Boolean = forceNullable || child.nullable
 
   override def eval(input: InternalRow): Any = child.eval(input)
 
@@ -56,4 +62,12 @@ object OptimizerFence {
 
   def apply(c: Column): Column =
     CatalystBridge.column(OptimizerFence(CatalystBridge.expression(c)))
+
+  /** Fence whose output is DECLARED nullable even over a non-null child
+    * — for pinning a column reference inside `count(...)`, which
+    * NullPropagation would otherwise rewrite to count(1).
+    */
+  def nullable(c: Column): Column =
+    CatalystBridge.column(
+      OptimizerFence(CatalystBridge.expression(c), forceNullable = true))
 }
