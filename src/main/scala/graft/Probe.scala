@@ -49,6 +49,14 @@ object Probe {
       if (flags("stages"))
         println(s"[probe] $name executed plan:\n" +
           df.queryExecution.executedPlan.toString.take(4000))
+      // `finalplan` materializes the df's OWN QueryExecution (each noop
+      // save above runs a separate one), so the printed plan is the
+      // AQE-resolved final plan with runtime join rewrites visible.
+      if (flags("finalplan")) {
+        df.collect()
+        println(s"[probe] $name AQE-final plan:\n" +
+          df.queryExecution.executedPlan.toString.take(8000))
+      }
     }
     spark.stop()
   }

@@ -826,20 +826,23 @@ object Dedup {
           force = forcePrefix.contains(true))
       else bucketAggJaccardPairs(posts, idType, threshold, maxDocFreq)
     } else {
-      // Dense-index sizes ride the same spread input, so the
-      // DistinctShingles kernel in this collect parallelizes with the
-      // postings kernel above rather than re-running on the one split.
-      val collected: Array[(Long, Long)] = spreadIn
-        .select(col(idCol).cast("long").as("id"),
-          size(graft.plans.DistinctShingles(col(textCol), shingleLen))
-            .cast("long").as("sz"))
-        .filter(col("sz") > 0)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // The block index needs only WHICH docs can shingle (set sizes
+      // ride each posting row as posts.sz; docidx's old sz column was
+      // dead beyond this filter) — so the collect gates on the cheap
+      // token-count kernel instead of building every doc's distinct
+      // shingle SET a second time (r22; ngramCount > 0 ⟺ the doc has
+      // ≥ shingleLen tokens ⟺ DistinctShingles nonempty — same
+      // normalize+tokenize). The collect still rides the spread input,
+      // parallel with the postings kernel.
+      val collected: Array[Long] = spreadIn
+        .filter(graft.functions.Text.ngramCount(col(textCol), shingleLen) > 0)
+        .select(col(idCol).cast("long").as("id"))
+        .collect().map(_.getLong(0))
       // Duplicate ids (a caller-contract violation — pairs are id-to-id)
       // would mint duplicate docidx slots and corrupt dense intersection
       // counts: keep one slot per id. The phase-1 row bound already caps
       // the collect size even with duplicates.
-      val docs = collected.distinctBy(_._1)
+      val docs = collected.distinct
       // ~4k docs per block; floor of 8 blocks keeps small corpora on ≥36
       // tiles for parallelism. Gate at 128 blocks (~520k docs): past that
       // the dense tiles' O(n²) flush scan outgrows the incidence-bound
@@ -903,7 +906,7 @@ object Dedup {
   /** The blocked dense-tile strategy (see ngramJaccardPairs doc). */
   private def blockedJaccardPairs(
       posts: DataFrame,
-      docs: Array[(Long, Long)],
+      docs: Array[Long],
       idType: org.apache.spark.sql.types.DataType,
       shingleLen: Int,
       threshold: Double,
@@ -931,13 +934,13 @@ object Dedup {
     // under either assignment — range is never worse. The fallback
     // aggregate path never collects.
     val sliceRows: Int = ((docs.length.toLong + numBlocks - 1) / numBlocks).toInt
-    val docidxRows: Array[(Long, Long, Int, Int)] =
-      docs.sortBy(_._1).iterator.zipWithIndex.map { case ((id, sz), i) =>
-        (id, sz, i / sliceRows, i % sliceRows)
+    val docidxRows: Array[(Long, Int, Int)] =
+      docs.sorted.iterator.zipWithIndex.map { case (id, i) =>
+        (id, i / sliceRows, i % sliceRows)
       }.toArray
     val counts: Array[Int] = {
       val c = new Array[Int](numBlocks)
-      docidxRows.foreach { case (_, _, b, _) => c(b) += 1 }
+      docidxRows.foreach { case (_, b, _) => c(b) += 1 }
       c
     }
     // RDD-backed with ONE partition, not a LocalRelation: broadcasting a
@@ -945,9 +948,11 @@ object Dedup {
     // min(rows, defaultParallelism)-task job per broadcast — two 32-task
     // near-empty stages on every q30 execution. A 1-partition RDD scan
     // makes each broadcast build a single-task job over a few-MB index.
+    // Set sizes ride each posting row (posts.sz), so the index carries
+    // only (id, block, local).
     val docidx = spark.createDataset(
       spark.sparkContext.parallelize(docidxRows.toSeq, 1))
-      .toDF("id", "sz", "block", "local")
+      .toDF("id", "block", "local")
     // ≤520k docs ⇒ docidx is ≲15 MB — always broadcastable here.
     val entries0 = posts
       .join(broadcast(docidx.select(col("id"), col("block"), col("local"))), "id")

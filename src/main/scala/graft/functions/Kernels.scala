@@ -15,6 +15,16 @@ private[functions] object Kernels {
     * exchange is bounded and never appears at corpus scale, where the
     * file layout supplies the splits. (Extracted from Dedup's
     * spreadForKernel, round 9 — same thresholds, same PlanSpec pins.)
+    *
+    * r22 NEGATIVE RESULT, do not re-try: widening the gate to
+    * `parts < cores` (so a 16-file sf1 corpus spreads on 32 cores) with
+    * a 2×cores target made q30 at sf1 WORSE, 1.7-1.9 → 2.05-2.22 s warm
+    * — a keyless repartition first pays a local sort of its input
+    * (spark.sql.execution.sortBeforeRepartition, needed for retry
+    * determinism) plus serialize/compress of ~50 MB of text both sides,
+    * which costs more than halving the shingle-kernel stage's task
+    * walls buys back. The 8-split gate and 16-task cap stand as
+    * measured.
     */
   def spread(df: DataFrame, cols: Seq[String]): DataFrame = {
     val narrow = df.select(cols.map(col): _*)
