@@ -77,9 +77,10 @@ object Dedup {
     * score 0.
     */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      Text.ngramCount(col(textCol), n).as("total_n"),
-      size(graft.plans.DistinctShingles(col(textCol), n)).as("__d"))
+    spreadForKernel(df, idCol, textCol)
+      .select(col(idCol).as("id"),
+        Text.ngramCount(col(textCol), n).as("total_n"),
+        size(graft.plans.DistinctShingles(col(textCol), n)).as("__d"))
       .select(col("id"), col("total_n"),
         round(when(col("total_n") <= 0, 0.0)
           .otherwise(lit(1.0) - col("__d").cast("double") / col("total_n")), 6)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 /** Shared plumbing for the codegen'd text kernels. */
-private[functions] object Kernels {
+private[graft] object Kernels {
 
   /** Buy parallelism for a compute-bound kernel whose scan planned fewer
     * splits than cores are worth: narrow to exactly the needed columns and

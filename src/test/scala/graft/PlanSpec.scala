@@ -415,7 +415,17 @@ class PlanSpec extends SparkSuite {
       val exchanges = p.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      assert(exchanges.size <= 1, s"rule evaluation must not shuffle:\n$p")
+      // r22: a round-robin kernel SPREAD below the rule pass is allowed
+      // on a split-starved small input (it only redistributes text for
+      // parallelism, fires under <8 scan splits, never at corpus scale);
+      // any KEYED shuffle of the corpus is still a regression
+      assert(exchanges.size <= 2, s"rule evaluation must not shuffle:\n$p")
+      exchanges.foreach { e =>
+        val part = e.outputPartitioning.toString
+        assert(part.contains("RoundRobinPartitioning") ||
+          part.contains("SinglePartition"),
+          s"unexpected keyed corpus shuffle: $part\n$p")
+      }
       assert(p.collect {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       }.isEmpty, "rules are a filter, not an aggregation")
