@@ -46,10 +46,36 @@ object ParquetFooterStats {
     }
   }
 
+  /** SUPERSET bounds through Filters, with a PROVEN-no-nulls guarantee —
+    * for consumers that need any covering [lo, hi] of a possibly-filtered
+    * scan plus certainty that no null can survive the filters
+    * (AsOfJoin.asofJoinChunked: chunk boundaries may be any covering
+    * range, its null-ts check must never pass a null silently). Unlike
+    * [[minMaxNs]], Filter nodes are allowed (footer min/max of the BASE
+    * table bound every filtered subset), but every row group must carry
+    * an explicit zero null count for the column — one null anywhere and
+    * the caller falls back to the exact aggregate job, whose census
+    * raises the loud error if nulls survive its filters.
+    */
+  def minMaxNsNoNulls(df: DataFrame, colName: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType | TimestampType | TimestampNTZType) =>
+        minMaxLongImpl(df, colName, throughFilters = true, requireNoNulls = true)
+      case _ => None
+    }
+  }
+
   def minMaxLong(df: DataFrame, colName: String): Option[(Long, Long)] =
+    minMaxLongImpl(df, colName, throughFilters = false, requireNoNulls = false)
+
+  private def minMaxLongImpl(
+      df: DataFrame, colName: String,
+      throughFilters: Boolean, requireNoNulls: Boolean): Option[(Long, Long)] =
     try {
       import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-      val rel = bareRelation(df.queryExecution.analyzed).getOrElse(return None)
+      val rel = (if (throughFilters) relationThroughFilters(df.queryExecution.analyzed)
+        else bareRelation(df.queryExecution.analyzed)).getOrElse(return None)
       val okType = df.schema.find(_.name == colName).map(_.dataType) match {
         case Some(LongType | TimestampType | TimestampNTZType) => true
         case _ => false
@@ -96,6 +122,8 @@ object ParquetFooterStats {
                 }
                 val st = chunk.getStatistics
                 if (st == null || st.isEmpty) return None
+                if (requireNoNulls && !(st.isNumNullsSet && st.getNumNulls == 0))
+                  return None
                 if (st.hasNonNullValue) {
                   val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue() * toNs
                   val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue() * toNs
@@ -132,4 +160,20 @@ object ParquetFooterStats {
     case SubqueryAlias(_, child) => bareRelation(child)
     case _ => None
   }
+
+  /** [[bareRelation]] that additionally walks through Filter nodes — only
+    * valid for consumers that accept SUPERSET bounds (the base table's
+    * footer min/max cover every filtered subset).
+    */
+  private def relationThroughFilters(p: LogicalPlan): Option[HadoopFsRelation] =
+    p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
+        relationThroughFilters(child)
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        relationThroughFilters(child)
+      case SubqueryAlias(_, child) => relationThroughFilters(child)
+      case l: LogicalRelation => bareRelation(l)
+      case _ => None
+    }
 }

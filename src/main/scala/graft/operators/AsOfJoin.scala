@@ -139,24 +139,38 @@ object AsOfJoin {
       chunks: Int = 64): DataFrame = {
     require(chunks >= 1 && chunks <= 4096, s"chunks must be in [1, 4096], got $chunks")
     val tsType = left.schema(tsCol).dataType
-    // A null ts is a LOUD error on every path (checked in the same
-    // bounds job, so delegating branches enforce it too): the window
-    // formulation sorts nulls first (a null-ts right row back-fills
-    // every left row — itself a dubious outcome), while a null chunk
-    // would fall outside the carry grid and silently diverge; neither
-    // is as-of semantics.
-    val bounds = left.select(Ts.toNs(col(tsCol), tsType).as("n"))
-      .unionByName(right.select(
-        Ts.toNs(col(tsCol), right.schema(tsCol).dataType).as("n")))
-      .agg(min("n").as("lo"), max("n").as("hi"),
-        count(lit(1)).as("rows"), count("n").as("nonnull")).first()
-    require(bounds.getLong(2) == bounds.getLong(3),
-      s"asofJoinChunked: ${bounds.getLong(2) - bounds.getLong(3)} null ts " +
-        "rows — as-of needs a total time order")
-    if (chunks == 1 || bounds.isNullAt(0) || bounds.getLong(0) == bounds.getLong(1))
+    // Chunk bounds: any COVERING [lo, hi] is correct (the chunk id is a
+    // monotone pure function of ts; a wider range only changes tile
+    // balance, never results), and a null ts must be a LOUD error on
+    // every path — the window formulation sorts nulls first (a null-ts
+    // right row back-fills every left row), while a null chunk would
+    // fall outside the carry grid and silently diverge. Fast path (r22,
+    // guide §6): when BOTH sides are (filtered) parquet scans whose
+    // footers carry explicit zero null counts for ts, the footer
+    // min/max answer both needs from metadata alone — no job, and at
+    // corpus scale no full dual-side column scan per call. One null
+    // anywhere or a non-scan input falls back to the exact 1-row
+    // aggregate job, whose census raises on surviving null ts rows.
+    val footerBounds: Option[(Long, Long)] =
+      for {
+        (llo, lhi) <- graft.core.ParquetFooterStats.minMaxNsNoNulls(left, tsCol)
+        (rlo, rhi) <- graft.core.ParquetFooterStats.minMaxNsNoNulls(right, tsCol)
+      } yield (math.min(llo, rlo), math.max(lhi, rhi))
+    val (loHi: Option[(Long, Long)]) = footerBounds.orElse {
+      val bounds = left.select(Ts.toNs(col(tsCol), tsType).as("n"))
+        .unionByName(right.select(
+          Ts.toNs(col(tsCol), right.schema(tsCol).dataType).as("n")))
+        .agg(min("n").as("lo"), max("n").as("hi"),
+          count(lit(1)).as("rows"), count("n").as("nonnull")).first()
+      require(bounds.getLong(2) == bounds.getLong(3),
+        s"asofJoinChunked: ${bounds.getLong(2) - bounds.getLong(3)} null ts " +
+          "rows — as-of needs a total time order")
+      if (bounds.isNullAt(0)) None else Some((bounds.getLong(0), bounds.getLong(1)))
+    }
+    if (chunks == 1 || loHi.isEmpty || loHi.get._1 == loHi.get._2)
       return asofJoin(left, right, tsCol, by, rightValueCols, toleranceNs)
-    val lo = bounds.getLong(0)
-    val width = math.max(1L, (bounds.getLong(1) - lo) / chunks + 1)
+    val lo = loHi.get._1
+    val width = math.max(1L, (loHi.get._2 - lo) / chunks + 1)
     // double division is monotone for fixed width and the quotient is
     // tiny (< chunks), so a boundary nudged one ulp still yields a
     // monotone, deterministic chunking — which is all correctness needs

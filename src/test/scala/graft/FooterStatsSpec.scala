@@ -37,6 +37,32 @@ class FooterStatsSpec extends SparkSuite {
       Seq((1L, 2L)).toDF("ts", "v"), "ts").isEmpty) // not a parquet scan
   }
 
+  test("no-nulls superset bounds: filters allowed, nulls or non-scans fall back") {
+    // minMaxNsNoNulls serves asofJoinChunked's chunk bounds: any
+    // covering range is correct, so Filters are walked through and the
+    // answer is the BASE table's footer min/max — but only when every
+    // row group proves a zero null count (one null ⇒ None, so the
+    // caller's exact census keeps the loud null-ts error path).
+    val bare = ParquetFooterStats.minMaxNsNoNulls(events, "ts")
+    assert(bare.nonEmpty)
+    assert(ParquetFooterStats.minMaxNsNoNulls(
+      events.filter(col("event_type") === "purchase"), "ts") == bare)
+    assert(ParquetFooterStats.minMaxNsNoNulls(
+      events.filter(col("event_type") === "purchase").select("ts", "user_id"),
+      "ts") == bare)
+    // a column with nulls must refuse even though min/max stats exist
+    val tmp = java.nio.file.Files.createTempDirectory("graft-footer-").toString
+    spark.range(100)
+      .select(col("id"), when(col("id") % 10 =!= 0, col("id")).as("maybe"))
+      .write.mode("overwrite").parquet(tmp)
+    val withNulls = spark.read.parquet(tmp)
+    assert(ParquetFooterStats.minMaxNsNoNulls(withNulls, "maybe").isEmpty)
+    assert(ParquetFooterStats.minMaxNsNoNulls(withNulls, "id").nonEmpty)
+    // non-parquet input still refuses
+    assert(ParquetFooterStats.minMaxNsNoNulls(
+      Seq((1L, 2L)).toDF("ts", "v"), "ts").isEmpty)
+  }
+
   test("resample origins agree between the footer path and the aggregate path") {
     // bare scan → footer anchor; filtered frame → aggregate anchor. The
     // filter keeps every row, so both must produce identical buckets.
