@@ -69,6 +69,31 @@ object ParquetFooterStats {
   def minMaxLong(df: DataFrame, colName: String): Option[(Long, Long)] =
     minMaxLongImpl(df, colName, throughFilters = false, requireNoNulls = false)
 
+  /** Exact row count of a BARE parquet scan from footer block metadata —
+    * zero jobs. Parquet readers themselves trust these counts (a wrong
+    * one would mis-read the file), so this equals count(*). Any filter,
+    * computed projection or non-parquet source returns None (caller runs
+    * the aggregate). At corpus scale this deletes a full count pass.
+    */
+  def rowCount(df: DataFrame): Option[Long] =
+    try {
+      val rel = bareRelation(df.queryExecution.analyzed).getOrElse(return None)
+      val files = rel.location.inputFiles
+      if (files.isEmpty || files.length > MaxFooterFiles) return None
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      var total = 0L
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val it = reader.getFooter.getBlocks.iterator()
+          while (it.hasNext) total += it.next().getRowCount
+        } finally reader.close()
+      }
+      Some(total)
+    } catch { case _: Throwable => None }
+
   private def minMaxLongImpl(
       df: DataFrame, colName: String,
       throughFilters: Boolean, requireNoNulls: Boolean): Option[(Long, Long)] =

@@ -301,10 +301,12 @@ object Retrieval {
       Seq("__rid", "__txt"))
     val docs = src.select(col("__rid"),
       split(col("__txt"), " ", -1).as("__w"))
-    // corpus count over the RAW input, not the spread frame: behind the
-    // spread it would inherit the round-robin exchange over a
-    // zero-column scan (a whole extra stage to count rows); on df the
-    // scan prunes to struct<> and counts from parquet row metadata
+    // Corpus count: a bare parquet scan answers it EXACTLY from footer
+    // block metadata — zero jobs, and at corpus scale one whole count
+    // pass deleted (r22). Non-scan inputs fall back to the aggregate —
+    // over the RAW input, not the spread frame, which would inherit the
+    // round-robin exchange over a zero-column scan.
+    val nFooter: Option[Long] = graft.core.ParquetFooterStats.rowCount(df)
     val n = df.agg(count(lit(1)).as("__n"))
     val tf = docs.select(col("__rid"), explode(col("__w")).as("__t"))
       .groupBy("__rid", "__t").agg(count(lit(1)).as("__tf"))
@@ -348,7 +350,15 @@ object Retrieval {
     // Ordering is identical by construction: the long __wq quantization
     // IS the rank key both ways, and TopKTerms breaks ties on binary
     // term order exactly like `orderBy(__wq desc, __t)`.
-    tf.join(dfT, "__t").crossJoin(broadcast(n))
+    val joined = nFooter match {
+      // footer count folds to a literal: the whole n branch (scan +
+      // partial + single-partition exchange + final + broadcast
+      // cross-join) disappears from the plan; identical double
+      // arithmetic either way (long __n enters as (n + 1.0))
+      case Some(cnt) => tf.join(dfT, "__t").withColumn("__n", lit(cnt))
+      case None => tf.join(dfT, "__t").crossJoin(broadcast(n))
+    }
+    joined
       .select(col("__rid"),
         round(col("__tf") * log((col("__n") + 1.0) / (col("__df") + 1.0)) * 1e9)
           .cast("long").as("__wq"), col("__t"))

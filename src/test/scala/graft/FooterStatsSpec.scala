@@ -63,6 +63,16 @@ class FooterStatsSpec extends SparkSuite {
       Seq((1L, 2L)).toDF("ts", "v"), "ts").isEmpty)
   }
 
+  test("footer row count equals count(*) on a bare scan; guarded shapes refuse") {
+    assert(ParquetFooterStats.rowCount(events).contains(events.count()))
+    assert(ParquetFooterStats.rowCount(events.select("ts", "value"))
+      .contains(events.count()))
+    // filters and non-parquet sources must fall back to the aggregate
+    assert(ParquetFooterStats.rowCount(
+      events.filter(col("value") > 0)).isEmpty)
+    assert(ParquetFooterStats.rowCount(Seq((1L, 2L)).toDF("a", "b")).isEmpty)
+  }
+
   test("resample origins agree between the footer path and the aggregate path") {
     // bare scan → footer anchor; filtered frame → aggregate anchor. The
     // filter keeps every row, so both must produce identical buckets.

@@ -89,13 +89,16 @@ class PlanSpec extends SparkSuite {
       // kernel spread, ONE tf groupBy (r22: the df(t) branch reuses the
       // join branch's tf exchange via the fenced count — the corpus
       // tokenize+explode+partial-tf pass runs once, not once per
-      // branch), df(t) on __t, the 1-row corpus count, the per-doc
-      // TopKTerms rank aggregate (r21 — was a row_number window whose
-      // WindowGroupLimit k-bounded the exchange but full-sorted every
-      // posting on both sides of it; zero rank sorts now), the
-      // deterministic tail — a count_distinct regression or a reuse
-      // regression adds a 7th
-      assert(n == 6, s"expected 6 shuffle exchanges, got $n")
+      // branch), df(t) on __t, the per-doc TopKTerms rank aggregate
+      // (r21 — was a row_number window whose WindowGroupLimit k-bounded
+      // the exchange but full-sorted every posting on both sides of it;
+      // zero rank sorts now), the deterministic tail. The corpus-count
+      // branch is GONE on a parquet input (r22: footer row counts fold
+      // it to a literal). A count_distinct, reuse or footer regression
+      // adds a 6th/7th.
+      assert(n == 5, s"expected 5 shuffle exchanges, got $n")
+      assert(!p.toString.contains("BroadcastNestedLoopJoin"),
+        "corpus count must fold to a footer literal on a parquet scan")
       val reused = p.collect {
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
       }
